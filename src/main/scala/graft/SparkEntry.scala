@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{Analytics, ReferenceOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps one entry per implemented operator (SURVEY.md §2 +
+  * extension surface); `oracleSql` holds the DuckDB-equivalent ANSI SQL the
+  * driver runs over the same parquet tables. Column names/aliases match on
+  * both sides (the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The CDC live view: ReplacingMergeTree+FINAL semantics as a window
+    * dedup (SURVEY.md §3.3). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ReferenceOps.liveView(spark, "/root/testdata/sf0.001")
+
+  def queryGroups: Seq[Map[String, (SparkSession, String) => DataFrame]] = Seq(
+    ReferenceOps.queries,
+    Analytics.queries)
+
+  def oracleGroups: Seq[Map[String, String]] = Seq(
+    ReferenceOps.oracle,
+    Analytics.oracle)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queryGroups.reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    oracleGroups.reduce(_ ++ _)
 }

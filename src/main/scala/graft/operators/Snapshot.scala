@@ -1,0 +1,108 @@
+package graft.operators
+
+import java.io.File
+import scala.util.{Failure, Success, Try}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import graft.model.Identifiers
+import graft.sources.ParquetCatalog
+
+/** Result of one table's replication — parity with the reference's result
+  * dict (`src/replicator.py:74-85`): counts on both sides and the
+  * count-match success flag (A4, the reference's entire correctness
+  * oracle). */
+final case class ReplicationResult(
+    table: String,
+    sourceCount: Long,
+    targetCount: Long,
+    success: Boolean,
+    error: Option[String] = None)
+
+/** Snapshot mode: full table copy source → warehouse with validation.
+  *
+  * Re-expresses `Replicator` (`src/replicator.py`):
+  *   - O2 table-set resolution (configured list else all,
+  *     `src/replicator.py:26-32`);
+  *   - K3/K6 create/drop target → `SaveMode.Overwrite` parquet write (the
+  *     declarative equivalent of DROP+CREATE+INSERT; `ORDER BY(pk)` in the
+  *     reference's DDL (`src/schema_converter.py:77`) maps to an optional
+  *     `sortWithinPartitions` — a physical-layout hint, not a correctness
+  *     requirement);
+  *   - O3 per-table pipeline: introspect → copy → validate
+  *     (`replicate_table`, `src/replicator.py:65-85`). The reference's
+  *     explicit batch loop (50k rows, `src/replicator.py:46-63`)
+  *     disappears: Spark streams row-groups inside partitioned tasks,
+  *     giving bounded memory AND intra-table parallelism the reference
+  *     lacks (`README.md:462`);
+  *   - A1/A2/A4 count validation (`src/replicator.py:74-81`);
+  *   - O4 parallel tables (`ThreadPoolExecutor`,
+  *     `src/replicator.py:105-123`) → concurrent Spark jobs via Scala
+  *     parallel collections — jobs share the cluster's scheduler, and each
+  *     partition owns its own connection/file handle (fixing the shared-
+  *     client thread hazard noted in SURVEY.md §3.1);
+  *   - O5 per-table error isolation (`src/replicator.py:135-141`).
+  *
+  * Scale note: the copy is a shuffle-free scan→write per table; at 100 TB
+  * the only knobs that matter are input split size
+  * (`spark.sql.files.maxPartitionBytes`) and output file sizing, both left
+  * to the session config.
+  */
+final class SnapshotReplicator(
+    spark: SparkSession,
+    sourceDir: String,
+    warehouseDir: String) {
+
+  private val catalog = new ParquetCatalog(spark, sourceDir)
+
+  /** O2: configured table list (else all), validated. */
+  def tablesToReplicate(configured: Seq[String] = Seq.empty): Seq[String] = {
+    val ts = if (configured.nonEmpty) configured else catalog.listTables()
+    ts.map(Identifiers.validate(_, "table name"))
+  }
+
+  def targetPath(table: String): String = s"$warehouseDir/$table.parquet"
+
+  def targetExists(table: String): Boolean = new File(targetPath(table)).exists()
+
+  def readTarget(table: String): DataFrame =
+    spark.read.parquet(targetPath(table))
+
+  /** A2: target row count (`src/clickhouse_client.py:81-86`). */
+  def targetCount(table: String): Long = readTarget(table).count()
+
+  /** O3: one table end-to-end. `sortWithinPartitions(pk)` mirrors the
+    * MergeTree ORDER BY layout when requested. */
+  def replicateTable(table: String, sortByPk: Boolean = false): ReplicationResult =
+    Try {
+      val src = catalog.read(table)
+      val sourceCount = src.count() // A1 pre-copy count
+      val pks = catalog.primaryKeys.getOrElse(table, Seq.empty)
+      val out =
+        if (sortByPk && pks.nonEmpty)
+          src.sortWithinPartitions(pks.map(org.apache.spark.sql.functions.col): _*)
+        else src
+      out.write.mode(SaveMode.Overwrite).parquet(targetPath(table))
+      val tgtCount = targetCount(table)
+      ReplicationResult(table, sourceCount, tgtCount,
+        success = sourceCount == tgtCount) // A4
+    } match {
+      case Success(r) => r
+      case Failure(e) =>
+        ReplicationResult(table, -1, -1, success = false,
+          error = Some(e.toString)) // O5 isolation
+    }
+
+  /** O4/O5: run all tables, optionally in parallel; failures isolated. */
+  def run(configured: Seq[String] = Seq.empty,
+          parallelism: Int = 1): Seq[ReplicationResult] = {
+    new File(warehouseDir).mkdirs() // K2 create-database analog
+    val tables = tablesToReplicate(configured)
+    if (parallelism <= 1) tables.map(replicateTable(_))
+    else {
+      import scala.collection.parallel.CollectionConverters._
+      val par = tables.par
+      par.tasksupport = new scala.collection.parallel.ExecutionContextTaskSupport(
+        scala.concurrent.ExecutionContext.global)
+      par.map(replicateTable(_)).toList
+    }
+  }
+}

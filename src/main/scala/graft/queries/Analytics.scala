@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Beyond-reference analytics surface over the harness star schema
+  * (SURVEY.md §7.2 step 7): real aggregations, joins, top-k, windows —
+  * the query classes the reference delegates to ClickHouse, expressed as
+  * declarative Spark plans.
+  *
+  * Determinism-for-oracle rules used throughout:
+  *   - money/quantity sums cast to DECIMAL before aggregating (float sums
+  *     are order-dependent; decimal sums are exact in both engines);
+  *   - every top-k has a total-order tie-break on a key column;
+  *   - no raw ns-precision timestamps in output (dates only).
+  *
+  * Scale notes per query in the Scaladoc of each entry.
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: single scan + hash agg on low-cardinality keys.
+    // Partial aggregation makes the shuffle tiny at any scale.
+    "q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(22,6)")).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+
+    // TPC-H Q3 shape: 3-way join; `customer` is small → broadcast hint
+    // keeps the big fact tables shuffle-free on the probe side at scale.
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(22,6)")).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: star join through region→nation→customer→orders→
+    // lineitem. All dims broadcast; only orders⋈lineitem shuffles.
+    "q5_local_supplier_volume" -> ((s, dir) => {
+      val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, dir, "nation")
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(22,6)")).as("revenue"))
+    }),
+
+    // Top-k with total order: driver-side k rows only; executors do a
+    // per-partition top-k (TakeOrderedAndProject) — no global sort.
+    "topk_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("total_price"))
+        .orderBy(col("total_price").desc, col("o_orderkey").asc)
+        .limit(25)),
+
+    // Analytic window: rank orders per customer by value; single shuffle
+    // on o_custkey, per-partition sort only.
+    "window_order_rank" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("total_price"))),
+
+    // Semi/anti join surface: parts that never shipped (left_anti) and
+    // customers with at least one purchase-priority order (left_semi).
+    "anti_parts_never_ordered" -> ((s, dir) =>
+      t(s, dir, "part")
+        .join(t(s, dir, "lineitem"),
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")),
+
+    "semi_customers_with_urgent" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")),
+
+    // Grouped distinct + conditional agg over the event stream.
+    "events_daily_rollup" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(to_date(timestamp_micros(col("ts_us"))).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(18,2)"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).as("purchase_value")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+        |FROM orders ORDER BY total_price DESC, o_orderkey ASC LIMIT 25""".stripMargin,
+
+    "window_order_rank" ->
+      """SELECT o_custkey, rk, o_orderkey, total_price FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+
+    "anti_parts_never_ordered" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+
+    "semi_customers_with_urgent" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "events_daily_rollup" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  sum(CASE WHEN event_type='purchase'
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS purchase_value
+        |FROM events GROUP BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,33 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Harness table access with schema normalization.
+  *
+  * The driver's `events` table stores `ts` as parquet TIMESTAMP(NANOS),
+  * which Spark 4 rejects by default (PARQUET_TYPE_ILLEGAL). We flip the
+  * runtime conf `spark.sql.legacy.parquet.nanosAsLong` and normalize to a
+  * µs-epoch long column `ts_us` (truncation — identical to DuckDB's ns→µs
+  * handling, so oracles use `epoch_us(ts)`). Queries use `ts_us` only.
+  */
+object Tables {
+
+  def read(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** `events` with a normalized `ts_us` (µs epoch, LongType) column, robust
+    * to whether the session read `ts` as nanos-long or as timestamp. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val df = read(s, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => // nanos as long
+        df.withColumn("ts_us", (col("ts") / lit(1000L)).cast("long"))
+      case _ =>
+        df.withColumn("ts_us", unix_micros(col("ts")))
+    }
+  }
+}

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <outDir>
+(run graft.Verify first to populate <outDir>).
+
+For each <name>.parquet in outDir with an entry in oracle_sql.json:
+register every table of sfDir as a DuckDB view, run the oracle SQL,
+compare against the Spark result: columns sorted by name, rows sorted,
+values stringified (floats via repr, decimals via str).
+"""
+import json, os, sys, glob
+import duckdb
+
+def canon(rows, cols):
+    # sort columns by name, stringify, sort rows
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                vals.append(repr(round(v, 9)))
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return [cols[i] for i in order], out
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        got = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')")
+        gcols = [c[0] for c in got.description]
+        grows = got.fetchall()
+        if name not in oracle:
+            results[name] = f"ROWS_ONLY rows={len(grows)}"
+            continue
+        try:
+            exp = con.execute(oracle[name])
+            ecols = [c[0] for c in exp.description]
+            erows = exp.fetchall()
+        except Exception as e:
+            results[name] = f"ORACLE_ERROR {e}"
+            continue
+        gc, gr = canon(grows, gcols)
+        ec, er = canon(erows, ecols)
+        if gc != ec:
+            results[name] = f"SCHEMA_MISMATCH spark={gc} oracle={ec}"
+        elif gr != er:
+            diff = [(a, b) for a, b in zip(gr, er) if a != b][:3]
+            extra = f" first_diffs={diff}" if diff else \
+                f" row_counts spark={len(gr)} oracle={len(er)}"
+            results[name] = f"VALUE_MISMATCH{extra}"
+        else:
+            results[name] = f"OK rows={len(gr)}"
+    bad = 0
+    for k, v in sorted(results.items()):
+        flag = "  " if v.startswith(("OK", "ROWS_ONLY")) else "!!"
+        if flag == "!!":
+            bad += 1
+        print(f"{flag} {k}: {v[:400]}")
+    print(f"\n{len(results)-bad}/{len(results)} pass")
+    return 1 if bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
