@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, ReferenceOps}
+import graft.queries.{Analytics, ReferenceOps, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,11 +20,13 @@ object SparkEntry {
 
   def queryGroups: Seq[Map[String, (SparkSession, String) => DataFrame]] = Seq(
     ReferenceOps.queries,
-    Analytics.queries)
+    Analytics.queries,
+    TrainingData.queries)
 
   def oracleGroups: Seq[Map[String, String]] = Seq(
     ReferenceOps.oracle,
-    Analytics.oracle)
+    Analytics.oracle,
+    TrainingData.oracle)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

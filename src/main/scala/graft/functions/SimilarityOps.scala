@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`) — extension
+  * surface (SURVEY.md §7.2 step 7).
+  *
+  * Vector math uses Spark's higher-order functions (`zip_with` +
+  * `aggregate`) — codegen'd, no UDF, left-to-right summation so the DuckDB
+  * oracle (explicit term-sum or list functions) can match deterministically
+  * after rounding.
+  */
+object SimilarityOps {
+
+  /** Dot product of two array<float/double> columns (double accumulator,
+    * sequential fold — deterministic order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine neighbors for a set of query vectors.
+    * Cross join (queries × corpus) — the corpus side streams; with Q query
+    * rows broadcast, this is a single scan of the corpus doing Q·d FMAs per
+    * row, then a per-query top-k (window). The correct baseline, and the
+    * right plan when Q is small; scale path is [[lshAnnTopK]]. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("_qv"), col("_cv")).as("_cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(round(col("_cos"), 6).desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("_cos"), 6).cast("decimal(10,6)").as("cos_sim"))
+  }
+
+  /** Random-hyperplane LSH bucket key: `planes` sign bits from fixed
+    * pseudo-random hyperplanes (seeded by [[PortableHash]] of (plane, dim),
+    * so buckets are deterministic and oracle-reproducible without shipping
+    * plane data). Sign bit b = sign(Σ_d w(b,d)·v[d]) with w ∈ {-1,+1}. */
+  def hyperplaneKey(vec: Column, planes: Int, dim: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      // w(p,d) = +1 if md5-hash parity of (p,d) else -1 — precomputed here
+      // at plan time into a literal array, folded by codegen.
+      val weights = (0 until dim).map { d =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"plane|$p|$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) 1.0 else -1.0
+      }
+      val proj = (0 until dim).map(d =>
+        element_at(vec, d + 1).cast("double") * lit(weights(d)))
+        .reduce(_ + _)
+      when(proj > 0, math.pow(2, p).toLong).otherwise(0L)
+    }
+    bits.reduce(_ + _).cast("long")
+  }
+
+  /** IVF/LSH-bucketed ANN: corpus and queries hashed into hyperplane
+    * buckets; candidates = same-bucket pairs; exact cosine + top-k inside.
+    * One shuffle on the bucket key instead of a full cross join — the 100 TB
+    * path. Recall < 1 by construction (probe only its own bucket); add
+    * multi-probe or fewer planes for higher recall. */
+  def lshAnnTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, planes: Int, dim: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      hyperplaneKey(col(vecCol), planes, dim).as("_bkt"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      hyperplaneKey(col(vecCol), planes, dim).as("_bkt"))
+    val scored = c.join(broadcast(q), Seq("_bkt"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("_qv"), col("_cv")).as("_cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(round(col("_cos"), 6).desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("_cos"), 6).cast("decimal(10,6)").as("cos_sim"))
+  }
+
+  /** DuckDB SQL for the same dot product as an explicit term sum
+    * (left-to-right, matching `aggregate`'s fold order). 1-based lists. */
+  def dotDuck(a: String, b: String, dim: Int): String =
+    (1 to dim).map(i =>
+      s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+      .mkString("(", " + ", ")")
+
+  def cosineDuck(a: String, b: String, dim: Int): String =
+    s"(${dotDuck(a, b, dim)} / (sqrt(${dotDuck(a, a, dim)}) * sqrt(${dotDuck(b, b, dim)})))"
+}

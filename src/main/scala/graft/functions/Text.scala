@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines
+  * (extension surface beyond the reference — SURVEY.md §7.2 step 7).
+  *
+  * Every function is a pure codegen'd Column expression (no UDFs) with an
+  * exactly-equivalent DuckDB SQL form for the oracle, so the whole family
+  * is embarrassingly parallel: one scan, no shuffle, scales linearly to
+  * 100 TB of documents.
+  */
+object Text {
+
+  /** Normalize: lowercase, collapse whitespace runs, trim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+  def normalizeDuck(x: String): String =
+    s"trim(regexp_replace(lower($x), '\\s+', ' ', 'g'))"
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(normalize(text), " ")).cast("long")
+  def tokenCountDuck(x: String): String =
+    s"len(string_split(${normalizeDuck(x)}, ' '))"
+
+  /** BPE-ish subword-unit count: alpha runs, digit runs, and single
+    * non-alphanumeric marks each count as one unit (a cheap, deterministic
+    * proxy for a BPE tokenizer's pre-tokenization). */
+  def bpeUnitCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+      .cast("long")
+  def bpeUnitCountDuck(x: String): String =
+    s"len(regexp_extract_all(lower($x), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))"
+
+  /** Count occurrences of a word (token-boundary aware via padding). */
+  def wordOccurrences(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), normalize(text), lit(" "))
+    val w = s" $word "
+    // (len(padded) - len(remove(padded, w))) / len(w) counts non-overlapping
+    // occurrences; spacing guarantees non-overlap.
+    ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(w), ""))) / lit(w.length)).cast("int")
+  }
+  def wordOccurrencesDuck(x: String, word: String): String = {
+    val p = s"(' ' || ${normalizeDuck(x)} || ' ')"
+    val w = s" $word "
+    s"CAST((len($p) - len(replace($p, '$w', ''))) / ${w.length} AS INT)"
+  }
+
+  /** N-gram-frequency language ID heuristic: score each candidate language
+    * by marker-token hits, pick the argmax (ties broken by language code
+    * order). Markers are deterministic and tiny — the point is the Spark
+    * shape (scan-only classification), not linguistic accuracy. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "die", "und"),
+    "es" -> Seq("el", "la", "que"),
+    "fr" -> Seq("le", "la", "et"),
+    "zh" -> Seq("de", "shi", "le"))
+
+  def langScore(text: Column, lang: String): Column =
+    LangMarkers.toMap.apply(lang)
+      .map(wordOccurrences(text, _)).reduce(_ + _)
+
+  def langId(text: Column): Column = {
+    // argmax via greatest + chained when (deterministic tie-break: first
+    // language in LangMarkers order wins).
+    val scores = LangMarkers.map { case (l, _) => l -> langScore(text, l) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    } // foldRight so earlier langs take precedence via outermost when…
+  }
+  def langIdDuck(x: String): String = {
+    val scoreSql = LangMarkers.map { case (l, ws) =>
+      l -> ws.map(w => wordOccurrencesDuck(x, w)).mkString("(", " + ", ")")
+    }
+    val best = s"greatest(${scoreSql.map(_._2).mkString(", ")})"
+    val whens = scoreSql.map { case (l, s) =>
+      s"WHEN $s = $best AND $best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"(CASE $whens ELSE 'und' END)"
+  }
+
+  /** Quality score in [0,1]: blend of length, punctuation ratio, stopword
+    * ratio, mean word length — the standard cheap pre-filter stack.
+    * Returned as DECIMAL(10,6) for oracle-exact comparison. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCount(text).cast("double")
+    val chars = length(text).cast("double")
+    val punct = (length(text) -
+      length(regexp_replace(text, "[.,;:!?]", ""))).cast("double")
+    val stop = (wordOccurrences(text, "the") + wordOccurrences(text, "a") +
+      wordOccurrences(text, "of")).cast("double")
+    val lenScore = least(toks / lit(100.0), lit(1.0))
+    val punctRatio = punct / greatest(chars, lit(1.0))
+    val stopRatio = least(stop * lit(10.0) / greatest(toks, lit(1.0)), lit(1.0))
+    val meanWord = chars / greatest(toks, lit(1.0))
+    val wordScore = when(meanWord >= 3 && meanWord <= 10, lit(1.0)).otherwise(lit(0.5))
+    ((lenScore * 0.3 + (lit(1.0) - punctRatio) * 0.2 +
+      stopRatio * 0.3 + wordScore * 0.2)).cast("decimal(10,6)")
+  }
+  def qualityScoreDuck(x: String): String = {
+    val toks = s"CAST(${tokenCountDuck(x)} AS DOUBLE)"
+    val chars = s"CAST(len($x) AS DOUBLE)"
+    val punct = s"CAST(len($x) - len(regexp_replace($x, '[.,;:!?]', '', 'g')) AS DOUBLE)"
+    val stop = s"CAST(${wordOccurrencesDuck(x, "the")} + ${wordOccurrencesDuck(x, "a")} + ${wordOccurrencesDuck(x, "of")} AS DOUBLE)"
+    val lenScore = s"least($toks / 100.0, 1.0)"
+    val punctRatio = s"($punct / greatest($chars, 1.0))"
+    val stopRatio = s"least($stop * 10.0 / greatest($toks, 1.0), 1.0)"
+    val meanWord = s"($chars / greatest($toks, 1.0))"
+    val wordScore = s"(CASE WHEN $meanWord >= 3 AND $meanWord <= 10 THEN 1.0 ELSE 0.5 END)"
+    s"CAST($lenScore * 0.3 + (1.0 - $punctRatio) * 0.2 + $stopRatio * 0.3 + $wordScore * 0.2 AS DECIMAL(10,6))"
+  }
+
+  /** Document fingerprint: MD5 of the normalized text (content-defined
+    * identity for exact dedup at scale; rolling-hash analog). */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+  def fingerprintDuck(x: String): String = s"md5(${normalizeDuck(x)})"
+
+  /** Word w-shingles as an array column: sliding windows of `w` tokens.
+    * Built from higher-order functions only — codegen-friendly, no UDF. */
+  def wordShingles(text: Column, w: Int): Column = {
+    val toks = split(normalize(text), " ")
+    // guard: Spark's sequence(a, b) descends when a > b, so short texts
+    // must short-circuit to an empty array, not sequence(1, 0).
+    when(size(toks) >= w,
+      transform(sequence(lit(1), size(toks) - (w - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(w)))))
+      .otherwise(array().cast("array<string>"))
+  }
+  /** DuckDB equivalent (1-based list indexing). */
+  def wordShinglesDuck(x: String, w: Int): String = {
+    val toks = s"string_split(${normalizeDuck(x)}, ' ')"
+    s"""(CASE WHEN len($toks) >= $w
+       | THEN list_transform(range(1, len($toks) - ${w - 1} + 1),
+       |        i -> array_to_string(list_slice($toks, i, i + ${w - 1}), ' '))
+       | ELSE [] END)""".stripMargin.replace("\n", " ")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata (extension surface, SURVEY.md §7.2 step 7).
+  *
+  * The decode step is STUBBED (no image/audio libs in this container) with
+  * a deterministic fake, but the Spark-side plumbing is real and tested:
+  * schema, batch shape, partition-parallel `mapPartitions` over a typed
+  * Dataset — the Scala analog of a Pandas-UDF `mapInPandas` stage. Swapping
+  * [[FakeCodec]] for a real JNI/library decoder changes no plan shape.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  final case class MediaRow(
+      media_id: Long, kind: String, payload: Array[Byte],
+      width: Int, height: Int, sample_rate: Int)
+
+  /** Extracted features per media row (fixed-width vector + scalars). */
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Int,
+      feature: Array[Float], frames_sampled: Int)
+
+  /** Deterministic fake decode/feature-extract: derives a `dim`-length
+    * feature vector from payload bytes. Stands in for image decode /
+    * resize / audio FFT / video frame-sampling. */
+  object FakeCodec {
+    def features(payload: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < payload.length) {
+        out(i % dim) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      out
+    }
+    /** "Frame sample": every `stride`-th byte counts as one frame. */
+    def frameCount(payload: Array[Byte], stride: Int): Int =
+      if (payload.isEmpty) 0 else 1 + (payload.length - 1) / stride
+  }
+
+  /** Manufacture a deterministic media table from `documents` (text bytes
+    * play the opaque payload) — the harness has no real binaries; what
+    * matters is that the column is genuinely BinaryType end-to-end. */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.queries.Tables.read(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        // kind cycles image/audio/video — deterministic from the id
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (col("doc_id") % 640 + 64).cast("int").as("width"),
+        (col("doc_id") % 480 + 48).cast("int").as("height"),
+        lit(16000).as("sample_rate"))
+      .as[MediaRow]
+  }
+
+  /** The decode/feature stage: partition-parallel, batch-shaped like a
+    * vectorized UDF (one iterator per partition, no driver collect). */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 8,
+                      frameStride: Int = 32): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      MediaFeatures(m.media_id, m.kind, m.payload.length,
+        FakeCodec.features(m.payload, dim),
+        FakeCodec.frameCount(m.payload, frameStride))
+    })
+  }
+
+  /** Scalar metadata view of the feature stage (oracle-friendly: byte
+    * length and frame count are exactly reproducible in SQL; the float
+    * vector itself is exercised by the ScalaTest spec instead). */
+  def mediaMetadata(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaFromDocuments(spark, dir)).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("frames_sampled"))
+}

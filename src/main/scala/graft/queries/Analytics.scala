@@ -94,7 +94,7 @@ object Analytics {
     // customers with at least one purchase-priority order (left_semi).
     "anti_parts_never_ordered" -> ((s, dir) =>
       t(s, dir, "part")
-        .join(t(s, dir, "lineitem"),
+        .join(t(s, dir, "lineitem").filter(col("l_quantity") > 48),
           col("p_partkey") === col("l_partkey"), "left_anti")
         .select("p_partkey", "p_name")),
 
@@ -165,7 +165,8 @@ object Analytics {
 
     "anti_parts_never_ordered" ->
       """SELECT p_partkey, p_name FROM part
-        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey AND l_quantity > 48)""".stripMargin,
 
     "semi_customers_with_urgent" ->
       """SELECT c_custkey, c_name FROM customer

@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{DedupOps, PortableHash, SimilarityOps, Text}
+import graft.multimodal.Multimodal
+
+/** Training-data pipeline operators over `documents` / `embeddings`
+  * (extension surface — SURVEY.md §7.2 step 7): dedup family, similarity
+  * search, text analysis, multimodal plumbing. DuckDB oracles are
+  * program-generated so hash-based signatures compare bit-for-bit
+  * ([[PortableHash]]).
+  */
+object TrainingData {
+
+  // knobs (shared between Spark side and oracle side)
+  val ShingleW = 3
+  val MinhashK = 16
+  val Bands = 4
+  val RowsPerBand = 4
+  val SimhashBits = 16
+  val CosDupThreshold = 0.4
+  val AnnK = 5
+  val AnnQueryIds = 10 // query set = vec_id < 10
+  val LshPlanes = 8
+  val EmbeddingDim = 64
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "embeddings")
+
+  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = DedupOps.minhashSignature(docs(s, dir), "doc_id", "text",
+      ShingleW, MinhashK)
+    val bands = DedupOps.lshBands(sig, "doc_id", Bands, RowsPerBand)
+    DedupOps.lshCandidatePairs(bands, "doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------------------------------------------------------- dedup
+    "x_dedup_exact" -> ((s, dir) =>
+      DedupOps.exactDedup(docs(s, dir), "doc_id", "text")),
+
+    "x_dedup_minhash_lsh" -> ((s, dir) => minhashPairs(s, dir)),
+
+    "x_dedup_minhash_jaccard" -> ((s, dir) => {
+      val sig = DedupOps.minhashSignature(docs(s, dir), "doc_id", "text",
+        ShingleW, MinhashK)
+      DedupOps.minhashJaccard(sig, minhashPairs(s, dir), "doc_id", MinhashK)
+    }),
+
+    "x_dedup_simhash" -> ((s, dir) =>
+      DedupOps.simhash(docs(s, dir), "doc_id", "text", SimhashBits)),
+
+    "x_ngram_jaccard" -> ((s, dir) =>
+      DedupOps.ngramJaccard(docs(s, dir), minhashPairs(s, dir),
+        "doc_id", "text", ShingleW)),
+
+    "x_embed_cosine_dup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val a = e.select(col("vec_id").as("id1"), col("embedding").as("_va"))
+      val b = e.select(col("vec_id").as("id2"), col("embedding").as("_vb"))
+      a.join(b, col("id1") < col("id2"))
+        .withColumn("_cos", SimilarityOps.cosine(col("_va"), col("_vb")))
+        .filter(col("_cos") > CosDupThreshold)
+        .select(col("id1"), col("id2"),
+          round(col("_cos"), 6).cast("decimal(10,6)").as("cos_sim"))
+    }),
+
+    // ----------------------------------------------------- similarity
+    "x_ann_brute_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.bruteForceTopK(e,
+        e.filter(col("vec_id") < AnnQueryIds), "vec_id", "embedding", AnnK)
+    }),
+
+    // LSH-bucketed ANN — scale path; recall<1 by design → rows-only check.
+    "x_ann_lsh_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.lshAnnTopK(e, e.filter(col("vec_id") < AnnQueryIds),
+        "vec_id", "embedding", AnnK, LshPlanes, EmbeddingDim)
+    }),
+
+    // ----------------------------------------------------------- text
+    "x_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))),
+
+    "x_quality_score" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        Text.qualityScore(col("text")).as("quality"))),
+
+    "x_token_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        Text.bpeUnitCount(col("text")).as("n_bpe_units"))),
+
+    "x_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        Text.fingerprint(col("text")).as("fingerprint"))),
+
+    // ----------------------------------------------------- multimodal
+    "x_multimodal_meta" -> ((s, dir) => Multimodal.mediaMetadata(s, dir))
+  )
+
+  // ------------------------------------------------- oracle generation
+
+  private val normDoc = Text.normalizeDuck("text")
+  private val shinglesDoc = Text.wordShinglesDuck("text", ShingleW)
+
+  /** Shared CTEs for the minhash family. */
+  private def minhashCtes: String = {
+    val minExprs = (0 until MinhashK)
+      .map(i => s"min(md5('mh$i|' || s)) AS mh_$i").mkString(", ")
+    val bandRows = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand)
+        .map(r => s"mh_${b * RowsPerBand + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS band_key FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""sh AS (SELECT doc_id, unnest(list_distinct($shinglesDoc)) AS s
+       |       FROM documents),
+       |sig AS (SELECT doc_id, $minExprs FROM sh GROUP BY doc_id),
+       |bands AS ($bandRows),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |          FROM bands a JOIN bands b
+       |            ON a.band = b.band AND a.band_key = b.band_key
+       |           AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private def simhashOracle: String = {
+    val votes = (0 until SimhashBits)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b")
+      .mkString(", ")
+    val sig = (0 until SimhashBits)
+      .map(b => s"CASE WHEN v_$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id,
+       |    unnest(list_distinct(string_split($normDoc, ' '))) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, ${PortableHash.duckSql("tok", "sh|")} AS h FROM toks),
+       |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v""".stripMargin
+  }
+
+  private def cosineDuck(a: String, b: String) =
+    SimilarityOps.cosineDuck(a, b, EmbeddingDim)
+
+  val oracle: Map[String, String] = Map(
+    "x_dedup_exact" ->
+      s"""SELECT md5($normDoc) AS fingerprint, min(doc_id) AS keep_id,
+         |  count(*) AS n_copies
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "x_dedup_minhash_lsh" ->
+      s"WITH $minhashCtes SELECT id1, id2 FROM pairs",
+
+    "x_dedup_minhash_jaccard" -> {
+      val agree = (0 until MinhashK)
+        .map(i => s"CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $minhashCtes
+         |SELECT p.id1, p.id2,
+         |  CAST(CAST($agree AS DOUBLE) / $MinhashK AS DECIMAL(10,6)) AS est_jaccard
+         |FROM pairs p JOIN sig a ON a.doc_id = p.id1
+         |             JOIN sig b ON b.doc_id = p.id2""".stripMargin
+    },
+
+    "x_dedup_simhash" -> simhashOracle,
+
+    "x_ngram_jaccard" ->
+      s"""WITH $minhashCtes,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.id1, p.id2, count(*) AS c
+         |          FROM pairs p JOIN sh a ON a.doc_id = p.id1
+         |                       JOIN sh b ON b.doc_id = p.id2 AND b.s = a.s
+         |          GROUP BY p.id1, p.id2)
+         |SELECT p.id1, p.id2,
+         |  CAST(CAST(COALESCE(i.c, 0) AS DOUBLE) /
+         |       CAST(s1.n + s2.n - COALESCE(i.c, 0) AS DOUBLE)
+         |       AS DECIMAL(10,6)) AS jaccard
+         |FROM pairs p
+         |LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+         |JOIN sizes s1 ON s1.doc_id = p.id1
+         |JOIN sizes s2 ON s2.doc_id = p.id2""".stripMargin,
+
+    "x_embed_cosine_dup" ->
+      s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |  CAST(round(${cosineDuck("a.embedding", "b.embedding")}, 6)
+         |       AS DECIMAL(10,6)) AS cos_sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${cosineDuck("a.embedding", "b.embedding")} > $CosDupThreshold""".stripMargin,
+
+    "x_ann_brute_topk" ->
+      s"""SELECT query_id, rk, neighbor_id, cos_sim FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(round(${cosineDuck("q.embedding", "c.embedding")}, 6)
+         |         AS DECIMAL(10,6)) AS cos_sim,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${cosineDuck("q.embedding", "c.embedding")}, 6) DESC,
+         |               c.vec_id ASC) AS rk
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $AnnQueryIds) WHERE rk <= $AnnK""".stripMargin,
+
+    "x_lang_id" ->
+      s"SELECT doc_id, ${Text.langIdDuck("text")} AS lang_pred FROM documents",
+
+    "x_quality_score" ->
+      s"SELECT doc_id, ${Text.qualityScoreDuck("text")} AS quality FROM documents",
+
+    "x_token_count" ->
+      s"""SELECT doc_id, ${Text.tokenCountDuck("text")} AS n_tokens,
+         |  ${Text.bpeUnitCountDuck("text")} AS n_bpe_units FROM documents""".stripMargin,
+
+    "x_fingerprint" ->
+      s"SELECT doc_id, ${Text.fingerprintDuck("text")} AS fingerprint FROM documents",
+
+    "x_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(strlen(text) AS INT) AS n_bytes,
+        |  CAST(CASE WHEN strlen(text) = 0 THEN 0
+        |       ELSE 1 + (strlen(text) - 1) // 32 END AS INT) AS frames_sampled
+        |FROM documents""".stripMargin
+  )
+}
