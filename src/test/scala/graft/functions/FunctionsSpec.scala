@@ -1,0 +1,199 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class TextSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq("x").toDF("dummy").select(c).head().get(0)
+
+  test("normalize lowers, collapses whitespace, trims") {
+    val got = Seq("  Hello   World\tfoo ").toDF("t")
+      .select(Text.normalize($"t")).head().getString(0)
+    assert(got == "hello world foo")
+  }
+
+  test("token counts") {
+    val df = Seq("the quick brown fox").toDF("t")
+    assert(df.select(Text.tokenCount($"t")).head().getLong(0) == 4)
+    assert(df.select(Text.bpeUnitCount($"t")).head().getLong(0) == 4)
+    // punctuation and digits split into units
+    val df2 = Seq("ab12,cd").toDF("t")
+    assert(df2.select(Text.bpeUnitCount($"t")).head().getLong(0) == 4) // ab|12|,|cd
+  }
+
+  test("wordShingles: sliding windows, short-text guard") {
+    val got = Seq("a b c d").toDF("t")
+      .select(Text.wordShingles($"t", 3)).head().getSeq[String](0)
+    assert(got == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(Text.wordShingles($"t", 3)).head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("fingerprint invariant under case/whitespace variation") {
+    val df = Seq(("A  b C", "a b c")).toDF("t1", "t2")
+    val r = df.select(Text.fingerprint($"t1").as("f1"),
+      Text.fingerprint($"t2").as("f2")).head()
+    assert(r.getString(0) == r.getString(1))
+  }
+
+  test("langId picks marker-dominant language, 'und' when no markers") {
+    val df = Seq("the cat of the day", "der hund und die katze", "xyz qqq")
+      .toDF("t")
+    val got = df.select(Text.langId($"t")).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "und"))
+  }
+
+  test("qualityScore in [0,1]") {
+    val docs = graft.queries.Tables.read(spark, TestSpark.Sf0001, "documents")
+    val mm = docs.select(Text.qualityScore($"text").cast("double").as("q"))
+      .agg(min($"q"), max($"q")).head()
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
+  }
+}
+
+class PortableHashSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hash32 = first 8 md5 hex chars as unsigned int") {
+    // md5("hello") = 5d41402a... → 0x5d41402a = 1564557354
+    val got = Seq("hello").toDF("t")
+      .select(PortableHash.hash32($"t")).head().getLong(0)
+    assert(got == 1564557354L)
+  }
+
+  test("salt produces independent hashes") {
+    val r = Seq("hello").toDF("t").select(
+      PortableHash.hash32($"t", "a|").as("h1"),
+      PortableHash.hash32($"t", "b|").as("h2")).head()
+    assert(r.getLong(0) != r.getLong(1))
+  }
+
+  test("duckSql generator emits valid arithmetic (structure check)") {
+    val sql = PortableHash.duckSql("x")
+    assert(sql.contains("instr('0123456789abcdef'") && sql.contains("268435456"))
+  }
+}
+
+class DedupOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // two exact dups, one near-dup pair, one unrelated
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),
+    (3L, "the quick brown fox jumps over the lazy cat today"),
+    (4L, "completely different content about spark engines and scale"))
+    .toDF("doc_id", "text")
+
+  test("exactDedup groups identical texts, keeps min id") {
+    val out = DedupOps.exactDedup(docs, "doc_id", "text")
+      .filter($"n_copies" > 1).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("keep_id") == 1L)
+    assert(out.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated") {
+    val sig = DedupOps.minhashSignature(docs, "doc_id", "text", 3, 16)
+    val pairs = DedupOps.lshCandidatePairs(
+      DedupOps.lshBands(sig, "doc_id", 4, 4), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical → all bands agree
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated
+  }
+
+  test("minhash signature of identical docs is identical") {
+    val sig = DedupOps.minhashSignature(docs, "doc_id", "text", 3, 16)
+    val s1 = sig.filter($"doc_id" === 1).drop("doc_id").head()
+    val s2 = sig.filter($"doc_id" === 2).drop("doc_id").head()
+    assert(s1 == s2)
+  }
+
+  test("simhash: identical docs equal; near dups within small hamming distance") {
+    val sh = DedupOps.simhash(docs, "doc_id", "text", 16)
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    val hamming = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    assert(hamming <= 6, s"near-dup hamming $hamming")
+  }
+
+  test("ngramJaccard: exact dup = 1.0; scored pairs match set arithmetic") {
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id1", "id2")
+    val j = DedupOps.ngramJaccard(docs, pairs, "doc_id", "text", 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getDecimal(2).doubleValue())).toMap
+    assert(j((1L, 2L)) == 1.0)
+    // doc1: 7 3-shingles, doc3: 8; intersection = 6 → 6/9
+    assert(math.abs(j((1L, 3L)) - 6.0 / 9.0) < 1e-6)
+  }
+}
+
+class SimilarityOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine: identity = 1, orthogonal = 0") {
+    val df = Seq((Array(1.0f, 0f, 0f), Array(0f, 2.0f, 0f))).toDF("a", "b")
+    val r = df.select(
+      SimilarityOps.cosine($"a", $"a").as("same"),
+      SimilarityOps.cosine($"a", $"b").as("orth")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1.0f)), (4L, Array(-1.0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.bruteForceTopK(
+      corpus, corpus.filter($"vec_id" === 1), "vec_id", "embedding", 2)
+      .orderBy("rk").as[(Long, Int, Long, java.math.BigDecimal)].collect()
+    assert(out.map(_._3).toSeq == Seq(2L, 3L)) // nearest then orthogonal
+    assert(out.forall(_._1 == 1L))
+  }
+
+  test("lshAnnTopK returns a subset of brute-force candidates with exact scores") {
+    val e = graft.queries.Tables.read(spark, TestSpark.Sf0001, "embeddings")
+    val q = e.filter($"vec_id" < 5)
+    val brute = SimilarityOps.bruteForceTopK(e, q, "vec_id", "embedding", 50)
+      .select($"query_id", $"neighbor_id", $"cos_sim").as[(Long, Long, java.math.BigDecimal)]
+      .collect().map(t => ((t._1, t._2), t._3)).toMap
+    val ann = SimilarityOps.lshAnnTopK(e, q, "vec_id", "embedding", 5, 8, 64)
+      .select($"query_id", $"neighbor_id", $"cos_sim").as[(Long, Long, java.math.BigDecimal)]
+      .collect()
+    assert(ann.nonEmpty)
+    // every ANN hit that brute-force also ranked must carry the same score
+    ann.foreach { case (qid, nid, s) =>
+      brute.get((qid, nid)).foreach(bs => assert(bs.compareTo(s) == 0))
+    }
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("media pipeline: binary payloads, deterministic features, frame counts") {
+    val media = graft.multimodal.Multimodal.mediaFromDocuments(spark, TestSpark.Sf0001)
+    assert(media.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val feats = graft.multimodal.Multimodal.extractFeatures(media, dim = 8)
+    val f = feats.filter(_.media_id == 0L).head()
+    val m = media.filter(_.media_id == 0L).head()
+    assert(f.n_bytes == m.payload.length)
+    assert(f.feature.length == 8)
+    assert(f.frames_sampled == 1 + (m.payload.length - 1) / 32)
+    // determinism: recompute equals
+    val again = graft.multimodal.Multimodal.extractFeatures(media, dim = 8)
+      .filter(_.media_id == 0L).head()
+    assert(again.feature.toSeq == f.feature.toSeq)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.model.SchemaModel.{DeletedCol, SeqCol, VersionCol}
+
+class CdcTransformSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val changes = Seq(
+    (1L, "a", "I", 100L), (2L, "b", "U", 200L), (3L, "c", "D", 300L))
+    .toDF("id", "payload", "op", "ts_us")
+
+  test("stampBatch: one version per batch, deleted flag per op (F1/F2)") {
+    val out = CdcTransform.stampBatch(changes, "op", "id", 42L)
+    assert(out.select(VersionCol).distinct().as[Long].collect().toSeq == Seq(42L))
+    val flags = out.select("op", DeletedCol).as[(String, Int)].collect().toMap
+    assert(flags == Map("I" -> 0, "U" -> 0, "D" -> 1))
+  }
+
+  test("stamp with event-time version uses the ts column (per-row)") {
+    val out = CdcTransform.stamp(changes, "op", "id", col("ts_us"))
+    assert(out.select(VersionCol).as[Long].collect().sorted.toSeq ==
+      Seq(100L, 200L, 300L))
+  }
+
+  test("threeWayUnion ≡ single-pass stamp (§2.6 union operator)") {
+    val a = CdcTransform.threeWayUnion(
+      changes.withColumn("ts", timestamp_micros($"ts_us")), "op", "id", "ts")
+    val b = CdcTransform.stamp(
+      changes.withColumn("ts", timestamp_micros($"ts_us")), "op", "id",
+      unix_micros($"ts"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() == 3)
+  }
+}
+
+/** Snapshot path over real harness data (SURVEY.md §7.5 minimum slice):
+  * replicate sf0.001 → temp warehouse, counts reconcile (A1/A2/A4). */
+class SnapshotSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("replicate lineitem: counts match, success=true (O3/A4)") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val rep = new SnapshotReplicator(spark, TestSpark.Sf0001, wh)
+    val r = rep.replicateTable("lineitem")
+    assert(r.success && r.sourceCount == 6000 && r.targetCount == 6000)
+    // target readable and schema preserved
+    assert(rep.readTarget("lineitem").schema ==
+      spark.read.parquet(s"${TestSpark.Sf0001}/lineitem.parquet").schema)
+  }
+
+  test("run all tables with error isolation; bad table fails alone (O4/O5)") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val rep = new SnapshotReplicator(spark, TestSpark.Sf0001, wh)
+    val results = rep.run(Seq("region", "nation", "supplier"), parallelism = 3)
+    assert(results.forall(_.success))
+    val bad = rep.replicateTable("no_such_table")
+    assert(!bad.success && bad.error.isDefined)
+  }
+
+  test("table-set resolution: configured list else all (O2)") {
+    val rep = new SnapshotReplicator(spark, TestSpark.Sf0001, "/tmp/unused_wh")
+    assert(rep.tablesToReplicate(Seq("orders")) == Seq("orders"))
+    assert(rep.tablesToReplicate().size == 10)
+    intercept[IllegalArgumentException] {
+      rep.tablesToReplicate(Seq("bad; DROP"))
+    }
+  }
+}
