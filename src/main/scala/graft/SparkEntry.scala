@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, ReferenceOps, TrainingData}
+import graft.queries.{Analytics, PipelineOps, ReferenceOps, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,12 +21,14 @@ object SparkEntry {
   def queryGroups: Seq[Map[String, (SparkSession, String) => DataFrame]] = Seq(
     ReferenceOps.queries,
     Analytics.queries,
-    TrainingData.queries)
+    TrainingData.queries,
+    PipelineOps.queries)
 
   def oracleGroups: Seq[Map[String, String]] = Seq(
     ReferenceOps.oracle,
     Analytics.oracle,
-    TrainingData.oracle)
+    TrainingData.oracle,
+    PipelineOps.oracle)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -104,6 +104,19 @@ object Analytics {
           col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name")),
 
+    // ROLLUP: hierarchical totals (region→nation) in one pass — Spark
+    // expands grouping sets without re-scanning the input.
+    "rollup_revenue" -> ((s, dir) => {
+      val nation = t(s, dir, "nation"); val region = t(s, dir, "region")
+      val cust = t(s, dir, "customer"); val ord = t(s, dir, "orders")
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("total"),
+          count(lit(1)).as("n_orders"))
+    }),
+
     // Grouped distinct + conditional agg over the event stream.
     "events_daily_rollup" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -172,6 +185,16 @@ object Analytics {
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "rollup_revenue" ->
+      """SELECT r_name, n_name,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
 
     "events_daily_rollup" ->
       """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,

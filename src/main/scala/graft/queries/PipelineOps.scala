@@ -1,0 +1,85 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.model.SchemaModel.{DeletedCol, SeqCol, VersionCol}
+import graft.operators.{LiveView, SnapshotReplicator}
+import graft.streaming.CdcPipeline
+
+/** Queries that exercise the pipeline-level operators inside the
+  * correctness gate: snapshot replication (O2-O5, A4) and the full
+  * Structured-Streaming CDC apply (T1/T2/T7) — not just their unit specs.
+  * Both run real write paths into temp dirs and return oracle-comparable
+  * frames.
+  */
+object PipelineOps {
+
+  /** O3/A4: replicate three tables into a fresh warehouse and report the
+    * reference's result-dict shape (`src/replicator.py:74-85`). */
+  def snapshotRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val wh = Files.createTempDirectory("graft_snap_wh").toString
+    val rep = new SnapshotReplicator(s, dir, wh)
+    val results = rep.run(Seq("region", "nation", "supplier"), parallelism = 3)
+    import s.implicits._
+    results.map(r => (r.table, r.sourceCount, r.targetCount, r.success))
+      .toDF("table_name", "source_count", "target_count", "success")
+  }
+
+  /** T1/T2/T7 + W1: full CDC stream — initial empty sync, then the whole
+    * `events` table streamed through foreachBatch with one batch-granular
+    * version, then the live view over the applied table. Deterministic:
+    * constant version ⇒ survivor per user = max ingest seq (event_id). */
+  def cdcStreamLive(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tgt = Files.createTempDirectory("graft_cdc_tgt").toString
+    val ckp = Files.createTempDirectory("graft_cdc_ckp").toString
+    val pipe = new CdcPipeline(s, tgt, ckp)
+
+    // schema as read with nanosAsLong (ts: LONG ns)
+    val schema = StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, props STRING")
+    // the file stream source requires a directory: stage the single
+    // events.parquet file behind a temp-dir symlink (no data copy)
+    val srcDir = Files.createTempDirectory("graft_cdc_src")
+    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = s.readStream.schema(schema)
+      .parquet(srcDir.toString)
+      .withColumn("op",
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U"))
+    val q = pipe.start(stream, "events_cdc", opCol = "op",
+      seqCol = "event_id", versionOf = _ => 1L)
+    q.awaitTermination()
+
+    LiveView.live(
+      pipe.applied("events_cdc")
+        .select(col("user_id"), col("event_type"), col("value"), col("props"),
+          col(VersionCol), col(SeqCol), col(DeletedCol)),
+      pks = Seq("user_id"), tieBreak = Some(SeqCol))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o3_snapshot_roundtrip" -> ((s, dir) => snapshotRoundtrip(s, dir)),
+    "t1_cdc_stream_live" -> ((s, dir) => cdcStreamLive(s, dir)))
+
+  val oracle: Map[String, String] = Map(
+    "o3_snapshot_roundtrip" ->
+      """SELECT 'region' AS table_name, count(*) AS source_count,
+        |       count(*) AS target_count, true AS success FROM region
+        |UNION ALL SELECT 'nation', count(*), count(*), true FROM nation
+        |UNION ALL SELECT 'supplier', count(*), count(*), true FROM supplier""".stripMargin,
+
+    // constant version ⇒ order by ingest seq (event_id) alone
+    "t1_cdc_stream_live" ->
+      """SELECT user_id, event_type, value, props FROM (
+        |  SELECT user_id, event_type, value, props,
+        |         CASE WHEN event_type='error' THEN 1 ELSE 0 END AS _deleted,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND _deleted = 0""".stripMargin)
+}
