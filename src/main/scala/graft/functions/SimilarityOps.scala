@@ -13,9 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Dot product of two array<float/double> columns (double accumulator,
-    * sequential fold — deterministic order). */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product — native codegen'd [[DotProduct]] expression (double
+    * accumulator, sequential left-to-right fold — deterministic order,
+    * bit-identical to [[dotHof]] and to the generated oracle term-sum). */
+  def dot(a: Column, b: Column): Column = VectorExprs.dotNative(a, b)
+
+  /** Higher-order-function form (`zip_with`+`aggregate`): semantically
+    * identical, but CodegenFallback — kept as the reference implementation
+    * the spec checks the native expression against. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
@@ -31,12 +37,16 @@ object SimilarityOps {
     * right plan when Q is small; scale path is [[lshAnnTopK]]. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    // norms precomputed per ROW (not per pair): the pair stage does one dot
+    // + one divide. Same arithmetic as norm-per-pair, 3× fewer dots.
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      norm(col(vecCol)).as("_qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      norm(col(vecCol)).as("_cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("_qv"), col("_cv")).as("_cos"))
+        (dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn"))).as("_cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(round(col("_cos"), 6).desc, col("neighbor_id").asc)
@@ -75,13 +85,15 @@ object SimilarityOps {
   def lshAnnTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int, planes: Int, dim: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      norm(col(vecCol)).as("_cn"),
       hyperplaneKey(col(vecCol), planes, dim).as("_bkt"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      norm(col(vecCol)).as("_qn"),
       hyperplaneKey(col(vecCol), planes, dim).as("_bkt"))
     val scored = c.join(broadcast(q), Seq("_bkt"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("_qv"), col("_cv")).as("_cos"))
+        (dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn"))).as("_cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(round(col("_cos"), 6).desc, col("neighbor_id").asc)

@@ -30,12 +30,18 @@ object TrainingData {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "embeddings")
 
-  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Signature frame, cached: several downstream stages (bands, pair
+    * scoring) reference it; persisting avoids recomputing the
+    * explode+hash+16-agg pipeline per reference. Tiny (k longs per doc). */
+  def minhashSig(s: SparkSession, dir: String): DataFrame = {
     val sig = DedupOps.minhashSignature(docs(s, dir), "doc_id", "text",
       ShingleW, MinhashK)
-    val bands = DedupOps.lshBands(sig, "doc_id", Bands, RowsPerBand)
-    DedupOps.lshCandidatePairs(bands, "doc_id")
+    sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
+
+  def minhashPairs(sig: DataFrame): DataFrame =
+    DedupOps.lshCandidatePairs(
+      DedupOps.lshBands(sig, "doc_id", Bands, RowsPerBand), "doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -43,27 +49,31 @@ object TrainingData {
     "x_dedup_exact" -> ((s, dir) =>
       DedupOps.exactDedup(docs(s, dir), "doc_id", "text")),
 
-    "x_dedup_minhash_lsh" -> ((s, dir) => minhashPairs(s, dir)),
+    "x_dedup_minhash_lsh" -> ((s, dir) => minhashPairs(minhashSig(s, dir))),
 
     "x_dedup_minhash_jaccard" -> ((s, dir) => {
-      val sig = DedupOps.minhashSignature(docs(s, dir), "doc_id", "text",
-        ShingleW, MinhashK)
-      DedupOps.minhashJaccard(sig, minhashPairs(s, dir), "doc_id", MinhashK)
+      val sig = minhashSig(s, dir)
+      DedupOps.minhashJaccard(sig, minhashPairs(sig), "doc_id", MinhashK)
     }),
 
     "x_dedup_simhash" -> ((s, dir) =>
       DedupOps.simhash(docs(s, dir), "doc_id", "text", SimhashBits)),
 
     "x_ngram_jaccard" -> ((s, dir) =>
-      DedupOps.ngramJaccard(docs(s, dir), minhashPairs(s, dir),
+      DedupOps.ngramJaccard(docs(s, dir), minhashPairs(minhashSig(s, dir)),
         "doc_id", "text", ShingleW)),
 
     "x_embed_cosine_dup" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val a = e.select(col("vec_id").as("id1"), col("embedding").as("_va"))
-      val b = e.select(col("vec_id").as("id2"), col("embedding").as("_vb"))
+      // norms once per row; the O(n²) pair stage does one native dot each
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+        SimilarityOps.norm(col("embedding")).as("_n"))
+      val a = e.select(col("vec_id").as("id1"), col("embedding").as("_va"),
+        col("_n").as("_na"))
+      val b = e.select(col("vec_id").as("id2"), col("embedding").as("_vb"),
+        col("_n").as("_nb"))
       a.join(b, col("id1") < col("id2"))
-        .withColumn("_cos", SimilarityOps.cosine(col("_va"), col("_vb")))
+        .withColumn("_cos",
+          SimilarityOps.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
         .filter(col("_cos") > CosDupThreshold)
         .select(col("id1"), col("id2"),
           round(col("_cos"), 6).cast("decimal(10,6)").as("cos_sim"))
@@ -109,18 +119,24 @@ object TrainingData {
   private val normDoc = Text.normalizeDuck("text")
   private val shinglesDoc = Text.wordShinglesDuck("text", ShingleW)
 
-  /** Shared CTEs for the minhash family. */
+  /** Shared CTEs for the minhash family (mirrors
+    * [[DedupOps.minhashSignature]]'s universal-hash family: identical
+    * (a,b,M) constants, identical base hash). */
   private def minhashCtes: String = {
-    val minExprs = (0 until MinhashK)
-      .map(i => s"min(md5('mh$i|' || s)) AS mh_$i").mkString(", ")
+    val minExprs = (0 until MinhashK).map { i =>
+      val (a, b) = DedupOps.hashParams(i)
+      s"min((h * $a + $b) % ${DedupOps.HashModulus}) AS mh_$i"
+    }.mkString(", ")
     val bandRows = (0 until Bands).map { b =>
       val parts = (0 until RowsPerBand)
-        .map(r => s"mh_${b * RowsPerBand + r}").mkString(" || '|' || ")
+        .map(r => s"CAST(mh_${b * RowsPerBand + r} AS VARCHAR)")
+        .mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($parts) AS band_key FROM sig"
     }.mkString(" UNION ALL ")
     s"""sh AS (SELECT doc_id, unnest(list_distinct($shinglesDoc)) AS s
        |       FROM documents),
-       |sig AS (SELECT doc_id, $minExprs FROM sh GROUP BY doc_id),
+       |hb AS (SELECT doc_id, ${PortableHash.duckSql("s", "mh|")} AS h FROM sh),
+       |sig AS (SELECT doc_id, $minExprs FROM hb GROUP BY doc_id),
        |bands AS ($bandRows),
        |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |          FROM bands a JOIN bands b

@@ -149,6 +149,18 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
 
+  test("native DotProduct expression ≡ zip_with/aggregate fold, bit-exact") {
+    val e = graft.queries.Tables.read(spark, TestSpark.Sf0001, "embeddings")
+    val pairs = e.select($"vec_id".as("i1"), $"embedding".as("v1"))
+      .crossJoin(e.select($"vec_id".as("i2"), $"embedding".as("v2")))
+      .limit(2000)
+    val diff = pairs.select(
+      SimilarityOps.dot($"v1", $"v2").as("nat"),
+      SimilarityOps.dotHof($"v1", $"v2").as("hof"))
+      .filter($"nat" =!= $"hof").count()
+    assert(diff == 0)
+  }
+
   test("bruteForceTopK ranks by cosine, excludes self") {
     val corpus = Seq(
       (1L, Array(1.0f, 0f)), (2L, Array(0.9f, 0.1f)),
