@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation operators for hot-key aggregation at scale.
+  *
+  * A plain `groupBy(key).agg(...)` on 100 TB with a zipfian key puts the
+  * hottest key's entire volume on one reduce task. Salting splits each key
+  * into `saltBuckets` sub-keys for a first (well-distributed) partial
+  * aggregation, then a second tiny aggregation merges the sub-results —
+  * the classic two-phase pattern AQE's skew handling applies to joins,
+  * expressed manually for aggregations.
+  *
+  * Only ALGEBRAIC aggregates (reassociatable: sum/count/min/max) can be
+  * merged this way; the API takes (partial, merge) expression pairs.
+  * Results are identical to the unsalted plan — the harness pins that with
+  * a plain GROUP BY oracle.
+  */
+object SkewOps {
+
+  final case class SaltedAgg(partial: Column => Column, merge: Column => Column)
+
+  val SumAgg: SaltedAgg = SaltedAgg(sum, sum)
+  val CountAgg: SaltedAgg = SaltedAgg(c => count(c), sum)
+  val MinAgg: SaltedAgg = SaltedAgg(min, min)
+  val MaxAgg: SaltedAgg = SaltedAgg(max, max)
+
+  /** Two-phase salted aggregation: `aggs` maps output column name →
+    * (input column, agg pair). Salt is derived from a hash of the whole
+    * row's input columns — deterministic, no RNG (keeps plans replayable). */
+  def saltedAgg(df: DataFrame, keys: Seq[String],
+                aggs: Map[String, (Column, SaltedAgg)],
+                saltBuckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(hash(aggs.map(_._2._1).toSeq: _*), lit(saltBuckets)))
+    val phase1 = salted
+      .groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(aggs.head._2._2.partial(aggs.head._2._1).as(aggs.head._1),
+        aggs.tail.map { case (name, (in, a)) => a.partial(in).as(name) }.toSeq: _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head._2._2.merge(col(aggs.head._1)).as(aggs.head._1),
+        aggs.tail.map { case (name, (_, a)) => a.merge(col(name)).as(name) }.toSeq: _*)
+  }
+}

@@ -117,6 +117,28 @@ object Analytics {
           count(lit(1)).as("n_orders"))
     }),
 
+    // Two-phase salted aggregation (hot-key mitigation): result must be
+    // identical to a plain GROUP BY — pinned by the oracle.
+    "x_salted_agg" -> ((s, dir) => {
+      import graft.operators.SkewOps
+      SkewOps.saltedAgg(
+        Tables.events(s, dir),
+        keys = Seq("event_type"),
+        aggs = scala.collection.immutable.ListMap(
+          "n_events" -> (lit(1), SkewOps.CountAgg),
+          "sum_value" -> (col("value").cast("decimal(18,2)"), SkewOps.SumAgg),
+          "max_ts_us" -> (col("ts_us"), SkewOps.MaxAgg)),
+        saltBuckets = 16)
+    }),
+
+    // T5 extension: event-time tumbling-window aggregation (same plan
+    // serves readStream with a watermark — see streaming.EventAnalytics).
+    "t5_windowed_counts" -> ((s, dir) =>
+      graft.streaming.EventAnalytics.windowedTypeCounts(
+        Tables.events(s, dir)
+          .withColumn("ts_ev", timestamp_micros(col("ts_us"))),
+        tsCol = "ts_ev", windowLen = "1 hour")),
+
     // Grouped distinct + conditional agg over the event stream.
     "events_daily_rollup" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -195,6 +217,18 @@ object Analytics {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "x_salted_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
+        |  max(epoch_us(ts)) AS max_ts_us
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "t5_windowed_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "events_daily_rollup" ->
       """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
