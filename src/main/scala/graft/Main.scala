@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.model.GraftConfig
+import graft.operators.SnapshotReplicator
+import graft.streaming.CdcPipeline
+
+/** Replicator entry point — O1 mode dispatch (`src/main.py:65-97` parity):
+  * env-configured, `snapshot` → batch copy with count validation, `cdc` →
+  * initial sync + change-stream apply. Backends: directory paths here
+  * (harness layout); swap in [[graft.sources.JdbcConnectors]] for real
+  * MySQL/ClickHouse endpoints — operator code is backend-agnostic.
+  *
+  * Usage: `runMain graft.Main <sourceDir> <warehouseDir> [changeStreamDir]`
+  * with `REPLICATION_*` env vars as in the reference.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: graft.Main <sourceDir> <warehouseDir> [changeStreamDir]")
+    val Array(sourceDir, warehouseDir) = args.take(2)
+    val cfg = GraftConfig.fromEnv()
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-replicator")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    cfg.replication.mode match {
+      case "snapshot" =>
+        val rep = new SnapshotReplicator(spark, sourceDir, warehouseDir)
+        val results = rep.run(cfg.replication.tables,
+          cfg.replication.parallelTables)
+        results.foreach { r =>
+          println(s"[graft] table=${r.table} source=${r.sourceCount} " +
+            s"target=${r.targetCount} success=${r.success}" +
+            r.error.map(e => s" error=$e").getOrElse(""))
+        }
+        // exit 1 if any table failed (src/main.py:38-47 parity)
+        if (results.exists(!_.success)) sys.exit(1)
+
+      case "cdc" =>
+        val streamDir = args.lift(2).getOrElse(
+          s"$sourceDir/_changes") // change-stream landing dir
+        val pipe = new CdcPipeline(spark, warehouseDir,
+          s"$warehouseDir/_checkpoints")
+        // T7: initial sync of configured tables with one version stamp
+        val rep = new SnapshotReplicator(spark, sourceDir, warehouseDir)
+        val versionMicros = System.currentTimeMillis() * 1000L
+        rep.tablesToReplicate(cfg.replication.tables).foreach { t =>
+          val snap = spark.read.parquet(s"$sourceDir/$t.parquet")
+            .withColumn("_seq", org.apache.spark.sql.functions
+              .monotonically_increasing_id())
+          pipe.initialSync(snap, t, versionMicros, "_seq")
+        }
+        // stream apply: change rows (op/seq/table columns) from streamDir
+        val stream = spark.readStream
+          .schema(spark.read.parquet(streamDir).schema)
+          .parquet(streamDir)
+        val q = pipe.start(stream, "changes", opCol = "op", seqCol = "seq",
+          tables = cfg.replication.tables,
+          tableCol = Some("table_name"),
+          trigger = org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime("5 seconds")) // reference's save cadence
+        q.awaitTermination()
+    }
+    spark.stop()
+  }
+}
