@@ -62,15 +62,10 @@ object SimilarityOps {
     * plane data). Sign bit b = sign(Σ_d w(b,d)·v[d]) with w ∈ {-1,+1}. */
   def hyperplaneKey(vec: Column, planes: Int, dim: Int): Column = {
     val bits = (0 until planes).map { p =>
-      // w(p,d) = +1 if md5-hash parity of (p,d) else -1 — precomputed here
-      // at plan time into a literal array, folded by codegen.
-      val weights = (0 until dim).map { d =>
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"plane|$p|$d".getBytes("UTF-8"))
-        if ((h(0) & 1) == 1) 1.0 else -1.0
-      }
+      // w(p,d) = ±1 from MD5 parity of (p,d) — plan-time literals shared
+      // with the oracle generator ([[hyperplaneWeight]]), folded by codegen.
       val proj = (0 until dim).map(d =>
-        element_at(vec, d + 1).cast("double") * lit(weights(d)))
+        lit(hyperplaneWeight(p, d)) * element_at(vec, d + 1).cast("double"))
         .reduce(_ + _)
       when(proj > 0, math.pow(2, p).toLong).otherwise(0L)
     }
@@ -101,6 +96,27 @@ object SimilarityOps {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("neighbor_id"),
         round(col("_cos"), 6).cast("decimal(10,6)").as("cos_sim"))
+  }
+
+  /** The ±1 hyperplane weight for (plane, dim) — plan-time constant shared
+    * by the Spark expression and the generated oracle SQL. */
+  def hyperplaneWeight(p: Int, d: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane|$p|$d".getBytes("UTF-8"))
+    if ((h(0) & 1) == 1) 1.0 else -1.0
+  }
+
+  /** DuckDB SQL computing the same bucket key as [[hyperplaneKey]]
+    * (identical weights, identical left-to-right summation → identical
+    * sign bits). */
+  def hyperplaneKeyDuck(vec: String, planes: Int, dim: Int): String = {
+    val bits = (0 until planes).map { p =>
+      val proj = (0 until dim).map(d =>
+        s"${hyperplaneWeight(p, d)} * CAST($vec[${d + 1}] AS DOUBLE)")
+        .mkString("(", " + ", ")")
+      s"(CASE WHEN $proj > 0 THEN ${1L << p} ELSE 0 END)"
+    }
+    s"CAST(${bits.mkString(" + ")} AS BIGINT)"
   }
 
   /** DuckDB SQL for the same dot product as an explicit term sum

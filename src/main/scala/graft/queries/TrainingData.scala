@@ -218,6 +218,22 @@ object TrainingData {
          |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
          |  WHERE q.vec_id < $AnnQueryIds) WHERE rk <= $AnnK""".stripMargin,
 
+    "x_ann_lsh_topk" -> {
+      val bkt = SimilarityOps.hyperplaneKeyDuck("embedding", LshPlanes, EmbeddingDim)
+      val dot = SimilarityOps.dotDuck("q.embedding", "c.embedding", EmbeddingDim)
+      val n = s"sqrt(${SimilarityOps.dotDuck("embedding", "embedding", EmbeddingDim)})"
+      s"""WITH b AS (SELECT vec_id, embedding, $n AS nrm, $bkt AS bkt
+         |           FROM embeddings)
+         |SELECT query_id, rk, neighbor_id, cos_sim FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(round($dot / (q.nrm * c.nrm), 6) AS DECIMAL(10,6)) AS cos_sim,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round($dot / (q.nrm * c.nrm), 6) DESC,
+         |               c.vec_id ASC) AS rk
+         |  FROM b q JOIN b c ON q.bkt = c.bkt AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $AnnQueryIds) WHERE rk <= $AnnK""".stripMargin
+    },
+
     "x_lang_id" ->
       s"SELECT doc_id, ${Text.langIdDuck("text")} AS lang_pred FROM documents",
 

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Co-located (bucketed) joins — the 100 TB strategy for repeated
+  * fact-to-fact joins: pre-bucket both tables on the join key so the join
+  * plans with ZERO shuffle exchanges. The harness's single parquet files
+  * stand in for lake tables; this spec proves the plan shape. */
+class BucketingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
+    df.count() // force AQE final plan
+    def collectShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p match {
+        case a: AdaptiveSparkPlanExec => collectShuffles(a.executedPlan)
+        case s: ShuffleExchangeExec => 1 + s.children.map(collectShuffles).sum
+        case other =>
+          (other.children.map(collectShuffles) ++
+            other.subqueries.map(collectShuffles)).sum
+      }
+    collectShuffles(df.queryExecution.executedPlan)
+  }
+
+  test("bucketed tables join without any shuffle exchange") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bkt")
+
+    val li = spark.read.parquet(s"${TestSpark.Sf0001}/lineitem.parquet")
+    val ord = spark.read.parquet(s"${TestSpark.Sf0001}/orders.parquet")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_bkt.lineitem_b")
+    ord.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_bkt.orders_b")
+
+    val joined = spark.table("graft_bkt.lineitem_b")
+      .join(spark.table("graft_bkt.orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+
+    // the same join over unbucketed parquet shuffles both sides
+    val unbucketed = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+
+    // disable broadcast so both plans take the sort-merge path
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val bucketedShuffles = shuffleCount(joined)
+      val plainShuffles = shuffleCount(unbucketed)
+      // bucketed: only the final groupBy may shuffle; the join itself is
+      // co-located. Unbucketed: both join inputs shuffle too.
+      assert(bucketedShuffles < plainShuffles,
+        s"bucketed=$bucketedShuffles plain=$plainShuffles")
+      assert(bucketedShuffles <= 1)
+    }
+
+    // results identical
+    assert(joined.exceptAll(unbucketed).isEmpty)
+  }
+
+  private def withConf(k: String, v: String)(body: => Unit): Unit = {
+    val old = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try body finally old match {
+      case Some(o) => spark.conf.set(k, o)
+      case None => spark.conf.unset(k)
+    }
+  }
+}
