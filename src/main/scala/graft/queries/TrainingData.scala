@@ -110,6 +110,28 @@ object TrainingData {
       docs(s, dir).select(col("doc_id"),
         Text.fingerprint(col("text")).as("fingerprint"))),
 
+    // Vocabulary extraction: the canonical map-reduce shape (explode →
+    // partial count → final count → top-k). At 100 TB the partial
+    // aggregation absorbs the explosion; top-k is TakeOrderedAndProject.
+    "x_vocab_topk" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(split(Text.normalize(col("text")), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token").asc)
+        .limit(100)),
+
+    // Corpus stats with exact percentiles (both engines use linear
+    // interpolation for continuous quantiles on integer inputs).
+    "x_doc_length_stats" -> ((s, dir) =>
+      docs(s, dir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          expr("percentile(n_chars, 0.5)").cast("decimal(12,2)").as("median_chars"),
+          expr("percentile(n_chars, 0.9)").cast("decimal(12,2)").as("p90_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))),
+
     // ----------------------------------------------------- multimodal
     "x_multimodal_meta" -> ((s, dir) => Multimodal.mediaMetadata(s, dir))
   )
@@ -246,6 +268,19 @@ object TrainingData {
 
     "x_fingerprint" ->
       s"SELECT doc_id, ${Text.fingerprintDuck("text")} AS fingerprint FROM documents",
+
+    "x_vocab_topk" ->
+      s"""SELECT token, count(*) AS freq FROM (
+         |  SELECT unnest(string_split(${Text.normalizeDuck("text")}, ' ')) AS token
+         |  FROM documents)
+         |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
+
+    "x_doc_length_stats" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+        |  CAST(quantile_cont(n_chars, 0.5) AS DECIMAL(12,2)) AS median_chars,
+        |  CAST(quantile_cont(n_chars, 0.9) AS DECIMAL(12,2)) AS p90_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "x_multimodal_meta" ->
       """SELECT doc_id AS media_id,

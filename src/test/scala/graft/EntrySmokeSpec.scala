@@ -1,0 +1,20 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver's smoke contract: `SparkEntry.entry` must work in a
+  * session we didn't pre-configure (it self-sets the nanos-timestamp conf
+  * via Tables) and return rows on sf0.001. */
+class EntrySmokeSpec extends AnyFunSuite {
+  test("entry returns rows in a fresh session") {
+    val fresh = TestSpark.spark.newSession()
+    assert(SparkEntry.entry(fresh).count() > 0)
+  }
+
+  test("every query has either an oracle or is documented rows-only") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracles without queries: ${o diff q}")
+    assert((q diff o).isEmpty, s"rows-only queries remain: ${q diff o}")
+  }
+}
