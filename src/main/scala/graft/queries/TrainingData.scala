@@ -49,6 +49,27 @@ object TrainingData {
     "x_dedup_exact" -> ((s, dir) =>
       DedupOps.exactDedup(docs(s, dir), "doc_id", "text")),
 
+    // The applied form of exact dedup: the surviving corpus (keep the
+    // min-id row of each fingerprint group) — one shuffle on the
+    // fingerprint, then a semi-join by (fingerprint, id) that AQE
+    // broadcasts when the dup map is small.
+    "x_dedup_exact_apply" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("_fp", Text.fingerprint(col("text")))
+      val keep = d.groupBy(col("_fp")).agg(min(col("doc_id")).as("doc_id"))
+      d.join(keep, Seq("_fp", "doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // Deterministic stratified sampling via portable hash — the
+    // reproducible (seed-free, engine-portable) way to cut a training
+    // subset; rate 1/5 per stratum.
+    "x_sample_stratified" -> ((s, dir) =>
+      docs(s, dir)
+        .filter(PortableHash.hash32(col("doc_id").cast("string"), "smp|") % 5 === 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).as("sampled_chars"))),
+
     "x_dedup_minhash_lsh" -> ((s, dir) => minhashPairs(minhashSig(s, dir))),
 
     "x_dedup_minhash_jaccard" -> ((s, dir) => {
@@ -189,6 +210,18 @@ object TrainingData {
       s"""SELECT md5($normDoc) AS fingerprint, min(doc_id) AS keep_id,
          |  count(*) AS n_copies
          |FROM documents GROUP BY 1""".stripMargin,
+
+    "x_dedup_exact_apply" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id IN (
+         |  SELECT min(doc_id) FROM documents
+         |  GROUP BY md5($normDoc))""".stripMargin,
+
+    "x_sample_stratified" ->
+      s"""SELECT lang, count(*) AS n_sampled, sum(n_chars) AS sampled_chars
+         |FROM documents
+         |WHERE ${PortableHash.duckSql("CAST(doc_id AS VARCHAR)", "smp|")} % 5 = 0
+         |GROUP BY lang""".stripMargin,
 
     "x_dedup_minhash_lsh" ->
       s"WITH $minhashCtes SELECT id1, id2 FROM pairs",
