@@ -24,10 +24,13 @@ import graft.model.{GraftConfig, Identifiers, SourceConfig, TargetConfig}
   *     analog of the reference baking column lists into its SELECT.
   */
 final class JdbcSource(spark: SparkSession, cfg: SourceConfig,
-                       fetchSize: Int = 50000) {
+                       fetchSize: Int = 50000,
+                       urlOverride: Option[String] = None) {
 
-  def url: String =
-    s"jdbc:mysql://${cfg.host}:${cfg.port}/${cfg.database}"
+  /** MySQL by default; `urlOverride` points the same operator surface at
+    * any JDBC engine (the test suite drives it against embedded Derby). */
+  def url: String = urlOverride.getOrElse(
+    s"jdbc:mysql://${cfg.host}:${cfg.port}/${cfg.database}")
 
   private def base = spark.read.format("jdbc")
     .option("url", url)
@@ -76,10 +79,11 @@ final class JdbcSource(spark: SparkSession, cfg: SourceConfig,
 /** K1/K2/K3 sink side: batch appends over JDBC; per-partition connections,
   * `batchsize` mapping the reference's insert batching
   * (`src/clickhouse_client.py:88-105`). */
-final class JdbcSink(cfg: TargetConfig, batchSize: Int = 50000) {
+final class JdbcSink(cfg: TargetConfig, batchSize: Int = 50000,
+                     urlOverride: Option[String] = None) {
 
-  def url: String =
-    s"jdbc:clickhouse://${cfg.host}:${cfg.port}/${cfg.database}"
+  def url: String = urlOverride.getOrElse(
+    s"jdbc:clickhouse://${cfg.host}:${cfg.port}/${cfg.database}")
 
   def write(df: DataFrame, table: String,
             mode: SaveMode = SaveMode.Append): Unit =
