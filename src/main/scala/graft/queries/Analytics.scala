@@ -117,6 +117,23 @@ object Analytics {
           count(lit(1)).as("n_orders"))
     }),
 
+    // As-of join (union + carry-forward window — no range-join blowup):
+    // each purchase enriched with the latest click/view at or before it.
+    "x_asof_enrich" -> ((s, dir) => {
+      import graft.operators.AsOfJoin
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      val seen = ev.filter(col("event_type").isin("click", "view"))
+        .groupBy(col("user_id"), col("ts_us"))        // unique per (key, ts)
+        .agg(max(col("event_id")).as("last_seen_event"))
+      AsOfJoin.asOf(purchases, seen, keys = Seq("user_id"),
+        leftTs = "ts_us", rightTs = "ts_us",
+        rightPayload = Seq("last_seen_event"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("last_seen_event"))
+    }),
+
     // Two-phase salted aggregation (hot-key mitigation): result must be
     // identical to a plain GROUP BY — pinned by the oracle.
     "x_salted_agg" -> ((s, dir) => {
@@ -217,6 +234,16 @@ object Analytics {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "x_asof_enrich" ->
+      """SELECT p.event_id, p.user_id, p.value, r.last_seen_event
+        |FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        |      FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS last_seen_event
+        |  FROM events WHERE event_type IN ('click','view')
+        |  GROUP BY 1, 2) r
+        |ON p.user_id = r.user_id AND p.ts_us >= r.ts_us""".stripMargin,
 
     "x_salted_agg" ->
       """SELECT event_type, count(*) AS n_events,
