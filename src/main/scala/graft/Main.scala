@@ -57,16 +57,26 @@ object Main {
               .monotonically_increasing_id())
           pipe.initialSync(snap, t, versionMicros, "_seq")
         }
-        // stream apply: change rows (op/seq/table columns) from streamDir
+        // stream apply: change rows (op/seq/table_name columns) from
+        // streamDir, one streaming query per replicated table (per-table
+        // checkpoints, like the reference's per-table apply).
+        // GRAFT_CDC_ONCE=true drains available data and exits (testable /
+        // batch-catchup mode); default runs continuously at the
+        // reference's 5-second cadence.
+        val trigger =
+          if (sys.env.get("GRAFT_CDC_ONCE").contains("true"))
+            org.apache.spark.sql.streaming.Trigger.AvailableNow()
+          else org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime("5 seconds")
         val stream = spark.readStream
           .schema(spark.read.parquet(streamDir).schema)
           .parquet(streamDir)
-        val q = pipe.start(stream, "changes", opCol = "op", seqCol = "seq",
-          tables = cfg.replication.tables,
-          tableCol = Some("table_name"),
-          trigger = org.apache.spark.sql.streaming.Trigger
-            .ProcessingTime("5 seconds")) // reference's save cadence
-        q.awaitTermination()
+        val queries = rep.tablesToReplicate(cfg.replication.tables).map { t =>
+          pipe.start(stream, t, opCol = "op", seqCol = "seq",
+            tables = Seq(t), tableCol = Some("table_name"),
+            trigger = trigger)
+        }
+        queries.foreach(_.awaitTermination())
     }
     spark.stop()
   }

@@ -69,6 +69,22 @@ object Analytics {
           .cast("decimal(22,6)")).as("revenue"))
     }),
 
+    // TPC-H Q18 shape: HAVING over an aggregated subquery, re-joined to
+    // dims — aggregate-then-join keeps the heavy side small before the
+    // (broadcast) customer join.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("total_qty"))
+        .filter(col("total_qty") > 300)
+      big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice").cast("decimal(18,2)").as("total_price"),
+          col("total_qty"))
+    }),
+
     // Top-k with total order: driver-side k rows only; executors do a
     // per-partition top-k (TakeOrderedAndProject) — no global sort.
     "topk_orders" -> ((s, dir) =>
@@ -201,6 +217,16 @@ object Analytics {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT c_name, o_orderkey, o_orderdate,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS total_price, total_qty
+        |FROM (SELECT l_orderkey,
+        |        sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300) b
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey,

@@ -42,7 +42,7 @@ final class CdcPipeline(
     snapshot
       .withColumn("op", lit(CdcTransform.Insert))
       .transform(df => CdcTransform.stampBatch(df, "op", seqCol, versionMicros))
-      .drop("op")
+      .drop("op", seqCol) // bookkeeping absorbed into _ingest_seq
       .write.mode("append").parquet(s"$targetDir/$table.parquet")
 
   /** Start the change-stream apply: change rows (op column I/U/D) →
@@ -65,7 +65,10 @@ final class CdcPipeline(
       .option("checkpointLocation", s"$checkpointDir/$table")
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // drop bookkeeping columns after stamping so applied rows share
+        // the initial-sync schema (source cols + meta cols)
         CdcTransform.stampBatch(batch.toDF(), opCol, seqCol, versionOf(batchId))
+          .drop((Seq(opCol, seqCol) ++ tableCol.toSeq): _*)
           .write.mode("append").parquet(s"$targetDir/$table.parquet")
         ()
       }
