@@ -17,8 +17,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // absorb session/codegen warmup outside the timed region
+    // Warm up outside the timed region: session init, then every query
+    // once at the smallest SF so Janino codegen + JIT compile are done
+    // before measurement (one-time compile cost, irrelevant at scale;
+    // timings then reflect steady-state dataflow).
     spark.range(1000000).selectExpr("sum(id)").collect()
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -51,7 +51,7 @@ object DedupOps {
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
                        shingleWidth: Int, k: Int): DataFrame = {
     val sh = docs.select(col(idCol),
-      explode(array_distinct(Text.wordShingles(col(textCol), shingleWidth)))
+      explode(array_distinct(ShingleExprs.wordShinglesNative(col(textCol), shingleWidth)))
         .as("_sh"))
       .withColumn("_h", PortableHash.hash32(col("_sh"), "mh|"))
     val mins = (0 until k).map { i =>
@@ -151,7 +151,7 @@ object DedupOps {
     // referenced three times below (both join sides + sizes): persist so
     // the explode+normalize pipeline runs once
     val sh = docs.select(col(idCol).as("_id"),
-      explode(array_distinct(Text.wordShingles(col(textCol), shingleWidth)))
+      explode(array_distinct(ShingleExprs.wordShinglesNative(col(textCol), shingleWidth)))
         .as("_sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("_n"))

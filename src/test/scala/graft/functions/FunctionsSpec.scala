@@ -35,6 +35,18 @@ class TextSpec extends AnyFunSuite {
     assert(short.isEmpty)
   }
 
+  test("native WordShingles kernel ≡ higher-order wordShingles, everywhere") {
+    val docs = graft.queries.Tables.read(spark, TestSpark.Sf0001, "documents")
+    val edge = Seq("", "  ", "one", "a b", "A  B\tC\nd", " x y z w ").toDF("text")
+    for (df <- Seq(docs.select($"text"), edge); w <- Seq(2, 3, 5)) {
+      val diff = df.select(
+        Text.wordShingles($"text", w).as("hof"),
+        ShingleExprs.wordShinglesNative($"text", w).as("nat"))
+        .filter($"hof" =!= $"nat").count()
+      assert(diff == 0, s"w=$w")
+    }
+  }
+
   test("fingerprint invariant under case/whitespace variation") {
     val df = Seq(("A  b C", "a b c")).toDF("t1", "t2")
     val r = df.select(Text.fingerprint($"t1").as("f1"),
