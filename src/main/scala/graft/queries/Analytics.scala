@@ -106,6 +106,21 @@ object Analytics {
         .select(col("o_custkey"), col("rk"), col("o_orderkey"),
           col("o_totalprice").cast("decimal(18,2)").as("total_price"))),
 
+    // Window frames: running total + 3-row moving average per customer —
+    // same single hash exchange + per-partition sort as the ranking form.
+    "window_running_sum" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Long.MinValue, 0)).as("running_total"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .over(w.rowsBetween(-2, 0)).cast("decimal(20,2)").as("mov_sum3"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"))
+    }),
+
     // Semi/anti join surface: parts that never shipped (left_anti) and
     // customers with at least one purchase-priority order (left_semi).
     "anti_parts_never_ordered" -> ((s, dir) =>
@@ -240,6 +255,20 @@ object Analytics {
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         |  FROM orders) WHERE rk <= 3""".stripMargin,
+
+    "window_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS running_total,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate ASC, o_orderkey ASC
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |    AS DECIMAL(20,2)) AS mov_sum3,
+        |  lag(o_orderkey, 1) OVER w AS prev_orderkey
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "anti_parts_never_ordered" ->
       """SELECT p_partkey, p_name FROM part
