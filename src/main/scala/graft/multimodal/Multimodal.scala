@@ -40,6 +40,33 @@ object Multimodal {
     /** "Frame sample": every `stride`-th byte counts as one frame. */
     def frameCount(payload: Array[Byte], stride: Int): Int =
       if (payload.isEmpty) 0 else 1 + (payload.length - 1) / stride
+
+    /** "Resize": nearest-neighbor byte downsampling to a fixed target
+      * length — stands in for image resize / audio resample; deterministic
+      * and length-exact. */
+    def resize(payload: Array[Byte], targetLen: Int): Array[Byte] = {
+      if (payload.isEmpty || targetLen <= 0) return Array.emptyByteArray
+      val out = new Array[Byte](targetLen)
+      var i = 0
+      while (i < targetLen) {
+        out(i) = payload((i.toLong * payload.length / targetLen).toInt)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Resized media row (payload downsampled to `targetLen` bytes, target
+    * display dims attached) — the resize stage of the pipeline. */
+  final case class ResizedMedia(
+      media_id: Long, kind: String, payload: Array[Byte],
+      out_width: Int, out_height: Int)
+
+  def resizeStage(media: Dataset[MediaRow], targetLen: Int = 256,
+                  outW: Int = 224, outH: Int = 224): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => ResizedMedia(
+      m.media_id, m.kind, FakeCodec.resize(m.payload, targetLen), outW, outH)))
   }
 
   /** Manufacture a deterministic media table from `documents` (text bytes

@@ -220,4 +220,16 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(_.media_id == 0L).head()
     assert(again.feature.toSeq == f.feature.toSeq)
   }
+
+  test("resize stage downsamples payloads to exact target length") {
+    val media = graft.multimodal.Multimodal.mediaFromDocuments(spark, TestSpark.Sf0001)
+    val resized = graft.multimodal.Multimodal.resizeStage(media, targetLen = 64)
+    val lens = resized.collect().map(_.payload.length).toSet
+    assert(lens == Set(64))
+    // deterministic: same input → same bytes
+    val a = resized.filter(_.media_id == 1L).head().payload.toSeq
+    val b = graft.multimodal.Multimodal.resizeStage(media, targetLen = 64)
+      .filter(_.media_id == 1L).head().payload.toSeq
+    assert(a == b)
+  }
 }

@@ -80,6 +80,27 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(liveAfterReplay == live)
   }
 
+  test("progress listener observes micro-batch metrics (O6)") {
+    val (src, tgt, ckp) = freshDirs()
+    val logger = ProgressLogger.attach(spark)
+    try {
+      writeSegment(src, "seg1", Seq((1, "x@x.com", "I", 1L)))
+      val pipe = new CdcPipeline(spark, tgt, ckp)
+      val stream = spark.readStream.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "id INT, email STRING, op STRING, seq BIGINT"))
+        .parquet(s"$src/*")
+      val q = pipe.start(stream, "users", opCol = "op", seqCol = "seq",
+        versionOf = _ => 1L)
+      q.awaitTermination()
+      // listener delivery is async — bounded wait
+      val deadline = System.currentTimeMillis() + 15000
+      while (logger.batches.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(logger.batches.exists(b => b.numInputRows == 1))
+    } finally spark.streams.removeListener(logger)
+  }
+
   test("table-set filter drops events for unreplicated tables (P5/S4)") {
     val (src, tgt, ckp) = freshDirs()
     val pipe = new CdcPipeline(spark, tgt, ckp)
