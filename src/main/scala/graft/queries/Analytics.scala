@@ -69,6 +69,46 @@ object Analytics {
           .cast("decimal(22,6)")).as("revenue"))
     }),
 
+    // TPC-H Q7 shape: date-range join + year extraction, volume by
+    // (supplier nation would need partsupp; here customer-nation pairs).
+    "q7_volume_by_year" -> ((s, dir) => {
+      val nation = t(s, dir, "nation"); val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("l_shipdate")).as("ship_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(22,6)")).as("volume"))
+    }),
+
+    // TPC-H Q17 shape: correlated aggregate (per-part average) consumed by
+    // the outer scan — expressed aggregate-then-join (decorrelated form).
+    "q17_small_quantity_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      // "qty < 0.5 * avg(qty per part)" stated multiplicatively
+      // (2·qty·n < Σqty) — exact decimal arithmetic, no division, so both
+      // engines agree at boundaries.
+      val perPart = li.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          count(lit(1)).as("n_part_items"))
+      li.join(perPart, col("l_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity").cast("decimal(18,2)") * 2 * col("n_part_items")
+          < col("sum_qty"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // SQL surface: the same engine through spark.sql over registered views.
+    "sql_interface" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderpriority, count(*) AS n,
+              |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+              |FROM orders_v GROUP BY o_orderpriority""".stripMargin)
+    }),
+
     // TPC-H Q18 shape: HAVING over an aggregated subquery, re-joined to
     // dims — aggregate-then-join keeps the heavy side small before the
     // (broadcast) customer join.
@@ -232,6 +272,32 @@ object Analytics {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+
+    "q7_volume_by_year" ->
+      """SELECT n_name, year(l_shipdate) AS ship_year,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS volume
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        |GROUP BY n_name, year(l_shipdate)""".stripMargin,
+
+    "q17_small_quantity_revenue" ->
+      """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN (SELECT l_partkey AS ap_partkey,
+        |        sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |        count(*) AS n_part_items
+        |      FROM lineitem GROUP BY l_partkey) p
+        |  ON l.l_partkey = p.ap_partkey
+        |WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 2 * n_part_items < sum_qty""".stripMargin,
+
+    "sql_interface" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q18_large_orders" ->
       """SELECT c_name, o_orderkey, o_orderdate,

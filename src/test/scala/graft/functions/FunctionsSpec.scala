@@ -202,6 +202,26 @@ class SimilarityOpsSpec extends AnyFunSuite {
   }
 }
 
+class GraftFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("SQL-registered native functions work through spark.sql") {
+    GraftFunctions.register(spark)
+    val dot = spark.sql(
+      "SELECT graft_dot(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)), " +
+        "array(CAST(2 AS FLOAT), CAST(3 AS FLOAT))) AS d")
+      .head().getDouble(0)
+    assert(dot == 1.5 * 2 + 2 * 3)
+    val sh = spark.sql(
+      "SELECT graft_shingles('a b c d', 3) AS s")
+      .head().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    intercept[Exception] {
+      spark.sql("SELECT graft_shingles('a b', 1 + 2)").collect()
+    } // width must be a literal
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
