@@ -91,6 +91,59 @@ final class SnapshotReplicator(
           error = Some(e.toString)) // O5 isolation
     }
 
+  /** Incremental snapshot (beyond-reference: the reference re-copies full
+    * tables every run): append only rows with `watermarkCol` strictly
+    * greater than `lastValue`, returning the new high-watermark. At scale
+    * this turns daily re-syncs from O(table) into O(delta); the predicate
+    * is pushed into the source scan. */
+  def replicateIncremental(table: String, watermarkCol: String,
+                           lastValue: Long): (ReplicationResult, Long) = {
+    Identifiers.validate(watermarkCol, "column name")
+    Try {
+      val delta = catalog.read(table)
+        .filter(org.apache.spark.sql.functions.col(watermarkCol) > lastValue)
+      val deltaCount = delta.count()
+      val newMark =
+        if (deltaCount == 0) lastValue
+        else delta.agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col(watermarkCol)))
+          .head().getLong(0)
+      val before = if (targetExists(table)) targetCount(table) else 0L
+      if (deltaCount > 0)
+        delta.write.mode(SaveMode.Append).parquet(targetPath(table))
+      val after = targetCount(table)
+      (ReplicationResult(table, deltaCount, after - before,
+        success = deltaCount == after - before), newMark)
+    } match {
+      case Success(r) => r
+      case Failure(e) =>
+        (ReplicationResult(table, -1, -1, success = false,
+          error = Some(e.toString)), lastValue)
+    }
+  }
+
+  /** Schema-drift guard: the reference's documented failure mode (ALTER
+    * TABLE → silent inconsistency, `README.md:491,585`) surfaced as an
+    * explicit check instead. Returns a human-readable diff if the current
+    * source schema no longer matches the target's. */
+  def schemaDrift(table: String): Option[String] = {
+    if (!targetExists(table)) return None
+    val src = catalog.read(table).schema
+    val tgt = readTarget(table).schema
+    if (src == tgt) None
+    else {
+      val srcF = src.fields.map(f => f.name -> f.dataType.sql).toMap
+      val tgtF = tgt.fields.map(f => f.name -> f.dataType.sql).toMap
+      val added = srcF.keySet -- tgtF.keySet
+      val removed = tgtF.keySet -- srcF.keySet
+      val retyped = (srcF.keySet & tgtF.keySet)
+        .filter(k => srcF(k) != tgtF(k))
+        .map(k => s"$k: ${tgtF(k)}→${srcF(k)}")
+      Some((added.map("+" + _) ++ removed.map("-" + _) ++ retyped)
+        .toSeq.sorted.mkString(", "))
+    }
+  }
+
   /** O4/O5: run all tables, optionally in parallel; failures isolated. */
   def run(configured: Seq[String] = Seq.empty,
           parallelism: Int = 1): Seq[ReplicationResult] = {

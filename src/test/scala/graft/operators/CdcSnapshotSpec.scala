@@ -62,6 +62,43 @@ class SnapshotSpec extends AnyFunSuite {
     assert(!bad.success && bad.error.isDefined)
   }
 
+  test("incremental snapshot appends only the delta past the watermark") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val rep = new SnapshotReplicator(spark, TestSpark.Sf0001, wh)
+    // bootstrap: everything up to event_id 500, then the remainder
+    val (r1, mark1) = rep.replicateIncremental("events", "event_id", -1L)
+    assert(r1.success && r1.sourceCount == 1000 && mark1 == 999L)
+    val (r2, mark2) = rep.replicateIncremental("events", "event_id", mark1)
+    assert(r2.success && r2.sourceCount == 0 && mark2 == mark1) // no new rows
+    assert(rep.targetCount("events") == 1000)
+    // simulate catch-up from a mid-stream watermark into a fresh target
+    val wh2 = Files.createTempDirectory("graft_wh2").toString
+    val rep2 = new SnapshotReplicator(spark, TestSpark.Sf0001, wh2)
+    val (r3, mark3) = rep2.replicateIncremental("events", "event_id", 499L)
+    assert(r3.success && r3.sourceCount == 500 && mark3 == 999L)
+  }
+
+  test("schema drift detected and described (README.md:491 failure mode)") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val rep = new SnapshotReplicator(spark, TestSpark.Sf0001, wh)
+    rep.replicateTable("region")
+    assert(rep.schemaDrift("region").isEmpty)
+    // fake drift: rewrite target with a column dropped and one retyped
+    // (materialize before overwriting the files being read)
+    val drifted = spark.read.parquet(rep.targetPath("region"))
+      .withColumn("r_regionkey",
+        org.apache.spark.sql.functions.col("r_regionkey").cast("long"))
+      .drop("r_name")
+      .persist()
+    drifted.count()
+    drifted.write.mode("overwrite").parquet(rep.targetPath("region"))
+    drifted.unpersist()
+    val drift = rep.schemaDrift("region")
+    assert(drift.isDefined)
+    assert(drift.get.contains("+r_name") &&
+      drift.get.contains("r_regionkey: BIGINT→INT"))
+  }
+
   test("table-set resolution: configured list else all (O2)") {
     val rep = new SnapshotReplicator(spark, TestSpark.Sf0001, "/tmp/unused_wh")
     assert(rep.tablesToReplicate(Seq("orders")) == Seq("orders"))

@@ -23,4 +23,14 @@ class SkewOpsSpec extends AnyFunSuite {
       max(col("ts_us")).as("mx"))
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
+
+  test("approx_count_distinct within rsd bounds of exact (sketch surface)") {
+    val ev = graft.queries.Tables.events(spark, TestSpark.Sf0001)
+    val r = ev.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id"), 0.05).as("approx")).head()
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact <= 0.15,
+      s"exact=$exact approx=$approx")
+  }
 }
