@@ -106,8 +106,8 @@ object DedupOps {
   /** Estimated Jaccard from signatures: fraction of agreeing minhashes. */
   def minhashJaccard(sig: DataFrame, pairs: DataFrame, idCol: String,
                      k: Int): DataFrame = {
-    val s1 = sig.toDF(sig.columns.map(c => if (c == idCol) "id1" else s"a_$c"): _*)
-    val s2 = sig.toDF(sig.columns.map(c => if (c == idCol) "id2" else s"b_$c"): _*)
+    val s1 = sig.toDF(sig.columns.toIndexedSeq.map(c => if (c == idCol) "id1" else s"a_$c"): _*)
+    val s2 = sig.toDF(sig.columns.toIndexedSeq.map(c => if (c == idCol) "id2" else s"b_$c"): _*)
     val agree = (0 until k).map(i =>
       when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1).otherwise(0))
       .reduce(_ + _)

@@ -79,9 +79,9 @@ object LiveView {
     }
     val picked = df
       .groupBy(pks.map(col): _*)
-      .agg(max_by(struct(payload.map(col): _*), ord).as("_row"))
+      .agg(max_by(struct(payload.toIndexedSeq.map(col): _*), ord).as("_row"))
     payload.foldLeft(picked)((d, c) => d.withColumn(c, col(s"_row.$c")))
       .drop("_row")
-      .select(df.columns.map(col): _*) // restore original column order
+      .select(df.columns.toIndexedSeq.map(col): _*) // restore original column order
   }
 }

@@ -154,7 +154,26 @@ object TrainingData {
           max(col("n_chars")).as("max_chars"))),
 
     // ----------------------------------------------------- multimodal
-    "x_multimodal_meta" -> ((s, dir) => Multimodal.mediaMetadata(s, dir))
+    "x_multimodal_meta" -> ((s, dir) => Multimodal.mediaMetadata(s, dir)),
+
+    // The whole curation flow as ONE declarative plan: quality filter →
+    // exact-dedup survivors → embedding join → per-language corpus stats.
+    // Each stage is an already-oracled operator; the composition stays a
+    // single Catalyst-optimized query (no materialization between stages).
+    "x_curation_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("_q", Text.qualityScore(col("text")))
+        .filter(col("_q") >= 0.5)
+        .withColumn("_fp", Text.fingerprint(col("text")))
+      val keep = d.groupBy(col("_fp")).agg(min(col("doc_id")).as("doc_id"))
+      val curated = d.join(keep, Seq("_fp", "doc_id"), "left_semi")
+      curated
+        .join(emb(s, dir), curated("doc_id") === col("vec_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Text.tokenCount(col("text"))).as("total_tokens"),
+          sum(col("label")).as("label_sum"))
+    })
   )
 
   // ------------------------------------------------- oracle generation
@@ -314,6 +333,22 @@ object TrainingData {
         |  CAST(quantile_cont(n_chars, 0.9) AS DECIMAL(12,2)) AS p90_chars,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY lang""".stripMargin,
+
+    "x_curation_pipeline" ->
+      s"""WITH scored AS (
+         |  SELECT *, ${Text.qualityScoreDuck("text")} AS q,
+         |         md5($normDoc) AS fp
+         |  FROM documents),
+         |filtered AS (SELECT * FROM scored WHERE q >= 0.5),
+         |keep AS (SELECT fp, min(doc_id) AS doc_id FROM filtered GROUP BY fp),
+         |curated AS (SELECT f.* FROM filtered f
+         |            WHERE EXISTS (SELECT 1 FROM keep k
+         |              WHERE k.fp = f.fp AND k.doc_id = f.doc_id))
+         |SELECT lang, count(*) AS n_docs,
+         |  sum(${Text.tokenCountDuck("text")}) AS total_tokens,
+         |  sum(label) AS label_sum
+         |FROM curated JOIN embeddings ON doc_id = vec_id
+         |GROUP BY lang""".stripMargin,
 
     "x_multimodal_meta" ->
       """SELECT doc_id AS media_id,
