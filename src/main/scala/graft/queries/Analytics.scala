@@ -29,10 +29,10 @@ object Analytics {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_base_price"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(22,6)")).as("sum_disc_price"),
+            .cast("decimal(22,6)")).cast("decimal(38,6)").as("sum_disc_price"),
           count(lit(1)).as("count_order"))),
 
     // TPC-H Q3 shape: 3-way join; `customer` is small → broadcast hint
@@ -47,7 +47,7 @@ object Analytics {
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(22,6)")).as("revenue"))
+          .cast("decimal(22,6)")).cast("decimal(38,6)").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }),
@@ -66,7 +66,7 @@ object Analytics {
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(22,6)")).as("revenue"))
+          .cast("decimal(22,6)")).cast("decimal(38,6)").as("revenue"))
     }),
 
     // TPC-H Q7 shape: date-range join + year extraction, volume by
@@ -81,7 +81,7 @@ object Analytics {
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"), year(col("l_shipdate")).as("ship_year"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(22,6)")).as("volume"))
+          .cast("decimal(22,6)")).cast("decimal(38,6)").as("volume"))
     }),
 
     // TPC-H Q17 shape: correlated aggregate (per-part average) consumed by
@@ -92,12 +92,12 @@ object Analytics {
       // (2·qty·n < Σqty) — exact decimal arithmetic, no division, so both
       // engines agree at boundaries.
       val perPart = li.groupBy(col("l_partkey").as("ap_partkey"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
           count(lit(1)).as("n_part_items"))
       li.join(perPart, col("l_partkey") === col("ap_partkey"))
         .filter(col("l_quantity").cast("decimal(18,2)") * 2 * col("n_part_items")
           < col("sum_qty"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"),
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("revenue"),
           count(lit(1)).as("n_items"))
     }),
 
@@ -105,7 +105,7 @@ object Analytics {
     "sql_interface" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("orders_v")
       s.sql("""SELECT o_orderpriority, count(*) AS n,
-              |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
               |FROM orders_v GROUP BY o_orderpriority""".stripMargin)
     }),
 
@@ -115,7 +115,7 @@ object Analytics {
     "q18_large_orders" -> ((s, dir) => {
       val big = t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("total_qty"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_qty"))
         .filter(col("total_qty") > 300)
       big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(t(s, dir, "customer")),
@@ -155,7 +155,7 @@ object Analytics {
       t(s, dir, "orders").select(
         col("o_custkey"), col("o_orderkey"),
         sum(col("o_totalprice").cast("decimal(18,2)"))
-          .over(w.rowsBetween(Long.MinValue, 0)).as("running_total"),
+          .over(w.rowsBetween(Long.MinValue, 0)).cast("decimal(38,2)").as("running_total"),
         sum(col("o_totalprice").cast("decimal(18,2)"))
           .over(w.rowsBetween(-2, 0)).cast("decimal(20,2)").as("mov_sum3"),
         lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"))
@@ -184,7 +184,7 @@ object Analytics {
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("total"),
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("total"),
           count(lit(1)).as("n_orders"))
     }),
 
@@ -235,15 +235,15 @@ object Analytics {
           countDistinct(col("user_id")).as("n_users"),
           sum(when(col("event_type") === "purchase",
             col("value").cast("decimal(18,2)"))
-            .otherwise(lit(0).cast("decimal(18,2)"))).as("purchase_value")))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("decimal(38,2)").as("purchase_value")))
   )
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DECIMAL(38,6)) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -251,7 +251,7 @@ object Analytics {
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DECIMAL(38,6)) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -264,7 +264,7 @@ object Analytics {
 
     "q5_local_supplier_volume" ->
       """SELECT n_name,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DECIMAL(38,6)) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -274,8 +274,8 @@ object Analytics {
         |GROUP BY n_name""".stripMargin,
 
     "q7_volume_by_year" ->
-      """SELECT n_name, year(l_shipdate) AS ship_year,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS volume
+      """SELECT n_name, CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DECIMAL(38,6)) AS volume
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -284,11 +284,11 @@ object Analytics {
         |GROUP BY n_name, year(l_shipdate)""".stripMargin,
 
     "q17_small_quantity_revenue" ->
-      """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue,
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem l
         |JOIN (SELECT l_partkey AS ap_partkey,
-        |        sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
         |        count(*) AS n_part_items
         |      FROM lineitem GROUP BY l_partkey) p
         |  ON l.l_partkey = p.ap_partkey
@@ -296,14 +296,14 @@ object Analytics {
 
     "sql_interface" ->
       """SELECT o_orderpriority, count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q18_large_orders" ->
       """SELECT c_name, o_orderkey, o_orderdate,
         |  CAST(o_totalprice AS DECIMAL(18,2)) AS total_price, total_qty
         |FROM (SELECT l_orderkey,
-        |        sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
         |      FROM lineitem GROUP BY l_orderkey
         |      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300) b
         |JOIN orders ON l_orderkey = o_orderkey
@@ -324,7 +324,7 @@ object Analytics {
 
     "window_running_sum" ->
       """SELECT o_custkey, o_orderkey,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS running_total,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS running_total,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
         |    OVER (PARTITION BY o_custkey
         |          ORDER BY o_orderdate ASC, o_orderkey ASC
@@ -348,7 +348,7 @@ object Analytics {
 
     "rollup_revenue" ->
       """SELECT r_name, n_name,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
         |  count(*) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
@@ -375,15 +375,15 @@ object Analytics {
     "t5_windowed_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n_events,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "events_daily_rollup" ->
       """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users,
-        |  sum(CASE WHEN event_type='purchase'
+        |  CAST(sum(CASE WHEN event_type='purchase'
         |      THEN CAST(value AS DECIMAL(18,2))
-        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS purchase_value
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS purchase_value
         |FROM events GROUP BY 1""".stripMargin
   )
 }

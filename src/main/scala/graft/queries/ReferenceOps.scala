@@ -68,7 +68,7 @@ object ReferenceOps {
       stamped(s, dir)
         .groupBy(col("op"), col(DeletedCol).as("deleted"))
         .agg(count(lit(1)).as("n_rows"),
-             sum(col("value").cast("decimal(18,2)")).as("sum_value"),
+             sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"),
              max(col(VersionCol)).as("max_version"))),
 
     // W1/P2/P3/K5: the live view itself.
@@ -109,7 +109,7 @@ object ReferenceOps {
         |            WHEN event_type='error' THEN 'D' ELSE 'U' END AS op,
         |       CASE WHEN event_type='error' THEN 1 ELSE 0 END AS deleted,
         |       count(*) AS n_rows,
-        |       sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value,
         |       max(epoch_us(ts)) AS max_version
         |FROM events GROUP BY 1, 2""".stripMargin,
 

@@ -68,7 +68,7 @@ object TrainingData {
         .filter(PortableHash.hash32(col("doc_id").cast("string"), "smp|") % 5 === 0)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_sampled"),
-          sum(col("n_chars")).as("sampled_chars"))),
+          sum(col("n_chars")).cast("long").as("sampled_chars"))),
 
     "x_dedup_minhash_lsh" -> ((s, dir) => minhashPairs(minhashSig(s, dir))),
 
@@ -147,7 +147,7 @@ object TrainingData {
     "x_doc_length_stats" -> ((s, dir) =>
       docs(s, dir).groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
           expr("percentile(n_chars, 0.5)").cast("decimal(12,2)").as("median_chars"),
           expr("percentile(n_chars, 0.9)").cast("decimal(12,2)").as("p90_chars"),
           min(col("n_chars")).as("min_chars"),
@@ -171,8 +171,8 @@ object TrainingData {
         .join(emb(s, dir), curated("doc_id") === col("vec_id"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(Text.tokenCount(col("text"))).as("total_tokens"),
-          sum(col("label")).as("label_sum"))
+          sum(Text.tokenCount(col("text"))).cast("long").as("total_tokens"),
+          sum(col("label")).cast("long").as("label_sum"))
     })
   )
 
@@ -237,7 +237,7 @@ object TrainingData {
          |  GROUP BY md5($normDoc))""".stripMargin,
 
     "x_sample_stratified" ->
-      s"""SELECT lang, count(*) AS n_sampled, sum(n_chars) AS sampled_chars
+      s"""SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sampled_chars
          |FROM documents
          |WHERE ${PortableHash.duckSql("CAST(doc_id AS VARCHAR)", "smp|")} % 5 = 0
          |GROUP BY lang""".stripMargin,
@@ -328,7 +328,7 @@ object TrainingData {
          |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
 
     "x_doc_length_stats" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  CAST(quantile_cont(n_chars, 0.5) AS DECIMAL(12,2)) AS median_chars,
         |  CAST(quantile_cont(n_chars, 0.9) AS DECIMAL(12,2)) AS p90_chars,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
@@ -345,8 +345,8 @@ object TrainingData {
          |            WHERE EXISTS (SELECT 1 FROM keep k
          |              WHERE k.fp = f.fp AND k.doc_id = f.doc_id))
          |SELECT lang, count(*) AS n_docs,
-         |  sum(${Text.tokenCountDuck("text")}) AS total_tokens,
-         |  sum(label) AS label_sum
+         |  CAST(sum(${Text.tokenCountDuck("text")}) AS BIGINT) AS total_tokens,
+         |  CAST(sum(label) AS BIGINT) AS label_sum
          |FROM curated JOIN embeddings ON doc_id = vec_id
          |GROUP BY lang""".stripMargin,
 

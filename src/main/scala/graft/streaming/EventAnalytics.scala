@@ -30,7 +30,7 @@ object EventAnalytics {
     }
     base.groupBy(win.as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
   }
