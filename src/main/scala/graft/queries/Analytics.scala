@@ -125,6 +125,34 @@ object Analytics {
           col("total_qty"))
     }),
 
+    // Set operations: INTERSECT / EXCEPT over derived key sets (customers
+    // active in 1996 vs 1997) — both plan as aggregate-style dedup joins.
+    "setop_retained_customers" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      def active(yr: Int) = ord
+        .filter(year(col("o_orderdate")) === yr).select("o_custkey")
+      active(1996).intersect(active(1997))
+        .withColumn("status", lit("retained"))
+        .unionByName(
+          active(1996).except(active(1997))
+            .withColumn("status", lit("churned")))
+    }),
+
+    // Pivot: orders per priority pivoted into columns by year — Spark's
+    // groupBy().pivot() with explicit values (single pass, no re-scan).
+    "pivot_orders_by_priority" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnRenamed("1-URGENT", "urgent")
+        .withColumnRenamed("2-HIGH", "high")
+        .withColumnRenamed("3-MEDIUM", "medium")
+        .withColumnRenamed("4-NOT SPECIFIED", "unspecified")
+        .withColumnRenamed("5-LOW", "low")),
+
     // Top-k with total order: driver-side k rows only; executors do a
     // per-partition top-k (TakeOrderedAndProject) — no global sort.
     "topk_orders" -> ((s, dir) =>
@@ -308,6 +336,26 @@ object Analytics {
         |      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300) b
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "setop_retained_customers" ->
+      """SELECT o_custkey, 'retained' AS status FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+        |UNION ALL
+        |SELECT o_custkey, 'churned' FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)""".stripMargin,
+
+    "pivot_orders_by_priority" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+        |  count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+        |  count(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+        |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+        |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS unspecified,
+        |  count(*) FILTER (o_orderpriority = '5-LOW') AS low
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey,

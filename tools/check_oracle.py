@@ -41,6 +41,7 @@ def main(sf_dir, out_dir):
             continue
         got = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')")
         gcols = [c[0] for c in got.description]
+        gt = {c[0]: str(c[1]) for c in got.description}
         grows = got.fetchall()
         if name not in oracle:
             results[name] = f"ROWS_ONLY rows={len(grows)}"
@@ -48,14 +49,20 @@ def main(sf_dir, out_dir):
         try:
             exp = con.execute(oracle[name])
             ecols = [c[0] for c in exp.description]
+            et = {c[0]: str(c[1]) for c in exp.description}
             erows = exp.fetchall()
         except Exception as e:
             results[name] = f"ORACLE_ERROR {e}"
             continue
         gc, gr = canon(grows, gcols)
         ec, er = canon(erows, ecols)
+        # strict type audit: column-by-column duckdb-visible types
+        badtypes = [f"{c}: spark={gt[c]} oracle={et[c]}"
+                    for c in gt if c in et and gt[c] != et[c]]
         if gc != ec:
             results[name] = f"SCHEMA_MISMATCH spark={gc} oracle={ec}"
+        elif badtypes:
+            results[name] = f"TYPE_MISMATCH {badtypes}"
         elif gr != er:
             diff = [(a, b) for a, b in zip(gr, er) if a != b][:3]
             extra = f" first_diffs={diff}" if diff else \
