@@ -125,6 +125,15 @@ object Analytics {
           col("total_qty"))
     }),
 
+    // Date arithmetic: shipping-delay histogram (datediff over the
+    // order→ship interval); one join + small-key agg.
+    "date_shipping_delay" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(datediff(col("l_shipdate"), col("o_orderdate")).as("delay_days"))
+        .groupBy(col("delay_days"))
+        .agg(count(lit(1)).as("n_items"))),
+
     // Set operations: INTERSECT / EXCEPT over derived key sets (customers
     // active in 1996 vs 1997) — both plan as aggregate-style dedup joins.
     "setop_retained_customers" -> ((s, dir) => {
@@ -336,6 +345,13 @@ object Analytics {
         |      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300) b
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "date_shipping_delay" ->
+      """SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |    CAST(l_shipdate AS DATE)) AS INT) AS delay_days,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     "setop_retained_customers" ->
       """SELECT o_custkey, 'retained' AS status FROM (
