@@ -1,0 +1,53 @@
+package graft.operators
+
+import java.io.File
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Small-file compaction — the lake-maintenance operator every append-only
+  * CDC sink needs (each micro-batch append of
+  * [[graft.streaming.CdcPipeline]] adds files; thousands of tiny files
+  * degrade scan planning and open-cost at scale).
+  *
+  * Sizing: target output file count = ceil(total bytes / targetFileBytes),
+  * written via `coalesce` when shrinking (no shuffle — each output task
+  * reads several input files) or `repartition` when the input is fewer,
+  * larger files than requested (rebalance needs the shuffle). Content is
+  * preserved exactly; only the file layout changes.
+  */
+object Compaction {
+
+  final case class CompactionResult(
+      path: String, filesBefore: Int, filesAfter: Int,
+      bytesBefore: Long, rows: Long)
+
+  private def parquetFiles(dir: File): Array[File] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+
+  /** Compact one parquet table directory in place (write-new-then-swap via
+    * a sibling temp dir — readers of the old files are unaffected until
+    * the atomic-ish rename). */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): CompactionResult = {
+    val dir = new File(path)
+    val before = parquetFiles(dir)
+    val bytes = before.map(_.length()).sum
+    val targetFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(path)
+    val out =
+      if (targetFiles < before.length) df.coalesce(targetFiles)
+      else df.repartition(targetFiles)
+    val tmp = new File(dir.getParentFile, dir.getName + "._compact_tmp")
+    out.write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
+    val rows = spark.read.parquet(tmp.getAbsolutePath).count()
+    // swap
+    def rmRec(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRec)
+      f.delete(); ()
+    }
+    rmRec(dir)
+    require(tmp.renameTo(dir), s"rename failed: $tmp -> $dir")
+    CompactionResult(path, before.length,
+      parquetFiles(dir).length, bytes, rows)
+  }
+}

@@ -99,6 +99,21 @@ class SnapshotSpec extends AnyFunSuite {
       drift.get.contains("r_regionkey: BIGINT→INT"))
   }
 
+  test("compaction shrinks many small files to the sized target, content intact") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/lineitem.parquet"
+    val src = spark.read.parquet(s"${TestSpark.Sf0001}/lineitem.parquet")
+    src.repartition(40).write.parquet(dir) // fragment: 40 small files
+    val before = spark.read.parquet(dir)
+    val beforeRows = before.count()
+    val r = Compaction.compact(spark, dir, targetFileBytes = 512L * 1024)
+    assert(r.filesBefore == 40)
+    assert(r.filesAfter < r.filesBefore && r.filesAfter >= 1)
+    assert(r.rows == beforeRows)
+    // content identical after the layout change
+    val after = spark.read.parquet(dir)
+    assert(after.exceptAll(src).isEmpty && src.exceptAll(after).isEmpty)
+  }
+
   test("table-set resolution: configured list else all (O2)") {
     val rep = new SnapshotReplicator(spark, TestSpark.Sf0001, "/tmp/unused_wh")
     assert(rep.tablesToReplicate(Seq("orders")) == Seq("orders"))
