@@ -34,19 +34,14 @@ object Text {
   def bpeUnitCountDuck(x: String): String =
     s"len(regexp_extract_all(lower($x), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))"
 
-  /** Count occurrences of a word (token-boundary aware via padding). */
-  def wordOccurrences(text: Column, word: String): Column = {
-    val padded = concat(lit(" "), normalize(text), lit(" "))
-    val w = s" $word "
-    // (len(padded) - len(remove(padded, w))) / len(w) counts non-overlapping
-    // occurrences; spacing guarantees non-overlap.
-    ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(w), ""))) / lit(w.length)).cast("int")
-  }
-  def wordOccurrencesDuck(x: String, word: String): String = {
-    val p = s"(' ' || ${normalizeDuck(x)} || ' ')"
-    val w = s" $word "
-    s"CAST((len($p) - len(replace($p, '$w', ''))) / ${w.length} AS INT)"
-  }
+  /** Count occurrences of a word as a whole token. Token-filter semantics
+    * (split + equality), NOT padded-substring removal — adjacent repeats
+    * ("the the the") each count, which substring removal undercounts
+    * because consecutive matches share the boundary space. */
+  def wordOccurrences(text: Column, word: String): Column =
+    size(filter(split(normalize(text), " "), t => t === word)).cast("int")
+  def wordOccurrencesDuck(x: String, word: String): String =
+    s"CAST(len(list_filter(string_split(${normalizeDuck(x)}, ' '), t -> t = '$word')) AS INT)"
 
   /** N-gram-frequency language ID heuristic: score each candidate language
     * by marker-token hits, pick the argmax (ties broken by language code

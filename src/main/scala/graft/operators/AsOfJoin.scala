@@ -44,24 +44,31 @@ object AsOfJoin {
     // Determinism requires `right` be unique per (keys, rightTs) —
     // pre-aggregate (e.g. max_by on an ingest seq) if it isn't.
     val lp = leftCols.filterNot(c => keys.contains(c) || c == leftTs)
+    // Right payload travels as ONE struct column: the whole struct is
+    // null on left rows and non-null on right rows, so carry-forward
+    // cannot mix columns from different right rows or skip a right row
+    // whose payload legitimately contains NULLs.
+    val rowStruct = struct(rightPayload.map(col): _*)
+    val nullStruct = lit(null).cast(
+      org.apache.spark.sql.types.StructType(
+        rightPayload.map(c => right.schema(c).copy(name = c))))
     val l = left.select(
       keys.map(col) ++
         Seq(col(leftTs).as("_ts"), lit(1).as("_isLeft")) ++
-        lp.map(col) ++
-        rightPayload.map(c => lit(null).as(c)): _*)
+        lp.map(col) :+
+        nullStruct.as("_rp"): _*)
     val r = right.select(
       keys.map(col) ++
         Seq(col(rightTs).as("_ts"), lit(0).as("_isLeft")) ++
-        lp.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(col): _*)
+        lp.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        rowStruct.as("_rp"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ts").asc, col("_isLeft").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = l.unionByName(r)
+      .withColumn("_rp", last(col("_rp"), ignoreNulls = true).over(w))
     carried.filter(col("_isLeft") === 1)
       .select((keys.map(col) :+ col("_ts").as(leftTs)) ++
-        lp.map(col) ++ rightPayload.map(col): _*)
+        lp.map(col) ++ rightPayload.map(c => col(s"_rp.$c").as(c)): _*)
   }
 }

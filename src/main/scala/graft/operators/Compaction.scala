@@ -31,6 +31,11 @@ object Compaction {
               targetFileBytes: Long = 128L * 1024 * 1024): CompactionResult = {
     val dir = new File(path)
     val before = parquetFiles(dir)
+    // refuse layouts this flat compactor doesn't understand (partitioned /
+    // nested tables) rather than silently rewriting them into one file
+    require(before.nonEmpty,
+      s"$path has no top-level .parquet files — not a flat table dir " +
+        "(partitioned layouts need per-partition compaction)")
     val bytes = before.map(_.length()).sum
     val targetFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(path)
@@ -40,13 +45,23 @@ object Compaction {
     val tmp = new File(dir.getParentFile, dir.getName + "._compact_tmp")
     out.write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
     val rows = spark.read.parquet(tmp.getAbsolutePath).count()
-    // swap
+    // swap: old dir is moved ASIDE first (not deleted) so a crash or
+    // failed rename never leaves the table missing; it is removed only
+    // after the new layout is in place. Concurrent appends during the
+    // compact window are still the caller's responsibility to pause.
     def rmRec(f: File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRec)
       f.delete(); ()
     }
-    rmRec(dir)
-    require(tmp.renameTo(dir), s"rename failed: $tmp -> $dir")
+    val old = new File(dir.getParentFile, dir.getName + "._compact_old")
+    if (old.exists()) rmRec(old)
+    require(dir.renameTo(old), s"rename failed: $dir -> $old")
+    if (!tmp.renameTo(dir)) {
+      val restored = old.renameTo(dir) // roll back
+      throw new IllegalStateException(
+        s"rename failed: $tmp -> $dir (original ${if (restored) "restored" else s"left at $old"})")
+    }
+    rmRec(old)
     CompactionResult(path, before.length,
       parquetFiles(dir).length, bytes, rows)
   }

@@ -73,7 +73,10 @@ object LiveView {
       versionCol: String = VersionCol,
       tieBreak: Option[String] = None): DataFrame = {
     val payload = df.columns.filterNot(pks.contains)
-    val ord = tieBreak match {
+    // same automatic _ingest_seq fallback as dedupLatest, so the two
+    // physical forms stay semantically identical under duplicate versions
+    val ord = tieBreak
+      .orElse(Option(SeqCol).filter(df.columns.contains)) match {
       case Some(t) => struct(col(versionCol), col(t))
       case None    => struct(col(versionCol))
     }

@@ -27,13 +27,17 @@ object SkewOps {
   val MaxAgg: SaltedAgg = SaltedAgg(max, max)
 
   /** Two-phase salted aggregation: `aggs` maps output column name →
-    * (input column, agg pair). Salt is derived from a hash of the whole
-    * row's input columns — deterministic, no RNG (keeps plans replayable). */
+    * (input column, agg pair). Salt comes from the row's position
+    * (`monotonically_increasing_id`), which distributes a hot key's rows
+    * across buckets UNCONDITIONALLY — value-derived salts collapse when a
+    * hot key carries constant values, defeating the mitigation. (The salt
+    * never affects the merged result, so task-retry nondeterminism of the
+    * id is harmless.) */
   def saltedAgg(df: DataFrame, keys: Seq[String],
                 aggs: Map[String, (Column, SaltedAgg)],
                 saltBuckets: Int = 16): DataFrame = {
     val salted = df.withColumn("_salt",
-      pmod(hash(aggs.map(_._2._1).toSeq: _*), lit(saltBuckets)))
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
     val phase1 = salted
       .groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(aggs.head._2._2.partial(aggs.head._2._1).as(aggs.head._1),

@@ -106,12 +106,14 @@ final class SnapshotReplicator(
       val newMark =
         if (deltaCount == 0) lastValue
         else delta.agg(org.apache.spark.sql.functions.max(
-          org.apache.spark.sql.functions.col(watermarkCol)))
-          .head().getLong(0)
+          org.apache.spark.sql.functions.col(watermarkCol)).cast("long"))
+          .head().getLong(0) // cast: watermark may be INT etc., not LONG
       val before = if (targetExists(table)) targetCount(table) else 0L
       if (deltaCount > 0)
         delta.write.mode(SaveMode.Append).parquet(targetPath(table))
-      val after = targetCount(table)
+      // empty first run: no target was written — an empty delta is a
+      // successful no-op, not a read-of-missing-path failure
+      val after = if (targetExists(table)) targetCount(table) else 0L
       (ReplicationResult(table, deltaCount, after - before,
         success = deltaCount == after - before), newMark)
     } match {

@@ -24,8 +24,9 @@ object Tables {
   def events(s: SparkSession, dir: String): DataFrame = {
     val df = read(s, dir, "events")
     df.schema("ts").dataType match {
-      case LongType => // nanos as long
-        df.withColumn("ts_us", (col("ts") / lit(1000L)).cast("long"))
+      case LongType => // nanos as long — integral division (`div`), NOT
+        // `/` (double division loses exactness above 2^53 ns)
+        df.withColumn("ts_us", expr("ts div 1000"))
       case _ =>
         df.withColumn("ts_us", unix_micros(col("ts")))
     }

@@ -51,6 +51,7 @@ final class JdbcSource(spark: SparkSession, cfg: SourceConfig,
     * (`src/mysql_client.py:91-130`), ordered by ORDINAL_POSITION. */
   def tableColumns(table: String): DataFrame = {
     Identifiers.validate(table, "table name")
+    Identifiers.validate(cfg.database, "database")
     base.option("dbtable",
       s"""(SELECT column_name, data_type, is_nullable, column_key, extra,
          |  numeric_precision, numeric_scale, character_maximum_length

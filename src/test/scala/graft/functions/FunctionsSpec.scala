@@ -54,6 +54,13 @@ class TextSpec extends AnyFunSuite {
     assert(r.getString(0) == r.getString(1))
   }
 
+  test("wordOccurrences counts adjacent repeats (token semantics)") {
+    val df = Seq("the the the", "the cat the", "xthe thex").toDF("t")
+    val got = df.select(Text.wordOccurrences($"t", "the")).collect()
+      .map(_.getInt(0)).toSeq
+    assert(got == Seq(3, 2, 0))
+  }
+
   test("langId picks marker-dominant language, 'und' when no markers") {
     val df = Seq("the cat of the day", "der hund und die katze", "xyz qqq")
       .toDF("t")

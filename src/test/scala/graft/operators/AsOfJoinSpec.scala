@@ -23,6 +23,18 @@ class AsOfJoinSpec extends AnyFunSuite {
       "p4" -> None))          // right row is in the future
   }
 
+  test("multi-column payload with legitimate NULLs carries as one row") {
+    val left = Seq((1, 3L, "p")).toDF("k", "ts", "lv")
+    val right = Seq(
+      (1, 1L, Some("A"), Some(5)), (1, 2L, Some("B"), None: Option[Int]))
+      .toDF("k", "ts", "status", "price")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "ts", "ts",
+      Seq("status", "price"))
+      .select("status", "price").head()
+    // must be the WHOLE t=2 row (B, null) — not a mix (B, 5)
+    assert(out.getString(0) == "B" && out.isNullAt(1))
+  }
+
   test("matches a correlated-subquery model on real events") {
     val ev = graft.queries.Tables.events(spark, TestSpark.Sf0001)
     val p = ev.filter($"event_type" === "purchase")
