@@ -125,6 +125,19 @@ object Analytics {
           col("total_qty"))
     }),
 
+    // JSON scalar extraction (the reference passes JSON columns through as
+    // strings — `src/schema_converter.py:36`; downstream parsing is ours):
+    // bucket events by the numeric `k` field of the props JSON.
+    "json_props_buckets" -> ((s, dir) =>
+      Tables.events(s, dir)
+        // integer division (`div`) — `/` + cast differs between engines
+        // (Spark truncates the double, DuckDB's int cast rounds)
+        .select(expr(
+          "CAST(CAST(get_json_object(props, '$.k') AS INT) div 10 AS INT)")
+          .as("k_bucket"))
+        .groupBy(col("k_bucket"))
+        .agg(count(lit(1)).as("n_events"))),
+
     // Date arithmetic: shipping-delay histogram (datediff over the
     // order→ship interval); one join + small-key agg.
     "date_shipping_delay" -> ((s, dir) =>
@@ -345,6 +358,12 @@ object Analytics {
         |      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300) b
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "json_props_buckets" ->
+      """SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) // 10 AS INT)
+        |    AS k_bucket,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
 
     "date_shipping_delay" ->
       """SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE),
