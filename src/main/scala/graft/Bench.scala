@@ -28,10 +28,14 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
 
+    spark.catalog.clearCache() // drop warmup caches before timing
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // unpin persisted intermediates (untimed)
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

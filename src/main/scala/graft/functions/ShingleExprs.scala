@@ -37,6 +37,9 @@ object ShingleKernel {
       i += 1
     }
     if (sb.length > 0) toks += sb.toString
+    // split("", any) yields [""] — mirror that degenerate case so the
+    // kernel matches split(normalize(text), " ") exactly (incl. w=1)
+    if (toks.isEmpty) toks += ""
     val n = toks.length - w + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](n)
@@ -60,6 +63,12 @@ case class WordShingles(child: Expression, width: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles requires a string argument, got ${child.dataType.sql}")
+
   override def nullSafeEval(v: Any): Any =
     ShingleKernel.shingles(v.asInstanceOf[UTF8String], width)
 
@@ -72,6 +81,11 @@ case class WordShingles(child: Expression, width: Int)
 }
 
 object ShingleExprs {
+  /** Null text → empty array (the higher-order reference form's behavior:
+    * `when(size(null) >= w)` is null-cond → otherwise-branch → `array()`),
+    * so the native and HOF forms agree on null too. */
   def wordShinglesNative(text: Column, w: Int): Column =
-    Bridge.column(WordShingles(Bridge.expression(text), w))
+    org.apache.spark.sql.functions.coalesce(
+      Bridge.column(WordShingles(Bridge.expression(text), w)),
+      org.apache.spark.sql.functions.array().cast("array<string>"))
 }

@@ -13,11 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Normalize: lowercase, collapse whitespace runs, trim. */
+  /** Normalize: lowercase, collapse whitespace runs, trim. The whitespace
+    * class is spelled out explicitly because Java regex `\s` includes
+    * vertical tab (\x0B) while DuckDB's RE2 `\s` does not — an explicit
+    * class keeps both engines (and [[ShingleKernel.isWs]]) identical. */
+  val WsClass = "[ \\t\\n\\r\\f\\x0B]+"
   def normalize(text: Column): Column =
-    trim(regexp_replace(lower(text), "\\s+", " "))
+    trim(regexp_replace(lower(text), WsClass, " "))
   def normalizeDuck(x: String): String =
-    s"trim(regexp_replace(lower($x), '\\s+', ' ', 'g'))"
+    s"trim(regexp_replace(lower($x), '$WsClass', ' ', 'g'))"
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =

@@ -19,6 +19,7 @@ object TrainingData {
   val Bands = 4
   val RowsPerBand = 4
   val SimhashBits = 16
+  val MaxBucket = 1000 // LSH bucket cap — mirrored in the oracle CTEs
   val CosDupThreshold = 0.4
   val AnnK = 5
   val AnnQueryIds = 10 // query set = vec_id < 10
@@ -41,7 +42,8 @@ object TrainingData {
 
   def minhashPairs(sig: DataFrame): DataFrame =
     DedupOps.lshCandidatePairs(
-      DedupOps.lshBands(sig, "doc_id", Bands, RowsPerBand), "doc_id")
+      DedupOps.lshBands(sig, "doc_id", Bands, RowsPerBand), "doc_id",
+      maxBucket = MaxBucket)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -200,10 +202,15 @@ object TrainingData {
        |hb AS (SELECT doc_id, ${PortableHash.duckSql("s", "mh|")} AS h FROM sh),
        |sig AS (SELECT doc_id, $minExprs FROM hb GROUP BY doc_id),
        |bands AS ($bandRows),
+       |okbkt AS (SELECT band, band_key FROM bands
+       |          GROUP BY band, band_key
+       |          HAVING count(*) > 1 AND count(*) <= $MaxBucket),
        |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |          FROM bands a JOIN bands b
        |            ON a.band = b.band AND a.band_key = b.band_key
-       |           AND a.doc_id < b.doc_id)""".stripMargin
+       |           AND a.doc_id < b.doc_id
+       |          JOIN okbkt s
+       |            ON s.band = a.band AND s.band_key = a.band_key)""".stripMargin
   }
 
   private def simhashOracle: String = {

@@ -45,6 +45,9 @@ final class ParquetCatalog(spark: SparkSession, dir: String) {
     * pushed into the scan by Catalyst. */
   def read(table: String): DataFrame = {
     Identifiers.validate(table, "table name")
+    // TIMESTAMP(NANOS) columns (events.ts) are rejected by Spark 4 unless
+    // read as longs — same normalization as graft.queries.Tables
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$table.parquet")
   }
 
