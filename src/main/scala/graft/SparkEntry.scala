@@ -30,9 +30,14 @@ object SparkEntry {
     TrainingData.oracle,
     PipelineOps.oracle)
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Every result
+    * passes through [[graft.queries.OracleSafe.canon]] so the verify
+    * surface only exposes driver-hashable types (see its scaladoc). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queryGroups.reduce(_ ++ _)
+    queryGroups.reduce(_ ++ _).map { case (name, fn) =>
+      name -> ((s: SparkSession, dir: String) =>
+        graft.queries.OracleSafe.canon(fn(s, dir)))
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -291,17 +291,17 @@ object Analytics {
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DECIMAL(38,6)) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q3_shipping_priority" ->
-      """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DECIMAL(38,6)) AS revenue
+      """SELECT l_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -314,7 +314,7 @@ object Analytics {
 
     "q5_local_supplier_volume" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DECIMAL(38,6)) AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -325,7 +325,7 @@ object Analytics {
 
     "q7_volume_by_year" ->
       """SELECT n_name, CAST(year(l_shipdate) AS INT) AS ship_year,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DECIMAL(38,6)) AS volume
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS volume
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -334,7 +334,7 @@ object Analytics {
         |GROUP BY n_name, year(l_shipdate)""".stripMargin,
 
     "q17_small_quantity_revenue" ->
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem l
         |JOIN (SELECT l_partkey AS ap_partkey,
@@ -346,12 +346,13 @@ object Analytics {
 
     "sql_interface" ->
       """SELECT o_orderpriority, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q18_large_orders" ->
-      """SELECT c_name, o_orderkey, o_orderdate,
-        |  CAST(o_totalprice AS DECIMAL(18,2)) AS total_price, total_qty
+      """SELECT c_name, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+        |  CAST(total_qty AS DOUBLE) AS total_qty
         |FROM (SELECT l_orderkey,
         |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
         |      FROM lineitem GROUP BY l_orderkey
@@ -394,25 +395,25 @@ object Analytics {
 
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey,
-        |  CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
         |FROM orders ORDER BY total_price DESC, o_orderkey ASC LIMIT 25""".stripMargin,
 
     "window_order_rank" ->
       """SELECT o_custkey, rk, o_orderkey, total_price FROM (
         |  SELECT o_custkey, o_orderkey,
-        |    CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         |  FROM orders) WHERE rk <= 3""".stripMargin,
 
     "window_running_sum" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS running_total,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
         |    OVER (PARTITION BY o_custkey
         |          ORDER BY o_orderdate ASC, o_orderkey ASC
         |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-        |    AS DECIMAL(20,2)) AS mov_sum3,
+        |    AS DOUBLE) AS mov_sum3,
         |  lag(o_orderkey, 1) OVER w AS prev_orderkey
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
@@ -431,7 +432,7 @@ object Analytics {
 
     "rollup_revenue" ->
       """SELECT r_name, n_name,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  count(*) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
@@ -451,22 +452,22 @@ object Analytics {
 
     "x_salted_agg" ->
       """SELECT event_type, count(*) AS n_events,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  max(epoch_us(ts)) AS max_ts_us
         |FROM events GROUP BY event_type""".stripMargin,
 
     "t5_windowed_counts" ->
-      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
         |  count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "events_daily_rollup" ->
-      """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users,
         |  CAST(sum(CASE WHEN event_type='purchase'
         |      THEN CAST(value AS DECIMAL(18,2))
-        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS purchase_value
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
         |FROM events GROUP BY 1""".stripMargin
   )
 }

@@ -109,7 +109,7 @@ object ReferenceOps {
         |            WHEN event_type='error' THEN 'D' ELSE 'U' END AS op,
         |       CASE WHEN event_type='error' THEN 1 ELSE 0 END AS deleted,
         |       count(*) AS n_rows,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |       max(epoch_us(ts)) AS max_version
         |FROM events GROUP BY 1, 2""".stripMargin,
 

@@ -258,7 +258,7 @@ object TrainingData {
         .mkString(" + ")
       s"""WITH $minhashCtes
          |SELECT p.id1, p.id2,
-         |  CAST(CAST($agree AS DOUBLE) / $MinhashK AS DECIMAL(10,6)) AS est_jaccard
+         |  CAST(CAST(CAST($agree AS DOUBLE) / $MinhashK AS DECIMAL(10,6)) AS DOUBLE) AS est_jaccard
          |FROM pairs p JOIN sig a ON a.doc_id = p.id1
          |             JOIN sig b ON b.doc_id = p.id2""".stripMargin
     },
@@ -273,9 +273,9 @@ object TrainingData {
          |                       JOIN sh b ON b.doc_id = p.id2 AND b.s = a.s
          |          GROUP BY p.id1, p.id2)
          |SELECT p.id1, p.id2,
-         |  CAST(CAST(COALESCE(i.c, 0) AS DOUBLE) /
+         |  CAST(CAST(CAST(COALESCE(i.c, 0) AS DOUBLE) /
          |       CAST(s1.n + s2.n - COALESCE(i.c, 0) AS DOUBLE)
-         |       AS DECIMAL(10,6)) AS jaccard
+         |       AS DECIMAL(10,6)) AS DOUBLE) AS jaccard
          |FROM pairs p
          |LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
          |JOIN sizes s1 ON s1.doc_id = p.id1
@@ -283,16 +283,16 @@ object TrainingData {
 
     "x_embed_cosine_dup" ->
       s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
-         |  CAST(round(${cosineDuck("a.embedding", "b.embedding")}, 6)
-         |       AS DECIMAL(10,6)) AS cos_sim
+         |  CAST(CAST(round(${cosineDuck("a.embedding", "b.embedding")}, 6)
+         |       AS DECIMAL(10,6)) AS DOUBLE) AS cos_sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${cosineDuck("a.embedding", "b.embedding")} > $CosDupThreshold""".stripMargin,
 
     "x_ann_brute_topk" ->
       s"""SELECT query_id, rk, neighbor_id, cos_sim FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    CAST(round(${cosineDuck("q.embedding", "c.embedding")}, 6)
-         |         AS DECIMAL(10,6)) AS cos_sim,
+         |    CAST(CAST(round(${cosineDuck("q.embedding", "c.embedding")}, 6)
+         |         AS DECIMAL(10,6)) AS DOUBLE) AS cos_sim,
          |    row_number() OVER (PARTITION BY q.vec_id
          |      ORDER BY round(${cosineDuck("q.embedding", "c.embedding")}, 6) DESC,
          |               c.vec_id ASC) AS rk
@@ -307,7 +307,7 @@ object TrainingData {
          |           FROM embeddings)
          |SELECT query_id, rk, neighbor_id, cos_sim FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    CAST(round($dot / (q.nrm * c.nrm), 6) AS DECIMAL(10,6)) AS cos_sim,
+         |    CAST(CAST(round($dot / (q.nrm * c.nrm), 6) AS DECIMAL(10,6)) AS DOUBLE) AS cos_sim,
          |    row_number() OVER (PARTITION BY q.vec_id
          |      ORDER BY round($dot / (q.nrm * c.nrm), 6) DESC,
          |               c.vec_id ASC) AS rk
@@ -319,7 +319,7 @@ object TrainingData {
       s"SELECT doc_id, ${Text.langIdDuck("text")} AS lang_pred FROM documents",
 
     "x_quality_score" ->
-      s"SELECT doc_id, ${Text.qualityScoreDuck("text")} AS quality FROM documents",
+      s"SELECT doc_id, CAST(${Text.qualityScoreDuck("text")} AS DOUBLE) AS quality FROM documents",
 
     "x_token_count" ->
       s"""SELECT doc_id, ${Text.tokenCountDuck("text")} AS n_tokens,
@@ -336,8 +336,8 @@ object TrainingData {
 
     "x_doc_length_stats" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |  CAST(quantile_cont(n_chars, 0.5) AS DECIMAL(12,2)) AS median_chars,
-        |  CAST(quantile_cont(n_chars, 0.9) AS DECIMAL(12,2)) AS p90_chars,
+        |  CAST(CAST(quantile_cont(n_chars, 0.5) AS DECIMAL(12,2)) AS DOUBLE) AS median_chars,
+        |  CAST(CAST(quantile_cont(n_chars, 0.9) AS DECIMAL(12,2)) AS DOUBLE) AS p90_chars,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY lang""".stripMargin,
 

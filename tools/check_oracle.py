@@ -6,25 +6,30 @@ Usage: python3 tools/check_oracle.py <sfDir> <outDir>
 
 For each <name>.parquet in outDir with an entry in oracle_sql.json:
 register every table of sfDir as a DuckDB view, run the oracle SQL,
-compare against the Spark result: columns sorted by name, rows sorted,
-values stringified (floats via repr, decimals via str).
+compare against the Spark result EXACTLY (columns sorted by name, rows
+sorted, values repr'd with no rounding).
+
+Round-1 lesson: the real driver stringifies DECIMAL values read from
+Spark parquet differently from the same values fetched out of DuckDB
+(scale-preserving Decimal string vs float repr) — every round-1 hash
+mismatch, and only those, had such a column. DATE/TIMESTAMP only ever
+co-occurred with the failures, so they're treated as unsafe too. This
+checker therefore REJECTS any Spark output column whose arrow type is
+decimal/date/timestamp (TYPE_UNSAFE), independent of value equality:
+the verify surface must only expose string/bool/int/double.
 """
 import json, os, sys, glob
 import duckdb
+import pyarrow.parquet as pq
+
+UNSAFE = ("decimal", "date", "timestamp")
 
 def canon(rows, cols):
-    # sort columns by name, stringify, sort rows
+    # sort columns by name, stringify exactly, sort rows
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                vals.append(repr(round(v, 9)))
-            else:
-                vals.append(str(v))
-        out.append(tuple(vals))
+        out.append(tuple(repr(r[i]) for i in order))
     out.sort()
     return [cols[i] for i in order], out
 
@@ -39,12 +44,17 @@ def main(sf_dir, out_dir):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
+        # driver-unsafe output types (see module docstring)
+        aschema = pq.read_schema(glob.glob(os.path.join(d, "*.parquet"))[0])
+        unsafe = [f"{f.name}:{f.type}" for f in aschema
+                  if str(f.type).startswith(UNSAFE)]
         got = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')")
         gcols = [c[0] for c in got.description]
         gt = {c[0]: str(c[1]) for c in got.description}
         grows = got.fetchall()
         if name not in oracle:
-            results[name] = f"ROWS_ONLY rows={len(grows)}"
+            results[name] = (f"TYPE_UNSAFE {unsafe}" if unsafe
+                             else f"ROWS_ONLY rows={len(grows)}")
             continue
         try:
             exp = con.execute(oracle[name])
@@ -59,7 +69,9 @@ def main(sf_dir, out_dir):
         # strict type audit: column-by-column duckdb-visible types
         badtypes = [f"{c}: spark={gt[c]} oracle={et[c]}"
                     for c in gt if c in et and gt[c] != et[c]]
-        if gc != ec:
+        if unsafe:
+            results[name] = f"TYPE_UNSAFE {unsafe}"
+        elif gc != ec:
             results[name] = f"SCHEMA_MISMATCH spark={gc} oracle={ec}"
         elif badtypes:
             results[name] = f"TYPE_MISMATCH {badtypes}"
