@@ -17,7 +17,8 @@ object Text {
     * class is spelled out explicitly because Java regex `\s` includes
     * vertical tab (\x0B) while DuckDB's RE2 `\s` does not — an explicit
     * class keeps both engines (and [[ShingleKernel.isWs]]) identical. */
-  val WsClass = "[ \\t\\n\\r\\f\\x0B]+"
+  val WsChars = " \\t\\n\\r\\f\\x0B"
+  val WsClass = s"[$WsChars]+"
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), WsClass, " "))
   def normalizeDuck(x: String): String =
@@ -31,12 +32,16 @@ object Text {
 
   /** BPE-ish subword-unit count: alpha runs, digit runs, and single
     * non-alphanumeric marks each count as one unit (a cheap, deterministic
-    * proxy for a BPE tokenizer's pre-tokenization). */
+    * proxy for a BPE tokenizer's pre-tokenization). Whitespace is excluded
+    * via the explicit [[WsChars]] set, not `\s` — Java regex `\s` matches
+    * \x0B while RE2's does not, the same engine divergence [[WsClass]]
+    * exists to avoid. */
+  private val BpeUnitRe = s"[a-z]+|[0-9]+|[^a-z0-9$WsChars]"
   def bpeUnitCount(text: Column): Column =
-    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(lower(text), lit(BpeUnitRe), lit(0)))
       .cast("long")
   def bpeUnitCountDuck(x: String): String =
-    s"len(regexp_extract_all(lower($x), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))"
+    s"len(regexp_extract_all(lower($x), '$BpeUnitRe'))"
 
   /** Count occurrences of a word as a whole token. Token-filter semantics
     * (split + equality), NOT padded-substring removal — adjacent repeats

@@ -38,6 +38,13 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String,
            rightPayload: Seq[String]): DataFrame = {
+    // internal plumbing columns — a caller frame already using one of
+    // these names would silently collide in the union layout below
+    val reserved = Seq("_ts", "_isLeft", "_rp")
+    val clash = (left.columns ++ right.columns).distinct.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"asOf reserves column names ${reserved.mkString(", ")}; " +
+        s"rename ${clash.mkString(", ")} in the input frames")
     val leftCols = left.columns.toSeq
     // common layout: keys ++ ts ++ left payload (null on right rows) ++
     // right payload (null on left rows) ++ side tag.

@@ -30,6 +30,13 @@ object Compaction {
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024): CompactionResult = {
     val dir = new File(path)
+    // crash recovery: a previous compact that died between its two renames
+    // leaves the data intact in `<dir>._compact_old` with no live dir —
+    // restore it before proceeding instead of requiring manual repair
+    val oldLeftover = new File(dir.getParentFile, dir.getName + "._compact_old")
+    if (!dir.exists() && oldLeftover.exists())
+      require(oldLeftover.renameTo(dir),
+        s"crash-recovery rename failed: $oldLeftover -> $dir")
     val before = parquetFiles(dir)
     // refuse layouts this flat compactor doesn't understand (partitioned /
     // nested tables) rather than silently rewriting them into one file

@@ -95,19 +95,30 @@ final class SnapshotReplicator(
     * tables every run): append only rows with `watermarkCol` strictly
     * greater than `lastValue`, returning the new high-watermark. At scale
     * this turns daily re-syncs from O(table) into O(delta); the predicate
-    * is pushed into the source scan. */
+    * is pushed into the source scan.
+    *
+    * NULL watermarks: a strict `>` predicate never matches NULL, so such
+    * rows would be silently unreplicated on every run. They are therefore
+    * included when `lastValue == Long.MinValue` (the documented "first
+    * full run" sentinel); for later runs the watermark column must be
+    * non-null — standard incremental-sync contract. */
   def replicateIncremental(table: String, watermarkCol: String,
                            lastValue: Long): (ReplicationResult, Long) = {
     Identifiers.validate(watermarkCol, "column name")
     Try {
-      val delta = catalog.read(table)
-        .filter(org.apache.spark.sql.functions.col(watermarkCol) > lastValue)
+      val wm = org.apache.spark.sql.functions.col(watermarkCol)
+      val pred =
+        if (lastValue == Long.MinValue) wm > lastValue || wm.isNull
+        else wm > lastValue
+      val delta = catalog.read(table).filter(pred)
       val deltaCount = delta.count()
-      val newMark =
-        if (deltaCount == 0) lastValue
+      val maxRow =
+        if (deltaCount == 0) null
         else delta.agg(org.apache.spark.sql.functions.max(
-          org.apache.spark.sql.functions.col(watermarkCol)).cast("long"))
-          .head().getLong(0) // cast: watermark may be INT etc., not LONG
+          wm.cast("long"))).head() // cast: watermark may be INT etc.
+      val newMark =
+        if (maxRow == null || maxRow.isNullAt(0)) lastValue // all-NULL delta
+        else maxRow.getLong(0)
       val before = if (targetExists(table)) targetCount(table) else 0L
       if (deltaCount > 0)
         delta.write.mode(SaveMode.Append).parquet(targetPath(table))

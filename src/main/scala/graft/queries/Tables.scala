@@ -14,6 +14,13 @@ import org.apache.spark.sql.types.LongType
   */
 object Tables {
 
+  /** NOTE: sets `spark.sql.legacy.parquet.nanosAsLong=true` on the
+    * SESSION (runtime conf is session-global, not per-read): every later
+    * read in the same session — including ones outside these helpers —
+    * will see TIMESTAMP(NANOS) parquet columns as nanos-epoch LONGs.
+    * That is the engine-wide contract here (Main sets it at session
+    * construction too); the per-read set only makes fresh test/Verify
+    * sessions self-sufficient. */
   def read(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/$name.parquet")

@@ -46,7 +46,9 @@ final class ParquetCatalog(spark: SparkSession, dir: String) {
   def read(table: String): DataFrame = {
     Identifiers.validate(table, "table name")
     // TIMESTAMP(NANOS) columns (events.ts) are rejected by Spark 4 unless
-    // read as longs — same normalization as graft.queries.Tables
+    // read as longs — same normalization as graft.queries.Tables. NOTE:
+    // runtime conf is session-global, so this affects every later read in
+    // the session (the engine-wide contract; see Tables.read scaladoc).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$table.parquet")
   }

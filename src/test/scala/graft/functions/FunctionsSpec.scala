@@ -24,6 +24,11 @@ class TextSpec extends AnyFunSuite {
     // punctuation and digits split into units
     val df2 = Seq("ab12,cd").toDF("t")
     assert(df2.select(Text.bpeUnitCount($"t")).head().getLong(0) == 4) // ab|12|,|cd
+    // vertical tab is whitespace (explicit WsChars set — Java \s matches
+    // \x0B but RE2's does not; both engines must see a separator, not a
+    // one-char unit)
+    val df3 = Seq("ab\u000Bcd").toDF("t")
+    assert(df3.select(Text.bpeUnitCount($"t")).head().getLong(0) == 2) // ab|cd
   }
 
   test("wordShingles: sliding windows, short-text guard") {

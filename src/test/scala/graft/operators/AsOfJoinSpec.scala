@@ -7,6 +7,15 @@ class AsOfJoinSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("rejects inputs that already use the reserved internal columns") {
+    val left = Seq((1, 10L, "x")).toDF("k", "ts", "_rp")
+    val right = Seq((1, 5L, "r")).toDF("k", "ts", "rv")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, Seq("k"), "ts", "ts", Seq("rv"))
+    }
+    assert(e.getMessage.contains("_rp"))
+  }
+
   test("picks latest right row at-or-before, null when none, per key") {
     val left = Seq(
       (1, 10L, "p1"), (1, 20L, "p2"), (1, 15L, "p3"), (2, 5L, "p4"))

@@ -78,6 +78,30 @@ class SnapshotSpec extends AnyFunSuite {
     assert(r3.success && r3.sourceCount == 500 && mark3 == 999L)
   }
 
+  test("incremental snapshot: NULL watermarks included on first full run, " +
+      "all-NULL delta keeps the mark") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_nullwm_src").toString
+    Seq((Some(1L), "a"), (None, "b"), (Some(5L), "c"))
+      .toDF("wm", "v").write.parquet(s"$srcDir/t.parquet")
+    val wh = Files.createTempDirectory("graft_nullwm_wh").toString
+    val rep = new SnapshotReplicator(spark, srcDir, wh)
+    // first full run (Long.MinValue sentinel): NULL-wm row replicated too
+    val (r1, mark1) = rep.replicateIncremental("t", "wm", Long.MinValue)
+    assert(r1.success && r1.sourceCount == 3 && mark1 == 5L)
+    // incremental run: strict > never matches NULL (documented contract)
+    val (r2, mark2) = rep.replicateIncremental("t", "wm", mark1)
+    assert(r2.success && r2.sourceCount == 0 && mark2 == 5L)
+    // all-NULL first run into a fresh target: mark unchanged, no crash
+    val srcDir2 = Files.createTempDirectory("graft_nullwm_src2").toString
+    Seq((Option.empty[Long], "x"), (Option.empty[Long], "y"))
+      .toDF("wm", "v").write.parquet(s"$srcDir2/t.parquet")
+    val rep2 = new SnapshotReplicator(spark, srcDir2,
+      Files.createTempDirectory("graft_nullwm_wh2").toString)
+    val (r3, mark3) = rep2.replicateIncremental("t", "wm", Long.MinValue)
+    assert(r3.success && r3.sourceCount == 2 && mark3 == Long.MinValue)
+  }
+
   test("schema drift detected and described (README.md:491 failure mode)") {
     val wh = Files.createTempDirectory("graft_wh").toString
     val rep = new SnapshotReplicator(spark, TestSpark.Sf0001, wh)
@@ -112,6 +136,22 @@ class SnapshotSpec extends AnyFunSuite {
     // content identical after the layout change
     val after = spark.read.parquet(dir)
     assert(after.exceptAll(src).isEmpty && src.exceptAll(after).isEmpty)
+  }
+
+  test("compaction auto-recovers a crash between the two swap renames") {
+    val parent = Files.createTempDirectory("graft_compact_rec")
+    val dir = new java.io.File(parent.toFile, "t.parquet")
+    val src = spark.read.parquet(s"${TestSpark.Sf0001}/region.parquet")
+    src.repartition(4).write.parquet(dir.getAbsolutePath)
+    // simulate the crash window: live dir moved aside, new layout lost
+    val old = new java.io.File(parent.toFile, "t.parquet._compact_old")
+    assert(dir.renameTo(old) && !dir.exists())
+    val r = Compaction.compact(spark, dir.getAbsolutePath,
+      targetFileBytes = 512L * 1024)
+    assert(r.filesBefore == 4 && r.rows == src.count())
+    val after = spark.read.parquet(dir.getAbsolutePath)
+    assert(after.exceptAll(src).isEmpty && src.exceptAll(after).isEmpty)
+    assert(!old.exists()) // leftover cleaned up by the completed compact
   }
 
   test("table-set resolution: configured list else all (O2)") {
