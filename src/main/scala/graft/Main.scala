@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
 import graft.model.GraftConfig
 import graft.operators.SnapshotReplicator
 import graft.streaming.CdcPipeline
@@ -13,8 +14,13 @@ import graft.streaming.CdcPipeline
   *
   * Usage: `runMain graft.Main <sourceDir> <warehouseDir> [changeStreamDir]`
   * with `REPLICATION_*` env vars as in the reference.
+  *
+  * The mode bodies are the public [[runSnapshot]]/[[runCdc]] methods so
+  * the whole pipeline (not just its operators) is drivable end-to-end in
+  * tests with injected config and deterministic version stamps.
   */
 object Main {
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: graft.Main <sourceDir> <warehouseDir> [changeStreamDir]")
@@ -33,9 +39,7 @@ object Main {
 
     cfg.replication.mode match {
       case "snapshot" =>
-        val rep = new SnapshotReplicator(spark, sourceDir, warehouseDir)
-        val results = rep.run(cfg.replication.tables,
-          cfg.replication.parallelTables)
+        val results = runSnapshot(spark, cfg, sourceDir, warehouseDir)
         results.foreach { r =>
           println(s"[graft] table=${r.table} source=${r.sourceCount} " +
             s"target=${r.targetCount} success=${r.success}" +
@@ -47,38 +51,56 @@ object Main {
       case "cdc" =>
         val streamDir = args.lift(2).getOrElse(
           s"$sourceDir/_changes") // change-stream landing dir
-        val pipe = new CdcPipeline(spark, warehouseDir,
-          s"$warehouseDir/_checkpoints")
-        // T7: initial sync of configured tables with one version stamp
-        val rep = new SnapshotReplicator(spark, sourceDir, warehouseDir)
-        val versionMicros = System.currentTimeMillis() * 1000L
-        rep.tablesToReplicate(cfg.replication.tables).foreach { t =>
-          val snap = spark.read.parquet(s"$sourceDir/$t.parquet")
-            .withColumn("_seq", org.apache.spark.sql.functions
-              .monotonically_increasing_id())
-          pipe.initialSync(snap, t, versionMicros, "_seq")
-        }
-        // stream apply: change rows (op/seq/table_name columns) from
-        // streamDir, one streaming query per replicated table (per-table
-        // checkpoints, like the reference's per-table apply).
-        // GRAFT_CDC_ONCE=true drains available data and exits (testable /
-        // batch-catchup mode); default runs continuously at the
-        // reference's 5-second cadence.
-        val trigger =
-          if (sys.env.get("GRAFT_CDC_ONCE").contains("true"))
-            org.apache.spark.sql.streaming.Trigger.AvailableNow()
-          else org.apache.spark.sql.streaming.Trigger
-            .ProcessingTime("5 seconds")
-        val stream = spark.readStream
-          .schema(spark.read.parquet(streamDir).schema)
-          .parquet(streamDir)
-        val queries = rep.tablesToReplicate(cfg.replication.tables).map { t =>
-          pipe.start(stream, t, opCol = "op", seqCol = "seq",
-            tables = Seq(t), tableCol = Some("table_name"),
-            trigger = trigger)
-        }
-        queries.foreach(_.awaitTermination())
+        runCdc(spark, cfg, sourceDir, warehouseDir, streamDir,
+          once = sys.env.get("GRAFT_CDC_ONCE").contains("true"))
     }
     spark.stop()
+  }
+
+  /** Snapshot mode: replicate the configured tables with count
+    * validation, returning one result per table (O3/O4/O5). */
+  def runSnapshot(spark: SparkSession, cfg: GraftConfig,
+                  sourceDir: String, warehouseDir: String)
+      : Seq[graft.operators.ReplicationResult] = {
+    val rep = new SnapshotReplicator(spark, sourceDir, warehouseDir)
+    rep.run(cfg.replication.tables, cfg.replication.parallelTables)
+  }
+
+  /** CDC mode: initial sync of the configured tables with one version
+    * stamp (T7), then the change-stream apply — change rows
+    * (op/seq/table_name columns) from `streamDir`, one streaming query
+    * per replicated table with per-table checkpoints, like the
+    * reference's per-table apply loop.
+    *
+    * `once=true` drains available data and returns (testable /
+    * batch-catchup mode); otherwise runs continuously at the reference's
+    * 5-second cadence. `initialVersion`/`versionOf` are injectable for
+    * deterministic tests; defaults are µs wall clock like the reference
+    * (`src/cdc_replicator.py:147-148`). */
+  def runCdc(spark: SparkSession, cfg: GraftConfig, sourceDir: String,
+             warehouseDir: String, streamDir: String, once: Boolean,
+             initialVersion: Long = System.currentTimeMillis() * 1000L,
+             versionOf: Long => Long = _ => System.currentTimeMillis() * 1000L)
+      : Unit = {
+    val pipe = new CdcPipeline(spark, warehouseDir,
+      s"$warehouseDir/_checkpoints")
+    val rep = new SnapshotReplicator(spark, sourceDir, warehouseDir)
+    rep.tablesToReplicate(cfg.replication.tables).foreach { t =>
+      val snap = spark.read.parquet(s"$sourceDir/$t.parquet")
+        .withColumn("_seq", org.apache.spark.sql.functions
+          .monotonically_increasing_id())
+      pipe.initialSync(snap, t, initialVersion, "_seq")
+    }
+    val trigger =
+      if (once) Trigger.AvailableNow() else Trigger.ProcessingTime("5 seconds")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(streamDir).schema)
+      .parquet(streamDir)
+    val queries = rep.tablesToReplicate(cfg.replication.tables).map { t =>
+      pipe.start(stream, t, opCol = "op", seqCol = "seq",
+        tables = Seq(t), tableCol = Some("table_name"),
+        versionOf = versionOf, trigger = trigger)
+    }
+    queries.foreach(_.awaitTermination())
   }
 }
