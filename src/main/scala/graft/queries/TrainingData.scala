@@ -155,8 +155,58 @@ object TrainingData {
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))),
 
+    // Bigram language-model counts: the vocab map-reduce shape one order
+    // up (explode 2-shingles → partial count → top-k). Same scale story
+    // as x_vocab_topk: partial aggregation absorbs the explosion.
+    "x_bigram_counts" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(Text.wordShingles(col("text"), 2)).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("bigram").asc)
+        .limit(100)),
+
+    // Near-dup removal APPLIED to the embedding corpus: drop the higher
+    // id of every cosine-dup pair, report survivors per label. The pair
+    // stage is the oracled x_embed_cosine_dup plan; the apply is one
+    // distinct + left_anti join (broadcast when the dup set is small).
+    "x_embed_dedup_apply" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+        col("label"), SimilarityOps.norm(col("embedding")).as("_n"))
+      val a = e.select(col("vec_id").as("id1"), col("embedding").as("_va"),
+        col("_n").as("_na"))
+      val b = e.select(col("vec_id").as("id2"), col("embedding").as("_vb"),
+        col("_n").as("_nb"))
+      val drop = a.join(b, col("id1") < col("id2"))
+        .filter(SimilarityOps.dot(col("_va"), col("_vb")) /
+          (col("_na") * col("_nb")) > CosDupThreshold)
+        .select(col("id2").as("vec_id")).distinct()
+      e.join(drop, Seq("vec_id"), "left_anti")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"))
+    }),
+
+    // HLL approximate distinct (sketch — no exact cross-engine oracle by
+    // construction, so rows-only in the gate; the ScalaTest spec pins the
+    // error bound against exact countDistinct).
+    "x_hll_distinct_users" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02)
+          .as("approx_users"))),
+
     // ----------------------------------------------------- multimodal
     "x_multimodal_meta" -> ((s, dir) => Multimodal.mediaMetadata(s, dir)),
+
+    // The resize stage over the media table: payload downsampled to a
+    // fixed byte budget (decode/resize stubbed — plumbing real: binary
+    // column in, binary column out, partition-parallel typed stage).
+    "x_multimodal_resize" -> ((s, dir) =>
+      Multimodal.resizeStage(Multimodal.mediaFromDocuments(s, dir),
+          targetLen = 64).toDF()
+        .select(col("media_id"), col("kind"),
+          length(col("payload")).cast("int").as("out_bytes"),
+          col("out_width"), col("out_height"))),
 
     // The whole curation flow as ONE declarative plan: quality filter →
     // exact-dedup survivors → embedding join → per-language corpus stats.
@@ -356,6 +406,31 @@ object TrainingData {
          |  CAST(sum(label) AS BIGINT) AS label_sum
          |FROM curated JOIN embeddings ON doc_id = vec_id
          |GROUP BY lang""".stripMargin,
+
+    "x_bigram_counts" ->
+      s"""SELECT bigram, count(*) AS freq FROM (
+         |  SELECT unnest(${Text.wordShinglesDuck("text", 2)}) AS bigram
+         |  FROM documents)
+         |GROUP BY bigram ORDER BY freq DESC, bigram ASC LIMIT 100""".stripMargin,
+
+    "x_embed_dedup_apply" -> {
+      val cos = cosineDuck("a.embedding", "b.embedding")
+      s"""WITH d AS (SELECT DISTINCT b.vec_id AS vid
+         |           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |           WHERE $cos > $CosDupThreshold)
+         |SELECT label, count(*) AS n_vecs
+         |FROM embeddings e
+         |WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.vid = e.vec_id)
+         |GROUP BY label""".stripMargin
+    },
+
+    "x_multimodal_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(CASE WHEN strlen(text) = 0 THEN 0 ELSE 64 END AS INT) AS out_bytes,
+        |  CAST(224 AS INT) AS out_width, CAST(224 AS INT) AS out_height
+        |FROM documents""".stripMargin,
 
     "x_multimodal_meta" ->
       """SELECT doc_id AS media_id,

@@ -12,9 +12,14 @@ class EntrySmokeSpec extends AnyFunSuite {
   }
 
   test("every query has either an oracle or is documented rows-only") {
+    // Sketch outputs have no exact cross-engine oracle by construction;
+    // the driver records a weaker rows-only check for these (their error
+    // bounds are pinned by ScalaTest specs instead).
+    val documentedRowsOnly = Set("x_hll_distinct_users")
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o diff q}")
-    assert((q diff o).isEmpty, s"rows-only queries remain: ${q diff o}")
+    assert((q diff o) == documentedRowsOnly,
+      s"undocumented rows-only queries: ${q diff o diff documentedRowsOnly}")
   }
 }
