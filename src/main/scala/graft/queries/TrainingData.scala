@@ -160,7 +160,8 @@ object TrainingData {
     // as x_vocab_topk: partial aggregation absorbs the explosion.
     "x_bigram_counts" -> ((s, dir) =>
       docs(s, dir)
-        .select(explode(Text.wordShingles(col("text"), 2)).as("bigram"))
+        .select(explode(graft.functions.ShingleExprs
+          .wordShinglesNative(col("text"), 2)).as("bigram"))
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("bigram").asc)
