@@ -182,7 +182,9 @@ object TrainingData {
         .filter(SimilarityOps.dot(col("_va"), col("_vb")) /
           (col("_na") * col("_nb")) > CosDupThreshold)
         .select(col("id2").as("vec_id")).distinct()
-      e.join(drop, Seq("vec_id"), "left_anti")
+      // drop-set is bounded by the corpus dup count — broadcast the anti
+      // side so the surviving-corpus scan never shuffles
+      e.join(broadcast(drop), Seq("vec_id"), "left_anti")
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_vecs"))
     }),
