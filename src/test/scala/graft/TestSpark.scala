@@ -10,6 +10,9 @@ object TestSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // exercise the cluster-default deployment path for the native SQL
+      // functions (GraftExtensionsSpec asserts resolution w/o register())
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_twh").toString)
       .config("spark.ui.enabled", "false")
