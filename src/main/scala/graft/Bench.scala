@@ -37,10 +37,17 @@ object Bench {
     def onePass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // unpin persisted intermediates (untimed)
-        name -> dt
+        // a failed query must read as failure, not as a fast time: -1
+        // survives the min-of-2 and is unmistakable in the JSON
+        name -> (if (ok) dt else -1.0)
       }
     val p1 = onePass().toMap
     val p2 = onePass().toMap

@@ -93,9 +93,19 @@ object Main {
     }
     val trigger =
       if (once) Trigger.AvailableNow() else Trigger.ProcessingTime("5 seconds")
-    val stream = spark.readStream
-      .schema(spark.read.parquet(streamDir).schema)
-      .parquet(streamDir)
+    // stream schema: from landed change files if any exist; on a fresh
+    // deployment (empty landing dir) derive it — first table's source
+    // schema + the change-envelope columns — instead of dying on
+    // schema inference before the first change arrives
+    val streamSchema = scala.util.Try(spark.read.parquet(streamDir).schema)
+      .getOrElse {
+        val t0 = rep.tablesToReplicate(cfg.replication.tables).head
+        spark.read.parquet(s"$sourceDir/$t0.parquet").schema
+          .add("op", org.apache.spark.sql.types.StringType)
+          .add("seq", org.apache.spark.sql.types.LongType)
+          .add("table_name", org.apache.spark.sql.types.StringType)
+      }
+    val stream = spark.readStream.schema(streamSchema).parquet(streamDir)
     val queries = rep.tablesToReplicate(cfg.replication.tables).map { t =>
       pipe.start(stream, t, opCol = "op", seqCol = "seq",
         tables = Seq(t), tableCol = Some("table_name"),

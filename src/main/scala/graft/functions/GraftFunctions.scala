@@ -10,8 +10,10 @@ import org.apache.spark.sql.graftbridge.Bridge
   *   SELECT graft_dot(a.embedding, b.embedding) ...
   *   SELECT explode(graft_shingles(text, 3)) ...
   *
-  * (Session-scoped temp functions; a `SparkSessionExtensions`-based
-  * injection would make them cluster-default — not needed for a library.)
+  * Two registration paths share the single [[builders]] definition:
+  * session-scoped [[register]] (embedded/library use) and cluster-default
+  * injection via [[graft.GraftExtensions]]
+  * (`spark.sql.extensions=graft.GraftExtensions`).
   */
 object GraftFunctions {
 
@@ -21,10 +23,26 @@ object GraftFunctions {
       s"$what must be an integer literal, got: $other")
   }
 
-  def register(spark: SparkSession): Unit = {
-    Bridge.registerFunction(spark, "graft_dot",
-      es => DotProduct(es(0), es(1)))
-    Bridge.registerFunction(spark, "graft_shingles",
-      es => WordShingles(es(0), intArg(es(1), "shingle width")))
-  }
+  private def arity(name: String, n: Int)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      require(es.length == n,
+        s"$name expects $n arguments, got ${es.length}")
+      b(es)
+    }
+
+  /** The one definition of every SQL function: (name, expression class
+    * for EXPLAIN/DESCRIBE info, builder with arity check). */
+  val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", classOf[DotProduct],
+      arity("graft_dot", 2)(es => DotProduct(es(0), es(1)))),
+    ("graft_shingles", classOf[WordShingles],
+      arity("graft_shingles", 2)(es =>
+        WordShingles(es(0), intArg(es(1), "shingle width")))))
+
+  /** Session-scoped temp-function registration. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, _, b) =>
+      Bridge.registerFunction(spark, name, b)
+    }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{DateType, DecimalType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DateType, DecimalType, MapType, StructType, TimestampNTZType, TimestampType}
 
 /** Driver-canonical output projection for the correctness gate.
   *
@@ -26,12 +26,26 @@ import org.apache.spark.sql.types.{DateType, DecimalType, TimestampNTZType, Time
   */
 object OracleSafe {
 
+  private def unsafeAnywhere(dt: DataType): Boolean = dt match {
+    case _: DecimalType | DateType | TimestampType | TimestampNTZType => true
+    case s: StructType => s.fields.exists(f => unsafeAnywhere(f.dataType))
+    case a: ArrayType  => unsafeAnywhere(a.elementType)
+    case m: MapType    => unsafeAnywhere(m.keyType) || unsafeAnywhere(m.valueType)
+    case _ => false
+  }
+
   def canon(df: DataFrame): DataFrame = {
     val cols: Array[Column] = df.schema.fields.map { f =>
       f.dataType match {
         case _: DecimalType          => col(f.name).cast("double").as(f.name)
         case DateType | TimestampType | TimestampNTZType =>
           col(f.name).cast("string").as(f.name)
+        case nested if unsafeAnywhere(nested) =>
+          // no generic safe rewrite for nested unsafe types — fail at
+          // Verify time rather than ship a hash-mismatching column
+          throw new IllegalArgumentException(
+            s"column ${f.name}: unsafe type nested inside ${f.dataType.sql}; " +
+              "flatten or cast it in the query's final projection")
         case _                       => col(f.name)
       }
     }

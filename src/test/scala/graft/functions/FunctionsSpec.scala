@@ -218,7 +218,24 @@ class GraftFunctionsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   test("SQL-registered native functions work through spark.sql") {
-    GraftFunctions.register(spark)
+    // the shared test session also injects these via GraftExtensions —
+    // drop that binding first so this test exercises the session-scoped
+    // register() path itself, not the extension fallback
+    val fresh = spark.newSession()
+    fresh.sql("DROP TEMPORARY FUNCTION IF EXISTS graft_dot")
+    fresh.sql("DROP TEMPORARY FUNCTION IF EXISTS graft_shingles")
+    intercept[Exception] { fresh.sql("SELECT graft_dot(array(), array())").collect() }
+    GraftFunctions.register(fresh)
+    registeredWork(fresh)
+    // arity misuse names the function instead of an index error
+    val e = intercept[Exception] {
+      fresh.sql("SELECT graft_dot(array(CAST(1 AS FLOAT)))").collect()
+    }
+    assert(e.getMessage.contains("graft_dot") ||
+      Option(e.getCause).exists(_.getMessage.contains("graft_dot")))
+  }
+
+  private def registeredWork(spark: org.apache.spark.sql.SparkSession): Unit = {
     val dot = spark.sql(
       "SELECT graft_dot(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)), " +
         "array(CAST(2 AS FLOAT), CAST(3 AS FLOAT))) AS d")
@@ -231,6 +248,7 @@ class GraftFunctionsSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("SELECT graft_shingles('a b', 1 + 2)").collect()
     } // width must be a literal
+    ()
   }
 }
 

@@ -44,10 +44,15 @@ def main(sf_dir, out_dir):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
-        # driver-unsafe output types (see module docstring)
-        aschema = pq.read_schema(glob.glob(os.path.join(d, "*.parquet"))[0])
+        parts = glob.glob(os.path.join(d, "*.parquet"))
+        if not parts:
+            results[name] = "NO_OUTPUT (no parquet part files in result dir)"
+            continue
+        # driver-unsafe output types, including nested occurrences inside
+        # struct/array/map (see module docstring)
+        aschema = pq.read_schema(parts[0])
         unsafe = [f"{f.name}:{f.type}" for f in aschema
-                  if str(f.type).startswith(UNSAFE)]
+                  if any(k in str(f.type) for k in UNSAFE)]
         got = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')")
         gcols = [c[0] for c in got.description]
         gt = {c[0]: str(c[1]) for c in got.description}
