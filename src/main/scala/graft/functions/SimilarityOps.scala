@@ -98,6 +98,66 @@ object SimilarityOps {
         round(col("_cos"), 6).cast("decimal(10,6)").as("cos_sim"))
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path next to
+    * [[lshAnnTopK]]. A coarse quantizer partitions the corpus into cells;
+    * each query probes only the `nprobe` nearest cells.
+    *
+    * Centroids here are a deterministic corpus subset (`id % centroidMod
+    * == 0`) rather than k-means output: the cell GEOMETRY is what the
+    * operator exercises, and a deterministic quantizer is what makes the
+    * result exactly reproducible by the DuckDB oracle (k-means would make
+    * the gate a fixture comparison, not an algorithm check). Swapping in
+    * trained centroids is a drop-in (`centroids` is just a DataFrame).
+    *
+    * Scale shape: centroids are broadcast twice (assignment + probe — both
+    * map-side, no shuffle of the corpus); the candidate stage shuffles on
+    * the cell id only, so the corpus streams once and the per-cell
+    * fan-in is |cell|·nprobe, not |corpus|. Recall < 1 by construction
+    * (a true neighbor can live in an unprobed cell) — raise `nprobe` to
+    * trade cost for recall.
+    */
+  def ivfAnnTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, centroidMod: Int,
+                 nprobe: Int): DataFrame = {
+    val cent = corpus.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("_cid"), col(vecCol).as("_cvec"),
+        norm(col(vecCol)).as("_cnrm"))
+    // nearest-centroid rank: shared by assignment (rank 1) and probing
+    // (rank ≤ nprobe). Deterministic ties: rounded cosine desc, cid asc.
+    def cellRank(side: DataFrame, id: String, vec: String, nrm: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(id))
+        .orderBy(round(col("_ccos"), 6).desc, col("_cid").asc)
+      side.crossJoin(broadcast(cent))
+        .withColumn("_ccos",
+          dot(col(vec), col("_cvec")) / (col(nrm) * col("_cnrm")))
+        .withColumn("_crk", row_number().over(w))
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      norm(col(vecCol)).as("_cn"))
+    val cells = cellRank(c, "neighbor_id", "_cv", "_cn")
+      .filter(col("_crk") === 1)
+      .select(col("neighbor_id"), col("_cv"), col("_cn"),
+        col("_cid").as("_cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      norm(col(vecCol)).as("_qn"))
+    val probes = cellRank(q, "query_id", "_qv", "_qn")
+      .filter(col("_crk") <= nprobe)
+      .select(col("query_id"), col("_qv"), col("_qn"),
+        col("_cid").as("_cell"))
+    val scored = cells.join(broadcast(probes), Seq("_cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn"))).as("_cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(round(col("_cos"), 6).desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("_cos"), 6).cast("decimal(10,6)").as("cos_sim"))
+  }
+
   /** The ±1 hyperplane weight for (plane, dim) — plan-time constant shared
     * by the Spark expression and the generated oracle SQL. */
   def hyperplaneWeight(p: Int, d: Int): Double = {

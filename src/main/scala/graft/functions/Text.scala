@@ -123,6 +123,24 @@ object Text {
   def fingerprint(text: Column): Column = md5(normalize(text))
   def fingerprintDuck(x: String): String = s"md5(${normalizeDuck(x)})"
 
+  /** Character k-gram rolling hashes of an ALREADY-NORMALIZED text column:
+    * `hash32(substr(t, i, k))` for i = 1 .. len−k+1, as an array. Input
+    * must be a plain attribute (pre-projected [[normalize]] output), not an
+    * expression: this column is referenced from inside a `transform`
+    * lambda, where an inlined expression would re-evaluate per element.
+    * Building block of the winnowing fingerprint (`x_winnow_fingerprint`).
+    */
+  def kgramHashes(normText: Column, k: Int): Column =
+    when(length(normText) >= k,
+      transform(sequence(lit(1), length(normText) - (k - 1)),
+        i => PortableHash.hash32(normText.substr(i, lit(k)), "wn|")))
+      .otherwise(array().cast("array<long>"))
+
+  /** DuckDB form: one row per gram position (caller unnests the range),
+    * hashing `substr(t, i, k)` with the same salt. */
+  def kgramHashDuck(t: String, i: String, k: Int): String =
+    PortableHash.duckSql(s"substr($t, CAST($i AS INT), $k)", "wn|")
+
   /** Word w-shingles as an array column: sliding windows of `w` tokens.
     * Built from higher-order functions only — codegen-friendly, no UDF. */
   def wordShingles(text: Column, w: Int): Column = {

@@ -285,7 +285,31 @@ object Analytics {
           countDistinct(col("user_id")).as("n_users"),
           sum(when(col("event_type") === "purchase",
             col("value").cast("decimal(18,2)"))
-            .otherwise(lit(0).cast("decimal(18,2)"))).cast("decimal(38,2)").as("purchase_value")))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("decimal(38,2)").as("purchase_value"))),
+
+    // Range (interval-overlap) join via banding: delivery windows derived
+    // from lineitem (ship date + quantity-dependent transit days) against
+    // calendar months derived from orders; count deliveries in flight per
+    // month. The operator equi-joins on a 16-day band id instead of the
+    // BroadcastNestedLoopJoin a raw non-equi join would plan — the oracle
+    // states the plain inequality join, checking that banding (+ canonical
+    // first-band dedup) changes the plan, not the semantics.
+    "range_overlap_monthly" -> ((s, dir) => {
+      val epoch = to_date(lit("1970-01-01"))
+      val li = t(s, dir, "lineitem").select(
+        datediff(to_date(col("l_shipdate")), epoch).as("l_s"),
+        (datediff(to_date(col("l_shipdate")), epoch) +
+          pmod(col("l_quantity").cast("long"), lit(14))).as("l_e"))
+      val mo = t(s, dir, "orders")
+        .select(date_trunc("month", col("o_orderdate")).cast("date").as("_ms"))
+        .distinct()
+        .select(col("_ms"), datediff(col("_ms"), epoch).as("r_s"),
+          datediff(last_day(col("_ms")), epoch).as("r_e"))
+      graft.operators.RangeJoin.bandedOverlap(
+          li, "l_s", "l_e", mo, "r_s", "r_e", bandWidth = 16)
+        .groupBy(date_format(col("_ms"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_deliveries"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -468,6 +492,21 @@ object Analytics {
         |  CAST(sum(CASE WHEN event_type='purchase'
         |      THEN CAST(value AS DECIMAL(18,2))
         |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "range_overlap_monthly" ->
+      """WITH li AS (SELECT
+        |    (CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS ls,
+        |    (CAST(l_shipdate AS DATE) - DATE '1970-01-01')
+        |      + (CAST(l_quantity AS BIGINT) % 14) AS le
+        |  FROM lineitem),
+        |mo AS (SELECT DISTINCT date_trunc('month', CAST(o_orderdate AS DATE)) AS ms
+        |       FROM orders),
+        |mw AS (SELECT ms, (ms - DATE '1970-01-01') AS rs,
+        |         (last_day(ms) - DATE '1970-01-01') AS re
+        |       FROM mo)
+        |SELECT strftime(ms, '%Y-%m') AS month, count(*) AS n_deliveries
+        |FROM li JOIN mw ON li.ls <= mw.re AND mw.rs <= li.le
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -63,9 +63,43 @@ object PipelineOps {
       pks = Seq("user_id"), tieBreak = Some(SeqCol))
   }
 
+  /** Streaming at-ingest exact dedup ≡ batch dedup: documents replayed as
+    * three micro-batches through [[graft.streaming.StreamDedup]], survivors
+    * landed to parquet, then counted per language. Batch boundaries (and
+    * which copy survives) are nondeterministic; the per-(lang, fingerprint)
+    * survivor COUNT is invariant to batching — that is what the oracle
+    * pins. Event times stay inside the 30-day horizon, so no state is
+    * evicted mid-run and the stream dedups globally, like the batch op. */
+  def streamDedupCounts(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = Files.createTempDirectory("graft_sdd_src").toString
+    val outDir = Files.createTempDirectory("graft_sdd_out").toString
+    val ckp = Files.createTempDirectory("graft_sdd_ckp").toString
+    Tables.read(s, dir, "documents")
+      .repartition(3).write.mode("overwrite").parquet(srcDir)
+    val schema = s.read.parquet(srcDir).schema
+    // +1 day: a stateful op's INITIAL watermark is epoch(0), and rows at
+    // event time ≤ watermark are discarded as late — doc_id 0 at exactly
+    // the epoch would silently vanish before dedup ever saw it
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .withColumn("_ts", timestamp_micros(col("doc_id") + lit(86400000000L)))
+    val deduped = graft.streaming.StreamDedup.byFingerprint(
+      stream, textCol = "text", keyCols = Seq("lang"),
+      tsCol = "_ts", delay = "30 days")
+    val q = deduped.drop("_ts").writeStream
+      .outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o3_snapshot_roundtrip" -> ((s, dir) => snapshotRoundtrip(s, dir)),
-    "t1_cdc_stream_live" -> ((s, dir) => cdcStreamLive(s, dir)))
+    "t1_cdc_stream_live" -> ((s, dir) => cdcStreamLive(s, dir)),
+    "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)))
 
   val oracle: Map[String, String] = Map(
     "o3_snapshot_roundtrip" ->
@@ -81,5 +115,11 @@ object PipelineOps {
         |         CASE WHEN event_type='error' THEN 1 ELSE 0 END AS _deleted,
         |         row_number() OVER (PARTITION BY user_id
         |           ORDER BY event_id DESC) AS rn
-        |  FROM events) WHERE rn = 1 AND _deleted = 0""".stripMargin)
+        |  FROM events) WHERE rn = 1 AND _deleted = 0""".stripMargin,
+
+    "t2_stream_dedup" ->
+      s"""SELECT lang,
+         |  count(DISTINCT md5(${graft.functions.Text.normalizeDuck("text")}))
+         |    AS n_unique
+         |FROM documents GROUP BY lang""".stripMargin)
 }

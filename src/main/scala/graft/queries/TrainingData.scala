@@ -25,6 +25,10 @@ object TrainingData {
   val AnnQueryIds = 10 // query set = vec_id < 10
   val LshPlanes = 8
   val EmbeddingDim = 64
+  val IvfCentroidMod = 16 // centroid set = vec_id % 16 == 0 (~1/16 corpus)
+  val IvfNProbe = 2
+  val WinnowK = 5 // winnowing: char k-gram width
+  val WinnowW = 4 // winnowing: min-window width (guarantee gap t = W+K-1)
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
@@ -116,6 +120,15 @@ object TrainingData {
         "vec_id", "embedding", AnnK, LshPlanes, EmbeddingDim)
     }),
 
+    // IVF ANN — the inverted-file scale path (deterministic coarse
+    // quantizer; each query probes its 2 nearest cells). Exact-oracled:
+    // quantizer, probing, and scoring are all reproducible arithmetic.
+    "x_ann_ivf_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.ivfAnnTopK(e, e.filter(col("vec_id") < AnnQueryIds),
+        "vec_id", "embedding", AnnK, IvfCentroidMod, IvfNProbe)
+    }),
+
     // ----------------------------------------------------------- text
     "x_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))),
@@ -132,6 +145,31 @@ object TrainingData {
     "x_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         Text.fingerprint(col("text")).as("fingerprint"))),
+
+    // Winnowing (MOSS-style rolling-hash fingerprinting): char k-gram
+    // hashes, sliding-window min, distinct mins = the doc's fingerprint
+    // set. Shape: explode gram positions → frame-window min → per-doc agg.
+    // The gram array is materialized ONCE per row (posexplode over an
+    // aliased column — not recomputed per position), and the window is
+    // per-doc so state is bounded by doc length, never corpus size.
+    "x_winnow_fingerprint" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val arr = docs(s, dir)
+        .select(col("doc_id"), Text.normalize(col("text")).as("_t"))
+        .select(col("doc_id"), Text.kgramHashes(col("_t"), WinnowK).as("_arr"))
+      val grams = arr.select(col("doc_id"), size(col("_arr")).as("_G"),
+        posexplode(col("_arr")).as(Seq("_pos", "_h")))
+      val frame = Window.partitionBy(col("doc_id")).orderBy(col("_pos"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+          WinnowW - 1)
+      grams.withColumn("_wmin", min(col("_h")).over(frame))
+        .filter(col("_pos") <= col("_G") - WinnowW) // complete windows only
+        .groupBy(col("doc_id"))
+        .agg(max(col("_G")).cast("long").as("n_grams"),
+          countDistinct(col("_wmin")).as("n_fingerprints"),
+          min(col("_wmin")).as("min_fp"),
+          max(col("_wmin")).as("max_fp"))
+    }),
 
     // Vocabulary extraction: the canonical map-reduce shape (explode →
     // partial count → final count → top-k). At 100 TB the partial
@@ -368,6 +406,32 @@ object TrainingData {
          |  WHERE q.vec_id < $AnnQueryIds) WHERE rk <= $AnnK""".stripMargin
     },
 
+    "x_ann_ivf_topk" -> {
+      val cos = cosineDuck("e.embedding", "c.cv")
+      val pcos = cosineDuck("p.embedding", "c.embedding")
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+         |              FROM embeddings WHERE vec_id % $IvfCentroidMod = 0),
+         |ca AS (SELECT e.vec_id, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY round($cos, 6) DESC, c.cid ASC) AS rn
+         |       FROM embeddings e CROSS JOIN cent c),
+         |cells AS (SELECT e.vec_id AS neighbor_id, e.embedding, ca.cid
+         |          FROM embeddings e
+         |          JOIN ca ON ca.vec_id = e.vec_id AND ca.rn = 1),
+         |probes AS (SELECT e.vec_id AS query_id, e.embedding, ca.cid
+         |           FROM embeddings e
+         |           JOIN ca ON ca.vec_id = e.vec_id AND ca.rn <= $IvfNProbe
+         |           WHERE e.vec_id < $AnnQueryIds)
+         |SELECT query_id, rk, neighbor_id, cos_sim FROM (
+         |  SELECT p.query_id, c.neighbor_id,
+         |    CAST(CAST(round($pcos, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cos_sim,
+         |    row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY round($pcos, 6) DESC, c.neighbor_id ASC) AS rk
+         |  FROM probes p JOIN cells c
+         |    ON c.cid = p.cid AND p.query_id <> c.neighbor_id)
+         |WHERE rk <= $AnnK""".stripMargin
+    },
+
     "x_lang_id" ->
       s"SELECT doc_id, ${Text.langIdDuck("text")} AS lang_pred FROM documents",
 
@@ -380,6 +444,23 @@ object TrainingData {
 
     "x_fingerprint" ->
       s"SELECT doc_id, ${Text.fingerprintDuck("text")} AS fingerprint FROM documents",
+
+    "x_winnow_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $normDoc AS t FROM documents),
+         |g0 AS (SELECT doc_id, len(t) - ${WinnowK - 1} AS G, t,
+         |         unnest(range(1, len(t) - ${WinnowK - 1} + 1)) AS i
+         |       FROM t WHERE len(t) >= $WinnowK),
+         |g AS (SELECT doc_id, G, i - 1 AS pos,
+         |        ${Text.kgramHashDuck("t", "i", WinnowK)} AS h
+         |      FROM g0),
+         |m AS (SELECT doc_id, G, pos,
+         |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wmin
+         |      FROM g)
+         |SELECT doc_id, CAST(max(G) AS BIGINT) AS n_grams,
+         |  count(DISTINCT wmin) AS n_fingerprints,
+         |  min(wmin) AS min_fp, max(wmin) AS max_fp
+         |FROM m WHERE pos <= G - $WinnowW GROUP BY doc_id""".stripMargin,
 
     "x_vocab_topk" ->
       s"""SELECT token, count(*) AS freq FROM (
