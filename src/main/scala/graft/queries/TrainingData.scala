@@ -44,6 +44,16 @@ object TrainingData {
     sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Per-doc fingerprint stats over a (doc_id, _m window-mins) frame —
+    * shared by the kernel query and WinnowSpec's composed-form check. */
+  def winnowStats(withMins: DataFrame): DataFrame =
+    withMins.filter(size(col("_m")) > 0)
+      .select(col("doc_id"),
+        (size(col("_m")) + (WinnowW - 1)).cast("long").as("n_grams"),
+        size(array_distinct(col("_m"))).cast("long").as("n_fingerprints"),
+        array_min(col("_m")).as("min_fp"),
+        array_max(col("_m")).as("max_fp"))
+
   def minhashPairs(sig: DataFrame): DataFrame =
     DedupOps.lshCandidatePairs(
       DedupOps.lshBands(sig, "doc_id", Bands, RowsPerBand), "doc_id",
@@ -148,28 +158,14 @@ object TrainingData {
 
     // Winnowing (MOSS-style rolling-hash fingerprinting): char k-gram
     // hashes, sliding-window min, distinct mins = the doc's fingerprint
-    // set. Shape: explode gram positions → frame-window min → per-doc agg.
-    // The gram array is materialized ONCE per row (posexplode over an
-    // aliased column — not recomputed per position), and the window is
-    // per-doc so state is bounded by doc length, never corpus size.
-    "x_winnow_fingerprint" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val arr = docs(s, dir)
-        .select(col("doc_id"), Text.normalize(col("text")).as("_t"))
-        .select(col("doc_id"), Text.kgramHashes(col("_t"), WinnowK).as("_arr"))
-      val grams = arr.select(col("doc_id"), size(col("_arr")).as("_G"),
-        posexplode(col("_arr")).as(Seq("_pos", "_h")))
-      val frame = Window.partitionBy(col("doc_id")).orderBy(col("_pos"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
-          WinnowW - 1)
-      grams.withColumn("_wmin", min(col("_h")).over(frame))
-        .filter(col("_pos") <= col("_G") - WinnowW) // complete windows only
-        .groupBy(col("doc_id"))
-        .agg(max(col("_G")).cast("long").as("n_grams"),
-          countDistinct(col("_wmin")).as("n_fingerprints"),
-          min(col("_wmin")).as("min_fp"),
-          max(col("_wmin")).as("max_fp"))
-    }),
+    // set. The per-doc window-min array comes from the native WinnowMins
+    // kernel (one codegen'd Java pass — the composed HOF+window form is
+    // ~50× slower and adds a doc_id shuffle; WinnowSpec pins the two
+    // bit-identical). Whole query is scan-only: zero shuffles.
+    "x_winnow_fingerprint" -> ((s, dir) =>
+      winnowStats(docs(s, dir)
+        .select(col("doc_id"), graft.functions.WinnowExprs
+          .winnowMinsNative(col("text"), WinnowK, WinnowW).as("_m")))),
 
     // Vocabulary extraction: the canonical map-reduce shape (explode →
     // partial count → final count → top-k). At 100 TB the partial

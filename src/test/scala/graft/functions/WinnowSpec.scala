@@ -42,6 +42,38 @@ class WinnowSpec extends AnyFunSuite {
     assert(short.isEmpty)
   }
 
+  test("native WinnowMins kernel ≡ composed HOF+window form, per position") {
+    import org.apache.spark.sql.expressions.Window
+    val edge = Seq("", "   ", "abc", "abcdefg", "A  B\tC d efghij",
+      " trailing and LEADING  ").toDF("text")
+    val docs = graft.queries.Tables.read(spark, TestSpark.Sf0001, "documents")
+      .select(col("text"))
+    for (df <- Seq(edge, docs.limit(100))) {
+      val withId = df.withColumn("_id", monotonically_increasing_id())
+      // composed form: gram-hash array → posexplode → frame-window min
+      val arr = withId
+        .select(col("_id"), Text.normalize(col("text")).as("_t"))
+        .select(col("_id"), Text.kgramHashes(col("_t"), K).as("_arr"))
+      val frame = Window.partitionBy(col("_id")).orderBy(col("_pos"))
+        .rowsBetween(Window.currentRow, W - 1)
+      val composed = arr
+        .select(col("_id"), size(col("_arr")).as("_G"),
+          posexplode(col("_arr")).as(Seq("_pos", "_h")))
+        .withColumn("_wmin", min(col("_h")).over(frame))
+        .filter(col("_pos") <= col("_G") - W)
+        .groupBy(col("_id"))
+        .agg(sort_array(collect_list(struct(col("_pos"), col("_wmin"))))
+          .as("_mins"))
+        .select(col("_id"), transform(col("_mins"), s => s("_wmin")).as("_m"))
+      val kernel = withId.select(col("_id"),
+        WinnowExprs.winnowMinsNative(col("text"), K, W).as("_m"))
+        .filter(size(col("_m")) > 0)
+      def collect(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(collect(kernel) == collect(composed))
+    }
+  }
+
   test("x_winnow_fingerprint ≡ JVM reference on every sf0.001 document") {
     val docs = graft.queries.Tables.read(spark, TestSpark.Sf0001, "documents")
       .select("doc_id", "text").as[(Long, String)].collect()
