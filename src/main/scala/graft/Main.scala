@@ -94,13 +94,29 @@ object Main {
     val trigger =
       if (once) Trigger.AvailableNow() else Trigger.ProcessingTime("5 seconds")
     // stream schema: from landed change files if any exist; on a fresh
-    // deployment (empty landing dir) derive it — first table's source
-    // schema + the change-envelope columns — instead of dying on
-    // schema inference before the first change arrives
+    // deployment (empty landing dir) derive it — the UNION of every
+    // replicated table's source schema (one shared landing dir carries
+    // all tables' change rows, so a single-table schema would silently
+    // null out other tables' payload columns) + the change-envelope
+    // columns — instead of dying on schema inference before the first
+    // change arrives
     val streamSchema = scala.util.Try(spark.read.parquet(streamDir).schema)
       .getOrElse {
-        val t0 = rep.tablesToReplicate(cfg.replication.tables).head
-        spark.read.parquet(s"$sourceDir/$t0.parquet").schema
+        val merged = rep.tablesToReplicate(cfg.replication.tables)
+          .foldLeft(new org.apache.spark.sql.types.StructType()) { (acc, t) =>
+            spark.read.parquet(s"$sourceDir/$t.parquet").schema
+              .foldLeft(acc) { (a, f) =>
+                a.fields.find(_.name == f.name) match {
+                  case Some(ex) =>
+                    require(ex.dataType == f.dataType,
+                      s"conflicting types for shared column ${f.name}: " +
+                        s"${ex.dataType.sql} vs ${f.dataType.sql} (table $t)")
+                    a
+                  case None => a.add(f)
+                }
+              }
+          }
+        merged
           .add("op", org.apache.spark.sql.types.StringType)
           .add("seq", org.apache.spark.sql.types.LongType)
           .add("table_name", org.apache.spark.sql.types.StringType)
