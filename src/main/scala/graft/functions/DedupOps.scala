@@ -44,12 +44,28 @@ object DedupOps {
 
   /** MinHash signature columns `mh_0 … mh_{k-1}`: k independent permutations
     * via a 2-universal hash family over ONE MD5-derived base hash per
-    * shingle (h_i = (a_i·h + b_i) mod 2^61−1). One pass over the exploded
-    * shingles, k `min()` partial aggregates — no k-fold re-hash, no UDF.
-    * (First cut used k salted MD5s per shingle — 16× the hashing cost;
-    * the arithmetic family benches ~6× faster at sf0.1.) */
+    * shingle (h_i = (a_i·h + b_i) mod 2^61−1), computed per document by the
+    * native [[MinHashKernel]] in a single scan pass — no shingle explode,
+    * no shuffle, no k-way aggregate. MinHashSpec pins it bit-identical to
+    * [[minhashSignatureComposed]]; the generated DuckDB oracle re-derives
+    * the same values from the composed definition. */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
                        shingleWidth: Int, k: Int): DataFrame = {
+    val sig = docs.select(col(idCol),
+      MinHashExprs.minhashSigNative(col(textCol), shingleWidth, k).as("_mh"))
+      .filter(size(col("_mh")) > 0)
+    sig.select(col(idCol) +:
+      (0 until k).map(i => col("_mh").getItem(i).as(s"mh_$i")): _*)
+  }
+
+  /** The composed (built-ins only) signature pipeline the kernel replaces:
+    * explode distinct shingles → one base hash each → k min() aggregates.
+    * Kept as the executable spec of the kernel's semantics — the
+    * arithmetic the DuckDB oracle mirrors — and pinned ≡ kernel by
+    * MinHashSpec. (History: k salted MD5s per shingle → this 2-universal
+    * family was ~6× faster; the kernel removes the explode+shuffle too.) */
+  def minhashSignatureComposed(docs: DataFrame, idCol: String, textCol: String,
+                               shingleWidth: Int, k: Int): DataFrame = {
     val sh = docs.select(col(idCol),
       explode(array_distinct(ShingleExprs.wordShinglesNative(col(textCol), shingleWidth)))
         .as("_sh"))

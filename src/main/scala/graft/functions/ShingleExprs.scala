@@ -22,10 +22,10 @@ object ShingleKernel {
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  def shingles(input: UTF8String, w: Int): ArrayData = {
-    val s = input.toString
-    // tokenize with inline lowercase + whitespace collapse (no alloc of
-    // the normalized string)
+  /** Normalized token list ≡ `split(`[[Text.normalize]]`(s), " ")`:
+    * inline lowercase + whitespace collapse (no alloc of the normalized
+    * string). Shared by the shingle and minhash kernels. */
+  private[functions] def tokenize(s: String): ArrayBuffer[String] = {
     val toks = new ArrayBuffer[String]()
     val sb = new java.lang.StringBuilder()
     var i = 0
@@ -40,6 +40,11 @@ object ShingleKernel {
     // split("", any) yields [""] — mirror that degenerate case so the
     // kernel matches split(normalize(text), " ") exactly (incl. w=1)
     if (toks.isEmpty) toks += ""
+    toks
+  }
+
+  def shingles(input: UTF8String, w: Int): ArrayData = {
+    val toks = tokenize(input.toString)
     val n = toks.length - w + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](n)

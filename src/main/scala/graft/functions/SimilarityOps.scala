@@ -59,8 +59,16 @@ object SimilarityOps {
   /** Random-hyperplane LSH bucket key: `planes` sign bits from fixed
     * pseudo-random hyperplanes (seeded by [[PortableHash]] of (plane, dim),
     * so buckets are deterministic and oracle-reproducible without shipping
-    * plane data). Sign bit b = sign(Σ_d w(b,d)·v[d]) with w ∈ {-1,+1}. */
-  def hyperplaneKey(vec: Column, planes: Int, dim: Int): Column = {
+    * plane data). Sign bit b = sign(Σ_d w(b,d)·v[d]) with w ∈ {-1,+1}.
+    * Native [[HyperplaneKey]] kernel; VectorSpec pins it bit-identical to
+    * [[hyperplaneKeyComposed]], whose term order the oracle SQL mirrors. */
+  def hyperplaneKey(vec: Column, planes: Int, dim: Int): Column =
+    VectorExprs.hyperplaneKeyNative(vec, planes, dim)
+
+  /** Composed built-ins form of [[hyperplaneKey]] — the executable spec of
+    * the kernel's arithmetic (a planes×dim literal tree; Janino splits it
+    * into dozens of generated methods, which is why the kernel exists). */
+  def hyperplaneKeyComposed(vec: Column, planes: Int, dim: Int): Column = {
     val bits = (0 until planes).map { p =>
       // w(p,d) = ±1 from MD5 parity of (p,d) — plan-time literals shared
       // with the oracle generator ([[hyperplaneWeight]]), folded by codegen.

@@ -79,6 +79,79 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Weight table + kernel for the random-hyperplane LSH bucket key.
+  * Semantics are EXACTLY [[SimilarityOps.hyperplaneKey]]'s composed form:
+  * bit p = `Σ_d w(p,d)·(double) v[d] > 0` summed left-to-right (same
+  * association as the `reduce(_ + _)` chain and the generated DuckDB term
+  * sum — bit-identical sign decisions), key = Σ 2^p over set bits. The
+  * composed form is a `planes × dim` literal expression tree (512 nodes at
+  * the defaults), which Janino splits into dozens of methods per operator;
+  * the kernel is one cached-table loop. */
+object HyperplaneKernel {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+
+  /** Flattened w(p,d) table for (planes, dim), cached per shape —
+    * same MD5-parity constants as [[SimilarityOps.hyperplaneWeight]]. */
+  private def weights(planes: Int, dim: Int): Array[Double] =
+    cache.computeIfAbsent((planes, dim), { _ =>
+      Array.tabulate(planes * dim) { i =>
+        SimilarityOps.hyperplaneWeight(i / dim, i % dim)
+      }
+    })
+
+  def key(vec: ArrayData, planes: Int, dim: Int): Long = {
+    if (vec.numElements() < dim)
+      // composed form's element_at(vec, d+1) errors on short vectors under
+      // ANSI — an out-of-range bucket key would silently mis-bucket
+      throw new ArrayIndexOutOfBoundsException(
+        s"hyperplane_key: vector has ${vec.numElements()} elements, needs $dim")
+    val w = weights(planes, dim)
+    var key = 0L
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      val base = p * dim
+      var d = 0
+      while (d < dim) {
+        acc += w(base + d) * vec.getFloat(d).toDouble
+        d += 1
+      }
+      if (acc > 0) key |= (1L << p)
+      p += 1
+    }
+    key
+  }
+}
+
+/** Native hyperplane-LSH bucket key — whole-stage-codegen compatible. */
+case class HyperplaneKey(child: Expression, planes: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _)
+        if planes >= 1 && planes <= 63 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_key requires array<float> and 1 <= planes <= 63, got " +
+            s"${child.dataType.sql}, planes=$planes")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    HyperplaneKernel.key(v.asInstanceOf[ArrayData], planes, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneKernel.key($c, $planes, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneKey =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Column API for [[DotProduct]] (array<float> × array<float> → double). */
   def dotNative(a: Column, b: Column): Column =
@@ -86,4 +159,8 @@ object VectorExprs {
 
   def normNative(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dotNative(a, a))
+
+  /** Column API for [[HyperplaneKey]] (array<float> → long bucket key). */
+  def hyperplaneKeyNative(vec: Column, planes: Int, dim: Int): Column =
+    Bridge.column(HyperplaneKey(Bridge.expression(vec), planes, dim))
 }

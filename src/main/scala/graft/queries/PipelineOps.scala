@@ -86,12 +86,24 @@ object PipelineOps {
     val deduped = graft.streaming.StreamDedup.byFingerprint(
       stream, textCol = "text", keyCols = Seq("lang"),
       tsCol = "_ts", delay = "30 days")
-    val q = deduped.drop("_ts").writeStream
-      .outputMode("append").format("parquet")
-      .option("path", outDir).option("checkpointLocation", ckp)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // State partitioning is captured from spark.sql.shuffle.partitions at
+    // the stream's FIRST checkpoint and each micro-batch then commits one
+    // state-store delta + one sink file per partition. At the session
+    // default (32) this harness-scale run pays 3 batches × 32 commits of
+    // filesystem overhead for a few thousand rows; 4 keeps the same
+    // multi-batch dedup semantics at an order of magnitude less fixed
+    // cost. Production streams size this to their key cardinality —
+    // it's a per-checkpoint knob, not engine semantics.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = deduped.drop("_ts").writeStream
+        .outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.read.parquet(outDir)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
   }

@@ -185,6 +185,21 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("native HyperplaneKey kernel ≡ composed literal-tree form, bit-exact") {
+    val planes = graft.queries.TrainingData.LshPlanes
+    val dim = graft.queries.TrainingData.EmbeddingDim
+    val e = graft.queries.Tables.read(spark, TestSpark.Sf0001, "embeddings")
+    val diff = e.select(
+      SimilarityOps.hyperplaneKey($"embedding", planes, dim).as("nat"),
+      SimilarityOps.hyperplaneKeyComposed($"embedding", planes, dim).as("cmp"))
+      .filter($"nat" =!= $"cmp").count()
+    assert(diff == 0)
+    // and the key actually spreads vectors across buckets
+    val nBuckets = e.select(
+      SimilarityOps.hyperplaneKey($"embedding", planes, dim)).distinct().count()
+    assert(nBuckets > 1)
+  }
+
   test("bruteForceTopK ranks by cosine, excludes self") {
     val corpus = Seq(
       (1L, Array(1.0f, 0f)), (2L, Array(0.9f, 0.1f)),
