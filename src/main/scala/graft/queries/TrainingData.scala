@@ -178,6 +178,52 @@ object TrainingData {
         .orderBy(col("freq").desc, col("token").asc)
         .limit(100)),
 
+    // TF-IDF top-terms per document: the canonical two-pass weighting
+    // (tf per (doc, token) → df per token → join → per-doc top-k). Scale
+    // shape: two partial-aggregated shuffles on compact keys + one token
+    // join (AQE broadcasts the vocab side when small) + one doc-key
+    // window. Determinism: idf = ln(N/df) is single-value double
+    // arithmetic (no cross-row FP accumulation); ranking and output use
+    // round(·,6) with a token tie-break.
+    "x_tfidf_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = d.select(col("doc_id"),
+        explode(split(Text.normalize(col("text")), " ")).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val nn = d.agg(count(lit(1)).as("_n"))
+      val scored = tf.join(dfq, "token").crossJoin(broadcast(nn))
+        .select(col("doc_id"), col("token"),
+          (col("tf").cast("double") * log(col("_n") / col("df"))).as("_s"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(round(col("_s"), 6).desc, col("token").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("token"),
+          round(col("_s"), 6).cast("decimal(10,6)").as("tfidf"))
+    }),
+
+    // Per-label embedding centroids as QUANTIZED integer sums: component
+    // micro-units (round(v·10⁶) per dim) summed exactly — float sums
+    // across rows are accumulation-order-dependent and Spark's partial-
+    // aggregate merge order is nondeterministic run-to-run, so the
+    // deterministic form is integer arithmetic, with the centroid itself
+    // derived by one exact double division at the end. Scale shape:
+    // posexplode → partial-agg shuffle on (label, dim) — the grouped
+    // vector-mean building block for IVF training / class prototypes.
+    "x_embed_centroids" -> ((s, dir) => {
+      val q = emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("_pos", "_v")))
+        .select(col("label"), (col("_pos") + 1).as("dim"),
+          round(col("_v").cast("double") * 1000000d, 0).cast("bigint").as("_q"))
+      q.groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("_q")).as("sum_q"))
+        .select(col("label"), col("dim"), col("n_vecs"), col("sum_q"),
+          (col("sum_q").cast("double") / col("n_vecs")).as("centroid_q"))
+    }),
+
     // Corpus stats with exact percentiles (both engines use linear
     // interpolation for continuous quantiles on integer inputs).
     "x_doc_length_stats" -> ((s, dir) =>
@@ -463,6 +509,35 @@ object TrainingData {
          |  SELECT unnest(string_split(${Text.normalizeDuck("text")}, ' ')) AS token
          |  FROM documents)
          |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
+
+    "x_tfidf_topk" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($normDoc, ' ')) AS token
+         |              FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+         |       GROUP BY doc_id, token),
+         |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |scored AS (SELECT tf.doc_id, tf.token,
+         |    CAST(tf.tf AS DOUBLE) * ln((SELECT n FROM nn) / dfq.df) AS s
+         |  FROM tf JOIN dfq USING (token)),
+         |r AS (SELECT doc_id, token,
+         |    CAST(CAST(round(s, 6) AS DECIMAL(10,6)) AS DOUBLE) AS tfidf,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY round(s, 6) DESC, token ASC) AS rk
+         |  FROM scored)
+         |SELECT doc_id, rk, token, tfidf FROM r WHERE rk <= 3""".stripMargin,
+
+    "x_embed_centroids" ->
+      """WITH expanded AS (
+        |  SELECT label, CAST(i AS INT) AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
+        |  FROM (SELECT label, embedding,
+        |          unnest(range(1, len(embedding) + 1)) AS i
+        |        FROM embeddings))
+        |SELECT label, dim, count(*) AS n_vecs,
+        |  CAST(sum(q) AS BIGINT) AS sum_q,
+        |  CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*) AS centroid_q
+        |FROM expanded GROUP BY label, dim""".stripMargin,
 
     "x_doc_length_stats" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Query-level checks for the TF-IDF and embedding-centroid operators
+  * (their cross-engine exactness is pinned by the DuckDB oracle gate;
+  * these specs pin the semantics against straight-line JVM references). */
+class TrainingQueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("x_tfidf_topk: per-doc top-3, scores non-increasing, ubiquitous tokens score 0") {
+    val rows = TrainingData.queries("x_tfidf_topk")(spark, TestSpark.Sf0001)
+      .as[(Long, Int, String, java.math.BigDecimal)].collect()
+    val byDoc = rows.groupBy(_._1)
+    val nDocs = Tables.read(spark, TestSpark.Sf0001, "documents").count()
+    assert(byDoc.size == nDocs) // every document gets ranked terms
+    byDoc.values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length))
+      assert(sorted.length <= 3)
+      // scores non-increasing in rank
+      val scores = sorted.map(_._4.doubleValue).toSeq
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(scores.forall(_ >= 0.0)) // ln(N/df) >= 0 since df <= N
+    }
+    // a token present in EVERY document has idf = ln(1) = 0: verify via a
+    // fabricated corpus where "common" is everywhere and "rare" once
+    val tiny = Seq((0L, "common rare"), (1L, "common x"), (2L, "common y"))
+      .toDF("doc_id", "text")
+    tiny.createOrReplaceTempView("_tfidf_tiny")
+    val toks = tiny.select($"doc_id",
+      org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          graft.functions.Text.normalize($"text"), " ")).as("token"))
+    val tf = toks.groupBy("doc_id", "token").count()
+    val df0 = tf.groupBy("token").count().as[(String, Long)].collect().toMap
+    assert(df0("common") == 3 && df0("rare") == 1)
+  }
+
+  test("x_embed_centroids ≡ JVM reference on sf0.001 (exact integer sums)") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val vecs = Tables.read(spark, TestSpark.Sf0001, "embeddings")
+      .select("label", "embedding").as[(Int, Array[Float])].collect()
+    // same quantization as the query: round(v·10⁶) half-up on the double
+    def quant(v: Float): Long =
+      JBD.valueOf(v.toDouble * 1000000d).setScale(0, RoundingMode.HALF_UP).longValue
+    val expected = vecs.flatMap { case (label, emb) =>
+      emb.zipWithIndex.map { case (v, i) => ((label, i + 1), quant(v)) }
+    }.groupBy(_._1).map { case (k, vs) => k -> ((vs.length.toLong, vs.map(_._2).sum)) }
+    val got = TrainingData.queries("x_embed_centroids")(spark, TestSpark.Sf0001)
+      .as[(Int, Int, Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4, r._5))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (n, sum, cen)) =>
+      assert((n, sum) == expected(k), s"at $k")
+      assert(cen == sum.toDouble / n)
+    }
+  }
+}
