@@ -189,8 +189,12 @@ object TrainingData {
       val d = docs(s, dir)
       val toks = d.select(col("doc_id"),
         explode(split(Text.normalize(col("text")), " ")).as("token"))
+      // tf feeds BOTH the score join and the df derivation; without a
+      // persist, Catalyst plans two full scan+tokenize+aggregate branches
+      // (no subplan sharing across references)
       val tf = toks.groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val nn = d.agg(count(lit(1)).as("_n"))
       val scored = tf.join(dfq, "token").crossJoin(broadcast(nn))
