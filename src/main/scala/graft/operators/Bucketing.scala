@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Bucketed (co-located) table layout — the shuffle-avoidance layout
+  * decision for repeated big-fact joins at 100 TB.
+  *
+  * The reference's scale-out guidance is to manually shard tables across
+  * replicator instances (`README.md:473-476`); ClickHouse itself co-locates
+  * by the MergeTree ORDER BY / sharding key. The Spark-native equivalent is
+  * bucketing: both join sides hash-partitioned into the same number of
+  * buckets on the join key AT WRITE TIME, so every subsequent equi-join on
+  * that key reads matching buckets directly — no Exchange on either side,
+  * for every query that ever joins on the key. One shuffle paid once at
+  * layout time instead of per query; at 100 TB the join exchange IS the
+  * dominant cost, which is why this is a first-class operator and not a
+  * tuning flag. BucketingSpec asserts the exchange-free plan.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed, per-bucket-sorted managed parquet table.
+    * Overwrites both the catalog entry and any leftover location from a
+    * previous session (the in-memory catalog forgets tables on restart but
+    * the warehouse directory survives — a stale dir would otherwise make
+    * the CTAS fail or read mixed generations). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    graft.model.Identifiers.validate(table, "table")
+    if (!spark.catalog.tableExists(table)) {
+      val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"),
+        table.toLowerCase)
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) fs.delete(wh, true)
+    }
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
+
+  /** Equi-join two bucketed tables on their bucket keys. With equal bucket
+    * counts this plans with zero Exchange nodes: each task reads bucket i
+    * of both sides. (If one side is still small enough to broadcast, AQE
+    * will do that instead — also exchange-free.) */
+  def bucketedJoin(spark: SparkSession, left: String, leftKey: String,
+                   right: String, rightKey: String): DataFrame =
+    spark.table(left).join(spark.table(right),
+      col(leftKey) === col(rightKey))
+}
