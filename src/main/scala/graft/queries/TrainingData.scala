@@ -100,6 +100,10 @@ object TrainingData {
       DedupOps.ngramJaccard(docs(s, dir), minhashPairs(minhashSig(s, dir)),
         "doc_id", "text", ShingleW)),
 
+    // BRUTE-FORCE BASELINE (all-pairs non-equi join → BroadcastNestedLoop):
+    // correct and exact-oracled, but O(n²) pairs — kept as the reference
+    // answer the LSH path is measured against. The 100 TB path is
+    // x_embed_cosine_dup_lsh / x_embed_dedup_lsh_apply below.
     "x_embed_cosine_dup" -> ((s, dir) => {
       // norms once per row; the O(n²) pair stage does one native dot each
       val e = emb(s, dir).select(col("vec_id"), col("embedding"),
