@@ -166,6 +166,22 @@ object SimilarityOps {
         round(col("_cos"), 6).cast("decimal(10,6)").as("cos_sim"))
   }
 
+  /** Multi-probe key set for a hyperplane bucket: the bucket itself plus
+    * its `planes` Hamming-1 neighbors (one sign bit flipped). Probing these
+    * lifts recall — a near-neighbor pair disagrees on few sign bits, so
+    * allowing one flipped bit catches the pairs single-probe loses — while
+    * keeping the candidate stage an equi-join (explode ×(planes+1) on the
+    * probe side, exact key on the corpus side). A pair at Hamming distance
+    * 1 matches through exactly one probe key, distance 0 through exactly
+    * the identity probe — no duplicate candidates by construction. */
+  def hyperplaneProbeKeys(bkt: Column, planes: Int): Column =
+    array((bkt +: (0 until planes).map(p => bkt.bitwiseXOR(lit(1L << p)))): _*)
+
+  /** DuckDB list literal matching [[hyperplaneProbeKeys]]. */
+  def hyperplaneProbeKeysDuck(bkt: String, planes: Int): String =
+    (s"$bkt" +: (0 until planes).map(p => s"xor($bkt, ${1L << p})"))
+      .mkString("[", ", ", "]")
+
   /** The ±1 hyperplane weight for (plane, dim) — plan-time constant shared
     * by the Spark expression and the generated oracle SQL. */
   def hyperplaneWeight(p: Int, d: Int): Double = {

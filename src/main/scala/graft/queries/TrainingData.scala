@@ -59,6 +59,44 @@ object TrainingData {
       DedupOps.lshBands(sig, "doc_id", Bands, RowsPerBand), "doc_id",
       maxBucket = MaxBucket)
 
+  /** LSH-bucketed embedding near-dup pair stage — the 100 TB path. One
+    * deterministic scan hashes each vector into a hyperplane bucket
+    * ([[SimilarityOps.hyperplaneKey]] native kernel); candidates are pairs
+    * whose bucket keys are at Hamming distance ≤ 1 (Hamming-1 multi-probe:
+    * the probe side explodes ×(planes+1), the corpus side keeps its exact
+    * key — still one equi-join shuffle, and a pair matches through exactly
+    * one probe key so no duplicates). Only candidates are cosine-scored:
+    * O(planes·Σ|bucket|²) work instead of the brute-force baseline's O(n²)
+    * BroadcastNestedLoop. Rows in oversized buckets are dropped (skew
+    * guard, same pattern as [[DedupOps.lshCandidatePairs]]) via a broadcast
+    * of the ≤2^planes bucket-count frame. Recall < 1 vs brute force by
+    * construction (a dup pair ≥2 sign bits apart is missed), but the
+    * bucketing is deterministic arithmetic, so the result is exactly
+    * oracle-reproducible ([[SimilarityOps.hyperplaneKeyDuck]]). */
+  def embedLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+      SimilarityOps.norm(col("embedding")).as("_n"),
+      SimilarityOps.hyperplaneKey(col("embedding"), LshPlanes, EmbeddingDim)
+        .as("_bkt"))
+    val ok = e.groupBy(col("_bkt")).agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") <= MaxBucket)
+      .select(col("_bkt"))
+    val f = e.join(broadcast(ok), Seq("_bkt"))
+    val a = f.select(col("vec_id").as("id1"), col("embedding").as("_va"),
+      col("_n").as("_na"),
+      explode(SimilarityOps.hyperplaneProbeKeys(col("_bkt"), LshPlanes))
+        .as("_bkt"))
+    val b = f.select(col("_bkt"), col("vec_id").as("id2"),
+      col("embedding").as("_vb"), col("_n").as("_nb"))
+    a.join(b, Seq("_bkt"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("_cos",
+        SimilarityOps.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
+      .filter(col("_cos") > CosDupThreshold)
+      .select(col("id1"), col("id2"),
+        round(col("_cos"), 6).cast("decimal(10,6)").as("cos_sim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---------------------------------------------------------- dedup
@@ -118,6 +156,23 @@ object TrainingData {
         .filter(col("_cos") > CosDupThreshold)
         .select(col("id1"), col("id2"),
           round(col("_cos"), 6).cast("decimal(10,6)").as("cos_sim"))
+    }),
+
+    // The 100 TB pair stage: hyperplane-bucketed candidates, one shuffle
+    // on the bucket key, cosine scored in-bucket only (see
+    // [[embedLshPairs]]).
+    "x_embed_cosine_dup_lsh" -> ((s, dir) => embedLshPairs(s, dir)),
+
+    // Near-dup removal applied via the LSH pair stage: drop the higher id
+    // of every in-bucket dup pair, report survivors per label. Same
+    // apply shape as x_embed_dedup_apply (distinct drop-set, broadcast
+    // left_anti) but fed by the bucketed candidates — the corpus never
+    // enters a non-equi join.
+    "x_embed_dedup_lsh_apply" -> ((s, dir) => {
+      val drop = embedLshPairs(s, dir).select(col("id2").as("vec_id")).distinct()
+      emb(s, dir).join(broadcast(drop), Seq("vec_id"), "left_anti")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"))
     }),
 
     // ----------------------------------------------------- similarity
@@ -255,10 +310,11 @@ object TrainingData {
         .orderBy(col("freq").desc, col("bigram").asc)
         .limit(100)),
 
-    // Near-dup removal APPLIED to the embedding corpus: drop the higher
-    // id of every cosine-dup pair, report survivors per label. The pair
-    // stage is the oracled x_embed_cosine_dup plan; the apply is one
-    // distinct + left_anti join (broadcast when the dup set is small).
+    // BRUTE-FORCE BASELINE apply: drop the higher id of every cosine-dup
+    // pair, report survivors per label. The pair stage is the all-pairs
+    // x_embed_cosine_dup plan (O(n²) — baseline only; the scale path is
+    // x_embed_dedup_lsh_apply above); the apply is one distinct +
+    // left_anti join (broadcast when the dup set is small).
     "x_embed_dedup_apply" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"),
         col("label"), SimilarityOps.norm(col("embedding")).as("_n"))
@@ -372,6 +428,25 @@ object TrainingData {
   private def cosineDuck(a: String, b: String) =
     SimilarityOps.cosineDuck(a, b, EmbeddingDim)
 
+  /** Shared CTEs mirroring [[embedLshPairs]]: identical hyperplane bucket
+    * key ([[SimilarityOps.hyperplaneKeyDuck]]), identical Hamming-1
+    * multi-probe expansion, identical skew-guard bound, identical cosine
+    * arithmetic. */
+  private def embedLshCtes: String = {
+    val bkt = SimilarityOps.hyperplaneKeyDuck("embedding", LshPlanes, EmbeddingDim)
+    val probes = SimilarityOps.hyperplaneProbeKeysDuck("bkt", LshPlanes)
+    val cos = cosineDuck("a.embedding", "c.embedding")
+    s"""b0 AS (SELECT vec_id, embedding, $bkt AS bkt FROM embeddings),
+       |okbkt AS (SELECT bkt FROM b0 GROUP BY bkt
+       |          HAVING count(*) <= $MaxBucket),
+       |f AS (SELECT b0.* FROM b0 JOIN okbkt USING (bkt)),
+       |probes AS (SELECT vec_id, embedding, unnest($probes) AS bkt FROM f),
+       |lsh_pairs AS (SELECT a.vec_id AS id1, c.vec_id AS id2,
+       |    CAST(CAST(round($cos, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cos_sim
+       |  FROM probes a JOIN f c ON c.bkt = a.bkt AND a.vec_id < c.vec_id
+       |  WHERE $cos > $CosDupThreshold)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "x_dedup_exact" ->
       s"""SELECT md5($normDoc) AS fingerprint, min(doc_id) AS keep_id,
@@ -428,6 +503,17 @@ object TrainingData {
          |       AS DECIMAL(10,6)) AS DOUBLE) AS cos_sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${cosineDuck("a.embedding", "b.embedding")} > $CosDupThreshold""".stripMargin,
+
+    "x_embed_cosine_dup_lsh" ->
+      s"WITH $embedLshCtes SELECT id1, id2, cos_sim FROM lsh_pairs",
+
+    "x_embed_dedup_lsh_apply" ->
+      s"""WITH $embedLshCtes,
+         |d AS (SELECT DISTINCT id2 AS vid FROM lsh_pairs)
+         |SELECT label, count(*) AS n_vecs
+         |FROM embeddings e
+         |WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.vid = e.vec_id)
+         |GROUP BY label""".stripMargin,
 
     "x_ann_brute_topk" ->
       s"""SELECT query_id, rk, neighbor_id, cos_sim FROM (

@@ -39,6 +39,39 @@ class TrainingQueriesSpec extends AnyFunSuite {
     assert(df0("common") == 3 && df0("rare") == 1)
   }
 
+  test("x_embed_cosine_dup_lsh: subset of brute force, identical scores, no nested-loop join") {
+    val brute = TrainingData.queries("x_embed_cosine_dup")(spark, TestSpark.Sf0001)
+      .as[(Long, Long, java.math.BigDecimal)].collect()
+      .map(r => (r._1, r._2) -> r._3.doubleValue).toMap
+    val lshDf = TrainingData.queries("x_embed_cosine_dup_lsh")(spark, TestSpark.Sf0001)
+    // candidates come from an equi-join on the bucket key — the plan must
+    // not contain the brute-force path's BroadcastNestedLoopJoin
+    val plan = lshDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    val lsh = lshDf.as[(Long, Long, java.math.BigDecimal)].collect()
+      .map(r => (r._1, r._2) -> r._3.doubleValue).toMap
+    assert(lsh.nonEmpty) // Hamming-1 multi-probe finds pairs on sf0.001
+    // every LSH pair is a brute-force pair with the same score (LSH prunes
+    // candidates; it never invents or rescores a pair)
+    lsh.foreach { case (k, cos) =>
+      assert(brute.contains(k), s"pair $k not in brute force")
+      assert(brute(k) == cos, s"score mismatch at $k")
+    }
+  }
+
+  test("x_embed_dedup_lsh_apply: survivors = corpus minus LSH drop-set") {
+    val pairs = TrainingData.queries("x_embed_cosine_dup_lsh")(spark, TestSpark.Sf0001)
+      .as[(Long, Long, java.math.BigDecimal)].collect()
+    val dropped = pairs.map(_._2).toSet
+    val corpus = Tables.read(spark, TestSpark.Sf0001, "embeddings")
+      .select("vec_id", "label").as[(Long, Int)].collect()
+    val expected = corpus.filterNot(r => dropped(r._1))
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val got = TrainingData.queries("x_embed_dedup_lsh_apply")(spark, TestSpark.Sf0001)
+      .as[(Int, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   test("x_embed_centroids ≡ JVM reference on sf0.001 (exact integer sums)") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val vecs = Tables.read(spark, TestSpark.Sf0001, "embeddings")
