@@ -69,6 +69,16 @@ final class SnapshotReplicator(
   /** A2: target row count (`src/clickhouse_client.py:81-86`). */
   def targetCount(table: String): Long = readTarget(table).count()
 
+  /** K7: truncate the target — empty it while preserving its schema
+    * (`TRUNCATE TABLE` analog, `src/clickhouse_client.py:485` family; same
+    * overwrite primitive as K3/K6). The schema is captured eagerly because
+    * parquet overwrite cannot lazily read the path it is replacing. */
+  def truncateTarget(table: String): Unit = {
+    val schema = readTarget(table).schema
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      .write.mode(SaveMode.Overwrite).parquet(targetPath(table))
+  }
+
   /** O3: one table end-to-end. `sortWithinPartitions(pk)` mirrors the
     * MergeTree ORDER BY layout when requested. */
   def replicateTable(table: String, sortByPk: Boolean = false): ReplicationResult =

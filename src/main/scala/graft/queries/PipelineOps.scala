@@ -108,8 +108,71 @@ object PipelineOps {
       .groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
   }
 
+  /** K7/A3/P4/P5/O5 in one lifecycle run (the operators that previously
+    * had only unit specs, promoted to the gate):
+    *   - O5: replicate {region, nation, no_such_table} — the missing table
+    *     fails alone with counts -1/success=false, the good tables land;
+    *   - A3/P4: source- and target-side existence checks (catalog equality
+    *     filter) before/after;
+    *   - K7: truncate the nation target, then count it (0) with the target
+    *     still present;
+    *   - P5: a two-logical-table change feed streamed through the CDC
+    *     table-set filter — only the `events_a` half (even user_id) is
+    *     applied.
+    * Output rows (stage, table_name, n, ok) are all reproducible from
+    * source table counts, so the oracle is exact. */
+  def tableLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val wh = Files.createTempDirectory("graft_lc_wh").toString
+    val rep = new SnapshotReplicator(s, dir, wh)
+    val results = rep.run(Seq("region", "nation", "no_such_table"))
+    val snapRows = results.map(r =>
+      ("snapshot", r.table, if (r.success) r.sourceCount else -1L, r.success))
+
+    val cat = new graft.sources.ParquetCatalog(s, dir)
+    def b2l(b: Boolean) = if (b) 1L else 0L
+    val existRows = Seq(
+      ("exists_source", "region", b2l(cat.tableExists("region")),
+        cat.tableExists("region")),
+      ("exists_source", "no_such_table", b2l(cat.tableExists("no_such_table")),
+        cat.tableExists("no_such_table")),
+      ("exists_target", "region", b2l(rep.targetExists("region")),
+        rep.targetExists("region")),
+      ("exists_target", "no_such_table", b2l(rep.targetExists("no_such_table")),
+        rep.targetExists("no_such_table")))
+
+    rep.truncateTarget("nation")
+    val truncRows = Seq(
+      ("truncate", "nation", rep.targetCount("nation"),
+        rep.targetExists("nation")))
+
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tgt = Files.createTempDirectory("graft_lc_tgt").toString
+    val ckp = Files.createTempDirectory("graft_lc_ckp").toString
+    val pipe = new CdcPipeline(s, tgt, ckp)
+    val schema = StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, props STRING")
+    val srcDir = Files.createTempDirectory("graft_lc_src")
+    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+      .withColumn("op", lit("I"))
+      .withColumn("_tbl",
+        when(col("user_id") % 2 === 0, "events_a").otherwise("events_b"))
+    val q = pipe.start(stream, "events_a", opCol = "op", seqCol = "event_id",
+      tables = Seq("events_a"), tableCol = Some("_tbl"), versionOf = _ => 1L)
+    q.awaitTermination()
+    val cdcRows = Seq(
+      ("cdc_filter", "events_a", pipe.applied("events_a").count(), true))
+
+    import s.implicits._
+    (snapRows ++ existRows ++ truncRows ++ cdcRows)
+      .toDF("stage", "table_name", "n", "ok")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o3_snapshot_roundtrip" -> ((s, dir) => snapshotRoundtrip(s, dir)),
+    "o5_table_lifecycle" -> ((s, dir) => tableLifecycle(s, dir)),
     "t1_cdc_stream_live" -> ((s, dir) => cdcStreamLive(s, dir)),
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)))
 
@@ -119,6 +182,19 @@ object PipelineOps {
         |       count(*) AS target_count, true AS success FROM region
         |UNION ALL SELECT 'nation', count(*), count(*), true FROM nation
         |UNION ALL SELECT 'supplier', count(*), count(*), true FROM supplier""".stripMargin,
+
+    "o5_table_lifecycle" ->
+      """SELECT 'snapshot' AS stage, 'region' AS table_name,
+        |       CAST(count(*) AS BIGINT) AS n, true AS ok FROM region
+        |UNION ALL SELECT 'snapshot', 'nation', count(*), true FROM nation
+        |UNION ALL SELECT 'snapshot', 'no_such_table', -1, false
+        |UNION ALL SELECT 'exists_source', 'region', 1, true
+        |UNION ALL SELECT 'exists_source', 'no_such_table', 0, false
+        |UNION ALL SELECT 'exists_target', 'region', 1, true
+        |UNION ALL SELECT 'exists_target', 'no_such_table', 0, false
+        |UNION ALL SELECT 'truncate', 'nation', 0, true
+        |UNION ALL SELECT 'cdc_filter', 'events_a',
+        |  (SELECT count(*) FROM events WHERE user_id % 2 = 0), true""".stripMargin,
 
     // constant version ⇒ order by ingest seq (event_id) alone
     "t1_cdc_stream_live" ->
