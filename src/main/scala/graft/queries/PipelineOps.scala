@@ -170,9 +170,29 @@ object PipelineOps {
       .toDF("stage", "table_name", "n", "ok")
   }
 
+  /** Bucketed co-located join promoted to the gate: lineitem and orders
+    * written as 8-bucket tables on the order key
+    * ([[graft.operators.Bucketing]]), joined bucket-to-bucket (zero
+    * Exchange on either join input — BucketingSpec and PLANS.md pin the
+    * plan shape), then aggregated per priority. The layout shuffle is paid
+    * once at write time; every later join on the key reads matching
+    * buckets directly. */
+  def bucketedJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    graft.operators.Bucketing.writeBucketed(
+      Tables.read(s, dir, "lineitem"), "graft_gate_li_b", "l_orderkey", 8)
+    graft.operators.Bucketing.writeBucketed(
+      Tables.read(s, dir, "orders"), "graft_gate_ord_b", "o_orderkey", 8)
+    graft.operators.Bucketing.bucketedJoin(s,
+        "graft_gate_li_b", "l_orderkey", "graft_gate_ord_b", "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o3_snapshot_roundtrip" -> ((s, dir) => snapshotRoundtrip(s, dir)),
     "o5_table_lifecycle" -> ((s, dir) => tableLifecycle(s, dir)),
+    "b1_bucketed_join" -> ((s, dir) => bucketedJoinAgg(s, dir)),
     "t1_cdc_stream_live" -> ((s, dir) => cdcStreamLive(s, dir)),
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)))
 
@@ -182,6 +202,12 @@ object PipelineOps {
         |       count(*) AS target_count, true AS success FROM region
         |UNION ALL SELECT 'nation', count(*), count(*), true FROM nation
         |UNION ALL SELECT 'supplier', count(*), count(*), true FROM supplier""".stripMargin,
+
+    "b1_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "o5_table_lifecycle" ->
       """SELECT 'snapshot' AS stage, 'region' AS table_name,
