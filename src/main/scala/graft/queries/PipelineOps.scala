@@ -170,6 +170,58 @@ object PipelineOps {
       .toDF("stage", "table_name", "n", "ok")
   }
 
+  /** T6 write-path live view promoted to the gate: the whole `events`
+    * change stream replayed as three micro-batches through
+    * [[graft.streaming.StatefulLiveView]] (per-row version = event µs
+    * timestamp, seq = event_id — the same stamp as w1), update-mode
+    * emissions landed with their batch id, then reduced to each key's
+    * LAST emission. Because the stored state is monotone (a later
+    * emission never loses to an earlier one), the last emission per key
+    * IS the final materialized state — which must equal the read-path
+    * `w1_live_view` result, so both share one oracle
+    * ([[ReferenceOps.LiveViewOracle]]): write-path ≡ read-path dedup. */
+  def statefulLiveView(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = Files.createTempDirectory("graft_slv_src").toString
+    val outDir = Files.createTempDirectory("graft_slv_out").toString
+    val ckp = Files.createTempDirectory("graft_slv_ckp").toString
+    Tables.events(s, dir).repartition(3).write.mode("overwrite").parquet(srcDir)
+    val schema = s.read.parquet(srcDir).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .withColumn("op",
+        when(col("event_type") === "signup", graft.operators.CdcTransform.Insert)
+          .when(col("event_type") === "error", graft.operators.CdcTransform.Delete)
+          .otherwise(graft.operators.CdcTransform.Update))
+    val stamped = graft.operators.CdcTransform.stamp(
+        stream, opCol = "op", seqCol = "event_id", version = col("ts_us"))
+      .select(col("user_id"), col("event_type"), col("value"), col("props"),
+        col(VersionCol), col(SeqCol), col(DeletedCol))
+    val live = graft.streaming.StatefulLiveView.materializedLive(
+      stamped, pks = Seq("user_id"), versionCol = VersionCol,
+      seqCol = SeqCol, deletedCol = DeletedCol, tombstoneRetention = None)
+    // state-store partitioning knob, same rationale as streamDedupCounts
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = live.writeStream.outputMode("update")
+        .option("checkpointLocation", ckp)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          b.withColumn("_batch", lit(id))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("_batch").desc)
+    s.read.parquet(outDir)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col(DeletedCol) === 0)
+      .select(col("user_id"), col("event_type"), col("value"), col("props"))
+  }
+
   /** Bucketed co-located join promoted to the gate: lineitem and orders
     * written as 8-bucket tables on the order key
     * ([[graft.operators.Bucketing]]), joined bucket-to-bucket (zero
@@ -193,6 +245,7 @@ object PipelineOps {
     "o3_snapshot_roundtrip" -> ((s, dir) => snapshotRoundtrip(s, dir)),
     "o5_table_lifecycle" -> ((s, dir) => tableLifecycle(s, dir)),
     "b1_bucketed_join" -> ((s, dir) => bucketedJoinAgg(s, dir)),
+    "t6_stateful_live_view" -> ((s, dir) => statefulLiveView(s, dir)),
     "t1_cdc_stream_live" -> ((s, dir) => cdcStreamLive(s, dir)),
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)))
 
@@ -202,6 +255,9 @@ object PipelineOps {
         |       count(*) AS target_count, true AS success FROM region
         |UNION ALL SELECT 'nation', count(*), count(*), true FROM nation
         |UNION ALL SELECT 'supplier', count(*), count(*), true FROM supplier""".stripMargin,
+
+    // write-path ≡ read-path: same oracle as w1_live_view
+    "t6_stateful_live_view" -> ReferenceOps.LiveViewOracle,
 
     "b1_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,

@@ -117,7 +117,9 @@ object ReferenceOps {
     "w1_live_view_aggform" -> LiveViewOracle
   )
 
-  private lazy val LiveViewOracle =
+  /** Shared by w1 (read path), its aggform, and the stateful write-path
+    * gate (t6) — all three must produce the same survivors. */
+  lazy val LiveViewOracle =
     """SELECT user_id, event_type, value, props FROM (
       |  SELECT user_id, event_type, value, props,
       |         CASE WHEN event_type='error' THEN 1 ELSE 0 END AS _deleted,
