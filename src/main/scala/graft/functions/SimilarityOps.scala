@@ -80,23 +80,43 @@ object SimilarityOps {
     bits.reduce(_ + _).cast("long")
   }
 
-  /** IVF/LSH-bucketed ANN: corpus and queries hashed into hyperplane
-    * buckets; candidates = same-bucket pairs; exact cosine + top-k inside.
-    * One shuffle on the bucket key instead of a full cross join — the 100 TB
-    * path. Recall < 1 by construction (probe only its own bucket); add
-    * multi-probe or fewer planes for higher recall. */
+  /** LSH-bucketed ANN, banded OR-construction (the amplification trick the
+    * minhash path uses, applied to sign bits): one `bands·bandBits`-plane
+    * key per vector, split into `bands` sub-keys; a corpus row is a
+    * candidate for a query if ANY band matches, with Hamming-1 multi-probe
+    * inside the band (query probes its band key plus each one-bit flip —
+    * [[hyperplaneProbeKeys]]). Candidates are exact-cosine scored once
+    * (duplicate band matches collapse via distinct on the deterministic
+    * score) and top-k ranked.
+    *
+    * Scale shape: corpus explodes ×bands, queries ×bands·(bandBits+1) —
+    * but the query side is the small broadcast side, and the join stays an
+    * equi-join on (band, key): no cross join, no non-equi. Recall tunes
+    * with (bands, bandBits): more bands = higher recall & more candidates
+    * (AnnRecallSpec pins the floor); more bits = sharper buckets. */
   def lshAnnTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                 vecCol: String, k: Int, planes: Int, dim: Int): DataFrame = {
+                 vecCol: String, k: Int, bands: Int, bandBits: Int,
+                 dim: Int): DataFrame = {
+    val total = bands * bandBits
+    val mask = (1L << bandBits) - 1
+    def bandKeys(key: Column): Column =
+      array((0 until bands).map(b =>
+        shiftright(key, b * bandBits).bitwiseAND(lit(mask))): _*)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
       norm(col(vecCol)).as("_cn"),
-      hyperplaneKey(col(vecCol), planes, dim).as("_bkt"))
+      posexplode(bandKeys(hyperplaneKey(col(vecCol), total, dim)))
+        .as(Seq("_band", "_bkey")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
-      norm(col(vecCol)).as("_qn"),
-      hyperplaneKey(col(vecCol), planes, dim).as("_bkt"))
-    val scored = c.join(broadcast(q), Seq("_bkt"))
+        norm(col(vecCol)).as("_qn"),
+        posexplode(bandKeys(hyperplaneKey(col(vecCol), total, dim)))
+          .as(Seq("_band", "_bkey")))
+      .select(col("query_id"), col("_qv"), col("_qn"), col("_band"),
+        explode(hyperplaneProbeKeys(col("_bkey"), bandBits)).as("_bkey"))
+    val scored = c.join(broadcast(q), Seq("_band", "_bkey"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn"))).as("_cos"))
+      .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(round(col("_cos"), 6).desc, col("neighbor_id").asc)

@@ -24,6 +24,8 @@ object TrainingData {
   val AnnK = 5
   val AnnQueryIds = 10 // query set = vec_id < 10
   val LshPlanes = 8
+  val AnnBands = 4 // ANN banded LSH: candidate if ANY band matches (±1 bit)
+  val AnnBandBits = 6
   val EmbeddingDim = 64
   val IvfCentroidMod = 16 // centroid set = vec_id % 16 == 0 (~1/16 corpus)
   val IvfNProbe = 2
@@ -182,11 +184,13 @@ object TrainingData {
         e.filter(col("vec_id") < AnnQueryIds), "vec_id", "embedding", AnnK)
     }),
 
-    // LSH-bucketed ANN — scale path; recall<1 by design → rows-only check.
+    // LSH-bucketed ANN — banded OR-construction scale path. Recall < 1 by
+    // design (AnnRecallSpec pins the floor vs brute force); the result
+    // itself is exact-oracled since the bucketing is deterministic.
     "x_ann_lsh_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       SimilarityOps.lshAnnTopK(e, e.filter(col("vec_id") < AnnQueryIds),
-        "vec_id", "embedding", AnnK, LshPlanes, EmbeddingDim)
+        "vec_id", "embedding", AnnK, AnnBands, AnnBandBits, EmbeddingDim)
     }),
 
     // IVF ANN — the inverted-file scale path (deterministic coarse
@@ -527,19 +531,32 @@ object TrainingData {
          |  WHERE q.vec_id < $AnnQueryIds) WHERE rk <= $AnnK""".stripMargin,
 
     "x_ann_lsh_topk" -> {
-      val bkt = SimilarityOps.hyperplaneKeyDuck("embedding", LshPlanes, EmbeddingDim)
+      val key = SimilarityOps.hyperplaneKeyDuck("embedding",
+        AnnBands * AnnBandBits, EmbeddingDim)
+      val mask = (1L << AnnBandBits) - 1
+      val bandRows = (0 until AnnBands).map(b =>
+        s"SELECT vec_id, embedding, nrm, $b AS band, " +
+          s"(key >> ${b * AnnBandBits}) & $mask AS bkey FROM b")
+        .mkString(" UNION ALL ")
+      val probes = SimilarityOps.hyperplaneProbeKeysDuck("bkey", AnnBandBits)
       val dot = SimilarityOps.dotDuck("q.embedding", "c.embedding", EmbeddingDim)
       val n = s"sqrt(${SimilarityOps.dotDuck("embedding", "embedding", EmbeddingDim)})"
-      s"""WITH b AS (SELECT vec_id, embedding, $n AS nrm, $bkt AS bkt
-         |           FROM embeddings)
+      s"""WITH b AS (SELECT vec_id, embedding, $n AS nrm, $key AS key
+         |           FROM embeddings),
+         |cb AS ($bandRows),
+         |p AS (SELECT vec_id, embedding, nrm, band, unnest($probes) AS bkey
+         |      FROM cb WHERE vec_id < $AnnQueryIds),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round($dot / (q.nrm * c.nrm), 6) AS cos6
+         |  FROM p q JOIN cb c ON c.band = q.band AND c.bkey = q.bkey
+         |                    AND q.vec_id <> c.vec_id)
          |SELECT query_id, rk, neighbor_id, cos_sim FROM (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    CAST(CAST(round($dot / (q.nrm * c.nrm), 6) AS DECIMAL(10,6)) AS DOUBLE) AS cos_sim,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY round($dot / (q.nrm * c.nrm), 6) DESC,
-         |               c.vec_id ASC) AS rk
-         |  FROM b q JOIN b c ON q.bkt = c.bkt AND q.vec_id <> c.vec_id
-         |  WHERE q.vec_id < $AnnQueryIds) WHERE rk <= $AnnK""".stripMargin
+         |  SELECT query_id, neighbor_id,
+         |    CAST(CAST(cos6 AS DECIMAL(10,6)) AS DOUBLE) AS cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos6 DESC, neighbor_id ASC) AS rk
+         |  FROM cand)
+         |WHERE rk <= $AnnK""".stripMargin
     },
 
     "x_ann_ivf_topk" -> {

@@ -218,7 +218,7 @@ class SimilarityOpsSpec extends AnyFunSuite {
     val brute = SimilarityOps.bruteForceTopK(e, q, "vec_id", "embedding", 50)
       .select($"query_id", $"neighbor_id", $"cos_sim").as[(Long, Long, java.math.BigDecimal)]
       .collect().map(t => ((t._1, t._2), t._3)).toMap
-    val ann = SimilarityOps.lshAnnTopK(e, q, "vec_id", "embedding", 5, 8, 64)
+    val ann = SimilarityOps.lshAnnTopK(e, q, "vec_id", "embedding", 5, 4, 6, 64)
       .select($"query_id", $"neighbor_id", $"cos_sim").as[(Long, Long, java.math.BigDecimal)]
       .collect()
     assert(ann.nonEmpty)
