@@ -157,6 +157,40 @@ object DedupOps {
     agg.select(col(idCol), sig.cast("long").as("simhash"))
   }
 
+  /** SimHash near-dup pair stage via pigeonhole banding: split the
+    * `bits`-bit signature into `bands` equal sub-keys; any pair at Hamming
+    * distance ≤ `maxHamming` < `bands` differs in at most `maxHamming`
+    * bands, so it agrees EXACTLY on at least one band — banding has
+    * guaranteed (not probabilistic) recall for hd ≤ bands−1. Candidates =
+    * same-(band, key) pairs, one equi-join shuffle; the exact Hamming
+    * distance then filters (popcount of XOR — codegen'd `bit_count`).
+    * Duplicate cross-band matches collapse via distinct.
+    *
+    * Scale note: discrimination is 2^(bits/bands) buckets per band — at
+    * 100 TB use a wider signature (64-bit hash base) so bands stay
+    * selective; the harness's 28-bit/4-band shape is the same plan. */
+  def simhashPairs(sig: DataFrame, idCol: String, simCol: String,
+                   bits: Int, bands: Int, maxHamming: Int): DataFrame = {
+    require(bits % bands == 0, "bits must split evenly into bands")
+    require(maxHamming < bands, "pigeonhole recall needs maxHamming < bands")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val bandKeys = array((0 until bands).map(b =>
+      shiftright(col(simCol), b * bandBits).bitwiseAND(lit(mask))): _*)
+    val banded = sig.select(col(idCol), col(simCol),
+      posexplode(bandKeys).as(Seq("_band", "_bkey")))
+    val a = banded.select(col("_band"), col("_bkey"),
+      col(idCol).as("id1"), col(simCol).as("_s1"))
+    val b = banded.select(col("_band"), col("_bkey"),
+      col(idCol).as("id2"), col(simCol).as("_s2"))
+    a.join(b, Seq("_band", "_bkey"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("_s1").bitwiseXOR(col("_s2"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // -------------------------------------------- n-gram Jaccard (exact)
 
   /** Exact n-gram Jaccard for candidate pairs: |A∩B| via a join of distinct

@@ -19,6 +19,9 @@ object TrainingData {
   val Bands = 4
   val RowsPerBand = 4
   val SimhashBits = 16
+  val SimhashPairBits = 28 // pair stage: 4 pigeonhole bands of 7 bits
+  val SimhashPairBands = 4
+  val SimhashMaxHamming = 3 // < bands ⇒ banding recall is guaranteed
   val MaxBucket = 1000 // LSH bucket cap — mirrored in the oracle CTEs
   val CosDupThreshold = 0.4
   val AnnK = 5
@@ -135,6 +138,16 @@ object TrainingData {
 
     "x_dedup_simhash" -> ((s, dir) =>
       DedupOps.simhash(docs(s, dir), "doc_id", "text", SimhashBits)),
+
+    // SimHash near-dup pairs via pigeonhole banding: hd ≤ 3 over a 28-bit
+    // signature, candidates from 4 exact-match bands (guaranteed recall
+    // for hd < bands — not probabilistic like the minhash/hyperplane
+    // families), one equi-join shuffle, popcount filter.
+    "x_dedup_simhash_pairs" -> ((s, dir) =>
+      DedupOps.simhashPairs(
+        DedupOps.simhash(docs(s, dir), "doc_id", "text", SimhashPairBits),
+        "doc_id", "simhash", SimhashPairBits, SimhashPairBands,
+        SimhashMaxHamming)),
 
     "x_ngram_jaccard" -> ((s, dir) =>
       DedupOps.ngramJaccard(docs(s, dir), minhashPairs(minhashSig(s, dir)),
@@ -429,6 +442,37 @@ object TrainingData {
        |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v""".stripMargin
   }
 
+  /** Mirrors [[DedupOps.simhashPairs]] over a [[SimhashPairBits]]-bit
+    * signature: identical votes/sign arithmetic, identical band split,
+    * identical popcount filter. */
+  private def simhashPairsOracle: String = {
+    val bandBits = SimhashPairBits / SimhashPairBands
+    val mask = (1L << bandBits) - 1
+    val votes = (0 until SimhashPairBits)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b")
+      .mkString(", ")
+    val sig = (0 until SimhashPairBits)
+      .map(b => s"CASE WHEN v_$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    val bandRows = (0 until SimhashPairBands).map(b =>
+      s"SELECT doc_id, simhash, $b AS band, " +
+        s"(simhash >> ${b * bandBits}) & $mask AS bkey FROM psig")
+      .mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id,
+       |    unnest(list_distinct(string_split($normDoc, ' '))) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, ${PortableHash.duckSql("tok", "sh|")} AS h FROM toks),
+       |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+       |psig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v),
+       |pbands AS ($bandRows),
+       |ppairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |  FROM pbands a JOIN pbands b ON a.band = b.band AND a.bkey = b.bkey
+       |    AND a.doc_id < b.doc_id)
+       |SELECT id1, id2, hamming FROM ppairs
+       |WHERE hamming <= $SimhashMaxHamming""".stripMargin
+  }
+
   private def cosineDuck(a: String, b: String) =
     SimilarityOps.cosineDuck(a, b, EmbeddingDim)
 
@@ -484,6 +528,8 @@ object TrainingData {
     },
 
     "x_dedup_simhash" -> simhashOracle,
+
+    "x_dedup_simhash_pairs" -> simhashPairsOracle,
 
     "x_ngram_jaccard" ->
       s"""WITH $minhashCtes,

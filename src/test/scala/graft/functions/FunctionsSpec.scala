@@ -149,6 +149,24 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(hamming <= 6, s"near-dup hamming $hamming")
   }
 
+  test("simhashPairs ≡ brute-force hamming filter (pigeonhole banding is exact)") {
+    // banding with maxHamming < bands is guaranteed-recall AND the
+    // popcount filter makes it precision-exact: banded == all-pairs
+    val d = graft.queries.Tables.read(spark, TestSpark.Sf0001, "documents")
+    val sig = DedupOps.simhash(d, "doc_id", "text", 28)
+    val banded = DedupOps.simhashPairs(sig, "doc_id", "simhash", 28, 4, 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val s = sig.as[(Long, Long)].collect()
+    val brute = (for {
+      (i1, h1) <- s; (i2, h2) <- s
+      if i1 < i2
+      hd = java.lang.Long.bitCount(h1 ^ h2)
+      if hd <= 3
+    } yield (i1, i2, hd)).toSet
+    assert(banded == brute)
+    assert(banded.nonEmpty) // corpus has exact dups → hd 0 pairs exist
+  }
+
   test("ngramJaccard: exact dup = 1.0; scored pairs match set arithmetic") {
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id1", "id2")
     val j = DedupOps.ngramJaccard(docs, pairs, "doc_id", "text", 3)
