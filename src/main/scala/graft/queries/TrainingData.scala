@@ -34,6 +34,11 @@ object TrainingData {
   val IvfNProbe = 2
   val WinnowK = 5 // winnowing: char k-gram width
   val WinnowW = 4 // winnowing: min-window width (guarantee gap t = W+K-1)
+  val FpMaxBucket = 1000 // containment: drop ubiquitous fingerprints (skew)
+  val MinSharedFps = 2 // containment: min shared fingerprints per pair
+  val ContainmentMin = 0.5 // containment: report pairs at/above this score
+  val EvalMod = 100 // decontamination: eval set = doc_id % EvalMod == 0
+  val DecontamRatio = 0.8 // drop train doc if > ratio of its fps hit eval
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
@@ -231,6 +236,65 @@ object TrainingData {
     "x_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         Text.fingerprint(col("text")).as("fingerprint"))),
+
+    // Winnowed-fingerprint CONTAINMENT (MOSS-style overlap detection):
+    // pairs sharing ≥ MinSharedFps winnow fingerprints, scored
+    // |F_a ∩ F_b| / min(|F_a|, |F_b|). The inverted-index shape: explode
+    // per-doc fingerprints once (scan-only kernel), drop ubiquitous
+    // fingerprints via a broadcast anti-join (skew guard — a boilerplate
+    // fp shared by half the corpus would otherwise emit |bucket|² pairs),
+    // one equi-join shuffle on the fingerprint, partial-agg'd pair counts.
+    // Denominators use the UNFILTERED per-doc fingerprint counts.
+    "x_winnow_containment" -> ((s, dir) => {
+      val fps = docs(s, dir).select(col("doc_id"),
+          explode(array_distinct(graft.functions.WinnowExprs
+            .winnowMinsNative(col("text"), WinnowK, WinnowW))).as("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("_n"))
+      val bad = fps.groupBy(col("fp")).agg(count(lit(1)).as("_c"))
+        .filter(col("_c") > FpMaxBucket).select(col("fp"))
+      val f = fps.join(broadcast(bad), Seq("fp"), "left_anti")
+      val a = f.select(col("fp"), col("doc_id").as("id1"))
+      val b = f.select(col("fp"), col("doc_id").as("id2"))
+      val shared = a.join(b, Seq("fp")).filter(col("id1") < col("id2"))
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= MinSharedFps)
+      shared
+        .join(sizes.select(col("doc_id").as("id1"), col("_n").as("_n1")), "id1")
+        .join(sizes.select(col("doc_id").as("id2"), col("_n").as("_n2")), "id2")
+        .select(col("id1"), col("id2"), col("n_shared"),
+          round(col("n_shared").cast("double") /
+            least(col("_n1"), col("_n2")).cast("double"), 6)
+            .cast("decimal(10,6)").as("containment"))
+        .filter(col("containment") >= ContainmentMin)
+    }),
+
+    // Decontamination APPLY: eval set = doc_id % EvalMod == 0; a training
+    // doc is dropped when more than DecontamRatio of its fingerprints
+    // appear anywhere in the eval set (benchmark leakage). Eval fps are
+    // a broadcast-sized distinct set (|eval| ≪ corpus); the train scan
+    // joins it once — no all-pairs stage at any scale. Zero-fingerprint
+    // docs survive by construction (no evidence of overlap).
+    "x_decontaminate_apply" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val fps = d.select(col("doc_id"),
+        explode(array_distinct(graft.functions.WinnowExprs
+          .winnowMinsNative(col("text"), WinnowK, WinnowW))).as("fp"))
+      val evalFps = fps.filter(col("doc_id") % EvalMod === 0)
+        .select(col("fp")).distinct()
+      val train = fps.filter(col("doc_id") % EvalMod =!= 0)
+      val hits = train.join(broadcast(evalFps), Seq("fp"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("_hit"))
+      val sizes = train.groupBy(col("doc_id")).agg(count(lit(1)).as("_nf"))
+      val dropped = sizes.join(hits, "doc_id")
+        .filter(col("_hit").cast("double") / col("_nf") > DecontamRatio)
+        .select(col("doc_id"))
+      d.filter(col("doc_id") % EvalMod =!= 0)
+        .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+    }),
 
     // Winnowing (MOSS-style rolling-hash fingerprinting): char k-gram
     // hashes, sliding-window min, distinct mins = the doc's fingerprint
@@ -473,6 +537,24 @@ object TrainingData {
        |WHERE hamming <= $SimhashMaxHamming""".stripMargin
   }
 
+  /** Shared CTEs producing the per-doc winnow fingerprint SET
+    * (fps(doc_id, fp)) — same arithmetic as the x_winnow_fingerprint
+    * oracle and [[graft.functions.WinnowExprs.winnowMinsNative]]. */
+  private def winnowFpCtes: String =
+    s"""t AS (SELECT doc_id, $normDoc AS t FROM documents),
+       |g0 AS (SELECT doc_id, len(t) - ${WinnowK - 1} AS G, t,
+       |         unnest(range(1, len(t) - ${WinnowK - 1} + 1)) AS i
+       |       FROM t WHERE len(t) >= $WinnowK),
+       |g AS (SELECT doc_id, G, i - 1 AS pos,
+       |        ${Text.kgramHashDuck("t", "i", WinnowK)} AS h
+       |      FROM g0),
+       |m AS (SELECT doc_id, G, pos,
+       |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wmin
+       |      FROM g),
+       |fps AS (SELECT DISTINCT doc_id, wmin AS fp FROM m
+       |        WHERE pos <= G - $WinnowW)""".stripMargin
+
   private def cosineDuck(a: String, b: String) =
     SimilarityOps.cosineDuck(a, b, EmbeddingDim)
 
@@ -643,6 +725,41 @@ object TrainingData {
 
     "x_fingerprint" ->
       s"SELECT doc_id, ${Text.fingerprintDuck("text")} AS fingerprint FROM documents",
+
+    "x_winnow_containment" ->
+      s"""WITH $winnowFpCtes,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id),
+         |bad AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > $FpMaxBucket),
+         |f AS (SELECT * FROM fps WHERE fp NOT IN (SELECT fp FROM bad)),
+         |shared AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    count(*) AS n_shared
+         |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= $MinSharedFps)
+         |SELECT id1, id2, n_shared,
+         |  CAST(CAST(round(CAST(n_shared AS DOUBLE) / least(s1.n, s2.n), 6)
+         |       AS DECIMAL(10,6)) AS DOUBLE) AS containment
+         |FROM shared
+         |JOIN sizes s1 ON s1.doc_id = id1
+         |JOIN sizes s2 ON s2.doc_id = id2
+         |WHERE round(CAST(n_shared AS DOUBLE) / least(s1.n, s2.n), 6)
+         |      >= $ContainmentMin""".stripMargin,
+
+    "x_decontaminate_apply" ->
+      s"""WITH $winnowFpCtes,
+         |evalf AS (SELECT DISTINCT fp FROM fps WHERE doc_id % $EvalMod = 0),
+         |train AS (SELECT * FROM fps WHERE doc_id % $EvalMod <> 0),
+         |hits AS (SELECT t.doc_id, count(*) AS n_hit
+         |         FROM train t JOIN evalf USING (fp) GROUP BY 1),
+         |sizes AS (SELECT doc_id, count(*) AS nf FROM train GROUP BY doc_id),
+         |dropped AS (SELECT s.doc_id FROM sizes s JOIN hits h
+         |              ON h.doc_id = s.doc_id
+         |            WHERE CAST(n_hit AS DOUBLE) / nf > $DecontamRatio)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM documents d
+         |WHERE doc_id % $EvalMod <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM dropped)
+         |GROUP BY lang""".stripMargin,
 
     "x_winnow_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $normDoc AS t FROM documents),
