@@ -39,6 +39,8 @@ object TrainingData {
   val ContainmentMin = 0.5 // containment: report pairs at/above this score
   val EvalMod = 100 // decontamination: eval set = doc_id % EvalMod == 0
   val DecontamRatio = 0.8 // drop train doc if > ratio of its fps hit eval
+  val PackShards = 32 // sequence packing: independent shards (parallelism)
+  val SeqLen = 2048 // sequence packing: tokens per training sequence
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
@@ -348,6 +350,49 @@ object TrainingData {
         .select(col("doc_id"), col("rk"), col("token"),
           round(col("_s"), 6).cast("decimal(10,6)").as("tfidf"))
     }),
+
+    // GPT-style sequence packing: concatenate documents in id order and
+    // cut at SeqLen-token boundaries; a doc's chunk = its start offset
+    // div SeqLen. Packing is SHARD-LOCAL (doc_id % PackShards): the
+    // cumulative sum windows over each shard independently, so the
+    // operator parallelizes — a single global order would serialize the
+    // window into one reducer at 100 TB. Deterministic: id order, exact
+    // integer token counts, integral div on both engines (non-negative
+    // offsets ⇒ truncating div ≡ floor div).
+    "x_sequence_pack" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        (col("doc_id") % PackShards).as("shard"),
+        Text.tokenCount(col("text")).cast("long").as("_tok"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      d.withColumn("_cum", sum(col("_tok")).over(w))
+        .withColumn("chunk_id",
+          expr(s"(_cum - _tok) div $SeqLen").cast("long"))
+        .groupBy(col("shard"), col("chunk_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("_tok")).cast("long").as("n_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+    }),
+
+    // Redaction accounting: per language, documents carrying long digit
+    // runs (account-number-shaped) and total digits a scrub would remove.
+    // Patterns restricted to character-class regexes with identical
+    // semantics in Java regex and RE2 (the engine-portability rule the
+    // Text ops established).
+    "x_redact_stats" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("_digits",
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[0-9]", ""))).cast("long"))
+        .withColumn("_long_run", col("text").rlike("[0-9]{6,}"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("_digits")).cast("long").as("n_digits_removable"),
+          sum(when(col("_long_run"), 1L).otherwise(0L)).cast("long")
+            .as("n_docs_long_runs"))),
 
     // Per-label embedding centroids as QUANTIZED integer sums: component
     // micro-units (round(v·10⁶) per dim) summed exactly — float sums
@@ -800,6 +845,28 @@ object TrainingData {
          |      ORDER BY round(s, 6) DESC, token ASC) AS rk
          |  FROM scored)
          |SELECT doc_id, rk, token, tfidf FROM r WHERE rk <= 3""".stripMargin,
+
+    "x_sequence_pack" ->
+      s"""WITH d AS (SELECT doc_id, doc_id % $PackShards AS shard,
+         |    CAST(${Text.tokenCountDuck("text")} AS BIGINT) AS tok
+         |  FROM documents),
+         |c AS (SELECT doc_id, shard, tok,
+         |    sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d)
+         |SELECT shard, CAST((cum - tok) // $SeqLen AS BIGINT) AS chunk_id,
+         |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "x_redact_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(strlen(text) -
+        |       strlen(regexp_replace(text, '[0-9]', '', 'g'))) AS BIGINT)
+        |    AS n_digits_removable,
+        |  CAST(sum(CASE WHEN regexp_matches(text, '[0-9]{6,}')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_long_runs
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "x_embed_centroids" ->
       """WITH expanded AS (
