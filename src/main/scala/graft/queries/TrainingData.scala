@@ -136,6 +136,30 @@ object TrainingData {
         .agg(count(lit(1)).as("n_sampled"),
           sum(col("n_chars")).cast("long").as("sampled_chars"))),
 
+    // Multilingual temperature resampling (α = 0.5): per-language keep
+    // rate ∝ sqrt(min_count / count) — flattens the language distribution
+    // the way LLM pretraining mixes upsample rare languages, capped at
+    // 1.0 for the rarest. Deterministic and engine-exact: sqrt is
+    // IEEE-correctly-rounded in both engines, the rate becomes an integer
+    // ppm threshold, and membership is a portable-hash compare (the
+    // x_sample_stratified mechanism). The rate table is lang-cardinality
+    // rows — broadcast; the corpus never shuffles.
+    "x_temperature_sample" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("_hm",
+        PortableHash.hash32(col("doc_id").cast("string"), "tmp|") % 1000000)
+      val n = d.groupBy(col("lang")).agg(count(lit(1)).as("_nl"))
+      val m = n.agg(min(col("_nl")).as("_mn"))
+      val r = n.crossJoin(broadcast(m))
+        .withColumn("_thr",
+          round(sqrt(col("_mn").cast("double") / col("_nl")) * 1000000, 0)
+            .cast("long"))
+      d.join(broadcast(r.select(col("lang"), col("_nl"), col("_thr"))), "lang")
+        .groupBy(col("lang"))
+        .agg(min(col("_nl")).as("n_orig"),
+          sum(when(col("_hm") < col("_thr"), 1L).otherwise(0L)).cast("long")
+            .as("n_sampled"))
+    }),
+
     "x_dedup_minhash_lsh" -> ((s, dir) => minhashPairs(minhashSig(s, dir))),
 
     "x_dedup_minhash_jaccard" -> ((s, dir) => {
@@ -639,6 +663,21 @@ object TrainingData {
          |FROM documents
          |WHERE ${PortableHash.duckSql("CAST(doc_id AS VARCHAR)", "smp|")} % 5 = 0
          |GROUP BY lang""".stripMargin,
+
+    "x_temperature_sample" ->
+      s"""WITH hd AS (SELECT lang,
+         |    ${PortableHash.duckSql("CAST(doc_id AS VARCHAR)", "tmp|")} % 1000000 AS hm
+         |  FROM documents),
+         |n AS (SELECT lang, count(*) AS nl FROM hd GROUP BY lang),
+         |m AS (SELECT min(nl) AS mn FROM n),
+         |r AS (SELECT lang, nl,
+         |    CAST(round(sqrt(CAST(mn AS DOUBLE) / nl) * 1000000, 0) AS BIGINT) AS thr
+         |  FROM n, m)
+         |SELECT hd.lang, min(r.nl) AS n_orig,
+         |  CAST(sum(CASE WHEN hd.hm < r.thr THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_sampled
+         |FROM hd JOIN r ON r.lang = hd.lang
+         |GROUP BY hd.lang""".stripMargin,
 
     "x_dedup_minhash_lsh" ->
       s"WITH $minhashCtes SELECT id1, id2 FROM pairs",
