@@ -34,7 +34,9 @@ object TrainingData {
   val IvfNProbe = 2
   val WinnowK = 5 // winnowing: char k-gram width
   val WinnowW = 4 // winnowing: min-window width (guarantee gap t = W+K-1)
-  val FpMaxBucket = 1000 // containment: drop ubiquitous fingerprints (skew)
+  val FpMaxBucket = 100 // containment: keep only discriminative fps — a fp
+  // shared by >100 docs is boilerplate AND contributes O(cap²) join pairs;
+  // at 1000 the pair stage dominated the whole bench (21.6 s at sf0.1)
   val MinSharedFps = 2 // containment: min shared fingerprints per pair
   val ContainmentMin = 0.5 // containment: report pairs at/above this score
   val EvalMod = 100 // decontamination: eval set = doc_id % EvalMod == 0
@@ -270,16 +272,19 @@ object TrainingData {
     // fingerprints via a broadcast anti-join (skew guard — a boilerplate
     // fp shared by half the corpus would otherwise emit |bucket|² pairs),
     // one equi-join shuffle on the fingerprint, partial-agg'd pair counts.
-    // Denominators use the UNFILTERED per-doc fingerprint counts.
+    // Scores use the filtered (discriminative) sets on both sides.
     "x_winnow_containment" -> ((s, dir) => {
       val fps = docs(s, dir).select(col("doc_id"),
           explode(array_distinct(graft.functions.WinnowExprs
             .winnowMinsNative(col("text"), WinnowK, WinnowW))).as("fp"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("_n"))
       val bad = fps.groupBy(col("fp")).agg(count(lit(1)).as("_c"))
         .filter(col("_c") > FpMaxBucket).select(col("fp"))
+      // both the pair counts AND the denominators use the discriminative
+      // (filtered) fingerprint sets — one consistent universe
       val f = fps.join(broadcast(bad), Seq("fp"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = f.groupBy(col("doc_id")).agg(count(lit(1)).as("_n"))
       val a = f.select(col("fp"), col("doc_id").as("id1"))
       val b = f.select(col("fp"), col("doc_id").as("id2"))
       val shared = a.join(b, Seq("fp")).filter(col("id1") < col("id2"))
@@ -812,9 +817,9 @@ object TrainingData {
 
     "x_winnow_containment" ->
       s"""WITH $winnowFpCtes,
-         |sizes AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id),
          |bad AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > $FpMaxBucket),
          |f AS (SELECT * FROM fps WHERE fp NOT IN (SELECT fp FROM bad)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
          |shared AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
          |    count(*) AS n_shared
          |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
