@@ -187,8 +187,11 @@ object DedupOps {
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         bit_count(col("_s1").bitwiseXOR(col("_s2"))).cast("int").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: most in-bucket candidates are far pairs,
+      // so the popcount cut shrinks the distinct's shuffle from the full
+      // candidate volume to just the near-dups
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   // -------------------------------------------- n-gram Jaccard (exact)
