@@ -194,6 +194,46 @@ object DedupOps {
       .distinct()
   }
 
+  /** Connected components over a near-dup pair graph (id1 < id2 edges):
+    * every node gets the MINIMUM id reachable from it — the canonical
+    * cluster representative, so "keep one per cluster" is `label == id`.
+    *
+    * Iterative min-label propagation, the Pregel/GraphX pattern: each
+    * round joins labels across edges and keeps the per-node min, until a
+    * fixpoint (no label decreased). Rounds needed = graph diameter in
+    * hops of doubling reach (≤ `maxIter`, asserted); each round is one
+    * equi-join + one partial-agg'd groupBy — all distributed, the driver
+    * only checks the convergence count, which is how Spark iterative
+    * graph algorithms are driven (GraphX Pregel does the same). The
+    * fixpoint is unique, so the result is deterministic regardless of
+    * execution order. Returns (id, label) for every node with ≥1 edge. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id1"), col("id2"))
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("id1").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // labels flowing along edges: node id1 learns id2's current label
+      val prop = edges.join(labels, edges("id2") === labels("id"))
+        .select(edges("id1").as("id"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("label", "_old"), "id")
+        .filter(col("label") < col("_old")).count() // materializes `next`
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter")
+    edges.unpersist()
+    labels
+  }
+
   // -------------------------------------------- n-gram Jaccard (exact)
 
   /** Exact n-gram Jaccard for candidate pairs: |A∩B| via a join of distinct

@@ -186,6 +186,22 @@ object TrainingData {
       DedupOps.ngramJaccard(docs(s, dir), minhashPairs(minhashSig(s, dir)),
         "doc_id", "text", ShingleW)),
 
+    // Cluster-level dedup apply: pair lists alone don't dedup
+    // transitively (A–B and B–C must collapse to ONE cluster), so the
+    // minhash LSH pairs feed connected components (min-label
+    // propagation) and only each cluster's min-id representative
+    // survives. Output: per-language survivor counts + how many docs the
+    // clustering removed.
+    "x_dedup_cluster_apply" -> ((s, dir) => {
+      val cc = DedupOps.connectedComponents(minhashPairs(minhashSig(s, dir)))
+      val dropped = cc.filter(col("label") < col("id"))
+        .select(col("id").as("doc_id"))
+      docs(s, dir)
+        .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_survivors"))
+    }),
+
     // BRUTE-FORCE BASELINE (all-pairs non-equi join → BroadcastNestedLoop):
     // correct and exact-oracled, but O(n²) pairs — kept as the reference
     // answer the LSH path is measured against. The 100 TB path is
@@ -697,6 +713,22 @@ object TrainingData {
          |FROM pairs p JOIN sig a ON a.doc_id = p.id1
          |             JOIN sig b ON b.doc_id = p.id2""".stripMargin
     },
+
+    // transitive closure over the (small) pair graph; min reachable id =
+    // the same fixpoint the Spark label propagation converges to
+    "x_dedup_cluster_apply" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |e AS (SELECT id1, id2 FROM pairs UNION SELECT id2, id1 FROM pairs),
+         |walk(id, r) AS (
+         |  SELECT id1, id2 FROM e
+         |  UNION
+         |  SELECT w.id, e.id2 FROM walk w JOIN e ON e.id1 = w.r),
+         |lab AS (SELECT id, least(id, min(r)) AS label FROM walk GROUP BY id),
+         |dropped AS (SELECT id FROM lab WHERE label < id)
+         |SELECT lang, count(*) AS n_survivors
+         |FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.id = d.doc_id)
+         |GROUP BY lang""".stripMargin,
 
     "x_dedup_simhash" -> simhashOracle,
 

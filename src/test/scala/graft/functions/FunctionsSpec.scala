@@ -167,6 +167,15 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(banded.nonEmpty) // corpus has exact dups → hd 0 pairs exist
   }
 
+  test("connectedComponents: chains collapse transitively to the min id") {
+    // 1-2, 2-3 form one cluster (even though 1-3 was never a pair);
+    // 5-6 is separate; 4 has no edge and gets no row
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val cc = DedupOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("ngramJaccard: exact dup = 1.0; scored pairs match set arithmetic") {
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id1", "id2")
     val j = DedupOps.ngramJaccard(docs, pairs, "doc_id", "text", 3)
