@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, PipelineOps, ReferenceOps, TrainingData}
+import graft.queries.{Analytics, Curation, PipelineOps, ReferenceOps, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,12 +22,14 @@ object SparkEntry {
     ReferenceOps.queries,
     Analytics.queries,
     TrainingData.queries,
+    Curation.queries,
     PipelineOps.queries)
 
   def oracleGroups: Seq[Map[String, String]] = Seq(
     ReferenceOps.oracle,
     Analytics.oracle,
     TrainingData.oracle,
+    Curation.oracle,
     PipelineOps.oracle)
 
   /** One entry per implemented operator from SURVEY.md §2. Every result

@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{DedupOps, ShingleExprs, Text}
+
+/** Corpus-curation operators beyond the dedup/similarity families already
+  * in [[TrainingData]]: repetition analysis and rule-based quality
+  * filtering (the Gopher/MassiveText filter stack), greedy token-budget
+  * subset selection, and incremental (delta-vs-corpus) near-dup detection.
+  *
+  * Scale shapes: repetition and rule filters are expression-only scans
+  * (zero shuffles — linear to 100 TB); budget selection windows inside
+  * each stratum (parallel across strata; see the scaladoc for the
+  * threshold-based variant at extreme scale); incremental dedup probes a
+  * pre-built LSH band index with one semi-join, never rescanning the
+  * corpus text.
+  */
+object Curation {
+
+  val MinTokens = 5 // Gopher-style rule bounds (word count / word length)
+  val MaxTokens = 10000
+  val MinMeanWordLen = 2.0
+  val MaxMeanWordLen = 12.0
+  val MaxDupTokenFrac = 0.5 // fraction of tokens repeating an earlier one
+  val MaxTopBigramFrac = 0.05 // most-frequent-bigram share of all bigrams
+  val TokenBudget = 2000L // per-language greedy selection budget
+  val DeltaMod = 10 // incremental dedup: delta batch = doc_id % 10 == 9
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents")
+
+  /** Project tokens/bigrams to attributes FIRST: both are referenced from
+    * inside higher-order-function lambdas below, where an inlined
+    * expression would re-evaluate per array element. */
+  private def withRepetitionCols(d: DataFrame): DataFrame =
+    d.select(col("*"),
+        split(Text.normalize(col("text")), " ").as("_toks"),
+        ShingleExprs.wordShinglesNative(col("text"), 2).as("_bgs"))
+      .select(col("*"),
+        size(col("_toks")).cast("long").as("_ntok"),
+        // duplicated-token fraction: 1 - |distinct| / |tokens|
+        ((size(col("_toks")) - size(array_distinct(col("_toks"))))
+          .cast("double") / size(col("_toks"))).as("_dupf"),
+        // top-bigram share: max in-array multiplicity over total bigrams.
+        // Expression-only mode count — O(|distinct|·|bigrams|) per row,
+        // bounded by document length; stays inside the scan (no
+        // per-document explode+groupBy shuffle).
+        when(size(col("_bgs")) === 0, lit(0.0)).otherwise(
+          array_max(transform(array_distinct(col("_bgs")),
+            x => size(filter(col("_bgs"), y => y === x))))
+            .cast("double") / size(col("_bgs"))).as("_topbgf"))
+
+  /** Shared DuckDB CTE mirroring [[withRepetitionCols]]. */
+  private def repetitionCte: String = {
+    val norm = Text.normalizeDuck("text")
+    val bgs = Text.wordShinglesDuck("text", 2)
+    s"""rep AS (SELECT *,
+       |    len(toks) AS ntok,
+       |    CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+       |      / len(toks) AS dupf,
+       |    CASE WHEN len(bgs) = 0 THEN 0.0
+       |         ELSE CAST(list_max(list_transform(list_distinct(bgs),
+       |                x -> len(list_filter(bgs, y -> y = x)))) AS DOUBLE)
+       |              / len(bgs) END AS topbgf
+       |  FROM (SELECT doc_id, lang, text, $norm AS nt,
+       |          string_split($norm, ' ') AS toks, $bgs AS bgs
+       |        FROM documents))""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Gopher-style repetition measurements per document: the two standard
+    // repetition signals (duplicated-token fraction, most-frequent-bigram
+    // share). Expression-only scan — zero shuffles at any scale.
+    "x_repetition_stats" -> ((s, dir) =>
+      withRepetitionCols(docs(s, dir)).select(
+        col("doc_id"), col("_ntok").as("n_tokens"),
+        round(col("_dupf"), 6).cast("decimal(10,6)").as("dup_token_frac"),
+        round(col("_topbgf"), 6).cast("decimal(10,6)").as("top_bigram_frac"))),
+
+    // The MassiveText/Gopher rule stack APPLIED: per-rule failure counts
+    // and the surviving corpus per language. Rules (each a deterministic
+    // double comparison, identical in both engines): token-count bounds,
+    // mean-word-length bounds, duplicated-token cap, top-bigram cap,
+    // stopword presence. A doc can fail several rules; kept = passes all.
+    "x_gopher_filter_apply" -> ((s, dir) => {
+      val d = withRepetitionCols(docs(s, dir)).select(col("*"),
+        (length(Text.normalize(col("text"))).cast("double") /
+          col("_ntok")).as("_meanw"),
+        (Text.wordOccurrences(col("text"), "the") +
+          Text.wordOccurrences(col("text"), "a") +
+          Text.wordOccurrences(col("text"), "of")).as("_stop"))
+      val failSize = col("_ntok") < MinTokens || col("_ntok") > MaxTokens ||
+        col("_meanw") < MinMeanWordLen || col("_meanw") > MaxMeanWordLen
+      val failDup = col("_dupf") > MaxDupTokenFrac
+      val failTopbg = col("_topbgf") > MaxTopBigramFrac
+      val failStop = col("_stop") < 1
+      def n(c: Column) = sum(when(c, 1L).otherwise(0L)).cast("long")
+      d.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        n(!failSize && !failDup && !failTopbg && !failStop).as("n_kept"),
+        n(failSize).as("n_fail_size"),
+        n(failDup).as("n_fail_dup"),
+        n(failTopbg).as("n_fail_topbg"),
+        n(failStop).as("n_fail_stop"),
+        sum(when(!failSize && !failDup && !failTopbg && !failStop,
+          col("_ntok")).otherwise(0L)).cast("long").as("kept_tokens"))
+    }),
+
+    // Greedy token-budget subset selection: within each language, take
+    // documents in quality order (exact decimal score, doc_id tie-break)
+    // while the cumulative token count stays within the budget. The
+    // cumulative window runs per-stratum — parallel across languages; at
+    // extreme scale the same selection is done by deriving a quality
+    // THRESHOLD from a score histogram instead of an exact prefix (one
+    // agg instead of a window), which this operator's exact form oracles.
+    "x_token_budget_select" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        Text.tokenCount(col("text")).as("_tok"),
+        Text.qualityScore(col("text")).as("_q"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("_q").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("_cum", sum(col("_tok")).over(w))
+        .filter(col("_cum") <= TokenBudget)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_selected"),
+          sum(col("_tok")).cast("long").as("tokens_selected"))
+    }),
+
+    // Incremental (delta-vs-corpus) near-dup detection: the daily-ingest
+    // shape. The existing corpus is represented ONLY by its LSH band
+    // index (band, band_key) — the 100 TB corpus text is never rescanned;
+    // a new document is a dup candidate when any of its band keys hits
+    // the index. One distinct over the index + one left-semi equi-join,
+    // both skew-safe (semi-join output is bounded by the delta side).
+    // Delta = doc_id % 10 == 9 (deterministic split); docs too short to
+    // produce a signature cannot collide and count as novel.
+    "x_dedup_incremental" -> ((s, dir) => {
+      val bands = DedupOps.lshBands(TrainingData.minhashSig(s, dir),
+        "doc_id", TrainingData.Bands, TrainingData.RowsPerBand)
+      val corpusIdx = bands.filter(col("doc_id") % DeltaMod =!= DeltaMod - 1)
+        .select(col("band"), col("band_key")).distinct()
+      val dupIds = bands.filter(col("doc_id") % DeltaMod === DeltaMod - 1)
+        .join(corpusIdx, Seq("band", "band_key"), "left_semi")
+        .select(col("doc_id")).distinct()
+      docs(s, dir).filter(col("doc_id") % DeltaMod === DeltaMod - 1)
+        .join(broadcast(dupIds.withColumn("_dup", lit(1L))), Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_new"),
+          sum(coalesce(col("_dup"), lit(0L))).cast("long")
+            .as("n_dup_candidates"),
+          sum(when(col("_dup").isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_novel"))
+    })
+  )
+
+  val oracle: Map[String, String] = {
+    val norm = Text.normalizeDuck("text")
+    Map(
+      "x_repetition_stats" ->
+        s"""WITH ${repetitionCte}
+           |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+           |  CAST(CAST(round(dupf, 6) AS DECIMAL(10,6)) AS DOUBLE)
+           |    AS dup_token_frac,
+           |  CAST(CAST(round(topbgf, 6) AS DECIMAL(10,6)) AS DOUBLE)
+           |    AS top_bigram_frac
+           |FROM rep""".stripMargin,
+
+      "x_gopher_filter_apply" ->
+        s"""WITH ${repetitionCte},
+           |r AS (SELECT *,
+           |    (CAST(len(nt) AS DOUBLE) / ntok) AS meanw,
+           |    (${Text.wordOccurrencesDuck("text", "the")} +
+           |     ${Text.wordOccurrencesDuck("text", "a")} +
+           |     ${Text.wordOccurrencesDuck("text", "of")}) AS stop
+           |  FROM rep),
+           |f AS (SELECT lang, ntok,
+           |    (ntok < $MinTokens OR ntok > $MaxTokens
+           |     OR meanw < $MinMeanWordLen OR meanw > $MaxMeanWordLen)
+           |      AS fail_size,
+           |    dupf > $MaxDupTokenFrac AS fail_dup,
+           |    topbgf > $MaxTopBigramFrac AS fail_topbg,
+           |    stop < 1 AS fail_stop
+           |  FROM r)
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN NOT fail_size AND NOT fail_dup
+           |    AND NOT fail_topbg AND NOT fail_stop THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_kept,
+           |  CAST(sum(CASE WHEN fail_size THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_fail_size,
+           |  CAST(sum(CASE WHEN fail_dup THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_fail_dup,
+           |  CAST(sum(CASE WHEN fail_topbg THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_fail_topbg,
+           |  CAST(sum(CASE WHEN fail_stop THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_fail_stop,
+           |  CAST(sum(CASE WHEN NOT fail_size AND NOT fail_dup
+           |    AND NOT fail_topbg AND NOT fail_stop THEN ntok ELSE 0 END)
+           |    AS BIGINT) AS kept_tokens
+           |FROM f GROUP BY lang""".stripMargin,
+
+      "x_token_budget_select" ->
+        s"""WITH q AS (SELECT doc_id, lang,
+           |    CAST(${Text.tokenCountDuck("text")} AS BIGINT) AS tok,
+           |    ${Text.qualityScoreDuck("text")} AS qual
+           |  FROM documents),
+           |c AS (SELECT *, sum(tok) OVER (PARTITION BY lang
+           |    ORDER BY qual DESC, doc_id ASC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM q)
+           |SELECT lang, count(*) AS n_selected,
+           |  CAST(sum(tok) AS BIGINT) AS tokens_selected
+           |FROM c WHERE cum <= $TokenBudget GROUP BY lang""".stripMargin,
+
+      "x_dedup_incremental" ->
+        s"""WITH ${TrainingData.minhashCtes},
+           |cidx AS (SELECT DISTINCT band, band_key FROM bands
+           |         WHERE doc_id % $DeltaMod <> ${DeltaMod - 1}),
+           |dup AS (SELECT DISTINCT b.doc_id FROM bands b
+           |        JOIN cidx USING (band, band_key)
+           |        WHERE b.doc_id % $DeltaMod = ${DeltaMod - 1})
+           |SELECT lang, count(*) AS n_new,
+           |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM dup)
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_candidates,
+           |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM dup)
+           |    THEN 0 ELSE 1 END) AS BIGINT) AS n_novel
+           |FROM documents WHERE doc_id % $DeltaMod = ${DeltaMod - 1}
+           |GROUP BY lang""".stripMargin)
+  }
+}

@@ -553,8 +553,9 @@ object TrainingData {
 
   /** Shared CTEs for the minhash family (mirrors
     * [[DedupOps.minhashSignature]]'s universal-hash family: identical
-    * (a,b,M) constants, identical base hash). */
-  private def minhashCtes: String = {
+    * (a,b,M) constants, identical base hash). Package-visible: the
+    * incremental-dedup oracle ([[Curation]]) reuses the `bands` CTE. */
+  private[queries] def minhashCtes: String = {
     val minExprs = (0 until MinhashK).map { i =>
       val (a, b) = DedupOps.hashParams(i)
       s"min((h * $a + $b) % ${DedupOps.HashModulus}) AS mh_$i"
