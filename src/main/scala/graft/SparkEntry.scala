@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Curation, PipelineOps, ReferenceOps, TrainingData}
+import graft.queries.{Analytics, Curation, Embeddings, PipelineOps, ReferenceOps, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,6 +23,7 @@ object SparkEntry {
     Analytics.queries,
     TrainingData.queries,
     Curation.queries,
+    Embeddings.queries,
     PipelineOps.queries)
 
   def oracleGroups: Seq[Map[String, String]] = Seq(
@@ -30,6 +31,7 @@ object SparkEntry {
     Analytics.oracle,
     TrainingData.oracle,
     Curation.oracle,
+    Embeddings.oracle,
     PipelineOps.oracle)
 
   /** One entry per implemented operator from SURVEY.md §2. Every result
