@@ -101,6 +101,61 @@ object Analytics {
           count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q4 shape: EXISTS with a correlated non-equi condition —
+    // planned as a left-semi join whose equi part (orderkey) drives the
+    // shuffle and whose date inequality rides along as the join filter.
+    // Orders with any line shipped > 30 days after the order date.
+    "q4_late_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1996-06-30").cast("timestamp")))
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))),
+
+    // TPC-H Q19 shape: disjunctive multi-table predicates. The per-branch
+    // (brand, size, quantity) conjunctions only resolve after the join,
+    // but Catalyst pushes the derived single-table residuals (brand IN
+    // (...), size/quantity hull) into both scans — the pushdown pattern
+    // this query exists to pin.
+    "q19_disjunctive_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val part = t(s, dir, "part")
+      def branch(brand: String, szHi: Int, qLo: Int, qHi: Int) =
+        col("p_brand") === brand && col("p_size").between(1, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(branch("Brand#1", 15, 1, 11) ||
+          branch("Brand#2", 25, 10, 20) ||
+          branch("Brand#3", 35, 20, 30))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(22,6)")).cast("decimal(38,6)").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q22 shape: scalar aggregate subquery (global average balance,
+    // broadcast as a 1-row frame) consumed by a filter, then an anti join
+    // against orders. The above-average test is stated multiplicatively
+    // (bal·n > Σbal — exact decimal, no division) so both engines agree
+    // at boundaries, the q17 trick.
+    "q22_idle_customers" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val stats = cust.filter(col("c_acctbal") > 0)
+        .agg(sum(col("c_acctbal").cast("decimal(18,2)")).cast("decimal(38,2)").as("_sum"),
+          count(lit(1)).as("_n"))
+      cust.crossJoin(broadcast(stats))
+        .filter(col("c_acctbal").cast("decimal(18,2)") * col("_n") > col("_sum"))
+        // idle = no 1997 order (every customer has SOME order in this
+        // dataset, so the classic "no orders at all" would be vacuous)
+        .join(t(s, dir, "orders").filter(year(col("o_orderdate")) === 1997),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_bal"))
+    }),
+
     // SQL surface: the same engine through spark.sql over registered views.
     "sql_interface" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("orders_v")
@@ -367,6 +422,40 @@ object Analytics {
         |      FROM lineitem GROUP BY l_partkey) p
         |  ON l.l_partkey = p.ap_partkey
         |WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 2 * n_part_items < sum_qty""".stripMargin,
+
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-06-30'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q19_disjunctive_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q22_idle_customers" ->
+      """WITH stats AS (SELECT
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s,
+        |    count(*) AS n
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer, stats
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND year(o_orderdate) = 1997)
+        |GROUP BY c_nationkey""".stripMargin,
 
     "sql_interface" ->
       """SELECT o_orderpriority, count(*) AS n,

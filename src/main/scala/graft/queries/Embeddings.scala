@@ -24,14 +24,14 @@ object Embeddings {
   val KmeansK = 8 // k-means: clusters (init = first K vectors by id)
   val Dim = TrainingData.EmbeddingDim
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private[queries] def emb(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "embeddings")
 
   /** Per-(cluster, dim) exact integer sums → per-cluster centroid arrays
     * (dims re-assembled in order via sorted collect_list — the one
     * deterministic way to build an array column from grouped rows).
     * `assigned` must have (cid, embedding). */
-  private def centroidsOf(assigned: DataFrame): DataFrame =
+  private[queries] def centroidsOf(assigned: DataFrame): DataFrame =
     assigned
       .select(col("cid"), posexplode(col("embedding")).as(Seq("_pos", "_v")))
       .groupBy(col("cid"), col("_pos"))
@@ -48,7 +48,7 @@ object Embeddings {
   /** Argmax-cosine assignment of each corpus vector to a (broadcast)
     * centroid set. Both sides' vector math is left-to-right index order;
     * ties broken by rounded score then centroid id — the IVF pattern. */
-  private def assign(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[queries] def assign(e: DataFrame, cents: DataFrame): DataFrame = {
     val dotc = SimilarityOps.dotHof(col("embedding"), col("cvec"))
     val cnorm = sqrt(SimilarityOps.dotHof(col("cvec"), col("cvec")))
     val w = Window.partitionBy(col("vec_id"))

@@ -241,13 +241,92 @@ object PipelineOps {
         sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
   }
 
+  /** Stream-stream inner join with an event-time range condition — the
+    * Structured Streaming surface none of the other gates exercise: BOTH
+    * inputs are unbounded, and matches must pair rows across micro-batch
+    * boundaries (view in batch 0, purchase in batch 2), which only works
+    * through the join's keyed state store. Events replay as three
+    * micro-batches into two readStream sources (views / purchases); each
+    * purchase joins every view by the same user within the preceding
+    * hour. Watermarks are set wide open (the files replay in arbitrary
+    * event-time order, so ANY finite delay could drop legitimately-late
+    * rows and break exactness); production bounds state with a real
+    * delay — same plan, smaller state. Joined rows land in parquet; the
+    * batch aggregation below is on the landed output. */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = Files.createTempDirectory("graft_ssj_src").toString
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_micros(col("ts_us")).as("ts_ev"))
+      .repartition(3).write.mode("overwrite").parquet(srcDir)
+    runStreamStreamJoin(s, srcDir)
+      .groupBy((col("v_user") % 10).as("user_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("v_event")).as("n_views"),
+        countDistinct(col("p_event")).as("n_purchases"))
+  }
+
+  /** The streaming core of [[streamStreamJoin]], runnable on any staged
+    * (user_id, event_id, event_type, ts_ev) parquet dir — the spec drives
+    * it with crafted files so the view and its purchase land in DIFFERENT
+    * micro-batches, pinning that matches come out of the join state, not
+    * batch-local co-presence. Returns the landed joined rows (batch
+    * frame). */
+  def runStreamStreamJoin(s: SparkSession, srcDir: String): DataFrame = {
+    val outDir = Files.createTempDirectory("graft_ssj_out").toString
+    val ckp = Files.createTempDirectory("graft_ssj_ckp").toString
+    val schema = s.read.parquet(srcDir).schema
+    def src() = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val views = src().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_event"),
+        col("ts_ev").as("v_ts"))
+      .withWatermark("v_ts", "3650 days")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_event"),
+        col("ts_ev").as("p_ts"))
+      .withWatermark("p_ts", "3650 days")
+    val joined = views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+    // state-store partitioning knob, same rationale as streamDedupCounts
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = joined.writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(outDir)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o3_snapshot_roundtrip" -> ((s, dir) => snapshotRoundtrip(s, dir)),
     "o5_table_lifecycle" -> ((s, dir) => tableLifecycle(s, dir)),
     "b1_bucketed_join" -> ((s, dir) => bucketedJoinAgg(s, dir)),
     "t6_stateful_live_view" -> ((s, dir) => statefulLiveView(s, dir)),
     "t1_cdc_stream_live" -> ((s, dir) => cdcStreamLive(s, dir)),
-    "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)))
+    "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
+    "t7_stream_stream_join" -> ((s, dir) => streamStreamJoin(s, dir)),
+
+    // Sessionization by 30-min inactivity gap (session_window — merged
+    // event-time windows, the stateful-aggregation shape). Batch form of
+    // [[graft.streaming.EventAnalytics.sessionCounts]]; the same plan
+    // serves readStream with a watermark. The oracle restates it as
+    // gaps-and-islands SQL (break when the gap to the previous event is
+    // ≥ the session gap), pinning the merge semantics.
+    "t5_sessionized" -> ((s, dir) =>
+      graft.streaming.EventAnalytics.sessionCounts(
+        Tables.events(s, dir)
+          .withColumn("ts_ev", timestamp_micros(col("ts_us"))),
+        tsCol = "ts_ev", gap = "30 minutes")
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("start_us"),
+          (unix_micros(col("session_end")) - 1800000000L).as("last_us"),
+          col("n_events"))))
 
   val oracle: Map[String, String] = Map(
     "o3_snapshot_roundtrip" ->
@@ -291,5 +370,32 @@ object PipelineOps {
       s"""SELECT lang,
          |  count(DISTINCT md5(${graft.functions.Text.normalizeDuck("text")}))
          |    AS n_unique
-         |FROM documents GROUP BY lang""".stripMargin)
+         |FROM documents GROUP BY lang""".stripMargin,
+
+    "t7_stream_stream_join" ->
+      """SELECT CAST(v.user_id % 10 AS BIGINT) AS user_bucket,
+        |  count(*) AS n_pairs,
+        |  count(DISTINCT v.event_id) AS n_views,
+        |  count(DISTINCT p.event_id) AS n_purchases
+        |FROM events v JOIN events p ON p.user_id = v.user_id
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND epoch_us(p.ts) >= epoch_us(v.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000
+        |GROUP BY 1""".stripMargin,
+
+    // session_window merges windows while the inter-event gap < 30 min,
+    // so islands break exactly when gap ≥ 30 min (1800000000 µs)
+    "t5_sessionized" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |m AS (SELECT user_id, t,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |         OR t - lag(t) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |s AS (SELECT user_id, t, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS sid
+        |  FROM m)
+        |SELECT user_id, min(t) AS start_us, max(t) AS last_us,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin)
 }

@@ -1,0 +1,149 @@
+package graft.queries
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import java.security.MessageDigest
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Independent JVM references for the curation operators: straight-line
+  * Scala recomputations (no Spark expressions) of repetition stats, the
+  * Gopher rule stack, greedy budget selection, and the incremental-dedup
+  * band-index probe. Cross-engine exactness is pinned by the DuckDB
+  * oracle gate; these pin the SEMANTICS against code that shares nothing
+  * with the implementation. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def normalize(t: String): String =
+    t.toLowerCase.replaceAll("[ \\t\\n\\r\\f\\x0B]+", " ").trim
+  private def tokens(t: String): Array[String] = normalize(t).split(" ", -1)
+  private def bigrams(t: String): Array[String] = {
+    val tk = tokens(t)
+    if (tk.length < 2) Array.empty
+    else (0 until tk.length - 1).map(i => s"${tk(i)} ${tk(i + 1)}").toArray
+  }
+  private def round6(x: Double): Double =
+    new JBigDecimal(x).setScale(6, RoundingMode.HALF_UP).doubleValue
+
+  private def docRows: Array[(Long, String, String)] =
+    Tables.read(spark, TestSpark.Sf0001, "documents")
+      .select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect()
+
+  private def dupFrac(t: String): Double = {
+    val tk = tokens(t)
+    (tk.length - tk.distinct.length).toDouble / tk.length
+  }
+  private def topBigramFrac(t: String): Double = {
+    val bg = bigrams(t)
+    if (bg.isEmpty) 0.0
+    else bg.groupBy(identity).values.map(_.length).max.toDouble / bg.length
+  }
+
+  test("x_repetition_stats matches a straight-line JVM recomputation") {
+    val got = Curation.queries("x_repetition_stats")(spark, TestSpark.Sf0001)
+      .as[(Long, Long, java.math.BigDecimal, java.math.BigDecimal)]
+      .collect().map(r => r._1 -> ((r._2, r._3.doubleValue, r._4.doubleValue)))
+      .toMap
+    val docs = docRows
+    assert(got.size == docs.length)
+    docs.foreach { case (id, _, text) =>
+      val (ntok, dup, topbg) = got(id)
+      assert(ntok == tokens(text).length, s"doc $id token count")
+      assert(dup == round6(dupFrac(text)), s"doc $id dup frac")
+      assert(topbg == round6(topBigramFrac(text)), s"doc $id top bigram")
+    }
+  }
+
+  test("x_gopher_filter_apply matches per-rule JVM accounting") {
+    val got = Curation.queries("x_gopher_filter_apply")(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val byLang = docRows.groupBy(_._2)
+    assert(got.keySet == byLang.keySet)
+    byLang.foreach { case (lang, docs) =>
+      case class R(size: Boolean, dup: Boolean, topbg: Boolean, stop: Boolean,
+                   ntok: Long)
+      val rs = docs.map { case (_, _, text) =>
+        val tk = tokens(text)
+        val meanw = normalize(text).length.toDouble / tk.length
+        val stopHits = tk.count(t => t == "the" || t == "a" || t == "of")
+        R(size = tk.length < Curation.MinTokens ||
+            tk.length > Curation.MaxTokens ||
+            meanw < Curation.MinMeanWordLen || meanw > Curation.MaxMeanWordLen,
+          dup = dupFrac(text) > Curation.MaxDupTokenFrac,
+          topbg = topBigramFrac(text) > Curation.MaxTopBigramFrac,
+          stop = stopHits < 1,
+          ntok = tk.length.toLong)
+      }
+      val kept = rs.filter(r => !r.size && !r.dup && !r.topbg && !r.stop)
+      val (_, nDocs, nKept, nSize, nDup, nTopbg, nStop, keptToks) = got(lang)
+      assert(nDocs == docs.length, s"$lang n_docs")
+      assert(nKept == kept.length, s"$lang n_kept")
+      assert(nSize == rs.count(_.size), s"$lang n_fail_size")
+      assert(nDup == rs.count(_.dup), s"$lang n_fail_dup")
+      assert(nTopbg == rs.count(_.topbg), s"$lang n_fail_topbg")
+      assert(nStop == rs.count(_.stop), s"$lang n_fail_stop")
+      assert(keptToks == kept.map(_.ntok).sum, s"$lang kept_tokens")
+    }
+  }
+
+  test("x_token_budget_select is the maximal quality-ordered prefix per language") {
+    import org.apache.spark.sql.functions._
+    // scoring pulled from the (already oracle-pinned) Text expressions;
+    // the greedy prefix itself is recomputed in plain Scala
+    val scored = Tables.read(spark, TestSpark.Sf0001, "documents")
+      .select(col("lang"), col("doc_id"),
+        graft.functions.Text.tokenCount(col("text")).as("tok"),
+        graft.functions.Text.qualityScore(col("text")).cast("double").as("q"))
+      .as[(String, Long, Long, Double)].collect()
+    val expect = scored.groupBy(_._1).map { case (lang, ds) =>
+      val ordered = ds.sortBy(d => (-d._4, d._2))
+      val cum = ordered.scanLeft(0L)(_ + _._3).tail
+      val sel = ordered.zip(cum).filter(_._2 <= Curation.TokenBudget).map(_._1)
+      lang -> ((sel.length.toLong, sel.map(_._3).sum))
+    }
+    val got = Curation.queries("x_token_budget_select")(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expect.toMap)
+    got.values.foreach { case (_, toks) =>
+      assert(toks <= Curation.TokenBudget)
+    }
+  }
+
+  test("x_dedup_incremental matches a JVM band-index probe over the signatures") {
+    // independent reference: collect the minhash signatures, derive band
+    // keys in plain Scala (md5 of the pipe-joined band values — mirroring
+    // lshBands' definition, not its execution), probe delta keys against
+    // the corpus key set
+    val sig = TrainingData.minhashSig(spark, TestSpark.Sf0001).collect()
+    def bandKeys(row: org.apache.spark.sql.Row): Seq[(Int, String)] =
+      (0 until TrainingData.Bands).map { b =>
+        val vals = (0 until TrainingData.RowsPerBand)
+          .map(r => row.getLong(1 + b * TrainingData.RowsPerBand + r))
+        val md5 = MessageDigest.getInstance("MD5")
+          .digest(vals.mkString("|").getBytes("UTF-8"))
+        b -> md5.map("%02x".format(_)).mkString
+      }
+    val delta = sig.filter(_.getLong(0) % Curation.DeltaMod == Curation.DeltaMod - 1)
+    val corpusKeys = sig
+      .filter(_.getLong(0) % Curation.DeltaMod != Curation.DeltaMod - 1)
+      .flatMap(bandKeys).toSet
+    val dupIds = delta.filter(r => bandKeys(r).exists(corpusKeys.contains))
+      .map(_.getLong(0)).toSet
+    val docs = docRows
+    val expect = docs.filter(_._1 % Curation.DeltaMod == Curation.DeltaMod - 1)
+      .groupBy(_._2).map { case (lang, ds) =>
+        val dup = ds.count(d => dupIds.contains(d._1))
+        lang -> ((ds.length.toLong, dup.toLong, (ds.length - dup).toLong))
+      }
+    val got = Curation.queries("x_dedup_incremental")(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expect.toMap)
+    got.foreach { case (lang, (nNew, nDup, nNovel)) =>
+      assert(nNew == nDup + nNovel, s"$lang accounting")
+    }
+  }
+}
