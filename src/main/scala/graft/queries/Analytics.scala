@@ -293,6 +293,20 @@ object Analytics {
           count(lit(1)).as("n_orders"))
     }),
 
+    // CUBE: all 2^k grouping sets in one pass (rollup's superset — adds
+    // the nation-only marginal). Spark expands grouping sets without
+    // re-scanning the joined input.
+    "cube_orders" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      val cust = t(s, dir, "customer")
+      t(s, dir, "orders")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .cube(col("n_name"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("total"))
+    }),
+
     // As-of join (union + carry-forward window — no range-join blowup):
     // each purchase enriched with the latest click/view at or before it.
     "x_asof_enrich" -> ((s, dir) => {
@@ -552,6 +566,14 @@ object Analytics {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "cube_orders" ->
+      """SELECT n_name, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (n_name, o_orderpriority)""".stripMargin,
 
     "x_asof_enrich" ->
       """SELECT p.event_id, p.user_id, p.value, r.last_seen_event

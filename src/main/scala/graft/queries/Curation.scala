@@ -130,6 +130,90 @@ object Curation {
           sum(col("_tok")).cast("long").as("tokens_selected"))
     }),
 
+    // Bigram language-model quality scoring (the model-based signal next
+    // to the rule-based stack): every document scored by its average
+    // add-1-smoothed bigram log-probability under counts from the corpus
+    // itself. P(w2|w1) = (c(w1 w2)+1) / (c(w1·)+V); per-term log-probs
+    // are quantized to nano-units so the per-doc sum is exact integer
+    // arithmetic (cross-row double sums are accumulation-order-dependent
+    // — the x_embed_centroids rule). Scale shape: two partial-agg'd count
+    // shuffles build the model; scoring joins each doc's bigrams to the
+    // model on compact string keys (AQE broadcasts when the model is
+    // small); one final per-doc agg. Docs with no bigrams have no score
+    // (no evidence), mirrored in the oracle.
+    "x_ngram_lm_score" -> ((s, dir) => {
+      val bg = docs(s, dir).select(col("doc_id"),
+        explode(ShingleExprs.wordShinglesNative(col("text"), 2)).as("bigram"))
+      val c2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+      val c1 = c2.select(split(col("bigram"), " ").getItem(0).as("w1"),
+          col("c2"))
+        .groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      val v = docs(s, dir)
+        .select(explode(split(Text.normalize(col("text")), " ")).as("t"))
+        .agg(countDistinct(col("t")).as("_v"))
+      bg.join(c2, "bigram")
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .join(c1, "w1")
+        .crossJoin(broadcast(v))
+        .withColumn("_lp", round(
+          log((col("c2") + 1).cast("double") / (col("c1") + col("_v"))) *
+            1000000000d, 0).cast("bigint"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("_lp")).cast("long").as("lm_score_nano"))
+    }),
+
+    // Mixture reweighting toward explicit per-source TARGET weights
+    // (static DoReMi-style): odd-numbered sources are deemed high-quality
+    // (weight 3) vs 1 for the rest; keep rate_s = (w_s/n_s) /
+    // max_u(w_u/n_u) — the most over-demanded source keeps everything,
+    // the others downsample proportionally, membership via the
+    // engine-portable hash threshold (integer ppm). The rate table is
+    // source-cardinality rows — broadcast; the corpus never shuffles.
+    // (Balancing toward UNIFORM shares is the degenerate w≡1 case — and
+    // literally degenerate on this corpus, whose source distribution is
+    // already uniform; explicit weights exercise the mechanism.)
+    "x_mixture_sample" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("_hm",
+        graft.functions.PortableHash.hash32(col("doc_id").cast("string"), "mix|")
+          % 1000000)
+      val n = d.groupBy(col("source")).agg(count(lit(1)).as("_ns"))
+        .withColumn("_w",
+          when(substring(col("source"), 4, 10).cast("long") % 2 === 1, 3.0)
+            .otherwise(1.0))
+        .withColumn("_ratio", col("_w") / col("_ns"))
+      val m = n.agg(max(col("_ratio")).as("_mx"))
+      val r = n.crossJoin(broadcast(m))
+        .withColumn("_thr",
+          round(col("_ratio") / col("_mx") * 1000000, 0).cast("long"))
+      d.join(broadcast(r.select(col("source"), col("_ns"), col("_thr"))),
+          "source")
+        .groupBy(col("source"))
+        .agg(min(col("_ns")).as("n_orig"),
+          sum(when(col("_hm") < col("_thr"), 1L).otherwise(0L)).cast("long")
+            .as("n_sampled"))
+    }),
+
+    // Vocabulary coverage (the Zipf head): how many distinct tokens cover
+    // 90% of the corpus token mass. The cumulative window runs over the
+    // AGGREGATED vocabulary (≪ corpus — the explode is absorbed by
+    // partial aggregation first), and the 90% test is exact integer
+    // arithmetic (cum·10 vs total·9), no float threshold.
+    "x_vocab_coverage" -> ((s, dir) => {
+      val freq = docs(s, dir)
+        .select(explode(split(Text.normalize(col("text")), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      val w = Window.orderBy(col("freq").desc, col("token").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      freq.withColumn("_cum", sum(col("freq")).over(w))
+        .crossJoin(broadcast(freq.agg(
+          sum(col("freq")).as("_total"), count(lit(1)).as("_vocab"))))
+        .agg(min(col("_vocab")).cast("long").as("vocab_size"),
+          min(col("_total")).cast("long").as("total_tokens"),
+          sum(when((col("_cum") - col("freq")) * 10 < col("_total") * 9, 1L)
+            .otherwise(0L)).cast("long").as("n_tokens_p90"))
+    }),
+
     // Incremental (delta-vs-corpus) near-dup detection: the daily-ingest
     // shape. The existing corpus is represented ONLY by its LSH band
     // index (band, band_key) — the 100 TB corpus text is never rescanned;
@@ -214,6 +298,57 @@ object Curation {
            |SELECT lang, count(*) AS n_selected,
            |  CAST(sum(tok) AS BIGINT) AS tokens_selected
            |FROM c WHERE cum <= $TokenBudget GROUP BY lang""".stripMargin,
+
+      "x_ngram_lm_score" -> {
+        val bgs = Text.wordShinglesDuck("text", 2)
+        s"""WITH bg AS (SELECT doc_id, unnest($bgs) AS bigram FROM documents),
+           |c2 AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+           |c1 AS (SELECT string_split(bigram, ' ')[1] AS w1,
+           |         sum(c2) AS c1 FROM c2 GROUP BY 1),
+           |v AS (SELECT count(DISTINCT t) AS v FROM (
+           |  SELECT unnest(string_split($norm, ' ')) AS t FROM documents))
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |  CAST(sum(CAST(round(ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v))
+           |    * 1000000000, 0) AS BIGINT)) AS BIGINT) AS lm_score_nano
+           |FROM bg
+           |JOIN c2 USING (bigram)
+           |JOIN c1 ON c1.w1 = string_split(bg.bigram, ' ')[1]
+           |CROSS JOIN v
+           |GROUP BY doc_id""".stripMargin
+      },
+
+      "x_mixture_sample" ->
+        s"""WITH hd AS (SELECT source,
+           |    ${graft.functions.PortableHash.duckSql("CAST(doc_id AS VARCHAR)", "mix|")}
+           |      % 1000000 AS hm
+           |  FROM documents),
+           |n AS (SELECT source, count(*) AS ns,
+           |    (CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 1
+           |          THEN 3.0 ELSE 1.0 END) / count(*) AS ratio
+           |  FROM hd GROUP BY source),
+           |m AS (SELECT max(ratio) AS mx FROM n),
+           |r AS (SELECT source, ns,
+           |    CAST(round(ratio / mx * 1000000, 0) AS BIGINT) AS thr
+           |  FROM n, m)
+           |SELECT hd.source, min(r.ns) AS n_orig,
+           |  CAST(sum(CASE WHEN hd.hm < r.thr THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_sampled
+           |FROM hd JOIN r ON r.source = hd.source
+           |GROUP BY hd.source""".stripMargin,
+
+      "x_vocab_coverage" ->
+        s"""WITH freq AS (SELECT token, count(*) AS freq FROM (
+           |    SELECT unnest(string_split($norm, ' ')) AS token
+           |    FROM documents) GROUP BY token),
+           |c AS (SELECT freq, sum(freq) OVER (ORDER BY freq DESC, token ASC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM freq),
+           |t AS (SELECT sum(freq) AS total, count(*) AS vocab FROM freq)
+           |SELECT CAST(min(vocab) AS BIGINT) AS vocab_size,
+           |  CAST(min(total) AS BIGINT) AS total_tokens,
+           |  CAST(sum(CASE WHEN (cum - freq) * 10 < total * 9
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_p90
+           |FROM c, t""".stripMargin,
 
       "x_dedup_incremental" ->
         s"""WITH ${TrainingData.minhashCtes},

@@ -112,6 +112,57 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("x_ngram_lm_score matches a straight-line JVM bigram LM") {
+    val docs = docRows
+    val allBigrams = docs.flatMap { case (id, _, t) => bigrams(t).map(id -> _) }
+    val c2 = allBigrams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val c1 = c2.groupBy(_._1.split(" ")(0)).view
+      .mapValues(_.values.sum).toMap
+    val v = docs.flatMap(d => tokens(d._3)).distinct.length
+    val expect = allBigrams.groupBy(_._1).map { case (id, bs) =>
+      val terms = bs.map { case (_, bg) =>
+        val p = (c2(bg) + 1).toDouble / (c1(bg.split(" ")(0)) + v)
+        new JBigDecimal(math.log(p) * 1e9)
+          .setScale(0, RoundingMode.HALF_UP).longValue
+      }
+      id -> ((bs.length.toLong, terms.sum))
+    }
+    val got = Curation.queries("x_ngram_lm_score")(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expect)
+  }
+
+  test("x_vocab_coverage: minimal prefix covering >= 90% of token mass") {
+    val freqs = docRows.flatMap(d => tokens(d._3))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, f) => (-f, t) }
+    val total = freqs.map(_._2).sum
+    val cums = freqs.scanLeft(0L)(_ + _._2).tail
+    val n90 = freqs.zip(cums)
+      .count { case ((_, f), c) => (c - f) * 10 < total * 9 }
+    val (vocab, tot, got90) =
+      Curation.queries("x_vocab_coverage")(spark, TestSpark.Sf0001)
+        .as[(Long, Long, Long)].head()
+    assert(vocab == freqs.length && tot == total && got90 == n90)
+    // the prefix really covers ≥ 90%, and dropping its last token doesn't
+    val cover = freqs.take(n90.toInt).map(_._2).sum
+    assert(cover * 10 >= total * 9)
+    assert(freqs.take(n90.toInt - 1).map(_._2).sum * 10 < total * 9)
+  }
+
+  test("x_mixture_sample: odd sources keep everything, even sources downsample") {
+    val got = Curation.queries("x_mixture_sample")(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (src, orig, sampled) =>
+      assert(sampled <= orig, src)
+      if (src.drop(3).toLong % 2 == 1) assert(sampled == orig, src)
+    }
+    // uniform corpus shares + 3:1 target weights ⇒ the even half must
+    // actually shed documents somewhere
+    assert(got.filter(_._1.drop(3).toLong % 2 == 0).map(r => r._2 - r._3).sum > 0)
+  }
+
   test("x_dedup_incremental matches a JVM band-index probe over the signatures") {
     // independent reference: collect the minhash signatures, derive band
     // keys in plain Scala (md5 of the pipe-joined band values — mirroring
