@@ -34,10 +34,17 @@ object AsOfJoin {
     * @param rightTs    right event-time column (same type)
     * @param rightPayload right columns to carry onto left rows
     *                     (renamed as-is in the output; must not collide)
+    * @param forward    false (default): most recent right row AT OR
+    *                   BEFORE the left timestamp; true: earliest right
+    *                   row AT OR AFTER it (same plan, time reversed —
+    *                   the carry-forward window runs over descending
+    *                   timestamps; the equal-ts tie still puts the right
+    *                   row first so an exactly-simultaneous right row is
+    *                   visible in both directions)
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String,
-           rightPayload: Seq[String]): DataFrame = {
+           rightPayload: Seq[String], forward: Boolean = false): DataFrame = {
     // internal plumbing columns — a caller frame already using one of
     // these names would silently collide in the union layout below
     val reserved = Seq("_ts", "_isLeft", "_rp")
@@ -69,8 +76,9 @@ object AsOfJoin {
         Seq(col(rightTs).as("_ts"), lit(0).as("_isLeft")) ++
         lp.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         rowStruct.as("_rp"): _*)
+    val tsOrder = if (forward) col("_ts").desc else col("_ts").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts").asc, col("_isLeft").asc)
+      .orderBy(tsOrder, col("_isLeft").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .withColumn("_rp", last(col("_rp"), ignoreNulls = true).over(w))

@@ -266,6 +266,21 @@ object Analytics {
         lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"))
     }),
 
+    // Distribution window functions: ntile quartiles, percent_rank,
+    // cume_dist per customer — same single hash exchange + partition
+    // sort as the ranking window; the ratios are exact small rationals
+    // (identical doubles in both engines), rounded for the oracle.
+    "window_ntile" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).cast("decimal(10,6)").as("pct_rank"),
+        round(cume_dist().over(w), 6).cast("decimal(10,6)").as("cume"))
+    }),
+
     // Semi/anti join surface: parts that never shipped (left_anti) and
     // customers with at least one purchase-priority order (left_semi).
     "anti_parts_never_ordered" -> ((s, dir) =>
@@ -322,6 +337,25 @@ object Analytics {
         rightPayload = Seq("last_seen_event"))
         .select(col("event_id"), col("user_id"), col("value"),
           col("last_seen_event"))
+    }),
+
+    // Forward as-of: each purchase enriched with the NEXT click/view at
+    // or after it (lookahead enrichment — e.g. "what did the user do
+    // right after buying"). Same single-exchange carry-forward plan as
+    // the backward form, time reversed.
+    "x_asof_forward" -> ((s, dir) => {
+      import graft.operators.AsOfJoin
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      val seen = ev.filter(col("event_type").isin("click", "view"))
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("next_seen_event"))
+      AsOfJoin.asOf(purchases, seen, keys = Seq("user_id"),
+        leftTs = "ts_us", rightTs = "ts_us",
+        rightPayload = Seq("next_seen_event"), forward = true)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("next_seen_event"))
     }),
 
     // Two-phase salted aggregation (hot-key mitigation): result must be
@@ -547,6 +581,17 @@ object Analytics {
         |             ORDER BY o_orderdate ASC, o_orderkey ASC
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
+    "window_ntile" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  CAST(CAST(round(percent_rank() OVER w, 6) AS DECIMAL(10,6))
+        |    AS DOUBLE) AS pct_rank,
+        |  CAST(CAST(round(cume_dist() OVER w, 6) AS DECIMAL(10,6))
+        |    AS DOUBLE) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
+
     "anti_parts_never_ordered" ->
       """SELECT p_partkey, p_name FROM part
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem
@@ -584,6 +629,16 @@ object Analytics {
         |  FROM events WHERE event_type IN ('click','view')
         |  GROUP BY 1, 2) r
         |ON p.user_id = r.user_id AND p.ts_us >= r.ts_us""".stripMargin,
+
+    "x_asof_forward" ->
+      """SELECT p.event_id, p.user_id, p.value, r.next_seen_event
+        |FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        |      FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS next_seen_event
+        |  FROM events WHERE event_type IN ('click','view')
+        |  GROUP BY 1, 2) r
+        |ON p.user_id = r.user_id AND p.ts_us <= r.ts_us""".stripMargin,
 
     "x_salted_agg" ->
       """SELECT event_type, count(*) AS n_events,

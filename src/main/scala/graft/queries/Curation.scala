@@ -214,6 +214,49 @@ object Curation {
             .otherwise(0L)).cast("long").as("n_tokens_p90"))
     }),
 
+    // Edit-distance verification of LSH candidates — the exact-similarity
+    // final stage of the dedup funnel (bucket → candidate → verify):
+    // Levenshtein over normalized text, scored only for the LSH pair set
+    // (never all-pairs; per-pair cost is O(len²) so the funnel keeps it
+    // off the full corpus). Identical unit-cost edit distance in both
+    // engines; similarity = 1 − d/max(len) exactly.
+    "x_edit_distance_verify" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        Text.normalize(col("text")).as("_nt"),
+        length(Text.normalize(col("text"))).as("_len"))
+      val pairs = TrainingData.minhashPairs(TrainingData.minhashSig(s, dir))
+      pairs
+        .join(d.select(col("doc_id").as("id1"), col("_nt").as("_t1"),
+          col("_len").as("_l1")), "id1")
+        .join(d.select(col("doc_id").as("id2"), col("_nt").as("_t2"),
+          col("_len").as("_l2")), "id2")
+        .select(col("id1"), col("id2"),
+          levenshtein(col("_t1"), col("_t2")).cast("long").as("edit_dist"),
+          round(lit(1.0) - levenshtein(col("_t1"), col("_t2")).cast("double") /
+            greatest(col("_l1"), col("_l2")).cast("double"), 6)
+            .cast("decimal(10,6)").as("edit_sim"))
+    }),
+
+    // Per-language length-outlier detection (|z| > 1.5): mean and variance
+    // from EXACT integer sums (n, Σx, Σx²) so the moments are identical
+    // in both engines; only the final σ takes a sqrt. One partial-agg'd
+    // shuffle for the moments (broadcast back), one scan for the flags.
+    "x_length_outliers" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("x"))
+      val m = d.groupBy(col("lang")).agg(
+        count(lit(1)).as("_n"), sum(col("x")).as("_s"),
+        sum(col("x") * col("x")).as("_s2"))
+      val mu = col("_s").cast("double") / col("_n")
+      val sigma = sqrt((col("_n") * col("_s2") - col("_s") * col("_s"))
+        .cast("double")) / col("_n")
+      d.join(broadcast(m), "lang")
+        .filter(abs(col("x").cast("double") - mu) > lit(1.5) * sigma)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_outliers"),
+          min(col("x")).as("min_len"), max(col("x")).as("max_len"))
+    }),
+
     // Incremental (delta-vs-corpus) near-dup detection: the daily-ingest
     // shape. The existing corpus is represented ONLY by its LSH band
     // index (band, band_key) — the 100 TB corpus text is never rescanned;
@@ -349,6 +392,29 @@ object Curation {
            |  CAST(sum(CASE WHEN (cum - freq) * 10 < total * 9
            |    THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_p90
            |FROM c, t""".stripMargin,
+
+      "x_edit_distance_verify" ->
+        s"""WITH ${TrainingData.minhashCtes},
+           |t AS (SELECT doc_id, $norm AS nt, len($norm) AS l FROM documents)
+           |SELECT id1, id2,
+           |  CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS edit_dist,
+           |  CAST(CAST(round(1.0 - CAST(levenshtein(a.nt, b.nt) AS DOUBLE)
+           |    / greatest(a.l, b.l), 6) AS DECIMAL(10,6)) AS DOUBLE)
+           |    AS edit_sim
+           |FROM pairs JOIN t a ON a.doc_id = id1
+           |           JOIN t b ON b.doc_id = id2""".stripMargin,
+
+      "x_length_outliers" ->
+        """WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS x
+          |  FROM documents),
+          |m AS (SELECT lang, count(*) AS n, sum(x) AS s, sum(x*x) AS s2
+          |  FROM d GROUP BY lang)
+          |SELECT lang, count(*) AS n_outliers,
+          |  min(x) AS min_len, max(x) AS max_len
+          |FROM d JOIN m USING (lang)
+          |WHERE abs(CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / n)
+          |      > 1.5 * (sqrt(CAST(n * s2 - s * s AS DOUBLE)) / n)
+          |GROUP BY lang""".stripMargin,
 
       "x_dedup_incremental" ->
         s"""WITH ${TrainingData.minhashCtes},

@@ -303,7 +303,74 @@ object PipelineOps {
     s.read.parquet(outDir)
   }
 
+  /** The production JDBC path promoted to the gate: region and nation
+    * written through [[graft.sources.JdbcSink]] into embedded Derby (the
+    * same operator surface that targets ClickHouse — only the URL
+    * differs), read back through [[graft.sources.JdbcSource]] — nation
+    * via the range-partitioned parallel scan the reference lacks — and
+    * reconciled. Overwrite mode keeps the query idempotent across bench
+    * passes. Counts and key sums are reproducible from the source
+    * parquet, so the oracle is exact. */
+  def jdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{JdbcSink, JdbcSource}
+    import graft.model.{SourceConfig, TargetConfig}
+    val url = "jdbc:derby:memory:graftgate;create=true"
+    val sink = new JdbcSink(TargetConfig(user = "app"), urlOverride = Some(url))
+    val src = new JdbcSource(s, SourceConfig(user = "app"),
+      urlOverride = Some(url))
+    sink.write(Tables.read(s, dir, "region"), "region_rt",
+      org.apache.spark.sql.SaveMode.Overwrite)
+    sink.write(Tables.read(s, dir, "nation"), "nation_rt",
+      org.apache.spark.sql.SaveMode.Overwrite)
+    val region = src.read("region_rt")
+    val nation = src.readPartitioned("nation_rt", "n_nationkey",
+      lower = 0, upper = 64, numPartitions = 4)
+    import s.implicits._
+    Seq(
+      ("region", region.count(),
+        region.agg(sum(col("r_regionkey"))).head().getLong(0)),
+      ("nation", nation.count(),
+        nation.agg(sum(col("n_nationkey"))).head().getLong(0)))
+      .toDF("table_name", "n_rows", "key_sum")
+  }
+
+  /** Stream-static join: the unbounded event stream enriched per
+    * micro-batch with a broadcast static dimension (customer, keyed by a
+    * derived FK) — the stateless enrichment shape (no state store; the
+    * dim is re-broadcast each batch, which is how slowly-changing
+    * dimensions stay fresh in production). Events replay as three
+    * micro-batches; the enriched rows land and aggregate per market
+    * segment. */
+  def streamStaticEnrich(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = Files.createTempDirectory("graft_sse_src").toString
+    val outDir = Files.createTempDirectory("graft_sse_out").toString
+    val ckp = Files.createTempDirectory("graft_sse_ckp").toString
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .repartition(3).write.mode("overwrite").parquet(srcDir)
+    val nCust = Tables.read(s, dir, "customer").count()
+    val dim = Tables.read(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val schema = s.read.parquet(srcDir).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .withColumn("_fk", col("user_id") % nCust + 1)
+      .join(broadcast(dim), col("_fk") === col("c_custkey"), "left")
+    val q = stream.writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)")
+          .as("sum_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o7_jdbc_roundtrip" -> ((s, dir) => jdbcRoundtrip(s, dir)),
+    "t8_stream_static_enrich" -> ((s, dir) => streamStaticEnrich(s, dir)),
     "o3_snapshot_roundtrip" -> ((s, dir) => snapshotRoundtrip(s, dir)),
     "o5_table_lifecycle" -> ((s, dir) => tableLifecycle(s, dir)),
     "b1_bucketed_join" -> ((s, dir) => bucketedJoinAgg(s, dir)),
@@ -329,6 +396,20 @@ object PipelineOps {
           col("n_events"))))
 
   val oracle: Map[String, String] = Map(
+    "o7_jdbc_roundtrip" ->
+      """SELECT 'region' AS table_name, count(*) AS n_rows,
+        |  CAST(sum(r_regionkey) AS BIGINT) AS key_sum FROM region
+        |UNION ALL SELECT 'nation', count(*),
+        |  CAST(sum(n_nationkey) AS BIGINT) FROM nation""".stripMargin,
+
+    "t8_stream_static_enrich" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e
+        |LEFT JOIN customer c
+        |  ON e.user_id % (SELECT count(*) FROM customer) + 1 = c.c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
     "o3_snapshot_roundtrip" ->
       """SELECT 'region' AS table_name, count(*) AS source_count,
         |       count(*) AS target_count, true AS success FROM region

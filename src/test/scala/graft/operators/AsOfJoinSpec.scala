@@ -32,6 +32,23 @@ class AsOfJoinSpec extends AnyFunSuite {
       "p4" -> None))          // right row is in the future
   }
 
+  test("forward direction picks earliest right row at-or-after, null when none") {
+    val left = Seq(
+      (1, 10L, "p1"), (1, 20L, "p2"), (1, 16L, "p3"), (2, 100L, "p4"))
+      .toDF("k", "ts", "lv")
+    val right = Seq(
+      (1, 10L, "r@10"), (1, 15L, "r@15"), (1, 25L, "r@25"), (2, 99L, "r@99"))
+      .toDF("k", "ts", "rv")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "ts", "ts", Seq("rv"),
+        forward = true)
+      .select("lv", "rv").as[(String, Option[String])].collect().toMap
+    assert(out == Map(
+      "p1" -> Some("r@10"),   // simultaneous right row IS visible
+      "p2" -> Some("r@25"),
+      "p3" -> Some("r@25"),
+      "p4" -> None))          // right row is in the past
+  }
+
   test("multi-column payload with legitimate NULLs carries as one row") {
     val left = Seq((1, 3L, "p")).toDF("k", "ts", "lv")
     val right = Seq(
