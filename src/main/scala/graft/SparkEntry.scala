@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Curation, Embeddings, PipelineOps, ReferenceOps, TrainingData}
+import graft.queries.{Analytics, Curation, Embeddings, EventOps, PipelineOps, ReferenceOps, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,6 +24,7 @@ object SparkEntry {
     TrainingData.queries,
     Curation.queries,
     Embeddings.queries,
+    EventOps.queries,
     PipelineOps.queries)
 
   def oracleGroups: Seq[Map[String, String]] = Seq(
@@ -32,6 +33,7 @@ object SparkEntry {
     TrainingData.oracle,
     Curation.oracle,
     Embeddings.oracle,
+    EventOps.oracle,
     PipelineOps.oracle)
 
   /** One entry per implemented operator from SURVEY.md §2. Every result

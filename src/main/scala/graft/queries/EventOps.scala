@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators over the `events` stream table: calendar
+  * gap-filling with forward-fill (the time-series densification shape),
+  * weekly cohort retention, and ordered funnel-stage analysis. All
+  * deterministic (integer/decimal aggregates, exact date arithmetic) and
+  * exactly DuckDB-oracled.
+  */
+object EventOps {
+
+  val GapFillUsers = 50L // bound the densified output: user_id < 50
+  val ClickWindowUs = 12L * 3600 * 1000000 // funnel: click ≤ 12h after view
+  val BuyWindowUs = 2L * 86400 * 1000000 // funnel: purchase ≤ 2d after click
+  val RetentionMinValue = 90.0 // retention: high-value purchases only
+  // (unwindowed funnel stages and all-events retention are degenerate on
+  // this corpus — every user does everything every week; the windows and
+  // the value floor make the stages discriminative: 150 → 37 → 20 users
+  // and a triangular cohort matrix at sf0.01)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Calendar gap-fill + forward-fill: each user's [first, last] event
+    // date densified to one row per day (sequence + explode — generated
+    // map-side, no join against a calendar table), daily purchase sums
+    // attached, and days without purchases carrying the last known
+    // value forward (last ignoreNulls over an ordered window). The
+    // window partitions per user — parallel across users; row volume =
+    // Σ per-user day spans, bounded here by the user_id < 50 slice.
+    "x_gap_fill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id") < GapFillUsers)
+        .withColumn("day", to_date(timestamp_micros(col("ts_us"))))
+      val span = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      val days = span.select(col("user_id"),
+        explode(sequence(col("_d0"), col("_d1"))).as("day"))
+      val daily = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)")
+          .as("_dv"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      days.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("filled",
+          last(col("_dv"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("day").cast("string").as("day"),
+          coalesce(col("filled"), lit(0).cast("decimal(38,2)"))
+            .as("purchase_value_ff"))
+    }),
+
+    // Weekly cohort retention: users grouped by the week of their FIRST
+    // event; each later active week counts them at its integer week
+    // offset. Two partial-agg'd shuffles (first-event per user, then
+    // cohort cell counts) — the classic retention-matrix shape.
+    "x_retention_cohorts" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" &&
+          col("value") > RetentionMinValue)
+        .select(col("user_id"),
+          date_trunc("week", timestamp_micros(col("ts_us"))).cast("date")
+            .as("wk"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      ev.join(first, "user_id")
+        .select(col("user_id"), col("cohort"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("int")
+            .as("week_offset"))
+        .distinct()
+        .groupBy(col("cohort").cast("string").as("cohort_week"),
+          col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // Ordered funnel: view → click-after-view → purchase-after-click per
+    // user (each stage's timestamp must be at or after the previous
+    // stage's). Conditional-min aggregation in ONE pass over the events
+    // scan — min(ts) per type per user, then the ordering constraints
+    // applied on the tiny per-user frame. No self-joins of the event
+    // stream.
+    "x_funnel_stages" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val perUser = ev.groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", col("ts_us"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts_us"))).as("t_click_any"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("t_buy_any"))
+      // stage 2/3 re-derived with the ordering constraint: min event AT
+      // OR AFTER the previous stage — needs the event list again, but
+      // only for users who passed the previous stage (semi-join-pruned).
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("_tc"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("_tb"))
+      val afterView = perUser.filter(col("t_view").isNotNull)
+        .join(clicks, "user_id")
+        .filter(col("_tc") >= col("t_view") &&
+          col("_tc") <= col("t_view") + ClickWindowUs)
+        .groupBy(col("user_id"), col("t_view"))
+        .agg(min(col("_tc")).as("t_click"))
+      val afterClick = afterView.join(buys, "user_id")
+        .filter(col("_tb") >= col("t_click") &&
+          col("_tb") <= col("t_click") + BuyWindowUs)
+        .groupBy(col("user_id"))
+        .agg(min(col("_tb")).as("t_buy"))
+      import s.implicits._
+      Seq(
+        ("view", perUser.filter(col("t_view").isNotNull).count()),
+        ("click_after_view", afterView.count()),
+        ("purchase_after_click", afterClick.count()))
+        .toDF("stage", "n_users")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x_gap_fill" ->
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+         |    value
+         |  FROM events WHERE user_id < $GapFillUsers),
+         |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+         |  FROM ev GROUP BY user_id),
+         |days AS (SELECT user_id,
+         |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+         |      AS day
+         |  FROM span),
+         |daily AS (SELECT user_id, day,
+         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS dv
+         |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, day)
+         |SELECT d.user_id, CAST(d.day AS VARCHAR) AS day,
+         |  CAST(coalesce(last_value(daily.dv IGNORE NULLS) OVER (
+         |    PARTITION BY d.user_id ORDER BY d.day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+         |    AS DOUBLE) AS purchase_value_ff
+         |FROM days d LEFT JOIN daily
+         |  ON daily.user_id = d.user_id AND daily.day = d.day""".stripMargin,
+
+    "x_retention_cohorts" ->
+      s"""WITH ev AS (SELECT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+        |    WHERE event_type = 'purchase' AND value > $RetentionMinValue),
+        |first AS (SELECT user_id, min(wk) AS cohort FROM ev
+        |          GROUP BY user_id)
+        |SELECT CAST(cohort AS VARCHAR) AS cohort_week,
+        |  CAST((wk - cohort) / 7 AS INT) AS week_offset,
+        |  count(*) AS n_users
+        |FROM (SELECT DISTINCT ev.user_id, cohort, wk
+        |      FROM ev JOIN first USING (user_id))
+        |GROUP BY 1, 2""".stripMargin,
+
+    "x_funnel_stages" ->
+      s"""WITH pu AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |      AS t_view
+        |  FROM events GROUP BY user_id),
+        |av AS (SELECT e.user_id, pu.t_view, min(epoch_us(e.ts)) AS t_click
+        |  FROM events e JOIN pu USING (user_id)
+        |  WHERE e.event_type = 'click' AND pu.t_view IS NOT NULL
+        |    AND epoch_us(e.ts) >= pu.t_view
+        |    AND epoch_us(e.ts) <= pu.t_view + $ClickWindowUs
+        |  GROUP BY e.user_id, pu.t_view),
+        |ac AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_buy
+        |  FROM events e JOIN av USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= av.t_click
+        |    AND epoch_us(e.ts) <= av.t_click + $BuyWindowUs
+        |  GROUP BY e.user_id)
+        |SELECT 'view' AS stage, count(*) AS n_users FROM pu
+        |  WHERE t_view IS NOT NULL
+        |UNION ALL SELECT 'click_after_view', count(*) FROM av
+        |UNION ALL SELECT 'purchase_after_click', count(*) FROM ac""".stripMargin)
+}
