@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Curation, Embeddings, EventOps, PipelineOps, ReferenceOps, TrainingData}
+import graft.queries.{Analytics, Curation, Embeddings, EventOps, PipelineOps, ReferenceOps, TrainingData, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,8 @@ object SparkEntry {
     Curation.queries,
     Embeddings.queries,
     EventOps.queries,
-    PipelineOps.queries)
+    PipelineOps.queries,
+    Warehouse.queries)
 
   def oracleGroups: Seq[Map[String, String]] = Seq(
     ReferenceOps.oracle,
@@ -34,7 +35,8 @@ object SparkEntry {
     Curation.oracle,
     Embeddings.oracle,
     EventOps.oracle,
-    PipelineOps.oracle)
+    PipelineOps.oracle,
+    Warehouse.oracle)
 
   /** One entry per implemented operator from SURVEY.md §2. Every result
     * passes through [[graft.queries.OracleSafe.canon]] so the verify

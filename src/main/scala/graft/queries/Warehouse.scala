@@ -1,0 +1,419 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.SchemaModel.{DeletedCol, SeqCol, VersionCol}
+import graft.operators.LiveView
+
+/** Warehouse-analytics extensions: the remaining TPC-H shapes expressible
+  * over the harness star schema (no `partsupp` table, no
+  * commit/receipt-date lineitem columns — Q2/Q9/Q11/Q12/Q20/Q21 are not
+  * expressible; the rest are below), plus four data-management operators a
+  * user of the reference's sync tool needs around the replicated tables:
+  * SCD2 history from the change stream, snapshot diff, column profiling,
+  * and exact distributed quantiles/correlation.
+  *
+  * Same determinism-for-oracle rules as [[Analytics]]: decimal sums, total
+  * orders on every top-k, no raw timestamps out, and divisions only as one
+  * final double op over exact decimal inputs (identical IEEE rounding in
+  * both engines when the expression tree matches the oracle's).
+  */
+object Warehouse {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(s, dir, name)
+
+  private def discPrice: Column =
+    (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(22,6)")
+
+  /** Snapshot-diff cutoff: 2024-01-15T00:00:00Z in µs epoch (events span
+    * 2024-01-01..2024-01-30 at every SF — TESTDATA.md). */
+  val DiffCutoffUs = 1705276800000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q6 shape: pure scan + filter + global agg. The whole predicate
+    // pushes into the parquet scan; no shuffle at all (partial agg → one
+    // exchange of 32 single-row partials).
+    "q6_forecast_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(
+            lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp"))
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(22,6)"))
+            .cast("decimal(38,6)").as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    // TPC-H Q8 shape: market share — conditional share of one nation's
+    // supply volume within a region, per year. All dims broadcast; the
+    // only shuffle is orders⋈lineitem. The share is ONE double division
+    // over two exact decimal sums (numerator/denominator shapes identical
+    // to the oracle's, so IEEE rounding agrees).
+    "q8_market_share" -> ((s, dir) => {
+      val part = t(s, dir, "part").filter(col("p_type") === "PROMO")
+      val supp = t(s, dir, "supplier")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region").filter(col("r_name") === "AMERICA")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("n_name") === "NATION_6", discPrice)
+            .otherwise(lit(0).cast("decimal(22,6)"))).cast("decimal(38,6)").as("_num"),
+          sum(discPrice).cast("decimal(38,6)").as("_den"))
+        .select(col("o_year"),
+          (col("_num").cast("double") / col("_den").cast("double")).as("mkt_share"))
+    }),
+
+    // TPC-H Q10 shape: returned-item revenue ranking — fact⋈fact shuffle
+    // join (orders⋈lineitem), customer/nation broadcast, then a global
+    // top-20 (TakeOrderedAndProject — executors keep 20 rows each; no
+    // full sort at any scale).
+    "q10_returned_items" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").filter(col("o_orderdate").between(
+        lit("1996-01-01").cast("timestamp"), lit("1996-03-31").cast("timestamp")))
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(discPrice).cast("decimal(38,6)").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // TPC-H Q13 shape: customer order-count distribution — the LEFT OUTER
+    // join surface (customers with zero qualifying orders land in the
+    // c_count=0 bucket). Two aggregations; the second one is tiny.
+    "q13_customer_distribution" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))),
+
+    // TPC-H Q14 shape: promotion share of one ship-month's revenue —
+    // conditional aggregate ratio; part broadcast; single-row output.
+    "q14_promo_effect" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(
+          lit("1996-06-01").cast("timestamp"), lit("1996-06-30").cast("timestamp")))
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", discPrice)
+            .otherwise(lit(0).cast("decimal(22,6)"))).cast("decimal(38,6)").as("_num"),
+          sum(discPrice).cast("decimal(38,6)").as("_den"))
+        .select((lit(100.0) * col("_num").cast("double") / col("_den").cast("double"))
+          .as("promo_pct"))),
+
+    // TPC-H Q15 shape: top supplier — scalar MAX subquery joined back by
+    // exact decimal equality (ties all returned, as in the spec). The
+    // 1-row max frame is broadcast; per-supplier revenue aggregates once.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1996-03-31").cast("timestamp")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(discPrice).cast("decimal(38,6)").as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("_mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("_mx"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    }),
+
+    // TPC-H Q16 shape (adapted: supplier variety observed in lineitem —
+    // the reference schema has no partsupp): distinct suppliers per
+    // (brand, type, size) for non-excluded parts. countDistinct plans as
+    // a two-level partial-distinct aggregate (map-side dedup first).
+    "q16_supplier_variety" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .filter(!col("p_brand").isin("Brand#1", "Brand#2")
+              && col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))),
+
+    // SCD2 history over the change stream: each key's versions become
+    // validity intervals [valid_from, valid_to) via lead() — the
+    // slowly-changing-dimension view a warehouse keeps alongside the
+    // reference's latest-state live view. One hash exchange on user_id +
+    // per-partition sort; no self-join.
+    "x_scd2_history" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from").asc, col(SeqCol).asc)
+      ReferenceOps.stamped(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"),
+          col(DeletedCol).as("deleted"),
+          col(VersionCol).as("valid_from"), col(SeqCol))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull && col("deleted") === 0)
+        .drop(SeqCol)
+    }),
+
+    // Snapshot diff: reconcile the live view as-of the cutoff against the
+    // final live view — added/removed/changed/unchanged per key. This is
+    // the count-match validation (A4) upgraded to row granularity, and
+    // the FULL OUTER join surface. Both sides dedup map-side
+    // (WindowGroupLimit); the diff join shuffles each once on user_id.
+    "x_snapshot_diff" -> ((s, dir) => {
+      val st = ReferenceOps.stamped(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"), col("props"),
+          col(VersionCol), col(SeqCol), col(DeletedCol))
+      def live(f: DataFrame, p: String) =
+        LiveView.live(f, pks = Seq("user_id"), tieBreak = Some(SeqCol))
+          .select(col("user_id").as(s"${p}_uid"), col("event_type").as(s"${p}_et"),
+            col("value").as(s"${p}_v"), col("props").as(s"${p}_p"))
+      val a = live(st.filter(col(VersionCol) <= DiffCutoffUs), "a")
+      val b = live(st, "b")
+      a.join(b, col("a_uid") === col("b_uid"), "full_outer")
+        .select(
+          coalesce(col("a_uid"), col("b_uid")).as("user_id"),
+          when(col("a_uid").isNull, "added")
+            .when(col("b_uid").isNull, "removed")
+            .when(!(col("a_et") <=> col("b_et") && col("a_v") <=> col("b_v")
+              && col("a_p") <=> col("b_p")), "changed")
+            .otherwise("unchanged").as("status"))
+    }),
+
+    // Column profiling (data-quality surface): null count + distinct count
+    // per column of `orders` in ONE scan — a single multi-distinct
+    // aggregate (Catalyst plans Expand, one pass over the input), then a
+    // stack() unpivot of the 1-row result. No per-column re-scan.
+    "x_profile_columns" -> ((s, dir) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val aggs = cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct")))
+      val one = t(s, dir, "orders").agg(aggs.head, aggs.tail: _*)
+      one.selectExpr(
+        s"stack(${cols.size}, " +
+          cols.map(c => s"'$c', `${c}__nulls`, `${c}__distinct`").mkString(", ") +
+          ") AS (col_name, n_nulls, n_distinct)")
+    }),
+
+    // Exact distributed quantiles per group — integer-exact forms (no
+    // interpolation floats): median as sum-of-middle-two ×2 in cents,
+    // p90/p99 as discrete rank picks. One window exchange on the group
+    // key; rank targets are integer arithmetic, so both engines agree
+    // bit-for-bit. (approx_percentile is the 100 TB fast path; this is
+    // the exact-oracle form pinning semantics.)
+    "x_percentiles" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("cents").asc)
+      val mid1 = expr("(n + 1) div 2") // integer div — exact rank targets
+      val mid2 = expr("(n + 2) div 2")
+      val p90 = expr("(n * 9 + 9) div 10")
+      val p99 = expr("(n * 99 + 99) div 100")
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("rn") === mid1 && mid1 === mid2, col("cents") * 2)
+            .when(col("rn") === mid1 || col("rn") === mid2, col("cents"))
+            .otherwise(0L)).as("median_x2_cents"),
+          max(when(col("rn") === p90, col("cents"))).as("p90_cents"),
+          max(when(col("rn") === p99, col("cents"))).as("p99_cents"))
+    }),
+
+    // Exact distributed correlation: Pearson r from six exact decimal
+    // sums (n, Σx, Σy, Σxy, Σx², Σy²) — order-independent, unlike a
+    // streaming corr over doubles — then one final double formula shaped
+    // identically to the oracle's. Single partial-agg shuffle on a
+    // 3-value key. Decimal(38,4) bounds: Σy² at SF1000 ≈ 1e10·6e9 rows ≈
+    // 1e20·scale4 — still inside 38 digits.
+    "x_corr_qty_price" -> ((s, dir) => {
+      val x = col("l_quantity").cast("decimal(9,2)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      def d(c: String): Column = col(c).cast("double")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("decimal(38,2)").as("sx"),
+          sum(y).cast("decimal(38,2)").as("sy"),
+          sum((x * y).cast("decimal(30,4)")).cast("decimal(38,4)").as("sxy"),
+          sum((x * x).cast("decimal(20,4)")).cast("decimal(38,4)").as("sxx"),
+          sum((y * y).cast("decimal(38,4)")).cast("decimal(38,4)").as("syy"))
+        .select(col("l_returnflag"),
+          round(
+            (d("n") * d("sxy") - d("sx") * d("sy")) /
+              (sqrt(d("n") * d("sxx") - d("sx") * d("sx")) *
+                sqrt(d("n") * d("syy") - d("sy") * d("sy"))), 6)
+            .as("corr_qty_price"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(CAST(sum(CASE WHEN n_name = 'NATION_6'
+        |        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))
+        |        ELSE CAST(0 AS DECIMAL(22,6)) END) AS DECIMAL(38,6)) AS DOUBLE)
+        |    / CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+        |        AS DECIMAL(38,6)) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+        |GROUP BY 1""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+
+    "q14_promo_effect" ->
+      """SELECT 100.0
+        |  * CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))
+        |      ELSE CAST(0 AS DECIMAL(22,6)) END) AS DECIMAL(38,6)) AS DOUBLE)
+        |  / CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+        |      AS DECIMAL(38,6)) AS DOUBLE) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-06-01' AND TIMESTAMP '1996-06-30'""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+        |      AS DECIMAL(38,6)) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand NOT IN ('Brand#1', 'Brand#2')
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+
+    "x_scd2_history" ->
+      """SELECT user_id, event_type, value,
+        |  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS deleted,
+        |  epoch_us(ts) AS valid_from,
+        |  lead(epoch_us(ts)) OVER w AS valid_to,
+        |  (lead(epoch_us(ts)) OVER w IS NULL AND event_type <> 'error') AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)""".stripMargin,
+
+    "x_snapshot_diff" ->
+      s"""WITH snap_a AS (
+        |  SELECT user_id, event_type, value, props FROM (
+        |    SELECT user_id, event_type, value, props,
+        |      CASE WHEN event_type='error' THEN 1 ELSE 0 END AS del,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |    FROM events WHERE epoch_us(ts) <= $DiffCutoffUs)
+        |  WHERE rn = 1 AND del = 0),
+        |snap_b AS (
+        |  SELECT user_id, event_type, value, props FROM (
+        |    SELECT user_id, event_type, value, props,
+        |      CASE WHEN event_type='error' THEN 1 ELSE 0 END AS del,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |    FROM events)
+        |  WHERE rn = 1 AND del = 0)
+        |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+        |  CASE WHEN a.user_id IS NULL THEN 'added'
+        |       WHEN b.user_id IS NULL THEN 'removed'
+        |       WHEN a.event_type IS DISTINCT FROM b.event_type
+        |         OR a.value IS DISTINCT FROM b.value
+        |         OR a.props IS DISTINCT FROM b.props THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM snap_a a FULL OUTER JOIN snap_b b ON a.user_id = b.user_id""".stripMargin,
+
+    "x_profile_columns" ->
+      """SELECT 'o_orderkey' AS col_name,
+        |  count(*) FILTER (o_orderkey IS NULL) AS n_nulls,
+        |  count(DISTINCT o_orderkey) AS n_distinct FROM orders
+        |UNION ALL SELECT 'o_custkey', count(*) FILTER (o_custkey IS NULL),
+        |  count(DISTINCT o_custkey) FROM orders
+        |UNION ALL SELECT 'o_orderstatus', count(*) FILTER (o_orderstatus IS NULL),
+        |  count(DISTINCT o_orderstatus) FROM orders
+        |UNION ALL SELECT 'o_totalprice', count(*) FILTER (o_totalprice IS NULL),
+        |  count(DISTINCT o_totalprice) FROM orders
+        |UNION ALL SELECT 'o_orderdate', count(*) FILTER (o_orderdate IS NULL),
+        |  count(DISTINCT o_orderdate) FROM orders
+        |UNION ALL SELECT 'o_orderpriority', count(*) FILTER (o_orderpriority IS NULL),
+        |  count(DISTINCT o_orderpriority) FROM orders""".stripMargin,
+
+    "x_percentiles" ->
+      """WITH r AS (SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY
+        |      CAST(round(o_totalprice * 100) AS BIGINT) ASC) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN rn = (n+1)//2 AND (n+1)//2 = (n+2)//2 THEN cents*2
+        |           WHEN rn = (n+1)//2 OR rn = (n+2)//2 THEN cents
+        |           ELSE 0 END) AS BIGINT) AS median_x2_cents,
+        |  max(CASE WHEN rn = (n*9+9)//10 THEN cents END) AS p90_cents,
+        |  max(CASE WHEN rn = (n*99+99)//100 THEN cents END) AS p99_cents
+        |FROM r GROUP BY o_orderpriority""".stripMargin,
+
+    "x_corr_qty_price" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(9,2))) AS DECIMAL(38,2)) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(9,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4)))
+        |      AS DECIMAL(38,4)) AS sxy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(9,2))
+        |      * CAST(l_quantity AS DECIMAL(9,2)) AS DECIMAL(20,4)))
+        |      AS DECIMAL(38,4)) AS sxx,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+        |      AS DECIMAL(38,4)) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_qty_price
+        |FROM s""".stripMargin
+  )
+}

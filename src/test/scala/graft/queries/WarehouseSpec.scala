@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Semantic pins for the warehouse-analytics operators (cross-engine
+  * exactness is the DuckDB gate's job; these specs pin invariants a hash
+  * compare can't express — interval integrity, plan shape, quantile
+  * definitions against a straight-line JVM reference). */
+class WarehouseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("x_scd2_history: per-key intervals chain without gaps or overlap; one current row per surviving key") {
+    val rows = Warehouse.queries("x_scd2_history")(spark, TestSpark.Sf0001)
+      .select("user_id", "valid_from", "valid_to", "is_current", "deleted")
+      .as[(Long, Long, Option[Long], Boolean, Int)].collect()
+    rows.groupBy(_._1).foreach { case (_, vs) =>
+      val sorted = vs.sortBy(_._2)
+      // intervals chain: each valid_to equals the next valid_from
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._3.contains(b._2), s"gap/overlap: $a -> $b")
+      }
+      // exactly the last version is open-ended
+      assert(sorted.init.forall(_._3.isDefined) && sorted.last._3.isEmpty)
+      // is_current == open-ended AND not a delete
+      sorted.foreach { r =>
+        assert(r._4 == (r._3.isEmpty && r._5 == 0))
+      }
+    }
+    // history preserves every change event (nothing dropped)
+    assert(rows.length ==
+      Tables.events(spark, TestSpark.Sf0001).count())
+  }
+
+  test("x_scd2_history: current rows equal the live view's survivors") {
+    val current = Warehouse.queries("x_scd2_history")(spark, TestSpark.Sf0001)
+      .filter(col("is_current"))
+      .select("user_id").as[Long].collect().sorted
+    val live = graft.queries.ReferenceOps.liveView(spark, TestSpark.Sf0001)
+      .select("user_id").as[Long].collect().sorted
+    assert(current.toSeq == live.toSeq)
+  }
+
+  test("x_snapshot_diff: statuses reconcile the two snapshot states") {
+    val diff = Warehouse.queries("x_snapshot_diff")(spark, TestSpark.Sf0001)
+      .as[(Long, String)].collect().toMap
+    val st = ReferenceOps.stamped(spark, TestSpark.Sf0001)
+    import graft.model.SchemaModel.{SeqCol, VersionCol}
+    def keys(f: org.apache.spark.sql.DataFrame) =
+      graft.operators.LiveView.live(f, Seq("user_id"), Some(SeqCol))
+        .select("user_id").as[Long].collect().toSet
+    val a = keys(st.filter(col(VersionCol) <= Warehouse.DiffCutoffUs))
+    val b = keys(st)
+    assert(diff.keySet == (a union b))
+    assert(diff.filter(_._2 == "added").keySet == (b diff a))
+    assert(diff.filter(_._2 == "removed").keySet == (a diff b))
+    // changed/unchanged partition the intersection
+    assert(diff.filter(kv => kv._2 == "changed" || kv._2 == "unchanged")
+      .keySet == (a intersect b))
+    // the diff plan must not degenerate into a nested-loop join
+    val plan = Warehouse.queries("x_snapshot_diff")(spark, TestSpark.Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("x_percentiles: matches a straight-line sorted-array reference") {
+    val got = Warehouse.queries("x_percentiles")(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val cents = Tables.read(spark, TestSpark.Sf0001, "orders")
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    cents.foreach { case (prio, v) =>
+      val n = v.length
+      val medianX2 =
+        if (n % 2 == 1) 2 * v(n / 2)
+        else v(n / 2 - 1) + v(n / 2)
+      val p90 = v(((n * 9 + 9) / 10) - 1)  // 1-based rank → 0-based index
+      val p99 = v(((n * 99 + 99) / 100) - 1)
+      assert(got(prio) == ((medianX2, p90, p99)), s"prio=$prio n=$n")
+    }
+  }
+
+  test("x_profile_columns: counts match direct per-column queries") {
+    val got = Warehouse.queries("x_profile_columns")(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val orders = Tables.read(spark, TestSpark.Sf0001, "orders")
+    got.foreach { case (c, (nulls, distinct)) =>
+      assert(nulls == orders.filter(col(c).isNull).count(), c)
+      assert(distinct == orders.select(c).distinct().count(), c)
+    }
+    assert(got.size == 6)
+  }
+
+  test("q13: zero-order customers appear in the c_count=0 bucket") {
+    val dist = Warehouse.queries("q13_customer_distribution")(spark, TestSpark.Sf0001)
+      .as[(Long, Long)].collect().toMap
+    val nCust = Tables.read(spark, TestSpark.Sf0001, "customer").count()
+    assert(dist.values.sum == nCust) // every customer lands in one bucket
+  }
+
+  test("q15: returned suppliers carry exactly the maximum revenue") {
+    val rows = Warehouse.queries("q15_top_supplier")(spark, TestSpark.Sf0001)
+      .as[(Long, String, java.math.BigDecimal)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).distinct.length == 1) // all ties at the max
+  }
+
+  test("broadcast shapes: q8/q10 keep dims broadcast, facts shuffled once") {
+    Seq("q8_market_share", "q10_returned_items").foreach { name =>
+      val plan = Warehouse.queries(name)(spark, TestSpark.Sf0001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$name:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoop"), name)
+    }
+  }
+}
