@@ -227,6 +227,66 @@ object Warehouse {
           max(when(col("rn") === p99, col("cents"))).as("p99_cents"))
     }),
 
+    // Anti-entropy table checksum (pt-table-checksum style): per-bucket
+    // row count + order-independent XOR of a portable row hash. Run the
+    // same statement on source and replica and compare buckets — drift
+    // localizes to a bucket without shipping rows. Scan + one tiny
+    // shuffle (32 buckets); the hash is codegen'd MD5 (PortableHash), no
+    // UDF. XOR commutes, so partial aggregation works map-side and row
+    // order never matters; count catches the self-canceling duplicate-
+    // pair case XOR alone would miss.
+    "x_table_checksum" -> ((s, dir) => {
+      val canon = concat_ws("|",
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(9,2)").cast("string"),
+        col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+        col("l_discount").cast("decimal(4,2)").cast("string"),
+        col("l_tax").cast("decimal(4,2)").cast("string"),
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate").cast("string"))
+      t(s, dir, "lineitem")
+        .select(pmod(col("l_orderkey"), lit(32)).cast("int").as("bucket"),
+          graft.functions.PortableHash.hash32(canon, "cksum").as("_rh"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(_rh)").as("xor_hash"))
+    }),
+
+    // Explicit GROUPING SETS (beyond rollup/cube): caller-chosen set list
+    // + grouping() indicators, through the SQL surface. Single pass —
+    // Catalyst expands the sets without re-scanning the join.
+    "x_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("gs_orders")
+      t(s, dir, "customer").createOrReplaceTempView("gs_customer")
+      t(s, dir, "nation").createOrReplaceTempView("gs_nation")
+      s.sql("""SELECT n_name, o_orderpriority,
+              |  CAST(grouping(n_name) AS INT) AS g_nation,
+              |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+              |  count(*) AS n_orders,
+              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+              |FROM gs_orders
+              |JOIN gs_customer ON o_custkey = c_custkey
+              |JOIN gs_nation ON c_nationkey = n_nationkey
+              |GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name),
+              |  (o_orderpriority))""".stripMargin)
+    }),
+
+    // Deterministic exactly-k-per-group sampling ("frozen reservoir"):
+    // rank each group by a portable hash and keep the top k — unlike the
+    // ppm-threshold stratified sample (fraction-based, size varies), this
+    // pins the sample SIZE. WindowGroupLimit prunes to k rows map-side
+    // before the single group-key exchange, so the shuffle carries
+    // ~k·|groups| rows regardless of corpus size.
+    "x_reservoir_sample" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("_h").asc, col("doc_id").asc)
+      t(s, dir, "documents")
+        .withColumn("_h",
+          graft.functions.PortableHash.md5Hex(col("doc_id").cast("string"), "rsv1"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("source"), col("rk"), col("n_chars"))
+    }),
+
     // Exact distributed correlation: Pearson r from six exact decimal
     // sums (n, Σx, Σy, Σxy, Σx², Σy²) — order-independent, unlike a
     // streaming corr over doubles — then one final double formula shaped
@@ -392,6 +452,39 @@ object Warehouse {
         |  max(CASE WHEN rn = (n*9+9)//10 THEN cents END) AS p90_cents,
         |  max(CASE WHEN rn = (n*99+99)//100 THEN cents END) AS p99_cents
         |FROM r GROUP BY o_orderpriority""".stripMargin,
+
+    "x_table_checksum" -> {
+      val canonDuck = "concat_ws('|', l_orderkey, l_partkey, l_suppkey, " +
+        "l_linenumber, CAST(CAST(l_quantity AS DECIMAL(9,2)) AS VARCHAR), " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), " +
+        "CAST(CAST(l_discount AS DECIMAL(4,2)) AS VARCHAR), " +
+        "CAST(CAST(l_tax AS DECIMAL(4,2)) AS VARCHAR), " +
+        "l_returnflag, l_linestatus, CAST(l_shipdate AS VARCHAR))"
+      s"""WITH c AS (SELECT CAST(l_orderkey % 32 AS INT) AS bucket,
+        |    ${graft.functions.PortableHash.duckSql(canonDuck, "cksum")} AS rh
+        |  FROM lineitem)
+        |SELECT bucket, count(*) AS n_rows, bit_xor(rh) AS xor_hash
+        |FROM c GROUP BY bucket""".stripMargin
+    },
+
+    "x_grouping_sets" ->
+      """SELECT n_name, o_orderpriority,
+        |  CAST(grouping(n_name) AS INT) AS g_nation,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name),
+        |  (o_orderpriority))""".stripMargin,
+
+    "x_reservoir_sample" ->
+      """SELECT doc_id, source, rk, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('rsv1' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+        |  FROM documents) WHERE rk <= 3""".stripMargin,
 
     "x_corr_qty_price" ->
       """WITH s AS (SELECT l_returnflag, count(*) AS n,

@@ -111,6 +111,54 @@ class WarehouseSpec extends AnyFunSuite {
     assert(rows.map(_._3).distinct.length == 1) // all ties at the max
   }
 
+  test("x_table_checksum: detects a single-row mutation and localizes it to one bucket") {
+    val base = Warehouse.queries("x_table_checksum")(spark, TestSpark.Sf0001)
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // mutate one row (flip one quantity) and re-checksum through the same
+    // expression tree over a temp view standing in for the table
+    val li = Tables.read(spark, TestSpark.Sf0001, "lineitem")
+    val mutated = li.withColumn("l_quantity",
+      when(col("l_orderkey") === li.select(min("l_orderkey")).as[Long].head,
+        col("l_quantity") + 1)
+        .otherwise(col("l_quantity")))
+    val dir2 = java.nio.file.Files.createTempDirectory("cksum").toString
+    mutated.write.mode("overwrite").parquet(s"$dir2/lineitem.parquet")
+    val after = Warehouse.queries("x_table_checksum")(spark, dir2)
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val diff = base.keySet.filter(b => base(b) != after(b))
+    assert(diff.size == 1)                       // drift localized
+    assert(base(diff.head)._1 == after(diff.head)._1) // same count, hash differs
+  }
+
+  test("x_reservoir_sample: exactly k rows per group, stable across runs") {
+    val a = Warehouse.queries("x_reservoir_sample")(spark, TestSpark.Sf0001)
+      .as[(Long, String, Int, Long)].collect()
+    val b = Warehouse.queries("x_reservoir_sample")(spark, TestSpark.Sf0001)
+      .as[(Long, String, Int, Long)].collect()
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq) // deterministic
+    a.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.length == 3, src)
+      assert(rows.map(_._3).sorted.toSeq == Seq(1, 2, 3), src)
+    }
+  }
+
+  test("x_grouping_sets: each set's marginals re-aggregate the finest set") {
+    val rows = Warehouse.queries("x_grouping_sets")(spark, TestSpark.Sf0001)
+      .selectExpr("n_name", "o_orderpriority", "g_nation", "g_prio", "n_orders")
+      .as[(Option[String], Option[String], Int, Int, Long)].collect()
+    val fine = rows.filter(r => r._3 == 0 && r._4 == 0)
+    val byNation = rows.filter(r => r._3 == 0 && r._4 == 1)
+    byNation.foreach { m =>
+      assert(m._5 == fine.filter(_._1 == m._1).map(_._5).sum, m)
+    }
+    val byPrio = rows.filter(r => r._3 == 1 && r._4 == 0)
+    byPrio.foreach { m =>
+      assert(m._5 == fine.filter(_._2 == m._2).map(_._5).sum, m)
+    }
+    // the set list is exactly the three requested (no grand total row)
+    assert(!rows.exists(r => r._3 == 1 && r._4 == 1))
+  }
+
   test("broadcast shapes: q8/q10 keep dims broadcast, facts shuffled once") {
     Seq("q8_market_share", "q10_returned_items").foreach { name =>
       val plan = Warehouse.queries(name)(spark, TestSpark.Sf0001)
