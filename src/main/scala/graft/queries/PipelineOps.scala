@@ -334,6 +334,37 @@ object PipelineOps {
       .toDF("table_name", "n_rows", "key_sum")
   }
 
+  /** CSV sink+source coverage: the snapshot pipeline writing header'd CSV
+    * and reading it back with an explicit schema (never inference at
+    * scale — one pass, typed). Spark's CSV writer emits round-trippable
+    * doubles (shortest-repr), so the read-back aggregate is bit-equal to
+    * the parquet-side oracle. Distributed: one file per partition out,
+    * splittable scan back. */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_csv").toString
+    val src = Tables.read(s, dir, "customer")
+    src.write.mode("overwrite").option("header", "true").csv(tmp)
+    s.read.option("header", "true").schema(src.schema).csv(tmp)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("decimal(38,2)")
+          .as("total_bal"))
+  }
+
+  /** JSON-lines sink+source coverage — same contract as the CSV form
+    * (explicit schema on read; newline-delimited JSON is splittable, so
+    * the scan parallelizes like any text source). */
+  def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_json").toString
+    val src = Tables.read(s, dir, "supplier")
+    src.write.mode("overwrite").json(tmp)
+    s.read.schema(src.schema).json(tmp)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("s_acctbal").cast("decimal(18,2)")).cast("decimal(38,2)")
+          .as("total_bal"))
+  }
+
   /** Stream-static join: the unbounded event stream enriched per
     * micro-batch with a broadcast static dimension (customer, keyed by a
     * derived FK) — the stateless enrichment shape (no state store; the
@@ -370,6 +401,8 @@ object PipelineOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o7_jdbc_roundtrip" -> ((s, dir) => jdbcRoundtrip(s, dir)),
+    "x_csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
+    "x_json_roundtrip" -> ((s, dir) => jsonRoundtrip(s, dir)),
     "t8_stream_static_enrich" -> ((s, dir) => streamStaticEnrich(s, dir)),
     "o3_snapshot_roundtrip" -> ((s, dir) => snapshotRoundtrip(s, dir)),
     "o5_table_lifecycle" -> ((s, dir) => tableLifecycle(s, dir)),
@@ -401,6 +434,16 @@ object PipelineOps {
         |  CAST(sum(r_regionkey) AS BIGINT) AS key_sum FROM region
         |UNION ALL SELECT 'nation', count(*),
         |  CAST(sum(n_nationkey) AS BIGINT) FROM nation""".stripMargin,
+
+    "x_csv_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n_rows,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "x_json_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n_rows,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM supplier GROUP BY s_nationkey""".stripMargin,
 
     "t8_stream_static_enrich" ->
       """SELECT c_mktsegment, count(*) AS n_events,
