@@ -334,6 +334,45 @@ object PipelineOps {
       .toDF("table_name", "n_rows", "key_sum")
   }
 
+  /** Incremental snapshot promoted to the gate. The "previous run" is
+    * simulated by seeding the target with the ≤-cutoff slice of `events`;
+    * `replicateIncremental` must then append exactly the delta (watermark
+    * pushdown — O(delta), not O(table)) and return the source max as the
+    * new high-watermark. Distinct event_ids pin "no row replicated
+    * twice"; the oracle is the full source table. */
+  def incrementalSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val wh = Files.createTempDirectory("graft_incr_wh").toString
+    val rep = new SnapshotReplicator(s, dir, wh)
+    val cutoffNs = 1705276800L * 1000000000L // 2024-01-15T00:00Z
+    Tables.read(s, dir, "events").filter(col("ts") <= cutoffNs)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(rep.targetPath("events"))
+    val (res, newMark) = rep.replicateIncremental("events", "ts", cutoffNs)
+    // ns → µs for the oracle (DuckDB fetches TIMESTAMP_NS at µs precision)
+    rep.readTarget("events")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("event_id")).as("n_distinct_ids"),
+        max(expr("ts div 1000")).as("max_ts_us"))
+      .withColumn("new_watermark", lit(newMark / 1000))
+      .withColumn("delta_ok", lit(res.success))
+  }
+
+  /** Small-file compaction promoted to the gate: fragment lineitem into 64
+    * tiny files (the shape a per-micro-batch CDC appender leaves behind),
+    * compact to the 512 MB target, and prove content is byte-equal to the
+    * source while the layout actually shrank. */
+  def compactionRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tgt = Files.createTempDirectory("graft_cpt").toString + "/lineitem.parquet"
+    Tables.read(s, dir, "lineitem").repartition(64).write.parquet(tgt)
+    val res = graft.operators.Compaction.compact(s, tgt,
+      targetFileBytes = 512L * 1024 * 1024)
+    s.read.parquet(tgt)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)")
+          .as("sum_qty"))
+      .withColumn("compacted", lit(res.filesAfter < res.filesBefore))
+  }
+
   /** CSV sink+source coverage: the snapshot pipeline writing header'd CSV
     * and reading it back with an explicit schema (never inference at
     * scale — one pass, typed). Spark's CSV writer emits round-trippable
@@ -403,6 +442,8 @@ object PipelineOps {
     "o7_jdbc_roundtrip" -> ((s, dir) => jdbcRoundtrip(s, dir)),
     "x_csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
     "x_json_roundtrip" -> ((s, dir) => jsonRoundtrip(s, dir)),
+    "o2_incremental_snapshot" -> ((s, dir) => incrementalSnapshot(s, dir)),
+    "o6_compaction" -> ((s, dir) => compactionRoundtrip(s, dir)),
     "t8_stream_static_enrich" -> ((s, dir) => streamStaticEnrich(s, dir)),
     "o3_snapshot_roundtrip" -> ((s, dir) => snapshotRoundtrip(s, dir)),
     "o5_table_lifecycle" -> ((s, dir) => tableLifecycle(s, dir)),
@@ -434,6 +475,18 @@ object PipelineOps {
         |  CAST(sum(r_regionkey) AS BIGINT) AS key_sum FROM region
         |UNION ALL SELECT 'nation', count(*),
         |  CAST(sum(n_nationkey) AS BIGINT) FROM nation""".stripMargin,
+
+    "o2_incremental_snapshot" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_distinct_ids,
+        |  max(epoch_us(ts)) AS max_ts_us, max(epoch_us(ts)) AS new_watermark,
+        |  true AS delta_ok
+        |FROM events""".stripMargin,
+
+    "o6_compaction" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  true AS compacted
+        |FROM lineitem""".stripMargin,
 
     "x_csv_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n_rows,
