@@ -26,6 +26,26 @@ object SkewOps {
   val MinAgg: SaltedAgg = SaltedAgg(min, min)
   val MaxAgg: SaltedAgg = SaltedAgg(max, max)
 
+  /** Salted equi-join for skewed keys whose small side is still too big
+    * to broadcast: the skewed (big) side gets a positional salt, the
+    * small side is replicated once per salt bucket (`explode(sequence)` —
+    * generated map-side, no shuffle of its own), and the join key becomes
+    * (key, salt) — a hot key's probe rows now spread over `saltBuckets`
+    * reduce tasks instead of one. Semantically identical to the plain
+    * join (the harness pins that with a plain-join oracle); costs
+    * `saltBuckets`× the small side's shuffle volume, the standard trade.
+    * The shuffle_hash hint keeps the demo on the exchange path AQE would
+    * otherwise shortcut with a broadcast at test scale. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltBuckets: Int = 16): DataFrame = {
+    val salted = big.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
+    salted.join(replicated.hint("shuffle_hash"), keys :+ "_salt")
+      .drop("_salt")
+  }
+
   /** Two-phase salted aggregation: `aggs` maps output column name →
     * (input column, agg pair). Salt comes from the row's position
     * (`monotonically_increasing_id`), which distributes a hot key's rows

@@ -372,6 +372,22 @@ object Analytics {
         saltBuckets = 16)
     }),
 
+    // Salted skew JOIN (hot-key mitigation for the non-broadcastable-dim
+    // case): events is maximally skewed on event_type (5 values); the
+    // salted join must equal the plain join — pinned by the oracle.
+    "x_salted_join" -> ((s, dir) => {
+      import graft.operators.SkewOps
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("value"))
+      val dim = ev.select(col("event_type")).distinct()
+        .withColumn("type_len", length(col("event_type")))
+      SkewOps.saltedJoin(ev, dim, keys = Seq("event_type"), saltBuckets = 8)
+        .groupBy(col("type_len"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)")
+            .as("sum_value"))
+    }),
+
     // T5 extension: event-time tumbling-window aggregation (same plan
     // serves readStream with a watermark — see streaming.EventAnalytics).
     "t5_windowed_counts" -> ((s, dir) =>
@@ -645,6 +661,14 @@ object Analytics {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  max(epoch_us(ts)) AS max_ts_us
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "x_salted_join" ->
+      """WITH dim AS (SELECT DISTINCT event_type,
+        |    CAST(length(event_type) AS INT) AS type_len FROM events)
+        |SELECT type_len, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN dim USING (event_type)
+        |GROUP BY type_len""".stripMargin,
 
     "t5_windowed_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,

@@ -73,29 +73,16 @@ object EventOps {
         .agg(count(lit(1)).as("n_users"))
     }),
 
-    // OHLC downsampling: 6-hour bars per event type — open/close picked
-    // by deterministic (ts, event_id) rank, high/low as plain min/max.
-    // One exchange on the (bar, type) key serves both rank windows and
-    // the final aggregate; bars come from Spark's epoch-aligned window()
-    // (the same expression the streaming form uses with a watermark).
-    "x_ohlc_bars" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .withColumn("bar_us", unix_micros(
-          window(timestamp_micros(col("ts_us")), "6 hours").getField("start")))
-      val part = Seq(col("bar_us"), col("event_type"))
-      val wAsc = Window.partitionBy(part: _*)
-        .orderBy(col("ts_us").asc, col("event_id").asc)
-      val wDesc = Window.partitionBy(part: _*)
-        .orderBy(col("ts_us").desc, col("event_id").desc)
-      ev.withColumn("rn_a", row_number().over(wAsc))
-        .withColumn("rn_d", row_number().over(wDesc))
-        .groupBy(col("bar_us"), col("event_type"))
-        .agg(max(when(col("rn_a") === 1, col("value"))).as("open"),
-          max(col("value")).as("high"),
-          min(col("value")).as("low"),
-          max(when(col("rn_d") === 1, col("value"))).as("close"),
-          count(lit(1)).as("n_events"))
-    }),
+    // OHLC downsampling: 6-hour bars per event type — a single plain
+    // aggregation (open/close via min_by/max_by on a deterministic
+    // scalar key), so the identical expression runs under readStream +
+    // watermark (see [[graft.streaming.EventAnalytics.ohlcBars]] and
+    // OhlcStreamSpec, which pins batch ≡ stream).
+    "x_ohlc_bars" -> ((s, dir) =>
+      graft.streaming.EventAnalytics.ohlcBars(
+        Tables.events(s, dir)
+          .withColumn("ts_ev", timestamp_micros(col("ts_us"))),
+        tsCol = "ts_ev", barLen = "6 hours")),
 
     // Ordered funnel: view → click-after-view → purchase-after-click per
     // user (each stage's timestamp must be at or after the previous
@@ -172,20 +159,15 @@ object EventOps {
         |GROUP BY 1, 2""".stripMargin,
 
     "x_ohlc_bars" ->
-      """WITH e AS (SELECT epoch_us(ts) AS tu, event_id, event_type, value,
-        |    epoch_us(ts) - epoch_us(ts) % 21600000000 AS bar_us FROM events),
-        |r AS (SELECT *,
-        |    row_number() OVER (PARTITION BY bar_us, event_type
-        |      ORDER BY tu ASC, event_id ASC) AS rn_a,
-        |    row_number() OVER (PARTITION BY bar_us, event_type
-        |      ORDER BY tu DESC, event_id DESC) AS rn_d
-        |  FROM e)
+      """WITH e AS (SELECT event_type, value,
+        |    epoch_us(ts) - epoch_us(ts) % 21600000000 AS bar_us,
+        |    printf('%020d|%012d', epoch_us(ts), event_id) AS k FROM events)
         |SELECT bar_us, event_type,
-        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  arg_min(value, k) AS open,
         |  max(value) AS high, min(value) AS low,
-        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  arg_max(value, k) AS close,
         |  count(*) AS n_events
-        |FROM r GROUP BY bar_us, event_type""".stripMargin,
+        |FROM e GROUP BY bar_us, event_type""".stripMargin,
 
     "x_funnel_stages" ->
       s"""WITH pu AS (SELECT user_id,

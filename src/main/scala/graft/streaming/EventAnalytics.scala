@@ -35,6 +35,32 @@ object EventAnalytics {
         col("n_events"), col("sum_value"))
   }
 
+  /** OHLC downsampling: per (bar, event_type) open/high/low/close +
+    * count. Open/close are `min_by`/`max_by` over a zero-padded
+    * `(ts_us, event_id)` string key — a totally-ordered scalar tie-break
+    * that is (a) portable to the oracle's `arg_min`/`arg_max` and (b) a
+    * plain declarative aggregate, so the SAME expression runs under
+    * `readStream` + watermark (rank-window formulations don't stream).
+    * Input needs `ts_us`/`event_id` columns plus the TimestampType
+    * `tsCol`. One exchange on the (bar, type) key; partial aggregation
+    * map-side like any min/max. */
+  def ohlcBars(events: DataFrame, tsCol: String, barLen: String,
+               watermark: Option[String] = None): DataFrame = {
+    val base = watermark match {
+      case Some(w) => events.withWatermark(tsCol, w)
+      case None => events
+    }
+    val key = format_string("%020d|%012d", col("ts_us"), col("event_id"))
+    base.groupBy(window(col(tsCol), barLen).as("w"), col("event_type"))
+      .agg(min_by(col("value"), key).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), key).as("close"),
+        count(lit(1)).as("n_events"))
+      .select(unix_micros(col("w.start")).as("bar_us"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n_events"))
+  }
+
   /** Sessionization by inactivity gap (session_window) — the stateful
     * shape `mapGroupsWithState` would otherwise hand-roll. */
   def sessionCounts(events: DataFrame, tsCol: String, gap: String,
