@@ -287,6 +287,40 @@ object Warehouse {
         .select(col("doc_id"), col("source"), col("rk"), col("n_chars"))
     }),
 
+    // Z-order re-layout roundtrip: lineitem rewritten so files cover
+    // compact (partkey, suppkey) rectangles — min/max stats then prune
+    // scans on EITHER column (ZOrderSpec pins the pruning win; this gate
+    // pins that re-layout preserves content exactly). One range shuffle.
+    "x_zorder_layout" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zorder")
+        .toString + "/lineitem_z.parquet"
+      graft.operators.ZOrder
+        .layoutBy2(t(s, dir, "lineitem"), "l_partkey", "l_suppkey",
+          numFiles = 8)
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)")
+            .as("sum_qty"),
+          sum(col("l_partkey")).as("sum_partkey"),
+          sum(col("l_suppkey")).as("sum_suppkey"))
+    }),
+
+    // Approximate quantiles (the 100 TB fast path x_percentiles documents):
+    // one pass, mergeable sketch, ε-rank error 1/accuracy. Rows-only gate
+    // by construction (sketch picks engine-dependent order statistics);
+    // the ε-rank contract is pinned against the exact form in
+    // WarehouseSpec.
+    "x_approx_quantiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+            .as("p50_approx"),
+          percentile_approx(col("o_totalprice"), lit(0.9), lit(10000))
+            .as("p90_approx"),
+          count(lit(1)).as("n_rows"))),
+
     // Exact distributed correlation: Pearson r from six exact decimal
     // sums (n, Σx, Σy, Σxy, Σx², Σy²) — order-independent, unlike a
     // streaming corr over doubles — then one final double formula shaped
@@ -485,6 +519,16 @@ object Warehouse {
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY md5('rsv1' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
         |  FROM documents) WHERE rk <= 3""".stripMargin,
+
+    "x_zorder_layout" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(l_partkey) AS BIGINT) AS sum_partkey,
+        |  CAST(sum(l_suppkey) AS BIGINT) AS sum_suppkey
+        |FROM lineitem""".stripMargin,
+
+    // x_approx_quantiles: intentionally no oracle (rows-only) — sketch
+    // outputs are engine-dependent order statistics; see WarehouseSpec.
 
     "x_corr_qty_price" ->
       """WITH s AS (SELECT l_returnflag, count(*) AS n,

@@ -15,7 +15,7 @@ class EntrySmokeSpec extends AnyFunSuite {
     // Sketch outputs have no exact cross-engine oracle by construction;
     // the driver records a weaker rows-only check for these (their error
     // bounds are pinned by ScalaTest specs instead).
-    val documentedRowsOnly = Set("x_hll_distinct_users")
+    val documentedRowsOnly = Set("x_hll_distinct_users", "x_approx_quantiles")
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o diff q}")

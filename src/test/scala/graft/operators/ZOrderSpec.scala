@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Pins the Morton key's bit semantics against a straight-line JVM
+  * reference and the layout's reason to exist: point predicates on EITHER
+  * dimension intersect fewer file-rectangles than a linear (c1, c2) sort
+  * gives the second dimension. */
+class ZOrderSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mortonRef(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).map { i =>
+      (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }.reduce(_ | _)
+
+  test("zkey2 matches the JVM Morton reference over the small domain") {
+    val rows = (0L until 64L).flatMap(a => (0L until 64L).map(b => (a, b)))
+      .toDF("a", "b")
+      .withColumn("z", ZOrder.zkey2($"a", $"b", bits = 6))
+      .as[(Long, Long, Long)].collect()
+    rows.foreach { case (a, b, z) => assert(z == mortonRef(a, b, 6), s"($a,$b)") }
+    // bijective on the domain → distinct keys
+    assert(rows.map(_._3).distinct.length == rows.length)
+  }
+
+  test("z-order layout bounds point lookups on BOTH dims to a strict subset of partitions") {
+    // a square 64×64 grid — both dims carry equal entropy, the shape
+    // z-order exists for (the harness corpus has a 20:1 cardinality skew
+    // between partkey and suppkey at small SF, which no layout can give
+    // second-dim locality with only 8 files)
+    val grid = (0L until 64L).flatMap(a => (0L until 64L).map(b => (a, b)))
+      .toDF("a", "b")
+    val n = 8
+    def touchedPartitions(df: org.apache.spark.sql.DataFrame,
+                          c: String, v: Long): Long =
+      df.withColumn("_pid", spark_partition_id())
+        .groupBy("_pid")
+        .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+        .filter(col("lo") <= v && col("hi") >= v)
+        .count()
+    val zed = ZOrder.layoutBy2(grid, "a", "b", numFiles = n, bits = 6).cache()
+    val linear = grid.repartitionByRange(n, col("a"), col("b"))
+      .sortWithinPartitions(col("a"), col("b")).cache()
+    try {
+      // linear (a, b) sort prunes `a` perfectly but gives `b` nothing —
+      // every partition spans b's full range
+      assert(touchedPartitions(linear, "a", 7L) < n)
+      assert(touchedPartitions(linear, "b", 7L) == n)
+      // z-order prunes BOTH dims (each file covers a compact rectangle)
+      assert(touchedPartitions(zed, "a", 7L) <= n / 2)
+      assert(touchedPartitions(zed, "b", 7L) <= n / 2)
+    } finally { zed.unpersist(); linear.unpersist(); () }
+  }
+
+  test("x_approx_quantiles: sketch honors the ε-rank contract vs exact ranks") {
+    val approx = graft.queries.Warehouse.queries("x_approx_quantiles")(
+      spark, TestSpark.Sf0001)
+      .as[(String, Double, Double, Long)].collect()
+    val orders = graft.queries.Tables.read(spark, TestSpark.Sf0001, "orders")
+      .select($"o_orderpriority", $"o_totalprice").as[(String, Double)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    approx.foreach { case (prio, p50, p90, nRows) =>
+      val v = orders(prio); val n = v.length
+      assert(nRows == n)
+      val eps = math.max(1, n / 10000) // accuracy=10000 → ε·n rank error
+      def rankOf(x: Double) = v.count(_ <= x)
+      assert(math.abs(rankOf(p50) - 0.5 * n) <= eps + 1, s"$prio p50")
+      assert(math.abs(rankOf(p90) - 0.9 * n) <= eps + 1, s"$prio p90")
+      assert(v.contains(p50) && v.contains(p90)) // sketch returns real values
+    }
+  }
+}
