@@ -373,6 +373,28 @@ object PipelineOps {
       .withColumn("compacted", lit(res.filesAfter < res.filesBefore))
   }
 
+  /** Schema-drift guard promoted to the gate: a faithful target reports
+    * no drift; a target whose column was retyped upstream (the
+    * reference's documented ALTER-TABLE silent-inconsistency failure
+    * mode) reports exactly which column changed how. Footer-only reads —
+    * no data scanned. */
+  def schemaDriftCheck(s: SparkSession, dir: String): DataFrame = {
+    val wh = Files.createTempDirectory("graft_drift").toString
+    val rep = new SnapshotReplicator(s, dir, wh)
+    val nation = Tables.read(s, dir, "nation")
+    Tables.read(s, dir, "region")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(rep.targetPath("region"))
+    nation.withColumn("n_regionkey", col("n_regionkey").cast("string"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(rep.targetPath("nation"))
+    import s.implicits._
+    Seq(
+      ("region", rep.schemaDrift("region").getOrElse("none")),
+      ("nation", rep.schemaDrift("nation").getOrElse("none")))
+      .toDF("table_name", "drift")
+  }
+
   /** CSV sink+source coverage: the snapshot pipeline writing header'd CSV
     * and reading it back with an explicit schema (never inference at
     * scale — one pass, typed). Spark's CSV writer emits round-trippable
@@ -444,6 +466,7 @@ object PipelineOps {
     "x_json_roundtrip" -> ((s, dir) => jsonRoundtrip(s, dir)),
     "o2_incremental_snapshot" -> ((s, dir) => incrementalSnapshot(s, dir)),
     "o6_compaction" -> ((s, dir) => compactionRoundtrip(s, dir)),
+    "o8_schema_drift" -> ((s, dir) => schemaDriftCheck(s, dir)),
     "t8_stream_static_enrich" -> ((s, dir) => streamStaticEnrich(s, dir)),
     "o3_snapshot_roundtrip" -> ((s, dir) => snapshotRoundtrip(s, dir)),
     "o5_table_lifecycle" -> ((s, dir) => tableLifecycle(s, dir)),
@@ -481,6 +504,10 @@ object PipelineOps {
         |  max(epoch_us(ts)) AS max_ts_us, max(epoch_us(ts)) AS new_watermark,
         |  true AS delta_ok
         |FROM events""".stripMargin,
+
+    "o8_schema_drift" ->
+      """SELECT 'region' AS table_name, 'none' AS drift
+        |UNION ALL SELECT 'nation', 'n_regionkey: STRING→INT'""".stripMargin,
 
     "o6_compaction" ->
       """SELECT count(*) AS n_rows,
