@@ -69,6 +69,29 @@ object Multimodal {
       m.media_id, m.kind, FakeCodec.resize(m.payload, targetLen), outW, outH)))
   }
 
+  /** One sampled frame: a fixed-budget byte slice taken every `stride`
+    * bytes of the payload — the video-frame-sampling stage shape (decode
+    * stubbed; slicing, row explosion, and batch shape real). */
+  final case class SampledFrame(
+      media_id: Long, kind: String, frame_idx: Int, payload: Array[Byte])
+
+  /** Frame-sample stage: explode each media row into its sampled frames
+    * (one slice of up to `frameLen` bytes every `stride` bytes). Runs
+    * partition-parallel with no shuffle — output partitioning inherits the
+    * input's, and downstream per-frame stages (feature extract, resize)
+    * chain without an exchange. Empty payloads yield no frames. */
+  def frameSampleStage(media: Dataset[MediaRow], stride: Int = 32,
+                       frameLen: Int = 16): Dataset[SampledFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      Iterator.range(0, m.payload.length, stride).zipWithIndex.map {
+        case (off, idx) =>
+          SampledFrame(m.media_id, m.kind, idx,
+            m.payload.slice(off, math.min(off + frameLen, m.payload.length)))
+      }
+    })
+  }
+
   /** Manufacture a deterministic media table from `documents` (text bytes
     * play the opaque payload) — the harness has no real binaries; what
     * matters is that the column is genuinely BinaryType end-to-end. */

@@ -460,7 +460,59 @@ object PipelineOps {
           .as("sum_value"))
   }
 
+  /** Batch MERGE of a deterministic CDC changeset (updates + deletes +
+    * inserts keyed off c_custkey residues) into the customer snapshot,
+    * written through the warehouse sink and read back — the set-based
+    * apply the reference performs row-at-a-time
+    * (`src/cdc_replicator.py:229-264`). */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val wh = Files.createTempDirectory("graft_merge").toString
+    val rep = new SnapshotReplicator(s, dir, wh)
+    val target = Tables.read(s, dir, "customer")
+    val updates = target.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(100.0))
+      .withColumn("c_mktsegment", lit("MERGED"))
+      .withColumn(DeletedCol, lit(0))
+    val deletes = target.filter(col("c_custkey") % 10 === 3)
+      .withColumn(DeletedCol, lit(1))
+    val inserts = target.filter(col("c_custkey") < 50)
+      .withColumn("c_custkey", col("c_custkey") + lit(1000000L))
+      .withColumn(DeletedCol, lit(0))
+    val changes = updates.unionByName(deletes).unionByName(inserts)
+    graft.operators.Merge.upsert(target, changes, "c_custkey",
+        deletedCol = DeletedCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(rep.targetPath("customer_merged"))
+    s.read.parquet(rep.targetPath("customer_merged"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("sum_acctbal"))
+  }
+
+  /** Partition-pruned layout: events written `partitionBy(event_date)`,
+    * read back with a date-range filter that must touch only the matching
+    * partition directories (the 100 TB lever: a day query over a year of
+    * data scans 3/365ths of the files). `PartitionedLayoutSpec` pins the
+    * pruning on the physical scan; this gate pins the values. */
+  def partitionedPrune(s: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_part").toString
+    Tables.events(s, dir)
+      .withColumn("event_date",
+        to_date(timestamp_micros(col("ts_us"))).cast("string"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("event_date").parquet(out)
+    s.read.parquet(out)
+      .filter(col("event_date") >= lit("2024-01-10") &&
+        col("event_date") <= lit("2024-01-12"))
+      .groupBy(col("event_date").cast("string").as("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o9_merge_upsert" -> ((s, dir) => mergeUpsert(s, dir)),
+    "x_partitioned_prune" -> ((s, dir) => partitionedPrune(s, dir)),
     "o7_jdbc_roundtrip" -> ((s, dir) => jdbcRoundtrip(s, dir)),
     "x_csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
     "x_json_roundtrip" -> ((s, dir) => jsonRoundtrip(s, dir)),
@@ -493,6 +545,39 @@ object PipelineOps {
           col("n_events"))))
 
   val oracle: Map[String, String] = Map(
+    "o9_merge_upsert" ->
+      """WITH changes AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    c_acctbal + CAST(100.0 AS DOUBLE) AS c_acctbal,
+        |    'MERGED' AS c_mktsegment, 0 AS _deleted
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 1
+        |  FROM customer WHERE c_custkey % 10 = 3
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+        |    c_mktsegment, 0
+        |  FROM customer WHERE c_custkey < 50
+        |), merged AS (
+        |  SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment
+        |  FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM changes ch
+        |                    WHERE ch.c_custkey = c.c_custkey)
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal, c_mktsegment
+        |  FROM changes WHERE _deleted = 0
+        |)
+        |SELECT c_mktsegment, count(*) AS n_rows,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM merged GROUP BY 1""".stripMargin,
+
+    "x_partitioned_prune" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+        |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+        |GROUP BY 1""".stripMargin,
+
     "o7_jdbc_roundtrip" ->
       """SELECT 'region' AS table_name, count(*) AS n_rows,
         |  CAST(sum(r_regionkey) AS BIGINT) AS key_sum FROM region

@@ -526,6 +526,18 @@ object TrainingData {
           length(col("payload")).cast("int").as("out_bytes"),
           col("out_width"), col("out_height"))),
 
+    // The frame-sampling stage: each media row exploded into its sampled
+    // frames (a byte slice every 32 bytes, 16-byte budget). The frame
+    // text round-trips exactly — the oracle re-derives every slice with
+    // substr arithmetic, so offsets, budgets, and the tail-truncation are
+    // all value-checked, not just counted.
+    "x_multimodal_framesample" -> ((s, dir) =>
+      Multimodal.frameSampleStage(Multimodal.mediaFromDocuments(s, dir))
+        .toDF()
+        .select(col("media_id"), col("kind"), col("frame_idx"),
+          length(col("payload")).cast("int").as("frame_len"),
+          decode(col("payload"), "UTF-8").as("frame_text"))),
+
     // The whole curation flow as ONE declarative plan: quality filter →
     // exact-dedup survivors → embedding join → per-language corpus stats.
     // Each stage is an already-oracled operator; the composition stays a
@@ -1004,6 +1016,20 @@ object TrainingData {
         |  CAST(CASE WHEN strlen(text) = 0 THEN 0 ELSE 64 END AS INT) AS out_bytes,
         |  CAST(224 AS INT) AS out_width, CAST(224 AS INT) AS out_height
         |FROM documents""".stripMargin,
+
+    "x_multimodal_framesample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, strlen(text) AS n,
+        |    unnest(generate_series(0, (strlen(text) - 1) // 32)) AS g
+        |  FROM documents WHERE strlen(text) > 0
+        |)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(g AS INT) AS frame_idx,
+        |  CAST(LEAST(16, n - g*32) AS INT) AS frame_len,
+        |  substr(text, CAST(g*32 + 1 AS INT), 16) AS frame_text
+        |FROM f""".stripMargin,
 
     "x_multimodal_meta" ->
       """SELECT doc_id AS media_id,

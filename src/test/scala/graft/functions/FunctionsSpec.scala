@@ -313,6 +313,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(again.feature.toSeq == f.feature.toSeq)
   }
 
+  test("frame-sample stage: byte-exact slices, tail truncation, empty payload") {
+    import spark.implicits._
+    val media = Seq(
+      graft.multimodal.Multimodal.MediaRow(1L, "video",
+        Array.tabulate(70)(i => (i + 1).toByte), 0, 0, 0),
+      graft.multimodal.Multimodal.MediaRow(2L, "video",
+        Array.emptyByteArray, 0, 0, 0)).toDS()
+    val frames = graft.multimodal.Multimodal
+      .frameSampleStage(media, stride = 32, frameLen = 16)
+      .collect().sortBy(_.frame_idx)
+    // 70 bytes, stride 32 → frames at offsets 0, 32, 64
+    assert(frames.map(f => (f.media_id, f.frame_idx)).toSeq ==
+      Seq((1L, 0), (1L, 1), (1L, 2)))
+    assert(frames(0).payload.toSeq ==
+      (1 to 16).map(_.toByte).toSeq) // full budget
+    assert(frames(1).payload.toSeq ==
+      (33 to 48).map(_.toByte).toSeq) // offset 32
+    assert(frames(2).payload.toSeq ==
+      (65 to 70).map(_.toByte).toSeq) // tail: only 6 bytes left
+  }
+
   test("resize stage downsamples payloads to exact target length") {
     val media = graft.multimodal.Multimodal.mediaFromDocuments(spark, TestSpark.Sf0001)
     val resized = graft.multimodal.Multimodal.resizeStage(media, targetLen = 64)

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Hive-style partitioned layout: a filter on the partition column must
+  * prune at the FILE INDEX — directories outside the range are never
+  * listed into the scan. This is the complement of [[ZOrder]] (which
+  * prunes within files via min/max): at 100 TB a day-range query over a
+  * date-partitioned table touches only the matching directories. */
+class PartitionedLayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("date filter prunes partition directories at the scan") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_pl").toString
+    (0 until 100).map(i => (i.toLong, s"d${i % 10}"))
+      .toDF("id", "day")
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+
+    val filtered = spark.read.parquet(out)
+      .filter(col("day") === "d3" || col("day") === "d7")
+    assert(filtered.count() == 20)
+
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+    val scan = scans(filtered.queryExecution.executedPlan).head
+    assert(scan.partitionFilters.nonEmpty, "filter must reach the file index")
+    val selected = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+    assert(selected.size == 2, s"expected 2 of 10 partitions, got ${selected.size}")
+  }
+}

