@@ -510,7 +510,37 @@ object PipelineOps {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Dynamic partition pruning: a date-partitioned fact joined to a small
+    * file-backed dim with a selective filter. The dim's surviving keys are
+    * broadcast and injected into the fact scan's partition filters AT
+    * RUNTIME — the fact reads only the matching directories even though
+    * the pruning dates aren't known at plan time. The star-join 100 TB
+    * lever: `DppSpec` pins `dynamicpruningexpression` on the scan.
+    * (The dim goes through parquet deliberately — a LocalRelation dim is
+    * constant-folded and DPP's selective-predicate check never fires.) */
+  def dppJoin(s: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_dpp_fact").toString
+    Tables.events(s, dir)
+      .withColumn("event_date",
+        to_date(timestamp_micros(col("ts_us"))).cast("string"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("event_date").parquet(out)
+    val dimDir = Files.createTempDirectory("graft_dpp_dim").toString
+    import s.implicits._
+    (1 to 31).map(d => (f"2024-01-$d%02d",
+        if (d % 7 == 0) "peak" else "off"))
+      .toDF("d_date", "d_kind")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dimDir)
+    val fact = s.read.parquet(out)
+    val dim = s.read.parquet(dimDir).filter(col("d_kind") === "peak")
+    fact.join(dim, col("event_date") === col("d_date"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_date").cast("string")).as("n_days"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dpp_join" -> ((s, dir) => dppJoin(s, dir)),
     "o9_merge_upsert" -> ((s, dir) => mergeUpsert(s, dir)),
     "x_partitioned_prune" -> ((s, dir) => partitionedPrune(s, dir)),
     "o7_jdbc_roundtrip" -> ((s, dir) => jdbcRoundtrip(s, dir)),
@@ -545,6 +575,14 @@ object PipelineOps {
           col("n_events"))))
 
   val oracle: Map[String, String] = Map(
+    "x_dpp_join" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR)) AS n_days
+        |FROM events
+        |WHERE CAST(CAST(ts AS DATE) AS VARCHAR) IN
+        |  ('2024-01-07','2024-01-14','2024-01-21','2024-01-28')
+        |GROUP BY 1""".stripMargin,
+
     "o9_merge_upsert" ->
       """WITH changes AS (
         |  SELECT c_custkey, c_name, c_nationkey,

@@ -37,4 +37,15 @@ class PartitionedLayoutSpec extends AnyFunSuite {
       .listFiles(scan.partitionFilters, scan.dataFilters)
     assert(selected.size == 2, s"expected 2 of 10 partitions, got ${selected.size}")
   }
+
+  test("x_dpp_join: the dim filter prunes fact partitions at runtime") {
+    val df = graft.queries.PipelineOps.dppJoin(spark, TestSpark.Sf0001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the fact scan must carry a dynamic pruning subquery on event_date —
+    // partitions are selected by the dim's surviving keys at runtime, not
+    // by a static filter
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(4000))
+  }
 }
