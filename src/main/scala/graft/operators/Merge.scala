@@ -32,4 +32,27 @@ object Merge {
     val applied = changes.filter(col(deletedCol) === 0).drop(deletedCol)
     keep.unionByName(applied.select(target.columns.map(col).toSeq: _*))
   }
+
+  /** Order-independent versioned merge (the ReplacingMergeTree LWW shape):
+    * per pk the row with the highest `versionCol` wins, whether it came
+    * from `state` or `changes` — so out-of-order batches and at-least-once
+    * redelivery cannot regress a newer row, unlike [[upsert]] which
+    * blindly trusts the changeset. Tombstone rows (`_deleted` = 1) are
+    * RETAINED in the returned state so a late older event cannot
+    * resurrect a deleted key; filter them at read time.
+    *
+    * Cost: one keyed shuffle of state + changes per call (vs [[upsert]]'s
+    * changeset-bounded anti join) — the price of order independence.
+    * State and changes must have identical columns.
+    */
+  def upsertVersioned(state: DataFrame, changes: DataFrame, pk: String,
+                      versionCol: String): DataFrame = {
+    require(state.columns.sorted.sameElements(changes.columns.sorted),
+      "state and changes must have identical columns")
+    val rest = state.columns.filterNot(_ == pk)
+    state.unionByName(changes)
+      .groupBy(col(pk))
+      .agg(max_by(struct(rest.map(col).toSeq: _*), col(versionCol)).as("_w"))
+      .select((col(pk) +: rest.map(c => col("_w." + c).as(c))).toSeq: _*)
+  }
 }

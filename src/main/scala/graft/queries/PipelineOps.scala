@@ -510,6 +510,62 @@ object PipelineOps {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** T1/T3 by a third mechanism: the CDC stream applied with a set-based
+    * versioned [[graft.operators.Merge]] per micro-batch (the
+    * Delta-`MERGE INTO` production pattern), versus t1's
+    * append+dedup-on-read and t6's state-store materialization. The
+    * versioned form is ORDER-INDEPENDENT: the file source replays chunks
+    * by modification time, which need not match write order, and
+    * at-least-once delivery can repeat a batch — per-key highest-version
+    * wins regardless, and tombstones persist in state so late older
+    * events cannot resurrect deletes. The oracle is the same global LWW
+    * the live view pins — three write mechanisms, one semantics. */
+  def streamMergeSink(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = Files.createTempDirectory("graft_ms_src").toString
+    val tgtRoot = Files.createTempDirectory("graft_ms_tgt").toString
+    val ckp = Files.createTempDirectory("graft_ms_ckp").toString
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .repartitionByRange(3, col("event_id"))
+      .sortWithinPartitions(col("event_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val schema = s.read.parquet(srcDir).schema
+    @volatile var current: Option[String] = None
+    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckp)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          val collapsed = batch
+            .groupBy(col("user_id"))
+            .agg(max_by(
+              struct(col("event_id"), col("event_type"), col("value")),
+              col("event_id")).as("_w"))
+            .select(col("user_id"),
+              col("_w.event_id").as("last_event_id"),
+              col("_w.event_type").as("last_type"),
+              col("_w.value").as("last_value"))
+            .withColumn(DeletedCol,
+              when(col("last_type") === "error", 1).otherwise(0))
+          val base = current.map(p => s.read.parquet(p))
+            .getOrElse(collapsed.limit(0))
+          val out = s"$tgtRoot/v$batchId"
+          graft.operators.Merge.upsertVersioned(base, collapsed, "user_id",
+              versionCol = "last_event_id")
+            .write.mode("overwrite").parquet(out)
+          current = Some(out)
+          ()
+      }.start()
+    q.awaitTermination()
+    s.read.parquet(current.get)
+      .filter(col(DeletedCol) === 0)
+      .select(col("user_id"), col("last_event_id"), col("last_type"))
+  }
+
   /** Dynamic partition pruning: a date-partitioned fact joined to a small
     * file-backed dim with a selective filter. The dim's surviving keys are
     * broadcast and injected into the fact scan's partition filters AT
@@ -540,6 +596,7 @@ object PipelineOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t9_stream_merge_sink" -> ((s, dir) => streamMergeSink(s, dir)),
     "x_dpp_join" -> ((s, dir) => dppJoin(s, dir)),
     "o9_merge_upsert" -> ((s, dir) => mergeUpsert(s, dir)),
     "x_partitioned_prune" -> ((s, dir) => partitionedPrune(s, dir)),
@@ -575,6 +632,12 @@ object PipelineOps {
           col("n_events"))))
 
   val oracle: Map[String, String] = Map(
+    "t9_stream_merge_sink" ->
+      """SELECT user_id, max(event_id) AS last_event_id,
+        |  arg_max(event_type, event_id) AS last_type
+        |FROM events GROUP BY user_id
+        |HAVING arg_max(event_type, event_id) <> 'error'""".stripMargin,
+
     "x_dpp_join" ->
       """SELECT event_type, count(*) AS n_events,
         |  count(DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR)) AS n_days

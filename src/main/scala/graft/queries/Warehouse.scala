@@ -32,6 +32,20 @@ object Warehouse {
   val DiffCutoffUs = 1705276800000000L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Wide→long melt (the inverse of pivot_orders_by_priority): per-nation
+    // customer metrics unpivoted to (nation, metric, value) rows. Spark's
+    // native unpivot — an Expand node, zero shuffle beyond the agg's own;
+    // metrics cast to a common double type as unpivot requires.
+    "x_unpivot_metrics" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).cast("double").as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("acctbal_sum"))
+        .unpivot(Array(col("c_nationkey")),
+          Array(col("n_customers"), col("acctbal_sum")),
+          "metric", "value")),
+
     // TPC-H Q6 shape: pure scan + filter + global agg. The whole predicate
     // pushes into the parquet scan; no shuffle at all (partial agg → one
     // exchange of 32 single-row partials).
@@ -349,6 +363,17 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_unpivot_metrics" ->
+      """WITH w AS (
+        |  SELECT c_nationkey,
+        |    CAST(count(*) AS DOUBLE) AS n_customers,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+        |  FROM customer GROUP BY 1
+        |)
+        |SELECT c_nationkey, 'n_customers' AS metric, n_customers AS value FROM w
+        |UNION ALL
+        |SELECT c_nationkey, 'acctbal_sum', acctbal_sum FROM w""".stripMargin,
+
     "q6_forecast_revenue" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
         |  count(*) AS n_items

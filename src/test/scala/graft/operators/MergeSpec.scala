@@ -33,6 +33,34 @@ class MergeSpec extends AnyFunSuite {
     assert(merged.count() == 2)
   }
 
+  test("upsertVersioned: out-of-order batches converge to the same state") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, String, Int)]
+      .toDF("k", "ver", "v", "_deleted")
+    val b1 = Seq((1L, 10L, "old", 0), (2L, 11L, "gone", 1)).toDF("k", "ver", "v", "_deleted")
+    val b2 = Seq((1L, 20L, "new", 0)).toDF("k", "ver", "v", "_deleted")
+
+    def apply2(first: org.apache.spark.sql.DataFrame,
+               second: org.apache.spark.sql.DataFrame) =
+      Merge.upsertVersioned(
+        Merge.upsertVersioned(empty, first, "k", "ver"), second, "k", "ver")
+        .orderBy("k").as[(Long, Long, String, Int)].collect().toSeq
+
+    val inOrder = apply2(b1, b2)
+    val outOfOrder = apply2(b2, b1) // b2 replayed first: b1 must NOT regress k=1
+    assert(inOrder == outOfOrder)
+    assert(inOrder == Seq((1L, 20L, "new", 0), (2L, 11L, "gone", 1)))
+  }
+
+  test("upsertVersioned: tombstone blocks resurrection by a late older event") {
+    import spark.implicits._
+    val state = Seq((7L, 50L, "x", 1)).toDF("k", "ver", "v", "_deleted")
+    val late = Seq((7L, 40L, "stale", 0)).toDF("k", "ver", "v", "_deleted")
+    val merged = Merge.upsertVersioned(state, late, "k", "ver")
+      .as[(Long, Long, String, Int)].collect().toSeq
+    assert(merged == Seq((7L, 50L, "x", 1))) // delete at ver 50 still wins
+  }
+
   test("no nested-loop join: the anti join is hash- or broadcast-based") {
     import spark.implicits._
     val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
