@@ -465,10 +465,10 @@ object PipelineOps {
     * written through the warehouse sink and read back — the set-based
     * apply the reference performs row-at-a-time
     * (`src/cdc_replicator.py:229-264`). */
-  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
-    val wh = Files.createTempDirectory("graft_merge").toString
-    val rep = new SnapshotReplicator(s, dir, wh)
-    val target = Tables.read(s, dir, "customer")
+  /** The deterministic customer changeset both merge gates apply:
+    * updates (keys ≡ 0 mod 10), deletes (≡ 3 mod 10), inserts (< 50,
+    * re-keyed +1e6). */
+  private def customerChanges(target: DataFrame): DataFrame = {
     val updates = target.filter(col("c_custkey") % 10 === 0)
       .withColumn("c_acctbal", col("c_acctbal") + lit(100.0))
       .withColumn("c_mktsegment", lit("MERGED"))
@@ -478,9 +478,15 @@ object PipelineOps {
     val inserts = target.filter(col("c_custkey") < 50)
       .withColumn("c_custkey", col("c_custkey") + lit(1000000L))
       .withColumn(DeletedCol, lit(0))
-    val changes = updates.unionByName(deletes).unionByName(inserts)
-    graft.operators.Merge.upsert(target, changes, "c_custkey",
-        deletedCol = DeletedCol)
+    updates.unionByName(deletes).unionByName(inserts)
+  }
+
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val wh = Files.createTempDirectory("graft_merge").toString
+    val rep = new SnapshotReplicator(s, dir, wh)
+    val target = Tables.read(s, dir, "customer")
+    graft.operators.Merge.upsert(target, customerChanges(target),
+        "c_custkey", deletedCol = DeletedCol)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(rep.targetPath("customer_merged"))
     s.read.parquet(rep.targetPath("customer_merged"))
@@ -566,6 +572,29 @@ object PipelineOps {
       .select(col("user_id"), col("last_event_id"), col("last_type"))
   }
 
+  /** Versioned reads: v0 = the customer snapshot, v1 = v0 + the merge
+    * changeset — BOTH still readable afterward ([[graft.operators.TimeTravel]]:
+    * immutable version dirs, snapshot isolation for readers). The gate
+    * reads each pinned version and reports its aggregate; the oracle
+    * re-derives v1 with the same merge CTE o9 uses. */
+  def timeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TimeTravel
+    val root = Files.createTempDirectory("graft_tt").toString
+    TimeTravel.write(Tables.read(s, dir, "customer"), root) // v0
+    val v0 = TimeTravel.readAt(s, root, 0)
+    TimeTravel.write(
+      graft.operators.Merge.upsert(v0, customerChanges(v0), "c_custkey",
+        deletedCol = DeletedCol), root) // v1
+    def aggAt(v: Long): DataFrame =
+      TimeTravel.readAt(s, root, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("sum_acctbal"))
+        .withColumn("version", lit(v).cast("int"))
+    aggAt(0).unionByName(aggAt(1))
+      .select(col("version"), col("n_rows"), col("sum_acctbal"))
+  }
+
   /** Dynamic partition pruning: a date-partitioned fact joined to a small
     * file-backed dim with a selective filter. The dim's surviving keys are
     * broadcast and injected into the fact scan's partition filters AT
@@ -596,6 +625,7 @@ object PipelineOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o10_time_travel" -> ((s, dir) => timeTravel(s, dir)),
     "t9_stream_merge_sink" -> ((s, dir) => streamMergeSink(s, dir)),
     "x_dpp_join" -> ((s, dir) => dppJoin(s, dir)),
     "o9_merge_upsert" -> ((s, dir) => mergeUpsert(s, dir)),
@@ -632,6 +662,32 @@ object PipelineOps {
           col("n_events"))))
 
   val oracle: Map[String, String] = Map(
+    "o10_time_travel" ->
+      """WITH changes AS (
+        |  SELECT c_custkey, c_acctbal + CAST(100.0 AS DOUBLE) AS c_acctbal,
+        |    0 AS _deleted
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal, 1
+        |  FROM customer WHERE c_custkey % 10 = 3
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_acctbal, 0
+        |  FROM customer WHERE c_custkey < 50
+        |), merged AS (
+        |  SELECT c.c_acctbal FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM changes ch
+        |                    WHERE ch.c_custkey = c.c_custkey)
+        |  UNION ALL
+        |  SELECT c_acctbal FROM changes WHERE _deleted = 0
+        |)
+        |SELECT 0 AS version, count(*) AS n_rows,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |UNION ALL
+        |SELECT 1, count(*),
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM merged""".stripMargin,
+
     "t9_stream_merge_sink" ->
       """SELECT user_id, max(event_id) AS last_event_id,
         |  arg_max(event_type, event_id) AS last_type

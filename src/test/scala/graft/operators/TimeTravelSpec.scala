@@ -1,0 +1,26 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Versioned dirs: monotonically numbered, independently readable, and a
+  * later write never mutates an earlier pinned version. */
+class TimeTravelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("writes append versions; pinned reads are isolated from later writes") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ttspec").toString
+    assert(TimeTravel.versions(root).isEmpty)
+
+    assert(TimeTravel.write(Seq((1, "a"), (2, "b")).toDF("k", "v"), root) == 0L)
+    val v0 = TimeTravel.readAt(spark, root, 0)
+    assert(TimeTravel.write(Seq((1, "a2")).toDF("k", "v"), root) == 1L)
+
+    assert(TimeTravel.versions(root) == Seq(0L, 1L))
+    // the v0 frame read BEFORE v1 existed still sees the old rows
+    assert(v0.count() == 2)
+    assert(TimeTravel.readAt(spark, root, 0).count() == 2)
+    assert(TimeTravel.readLatest(spark, root).count() == 1)
+  }
+}
