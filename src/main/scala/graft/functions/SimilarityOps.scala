@@ -186,6 +186,148 @@ object SimilarityOps {
         round(col("_cos"), 6).cast("decimal(10,6)").as("cos_sim"))
   }
 
+  /** Product quantization (the IVF-PQ compression stage) with ADC scoring
+    * over the full corpus. Vectors are split into `m` subspaces of
+    * `dim/m` dims; each subvector is encoded as its nearest codeword
+    * (L2², deterministic ties) from a `ksub`-entry per-subspace codebook
+    * (subvectors of the first `ksub` corpus vectors — deterministic init;
+    * codebook REFINEMENT is k-means' job, see `x_kmeans_embed`). A query
+    * then scores any candidate from an m·ksub lookup table of
+    * query·codeword dots — the candidate's floats are never touched,
+    * which is the point: at 100 TB the corpus lives as m byte-codes per
+    * vector (32× smaller than float32), and scoring is m table lookups.
+    * LUT entries are integer micro-units so the cross-subspace sum is
+    * exact (no float-order nondeterminism); at scale the ADC scan runs
+    * per IVF cell ([[ivfAnnTopK]]) instead of the whole corpus.
+    */
+  def pqAnnTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, m: Int, ksub: Int, dim: Int,
+                shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sub = dim / m
+    require(sub * m == dim, s"dim $dim must split evenly into $m subspaces")
+    // L2-normalize before encoding: on unit vectors the ADC dot IS the
+    // cosine, so PQ ranking targets the same metric as brute force
+    // (unnormalized ADC ranks by raw dot and norm variance buries recall)
+    def toD(c: Column) = {
+      val n = sqrt(aggregate(
+        zip_with(c, c, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, t) => acc + t))
+      transform(c, v => v.cast("double") / n)
+    }
+    val cb = corpus.filter(col(idCol) < ksub)
+      .select(col(idCol).cast("int").as("_j"), toD(col(vecCol)).as("_ev"))
+      .select(col("_j"), explode(array((0 until m).map(mi =>
+        struct(lit(mi).as("_m"),
+          slice(col("_ev"), mi * sub + 1, sub).as("_cv"))): _*)).as("_s"))
+      .select(col("_s._m").as("_m"), col("_j"), col("_s._cv").as("_cv"))
+    def subvec(v: Column) =
+      slice(v, col("_m") * lit(sub) + lit(1), lit(sub))
+    val enc = corpus
+      .select(col(idCol).as("neighbor_id"), toD(col(vecCol)).as("_ev"))
+      .crossJoin(broadcast(cb))
+      .withColumn("_d2", aggregate(
+        zip_with(subvec(col("_ev")), col("_cv"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, t) => acc + t))
+    val wEnc = Window.partitionBy(col("neighbor_id"), col("_m"))
+      .orderBy(round(col("_d2"), 6).asc, col("_j").asc)
+    val codes = enc.withColumn("_rn", row_number().over(wEnc))
+      .filter(col("_rn") === 1)
+      .select(col("neighbor_id"), col("_m"), col("_j"))
+    val lut = queries
+      .select(col(idCol).as("query_id"), toD(col(vecCol)).as("_qv"))
+      .crossJoin(broadcast(cb))
+      .select(col("query_id"), col("_m"), col("_j"),
+        round(aggregate(
+          zip_with(subvec(col("_qv")), col("_cv"), (x, y) => x * y),
+          lit(0.0), (acc, t) => acc + t) * 1000000d, 0)
+          .cast("bigint").as("_lutq"))
+    val scored = codes.join(broadcast(lut), Seq("_m", "_j"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("_lutq")).cast("long").as("adc_micro"))
+    // ADC shortlist → exact re-rank on the stored floats (the production
+    // IVF-PQ read path: codes select candidates cheaply, the float
+    // vectors of the shortlist alone are fetched for exact scoring).
+    // Quantization error then costs recall only when a true neighbor
+    // misses the whole shortlist, not when ADC misorders the top-k.
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_micro").desc, col("neighbor_id").asc)
+    val short = scored.withColumn("_srk", row_number().over(wAdc))
+      .filter(col("_srk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val cf = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("_cv0"), norm(col(vecCol)).as("_cn0"))
+    val qf = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("_qv0"), norm(col(vecCol)).as("_qn0"))
+    val rer = short.join(cf, Seq("neighbor_id")).join(broadcast(qf), Seq("query_id"))
+      .withColumn("_cos",
+        dot(col("_qv0"), col("_cv0")) / (col("_qn0") * col("_cn0")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("_cos"), 6).desc, col("neighbor_id").asc)
+    rer.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("_cos"), 6).cast("decimal(10,6)").as("cos_sim"))
+  }
+
+  /** DuckDB oracle for [[pqAnnTopK]] — replays codebook, encode, LUT, and
+    * ADC with the same arithmetic (left-to-right term sums, round-6
+    * argmin ties by codeword id, integer micro-unit LUT). */
+  def pqAnnTopKDuck(k: Int, m: Int, ksub: Int, dim: Int,
+                    queryIds: Int, shortlist: Int): String = {
+    val sub = dim / m
+    def d2 = (1 to sub)
+      .map(i => s"(CAST(e.embedding[cb.m*$sub+$i] AS DOUBLE) / e.nrm - cb.cv[$i]) * " +
+        s"(CAST(e.embedding[cb.m*$sub+$i] AS DOUBLE) / e.nrm - cb.cv[$i])")
+      .mkString("(", " + ", ")")
+    def dotq = (1 to sub)
+      .map(i => s"CAST(q.embedding[cb.m*$sub+$i] AS DOUBLE) / q.nrm * cb.cv[$i]")
+      .mkString("(", " + ", ")")
+    val nrm = s"sqrt(${dotDuck("embedding", "embedding", dim)})"
+    s"""WITH en AS (
+       |  SELECT vec_id, embedding, $nrm AS nrm FROM embeddings
+       |), cb AS (
+       |  SELECT CAST(ms.m AS INT) AS m, CAST(vec_id AS INT) AS j,
+       |    list_transform(embedding[ms.m*$sub+1 : ms.m*$sub+$sub],
+       |                   v -> CAST(v AS DOUBLE) / nrm) AS cv
+       |  FROM en CROSS JOIN (SELECT unnest(range(0, $m)) AS m) ms
+       |  WHERE vec_id < $ksub
+       |), enc AS (
+       |  SELECT e.vec_id AS neighbor_id, cb.m, cb.j,
+       |    row_number() OVER (PARTITION BY e.vec_id, cb.m
+       |      ORDER BY round($d2, 6) ASC, cb.j ASC) AS rn
+       |  FROM en e CROSS JOIN cb
+       |), codes AS (SELECT neighbor_id, m, j FROM enc WHERE rn = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, cb.m, cb.j,
+       |    CAST(round($dotq * 1000000, 0) AS BIGINT) AS lutq
+       |  FROM en q CROSS JOIN cb WHERE q.vec_id < $queryIds
+       |), sc AS (
+       |  SELECT l.query_id, c.neighbor_id,
+       |    CAST(sum(l.lutq) AS BIGINT) AS adc_micro
+       |  FROM codes c JOIN lut l ON c.m = l.m AND c.j = l.j
+       |  WHERE l.query_id <> c.neighbor_id
+       |  GROUP BY 1, 2
+       |), sl AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc_micro DESC, neighbor_id ASC) AS srk
+       |    FROM sc) WHERE srk <= $shortlist
+       |)
+       |SELECT query_id, rk, neighbor_id, cos_sim FROM (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    CAST(CAST(round(${cosineDuck("q.embedding", "c.embedding", dim)}, 6)
+       |         AS DECIMAL(10,6)) AS DOUBLE) AS cos_sim,
+       |    row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY round(${cosineDuck("q.embedding", "c.embedding", dim)}, 6) DESC,
+       |               s.neighbor_id ASC) AS rk
+       |  FROM sl s
+       |  JOIN embeddings q ON q.vec_id = s.query_id
+       |  JOIN embeddings c ON c.vec_id = s.neighbor_id
+       |) WHERE rk <= $k""".stripMargin
+  }
+
   /** Multi-probe key set for a hyperplane bucket: the bucket itself plus
     * its `planes` Hamming-1 neighbors (one sign bit flipped). Probing these
     * lifts recall — a near-neighbor pair disagrees on few sign bits, so

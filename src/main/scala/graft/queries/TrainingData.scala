@@ -32,6 +32,9 @@ object TrainingData {
   val EmbeddingDim = 64
   val IvfCentroidMod = 16 // centroid set = vec_id % 16 == 0 (~1/16 corpus)
   val IvfNProbe = 2
+  val PqM = 8 // PQ: subspaces (64 dims → 8 per subspace)
+  val PqKsub = 16 // PQ: codewords per subspace (init = first 16 vectors)
+  val PqShortlist = 50 // PQ: ADC candidates kept for exact re-rank
   val WinnowK = 5 // winnowing: char k-gram width
   val WinnowW = 4 // winnowing: min-window width (guarantee gap t = W+K-1)
   val FpMaxBucket = 100 // containment: keep only discriminative fps — a fp
@@ -262,6 +265,17 @@ object TrainingData {
       val e = emb(s, dir)
       SimilarityOps.ivfAnnTopK(e, e.filter(col("vec_id") < AnnQueryIds),
         "vec_id", "embedding", AnnK, IvfCentroidMod, IvfNProbe)
+    }),
+
+    // PQ ANN — the compressed-corpus scale path: ADC over byte codes
+    // selects a shortlist, stored floats re-rank it exactly (at 100 TB
+    // the ADC scan runs inside IVF cells and only the shortlist's floats
+    // are ever fetched). Exact-oracled: codebook init, encode argmin,
+    // micro-unit LUT sums, and the re-rank are all reproducible.
+    "x_ann_pq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.pqAnnTopK(e, e.filter(col("vec_id") < AnnQueryIds),
+        "vec_id", "embedding", AnnK, PqM, PqKsub, EmbeddingDim, PqShortlist)
     }),
 
     // ----------------------------------------------------------- text
@@ -820,6 +834,10 @@ object TrainingData {
          |  FROM cand)
          |WHERE rk <= $AnnK""".stripMargin
     },
+
+    "x_ann_pq_topk" ->
+      SimilarityOps.pqAnnTopKDuck(AnnK, PqM, PqKsub, EmbeddingDim,
+        AnnQueryIds, PqShortlist),
 
     "x_ann_ivf_topk" -> {
       val cos = cosineDuck("e.embedding", "c.cv")

@@ -18,6 +18,19 @@ class AnnRecallSpec extends AnyFunSuite {
       .as[(Long, Int, Long, java.math.BigDecimal)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
 
+  test("PQ shortlist+re-rank ANN recall ≥ 0.6 vs brute force on sf0.001") {
+    val brute = topkSets("x_ann_brute_topk")
+    val pq = topkSets("x_ann_pq_topk")
+    assert(brute.keySet == pq.keySet)
+    val recalls = brute.map { case (q, truth) =>
+      pq(q).count(truth).toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall@${TrainingData.AnnK} = $mean%.3f " +
+      s"(per-query: ${recalls.map(r => f"$r%.2f").mkString(", ")})")
+    assert(mean >= 0.6, f"mean recall $mean%.3f below floor")
+  }
+
   test("banded multi-probe LSH ANN recall ≥ 0.5 vs brute force on sf0.001") {
     val brute = topkSets("x_ann_brute_topk")
     val lsh = topkSets("x_ann_lsh_topk")
