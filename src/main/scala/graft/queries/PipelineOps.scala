@@ -108,6 +108,63 @@ object PipelineOps {
       .groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
   }
 
+  /** Watermark late-data semantics, exactly reproduced. Three chunks
+    * replayed in forced modtime order: on-time history (ts < Jan 16,
+    * minus stragglers), mid-period data (Jan 16–23), then the tail PLUS
+    * the stragglers — which arrive TWO batches after their event times.
+    * Two batches matters: Spark filters late rows with the PREVIOUS
+    * batch's watermark while evicting state with the current one
+    * (the two-watermark design, SPARK-24634 — verified empirically on
+    * this pipeline), so a row one batch late still lands in open state,
+    * and only a row whose window end predates the lagged filter
+    * watermark is dropped. The oracle re-derives both watermarks and
+    * replays drop (window.end ≤ lagged wm) and emit (window.end ≤ final
+    * wm) in SQL — exactly which rows vanish and which windows appear. */
+  def lateDataWindows(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = Files.createTempDirectory("graft_late_src").toString
+    val outDir = Files.createTempDirectory("graft_late_out").toString
+    val ckp = Files.createTempDirectory("graft_late_ckp").toString
+    val MidUs = 1705363200000000L // 2024-01-16T00:00:00Z
+    val Mid2Us = 1705968000000000L // 2024-01-23T00:00:00Z
+    val ev = Tables.events(s, dir).select(col("event_id"), col("ts_us"))
+    val straggler = col("event_id") % 97 === 0
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_late_tmp").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+      ()
+    }
+    val base = 1600000000000L // fixed modtimes: strictly increasing
+    stage(ev.filter(col("ts_us") < MidUs && !straggler), "chunk0.parquet", base)
+    stage(ev.filter(col("ts_us") >= MidUs && col("ts_us") < Mid2Us),
+      "chunk1.parquet", base + 600000L)
+    stage(ev.filter(col("ts_us") >= Mid2Us ||
+        (col("ts_us") < MidUs && straggler)),
+      "chunk2.parquet", base + 1200000L)
+    val schema = StructType.fromDDL("event_id BIGINT, ts_us BIGINT")
+    val agg = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .withColumn("ts_ev", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_ev", "30 minutes")
+      .groupBy(window(col("ts_ev"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = agg.writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(outDir)
+      .select(unix_micros(col("window.start")).as("ws_us"), col("n_events"))
+  }
+
   /** K7/A3/P4/P5/O5 in one lifecycle run (the operators that previously
     * had only unit specs, promoted to the gate):
     *   - O5: replicate {region, nation, no_such_table} — the missing table
@@ -626,6 +683,7 @@ object PipelineOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o10_time_travel" -> ((s, dir) => timeTravel(s, dir)),
+    "t10_late_data" -> ((s, dir) => lateDataWindows(s, dir)),
     "t9_stream_merge_sink" -> ((s, dir) => streamMergeSink(s, dir)),
     "x_dpp_join" -> ((s, dir) => dppJoin(s, dir)),
     "o9_merge_upsert" -> ((s, dir) => mergeUpsert(s, dir)),
@@ -687,6 +745,28 @@ object PipelineOps {
         |SELECT 1, count(*),
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
         |FROM merged""".stripMargin,
+
+    "t10_late_data" ->
+      """WITH c AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws,
+        |    CASE WHEN epoch_us(ts) >= 1705968000000000
+        |              OR (epoch_us(ts) < 1705363200000000
+        |                  AND event_id % 97 = 0) THEN 2
+        |         WHEN epoch_us(ts) >= 1705363200000000 THEN 1
+        |         ELSE 0 END AS chunk
+        |  FROM events
+        |), wm AS (
+        |  SELECT
+        |    (SELECT max(epoch_us(ts)) FROM events
+        |     WHERE epoch_us(ts) < 1705363200000000 AND event_id % 97 <> 0)
+        |      - 1800000000 AS wma,
+        |    (SELECT max(epoch_us(ts)) FROM events) - 1800000000 AS fwm
+        |)
+        |SELECT c.ws AS ws_us, count(*) AS n_events
+        |FROM c, wm
+        |WHERE NOT (c.chunk = 2 AND c.ws + 3600000000 <= wm.wma)
+        |  AND c.ws + 3600000000 <= wm.fwm
+        |GROUP BY 1""".stripMargin,
 
     "t9_stream_merge_sink" ->
       """SELECT user_id, max(event_id) AS last_event_id,
