@@ -46,6 +46,77 @@ object Warehouse {
           Array(col("n_customers"), col("acctbal_sum")),
           "metric", "value")),
 
+    // Runtime bloom-filter join: the row-level complement of DPP for
+    // non-broadcastable dims. A bloom filter built from the filtered dim's
+    // join keys is injected into the fact scan AT RUNTIME, discarding
+    // non-matching rows before the shuffle — at 100 TB this turns a
+    // full-fact shuffle join into a shuffle of the ~matching rows only.
+    // Harness-scale tuning to model the big-dim case: the app-side scan
+    // threshold drops to 0 (default engages at multi-GB) and broadcast is
+    // disabled — InjectRuntimeFilter deliberately skips broadcastable
+    // creation sides (a broadcast join needs no bloom), which at sf0.001
+    // is every dim. RuntimeFilterSpec pins
+    // `bloom_filter_might_contain` on the executed plan.
+    "x_bloom_join" -> ((s, dir) => {
+      val conf = s.conf
+      val keys = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      val prev = keys.map(k => k -> conf.getOption(k))
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set(keys(0), "0")
+      conf.set(keys(1), "-1")
+      conf.set(keys(2), "-1")
+      try {
+        val dim = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        val df = t(s, dir, "lineitem")
+          .join(dim, col("l_orderkey") === col("o_orderkey"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(discPrice).cast("decimal(38,6)").cast("double").as("revenue"))
+        // force optimization NOW, while the tuned confs are active —
+        // the returned frame's (cached) physical plan carries the bloom
+        // filter; a lazy caller would otherwise plan after the finally
+        df.queryExecution.executedPlan
+        df
+      } finally prev.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+    }),
+
+    // Deterministic PII pseudonymization: names replaced by a salted
+    // SHA-256 token — the same input always maps to the same token, so
+    // referential integrity (joins, dedup, per-entity aggregation)
+    // survives masking; the raw value is unrecoverable. The gate proves
+    // tokens stay 1:1 with customers (n_tokens = n_customers per
+    // segment). Scan-only — no shuffle beyond the aggregation's own.
+    "x_pseudonymize" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"),
+          sha2(concat(lit("graft:"), col("c_name")), 256).as("name_token"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          countDistinct(col("name_token")).as("n_tokens"),
+          min(col("name_token")).as("first_token"))),
+
+    // Equi-width histogram (distribution profiling): 20 buckets over
+    // [min, max] of the order totals, bucket edges from one exact
+    // min/max pass. Two scans, both shuffle-free (partial-agg'd scalar
+    // aggregates + a 20-group agg).
+    "x_histogram" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val mm = o.agg(min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+      val bucket = least(floor((col("o_totalprice") - col("mn")) /
+          ((col("mx") - col("mn")) / 20.0)), lit(19.0)).cast("int")
+      o.crossJoin(broadcast(mm))
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
     // TPC-H Q6 shape: pure scan + filter + global agg. The whole predicate
     // pushes into the parquet scan; no shuffle at all (partial agg → one
     // exchange of 32 single-row partials).
@@ -363,6 +434,26 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_bloom_join" ->
+      """SELECT count(*) AS n_items,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(22,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+
+    "x_pseudonymize" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  count(DISTINCT sha256('graft:' || c_name)) AS n_tokens,
+        |  min(sha256('graft:' || c_name)) AS first_token
+        |FROM customer GROUP BY 1""".stripMargin,
+
+    "x_histogram" ->
+      """WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |            FROM orders)
+        |SELECT CAST(least(floor((o_totalprice - mn) / ((mx - mn) / 20.0)),
+        |  19.0) AS INT) AS bucket, count(*) AS n_orders
+        |FROM orders, mm GROUP BY 1""".stripMargin,
+
     "x_unpivot_metrics" ->
       """WITH w AS (
         |  SELECT c_nationkey,
