@@ -117,6 +117,47 @@ object Warehouse {
         .agg(count(lit(1)).as("n_orders"))
     }),
 
+    // Data-quality constraint audit (the Deequ shape): each rule is a
+    // conditional count folded into ONE scan — no per-rule passes. The
+    // violation counts are exact, so a pipeline can gate promotion on
+    // them ("fail the load if any violations"), which is how a 100 TB
+    // ingest keeps bad batches out of the lake.
+    "x_dq_checks" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def violations(c: Column): Column =
+        sum(when(c, 0L).otherwise(1L)).cast("long")
+      li.agg(
+        count(lit(1)).as("n_rows"),
+        violations(col("l_quantity").between(1, 50)).as("qty_range_viol"),
+        violations(col("l_discount").between(0.0, 0.1)).as("disc_range_viol"),
+        violations(col("l_extendedprice") > 0).as("price_pos_viol"),
+        violations(col("l_orderkey").isNotNull &&
+          col("l_partkey").isNotNull).as("key_null_viol"),
+        (count(lit(1)) - countDistinct(col("l_orderkey"),
+          col("l_linenumber"))).cast("long").as("pk_dup_viol"))
+    }),
+
+    // Incremental materialized-view maintenance: the per-priority order
+    // MV is refreshed by merging the OLD aggregate with the delta's
+    // aggregate — never rescanning history. Works because sum/count are
+    // mergeable (the same property partial aggregation exploits); the
+    // oracle recomputes from scratch, proving merge ≡ full recompute.
+    // At 100 TB: refresh cost ~ delta size, not table size.
+    "x_incr_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val cut = to_date(lit("1996-01-01"))
+      def aggOf(df: DataFrame): DataFrame =
+        df.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+      val mv0 = aggOf(o.filter(col("o_orderdate") < cut)) // yesterday's MV
+      val delta = aggOf(o.filter(col("o_orderdate") >= cut)) // new partition
+      mv0.unionByName(delta)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n_orders")).cast("long").as("n_orders"),
+          sum(col("total")).cast("decimal(38,2)").cast("double").as("total"))
+    }),
+
     // TPC-H Q6 shape: pure scan + filter + global agg. The whole predicate
     // pushes into the parquet scan; no shuffle at all (partial agg → one
     // exchange of 32 single-row partials).
@@ -434,6 +475,27 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_dq_checks" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS qty_range_viol,
+        |  CAST(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS disc_range_viol,
+        |  CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS price_pos_viol,
+        |  CAST(sum(CASE WHEN l_orderkey IS NOT NULL
+        |                 AND l_partkey IS NOT NULL THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS key_null_viol,
+        |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        |    AS BIGINT) AS pk_dup_viol
+        |FROM lineitem""".stripMargin,
+
+    "x_incr_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    AS DECIMAL(38,2)) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
+
     "x_bloom_join" ->
       """SELECT count(*) AS n_items,
         |  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
