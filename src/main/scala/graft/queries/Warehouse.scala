@@ -117,6 +117,36 @@ object Warehouse {
         .agg(count(lit(1)).as("n_orders"))
     }),
 
+    // Sliding (hopping) windows — each event lands in length/slide
+    // windows (here 2): the third windowing shape next to t5's tumbling
+    // and t5_sessionized's session windows. Spark expands via a
+    // generator before the one aggregation shuffle; the oracle restates
+    // the expansion as a 2-way UNION of shifted hour-truncs.
+    "x_sliding_windows" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(timestamp_micros(col("ts_us")), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_micros(col("window.start")).as("ws_us"),
+          col("n_events"))),
+
+    // Frequent-values profiling: per-column top-3 values with exact
+    // counts (total-order ties) — completes the profiling family next to
+    // x_profile's column stats and x_histogram's distribution. One
+    // aggregation per profiled column, unioned; each is partial-agg'd.
+    "x_freq_profile" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      def top3(colName: String): DataFrame = {
+        val w = Window.orderBy(col("cnt").desc, col("value").asc)
+        c.groupBy(col(colName).cast("string").as("value"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(lit(colName).as("column_name"), col("value"),
+            col("cnt"), col("rk"))
+      }
+      top3("c_mktsegment").unionByName(top3("c_nationkey"))
+    }),
+
     // Data-quality constraint audit (the Deequ shape): each rule is a
     // conditional count folded into ONE scan — no per-rule passes. The
     // violation counts are exact, so a pipeline can gate promotion on
@@ -475,6 +505,29 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_sliding_windows" ->
+      """WITH b AS (SELECT epoch_us(ts) AS tu FROM events),
+        |w AS (
+        |  SELECT (tu // 3600000000) * 3600000000 AS ws FROM b
+        |  UNION ALL
+        |  SELECT (tu // 3600000000) * 3600000000 - 3600000000 FROM b
+        |)
+        |SELECT ws AS ws_us, count(*) AS n_events FROM w GROUP BY 1""".stripMargin,
+
+    "x_freq_profile" ->
+      """WITH seg AS (
+        |  SELECT 'c_mktsegment' AS column_name,
+        |    CAST(c_mktsegment AS VARCHAR) AS value, count(*) AS cnt
+        |  FROM customer GROUP BY 2),
+        |nat AS (
+        |  SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR), count(*)
+        |  FROM customer GROUP BY 2),
+        |u AS (SELECT * FROM seg UNION ALL SELECT * FROM nat)
+        |SELECT column_name, value, cnt, CAST(rk AS INT) AS rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY column_name
+        |    ORDER BY cnt DESC, value ASC) AS rk
+        |  FROM u) WHERE rk <= 3""".stripMargin,
+
     "x_dq_checks" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
