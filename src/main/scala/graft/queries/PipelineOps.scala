@@ -298,6 +298,34 @@ object PipelineOps {
         sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
   }
 
+  /** Bucket-pruned point lookup: an equality predicate on the bucket key
+    * reads ONE bucket of N — the serving-path read on a bucketed table
+    * (`SelectedBucketsCount: 1 out of 8`, pinned by BucketingSpec). At
+    * 100 TB a keyed lookup touches 1/N of the files with no index
+    * structure beyond the layout itself. */
+  def bucketPrunedLookup(s: SparkSession, dir: String): DataFrame = {
+    graft.operators.Bucketing.writeBucketed(
+      Tables.read(s, dir, "customer"), "graft_gate_cust_b", "c_custkey", 8)
+    // DisableUnnecessaryBucketedScan only credits bucketing for
+    // distribution requirements, not filter pruning — turn it off so the
+    // point predicate actually prunes to one bucket; plan eagerly inside
+    // the guard (cf. x_bloom_join)
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevV = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try {
+      val df = s.table("graft_gate_cust_b")
+        .filter(col("c_custkey") === 42L)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("c_acctbal"))
+      df.queryExecution.executedPlan
+      df
+    } finally prevV match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Stream-stream inner join with an event-time range condition — the
     * Structured Streaming surface none of the other gates exercise: BOTH
     * inputs are unbounded, and matches must pair rows across micro-batch
@@ -698,6 +726,7 @@ object PipelineOps {
     "o3_snapshot_roundtrip" -> ((s, dir) => snapshotRoundtrip(s, dir)),
     "o5_table_lifecycle" -> ((s, dir) => tableLifecycle(s, dir)),
     "b1_bucketed_join" -> ((s, dir) => bucketedJoinAgg(s, dir)),
+    "b2_bucket_pruned_lookup" -> ((s, dir) => bucketPrunedLookup(s, dir)),
     "t6_stateful_live_view" -> ((s, dir) => statefulLiveView(s, dir)),
     "t1_cdc_stream_live" -> ((s, dir) => cdcStreamLive(s, dir)),
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
@@ -869,6 +898,10 @@ object PipelineOps {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "b2_bucket_pruned_lookup" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM customer WHERE c_custkey = 42""".stripMargin,
 
     "o5_table_lifecycle" ->
       """SELECT 'snapshot' AS stage, 'region' AS table_name,

@@ -62,6 +62,21 @@ class BucketingSpec extends AnyFunSuite {
     assert(joined.exceptAll(unbucketed).isEmpty)
   }
 
+  test("point lookup on the bucket key reads one bucket of eight") {
+    val cust = spark.read.parquet(s"${TestSpark.Sf0001}/customer.parquet")
+    Bucketing.writeBucketed(cust, "graft_spec_cust_b", "c_custkey", 8)
+    // without this, DisableUnnecessaryBucketedScan reverts to a plain
+    // scan (it only credits distribution needs, not filter pruning)
+    withConf("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false") {
+      val lookup = spark.table("graft_spec_cust_b")
+        .filter(col("c_custkey") === 42L)
+      assert(lookup.count() == 1)
+      val scanLine = lookup.queryExecution.executedPlan.toString
+      assert(scanLine.contains("SelectedBucketsCount: 1 out of 8"),
+        scanLine.take(3000))
+    }
+  }
+
   private def withConf(k: String, v: String)(body: => Unit): Unit = {
     val old = spark.conf.getOption(k)
     spark.conf.set(k, v)

@@ -61,6 +61,28 @@ class ZOrderSpec extends AnyFunSuite {
     } finally { zed.unpersist(); linear.unpersist(); () }
   }
 
+  test("range-partitioned sorted export: files cover disjoint ascending ranges") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sorted").toString
+    spark.read.parquet(s"${graft.TestSpark.Sf0001}/orders.parquet")
+      .repartitionByRange(4, $"o_totalprice")
+      .sortWithinPartitions($"o_totalprice")
+      .write.mode("overwrite").parquet(out)
+    // per-file [min, max] of the sort column must not overlap — the
+    // total order spans file boundaries, so a range predicate binary-
+    // searches to a file and min/max stats prune the rest
+    val ranges = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map { f =>
+        val d = spark.read.parquet(f.getAbsolutePath)
+          .agg(min($"o_totalprice"), max($"o_totalprice")).head()
+        (d.getDouble(0), d.getDouble(1))
+      }
+    assert(ranges.length == 4)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi <= lo, s"overlapping file ranges: $hi > $lo")
+    }
+  }
+
   test("x_approx_quantiles: sketch honors the ε-rank contract vs exact ranks") {
     val approx = graft.queries.Warehouse.queries("x_approx_quantiles")(
       spark, TestSpark.Sf0001)
