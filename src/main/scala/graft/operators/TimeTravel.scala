@@ -42,4 +42,20 @@ object TimeTravel {
 
   def readLatest(spark: SparkSession, root: String): DataFrame =
     readAt(spark, root, versions(root).last)
+
+  /** Retention: drop all but the newest `keep` versions (directory
+    * deletes — readers pinned to surviving versions are unaffected).
+    * Returns the expired version numbers. */
+  def expire(root: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "must keep at least the latest version")
+    val doomed = versions(root).dropRight(keep)
+    doomed.foreach { v =>
+      def rm(f: File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new File(versionDir(root, v)))
+    }
+    doomed
+  }
 }

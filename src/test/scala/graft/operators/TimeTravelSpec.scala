@@ -23,4 +23,16 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(TimeTravel.readAt(spark, root, 0).count() == 2)
     assert(TimeTravel.readLatest(spark, root).count() == 1)
   }
+
+  test("expire keeps the newest versions and leaves survivors readable") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ttexp").toString
+    (0 until 3).foreach(i =>
+      TimeTravel.write(Seq((i, s"v$i")).toDF("k", "v"), root))
+    assert(TimeTravel.expire(root, keep = 2) == Seq(0L))
+    assert(TimeTravel.versions(root) == Seq(1L, 2L))
+    assert(TimeTravel.readAt(spark, root, 1).count() == 1)
+    assert(TimeTravel.readLatest(spark, root)
+      .as[(Int, String)].head() == ((2, "v2")))
+  }
 }
