@@ -298,6 +298,89 @@ object PipelineOps {
         sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
   }
 
+  /** Anti-entropy repair — the pt-table-sync shape completing
+    * x_table_checksum's detect step: per-bucket (count, XOR-of-row-hash)
+    * checksums locate divergent buckets, and ONLY those buckets are
+    * re-copied from the source (anti-join out the bad bucket, semi-join
+    * in the source's copy). At 100 TB the repair traffic is proportional
+    * to the damage, not the table. The gate corrupts the target
+    * deterministically (drops every 13th key), repairs, and reports
+    * bucket counts + post-repair checksum equality — the oracle pins all
+    * four from the source alone, so a silent repair failure mismatches. */
+  def bucketRepair(s: SparkSession, dir: String): DataFrame = {
+    val wh = Files.createTempDirectory("graft_repair").toString
+    val rep = new SnapshotReplicator(s, dir, wh)
+    val nb = 16
+    val src = Tables.read(s, dir, "customer")
+    src.filter(!(col("c_custkey") % 13 === 0))
+      .write.parquet(rep.targetPath("customer"))
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      pmod(c, lit(nb)).cast("int")
+    def sums(df: DataFrame): DataFrame = {
+      val canon = concat_ws("|", col("c_custkey"), col("c_name"),
+        col("c_nationkey"),
+        col("c_acctbal").cast("decimal(18,2)").cast("string"),
+        col("c_mktsegment"))
+      df.select(bucketOf(col("c_custkey")).as("bucket"),
+          graft.functions.PortableHash.hash32(canon, "rep").as("_rh"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(_rh)").as("h"))
+    }
+    val tgt = s.read.parquet(rep.targetPath("customer"))
+    val mismatch = sums(src)
+      .join(sums(tgt).withColumnRenamed("n", "n2").withColumnRenamed("h", "h2"),
+        Seq("bucket"), "left")
+      .filter(col("n2").isNull || col("n") =!= col("n2") ||
+        col("h") =!= col("h2"))
+      .select(col("bucket"))
+    val repaired = tgt
+      .join(broadcast(mismatch),
+        bucketOf(col("c_custkey")) === col("bucket"), "left_anti")
+      .unionByName(src.join(broadcast(mismatch),
+        bucketOf(col("c_custkey")) === col("bucket"), "left_semi"))
+    repaired.write.parquet(rep.targetPath("customer_repaired"))
+    val back = s.read.parquet(rep.targetPath("customer_repaired"))
+    val cmp = sums(back)
+      .withColumnRenamed("n", "n2").withColumnRenamed("h", "h2")
+      .join(sums(src), Seq("bucket"))
+    cmp.agg(count(lit(1)).cast("int").as("n_buckets"),
+        sum(when(col("n") === col("n2") && col("h") === col("h2"), 1L)
+          .otherwise(0L)).cast("long").as("n_buckets_match"))
+      .crossJoin(mismatch.agg(count(lit(1)).cast("int")
+        .as("n_buckets_repaired")))
+      .crossJoin(back.agg(count(lit(1)).as("n_rows_final")))
+      .select(col("n_buckets"), col("n_buckets_match"),
+        col("n_buckets_repaired"), col("n_rows_final"))
+  }
+
+  /** Streaming `complete` output mode: every micro-batch re-emits the
+    * FULL aggregate, so the memory sink's final table equals the batch
+    * aggregation no matter how the input was chunked — the third output
+    * mode next to the append gates (t5/t10) and the update-like
+    * foreachBatch sinks (t1/t9). */
+  def completeModeAgg(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = Files.createTempDirectory("graft_cm_src").toString
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"))
+      .repartition(3).write.mode("overwrite").parquet(srcDir)
+    val schema = StructType.fromDDL("event_id BIGINT, event_type STRING")
+    val name = "graft_t11_complete"
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // materialize off the memory sink so later callers don't race the
+    // temp view
+    import s.implicits._
+    s.table(name).as[(String, Long)].collect().toSeq
+      .toDF("event_type", "n_events")
+  }
+
   /** Bucket-pruned point lookup: an equality predicate on the bucket key
     * reads ONE bucket of N — the serving-path read on a bucketed table
     * (`SelectedBucketsCount: 1 out of 8`, pinned by BucketingSpec). At
@@ -727,6 +810,8 @@ object PipelineOps {
     "o5_table_lifecycle" -> ((s, dir) => tableLifecycle(s, dir)),
     "b1_bucketed_join" -> ((s, dir) => bucketedJoinAgg(s, dir)),
     "b2_bucket_pruned_lookup" -> ((s, dir) => bucketPrunedLookup(s, dir)),
+    "o11_bucket_repair" -> ((s, dir) => bucketRepair(s, dir)),
+    "t11_complete_mode" -> ((s, dir) => completeModeAgg(s, dir)),
     "t6_stateful_live_view" -> ((s, dir) => statefulLiveView(s, dir)),
     "t1_cdc_stream_live" -> ((s, dir) => cdcStreamLive(s, dir)),
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
@@ -902,6 +987,17 @@ object PipelineOps {
     "b2_bucket_pruned_lookup" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
         |FROM customer WHERE c_custkey = 42""".stripMargin,
+
+    "o11_bucket_repair" ->
+      """SELECT CAST(16 AS INT) AS n_buckets,
+        |  CAST(16 AS BIGINT) AS n_buckets_match,
+        |  (SELECT CAST(count(DISTINCT c_custkey % 16) AS INT)
+        |   FROM customer WHERE c_custkey % 13 = 0) AS n_buckets_repaired,
+        |  (SELECT count(*) FROM customer) AS n_rows_final""".stripMargin,
+
+    "t11_complete_mode" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
 
     "o5_table_lifecycle" ->
       """SELECT 'snapshot' AS stage, 'region' AS table_name,
