@@ -167,6 +167,24 @@ object Warehouse {
           col("l_linenumber"))).cast("long").as("pk_dup_viol"))
     }),
 
+    // Cross-table referential integrity (the DQ family's join rules):
+    // orphan counts via anti joins — at 100 TB each is one broadcast or
+    // shuffle anti join, and a nonzero count fails the load the same way
+    // x_dq_checks' row rules do.
+    "x_dq_referential" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      li.join(o.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"),
+          "left_anti")
+        .agg(count(lit(1)).as("orphan_lineitems"))
+        .crossJoin(o.join(c.select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("orphan_orders")))
+        .crossJoin(li.agg(count(lit(1)).as("n_lineitems")))
+        .crossJoin(o.agg(count(lit(1)).as("n_orders")))
+    }),
+
     // Incremental materialized-view maintenance: the per-priority order
     // MV is refreshed by merging the OLD aggregate with the delta's
     // aggregate — never rescanning history. Works because sum/count are
@@ -542,6 +560,17 @@ object Warehouse {
         |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
         |    AS BIGINT) AS pk_dup_viol
         |FROM lineitem""".stripMargin,
+
+    "x_dq_referential" ->
+      """SELECT
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    AS orphan_lineitems,
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |    AS orphan_orders,
+        |  (SELECT count(*) FROM lineitem) AS n_lineitems,
+        |  (SELECT count(*) FROM orders) AS n_orders""".stripMargin,
 
     "x_incr_agg" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
