@@ -278,6 +278,29 @@ object TrainingData {
         "vec_id", "embedding", AnnK, PqM, PqKsub, EmbeddingDim, PqShortlist)
     }),
 
+    // Typed per-group feature extraction via mapGroups — the Scala
+    // analog of a grouped-map Pandas UDF, and the one API shape the
+    // relational gates can't express: arbitrary imperative logic over a
+    // group's sorted rows (here: event-sequence features per user). ONE
+    // shuffle on the group key, then closure per group; the oracle
+    // restates the sequence math with lag windows.
+    "x_user_features" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (uid, it) =>
+          val ts = it.map(r => (r._2, r._3)).toArray.sorted
+          val span = ts.last._1 - ts.head._1
+          val maxGap =
+            if (ts.length == 1) 0L
+            else ts.sliding(2).map(p => p(1)._1 - p(0)._1).max
+          (uid, ts.length.toLong, span, maxGap)
+        }
+        .toDF("user_id", "n_events", "span_us", "max_gap_us")
+    }),
+
     // ----------------------------------------------------------- text
     "x_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))),
@@ -838,6 +861,17 @@ object TrainingData {
     "x_ann_pq_topk" ->
       SimilarityOps.pqAnnTopKDuck(AnnK, PqM, PqKsub, EmbeddingDim,
         AnnQueryIds, PqShortlist),
+
+    "x_user_features" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_id FROM events),
+        |g AS (SELECT user_id, tu,
+        |    tu - lag(tu) OVER (PARTITION BY user_id
+        |                       ORDER BY tu, event_id) AS gap
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(max(tu) - min(tu) AS BIGINT) AS span_us,
+        |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_us
+        |FROM g GROUP BY 1""".stripMargin,
 
     "x_ann_ivf_topk" -> {
       val cos = cosineDuck("e.embedding", "c.cv")
