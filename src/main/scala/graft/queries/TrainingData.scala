@@ -278,6 +278,27 @@ object TrainingData {
         "vec_id", "embedding", AnnK, PqM, PqKsub, EmbeddingDim, PqShortlist)
     }),
 
+    // Leakage-safe train/eval split: fold assignment hashes the near-dup
+    // CLUSTER label (connected components over the LSH pairs), not the
+    // doc id — so near-duplicates can never straddle folds and leak eval
+    // content into training. Singletons hash their own id (their label).
+    // Fold is a pure function of the group ⇒ zero straddling BY
+    // CONSTRUCTION; the gate pins the per-fold doc/group counts.
+    "x_leakage_safe_split" -> ((s, dir) => {
+      val cc = graft.functions.DedupOps
+        .connectedComponents(minhashPairs(minhashSig(s, dir)))
+        .select(col("id").as("doc_id"), col("label"))
+      docs(s, dir)
+        .join(broadcast(cc), Seq("doc_id"), "left")
+        .withColumn("_grp", coalesce(col("label"), col("doc_id")))
+        .withColumn("fold",
+          (graft.functions.PortableHash
+            .hash32(col("_grp").cast("string"), "split") % 5).cast("int"))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("_grp")).as("n_groups"))
+    }),
+
     // Typed per-group feature extraction via mapGroups — the Scala
     // analog of a grouped-map Pandas UDF, and the one API shape the
     // relational gates can't express: arbitrary imperative logic over a
@@ -861,6 +882,24 @@ object TrainingData {
     "x_ann_pq_topk" ->
       SimilarityOps.pqAnnTopKDuck(AnnK, PqM, PqKsub, EmbeddingDim,
         AnnQueryIds, PqShortlist),
+
+    "x_leakage_safe_split" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |e AS (SELECT id1, id2 FROM pairs UNION SELECT id2, id1 FROM pairs),
+         |walk(id, r) AS (
+         |  SELECT id1, id2 FROM e
+         |  UNION
+         |  SELECT w.id, e.id2 FROM walk w JOIN e ON e.id1 = w.r),
+         |lab AS (SELECT id, least(id, min(r)) AS label FROM walk GROUP BY id),
+         |g AS (SELECT d.doc_id,
+         |        COALESCE(lab.label, d.doc_id) AS grp
+         |      FROM documents d LEFT JOIN lab ON lab.id = d.doc_id),
+         |f AS (SELECT doc_id, grp,
+         |  CAST(${graft.functions.PortableHash.duckSql("CAST(grp AS VARCHAR)", "split")} % 5 AS INT) AS fold
+         |  FROM g)
+         |SELECT fold, count(*) AS n_docs,
+         |  count(DISTINCT grp) AS n_groups
+         |FROM f GROUP BY 1""".stripMargin,
 
     "x_user_features" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_id FROM events),
