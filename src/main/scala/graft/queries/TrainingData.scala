@@ -278,6 +278,49 @@ object TrainingData {
         "vec_id", "embedding", AnnK, PqM, PqKsub, EmbeddingDim, PqShortlist)
     }),
 
+    // BM25 ranking — the IR scorer completing the retrieval family next
+    // to x_tfidf_topk (idf with +0.5 smoothing, tf saturation k1=1.2,
+    // length normalization b=0.75). Query terms are the 3 highest-df
+    // tokens (deterministic tie-break), so the gate is self-contained.
+    // Determinism: every factor is single-value double arithmetic from
+    // exact integer counts (no cross-row FP accumulation); ln() is the
+    // same libm call the tf-idf gate already pins cross-engine.
+    "x_bm25_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = d.select(col("doc_id"),
+        explode(split(Text.normalize(col("text")), " ")).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val lens = tf.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).cast("long").as("len"))
+      val stats = lens.agg(count(lit(1)).as("_n"),
+        sum(col("len")).cast("long").as("_tot"))
+      val qterms = dfq.orderBy(col("df").desc, col("token").asc)
+        .limit(3).select(col("token"))
+      val k1 = 1.2
+      val b = 0.75
+      val scored = tf.join(broadcast(qterms), Seq("token"))
+        .join(dfq, Seq("token")).join(lens, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("_idf", log(
+          ((col("_n").cast("double") - col("df") + 0.5) /
+            (col("df") + 0.5)) + 1.0))
+        .withColumn("_den", col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * (col("len") /
+            (col("_tot").cast("double") / col("_n")))))
+        .withColumn("_s",
+          col("_idf") * (col("tf") * lit(k1 + 1.0)) / col("_den"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("token"))
+        .orderBy(round(col("_s"), 6).desc, col("doc_id").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("token"), col("rk"), col("doc_id"),
+          round(col("_s"), 6).cast("decimal(10,6)").as("bm25"))
+    }),
+
     // Leakage-safe train/eval split: fold assignment hashes the near-dup
     // CLUSTER label (connected components over the LSH pairs), not the
     // doc id — so near-duplicates can never straddle folds and leak eval
@@ -882,6 +925,33 @@ object TrainingData {
     "x_ann_pq_topk" ->
       SimilarityOps.pqAnnTopKDuck(AnnK, PqM, PqKsub, EmbeddingDim,
         AnnQueryIds, PqShortlist),
+
+    "x_bm25_topk" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($normDoc, ' ')) AS token
+         |              FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+         |       GROUP BY doc_id, token),
+         |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf
+         |         GROUP BY doc_id),
+         |stats AS (SELECT count(*) AS n, CAST(sum(len) AS BIGINT) AS tot
+         |          FROM lens),
+         |q AS (SELECT token FROM dfq ORDER BY df DESC, token ASC LIMIT 3),
+         |sc AS (SELECT tf.token, tf.doc_id,
+         |    ln(((CAST((SELECT n FROM stats) AS DOUBLE) - dfq.df + 0.5)
+         |        / (dfq.df + 0.5)) + 1.0)
+         |    * (tf.tf * 2.2)
+         |    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (lens.len /
+         |        (CAST((SELECT tot FROM stats) AS DOUBLE)
+         |         / (SELECT n FROM stats))))) AS s
+         |  FROM tf JOIN q USING (token) JOIN dfq USING (token)
+         |          JOIN lens USING (doc_id))
+         |SELECT token, rk, doc_id, bm25 FROM (
+         |  SELECT token, doc_id,
+         |    CAST(CAST(round(s, 6) AS DECIMAL(10,6)) AS DOUBLE) AS bm25,
+         |    row_number() OVER (PARTITION BY token
+         |      ORDER BY round(s, 6) DESC, doc_id ASC) AS rk
+         |  FROM sc) WHERE rk <= 3""".stripMargin,
 
     "x_leakage_safe_split" ->
       s"""WITH RECURSIVE $minhashCtes,
