@@ -580,6 +580,49 @@ object PipelineOps {
           .as("total_bal"))
   }
 
+  /** ORC sink+source coverage — the columnar alternative to parquet
+    * (same predicate-pushdown/column-pruning machinery; schema travels in
+    * the file footer so no explicit schema needed on read). */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_orc").toString
+    Tables.read(s, dir, "nation")
+      .write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"),
+        sum(col("n_nationkey")).cast("long").as("key_sum"))
+  }
+
+  /** Dynamic partition overwrite: rewriting ONE day's data replaces ONLY
+    * that partition directory — the incremental-pipeline write mode
+    * (static overwrite would truncate the whole table). The gate rewrites
+    * one day with stamped rows and proves the other days survived. */
+  def dynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_dynow").toString
+    val ev = Tables.events(s, dir)
+      .withColumn("event_date",
+        to_date(timestamp_micros(col("ts_us"))).cast("string"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("event_date"))
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prevV = s.conf.getOption(key)
+    s.conf.set(key, "dynamic")
+    try {
+      // rewrite Jan 10 only, re-typing every event to 'rewritten'
+      ev.filter(col("event_date") === "2024-01-10")
+        .withColumn("event_type", lit("rewritten"))
+        .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    } finally prevV match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+    s.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_date").cast("string")).as("n_days"))
+  }
+
   /** JSON-lines sink+source coverage — same contract as the CSV form
     * (explicit schema on read; newline-delimited JSON is splittable, so
     * the scan parallelizes like any text source). */
@@ -802,6 +845,8 @@ object PipelineOps {
     "o7_jdbc_roundtrip" -> ((s, dir) => jdbcRoundtrip(s, dir)),
     "x_csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
     "x_json_roundtrip" -> ((s, dir) => jsonRoundtrip(s, dir)),
+    "x_orc_roundtrip" -> ((s, dir) => orcRoundtrip(s, dir)),
+    "o12_dynamic_overwrite" -> ((s, dir) => dynamicOverwrite(s, dir)),
     "o2_incremental_snapshot" -> ((s, dir) => incrementalSnapshot(s, dir)),
     "o6_compaction" -> ((s, dir) => compactionRoundtrip(s, dir)),
     "o8_schema_drift" -> ((s, dir) => schemaDriftCheck(s, dir)),
@@ -944,6 +989,18 @@ object PipelineOps {
     "o8_schema_drift" ->
       """SELECT 'region' AS table_name, 'none' AS drift
         |UNION ALL SELECT 'nation', 'n_regionkey: STRING→INT'""".stripMargin,
+
+    "x_orc_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS n_nations,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY 1""".stripMargin,
+
+    "o12_dynamic_overwrite" ->
+      """SELECT CASE WHEN CAST(CAST(ts AS DATE) AS VARCHAR) = '2024-01-10'
+        |            THEN 'rewritten' ELSE event_type END AS event_type,
+        |  count(*) AS n_events,
+        |  count(DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR)) AS n_days
+        |FROM events GROUP BY 1""".stripMargin,
 
     "o6_compaction" ->
       """SELECT count(*) AS n_rows,
