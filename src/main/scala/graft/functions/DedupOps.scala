@@ -198,40 +198,117 @@ object DedupOps {
     * every node gets the MINIMUM id reachable from it — the canonical
     * cluster representative, so "keep one per cluster" is `label == id`.
     *
-    * Iterative min-label propagation, the Pregel/GraphX pattern: each
-    * round joins labels across edges and keeps the per-node min, until a
-    * fixpoint (no label decreased). Rounds needed = graph diameter in
-    * hops of doubling reach (≤ `maxIter`, asserted); each round is one
-    * equi-join + one partial-agg'd groupBy — all distributed, the driver
-    * only checks the convergence count, which is how Spark iterative
-    * graph algorithms are driven (GraphX Pregel does the same). The
-    * fixpoint is unique, so the result is deterministic regardless of
-    * execution order. Returns (id, label) for every node with ≥1 edge. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id1"), col("id2"))
-      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("id1").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      // labels flowing along edges: node id1 learns id2's current label
-      val prop = edges.join(labels, edges("id2") === labels("id"))
-        .select(edges("id1").as("id"), col("label"))
-      val next = labels.unionByName(prop)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("label", "_old"), "id")
-        .filter(col("label") < col("_old")).count() // materializes `next`
-      labels.unpersist()
-      labels = next
-      iter += 1
+    * Large-star/small-star alternation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — NOT plain min-label
+    * propagation. Plain propagation needs rounds ∝ component DIAMETER
+    * (a chain-shaped dup cluster of depth d costs d joins); the star
+    * operations contract trees aggressively and converge in O(log² n)
+    * rounds regardless of diameter — the MapReduce-native CC algorithm:
+    *
+    *   large-star(u): every strictly-larger neighbor of u re-attaches to
+    *     min(Γ(u) ∪ {u});
+    *   small-star(u): every smaller-or-equal neighbor (and u itself)
+    *     re-attaches to min(Γ≤(u) ∪ {u}).
+    *
+    * Both preserve connectivity exactly; the fixpoint is a star forest
+    * whose roots are the component minima (edges only ever re-point to
+    * smaller ids), so labels fall out as each node's star root. Each
+    * round is two partition-by-node window mins + distincts over a
+    * SHRINKING edge set — all distributed; the driver only compares edge
+    * counts. Lineage is truncated with `localCheckpoint` every
+    * [[CcCheckpointEvery]] rounds (iterative plans otherwise stack — a
+    * driver/stack risk at 100 TB; on a real cluster prefer a reliable
+    * `checkpoint` dir, since local checkpoints die with an executor).
+    * Convergence (set equality round-over-round) is asserted within
+    * `maxIter`, and the round count is logged to stderr so bench runs can
+    * adjudicate convergence behavior. Deterministic: the fixpoint is
+    * unique. Returns (id, label) for every node with ≥1 edge. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter)._1
+
+  /** Rounds between lineage truncations in [[connectedComponents]]. */
+  val CcCheckpointEvery = 3
+
+  /** [[connectedComponents]] plus the number of star rounds it took —
+    * exposed so specs can pin log-bounded (not diameter-bound)
+    * convergence. */
+  def connectedComponentsWithRounds(pairs: DataFrame,
+                                    maxIter: Int = 25): (DataFrame, Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val MD = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sc = pairs.sparkSession.sparkContext
+
+    // canonical edge form throughout: u > v (both star ops re-point nodes
+    // to strictly smaller ids, so canonical form is closed under them)
+    def largeStar(e: DataFrame): DataFrame = {
+      // neighborhoods need both directions; m = min(Γ(u) ∪ {u}) via a
+      // whole-partition window min (one shuffle on u)
+      val nbr = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = least(min(col("v")).over(Window.partitionBy(col("u"))), col("u"))
+      nbr.withColumn("_m", m)
+        .filter(col("v") > col("u")) // strictly larger neighbors re-attach
+        .select(col("v").as("u"), col("_m").as("v")) // v > u ≥ m ⇒ canonical
+        .filter(col("u") =!= col("v"))
+        .distinct()
     }
-    require(changed == 0, s"connectedComponents did not converge in $maxIter")
-    edges.unpersist()
-    labels
+    def smallStar(e: DataFrame): DataFrame = {
+      // canonical edges already list exactly the smaller neighbors per u
+      val t = e.withColumn("_m",
+        least(min(col("v")).over(Window.partitionBy(col("u"))), col("u")))
+      t.select(col("v").as("u"), col("_m").as("v"))
+        .unionByName(t.select(col("u"), col("_m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var cur = pairs
+      .select(greatest(col("id1"), col("id2")).as("u"),
+        least(col("id1"), col("id2")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist(MD)
+    var curCnt = cur.count()
+    // RDD ids of the live local checkpoint: freed only once the NEXT
+    // checkpoint exists (persisted rounds in between recompute through the
+    // last checkpoint if evicted — its blocks must stay). The final
+    // checkpoint backs the returned frame and is released by the caller's
+    // session cache cleanup, same as the persisted result always was.
+    var liveCkpt = Set.empty[Int]
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      iter += 1
+      val nextRaw = smallStar(largeStar(cur))
+      val next =
+        if (iter % CcCheckpointEvery == 0) {
+          val before = sc.getPersistentRDDs.keySet
+          val ck = nextRaw.localCheckpoint() // eager: materializes + truncates
+          val created = sc.getPersistentRDDs.keySet -- before
+          liveCkpt.foreach(id =>
+            sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+          liveCkpt = created.toSet
+          ck
+        } else nextRaw.persist(MD)
+      val nextCnt = next.count()
+      // set equality: |next| == |cur| and next \ cur = ∅ ⇒ fixpoint
+      val fresh = next.join(cur, Seq("u", "v"), "left_anti").count()
+      converged = fresh == 0 && nextCnt == curCnt
+      cur.unpersist()
+      cur = next
+      curCnt = nextCnt
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter")
+    // stderr, not stdout: Bench's driver contract is one JSON line on stdout
+    System.err.println(
+      s"[graft] connectedComponents: converged in $iter star rounds " +
+        s"($curCnt star edges)")
+    // fixpoint = star forest rooted at component minima: non-roots appear
+    // as u (pointing at their root), roots appear as v (labeling selves)
+    val labels = cur.select(col("u").as("id"), col("v").as("label"))
+      .unionByName(cur.select(col("v").as("id"), col("v").as("label")))
+      .groupBy(col("id")).agg(min(col("label")).as("label"))
+    (labels, iter)
   }
 
   // -------------------------------------------- n-gram Jaccard (exact)
