@@ -59,6 +59,22 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Lossless record: the driver's stdout capture truncates the one-line
+    // JSON once the suite is large (BENCH_r04.json lost the total and half
+    // the per-query map) — also write a pretty-printed copy into the repo
+    // so the full map is always readable from the file.
+    val pretty = new StringBuilder
+    pretty ++= "{\n"
+    pretty ++= s"""  "metric": "total",\n  "value": $total,\n"""
+    pretty ++= s"""  "unit": "sec",\n  "sf": "$sfDir",\n  "queries": {\n"""
+    pretty ++= results.map { case (k, v) => s"""    "$k": $v""" }
+      .mkString(",\n")
+    pretty ++= "\n  }\n}\n"
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_latest.json"), pretty.toString)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_latest.json: $e")
+    }
     spark.stop()
   }
 }

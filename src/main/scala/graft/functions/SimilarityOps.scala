@@ -96,7 +96,7 @@ object SimilarityOps {
     * (AnnRecallSpec pins the floor); more bits = sharper buckets. */
   def lshAnnTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int, bands: Int, bandBits: Int,
-                 dim: Int): DataFrame = {
+                 dim: Int, probeHamming: Int = 2): DataFrame = {
     val total = bands * bandBits
     val mask = (1L << bandBits) - 1
     def bandKeys(key: Column): Column =
@@ -106,12 +106,17 @@ object SimilarityOps {
       norm(col(vecCol)).as("_cn"),
       posexplode(bandKeys(hyperplaneKey(col(vecCol), total, dim)))
         .as(Seq("_band", "_bkey")))
+    // Hamming-2 probes on the QUERY side only: queries are the broadcast
+    // side, so the ×(1+bits+C(bits,2)) explosion is per-query-row cheap,
+    // while the corpus side's cost is untouched — recall rises for free
+    // at corpus scale (the multi-probe LSH trick, Lv et al., VLDB'07).
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
         norm(col(vecCol)).as("_qn"),
         posexplode(bandKeys(hyperplaneKey(col(vecCol), total, dim)))
           .as(Seq("_band", "_bkey")))
       .select(col("query_id"), col("_qv"), col("_qn"), col("_band"),
-        explode(hyperplaneProbeKeys(col("_bkey"), bandBits)).as("_bkey"))
+        explode(hyperplaneProbeKeys(col("_bkey"), bandBits, probeHamming))
+          .as("_bkey"))
     val scored = c.join(broadcast(q), Seq("_band", "_bkey"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -328,21 +333,50 @@ object SimilarityOps {
        |) WHERE rk <= $k""".stripMargin
   }
 
+  /** XOR masks for multi-probe up to `maxHamming` flipped sign bits:
+    * identity, all 1-bit flips, and (for maxHamming ≥ 2) all 2-bit flips.
+    * Shared by the Spark expression and the oracle generator so both
+    * engines probe the identical key set. Masks are pairwise distinct, so
+    * a candidate pair at Hamming distance d ≤ maxHamming matches through
+    * EXACTLY one probe key (the mask = XOR of the two keys) — no
+    * duplicate candidates by construction. */
+  def probeMasks(planes: Int, maxHamming: Int): Seq[Long] = {
+    require(maxHamming >= 0 && maxHamming <= 2,
+      s"multi-probe supports Hamming 0..2, got $maxHamming")
+    val one =
+      if (maxHamming >= 1) (0 until planes).map(p => 1L << p) else Seq.empty
+    val two =
+      if (maxHamming >= 2)
+        for { p <- 0 until planes; q <- p + 1 until planes }
+          yield (1L << p) | (1L << q)
+      else Seq.empty
+    0L +: (one ++ two)
+  }
+
   /** Multi-probe key set for a hyperplane bucket: the bucket itself plus
-    * its `planes` Hamming-1 neighbors (one sign bit flipped). Probing these
-    * lifts recall — a near-neighbor pair disagrees on few sign bits, so
-    * allowing one flipped bit catches the pairs single-probe loses — while
-    * keeping the candidate stage an equi-join (explode ×(planes+1) on the
-    * probe side, exact key on the corpus side). A pair at Hamming distance
-    * 1 matches through exactly one probe key, distance 0 through exactly
-    * the identity probe — no duplicate candidates by construction. */
-  def hyperplaneProbeKeys(bkt: Column, planes: Int): Column =
-    array((bkt +: (0 until planes).map(p => bkt.bitwiseXOR(lit(1L << p)))): _*)
+    * every key within `maxHamming` flipped sign bits ([[probeMasks]]).
+    * Probing these lifts recall — a near-neighbor pair disagrees on few
+    * sign bits, so allowing one or two flipped bits catches the pairs
+    * single-probe loses — while keeping the candidate stage an equi-join:
+    * the PROBE side explodes ×(1 + planes + C(planes,2) for Hamming-2),
+    * the corpus side keeps its exact key and never widens. Hamming-2 is
+    * the right default for the query side of an ANN lookup (queries are
+    * the small side, so the explosion is cheap and recall is the scarce
+    * resource); drop to 1 when the probe side is itself corpus-sized. */
+  def hyperplaneProbeKeys(bkt: Column, planes: Int,
+                          maxHamming: Int = 1): Column =
+    array(probeMasks(planes, maxHamming).map {
+      case 0L => bkt
+      case m  => bkt.bitwiseXOR(lit(m))
+    }: _*)
 
   /** DuckDB list literal matching [[hyperplaneProbeKeys]]. */
-  def hyperplaneProbeKeysDuck(bkt: String, planes: Int): String =
-    (s"$bkt" +: (0 until planes).map(p => s"xor($bkt, ${1L << p})"))
-      .mkString("[", ", ", "]")
+  def hyperplaneProbeKeysDuck(bkt: String, planes: Int,
+                              maxHamming: Int = 1): String =
+    probeMasks(planes, maxHamming).map {
+      case 0L => bkt
+      case m  => s"xor($bkt, $m)"
+    }.mkString("[", ", ", "]")
 
   /** The ±1 hyperplane weight for (plane, dim) — plan-time constant shared
     * by the Spark expression and the generated oracle SQL. */

@@ -33,12 +33,33 @@ object ZOrder {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Bits needed to represent every observed key of both columns: one
+    * scalar max pass (cheap next to the re-layout shuffle itself). A key
+    * wider than the interleave width would silently collapse distant keys
+    * into one Morton bucket and quietly lose the two-column pruning the
+    * layout exists for — derive, don't guess. */
+  def bitsFor(df: DataFrame, c1: String, c2: String): Int = {
+    val r = df.agg(max(greatest(col(c1).cast("long"), col(c2).cast("long"))))
+      .head()
+    val mx = if (r.isNullAt(0)) 0L else math.max(r.getLong(0), 0L)
+    val need = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(mx))
+    require(need <= 31,
+      s"keys up to $mx need $need bits — beyond the 31-bit interleave " +
+        "range; pre-scale the columns or z-order a derived key")
+    need
+  }
+
   /** Re-layout `df` so files cover compact (c1, c2) rectangles:
     * range-partition on the Morton key (sampled balanced bounds), then
-    * sort rows inside each partition so row-group stats are tight too. */
+    * sort rows inside each partition so row-group stats are tight too.
+    * `bits` defaults to the observed key width ([[bitsFor]]) so growing
+    * key domains (l_partkey at sf≥1 runs into the millions) never
+    * silently fall off the interleave; pass it explicitly to pin a
+    * layout width across incremental runs. */
   def layoutBy2(df: DataFrame, c1: String, c2: String,
-                numFiles: Int, bits: Int = 16): DataFrame = {
-    val keyed = df.withColumn("_zkey", zkey2(col(c1), col(c2), bits))
+                numFiles: Int, bits: Int = -1): DataFrame = {
+    val b = if (bits > 0) bits else bitsFor(df, c1, c2)
+    val keyed = df.withColumn("_zkey", zkey2(col(c1), col(c2), b))
     keyed.repartitionByRange(numFiles, col("_zkey"))
       .sortWithinPartitions(col("_zkey"))
       .drop("_zkey")

@@ -135,7 +135,9 @@ object PipelineOps {
         .filter(_.getName.endsWith(".parquet")).head
       val dst = new java.io.File(srcDir, name)
       java.nio.file.Files.copy(part.toPath, dst.toPath)
-      dst.setLastModified(mtime)
+      // replay order IS the gate's premise — a filesystem that ignores
+      // mtime updates must fail loudly, not produce a confusing mismatch
+      require(dst.setLastModified(mtime), s"failed to set mtime on $dst")
       ()
     }
     val base = 1600000000000L // fixed modtimes: strictly increasing

@@ -27,8 +27,10 @@ object TrainingData {
   val AnnK = 5
   val AnnQueryIds = 10 // query set = vec_id < 10
   val LshPlanes = 8
-  val AnnBands = 4 // ANN banded LSH: candidate if ANY band matches (±1 bit)
+  val PairProbeHamming = 2 // embed near-dup pair stage: probe ≤2-bit flips
+  val AnnBands = 4 // ANN banded LSH: candidate if ANY band matches
   val AnnBandBits = 6
+  val AnnProbeHamming = 2 // ANN query-side multi-probe: ≤2-bit flips/band
   val EmbeddingDim = 64
   val IvfCentroidMod = 16 // centroid set = vec_id % 16 == 0 (~1/16 corpus)
   val IvfNProbe = 2
@@ -79,10 +81,11 @@ object TrainingData {
   /** LSH-bucketed embedding near-dup pair stage — the 100 TB path. One
     * deterministic scan hashes each vector into a hyperplane bucket
     * ([[SimilarityOps.hyperplaneKey]] native kernel); candidates are pairs
-    * whose bucket keys are at Hamming distance ≤ 1 (Hamming-1 multi-probe:
-    * the probe side explodes ×(planes+1), the corpus side keeps its exact
-    * key — still one equi-join shuffle, and a pair matches through exactly
-    * one probe key so no duplicates). Only candidates are cosine-scored:
+    * whose bucket keys are at Hamming distance ≤ [[PairProbeHamming]]
+    * (multi-probe: the probe side explodes ×(1+planes+C(planes,2)), the
+    * corpus side keeps its exact key — still one equi-join shuffle, and a
+    * pair matches through exactly one probe key so no duplicates). Only
+    * candidates are cosine-scored:
     * O(planes·Σ|bucket|²) work instead of the brute-force baseline's O(n²)
     * BroadcastNestedLoop. Rows in oversized buckets are dropped (skew
     * guard, same pattern as [[DedupOps.lshCandidatePairs]]) via a broadcast
@@ -101,7 +104,8 @@ object TrainingData {
     val f = e.join(broadcast(ok), Seq("_bkt"))
     val a = f.select(col("vec_id").as("id1"), col("embedding").as("_va"),
       col("_n").as("_na"),
-      explode(SimilarityOps.hyperplaneProbeKeys(col("_bkt"), LshPlanes))
+      explode(SimilarityOps.hyperplaneProbeKeys(col("_bkt"), LshPlanes,
+          PairProbeHamming))
         .as("_bkt"))
     val b = f.select(col("_bkt"), col("vec_id").as("id2"),
       col("embedding").as("_vb"), col("_n").as("_nb"))
@@ -629,15 +633,17 @@ object TrainingData {
 
     // The frame-sampling stage: each media row exploded into its sampled
     // frames (a byte slice every 32 bytes, 16-byte budget). The frame
-    // text round-trips exactly — the oracle re-derives every slice with
-    // substr arithmetic, so offsets, budgets, and the tail-truncation are
-    // all value-checked, not just counted.
+    // BYTES round-trip exactly as hex — the oracle slices the hex of the
+    // UTF-8 byte string (2 hex chars per byte), so offsets, budgets, and
+    // the tail-truncation are value-checked BYTE-exactly for any content
+    // (a UTF-8 decode here would only match a byte-based oracle on pure
+    // ASCII; hex sidesteps mid-codepoint slices entirely).
     "x_multimodal_framesample" -> ((s, dir) =>
       Multimodal.frameSampleStage(Multimodal.mediaFromDocuments(s, dir))
         .toDF()
         .select(col("media_id"), col("kind"), col("frame_idx"),
           length(col("payload")).cast("int").as("frame_len"),
-          decode(col("payload"), "UTF-8").as("frame_text"))),
+          hex(col("payload")).as("frame_hex"))),
 
     // The whole curation flow as ONE declarative plan: quality filter →
     // exact-dedup survivors → embedding join → per-language corpus stats.
@@ -763,12 +769,13 @@ object TrainingData {
     SimilarityOps.cosineDuck(a, b, EmbeddingDim)
 
   /** Shared CTEs mirroring [[embedLshPairs]]: identical hyperplane bucket
-    * key ([[SimilarityOps.hyperplaneKeyDuck]]), identical Hamming-1
-    * multi-probe expansion, identical skew-guard bound, identical cosine
+    * key ([[SimilarityOps.hyperplaneKeyDuck]]), identical multi-probe
+    * expansion (Hamming ≤ [[PairProbeHamming]]), identical skew-guard bound, identical cosine
     * arithmetic. */
   private def embedLshCtes: String = {
     val bkt = SimilarityOps.hyperplaneKeyDuck("embedding", LshPlanes, EmbeddingDim)
-    val probes = SimilarityOps.hyperplaneProbeKeysDuck("bkt", LshPlanes)
+    val probes = SimilarityOps.hyperplaneProbeKeysDuck("bkt", LshPlanes,
+      PairProbeHamming)
     val cos = cosineDuck("a.embedding", "c.embedding")
     s"""b0 AS (SELECT vec_id, embedding, $bkt AS bkt FROM embeddings),
        |okbkt AS (SELECT bkt FROM b0 GROUP BY bkt
@@ -901,7 +908,8 @@ object TrainingData {
         s"SELECT vec_id, embedding, nrm, $b AS band, " +
           s"(key >> ${b * AnnBandBits}) & $mask AS bkey FROM b")
         .mkString(" UNION ALL ")
-      val probes = SimilarityOps.hyperplaneProbeKeysDuck("bkey", AnnBandBits)
+      val probes = SimilarityOps.hyperplaneProbeKeysDuck("bkey", AnnBandBits,
+        AnnProbeHamming)
       val dot = SimilarityOps.dotDuck("q.embedding", "c.embedding", EmbeddingDim)
       val n = s"sqrt(${SimilarityOps.dotDuck("embedding", "embedding", EmbeddingDim)})"
       s"""WITH b AS (SELECT vec_id, embedding, $n AS nrm, $key AS key
@@ -1178,18 +1186,21 @@ object TrainingData {
         |  CAST(224 AS INT) AS out_width, CAST(224 AS INT) AS out_height
         |FROM documents""".stripMargin,
 
+    // byte-exact: 1 payload byte = 2 hex chars, so substr over the hex
+    // string is BYTE slicing regardless of UTF-8 multi-byte content
     "x_multimodal_framesample" ->
       """WITH f AS (
-        |  SELECT doc_id, text, strlen(text) AS n,
-        |    unnest(generate_series(0, (strlen(text) - 1) // 32)) AS g
-        |  FROM documents WHERE strlen(text) > 0
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n,
+        |    unnest(generate_series(0, (octet_length(encode(text)) - 1) // 32)) AS g
+        |  FROM documents WHERE octet_length(encode(text)) > 0
         |)
         |SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
         |  CAST(g AS INT) AS frame_idx,
         |  CAST(LEAST(16, n - g*32) AS INT) AS frame_len,
-        |  substr(text, CAST(g*32 + 1 AS INT), 16) AS frame_text
+        |  substr(hx, CAST(g*64 + 1 AS INT), 32) AS frame_hex
         |FROM f""".stripMargin,
 
     "x_multimodal_meta" ->

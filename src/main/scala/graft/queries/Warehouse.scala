@@ -62,12 +62,13 @@ object Warehouse {
       val keys = Seq(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
         "spark.sql.autoBroadcastJoinThreshold",
-        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled")
       val prev = keys.map(k => k -> conf.getOption(k))
-      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       conf.set(keys(0), "0")
       conf.set(keys(1), "-1")
       conf.set(keys(2), "-1")
+      conf.set(keys(3), "true")
       try {
         val dim = t(s, dir, "orders")
           .filter(col("o_orderpriority") === "1-URGENT")
@@ -132,19 +133,23 @@ object Warehouse {
     // Frequent-values profiling: per-column top-3 values with exact
     // counts (total-order ties) — completes the profiling family next to
     // x_profile's column stats and x_histogram's distribution. One
-    // aggregation per profiled column, unioned; each is partial-agg'd.
+    // aggregation per profiled column, unioned FIRST, then ONE ranking
+    // window partitioned by column_name: no global single-partition sort
+    // (profiling a high-cardinality column would funnel every distinct
+    // value through one reducer under Window.orderBy), and Spark 4's
+    // WindowGroupLimit still prunes to top-3 map-side per column.
     "x_freq_profile" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      def top3(colName: String): DataFrame = {
-        val w = Window.orderBy(col("cnt").desc, col("value").asc)
+      def counts(colName: String): DataFrame =
         c.groupBy(col(colName).cast("string").as("value"))
           .agg(count(lit(1)).as("cnt"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 3)
-          .select(lit(colName).as("column_name"), col("value"),
-            col("cnt"), col("rk"))
-      }
-      top3("c_mktsegment").unionByName(top3("c_nationkey"))
+          .select(lit(colName).as("column_name"), col("value"), col("cnt"))
+      val w = Window.partitionBy(col("column_name"))
+        .orderBy(col("cnt").desc, col("value").asc)
+      counts("c_mktsegment").unionByName(counts("c_nationkey"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("column_name"), col("value"), col("cnt"), col("rk"))
     }),
 
     // Data-quality constraint audit (the Deequ shape): each rule is a

@@ -31,7 +31,7 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(mean >= 0.6, f"mean recall $mean%.3f below floor")
   }
 
-  test("banded multi-probe LSH ANN recall ≥ 0.5 vs brute force on sf0.001") {
+  test("banded multi-probe LSH ANN recall ≥ 0.7 vs brute force on sf0.001") {
     val brute = topkSets("x_ann_brute_topk")
     val lsh = topkSets("x_ann_lsh_topk")
     assert(brute.keySet == lsh.keySet) // every query answered
@@ -41,6 +41,8 @@ class AnnRecallSpec extends AnyFunSuite {
     val mean = recalls.sum / recalls.size
     info(f"mean recall@${TrainingData.AnnK} = $mean%.3f " +
       s"(per-query: ${recalls.map(r => f"$r%.2f").mkString(", ")})")
-    assert(mean >= 0.5, f"mean recall $mean%.3f below floor")
+    // Hamming-2 query-side probing raised this from the Hamming-1 floor
+    // of 0.5 — a knob regression that guts recall fails here
+    assert(mean >= 0.7, f"mean recall $mean%.3f below floor")
   }
 }

@@ -50,7 +50,7 @@ class TrainingQueriesSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoop"), plan)
     val lsh = lshDf.as[(Long, Long, java.math.BigDecimal)].collect()
       .map(r => (r._1, r._2) -> r._3.doubleValue).toMap
-    assert(lsh.nonEmpty) // Hamming-1 multi-probe finds pairs on sf0.001
+    assert(lsh.nonEmpty) // multi-probe finds pairs on sf0.001
     // every LSH pair is a brute-force pair with the same score (LSH prunes
     // candidates; it never invents or rescores a pair)
     lsh.foreach { case (k, cos) =>

@@ -12,6 +12,25 @@ class WarehouseSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("x_freq_profile ranks through a partitioned window — no single-partition Exchange") {
+    val df = Warehouse.queries("x_freq_profile")(spark, TestSpark.Sf0001)
+    // a global Window.orderBy would plan Exchange SinglePartition and
+    // funnel every distinct value through one reducer — the 100 TB
+    // anti-pattern this profiling query must never regress to
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"found a single-partition exchange:\n$plan")
+    // and the result is still the per-column top-3
+    val rows = df.as[(String, String, Long, Int)].collect()
+    val byCol = rows.groupBy(_._1)
+    assert(byCol.keySet == Set("c_mktsegment", "c_nationkey"))
+    byCol.values.foreach { vs =>
+      assert(vs.map(_._4).sorted.toSeq == Seq(1, 2, 3))
+      val byRank = vs.sortBy(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a._3 >= b._3 })
+    }
+  }
+
   test("x_scd2_history: per-key intervals chain without gaps or overlap; one current row per surviving key") {
     val rows = Warehouse.queries("x_scd2_history")(spark, TestSpark.Sf0001)
       .select("user_id", "valid_from", "valid_to", "is_current", "deleted")
