@@ -96,6 +96,19 @@ object PipelineOps {
     // it's a per-checkpoint knob, not engine semantics.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
+    // This gate runs on the RocksDB state store — the spillable provider
+    // a 100 TB-key-cardinality dedup needs (the default HDFS-backed store
+    // keeps every key on the executor HEAP; RocksDB keeps them off-heap
+    // with disk spill). providerClass is read at the stream's FIRST
+    // checkpoint, so scoping it here pins this stream to RocksDB without
+    // touching the session's other streams; production sets the same one
+    // conf. Dedup semantics are provider-independent — the same oracle
+    // pins the result, which is the point: swapping the state backend is
+    // a deployment knob, not a semantics change.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val q = deduped.drop("_ts").writeStream
         .outputMode("append").format("parquet")
@@ -103,7 +116,13 @@ object PipelineOps {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+    }
     s.read.parquet(outDir)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
   }
@@ -808,6 +827,41 @@ object PipelineOps {
       .select(col("version"), col("n_rows"), col("sum_acctbal"))
   }
 
+  /** K3/O3 over NESTED types, gate-promoted (previously spec-only in
+    * CdcSnapshotSpec): a struct/array/map frame derived deterministically
+    * from `nation` is staged to parquet, replicated through the snapshot
+    * path, read back, and FLATTENED with lookups that depend on the
+    * nested values (struct field access, array fold, map probe by a
+    * data-dependent key) — if replication flattened, reordered, or
+    * null-corrupted any nesting level, the flattened values diverge from
+    * the oracle, which re-derives them straight from `nation`. 100 TB
+    * lakes carry nested data; the replicator must move it losslessly. */
+  def nestedRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = Files.createTempDirectory("graft_nested_src").toString
+    val wh = Files.createTempDirectory("graft_nested_wh").toString
+    Tables.read(s, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("id"),
+        struct(col("n_name").as("name"),
+          col("n_regionkey").cast("int").as("region")).as("person"),
+        array(col("n_nationkey").cast("double") * 1.5,
+          col("n_nationkey").cast("double") + 0.25).as("scores"),
+        map(lit("key"), col("n_nationkey").cast("long"),
+          col("n_name"), col("n_regionkey").cast("long")).as("tags"))
+      .write.mode("overwrite").parquet(s"$srcDir/nested.parquet")
+    val rep = new SnapshotReplicator(s, srcDir, wh)
+    val r = rep.replicateTable("nested")
+    require(r.success, "nested replication failed")
+    s.read.parquet(rep.targetPath("nested"))
+      .select(col("id"),
+        col("person.name").as("name"),
+        col("person.region").as("region"),
+        size(col("scores")).cast("int").as("n_scores"),
+        aggregate(col("scores"), lit(0.0), (acc, x) => acc + x)
+          .as("score_sum"),
+        element_at(col("tags"), "key").as("tag_key"),
+        element_at(col("tags"), col("person.name")).as("tag_name"))
+  }
+
   /** Dynamic partition pruning: a date-partitioned fact joined to a small
     * file-backed dim with a selective filter. The dim's surviving keys are
     * broadcast and injected into the fact scan's partition filters AT
@@ -854,6 +908,7 @@ object PipelineOps {
     "o8_schema_drift" -> ((s, dir) => schemaDriftCheck(s, dir)),
     "t8_stream_static_enrich" -> ((s, dir) => streamStaticEnrich(s, dir)),
     "o3_snapshot_roundtrip" -> ((s, dir) => snapshotRoundtrip(s, dir)),
+    "o13_nested_roundtrip" -> ((s, dir) => nestedRoundtrip(s, dir)),
     "o5_table_lifecycle" -> ((s, dir) => tableLifecycle(s, dir)),
     "b1_bucketed_join" -> ((s, dir) => bucketedJoinAgg(s, dir)),
     "b2_bucket_pruned_lookup" -> ((s, dir) => bucketPrunedLookup(s, dir)),
@@ -1036,6 +1091,19 @@ object PipelineOps {
 
     // write-path ≡ read-path: same oracle as w1_live_view
     "t6_stateful_live_view" -> ReferenceOps.LiveViewOracle,
+
+    // flattened values re-derived from nation: the parquet roundtrip
+    // through the replicator must reproduce them from the NESTED columns
+    "o13_nested_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  n_name AS name,
+        |  CAST(n_regionkey AS INT) AS region,
+        |  CAST(2 AS INT) AS n_scores,
+        |  CAST((0.0 + n_nationkey * 1.5) + (n_nationkey + 0.25) AS DOUBLE)
+        |    AS score_sum,
+        |  CAST(n_nationkey AS BIGINT) AS tag_key,
+        |  CAST(n_regionkey AS BIGINT) AS tag_name
+        |FROM nation""".stripMargin,
 
     "b1_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,

@@ -81,4 +81,59 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(emitted.count(_._2 == "en") == 2 && // docs 1, 7
       emitted.count(_._2 == "de") == 2)        // docs 3, 5
   }
+
+  test("dedup runs on the RocksDB state store (the spillable 100 TB provider)") {
+    // The default HDFS-backed store keeps every live key on the executor
+    // heap — memory-bound at 100 TB key cardinality. This pins that the
+    // SAME dedup pipeline runs unchanged on the spillable RocksDB
+    // provider (the t2_stream_dedup gate sets the same conf), and proves
+    // engagement from the checkpoint artifacts: RocksDB writes zip/
+    // changelog files where the HDFS store writes .delta.
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = MemoryStream[Doc]
+      val out = StreamDedup.byFingerprint(src.toDF(), textCol = "text",
+        keyCols = Seq("lang"), tsCol = "ts", delay = "10 minutes")
+      val ckp = java.nio.file.Files.createTempDirectory("sdd_rdb_ckp").toString
+      val emitted = scala.collection.mutable.ArrayBuffer[Long]()
+      def drain(): Unit = {
+        val q = out.writeStream.outputMode("append")
+          .option("checkpointLocation", ckp)
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              emitted.synchronized {
+                emitted ++= b.collect().map(_.getLong(0))
+              }
+              ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      src.addData(Doc(1, "Hello  World", "en", ts(0)))
+      drain()
+      src.addData(Doc(2, "hello world", "en", ts(1))) // cross-batch dup
+      drain()
+      assert(emitted.toSet == Set(1L), s"RocksDB-backed dedup: $emitted")
+      val stateFiles = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(ckp, "state")).map(_.getName)
+      }
+      assert(stateFiles.exists(n =>
+          n.endsWith(".zip") || n.endsWith(".changelog")),
+        s"no RocksDB snapshot/changelog artifacts in state dir: $stateFiles")
+      assert(!stateFiles.exists(_.endsWith(".delta")),
+        s"HDFS-store .delta files present — RocksDB did not engage")
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
 }
