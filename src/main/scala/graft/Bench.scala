@@ -26,6 +26,7 @@ object Bench {
     if (new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        finally GateCache.releaseAll()
       }
 
     spark.catalog.clearCache() // drop warmup caches before timing
@@ -47,7 +48,10 @@ object Bench {
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache() // unpin persisted intermediates (untimed)
+        // unpin persisted intermediates (untimed): explicit GateCache
+        // releases first, catalog clear as the backstop
+        GateCache.releaseAll()
+        spark.catalog.clearCache()
         // a failed query must read as failure, not as a fast time: -1
         // survives the min-of-2 and is unmistakable in the JSON
         name -> (if (ok) dt else -1.0)

@@ -38,9 +38,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // queries may persist() intermediates; don't let caches accumulate
-      // across the 40+ query run
-      spark.catalog.clearCache()
+      // queries persist() intermediates via GateCache; release them all
+      // (clearCache is the backstop for anything cached outside it)
+      finally { GateCache.releaseAll(); spark.catalog.clearCache() }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

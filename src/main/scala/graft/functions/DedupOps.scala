@@ -303,6 +303,16 @@ object DedupOps {
     System.err.println(
       s"[graft] connectedComponents: converged in $iter star rounds " +
         s"($curCnt star edges)")
+    // the final edge frame (persisted or locally-checkpointed) backs the
+    // returned plan — its storage is released by the harness AFTER the
+    // caller's action, via the GateCache pairing
+    val fin = cur
+    val finCkpt = liveCkpt
+    graft.GateCache.onRelease { () =>
+      fin.unpersist()
+      finCkpt.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    }
     // fixpoint = star forest rooted at component minima: non-roots appear
     // as u (pointing at their root), roots appear as v (labeling selves)
     val labels = cur.select(col("u").as("id"), col("v").as("label"))
@@ -320,10 +330,10 @@ object DedupOps {
                    textCol: String, shingleWidth: Int): DataFrame = {
     // referenced three times below (both join sides + sizes): persist so
     // the explode+normalize pipeline runs once
-    val sh = docs.select(col(idCol).as("_id"),
-      explode(array_distinct(ShingleExprs.wordShinglesNative(col(textCol), shingleWidth)))
-        .as("_sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.GateCache.cache(
+      docs.select(col(idCol).as("_id"),
+        explode(array_distinct(ShingleExprs.wordShinglesNative(col(textCol), shingleWidth)))
+          .as("_sh")))
     val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
     val sh1 = sh.select(col("_id").as("id1"), col("_sh"))
     val sh2 = sh.select(col("_id").as("id2"), col("_sh"))

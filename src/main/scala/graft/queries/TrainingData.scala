@@ -57,11 +57,10 @@ object TrainingData {
   /** Signature frame, cached: several downstream stages (bands, pair
     * scoring) reference it; persisting avoids recomputing the
     * explode+hash+16-agg pipeline per reference. Tiny (k longs per doc). */
-  def minhashSig(s: SparkSession, dir: String): DataFrame = {
-    val sig = DedupOps.minhashSignature(docs(s, dir), "doc_id", "text",
-      ShingleW, MinhashK)
-    sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+  def minhashSig(s: SparkSession, dir: String): DataFrame =
+    graft.GateCache.cache(
+      DedupOps.minhashSignature(docs(s, dir), "doc_id", "text",
+        ShingleW, MinhashK))
 
   /** Per-doc fingerprint stats over a (doc_id, _m window-mins) frame —
     * shared by the kernel query and WinnowSpec's composed-form check. */
@@ -293,9 +292,9 @@ object TrainingData {
       val d = docs(s, dir)
       val toks = d.select(col("doc_id"),
         explode(split(Text.normalize(col("text")), " ")).as("token"))
-      val tf = toks.groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tf = graft.GateCache.cache(
+        toks.groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf")))
       val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val lens = tf.groupBy(col("doc_id"))
         .agg(sum(col("tf")).cast("long").as("len"))
@@ -395,16 +394,16 @@ object TrainingData {
     // one equi-join shuffle on the fingerprint, partial-agg'd pair counts.
     // Scores use the filtered (discriminative) sets on both sides.
     "x_winnow_containment" -> ((s, dir) => {
-      val fps = docs(s, dir).select(col("doc_id"),
+      val fps = graft.GateCache.cache(
+        docs(s, dir).select(col("doc_id"),
           explode(array_distinct(graft.functions.WinnowExprs
-            .winnowMinsNative(col("text"), WinnowK, WinnowW))).as("fp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .winnowMinsNative(col("text"), WinnowK, WinnowW))).as("fp")))
       val bad = fps.groupBy(col("fp")).agg(count(lit(1)).as("_c"))
         .filter(col("_c") > FpMaxBucket).select(col("fp"))
       // both the pair counts AND the denominators use the discriminative
       // (filtered) fingerprint sets — one consistent universe
-      val f = fps.join(broadcast(bad), Seq("fp"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val f = graft.GateCache.cache(
+        fps.join(broadcast(bad), Seq("fp"), "left_anti"))
       val sizes = f.groupBy(col("doc_id")).agg(count(lit(1)).as("_n"))
       val a = f.select(col("fp"), col("doc_id").as("id1"))
       val b = f.select(col("fp"), col("doc_id").as("id2"))
@@ -484,9 +483,9 @@ object TrainingData {
       // tf feeds BOTH the score join and the df derivation; without a
       // persist, Catalyst plans two full scan+tokenize+aggregate branches
       // (no subplan sharing across references)
-      val tf = toks.groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tf = graft.GateCache.cache(
+        toks.groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf")))
       val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val nn = d.agg(count(lit(1)).as("_n"))
       val scored = tf.join(dfq, "token").crossJoin(broadcast(nn))
