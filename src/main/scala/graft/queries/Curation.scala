@@ -195,17 +195,40 @@ object Curation {
     }),
 
     // Vocabulary coverage (the Zipf head): how many distinct tokens cover
-    // 90% of the corpus token mass. The cumulative window runs over the
-    // AGGREGATED vocabulary (≪ corpus — the explode is absorbed by
-    // partial aggregation first), and the 90% test is exact integer
-    // arithmetic (cum·10 vs total·9), no float threshold.
+    // 90% of the corpus token mass. The 90% test is exact integer
+    // arithmetic (cum·10 vs total·9), no float threshold. The cumulative
+    // sum is a DISTRIBUTED two-pass prefix sum (round 5): range-partition
+    // the vocabulary by the total order, cum-sum WITHIN each partition,
+    // then add each partition's broadcast prefix offset — no global
+    // single-reducer Window.orderBy (a billion-token 100 TB vocabulary
+    // would funnel through one task). The offset window runs over
+    // numPartitions rows, and the (freq, token) sort key is unique, so
+    // the global cumulative is exact regardless of sampled range bounds.
     "x_vocab_coverage" -> ((s, dir) => {
-      val freq = docs(s, dir)
-        .select(explode(split(Text.normalize(col("text")), " ")).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-      val w = Window.orderBy(col("freq").desc, col("token").asc)
+      val freq = graft.GateCache.cache(
+        docs(s, dir)
+          .select(explode(split(Text.normalize(col("text")), " ")).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("freq")))
+      val ranged = freq.repartitionByRange(8, col("freq").desc,
+        col("token").asc)
+      val wIn = Window.partitionBy(col("_pid"))
+        .orderBy(col("freq").desc, col("token").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      freq.withColumn("_cum", sum(col("freq")).over(w))
+      // cached: `_pid` comes from the sampled range bounds, and BOTH the
+      // offset branch and the final join must see the same assignment —
+      // one materialization guarantees it (bounds re-sampled per branch
+      // could differ; partitions are contiguous order ranges either way,
+      // but offsets keyed on a different split would misalign)
+      val local = graft.GateCache.cache(
+        ranged.withColumn("_pid", spark_partition_id())
+          .withColumn("_lcum", sum(col("freq")).over(wIn)))
+      val wOff = Window.orderBy(col("_pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = local.groupBy(col("_pid"))
+        .agg(sum(col("freq")).as("_psum"))
+        .withColumn("_off", coalesce(sum(col("_psum")).over(wOff), lit(0L)))
+      local.join(broadcast(offsets.select(col("_pid"), col("_off"))), "_pid")
+        .withColumn("_cum", col("_lcum") + col("_off"))
         .crossJoin(broadcast(freq.agg(
           sum(col("freq")).as("_total"), count(lit(1)).as("_vocab"))))
         .agg(min(col("_vocab")).cast("long").as("vocab_size"),
