@@ -48,6 +48,8 @@ object TrainingData {
   val DecontamRatio = 0.8 // drop train doc if > ratio of its fps hit eval
   val PackShards = 32 // sequence packing: independent shards (parallelism)
   val SeqLen = 2048 // sequence packing: tokens per training sequence
+  val ChunkW = 64 // overlapping chunking: tokens per chunk
+  val ChunkStride = 48 // overlapping chunking: stride (overlap = W - stride)
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
@@ -524,6 +526,29 @@ object TrainingData {
           sum(col("_tok")).cast("long").as("n_tokens"),
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
+    }),
+
+    // RAG-style overlapping chunking: each document split into
+    // ChunkW-token windows every ChunkStride tokens (overlap = W−stride,
+    // so a fact straddling a cut point survives whole in the next
+    // window). Scan-only: one generator per doc (explode over the
+    // stride-aligned offsets), no shuffle — downstream per-chunk stages
+    // (embedding, indexing) chain without an exchange. Chunk CONTENT is
+    // value-checked via md5 of the joined token slice, so off-by-one
+    // offsets or tail truncation fail the gate, not just counts.
+    "x_chunk_overlap" -> ((s, dir) => {
+      val toks = split(Text.normalize(col("text")), " ")
+      docs(s, dir)
+        .select(col("doc_id"), toks.as("_toks"))
+        .select(col("doc_id"), col("_toks"),
+          explode(sequence(lit(0), greatest(size(col("_toks")) - 1, lit(0)),
+            lit(ChunkStride))).as("_off"))
+        .select(col("doc_id"),
+          (col("_off") / ChunkStride).cast("int").as("chunk_idx"),
+          size(slice(col("_toks"), col("_off") + 1, lit(ChunkW))).cast("int")
+            .as("n_chunk_tokens"),
+          md5(concat_ws(" ", slice(col("_toks"), col("_off") + 1, lit(ChunkW))))
+            .as("chunk_md5"))
     }),
 
     // Redaction accounting: per language, documents carrying long digit
@@ -1115,6 +1140,20 @@ object TrainingData {
          |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1, 2""".stripMargin,
+
+    // toks[a:b] is 1-based inclusive-end clamped slicing — ≡ Spark
+    // slice(toks, a, W) with b = a+W−1; range() end-exclusive offsets ≡
+    // sequence(0, n−1, stride)
+    "x_chunk_overlap" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normDoc, ' ') AS toks
+         |           FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |    unnest(range(0, greatest(len(toks), 1), $ChunkStride)) AS o
+         |  FROM t)
+         |SELECT doc_id, CAST(o // $ChunkStride AS INT) AS chunk_idx,
+         |  CAST(len(toks[o + 1 : o + $ChunkW]) AS INT) AS n_chunk_tokens,
+         |  md5(array_to_string(toks[o + 1 : o + $ChunkW], ' ')) AS chunk_md5
+         |FROM c""".stripMargin,
 
     "x_redact_stats" ->
       """SELECT lang, count(*) AS n_docs,
