@@ -282,9 +282,9 @@ object DedupOps {
       val nextRaw = smallStar(largeStar(cur))
       val next =
         if (iter % CcCheckpointEvery == 0) {
-          val before = sc.getPersistentRDDs.keySet
+          val before = sc.getPersistentRDDs.keySet.toSet
           val ck = nextRaw.localCheckpoint() // eager: materializes + truncates
-          val created = sc.getPersistentRDDs.keySet -- before
+          val created = sc.getPersistentRDDs.keySet.toSet -- before
           liveCkpt.foreach(id =>
             sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
           liveCkpt = created.toSet
