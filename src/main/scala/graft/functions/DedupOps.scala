@@ -291,9 +291,12 @@ object DedupOps {
           ck
         } else nextRaw.persist(MD)
       val nextCnt = next.count()
-      // set equality: |next| == |cur| and next \ cur = ∅ ⇒ fixpoint
-      val fresh = next.join(cur, Seq("u", "v"), "left_anti").count()
-      converged = fresh == 0 && nextCnt == curCnt
+      // set equality: |next| == |cur| and next \ cur = ∅ ⇒ fixpoint.
+      // Count first — unequal counts settle it without the anti-join
+      // action (most shrinking rounds), the join only runs on candidate
+      // fixpoints.
+      converged = nextCnt == curCnt &&
+        next.join(cur, Seq("u", "v"), "left_anti").count() == 0
       cur.unpersist()
       cur = next
       curCnt = nextCnt
