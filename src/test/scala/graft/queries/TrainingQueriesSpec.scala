@@ -10,6 +10,39 @@ class TrainingQueriesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("x_chunk_overlap: scan-only plan; windows tile every token with stride overlap") {
+    val df = TrainingData.queries("x_chunk_overlap")(spark, TestSpark.Sf0001)
+    // scan-only claim: the generator rides the scan, no Exchange — the
+    // property that lets per-chunk stages chain shuffle-free downstream
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking plan shuffles:\n$plan")
+    val rows = df.as[(Long, Int, Int, String)].collect()
+    val nTok = Tables.read(spark, TestSpark.Sf0001, "documents")
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          graft.functions.Text.normalize(
+            org.apache.spark.sql.functions.col("text")), " ")).as("n"),
+        org.apache.spark.sql.functions.col("doc_id"))
+      .as[(Int, Long)].collect().map(_.swap).toMap
+    val W = TrainingData.ChunkW
+    val S = TrainingData.ChunkStride
+    rows.groupBy(_._1).foreach { case (doc, cs) =>
+      val n = nTok(doc)
+      val sorted = cs.sortBy(_._2)
+      // chunk indices are dense from 0; offsets tile the doc: last chunk
+      // starts ≤ n-1, so with stride < W every token lands in ≥1 chunk
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq)
+      assert(sorted.length == (math.max(n - 1, 0) / S) + 1)
+      // every chunk except possibly the last is exactly W tokens or the
+      // doc is shorter than W
+      sorted.init.foreach(c => assert(c._3 == math.min(W, n - c._2 * S)))
+      val last = sorted.last
+      assert(last._3 == math.min(W, n - last._2 * S))
+      // total tokens covered counting overlap = Σ chunk sizes
+      assert(sorted.map(_._3.toLong).sum >=  n)
+    }
+  }
+
   test("x_tfidf_topk: per-doc top-3, scores non-increasing, ubiquitous tokens score 0") {
     val rows = TrainingData.queries("x_tfidf_topk")(spark, TestSpark.Sf0001)
       .as[(Long, Int, String, java.math.BigDecimal)].collect()
