@@ -177,8 +177,13 @@ object DedupOps {
     val mask = (1L << bandBits) - 1
     val bandKeys = array((0 until bands).map(b =>
       shiftright(col(simCol), b * bandBits).bitwiseAND(lit(mask))): _*)
-    val banded = sig.select(col(idCol), col(simCol),
-      posexplode(bandKeys).as(Seq("_band", "_bkey")))
+    // cached: BOTH self-join sides derive from this frame — without it
+    // Catalyst plans two full signature pipelines (explode + `bits`
+    // conditional-sum aggregates each; no subplan sharing across
+    // references), which doubled the gate's cost at sf0.1
+    val banded = graft.GateCache.cache(
+      sig.select(col(idCol), col(simCol),
+        posexplode(bandKeys).as(Seq("_band", "_bkey"))))
     val a = banded.select(col("_band"), col("_bkey"),
       col(idCol).as("id1"), col(simCol).as("_s1"))
     val b = banded.select(col("_band"), col("_bkey"),

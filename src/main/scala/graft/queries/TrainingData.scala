@@ -430,9 +430,12 @@ object TrainingData {
     // docs survive by construction (no evidence of overlap).
     "x_decontaminate_apply" -> ((s, dir) => {
       val d = docs(s, dir)
-      val fps = d.select(col("doc_id"),
-        explode(array_distinct(graft.functions.WinnowExprs
-          .winnowMinsNative(col("text"), WinnowK, WinnowW))).as("fp"))
+      // cached: the eval-set branch, the hit counts, and the sizes all
+      // read this frame — uncached, the winnow kernel scan runs 3×
+      val fps = graft.GateCache.cache(
+        d.select(col("doc_id"),
+          explode(array_distinct(graft.functions.WinnowExprs
+            .winnowMinsNative(col("text"), WinnowK, WinnowW))).as("fp")))
       val evalFps = fps.filter(col("doc_id") % EvalMod === 0)
         .select(col("fp")).distinct()
       val train = fps.filter(col("doc_id") % EvalMod =!= 0)
