@@ -336,6 +336,10 @@ object DedupOps {
     * scored — the all-pairs blowup never materializes. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
                    textCol: String, shingleWidth: Int): DataFrame = {
+    // the candidate set feeds the intersect join AND the final left join
+    // — cache it so its generating pipeline (LSH banding upstream) runs
+    // once
+    val p = graft.GateCache.cache(pairs)
     // referenced three times below (both join sides + sizes): persist so
     // the explode+normalize pipeline runs once
     val sh = graft.GateCache.cache(
@@ -345,9 +349,9 @@ object DedupOps {
     val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
     val sh1 = sh.select(col("_id").as("id1"), col("_sh"))
     val sh2 = sh.select(col("_id").as("id2"), col("_sh"))
-    val intersectCount = pairs.join(sh1, "id1").join(sh2, Seq("id2", "_sh"))
+    val intersectCount = p.join(sh1, "id1").join(sh2, Seq("id2", "_sh"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("_inter"))
-    pairs
+    p
       .join(intersectCount, Seq("id1", "id2"), "left")
       .na.fill(0, Seq("_inter"))
       .join(sizes.select(col("_id").as("id1"), col("_n").as("_n1")), "id1")
