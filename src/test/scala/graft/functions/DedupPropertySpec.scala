@@ -82,4 +82,12 @@ class DedupPropertySpec extends AnyFunSuite {
     val (labels, _) = ccMap(Seq.empty)
     assert(labels.isEmpty)
   }
+
+  test("non-convergence within maxIter fails loudly, not silently wrong") {
+    val chain = (0L until 64L).map(i => (i, i + 1))
+    val e = intercept[IllegalArgumentException] {
+      ccMap(chain, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }
