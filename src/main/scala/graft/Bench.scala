@@ -38,8 +38,13 @@ object Bench {
     // back-to-back runs under host-level bursts); min-of-N measures the
     // engine, not the neighbors. N=3 because bursts were observed long
     // enough to straddle two consecutive passes.
+    // CC convergence metadata: queries that ran connected components this
+    // pass record their star-round counts (VERDICT r5 #8 — adjudicable
+    // from the committed record, not just stderr).
+    val ccRounds = scala.collection.mutable.Map.empty[String, Seq[Int]]
     def onePass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        graft.functions.DedupOps.drainCcRounds() // discard warmup leftovers
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -48,6 +53,8 @@ object Bench {
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        val rounds = graft.functions.DedupOps.drainCcRounds()
+        if (rounds.nonEmpty) ccRounds(name) = rounds
         // unpin persisted intermediates (untimed): explicit GateCache
         // releases first, catalog clear as the backstop
         GateCache.releaseAll()
@@ -73,11 +80,21 @@ object Bench {
     pretty ++= s"""  "unit": "sec",\n  "sf": "$sfDir",\n  "queries": {\n"""
     pretty ++= results.map { case (k, v) => s"""    "$k": $v""" }
       .mkString(",\n")
+    pretty ++= "\n  },\n  \"cc_star_rounds\": {\n"
+    pretty ++= ccRounds.toSeq.sortBy(_._1).map { case (k, rs) =>
+      s"""    "$k": ${rs.mkString("[", ",", "]")}""" }.mkString(",\n")
     pretty ++= "\n  }\n}\n"
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_latest.json"), pretty.toString)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write bench_latest.json: $e")
+    // anchored against SPARK_GRAFT_BENCH_OUT when set; otherwise the
+    // process cwd — either way the absolute path is logged so a record
+    // written from an unexpected cwd can't silently go stale in the repo
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json"))
+      .toAbsolutePath
+    try {
+      java.nio.file.Files.writeString(outPath, pretty.toString)
+      System.err.println(s"[bench] lossless record written: $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: $e")
     }
     spark.stop()
   }

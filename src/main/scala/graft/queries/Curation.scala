@@ -209,7 +209,14 @@ object Curation {
         docs(s, dir)
           .select(explode(split(Text.normalize(col("text")), " ")).as("token"))
           .groupBy(col("token")).agg(count(lit(1)).as("freq")))
-      val ranged = freq.repartitionByRange(8, col("freq").desc,
+      // range count follows the session (not a hardcoded 8): at a
+      // billion-token vocabulary the prefix-sum width must scale with the
+      // cluster; the offsets window below stays numPartitions rows either
+      // way. Overridable via graft.vocab.cumsum.partitions.
+      val nRanges = s.conf.getOption("graft.vocab.cumsum.partitions")
+        .map(_.toInt)
+        .getOrElse(s.sparkContext.defaultParallelism)
+      val ranged = freq.repartitionByRange(nRanges, col("freq").desc,
         col("token").asc)
       val wIn = Window.partitionBy(col("_pid"))
         .orderBy(col("freq").desc, col("token").asc)

@@ -22,12 +22,26 @@ object TrainingData {
   val SimhashPairBits = 28 // pair stage: 4 pigeonhole bands of 7 bits
   val SimhashPairBands = 4
   val SimhashMaxHamming = 3 // < bands ⇒ banding recall is guaranteed
+  // Wide (64-bit-base) simhash shape — the 100 TB signature: 56 bits over
+  // two 32-bit MD5 windows, 8 pigeonhole bands of 7. Same per-band
+  // selectivity (2^7) as the 28-bit shape but twice the bands, so recall
+  // is guaranteed to hd ≤ 7 while each band stays discriminative on a
+  // corpus where 28 bits would saturate (2^28 ≪ doc count at scale).
+  val SimhashWideBits = 56
+  val SimhashWideBands = 8
+  val SimhashWideMaxHamming = 7
   val MaxBucket = 1000 // LSH bucket cap — mirrored in the oracle CTEs
   val CosDupThreshold = 0.4
   val AnnK = 5
   val AnnQueryIds = 10 // query set = vec_id < 10
   val LshPlanes = 8
-  val PairProbeHamming = 2 // embed near-dup pair stage: probe ≤2-bit flips
+  // Pair stage probes only 1-bit flips: the probe side of this self-join
+  // IS the corpus, so the explode factor (1+planes = 9 vs 37 at Hamming-2)
+  // and the candidate fraction (9/256 ≈ 3.5% of random pairs vs ~14.5%)
+  // both scale every downstream byte. Recall at 100 TB comes from more
+  // planes, not wider probes — Hamming-2 stays on the query-side ANN path
+  // ([[AnnProbeHamming]]) where the probe side is k queries, not n docs.
+  val PairProbeHamming = 1
   val AnnBands = 4 // ANN banded LSH: candidate if ANY band matches
   val AnnBandBits = 6
   val AnnProbeHamming = 2 // ANN query-side multi-probe: ≤2-bit flips/band
@@ -190,6 +204,16 @@ object TrainingData {
         "doc_id", "simhash", SimhashPairBits, SimhashPairBands,
         SimhashMaxHamming)),
 
+    // Wide-signature variant of the pair stage (VERDICT r5 #3): same
+    // pigeonhole plan over the 56-bit/8-band shape — the signature width
+    // a 100 TB corpus needs for bands to stay selective. The base hash
+    // reads two MD5 windows of the one digest ([[DedupOps.simhash]]).
+    "x_dedup_simhash64_pairs" -> ((s, dir) =>
+      DedupOps.simhashPairs(
+        DedupOps.simhash(docs(s, dir), "doc_id", "text", SimhashWideBits),
+        "doc_id", "simhash", SimhashWideBits, SimhashWideBands,
+        SimhashWideMaxHamming)),
+
     "x_ngram_jaccard" -> ((s, dir) =>
       DedupOps.ngramJaccard(docs(s, dir), minhashPairs(minhashSig(s, dir)),
         "doc_id", "text", ShingleW)),
@@ -199,13 +223,16 @@ object TrainingData {
     // minhash LSH pairs feed connected components (min-label
     // propagation) and only each cluster's min-id representative
     // survives. Output: per-language survivor counts + how many docs the
-    // clustering removed.
+    // clustering removed. The drop-set is NOT broadcast-hinted: it is the
+    // non-representative member of every near-dup cluster — O(corpus) in
+    // a crawl — so the strategy is left to AQE, which broadcasts it when
+    // the runtime size is small and shuffles it when it isn't.
     "x_dedup_cluster_apply" -> ((s, dir) => {
       val cc = DedupOps.connectedComponents(minhashPairs(minhashSig(s, dir)))
       val dropped = cc.filter(col("label") < col("id"))
         .select(col("id").as("doc_id"))
       docs(s, dir)
-        .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+        .join(dropped, Seq("doc_id"), "left_anti")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_survivors"))
     }),
@@ -237,12 +264,13 @@ object TrainingData {
 
     // Near-dup removal applied via the LSH pair stage: drop the higher id
     // of every in-bucket dup pair, report survivors per label. Same
-    // apply shape as x_embed_dedup_apply (distinct drop-set, broadcast
-    // left_anti) but fed by the bucketed candidates — the corpus never
-    // enters a non-equi join.
+    // apply shape as x_embed_dedup_apply (distinct drop-set, left_anti)
+    // but fed by the bucketed candidates — the corpus never enters a
+    // non-equi join. The drop-set is unhinted (dup count is O(corpus) in
+    // the worst case); AQE picks broadcast only when it measures small.
     "x_embed_dedup_lsh_apply" -> ((s, dir) => {
       val drop = embedLshPairs(s, dir).select(col("id2").as("vec_id")).distinct()
-      emb(s, dir).join(broadcast(drop), Seq("vec_id"), "left_anti")
+      emb(s, dir).join(drop, Seq("vec_id"), "left_anti")
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_vecs"))
     }),
@@ -260,7 +288,8 @@ object TrainingData {
     "x_ann_lsh_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       SimilarityOps.lshAnnTopK(e, e.filter(col("vec_id") < AnnQueryIds),
-        "vec_id", "embedding", AnnK, AnnBands, AnnBandBits, EmbeddingDim)
+        "vec_id", "embedding", AnnK, AnnBands, AnnBandBits, EmbeddingDim,
+        probeHamming = AnnProbeHamming) // one source of truth with the oracle
     }),
 
     // IVF ANN — the inverted-file scale path (deterministic coarse
@@ -331,13 +360,16 @@ object TrainingData {
     // doc id — so near-duplicates can never straddle folds and leak eval
     // content into training. Singletons hash their own id (their label).
     // Fold is a pure function of the group ⇒ zero straddling BY
-    // CONSTRUCTION; the gate pins the per-fold doc/group counts.
+    // CONSTRUCTION; the gate pins the per-fold doc/group counts. The CC
+    // frame (every node with an edge — O(corpus) under heavy duplication)
+    // carries no broadcast hint: AQE chooses the join strategy from the
+    // measured size, so the same plan survives a 100× scale-up.
     "x_leakage_safe_split" -> ((s, dir) => {
       val cc = graft.functions.DedupOps
         .connectedComponents(minhashPairs(minhashSig(s, dir)))
         .select(col("id").as("doc_id"), col("label"))
       docs(s, dir)
-        .join(broadcast(cc), Seq("doc_id"), "left")
+        .join(cc, Seq("doc_id"), "left")
         .withColumn("_grp", coalesce(col("label"), col("doc_id")))
         .withColumn("fold",
           (graft.functions.PortableHash
@@ -629,9 +661,10 @@ object TrainingData {
         .filter(SimilarityOps.dot(col("_va"), col("_vb")) /
           (col("_na") * col("_nb")) > CosDupThreshold)
         .select(col("id2").as("vec_id")).distinct()
-      // drop-set is bounded by the corpus dup count — broadcast the anti
-      // side so the surviving-corpus scan never shuffles
-      e.join(broadcast(drop), Seq("vec_id"), "left_anti")
+      // drop-set sizing is data-dependent (corpus dup count) — leave the
+      // join strategy to AQE rather than force a broadcast of a frame
+      // that is O(corpus) when duplication is heavy
+      e.join(drop, Seq("vec_id"), "left_anti")
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_vecs"))
     }),
@@ -728,50 +761,53 @@ object TrainingData {
        |            ON s.band = a.band AND s.band_key = a.band_key)""".stripMargin
   }
 
-  private def simhashOracle: String = {
-    val votes = (0 until SimhashBits)
-      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b")
+  /** The per-doc simhash-signature CTE chain (toks → h windows → votes →
+    * psig), parameterized on signature width — mirrors
+    * [[DedupOps.simhash]]'s windowed base hash (bit `b` = bit `b mod 32`
+    * of MD5 window `b / 32`). */
+  private def simhashSigCtes(bits: Int): String = {
+    val nWin = (bits + 31) / 32
+    val hCols = (0 until nWin)
+      .map(w => s"${PortableHash.duckSqlW("tok", "sh|", w)} AS h$w")
       .mkString(", ")
-    val sig = (0 until SimhashBits)
+    val votes = (0 until bits)
+      .map(b =>
+        s"sum(CASE WHEN (h${b / 32} >> ${b % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b")
+      .mkString(", ")
+    val sig = (0 until bits)
       .map(b => s"CASE WHEN v_$b > 0 THEN ${1L << b} ELSE 0 END")
       .mkString(" + ")
-    s"""WITH toks AS (SELECT doc_id,
+    s"""toks AS (SELECT doc_id,
        |    unnest(list_distinct(string_split($normDoc, ' '))) AS tok
        |  FROM documents),
-       |h AS (SELECT doc_id, ${PortableHash.duckSql("tok", "sh|")} AS h FROM toks),
-       |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
-       |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v""".stripMargin
+       |h AS (SELECT doc_id, $hCols FROM toks),
+       |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+       |psig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v)""".stripMargin
   }
 
-  /** Mirrors [[DedupOps.simhashPairs]] over a [[SimhashPairBits]]-bit
-    * signature: identical votes/sign arithmetic, identical band split,
-    * identical popcount filter. */
-  private def simhashPairsOracle: String = {
-    val bandBits = SimhashPairBits / SimhashPairBands
+  private def simhashOracle: String =
+    s"""WITH ${simhashSigCtes(SimhashBits)}
+       |SELECT doc_id, simhash FROM psig""".stripMargin
+
+  /** Mirrors [[DedupOps.simhashPairs]] over a `bits`-bit signature:
+    * identical votes/sign arithmetic, identical band split, identical
+    * popcount filter. */
+  private def simhashPairsOracle(bits: Int, bands: Int,
+                                 maxHamming: Int): String = {
+    val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
-    val votes = (0 until SimhashPairBits)
-      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b")
-      .mkString(", ")
-    val sig = (0 until SimhashPairBits)
-      .map(b => s"CASE WHEN v_$b > 0 THEN ${1L << b} ELSE 0 END")
-      .mkString(" + ")
-    val bandRows = (0 until SimhashPairBands).map(b =>
+    val bandRows = (0 until bands).map(b =>
       s"SELECT doc_id, simhash, $b AS band, " +
         s"(simhash >> ${b * bandBits}) & $mask AS bkey FROM psig")
       .mkString(" UNION ALL ")
-    s"""WITH toks AS (SELECT doc_id,
-       |    unnest(list_distinct(string_split($normDoc, ' '))) AS tok
-       |  FROM documents),
-       |h AS (SELECT doc_id, ${PortableHash.duckSql("tok", "sh|")} AS h FROM toks),
-       |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
-       |psig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v),
+    s"""WITH ${simhashSigCtes(bits)},
        |pbands AS ($bandRows),
        |ppairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
        |  FROM pbands a JOIN pbands b ON a.band = b.band AND a.bkey = b.bkey
        |    AND a.doc_id < b.doc_id)
        |SELECT id1, id2, hamming FROM ppairs
-       |WHERE hamming <= $SimhashMaxHamming""".stripMargin
+       |WHERE hamming <= $maxHamming""".stripMargin
   }
 
   /** Shared CTEs producing the per-doc winnow fingerprint SET
@@ -880,7 +916,11 @@ object TrainingData {
 
     "x_dedup_simhash" -> simhashOracle,
 
-    "x_dedup_simhash_pairs" -> simhashPairsOracle,
+    "x_dedup_simhash64_pairs" -> simhashPairsOracle(SimhashWideBits,
+      SimhashWideBands, SimhashWideMaxHamming),
+
+    "x_dedup_simhash_pairs" -> simhashPairsOracle(SimhashPairBits,
+      SimhashPairBands, SimhashMaxHamming),
 
     "x_ngram_jaccard" ->
       s"""WITH $minhashCtes,

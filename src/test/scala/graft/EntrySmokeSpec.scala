@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Guards the driver's smoke contract: `SparkEntry.entry` must work in a
   * session we didn't pre-configure (it self-sets the nanos-timestamp conf
   * via Tables) and return rows on sf0.001. */
-class EntrySmokeSpec extends AnyFunSuite {
+class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
   test("entry returns rows in a fresh session") {
     val fresh = TestSpark.spark.newSession()
     assert(SparkEntry.entry(fresh).count() > 0)

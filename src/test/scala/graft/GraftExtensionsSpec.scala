@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * builder), the native SQL functions resolve in ANY session of the
   * context — including fresh ones — without a `GraftFunctions.register`
   * call. */
-class GraftExtensionsSpec extends AnyFunSuite {
+class GraftExtensionsSpec extends AnyFunSuite with graft.GateCacheHygiene {
 
   test("graft_dot / graft_shingles resolve via extensions in a fresh session") {
     val fresh = TestSpark.spark.newSession()

@@ -11,7 +11,7 @@ import graft.model.SchemaModel.{DeletedCol, SeqCol, VersionCol}
   * not just the operators: snapshot mode over a real source dir, and cdc
   * mode with initial sync + a fabricated change stream applied through the
   * real Structured Streaming path, verified via the live view. */
-class MainSpec extends AnyFunSuite {
+class MainSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

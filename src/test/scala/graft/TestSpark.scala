@@ -2,6 +2,21 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Deterministic [[GateCache]] release for specs. Gate builders persist
+  * intermediates (and register CC localCheckpoint block releases) that the
+  * harness mains pair with each query's action; suites get the same
+  * pairing at suite end, so cached frames don't accumulate for the whole
+  * JVM-wide test run. Suites run sequentially in the forked test JVM
+  * (`Test / fork := true`, forked-parallel off), so the global release
+  * cannot race another suite's in-flight query. */
+trait GateCacheHygiene extends org.scalatest.BeforeAndAfterAll {
+  this: org.scalatest.Suite =>
+  override protected def afterAll(): Unit = {
+    GateCache.releaseAll()
+    super.afterAll()
+  }
+}
+
 /** One shared local session for the whole test run. */
 object TestSpark {
   lazy val spark: SparkSession = {

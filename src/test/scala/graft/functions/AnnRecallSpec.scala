@@ -9,7 +9,7 @@ import graft.queries.TrainingData
   * RECALL against the brute-force ground truth, so a future knob change
   * (more planes, fewer probes) that silently guts recall fails here
   * instead of shipping. */
-class AnnRecallSpec extends AnyFunSuite {
+class AnnRecallSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

@@ -9,7 +9,7 @@ import graft.TestSpark
   * log-bounded (not diameter-bound) — the reason the star algorithm
   * replaced plain min-label propagation.
   */
-class DedupPropertySpec extends AnyFunSuite {
+class DedupPropertySpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

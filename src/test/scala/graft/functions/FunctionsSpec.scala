@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
-class TextSpec extends AnyFunSuite {
+class TextSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
@@ -81,7 +81,7 @@ class TextSpec extends AnyFunSuite {
   }
 }
 
-class PortableHashSpec extends AnyFunSuite {
+class PortableHashSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
@@ -105,7 +105,7 @@ class PortableHashSpec extends AnyFunSuite {
   }
 }
 
-class DedupOpsSpec extends AnyFunSuite {
+class DedupOpsSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
@@ -167,6 +167,79 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(banded.nonEmpty) // corpus has exact dups → hd 0 pairs exist
   }
 
+  test("wide simhash ≡ JVM reference; low bits agree with the narrow form") {
+    // independent straight-line reference for the windowed base hash:
+    // bit b of the signature votes with bit (b mod 32) of MD5 window
+    // (b / 32) of "sh|" + token
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def ref(text: String, bits: Int): Long = {
+      val toks = text.toLowerCase.replaceAll("\\s+", " ").trim
+        .split(" ").distinct
+      val hs = toks.map { t =>
+        val hex = md5hex("sh|" + t)
+        (0 until 4).map(w =>
+          java.lang.Long.parseLong(hex.substring(8 * w, 8 * w + 8), 16))
+      }
+      (0 until bits).map { b =>
+        val votes = hs.map(h =>
+          if (((h(b / 32) >> (b % 32)) & 1L) == 1L) 1 else -1).sum
+        if (votes > 0) 1L << b else 0L
+      }.sum
+    }
+    val texts = docs.as[(Long, String)].collect().toMap
+    val wide = DedupOps.simhash(docs, "doc_id", "text", 56)
+      .as[(Long, Long)].collect().toMap
+    texts.foreach { case (id, t) =>
+      assert(wide(id) == ref(t, 56), s"doc $id wide signature") }
+    // bits < 32 read window 0 exactly as the narrow form always did, so
+    // the narrow signature is the wide one's low bits — narrow gates are
+    // bit-stable under the windowed generalization
+    val narrow = DedupOps.simhash(docs, "doc_id", "text", 16)
+      .as[(Long, Long)].collect().toMap
+    narrow.foreach { case (id, s) => assert((wide(id) & 0xffffL) == s) }
+  }
+
+  test("wide simhashPairs: guaranteed recall to hd<=7, bands stay selective") {
+    // 56-bit/8-band pigeonhole: banded == brute-force hamming filter
+    // (recall guaranteed for hd < bands, popcount filter gives precision)
+    val d = graft.queries.Tables.read(spark, TestSpark.Sf0001, "documents")
+    val sig = DedupOps.simhash(d, "doc_id", "text", 56)
+    val banded = DedupOps.simhashPairs(sig, "doc_id", "simhash", 56, 8, 7)
+      .as[(Long, Long, Int)].collect().toSet
+    val s = sig.as[(Long, Long)].collect()
+    val brute = (for {
+      (i1, h1) <- s; (i2, h2) <- s
+      if i1 < i2
+      hd = java.lang.Long.bitCount(h1 ^ h2)
+      if hd <= 7
+    } yield (i1, i2, hd)).toSet
+    assert(banded == brute)
+    assert(banded.nonEmpty) // corpus has exact dups → hd 0 pairs exist
+    // selectivity: the scale claim is about a corpus that FILLS the
+    // signature space — there, non-dup pairs look random (hd ≈ bits/2 =
+    // 28) and a random pair shares a 7-bit band key w.p. ≈ 8·2⁻⁷ ≈ 6%,
+    // so the candidate join touches a few percent of pairs, not all of
+    // them. Pin that arithmetic on seeded-uniform 56-bit signatures.
+    // (The sf0.001 corpus can't show this: its far pairs are templated,
+    // hd 8–20, and pigeonhole banding intentionally keeps pairs near the
+    // hamming cutoff as candidates — that's its recall guarantee.)
+    val rnd = new scala.util.Random(20260813L)
+    val randSigs = Vector.fill(500)(rnd.nextLong() & ((1L << 56) - 1))
+    val n = randSigs.length
+    var cand = 0L
+    for (i <- 0 until n; j <- i + 1 until n) {
+      val x = randSigs(i) ^ randSigs(j)
+      val collide = (0 until 8).exists(b => ((x >> (b * 7)) & 0x7fL) == 0L)
+      if (collide) cand += 1
+    }
+    val allPairs = n.toLong * (n - 1) / 2
+    // expected ≈ 6%; generous ceiling at 12%
+    assert(cand * 100 < allPairs * 12,
+      s"bands degenerate on space-filling corpus: $cand of $allPairs pairs collide")
+  }
+
   test("connectedComponents: chains collapse transitively to the min id") {
     // 1-2, 2-3 form one cluster (even though 1-3 was never a pair);
     // 5-6 is separate; 4 has no edge and gets no row
@@ -187,7 +260,7 @@ class DedupOpsSpec extends AnyFunSuite {
   }
 }
 
-class SimilarityOpsSpec extends AnyFunSuite {
+class SimilarityOpsSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
@@ -256,7 +329,7 @@ class SimilarityOpsSpec extends AnyFunSuite {
   }
 }
 
-class GraftFunctionsSpec extends AnyFunSuite {
+class GraftFunctionsSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
 
   test("SQL-registered native functions work through spark.sql") {
@@ -294,7 +367,7 @@ class GraftFunctionsSpec extends AnyFunSuite {
   }
 }
 
-class MultimodalSpec extends AnyFunSuite {
+class MultimodalSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
 
   test("media pipeline: binary payloads, deterministic features, frame counts") {

@@ -6,7 +6,7 @@ import graft.TestSpark
 
 /** IVF ANN: structural invariants against the exact brute-force baseline.
   * (Exact result equality is the oracle query's job — x_ann_ivf_topk.) */
-class IvfSpec extends AnyFunSuite {
+class IvfSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
 
   private lazy val emb =

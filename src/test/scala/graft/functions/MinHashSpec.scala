@@ -7,7 +7,7 @@ import graft.TestSpark
 /** MinHash signature: the native kernel must agree exactly with the
   * composed built-ins pipeline it replaces (the form the DuckDB oracle
   * mirrors), and with a straight-line JVM reimplementation, per document. */
-class MinHashSpec extends AnyFunSuite {
+class MinHashSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

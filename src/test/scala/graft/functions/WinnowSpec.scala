@@ -7,7 +7,7 @@ import graft.TestSpark
 /** Winnowing fingerprint: the distributed plan (posexplode + frame-window
   * min + per-doc agg) must agree exactly with a straight-line JVM
   * reimplementation of the algorithm, document by document. */
-class WinnowSpec extends AnyFunSuite {
+class WinnowSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

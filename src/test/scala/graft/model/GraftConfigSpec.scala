@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Config parity with reference `tests/test_replicator.py:195-227` +
   * secrets handling (`src/config.py:9-14`). */
-class GraftConfigSpec extends AnyFunSuite {
+class GraftConfigSpec extends AnyFunSuite with graft.GateCacheHygiene {
 
   test("defaults match the reference (src/config.py:22-93)") {
     val c = GraftConfig.fromEnv(Map.empty)

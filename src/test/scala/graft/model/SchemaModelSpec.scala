@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Fixtures from FIXTURES.md §1-3 (reference `tests/conftest.py:62-141`,
   * no-PK fallback `tests/test_schema_converter.py:199-223`). */
-class SchemaModelSpec extends AnyFunSuite {
+class SchemaModelSpec extends AnyFunSuite with graft.GateCacheHygiene {
 
   val users = TableSchema("users", Seq(
     ColumnInfo("id", "int", isNullable = false, columnKey = "PRI",
@@ -62,7 +62,7 @@ class SchemaModelSpec extends AnyFunSuite {
 
 /** FIXTURES.md §5 — injection-attempt identifiers
   * (reference `tests/test_clients.py:11-70`). */
-class IdentifiersSpec extends AnyFunSuite {
+class IdentifiersSpec extends AnyFunSuite with graft.GateCacheHygiene {
   test("valid identifiers accepted") {
     for (id <- Seq("users", "user_id", "_private", "table1", "Users_2"))
       assert(Identifiers.isValid(id), id)

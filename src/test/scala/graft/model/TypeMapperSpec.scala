@@ -6,7 +6,7 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 /** Mirrors the reference's converter matrix
   * (`tests/test_schema_converter.py:10-174`, map completeness `:276-289`). */
-class TypeMapperSpec extends AnyFunSuite {
+class TypeMapperSpec extends AnyFunSuite with graft.GateCacheHygiene {
 
   private def check(p: Prop): Unit = {
     val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)

@@ -10,7 +10,7 @@ import graft.TestSpark
   * fact-to-fact joins: pre-bucket both tables on the join key so the join
   * plans with ZERO shuffle exchanges. The harness's single parquet files
   * stand in for lake tables; this spec proves the plan shape. */
-class BucketingSpec extends AnyFunSuite {
+class BucketingSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
 
   private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {

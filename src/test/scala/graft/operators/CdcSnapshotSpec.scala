@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 import graft.model.SchemaModel.{DeletedCol, SeqCol, VersionCol}
 
-class CdcTransformSpec extends AnyFunSuite {
+class CdcTransformSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
@@ -40,7 +40,7 @@ class CdcTransformSpec extends AnyFunSuite {
 
 /** Snapshot path over real harness data (SURVEY.md §7.5 minimum slice):
   * replicate sf0.001 → temp warehouse, counts reconcile (A1/A2/A4). */
-class SnapshotSpec extends AnyFunSuite {
+class SnapshotSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
 
   test("replicate lineitem: counts match, success=true (O3/A4)") {

@@ -12,7 +12,7 @@ import graft.model.SchemaModel.{DeletedCol, SeqCol, VersionCol}
   * kept small (the property is about semantics, not volume). */
 case class Ev(id: Int, payload: Int, op: String, version: Long, seq: Long)
 
-class DedupPropertySpec extends AnyFunSuite {
+class DedupPropertySpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

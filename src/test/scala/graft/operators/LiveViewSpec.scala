@@ -8,7 +8,7 @@ import graft.model.SchemaModel.{DeletedCol, SeqCol, VersionCol}
 /** Behavioral fixture from FIXTURES.md §6: I/U/D stream on `users`;
   * live view = latest per key, tombstones removed, meta dropped.
   * Duplicate `_version` tie-break per SURVEY.md §7.4. */
-class LiveViewSpec extends AnyFunSuite {
+class LiveViewSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

@@ -6,7 +6,7 @@ import graft.TestSpark
 
 /** Batch MERGE semantics: delete wins, update replaces, insert appends,
   * untouched rows survive byte-identically — and the pk stays unique. */
-class MergeSpec extends AnyFunSuite {
+class MergeSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
 
   test("upsert applies deletes, updates, and inserts in one pass") {

@@ -11,7 +11,7 @@ import graft.TestSpark
   * listed into the scan. This is the complement of [[ZOrder]] (which
   * prunes within files via min/max): at 100 TB a day-range query over a
   * date-partitioned table touches only the matching directories. */
-class PartitionedLayoutSpec extends AnyFunSuite {
+class PartitionedLayoutSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
 
   test("date filter prunes partition directories at the scan") {

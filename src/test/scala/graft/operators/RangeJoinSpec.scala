@@ -8,7 +8,7 @@ import graft.TestSpark
 /** The banded interval-overlap join must be a pure plan rewrite: same
   * result set as the naive non-equi join for any band width, with no
   * duplicated pairs (the canonical-first-band trick replaces a distinct). */
-class RangeJoinSpec extends AnyFunSuite {
+class RangeJoinSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

@@ -7,7 +7,7 @@ import graft.TestSpark
 /** Runtime bloom-filter injection: the shuffle join's fact side must be
   * pre-filtered by a bloom filter built from the dim's surviving keys —
   * the row-level analog of x_dpp_join's directory-level pruning. */
-class RuntimeFilterSpec extends AnyFunSuite {
+class RuntimeFilterSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
 
   test("AQE splits a skewed join partition (skew=true on the SMJ)") {

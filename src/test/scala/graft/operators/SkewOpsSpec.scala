@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
-class SkewOpsSpec extends AnyFunSuite {
+class SkewOpsSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
 
   test("salted two-phase agg ≡ plain groupBy on real events") {

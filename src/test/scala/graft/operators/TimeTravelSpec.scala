@@ -5,7 +5,7 @@ import graft.TestSpark
 
 /** Versioned dirs: monotonically numbered, independently readable, and a
   * later write never mutates an earlier pinned version. */
-class TimeTravelSpec extends AnyFunSuite {
+class TimeTravelSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
 
   test("writes append versions; pinned reads are isolated from later writes") {

@@ -8,7 +8,7 @@ import graft.TestSpark
   * reference and the layout's reason to exist: point predicates on EITHER
   * dimension intersect fewer file-rectangles than a linear (c1, c2) sort
   * gives the second dimension. */
-class ZOrderSpec extends AnyFunSuite {
+class ZOrderSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

@@ -11,7 +11,7 @@ import graft.TestSpark
   * band-index probe. Cross-engine exactness is pinned by the DuckDB
   * oracle gate; these pin the SEMANTICS against code that shares nothing
   * with the implementation. */
-class CurationSpec extends AnyFunSuite {
+class CurationSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
@@ -148,6 +148,31 @@ class CurationSpec extends AnyFunSuite {
     val cover = freqs.take(n90.toInt).map(_._2).sum
     assert(cover * 10 >= total * 9)
     assert(freqs.take(n90.toInt - 1).map(_._2).sum * 10 < total * 9)
+  }
+
+  test("x_vocab_coverage: cumsum range count follows the session, result invariant") {
+    // the distributed prefix sum must widen with the cluster — the range
+    // count is defaultParallelism (or the conf override), never a literal
+    def rangeN(plan: String): Option[Int] =
+      "rangepartitioning\\([^)]*\\bfreq\\b[^)]*, (\\d+)\\)".r
+        .findFirstMatchIn(plan).map(_.group(1).toInt)
+    val default = Curation.queries("x_vocab_coverage")(spark, TestSpark.Sf0001)
+    val defaultPlan = default.queryExecution.executedPlan.toString
+    assert(rangeN(defaultPlan).contains(spark.sparkContext.defaultParallelism),
+      s"range count does not follow the session:\n$defaultPlan")
+    val base = default.as[(Long, Long, Long)].head()
+    graft.GateCache.releaseAll()
+    // …and the exact result is independent of the partitioning (the
+    // offset join realigns any contiguous range split)
+    spark.conf.set("graft.vocab.cumsum.partitions", "3")
+    try {
+      val over = Curation.queries("x_vocab_coverage")(spark, TestSpark.Sf0001)
+      assert(rangeN(over.queryExecution.executedPlan.toString).contains(3))
+      assert(over.as[(Long, Long, Long)].head() == base)
+    } finally {
+      spark.conf.unset("graft.vocab.cumsum.partitions")
+      graft.GateCache.releaseAll()
+    }
   }
 
   test("x_mixture_sample: odd sources keep everything, even sources downsample") {

@@ -7,7 +7,7 @@ import graft.TestSpark
 
 /** Semantics checks for the embedding-compression/clustering operators
   * (cross-engine exactness is the oracle gate's job). */
-class EmbeddingsSpec extends AnyFunSuite {
+class EmbeddingsSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

@@ -8,7 +8,7 @@ import graft.TestSpark
 /** Pins that the stream-stream join matches ACROSS micro-batches (through
   * the join's keyed state store), not just within one batch, and that the
   * event-time range condition bounds the match window. */
-class StreamStreamJoinSpec extends AnyFunSuite {
+class StreamStreamJoinSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

@@ -6,7 +6,7 @@ import graft.TestSpark
 /** Query-level checks for the TF-IDF and embedding-centroid operators
   * (their cross-engine exactness is pinned by the DuckDB oracle gate;
   * these specs pin the semantics against straight-line JVM references). */
-class TrainingQueriesSpec extends AnyFunSuite {
+class TrainingQueriesSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
@@ -89,6 +89,31 @@ class TrainingQueriesSpec extends AnyFunSuite {
     lsh.foreach { case (k, cos) =>
       assert(brute.contains(k), s"pair $k not in brute force")
       assert(brute(k) == cos, s"score mismatch at $k")
+    }
+  }
+
+  test("dedup-apply gates carry no forced broadcast of an unbounded frame") {
+    // The connected-components frame (and every dup-drop-set derived from
+    // pair stages) is O(corpus) under heavy duplication, so the join
+    // strategy must be AQE's runtime choice, never a forced hint — a
+    // forced broadcast of an O(corpus) frame is a driver OOM at 100 TB.
+    // Pin: the analyzed plans of the CC-consumer gates and the embed
+    // dedup applies contain no broadcast hint at all…
+    Seq("x_dedup_cluster_apply", "x_leakage_safe_split",
+        "x_embed_dedup_apply").foreach { q =>
+      val df = TrainingData.queries(q)(spark, TestSpark.Sf0001)
+      val analyzed = df.queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint"),
+        s"$q plan carries a forced join hint:\n$analyzed")
+    }
+    // …and the LSH apply's only hint is embedLshPairs' skew guard: a
+    // single-column bucket-key frame bounded at 2^LshPlanes rows.
+    val lsh = TrainingData.queries("x_embed_dedup_lsh_apply")(spark, TestSpark.Sf0001)
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val hints = lsh.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    hints.foreach { h =>
+      assert(h.child.output.map(_.name) == Seq("_bkt"),
+        s"hint over a non-skew-guard frame:\n$h")
     }
   }
 

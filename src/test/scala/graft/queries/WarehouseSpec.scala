@@ -8,7 +8,7 @@ import graft.TestSpark
   * exactness is the DuckDB gate's job; these specs pin invariants a hash
   * compare can't express — interval integrity, plan shape, quantile
   * definitions against a straight-line JVM reference). */
-class WarehouseSpec extends AnyFunSuite {
+class WarehouseSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

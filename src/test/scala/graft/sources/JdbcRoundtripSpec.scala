@@ -9,7 +9,7 @@ import graft.model.{SourceConfig, TargetConfig}
   * range-partitioned parallel reads, K1 batched writes) against embedded
   * Derby — proving the connectors run real SQL, not just build options.
   * (MySQL/ClickHouse URLs are the defaults; only the URL differs here.) */
-class JdbcRoundtripSpec extends AnyFunSuite {
+class JdbcRoundtripSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
 
   private val dbUrl = "jdbc:derby:memory:grafttest;create=true"

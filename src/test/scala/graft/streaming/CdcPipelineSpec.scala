@@ -11,7 +11,7 @@ import graft.operators.LiveView
   * foreachBatch + checkpoint → live-view read (SURVEY.md §2.9 T1/T2/T3/T7).
   * The change stream is a parquet file source over a temp dir we append
   * files to — each file plays a binlog segment. */
-class CdcPipelineSpec extends AnyFunSuite {
+class CdcPipelineSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

@@ -6,7 +6,7 @@ import graft.TestSpark
 
 /** Windowed/sessionized event-time aggregation (T5 extension): the same
   * declarative plan runs batch AND as a watermarked stream. */
-class EventAnalyticsSpec extends AnyFunSuite {
+class EventAnalyticsSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

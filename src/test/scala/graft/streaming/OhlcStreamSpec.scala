@@ -8,7 +8,7 @@ import graft.TestSpark
   * declarative aggregation, so the identical call runs as a watermarked
   * stream and (complete mode, fully replayed) produces exactly the batch
   * result. */
-class OhlcStreamSpec extends AnyFunSuite {
+class OhlcStreamSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

@@ -14,7 +14,7 @@ case class Change(user_id: Long, name: String,
   * tombstones propagate. Two separate AvailableNow runs prove the state
   * store recovers from the checkpoint, not just in-memory continuity.
   */
-class StatefulLiveViewSpec extends AnyFunSuite {
+class StatefulLiveViewSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

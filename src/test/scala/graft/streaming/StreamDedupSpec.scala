@@ -13,7 +13,7 @@ case class Doc(doc_id: Long, text: String, lang: String, ts: Timestamp)
   * across micro-batches while inside the watermark horizon, and a key
   * re-arriving after its state aged out is re-admitted (bounded state —
   * the documented trade vs. batch global dedup). */
-class StreamDedupSpec extends AnyFunSuite {
+class StreamDedupSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
