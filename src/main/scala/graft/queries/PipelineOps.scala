@@ -63,6 +63,57 @@ object PipelineOps {
       pks = Seq("user_id"), tieBreak = Some(SeqCol))
   }
 
+  /** T12: the full Debezium-fronted CDC path — the wire format a real
+    * MySQL deployment feeds the pipeline ([[graft.streaming.DebeziumEnvelope]]).
+    * Each `events` row becomes a standard Debezium JSON envelope
+    * (signup → `c`, error → `d` with the image in `before`, else `u`;
+    * binlog `pos` = event_id), staged as text lines with a tombstone and
+    * a junk line mixed in (both must drop out), then: file stream →
+    * envelope parse → table filter → stamped append → live view.
+    * Deterministic: constant version ⇒ survivor per user = max binlog
+    * pos, so the oracle is the same derivation as t1's. */
+  def debeziumCdcLive(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tgt = Files.createTempDirectory("graft_dbz_tgt").toString
+    val ckp = Files.createTempDirectory("graft_dbz_ckp").toString
+    val landing = Files.createTempDirectory("graft_dbz_src").toString
+    val rowSchema = StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, props STRING")
+    // stage: events → Debezium envelopes (distributed JSON render, no
+    // driver loop); the d-envelope carries its image in `before` only
+    val row = struct(rowSchema.fieldNames.toIndexedSeq.map(col): _*)
+    val isDel = col("event_type") === "error"
+    s.read.schema(rowSchema).parquet(s"$dir/events.parquet")
+      .select(to_json(struct(
+        when(isDel, row).as("before"),
+        when(!isDel, row).as("after"),
+        struct((col("ts") / 1000000L).cast("long").as("ts_ms"),
+          lit("graft").as("db"), lit("events").as("table"),
+          lit("binlog.000001").as("file"), col("event_id").as("pos"))
+          .as("source"),
+        when(isDel, "d").when(col("event_type") === "signup", "c")
+          .otherwise("u").as("op"),
+        (col("ts") / 1000000L).cast("long").as("ts_ms"))).as("value"))
+      .write.mode("overwrite").text(landing)
+    // Kafka-ism the adapter must survive: a post-delete tombstone (no op,
+    // no image) and a non-JSON line — both are dropped, not applied
+    Files.write(java.nio.file.Paths.get(landing, "part-junk.txt"),
+      java.util.Arrays.asList("""{"before":null,"after":null}""",
+        "not json at all"))
+    val pipe = new CdcPipeline(s, tgt, ckp)
+    val changes = graft.streaming.DebeziumEnvelope.parse(
+      s.readStream.text(landing), "value", rowSchema)
+    val q = pipe.start(changes, "events_dbz", opCol = "op", seqCol = "_seq",
+      tables = Seq("events"), tableCol = Some("_tbl"), versionOf = _ => 1L)
+    q.awaitTermination()
+    LiveView.live(
+      pipe.applied("events_dbz")
+        .select(col("user_id"), col("event_type"), col("value"), col("props"),
+          col(VersionCol), col(SeqCol), col(DeletedCol)),
+      pks = Seq("user_id"), tieBreak = Some(SeqCol))
+  }
+
   /** Streaming at-ingest exact dedup ≡ batch dedup: documents replayed as
     * three micro-batches through [[graft.streaming.StreamDedup]], survivors
     * landed to parquet, then counted per language. Batch boundaries (and
@@ -916,6 +967,7 @@ object PipelineOps {
     "t11_complete_mode" -> ((s, dir) => completeModeAgg(s, dir)),
     "t6_stateful_live_view" -> ((s, dir) => statefulLiveView(s, dir)),
     "t1_cdc_stream_live" -> ((s, dir) => cdcStreamLive(s, dir)),
+    "t12_debezium_cdc" -> ((s, dir) => debeziumCdcLive(s, dir)),
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
     "t7_stream_stream_join" -> ((s, dir) => streamStreamJoin(s, dir)),
 
@@ -1141,6 +1193,17 @@ object PipelineOps {
 
     // constant version ⇒ order by ingest seq (event_id) alone
     "t1_cdc_stream_live" ->
+      """SELECT user_id, event_type, value, props FROM (
+        |  SELECT user_id, event_type, value, props,
+        |         CASE WHEN event_type='error' THEN 1 ELSE 0 END AS _deleted,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND _deleted = 0""".stripMargin,
+
+    // same final state as t1 (the envelope staging maps signup/error/else
+    // onto c/d/u and binlog pos = event_id): survivor per user = max pos,
+    // deleted when the survivor is the d-image
+    "t12_debezium_cdc" ->
       """SELECT user_id, event_type, value, props FROM (
         |  SELECT user_id, event_type, value, props,
         |         CASE WHEN event_type='error' THEN 1 ELSE 0 END AS _deleted,
