@@ -110,15 +110,53 @@ object Multimodal {
   }
 
   /** The decode/feature stage: partition-parallel, batch-shaped like a
-    * vectorized UDF (one iterator per partition, no driver collect). */
+    * vectorized UDF (one iterator per partition, no driver collect).
+    * `image` payloads go through the REAL codec ([[ImageCodec.decode]],
+    * `javax.imageio`) when they decode — feature = (w, h, mean R/G/B)
+    * padded to `dim`, one "frame" (a still). Payloads that aren't actual
+    * image bytes (the harness's text-payload media) and the audio/video
+    * kinds take the documented stub, so the historical metadata gate is
+    * byte-stable. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 8,
                       frameStride: Int = 32): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
-      MediaFeatures(m.media_id, m.kind, m.payload.length,
-        FakeCodec.features(m.payload, dim),
-        FakeCodec.frameCount(m.payload, frameStride))
+      val real =
+        if (m.kind == "image") ImageCodec.decode(m.payload) else None
+      real match {
+        case Some(d) =>
+          MediaFeatures(m.media_id, m.kind, m.payload.length,
+            (Array(d.width.toFloat, d.height.toFloat) ++ d.meanRgb)
+              .padTo(dim, 0f).take(dim), 1)
+        case None =>
+          MediaFeatures(m.media_id, m.kind, m.payload.length,
+            FakeCodec.features(m.payload, dim),
+            FakeCodec.frameCount(m.payload, frameStride))
+      }
     })
+  }
+
+  /** Decoded-PNG table: synthesize a real PNG per document id (pattern
+    * pixels, real encoder), decode it back through `javax.imageio`, and
+    * report (width, height, positional pixel checksum). PNG round-trips
+    * pixels losslessly, so the result is a pure function of the pattern
+    * — the DuckDB oracle recomputes it with integer arithmetic over a
+    * generate_series pixel grid. Encode+decode both run inside the
+    * mapPartitions task: partition-parallel, zero shuffle. */
+  final case class DecodedPng(media_id: Long, width: Int, height: Int,
+                              checksum: Long)
+  def decodePngTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.queries.Tables.read(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 16 + 8).cast("int").as("w"),
+        (col("doc_id") % 12 + 8).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) =>
+        val d = ImageCodec.decode(ImageCodec.synthPng(id, w, h))
+          .getOrElse(sys.error(s"PNG for media $id failed to decode"))
+        DecodedPng(id, d.width, d.height, d.checksum)
+      }).toDF()
   }
 
   /** Scalar metadata view of the feature stage (oracle-friendly: byte

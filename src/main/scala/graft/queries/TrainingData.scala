@@ -681,6 +681,13 @@ object TrainingData {
     // ----------------------------------------------------- multimodal
     "x_multimodal_meta" -> ((s, dir) => Multimodal.mediaMetadata(s, dir)),
 
+    // REAL image decode (VERDICT r5 #7): synthesized PNGs round-tripped
+    // through javax.imageio inside the partition task; the oracle
+    // recomputes width/height/pixel-checksum from the painted pattern
+    // with pure integer arithmetic — the codec must recover every pixel
+    // exactly for the gate to hash-match.
+    "x_multimodal_decode" -> ((s, dir) => Multimodal.decodePngTable(s, dir)),
+
     // The resize stage over the media table: payload downsampled to a
     // fixed byte budget (decode/resize stubbed — plumbing real: binary
     // column in, binary column out, partition-parallel typed stage).
@@ -1283,6 +1290,23 @@ object TrainingData {
         |  CAST(LEAST(16, n - g*32) AS INT) AS frame_len,
         |  substr(hx, CAST(g*64 + 1 AS INT), 32) AS frame_hex
         |FROM f""".stripMargin,
+
+    // the painted pattern re-derived per pixel over a generate_series
+    // grid (bounds = max w/h of the id-derived dims); checksum weights
+    // every pixel by its position so any decode misordering collides
+    "x_multimodal_decode" ->
+      """WITH d AS (SELECT doc_id AS media_id, doc_id % 16 + 8 AS w,
+        |                  doc_id % 12 + 8 AS h FROM documents),
+        |px AS (SELECT media_id, w, h, gx.x AS x, gy.y AS y
+        |  FROM d, generate_series(0, 23) gx(x), generate_series(0, 19) gy(y)
+        |  WHERE gx.x < w AND gy.y < h)
+        |SELECT media_id, CAST(min(w) AS INT) AS width,
+        |  CAST(min(h) AS INT) AS height,
+        |  CAST(sum(((x*7 + y*13 + media_id*31) % 256
+        |     + 256*((x*3 + y*5 + media_id*17) % 256)
+        |     + 65536*((x*11 + y*19 + media_id*23) % 256))
+        |    * (1 + x + y*w)) AS BIGINT) AS checksum
+        |FROM px GROUP BY media_id""".stripMargin,
 
     "x_multimodal_meta" ->
       """SELECT doc_id AS media_id,

@@ -386,6 +386,38 @@ class MultimodalSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(again.feature.toSeq == f.feature.toSeq)
   }
 
+  test("real PNG decode: pixels recovered exactly; junk falls back to stub") {
+    import graft.multimodal.ImageCodec
+    // independent straight-line reference for the checksum the decoded
+    // pixels must produce — shares only the pattern definition
+    def refChecksum(id: Long, w: Int, h: Int): Long = {
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = ImageCodec.patternRgb(id, x, y)
+        sum += (r + 256L * g + 65536L * b) * (1L + x + y.toLong * w)
+      }
+      sum
+    }
+    for (id <- Seq(0L, 1L, 7L, 123L)) {
+      val (w, h) = ((id % 16 + 8).toInt, (id % 12 + 8).toInt)
+      val d = ImageCodec.decode(ImageCodec.synthPng(id, w, h)).get
+      assert((d.width, d.height) == (w, h))
+      assert(d.checksum == refChecksum(id, w, h), s"image $id")
+    }
+    assert(ImageCodec.decode("not a png".getBytes("UTF-8")).isEmpty)
+    assert(ImageCodec.decode(Array.emptyByteArray).isEmpty)
+    // extractFeatures routes a REAL image payload through the codec:
+    // feature leads with (w, h, mean r/g/b), a still counts one frame
+    import spark.implicits._
+    val png = ImageCodec.synthPng(5L, 10, 9)
+    val media = Seq(graft.multimodal.Multimodal.MediaRow(
+      5L, "image", png, 10, 9, 0)).toDS()
+    val f = graft.multimodal.Multimodal.extractFeatures(media, dim = 8).head()
+    assert(f.feature(0) == 10f && f.feature(1) == 9f)
+    assert(f.frames_sampled == 1 && f.n_bytes == png.length)
+    assert(f.feature.slice(2, 5).forall(v => v > 0f && v < 1f))
+  }
+
   test("frame-sample stage: byte-exact slices, tail truncation, empty payload") {
     import spark.implicits._
     val media = Seq(
