@@ -363,10 +363,15 @@ object DedupOps {
     * scored — the all-pairs blowup never materializes. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
                    textCol: String, shingleWidth: Int): DataFrame = {
-    // the candidate set feeds the intersect join AND the final left join
-    // — cache it so its generating pipeline (LSH banding upstream) runs
-    // once
-    val p = graft.GateCache.cache(pairs)
+    // The candidate frame feeds two joins but is deliberately NOT cached:
+    // the expensive upstream (signature pipeline) is already persisted by
+    // the caller, so recomputing banding+pair-expansion from it is two
+    // cheap shuffles on compact keys — measured (r6 adjudication,
+    // BASELINE.md) at 0.67 s vs 1.05 s with the pair frame cached and
+    // 1.04 s caching the banded frame: the cache's eager materialization
+    // barrier costs more than the recompute it saves wherever the pair
+    // list is skinny.
+    val p = pairs
     // referenced three times below (both join sides + sizes): persist so
     // the explode+normalize pipeline runs once
     val sh = graft.GateCache.cache(
