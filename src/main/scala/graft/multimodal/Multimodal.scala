@@ -111,28 +111,34 @@ object Multimodal {
 
   /** The decode/feature stage: partition-parallel, batch-shaped like a
     * vectorized UDF (one iterator per partition, no driver collect).
-    * `image` payloads go through the REAL codec ([[ImageCodec.decode]],
-    * `javax.imageio`) when they decode — feature = (w, h, mean R/G/B)
-    * padded to `dim`, one "frame" (a still). Payloads that aren't actual
-    * image bytes (the harness's text-payload media) and the audio/video
-    * kinds take the documented stub, so the historical metadata gate is
-    * byte-stable. */
+    * `image` payloads go through the REAL image codec
+    * ([[ImageCodec.decode]], `javax.imageio`: feature = (w, h, mean
+    * R/G/B) padded to `dim`, one "frame" — a still) and `audio` payloads
+    * through the REAL WAV codec ([[AudioCodec.decodeWav]],
+    * `javax.sound.sampled`: feature = (rate, n_samples), frames =
+    * samples) when they decode. Payloads that aren't actual media bytes
+    * (the harness's text-payload media) and the `video` kind take the
+    * documented stub — the JDK ships no video codec — so the historical
+    * metadata gate is byte-stable. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 8,
                       frameStride: Int = 32): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
-      val real =
-        if (m.kind == "image") ImageCodec.decode(m.payload) else None
-      real match {
-        case Some(d) =>
+      val real: Option[MediaFeatures] = m.kind match {
+        case "image" => ImageCodec.decode(m.payload).map(d =>
           MediaFeatures(m.media_id, m.kind, m.payload.length,
             (Array(d.width.toFloat, d.height.toFloat) ++ d.meanRgb)
-              .padTo(dim, 0f).take(dim), 1)
-        case None =>
+              .padTo(dim, 0f).take(dim), 1))
+        case "audio" => AudioCodec.decodeWav(m.payload).map(d =>
           MediaFeatures(m.media_id, m.kind, m.payload.length,
-            FakeCodec.features(m.payload, dim),
-            FakeCodec.frameCount(m.payload, frameStride))
+            Array(d.sample_rate.toFloat, d.n_samples.toFloat)
+              .padTo(dim, 0f).take(dim), d.n_samples))
+        case _ => None
       }
+      real.getOrElse(
+        MediaFeatures(m.media_id, m.kind, m.payload.length,
+          FakeCodec.features(m.payload, dim),
+          FakeCodec.frameCount(m.payload, frameStride)))
     })
   }
 
@@ -156,6 +162,28 @@ object Multimodal {
         val d = ImageCodec.decode(ImageCodec.synthPng(id, w, h))
           .getOrElse(sys.error(s"PNG for media $id failed to decode"))
         DecodedPng(id, d.width, d.height, d.checksum)
+      }).toDF()
+  }
+
+  /** Decoded-WAV table, companion to [[decodePngTable]]: synthesize a
+    * real RIFF/PCM clip per document id, decode it back through
+    * `javax.sound.sampled.AudioSystem`, report (sample_rate, n_samples,
+    * positional sample checksum). PCM is lossless ⇒ pure function of the
+    * pattern; the oracle recomputes it arithmetically. Partition-parallel,
+    * zero shuffle. */
+  final case class DecodedWav(media_id: Long, sample_rate: Int,
+                              n_samples: Int, checksum: Long)
+  def decodeWavTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.queries.Tables.read(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 256 + 64).cast("int").as("n"),
+        ((col("doc_id") % 4) * 4000 + 8000).cast("int").as("rate"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, n, rate) =>
+        val d = AudioCodec.decodeWav(AudioCodec.synthWav(id, n, rate))
+          .getOrElse(sys.error(s"WAV for media $id failed to decode"))
+        DecodedWav(id, d.sample_rate, d.n_samples, d.checksum)
       }).toDF()
   }
 

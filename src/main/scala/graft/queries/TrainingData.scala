@@ -688,6 +688,13 @@ object TrainingData {
     // exactly for the gate to hash-match.
     "x_multimodal_decode" -> ((s, dir) => Multimodal.decodePngTable(s, dir)),
 
+    // REAL audio decode: synthesized RIFF/PCM clips round-tripped through
+    // javax.sound.sampled inside the partition task; the oracle
+    // recomputes rate/sample-count/positional checksum arithmetically —
+    // a misparsed header or dropped frame cannot hash-match.
+    "x_multimodal_audio_decode" -> ((s, dir) =>
+      Multimodal.decodeWavTable(s, dir)),
+
     // The resize stage over the media table: payload downsampled to a
     // fixed byte budget (decode/resize stubbed — plumbing real: binary
     // column in, binary column out, partition-parallel typed stage).
@@ -1307,6 +1314,20 @@ object TrainingData {
         |     + 65536*((x*11 + y*19 + media_id*23) % 256))
         |    * (1 + x + y*w)) AS BIGINT) AS checksum
         |FROM px GROUP BY media_id""".stripMargin,
+
+    // the PCM pattern re-derived per sample index over a generate_series
+    // grid (bound = max clip length); checksum weights every sample by
+    // its position so a dropped or reordered frame collides
+    "x_multimodal_audio_decode" ->
+      """WITH d AS (SELECT doc_id AS media_id, doc_id % 256 + 64 AS n,
+        |                  (doc_id % 4) * 4000 + 8000 AS rate FROM documents),
+        |sm AS (SELECT media_id, n, rate, g.i AS i
+        |  FROM d, generate_series(0, 318) g(i) WHERE g.i < n)
+        |SELECT media_id, CAST(min(rate) AS INT) AS sample_rate,
+        |  CAST(min(n) AS INT) AS n_samples,
+        |  CAST(sum(((i*37 + media_id*101) % 65536 - 32768) * (1 + i))
+        |    AS BIGINT) AS checksum
+        |FROM sm GROUP BY media_id""".stripMargin,
 
     "x_multimodal_meta" ->
       """SELECT doc_id AS media_id,

@@ -243,10 +243,16 @@ class DedupOpsSpec extends AnyFunSuite with graft.GateCacheHygiene {
   test("connectedComponents: chains collapse transitively to the min id") {
     // 1-2, 2-3 form one cluster (even though 1-3 was never a pair);
     // 5-6 is separate; 4 has no edge and gets no row
+    DedupOps.drainCcRounds() // discard other suites' leftovers
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
     val cc = DedupOps.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    // the run logged its round count for the bench record, and the drain
+    // empties the log (second drain sees nothing)
+    val rounds = DedupOps.drainCcRounds()
+    assert(rounds.nonEmpty && rounds.forall(r => r >= 1 && r <= 25))
+    assert(DedupOps.drainCcRounds().isEmpty)
   }
 
   test("ngramJaccard: exact dup = 1.0; scored pairs match set arithmetic") {
@@ -416,6 +422,30 @@ class MultimodalSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(f.feature(0) == 10f && f.feature(1) == 9f)
     assert(f.frames_sampled == 1 && f.n_bytes == png.length)
     assert(f.feature.slice(2, 5).forall(v => v > 0f && v < 1f))
+  }
+
+  test("real WAV decode: samples recovered exactly; junk falls back to stub") {
+    import graft.multimodal.AudioCodec
+    def refChecksum(id: Long, n: Int): Long =
+      (0 until n).map(i => AudioCodec.patternSample(id, i).toLong * (1 + i)).sum
+    for (id <- Seq(0L, 3L, 42L, 511L)) {
+      val n = (id % 256 + 64).toInt
+      val rate = ((id % 4) * 4000 + 8000).toInt
+      val d = AudioCodec.decodeWav(AudioCodec.synthWav(id, n, rate)).get
+      assert((d.sample_rate, d.n_samples) == (rate, n), s"clip $id format")
+      assert(d.checksum == refChecksum(id, n), s"clip $id samples")
+    }
+    assert(AudioCodec.decodeWav("not a wav".getBytes("UTF-8")).isEmpty)
+    assert(AudioCodec.decodeWav(Array.emptyByteArray).isEmpty)
+    // extractFeatures routes a REAL clip through the codec: feature leads
+    // with (rate, n_samples) and every sample counts as a frame
+    import spark.implicits._
+    val wav = AudioCodec.synthWav(9L, 100, 16000)
+    val media = Seq(graft.multimodal.Multimodal.MediaRow(
+      9L, "audio", wav, 0, 0, 16000)).toDS()
+    val f = graft.multimodal.Multimodal.extractFeatures(media, dim = 8).head()
+    assert(f.feature(0) == 16000f && f.feature(1) == 100f)
+    assert(f.frames_sampled == 100 && f.n_bytes == wav.length)
   }
 
   test("frame-sample stage: byte-exact slices, tail truncation, empty payload") {
