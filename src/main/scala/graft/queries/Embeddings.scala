@@ -23,6 +23,7 @@ object Embeddings {
   val QuantLevels = (1 << QuantBits) - 1 // 255
   val KmeansK = 8 // k-means: clusters (init = first K vectors by id)
   val Dim = TrainingData.EmbeddingDim
+  val SemMaxCluster = 10000 // SemDeDup cluster cap — mirrored in the oracle
 
   private[queries] def emb(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "embeddings")
@@ -110,6 +111,54 @@ object Embeddings {
       a2.groupBy(col("cid").as("cluster_id"))
         .agg(count(lit(1)).as("n_vecs"),
           sum(col("vec_id")).cast("long").as("sum_vec_id"))
+    }),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    // removal bucketed by k-means cluster — the third member of the
+    // near-dup family next to the all-pairs baseline
+    // (x_embed_dedup_apply) and the hyperplane-LSH path
+    // (x_embed_dedup_lsh_apply). Clusters come from the same
+    // deterministic one-Lloyd-iteration pipeline as x_kmeans_embed, then
+    // pairwise cosine runs ONLY inside a cluster (drop the higher id of
+    // every above-threshold pair, min-id representative — the
+    // deterministic stand-in for the paper's centroid-distance pick).
+    // Scale shape: assignment is map-side over the streaming corpus
+    // (centroids broadcast, K·d doubles); the pair stage shuffles the
+    // corpus once on cid and is quadratic only inside a cluster — at
+    // 100 TB, K grows with the corpus (the paper uses ~11k clusters for
+    // 100M docs) so |cluster| stays bounded, and the SemMaxCluster cap
+    // (mirrored in the oracle) guards degenerate mega-clusters the same
+    // way MaxBucket guards LSH floods.
+    "x_semdedup" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val c0 = e.filter(col("vec_id") < KmeansK)
+        .select(col("vec_id").as("cid"),
+          transform(col("embedding"), v => v.cast("double")).as("cvec"))
+      val a2 = assign(e,
+        centroidsOf(assign(e, c0).select(col("cid"), col("embedding"))))
+      // cached: consumed by the member counts and both pair-join sides
+      val withN = graft.GateCache.cache(
+        a2.withColumn("_n", SimilarityOps.norm(col("embedding"))))
+      val ok = withN.groupBy(col("cid")).agg(count(lit(1)).as("_cn"))
+        .filter(col("_cn") <= SemMaxCluster).select(col("cid"))
+      val f = withN.join(broadcast(ok), Seq("cid")) // ok is ≤ K rows
+      val aSide = f.select(col("cid"), col("vec_id").as("id1"),
+        col("embedding").as("_va"), col("_n").as("_na"))
+      val bSide = f.select(col("cid"), col("vec_id").as("id2"),
+        col("embedding").as("_vb"), col("_n").as("_nb"))
+      val drop = aSide.join(bSide, Seq("cid"))
+        .filter(col("id1") < col("id2"))
+        .filter(SimilarityOps.dot(col("_va"), col("_vb")) /
+          (col("_na") * col("_nb")) > TrainingData.CosDupThreshold)
+        .select(col("cid"), col("id2").as("vec_id")).distinct()
+      val members = withN.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"))
+      val drops = drop.groupBy(col("cid")).agg(count(lit(1)).as("n_dropped"))
+      members.join(drops, Seq("cid"), "left")
+        .select(col("cid").as("cluster_id"), col("n_members"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("n_members") - coalesce(col("n_dropped"), lit(0L)))
+            .as("n_survivors"))
     })
   )
 
@@ -132,6 +181,29 @@ object Embeddings {
        |  FROM embeddings e CROSS JOIN $cent) WHERE rn = 1""".stripMargin
   }
 
+  /** The one-Lloyd-iteration CTE chain (deterministic init → assign →
+    * quantized-integer-mean update → re-assign) shared by the k-means and
+    * SemDeDup oracles: `a2(vec_id, cid)` is the final assignment. */
+  private def kmeansCtes: String =
+    s"""c0 AS (SELECT vec_id AS cid,
+       |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cv
+       |  FROM embeddings WHERE vec_id < $KmeansK),
+       |a1 AS (${assignSql("c0")}),
+       |x1 AS (SELECT a1.cid, CAST(i AS INT) AS dim,
+       |    CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings) e
+       |  JOIN a1 USING (vec_id)),
+       |s1 AS (SELECT cid, dim,
+       |    sum(CAST(round(v * 1000000, 0) AS BIGINT)) AS sq,
+       |    count(*) AS n
+       |  FROM x1 GROUP BY cid, dim),
+       |c1 AS (SELECT cid,
+       |    list((CAST(sq AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
+       |  FROM s1 GROUP BY cid),
+       |a2 AS (${assignSql("c1")})""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x_embed_quantize_int8" ->
       s"""WITH x AS (SELECT vec_id, label, CAST(i AS INT) AS dim,
@@ -153,25 +225,32 @@ object Embeddings {
          |  CAST(max(eq) AS BIGINT) AS max_abs_err_nano
          |FROM err GROUP BY label""".stripMargin,
 
+    "x_semdedup" -> {
+      val cos = SimilarityOps.cosineDuck("ea.embedding", "eb.embedding", Dim)
+      // e2 MATERIALIZED: it is referenced four times and closes over the
+      // whole windowed k-means chain — DuckDB's default CTE inlining
+      // replicates that chain per reference and dies in planning.
+      s"""WITH $kmeansCtes,
+         |e2 AS MATERIALIZED (SELECT a2.vec_id, a2.cid, e.embedding
+         |       FROM a2 JOIN embeddings e USING (vec_id)),
+         |ok AS (SELECT cid FROM e2 GROUP BY cid
+         |       HAVING count(*) <= $SemMaxCluster),
+         |pr AS (SELECT ea.cid, eb.vec_id AS id2
+         |       FROM e2 ea JOIN e2 eb
+         |         ON ea.cid = eb.cid AND ea.vec_id < eb.vec_id
+         |       JOIN ok ON ok.cid = ea.cid
+         |       WHERE $cos > ${TrainingData.CosDupThreshold}),
+         |d AS (SELECT DISTINCT cid, id2 FROM pr),
+         |m AS (SELECT cid, count(*) AS n_members FROM e2 GROUP BY cid),
+         |dd AS (SELECT cid, count(*) AS n_dropped FROM d GROUP BY cid)
+         |SELECT m.cid AS cluster_id, n_members,
+         |  COALESCE(n_dropped, 0) AS n_dropped,
+         |  n_members - COALESCE(n_dropped, 0) AS n_survivors
+         |FROM m LEFT JOIN dd ON m.cid = dd.cid""".stripMargin
+    },
+
     "x_kmeans_embed" ->
-      s"""WITH c0 AS (SELECT vec_id AS cid,
-         |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cv
-         |  FROM embeddings WHERE vec_id < $KmeansK),
-         |a1 AS (${assignSql("c0")}),
-         |x1 AS (SELECT a1.cid, CAST(i AS INT) AS dim,
-         |    CAST(embedding[i] AS DOUBLE) AS v
-         |  FROM (SELECT vec_id, embedding,
-         |          unnest(range(1, len(embedding) + 1)) AS i
-         |        FROM embeddings) e
-         |  JOIN a1 USING (vec_id)),
-         |s1 AS (SELECT cid, dim,
-         |    sum(CAST(round(v * 1000000, 0) AS BIGINT)) AS sq,
-         |    count(*) AS n
-         |  FROM x1 GROUP BY cid, dim),
-         |c1 AS (SELECT cid,
-         |    list((CAST(sq AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
-         |  FROM s1 GROUP BY cid),
-         |a2 AS (${assignSql("c1")})
+      s"""WITH $kmeansCtes
          |SELECT cid AS cluster_id, count(*) AS n_vecs,
          |  CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
          |FROM a2 GROUP BY cid""".stripMargin)

@@ -82,4 +82,48 @@ class EmbeddingsSpec extends AnyFunSuite with graft.GateCacheHygiene {
       assert(a2(vid) == best, s"vec $vid assigned ${a2(vid)}, expected $best")
     }
   }
+
+  test("x_semdedup: full accounting, min-id survives, drops match in-cluster brute force") {
+    val e = Embeddings.emb(spark, TestSpark.Sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val got = Embeddings.queries("x_semdedup")(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._2).sum == n) // every vector counted in one cluster
+    got.foreach { case (cid, members, dropped, survivors) =>
+      assert(survivors == members - dropped, s"cluster $cid arithmetic")
+      // the lowest id of a cluster is never the higher id of a pair
+      assert(survivors >= 1, s"cluster $cid lost its representative")
+    }
+
+    // JVM brute-force reference: recompute the final assignment, score
+    // every in-cluster pair, drop the higher id of each above-threshold
+    // pair — per-cluster drop counts must match the operator exactly
+    val c0 = e.filter(col("vec_id") < Embeddings.KmeansK)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), v => v.cast("double")).as("cvec"))
+    val a2 = Embeddings.assign(e,
+        Embeddings.centroidsOf(
+          Embeddings.assign(e, c0).select(col("cid"), col("embedding"))))
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    val vecs = e.as[(Long, Seq[Float])].collect().sortBy(_._1)
+    def cosF(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vecs.flatMap { case (id1, v1) =>
+      vecs.collect { case (id2, v2)
+        if id1 < id2 && a2(id1) == a2(id2) &&
+          cosF(v1, v2) > TrainingData.CosDupThreshold => (a2(id2), id2) }
+    }.distinct.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    got.foreach { case (cid, _, dropped, _) =>
+      assert(dropped == expected.getOrElse(cid, 0L),
+        s"cluster $cid dropped $dropped vs brute ${expected.getOrElse(cid, 0L)}")
+    }
+  }
 }
