@@ -27,6 +27,9 @@ object Curation {
   val MaxTopBigramFrac = 0.05 // most-frequent-bigram share of all bigrams
   val TokenBudget = 2000L // per-language greedy selection budget
   val DeltaMod = 10 // incremental dedup: delta batch = doc_id % 10 == 9
+  val DsirBuckets = 4096 // DSIR hashed-feature space (mirrored in oracle)
+  val DsirTargetLang = "en" // DSIR target domain: the English sub-corpus
+  val DsirTopK = 50 // DSIR: report the top-k docs by importance weight
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
@@ -311,6 +314,53 @@ object Curation {
             .as("n_dup_candidates"),
           sum(when(col("_dup").isNull, 1L).otherwise(0L)).cast("long")
             .as("n_novel"))
+    }),
+
+    // DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    // every document by how much its hashed n-gram profile looks like a
+    // TARGET domain (here the English sub-corpus — the paper's
+    // Wikipedia analog) vs the RAW corpus. Features are word unigrams +
+    // bigrams hashed into DsirBuckets buckets; per-bucket log-ratio
+    // ln(p_target) − ln(p_raw) with +1/(N+B) Laplace smoothing; a doc's
+    // log importance weight is the feature-count-weighted sum, kept
+    // exact as nano-unit integers (ln once per bucket — single-value
+    // libm arithmetic, the x_ngram_lm_score cross-engine pattern).
+    // Scale shape: corpus streams once into per-(doc, bucket) counts
+    // (partial-agg'd shuffle on doc_id×bucket); both distributions
+    // reduce to ≤B-row frames (B fixed at 4096 — independent of corpus
+    // size) joined back by broadcast; the final per-doc reduce shuffles
+    // on doc_id. No O(corpus) frame is ever broadcast.
+    "x_dsir_weights" -> ((s, dir) => {
+      val f = docs(s, dir).select(col("doc_id"), col("lang"),
+          explode(concat(
+            split(Text.normalize(col("text")), " "),
+            ShingleExprs.wordShinglesNative(col("text"), 2))).as("gram"))
+        .select(col("doc_id"), col("lang"),
+          (graft.functions.PortableHash.hash32(col("gram"), "dsir|")
+            % DsirBuckets).as("bucket"))
+      // cached: feeds the raw stats, the target stats, and the doc sums
+      val g = graft.GateCache.cache(
+        f.groupBy(col("doc_id"), col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("_c")))
+      val raw = g.groupBy(col("bucket")).agg(sum(col("_c")).as("_cr"))
+      val tgt = g.filter(col("lang") === DsirTargetLang)
+        .groupBy(col("bucket")).agg(sum(col("_c")).as("_ct"))
+      val totR = raw.agg(sum(col("_cr")).as("_totr"))
+      val totT = tgt.agg(sum(col("_ct")).as("_tott"))
+      val b = raw.join(tgt, Seq("bucket"), "left")
+        .crossJoin(totR).crossJoin(totT) // scalar aggregates (1 row each)
+        .select(col("bucket"), round(
+          (log((coalesce(col("_ct"), lit(0L)) + 1).cast("double") /
+            (col("_tott") + DsirBuckets).cast("double")) -
+           log((col("_cr") + 1).cast("double") /
+            (col("_totr") + DsirBuckets).cast("double"))) * 1000000000d, 0)
+          .cast("bigint").as("_lr"))
+      g.join(broadcast(b), Seq("bucket")) // b is ≤ DsirBuckets rows
+        .groupBy(col("doc_id"))
+        .agg(sum(col("_c")).cast("long").as("n_grams"),
+          sum(col("_c") * col("_lr")).cast("long").as("weight_nano"))
+        .orderBy(col("weight_nano").desc, col("doc_id").asc)
+        .limit(DsirTopK)
     })
   )
 
@@ -459,6 +509,39 @@ object Curation {
            |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM dup)
            |    THEN 0 ELSE 1 END) AS BIGINT) AS n_novel
            |FROM documents WHERE doc_id % $DeltaMod = ${DeltaMod - 1}
-           |GROUP BY lang""".stripMargin)
+           |GROUP BY lang""".stripMargin,
+
+      "x_dsir_weights" -> {
+        val bgs = Text.wordShinglesDuck("text", 2)
+        val h = graft.functions.PortableHash.duckSql("gram", "dsir|")
+        // f MATERIALIZED: referenced via g by three aggregations — inlining
+        // would replicate the md5-per-gram scan per reference
+        s"""WITH f AS MATERIALIZED (
+           |  SELECT doc_id, lang, ($h) % $DsirBuckets AS bucket
+           |  FROM (SELECT doc_id, lang,
+           |          unnest(list_concat(string_split($norm, ' '), $bgs))
+           |            AS gram
+           |        FROM documents)),
+           |g AS (SELECT doc_id, lang, bucket, count(*) AS c
+           |      FROM f GROUP BY 1, 2, 3),
+           |r AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS cr
+           |      FROM g GROUP BY bucket),
+           |t AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS ct
+           |      FROM g WHERE lang = '$DsirTargetLang' GROUP BY bucket),
+           |tr AS (SELECT CAST(sum(cr) AS BIGINT) AS totr FROM r),
+           |tt AS (SELECT CAST(sum(ct) AS BIGINT) AS tott FROM t),
+           |b AS (SELECT r.bucket, CAST(round(
+           |      (ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) /
+           |         (tott + $DsirBuckets)) -
+           |       ln(CAST(cr + 1 AS DOUBLE) / (totr + $DsirBuckets)))
+           |      * 1000000000, 0) AS BIGINT) AS lr
+           |    FROM r LEFT JOIN t USING (bucket)
+           |    CROSS JOIN tr CROSS JOIN tt)
+           |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+           |  CAST(sum(c * lr) AS BIGINT) AS weight_nano
+           |FROM g JOIN b USING (bucket)
+           |GROUP BY doc_id
+           |ORDER BY weight_nano DESC, doc_id ASC LIMIT $DsirTopK""".stripMargin
+      })
   }
 }

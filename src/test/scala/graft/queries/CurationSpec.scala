@@ -222,4 +222,55 @@ class CurationSpec extends AnyFunSuite with graft.GateCacheHygiene {
       assert(nNew == nDup + nNovel, s"$lang accounting")
     }
   }
+
+  test("x_dsir_weights: straight-line JVM reference; target-lang enrichment") {
+    // reference at sf0.001 (50 docs, top-k = all): hash grams, build both
+    // smoothed distributions, score every doc — full list must match
+    val ds = Tables.read(spark, TestSpark.Sf0001, "documents")
+      .select("doc_id", "lang", "text").as[(Long, String, String)].collect()
+    def hash32(s: String): Long = {
+      val d = MessageDigest.getInstance("MD5")
+        .digest(("dsir|" + s).getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def grams(t: String): Seq[String] = {
+      val toks = tokens(t).toSeq
+      toks ++ toks.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+    }
+    val B = Curation.DsirBuckets
+    val perDoc = ds.map { case (id, lang, text) =>
+      (id, lang, grams(text).map(g => hash32(g) % B))
+    }
+    val raw = perDoc.flatMap(_._3).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tgt = perDoc.filter(_._2 == Curation.DsirTargetLang)
+      .flatMap(_._3).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val totR = raw.values.sum; val totT = tgt.values.sum
+    def halfUp(x: Double): Long =
+      new JBigDecimal(x).setScale(0, RoundingMode.HALF_UP).longValueExact()
+    val lr: Map[Long, Long] = raw.map { case (bkt, cr) =>
+      bkt -> halfUp((math.log((tgt.getOrElse(bkt, 0L) + 1).toDouble / (totT + B)) -
+        math.log((cr + 1).toDouble / (totR + B))) * 1e9)
+    }
+    val expected = perDoc.map { case (id, _, bkts) =>
+      (id, bkts.length.toLong, bkts.map(lr).sum)
+    }.sortBy { case (id, _, w) => (-w, id) }.take(Curation.DsirTopK).toSeq
+    val got = Curation.queries("x_dsir_weights")(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+
+    // enrichment at sf0.01 (500 docs, top-50): the whole point of the
+    // importance weight — the target language's share of the selected
+    // subset must exceed its corpus share
+    val sf01 = "/root/testdata/sf0.01"
+    val top = Curation.queries("x_dsir_weights")(spark, sf01)
+      .select("doc_id").as[Long].collect().toSet
+    val langOf = Tables.read(spark, sf01, "documents")
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    val corpusShare = langOf.values
+      .count(_ == Curation.DsirTargetLang).toDouble / langOf.size
+    val topShare = top.count(id =>
+      langOf(id) == Curation.DsirTargetLang).toDouble / top.size
+    assert(topShare > corpusShare,
+      s"top-k target share $topShare vs corpus $corpusShare")
+  }
 }
