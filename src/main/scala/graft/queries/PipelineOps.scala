@@ -799,6 +799,42 @@ object PipelineOps {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Footer-statistics aggregate: COUNT/MIN/MAX answered by the parquet
+    * reader from row-group metadata without decoding a single data page —
+    * the terminal 100 TB scan lever for reconciliation (A1/A4's
+    * count-match over a 100 TB table becomes a metadata-only read).
+    * Aggregate pushdown exists only on the DSv2 parquet path, so the gate
+    * scopes `useV1SourceList` minus parquet plus
+    * `parquet.aggregatePushdown=true` around an EAGER execution (pushdown
+    * is applied at optimization time — the confs must hold when the
+    * action runs, not when the frame is built) and restores both;
+    * `FooterAggSpec` pins `PushedAggregation` on the optimized plan and
+    * value-equality with the v1 full-scan aggregate. */
+  def footerAggPushdown(s: SparkSession, dir: String): DataFrame = {
+    val listKey = "spark.sql.sources.useV1SourceList"
+    val pushKey = "spark.sql.parquet.aggregatePushdown"
+    val prevList = s.conf.get(listKey)
+    val prevPush = s.conf.get(pushKey)
+    s.conf.set(listKey, prevList.split(",").map(_.trim)
+      .filterNot(_ == "parquet").mkString(","))
+    s.conf.set(pushKey, "true")
+    try {
+      val r = s.read.parquet(s"$dir/lineitem.parquet")
+        .agg(expr("count(*)").as("n_rows"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+        .collect()(0) // one scalar row off the footer stats
+      import s.implicits._
+      Seq((r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+        .toDF("n_rows", "min_qty", "max_qty", "min_price", "max_price")
+    } finally {
+      s.conf.set(listKey, prevList); s.conf.set(pushKey, prevPush)
+    }
+  }
+
   /** T1/T3 by a third mechanism: the CDC stream applied with a set-based
     * versioned [[graft.operators.Merge]] per micro-batch (the
     * Delta-`MERGE INTO` production pattern), versus t1's
@@ -949,6 +985,7 @@ object PipelineOps {
     "x_dpp_join" -> ((s, dir) => dppJoin(s, dir)),
     "o9_merge_upsert" -> ((s, dir) => mergeUpsert(s, dir)),
     "x_partitioned_prune" -> ((s, dir) => partitionedPrune(s, dir)),
+    "x_footer_agg_pushdown" -> ((s, dir) => footerAggPushdown(s, dir)),
     "o7_jdbc_roundtrip" -> ((s, dir) => jdbcRoundtrip(s, dir)),
     "x_csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
     "x_json_roundtrip" -> ((s, dir) => jsonRoundtrip(s, dir)),
@@ -1082,6 +1119,13 @@ object PipelineOps {
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
         |GROUP BY 1""".stripMargin,
+
+    "x_footer_agg_pushdown" ->
+      """SELECT count(*) AS n_rows,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
 
     "o7_jdbc_roundtrip" ->
       """SELECT 'region' AS table_name, count(*) AS n_rows,
