@@ -835,6 +835,54 @@ object PipelineOps {
     }
   }
 
+  /** Cost-based optimization on catalog statistics: the STATIC planning
+    * lever complementing the repo's AQE reliance. Managed tables get
+    * `ANALYZE TABLE COMPUTE STATISTICS` (+ FOR COLUMNS on the join/filter
+    * keys); with `spark.sql.cbo.enabled` the optimizer then plans from
+    * cataloged rowCount/distinctCount instead of raw file sizes — on a
+    * real warehouse that is what makes a 100-way join over 100 TB pick
+    * build sides and join order before a single task runs (AQE can only
+    * re-plan stages it has already partially executed). The join below
+    * broadcasts the filtered dimension with NO hint in the code —
+    * `CboStatsSpec` pins the cataloged stats and the hint-free broadcast.
+    * Confs are scoped around an eager execution like
+    * [[footerAggPushdown]] (optimizer confs bind at action time). */
+  def cboStatsJoin(s: SparkSession, dir: String): DataFrame = {
+    def saveManaged(name: String, df: DataFrame): Unit = {
+      if (!s.catalog.tableExists(name)) {
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(wh)) fs.delete(wh, true)
+      }
+      df.write.mode("overwrite").format("parquet").saveAsTable(name)
+    }
+    saveManaged("graft_cbo_customer", Tables.read(s, dir, "customer"))
+    saveManaged("graft_cbo_orders", Tables.read(s, dir, "orders"))
+    s.sql("ANALYZE TABLE graft_cbo_customer COMPUTE STATISTICS")
+    s.sql("ANALYZE TABLE graft_cbo_customer COMPUTE STATISTICS " +
+      "FOR COLUMNS c_custkey, c_mktsegment")
+    s.sql("ANALYZE TABLE graft_cbo_orders COMPUTE STATISTICS")
+    s.sql("ANALYZE TABLE graft_cbo_orders COMPUTE STATISTICS " +
+      "FOR COLUMNS o_custkey")
+    val cboKey = "spark.sql.cbo.enabled"
+    val prevCbo = s.conf.get(cboKey)
+    s.conf.set(cboKey, "true")
+    try {
+      val rows = s.table("graft_cbo_orders")
+        .join(s.table("graft_cbo_customer")
+            .filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .collect() // ≤ |priority| rows, executed under CBO
+      import s.implicits._
+      rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        .toDF("o_orderpriority", "n_orders", "n_customers")
+    } finally s.conf.set(cboKey, prevCbo)
+  }
+
   /** T1/T3 by a third mechanism: the CDC stream applied with a set-based
     * versioned [[graft.operators.Merge]] per micro-batch (the
     * Delta-`MERGE INTO` production pattern), versus t1's
@@ -986,6 +1034,7 @@ object PipelineOps {
     "o9_merge_upsert" -> ((s, dir) => mergeUpsert(s, dir)),
     "x_partitioned_prune" -> ((s, dir) => partitionedPrune(s, dir)),
     "x_footer_agg_pushdown" -> ((s, dir) => footerAggPushdown(s, dir)),
+    "x_cbo_stats_join" -> ((s, dir) => cboStatsJoin(s, dir)),
     "o7_jdbc_roundtrip" -> ((s, dir) => jdbcRoundtrip(s, dir)),
     "x_csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
     "x_json_roundtrip" -> ((s, dir) => jsonRoundtrip(s, dir)),
@@ -1126,6 +1175,13 @@ object PipelineOps {
         |  min(l_extendedprice) AS min_price,
         |  max(l_extendedprice) AS max_price
         |FROM lineitem""".stripMargin,
+
+    "x_cbo_stats_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_customers
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "o7_jdbc_roundtrip" ->
       """SELECT 'region' AS table_name, count(*) AS n_rows,

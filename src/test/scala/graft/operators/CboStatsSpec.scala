@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.queries.{PipelineOps, Tables}
+
+/** Pins the static-stats planning path: ANALYZE TABLE populates catalog
+  * rowCount + column distinctCount, the optimizer sees them on the plan,
+  * and the stats-informed join broadcasts its small filtered side with no
+  * hint anywhere in the code. */
+class CboStatsSpec extends AnyFunSuite with graft.GateCacheHygiene {
+  lazy val spark = TestSpark.spark
+
+  test("x_cbo_stats_join: cataloged stats on the plan; hint-free broadcast") {
+    // running the gate populates + analyzes the managed tables
+    val got = PipelineOps.cboStatsJoin(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier("graft_cbo_customer"))
+    val stats = meta.stats.getOrElse(fail("no catalog stats after ANALYZE"))
+    val nCust = Tables.read(spark, TestSpark.Sf0001, "customer").count()
+    assert(stats.rowCount.contains(BigInt(nCust)), s"rowCount ${stats.rowCount}")
+    val custKeyStats = stats.colStats.getOrElse("c_custkey",
+      fail(s"no c_custkey column stats in ${stats.colStats.keySet}"))
+    assert(custKeyStats.distinctCount.exists(_ > 0))
+
+    // with CBO on, the optimized plan carries the cataloged rowCount and
+    // the filtered dimension broadcasts without any hint in the query
+    val cboKey = "spark.sql.cbo.enabled"
+    val prev = spark.conf.get(cboKey)
+    spark.conf.set(cboKey, "true")
+    try {
+      val q = spark.table("graft_cbo_orders")
+        .join(spark.table("graft_cbo_customer")
+            .filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val planStats = q.queryExecution.optimizedPlan.collectLeaves()
+        .map(_.stats.rowCount)
+      assert(planStats.forall(_.isDefined),
+        s"leaf missing cataloged rowCount: $planStats")
+      val exec = q.queryExecution.executedPlan.toString
+      assert(exec.contains("BroadcastHashJoin"), s"no broadcast in:\n$exec")
+    } finally spark.conf.set(cboKey, prev)
+
+    // values match an independent plain-parquet composition
+    val expect = Tables.read(spark, TestSpark.Sf0001, "orders")
+      .join(Tables.read(spark, TestSpark.Sf0001, "customer")
+          .filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == expect.toSeq)
+  }
+}
