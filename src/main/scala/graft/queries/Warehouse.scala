@@ -31,6 +31,10 @@ object Warehouse {
     * 2024-01-01..2024-01-30 at every SF — TESTDATA.md). */
   val DiffCutoffUs = 1705276800000000L
 
+  val CmsD = 4 // Count-Min sketch depth (4 hash rows = 4 md5 windows)
+  val CmsW = 1024 // Count-Min sketch width (buckets per row)
+  val CmsTopK = 20 // heavy-hitter candidates probed against the sketch
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Wide→long melt (the inverse of pivot_orders_by_priority): per-nation
     // customer metrics unpivoted to (nation, metric, value) rows. Spark's
@@ -485,6 +489,40 @@ object Warehouse {
           sum(col("l_suppkey")).as("sum_suppkey"))
     }),
 
+    // Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005) — the
+    // frequency sketch that, unlike HLL/quantile digests, is EXACTLY
+    // reproducible cross-engine: counters are plain integer sums over
+    // deterministic hash buckets, so this sketch gate has a full DuckDB
+    // oracle (contrast x_approx_quantiles/x_hll, rows-only by
+    // construction). All CmsD rows come from ONE md5 per token (the four
+    // 32-bit windows — the wide-simhash trick), the sketch is a fixed
+    // d×w = 4096-counter frame REGARDLESS of corpus size (mergeable:
+    // partial aggregation builds per-partition sketches and the shuffle
+    // merges 4096-row partials), and the estimate stage joins the top-k
+    // candidates against the broadcast sketch. The overestimate-only
+    // guarantee (est ≥ true, error ≤ εN w.h.p.) is asserted in-row.
+    "x_cms_heavy_hitters" -> ((s, dir) => {
+      import graft.functions.{PortableHash, Text}
+      val toks = t(s, dir, "documents")
+        .select(explode(split(Text.normalize(col("text")), " ")).as("token"))
+      def bucketsOf(c: Column): Column = array((0 until CmsD).map(r =>
+        PortableHash.hash32w(c, "cms|", r) % CmsW): _*)
+      val sketch = toks
+        .select(posexplode(bucketsOf(col("token"))).as(Seq("r", "bucket")))
+        .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+      val top = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("token").asc).limit(CmsTopK)
+      top.select(col("token"), col("true_cnt"),
+          posexplode(bucketsOf(col("token"))).as(Seq("r", "bucket")))
+        .join(broadcast(sketch), Seq("r", "bucket")) // ≤ d·w rows
+        .groupBy(col("token"), col("true_cnt"))
+        .agg(min(col("c")).as("est_cnt"))
+        .select(col("token"), col("true_cnt"), col("est_cnt"),
+          (col("est_cnt") >= col("true_cnt")).as("no_underestimate"))
+        .orderBy(col("true_cnt").desc, col("token").asc)
+    }),
+
     // Approximate quantiles (the 100 TB fast path x_percentiles documents):
     // one pass, mergeable sketch, ε-rank error 1/accuracy. Rows-only gate
     // by construction (sketch picks engine-dependent order statistics);
@@ -528,6 +566,31 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_cms_heavy_hitters" -> {
+      val norm = graft.functions.Text.normalizeDuck("text")
+      def bkt(r: Int) =
+        s"(${graft.functions.PortableHash.duckSqlW("token", "cms|", r)}) % $CmsW"
+      val rows = (0 until CmsD)
+        .map(r => s"SELECT $r AS r, ${bkt(r)} AS bucket FROM toks")
+        .mkString(" UNION ALL ")
+      val probes = (0 until CmsD)
+        .map(r => s"SELECT token, true_cnt, $r AS r, ${bkt(r)} AS bucket " +
+          "FROM top")
+        .mkString(" UNION ALL ")
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT unnest(string_split($norm, ' ')) AS token FROM documents),
+         |sk AS (SELECT r, bucket, count(*) AS c FROM ($rows) GROUP BY 1, 2),
+         |top AS MATERIALIZED (SELECT token, count(*) AS true_cnt FROM toks
+         |        GROUP BY token ORDER BY true_cnt DESC, token ASC
+         |        LIMIT $CmsTopK),
+         |est AS (SELECT p.token, p.true_cnt, min(sk.c) AS est_cnt
+         |        FROM ($probes) p JOIN sk USING (r, bucket)
+         |        GROUP BY 1, 2)
+         |SELECT token, true_cnt, est_cnt,
+         |  est_cnt >= true_cnt AS no_underestimate
+         |FROM est ORDER BY true_cnt DESC, token ASC""".stripMargin
+    },
+
     "x_sliding_windows" ->
       """WITH b AS (SELECT epoch_us(ts) AS tu FROM events),
         |w AS (

@@ -186,4 +186,26 @@ class WarehouseSpec extends AnyFunSuite with graft.GateCacheHygiene {
       assert(!plan.contains("BroadcastNestedLoop"), name)
     }
   }
+
+  test("x_cms_heavy_hitters: overestimate-only, exact for the dominant token, CMS error bound") {
+    val got = Warehouse.queries("x_cms_heavy_hitters")(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(got.length == Warehouse.CmsTopK)
+    // the sketch's deterministic guarantee: counters only ever overcount
+    got.foreach { case (tok, t, e, noUnder) =>
+      assert(noUnder && e >= t, s"$tok under-estimated: $e < $t")
+    }
+    // Markov bound on the min-row estimate: err ≤ e·N/w w.p. 1−e^−d per
+    // query; with d=4 independent windows over this fixed corpus the
+    // loose deterministic pin err ≤ 4·N/w holds with huge margin
+    val n = Tables.read(spark, TestSpark.Sf0001, "documents")
+      .select(explode(split(graft.functions.Text.normalize(col("text")), " ")))
+      .count()
+    val bound = 4.0 * n / Warehouse.CmsW
+    got.foreach { case (tok, t, e, _) =>
+      assert(e - t <= bound, s"$tok error ${e - t} > bound $bound (N=$n)")
+    }
+    // true counts are descending with token tie-break (top-k contract)
+    assert(got.map(r => (-r._2, r._1)).toSeq == got.map(r => (-r._2, r._1)).sortBy(identity).toSeq)
+  }
 }
