@@ -883,6 +883,42 @@ object PipelineOps {
     } finally s.conf.set(cboKey, prevCbo)
   }
 
+  /** Incremental materialized-view maintenance: a per-(event_type, day)
+    * aggregate MV is materialized from the pre-cutoff history, then
+    * refreshed with ONLY the post-cutoff delta — merge = full-outer join
+    * of the |groups|-row MV with the delta aggregate, summing exact
+    * quantized-integer partials. Refresh cost is O(|MV| + |delta|); the
+    * pre-cutoff events are never rescanned (the merged plan reads the MV
+    * parquet — `IncrementalMvSpec` pins it). At 100 TB the base table is
+    * date-partitioned so the delta filter prunes to new partitions (the
+    * x_partitioned_prune mechanism) and MV refresh stays proportional to
+    * the day's arrivals, not the archive. Counts and micro-unit sums are
+    * the standard distributive aggregate state — the same partial-merge
+    * algebra Spark's own partial aggregation uses, applied across time. */
+  def incrementalMvRefresh(s: SparkSession, dir: String): DataFrame = {
+    val mvDir = Files.createTempDirectory("graft_mv").toString
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      to_date(timestamp_micros(col("ts_us"))).cast("string").as("day"),
+      col("ts_us"),
+      round(col("value") * 1000000d, 0).cast("bigint").as("_vq"))
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("_vq")).cast("long").as("sum_value_micro"))
+    aggOf(ev.filter(col("ts_us") < Warehouse.DiffCutoffUs))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(mvDir)
+    val mv = s.read.parquet(mvDir)
+    val delta = aggOf(ev.filter(col("ts_us") >= Warehouse.DiffCutoffUs))
+      .withColumnRenamed("n_events", "_dn")
+      .withColumnRenamed("sum_value_micro", "_ds")
+    mv.join(delta, Seq("event_type", "day"), "full_outer")
+      .select(col("event_type"), col("day"),
+        (coalesce(col("n_events"), lit(0L)) + coalesce(col("_dn"), lit(0L)))
+          .as("n_events"),
+        (coalesce(col("sum_value_micro"), lit(0L)) +
+          coalesce(col("_ds"), lit(0L))).as("sum_value_micro"))
+  }
+
   /** T1/T3 by a third mechanism: the CDC stream applied with a set-based
     * versioned [[graft.operators.Merge]] per micro-batch (the
     * Delta-`MERGE INTO` production pattern), versus t1's
@@ -1035,6 +1071,7 @@ object PipelineOps {
     "x_partitioned_prune" -> ((s, dir) => partitionedPrune(s, dir)),
     "x_footer_agg_pushdown" -> ((s, dir) => footerAggPushdown(s, dir)),
     "x_cbo_stats_join" -> ((s, dir) => cboStatsJoin(s, dir)),
+    "x_incremental_mv_refresh" -> ((s, dir) => incrementalMvRefresh(s, dir)),
     "o7_jdbc_roundtrip" -> ((s, dir) => jdbcRoundtrip(s, dir)),
     "x_csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
     "x_json_roundtrip" -> ((s, dir) => jsonRoundtrip(s, dir)),
@@ -1175,6 +1212,13 @@ object PipelineOps {
         |  min(l_extendedprice) AS min_price,
         |  max(l_extendedprice) AS max_price
         |FROM lineitem""".stripMargin,
+
+    "x_incremental_mv_refresh" ->
+      """SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_micro
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "x_cbo_stats_join" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

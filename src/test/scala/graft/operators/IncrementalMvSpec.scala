@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.queries.{PipelineOps, Tables}
+
+/** Pins incremental MV maintenance: the refreshed view equals a full
+  * recompute, and the refresh plan reads the materialized base aggregate
+  * (|groups| rows) plus the delta — not the pre-cutoff event history. */
+class IncrementalMvSpec extends AnyFunSuite with graft.GateCacheHygiene {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("x_incremental_mv_refresh: merge ≡ full recompute; plan reads the MV") {
+    val merged = PipelineOps.incrementalMvRefresh(spark, TestSpark.Sf0001)
+
+    // the refresh plan's scans: the materialized view dir + events (for
+    // the delta) — the base history is consumed only through the MV
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mv"), s"no MV scan in refresh plan:\n$plan")
+
+    val got = merged.as[(String, String, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    val full = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("event_type"),
+        to_date(timestamp_micros(col("ts_us"))).cast("string").as("day"),
+        round(col("value") * 1000000d, 0).cast("bigint").as("vq"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("vq")).cast("long").as("s"))
+      .as[(String, String, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(got.toSeq == full.toSeq)
+    // the delta actually contributed (cutoff splits the event span)
+    val cutoffGroups = Tables.events(spark, TestSpark.Sf0001)
+      .filter(col("ts_us") >= graft.queries.Warehouse.DiffCutoffUs).count()
+    assert(cutoffGroups > 0, "cutoff left an empty delta — vacuous merge")
+  }
+}
