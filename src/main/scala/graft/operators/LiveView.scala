@@ -87,34 +87,4 @@ object LiveView {
       .drop("_row")
       .select(df.columns.toIndexedSeq.map(col): _*) // restore original column order
   }
-
-  /** SCD Type-2 history: the full-history complement to [[live]]. Every
-    * non-tombstone change-row becomes a versioned dimension row with a
-    * validity interval `[valid_from, valid_to)` — `valid_to` is the next
-    * change's version for the same key (computed over ALL changes
-    * including deletes, so a tombstone CLOSES the preceding interval
-    * without emitting a row), open (null) for the current version. The
-    * current slice (`valid_to IS NULL`, not deleted) is by construction
-    * exactly [[live]] — `LiveViewSpec` pins the equivalence.
-    *
-    * Scale note: one ranking-window shuffle on the PK, the same single
-    * exchange as [[dedupLatest]]; no self-join, no global sort. This is
-    * how a CDC archive becomes a point-in-time dimension ("AS OF" queries
-    * join on `valid_from <= t < valid_to` — the [[AsOfJoin]] pattern). */
-  def scd2(
-      df: DataFrame,
-      pks: Seq[String],
-      versionCol: String = VersionCol,
-      tieBreak: Option[String] = None): DataFrame = {
-    require(pks.nonEmpty, "scd2 needs at least one key column")
-    val order: Seq[Column] = col(versionCol).asc +:
-      tieBreak.orElse(Option(SeqCol).filter(df.columns.contains))
-        .map(c => col(c).asc).toSeq
-    val w = Window.partitionBy(pks.map(col): _*).orderBy(order: _*)
-    df.withColumn("valid_from", col(versionCol))
-      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
-      .withColumn("is_current",
-        col("valid_to").isNull && col(DeletedCol) === 0)
-      .filter(col(DeletedCol) === 0) // tombstones close, they don't exist
-  }
 }

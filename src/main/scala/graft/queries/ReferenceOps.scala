@@ -82,21 +82,7 @@ object ReferenceOps {
             VersionCol, SeqCol, DeletedCol),
           pks = Seq("user_id"), tieBreak = Some(SeqCol))
         .filter(col(DeletedCol) === 0)
-        .drop(VersionCol, DeletedCol, SeqCol)),
-
-    // SCD Type-2 over the same change stream the live view dedups: every
-    // surviving change gets a validity interval (tombstones close the
-    // preceding interval without emitting a row). The current slice is
-    // the live view by construction — LiveViewSpec pins the equivalence;
-    // this gate pins the full interval history. Same single PK-window
-    // shuffle as W1.
-    "x_scd2_history" -> ((s, dir) =>
-      LiveView.scd2(stamped(s, dir), pks = Seq("user_id"),
-          tieBreak = Some(SeqCol))
-        .select(col("user_id"), col("op"), col("event_type"),
-          col("valid_from").as("valid_from_us"),
-          coalesce(col("valid_to"), lit(-1L)).as("valid_to_us"),
-          col("is_current")))
+        .drop(VersionCol, DeletedCol, SeqCol))
   )
 
   val oracle: Map[String, String] = Map(
@@ -128,21 +114,7 @@ object ReferenceOps {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "w1_live_view" -> LiveViewOracle,
-    "w1_live_view_aggform" -> LiveViewOracle,
-
-    "x_scd2_history" ->
-      """WITH ch AS (SELECT user_id, event_id, event_type,
-        |    CASE WHEN event_type='signup' THEN 'I'
-        |         WHEN event_type='error' THEN 'D' ELSE 'U' END AS op,
-        |    CASE WHEN event_type='error' THEN 1 ELSE 0 END AS deleted,
-        |    epoch_us(ts) AS v
-        |  FROM events),
-        |iv AS (SELECT *, lead(v) OVER (PARTITION BY user_id
-        |         ORDER BY v, event_id) AS vt FROM ch)
-        |SELECT user_id, op, event_type, v AS valid_from_us,
-        |  COALESCE(vt, -1) AS valid_to_us,
-        |  (vt IS NULL AND deleted = 0) AS is_current
-        |FROM iv WHERE deleted = 0""".stripMargin
+    "w1_live_view_aggform" -> LiveViewOracle
   )
 
   /** Shared by w1 (read path), its aggform, and the stateful write-path

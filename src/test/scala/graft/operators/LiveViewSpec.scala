@@ -84,39 +84,4 @@ class LiveViewSpec extends AnyFunSuite with graft.GateCacheHygiene {
     LiveView.createLiveView(df, "users", Seq("id"))
     assert(spark.sql("SELECT * FROM users_live").count() == 1)
   }
-
-  test("scd2: intervals chain, tombstones close without emitting, current slice ≡ live") {
-    val df = mk(Seq(
-      (1, "a@x.com", "I", 1L, 1L),
-      (1, "a2@x.com", "U", 3L, 2L),
-      (1, "a2@x.com", "D", 5L, 3L), // closes key 1 — no current row
-      (2, "b@x.com", "I", 2L, 4L),
-      (2, "b2@x.com", "U", 4L, 5L), // current
-      (3, "c@x.com", "I", 9L, 6L))) // single-version current
-    val hist = LiveView.scd2(df, Seq("id"))
-      .select($"id", $"email", $"valid_from", $"valid_to", $"is_current")
-      .collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
-        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
-      .sortBy(r => (r._1, r._3))
-    assert(hist.toSeq == Seq(
-      (1, "a@x.com", 1L, 3L, false),
-      (1, "a2@x.com", 3L, 5L, false), // closed BY the tombstone
-      (2, "b@x.com", 2L, 4L, false),
-      (2, "b2@x.com", 4L, -1L, true),
-      (3, "c@x.com", 9L, -1L, true)))
-    // per key: non-overlapping, ordered, ≤1 current
-    hist.groupBy(_._1).foreach { case (id, rows) =>
-      rows.sliding(2).foreach {
-        case Array(a, b) => assert(a._4 <= b._3 || a._4 == -1L, s"key $id overlap")
-        case _ =>
-      }
-      assert(rows.count(_._5) <= 1, s"key $id multiple current")
-    }
-    // the current slice IS the live view
-    val current = hist.filter(_._5).map(r => (r._1, r._2)).toSet
-    val live = LiveView.live(df, Seq("id")).collect()
-      .map(r => (r.getInt(0), r.getString(1))).toSet
-    assert(current == live)
-  }
 }
