@@ -125,5 +125,25 @@ class EmbeddingsSpec extends AnyFunSuite with graft.GateCacheHygiene {
       assert(dropped == expected.getOrElse(cid, 0L),
         s"cluster $cid dropped $dropped vs brute ${expected.getOrElse(cid, 0L)}")
     }
+
+    // recall floor vs the GLOBAL all-pairs dup set: SemDeDup only scores
+    // pairs whose members share a k-means cell, so cross-cell dups are
+    // missed by design — the cost/recall trade every bucketed family
+    // documents (AnnRecallSpec's pattern). Precision is 1 by construction
+    // (every scored pair is re-checked with the exact cosine). Measured
+    // 0.30 (20/66) here: the harness threshold 0.4 calls merely-similar
+    // pairs dups, and those scatter across cells; the paper's regime
+    // (τ≈0.95, near-identical pairs) co-clusters almost surely. Floor at
+    // 0.25 pins against regression; cross-cell recall is the LSH
+    // family's job (x_embed_dedup_lsh_apply).
+    val globalPairs = vecs.flatMap { case (id1, v1) =>
+      vecs.collect { case (id2, v2)
+        if id1 < id2 && cosF(v1, v2) > TrainingData.CosDupThreshold =>
+          (id1, id2) }
+    }
+    val found = globalPairs.count { case (id1, id2) => a2(id1) == a2(id2) }
+    val recall = found.toDouble / globalPairs.length
+    assert(recall >= 0.25,
+      s"SemDeDup pair recall $recall ($found/${globalPairs.length}) < 0.25")
   }
 }

@@ -207,5 +207,29 @@ class WarehouseSpec extends AnyFunSuite with graft.GateCacheHygiene {
     }
     // true counts are descending with token tie-break (top-k contract)
     assert(got.map(r => (-r._2, r._1)).toSeq == got.map(r => (-r._2, r._1)).sortBy(identity).toSeq)
+
+    // the guarantee is per-QUERY, not per-heavy-hitter: rebuild the
+    // sketch in plain Scala and check est ≥ true and the error bound for
+    // EVERY distinct token in the corpus, not just the reported top-k
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def windows(tok: String): Seq[(Int, Long)] = {
+      val hex = md.digest(("cms|" + tok).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (0 until Warehouse.CmsD).map(r =>
+        r -> java.lang.Long.parseLong(hex.substring(8 * r, 8 * r + 8), 16)
+          % Warehouse.CmsW)
+    }
+    val toks = Tables.read(spark, TestSpark.Sf0001, "documents")
+      .select(explode(split(graft.functions.Text.normalize(col("text")), " "))
+        .as("t")).as[String].collect()
+    val sketch = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    toks.foreach(t => windows(t).foreach(w =>
+      sketch(w) = sketch.getOrElse(w, 0L) + 1))
+    val trueCnt = toks.groupBy(identity).view.mapValues(_.length.toLong)
+    trueCnt.foreach { case (t, c) =>
+      val est = windows(t).map(sketch).min
+      assert(est >= c, s"'$t' under-estimated")
+      assert(est - c <= bound, s"'$t' error ${est - c} > $bound")
+    }
   }
 }
