@@ -46,6 +46,18 @@ object Embeddings {
       .select(col("cid"),
         transform(col("_arr"), x => x.getField("_cd")).as("cvec"))
 
+  /** The shared one-Lloyd-iteration final assignment (the Scala mirror of
+    * [[kmeansCtes]]' `a2`): deterministic init (first K vectors by id) →
+    * assign → quantized-integer-mean update → re-assign. Single source for
+    * every gate that clusters (x_kmeans_embed, x_semdedup) so init/quantum
+    * changes can't desynchronize them. `e` must have (vec_id, embedding). */
+  private[queries] def lloydAssignment(e: DataFrame): DataFrame = {
+    val c0 = e.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), v => v.cast("double")).as("cvec"))
+    assign(e, centroidsOf(assign(e, c0).select(col("cid"), col("embedding"))))
+  }
+
   /** Argmax-cosine assignment of each corpus vector to a (broadcast)
     * centroid set. Both sides' vector math is left-to-right index order;
     * ties broken by rounded score then centroid id — the IVF pattern. */
@@ -102,13 +114,7 @@ object Embeddings {
     // quantizers are trained at 100 TB; more iterations = same plan looped.
     "x_kmeans_embed" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val c0 = e.filter(col("vec_id") < KmeansK)
-        .select(col("vec_id").as("cid"),
-          transform(col("embedding"), v => v.cast("double")).as("cvec"))
-      val a1 = assign(e, c0)
-      val c1 = centroidsOf(a1.select(col("cid"), col("embedding")))
-      val a2 = assign(e, c1)
-      a2.groupBy(col("cid").as("cluster_id"))
+      lloydAssignment(e).groupBy(col("cid").as("cluster_id"))
         .agg(count(lit(1)).as("n_vecs"),
           sum(col("vec_id")).cast("long").as("sum_vec_id"))
     }),
@@ -131,14 +137,9 @@ object Embeddings {
     // way MaxBucket guards LSH floods.
     "x_semdedup" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val c0 = e.filter(col("vec_id") < KmeansK)
-        .select(col("vec_id").as("cid"),
-          transform(col("embedding"), v => v.cast("double")).as("cvec"))
-      val a2 = assign(e,
-        centroidsOf(assign(e, c0).select(col("cid"), col("embedding"))))
       // cached: consumed by the member counts and both pair-join sides
-      val withN = graft.GateCache.cache(
-        a2.withColumn("_n", SimilarityOps.norm(col("embedding"))))
+      val withN = graft.GateCache.cache(lloydAssignment(e)
+        .withColumn("_n", SimilarityOps.norm(col("embedding"))))
       val ok = withN.groupBy(col("cid")).agg(count(lit(1)).as("_cn"))
         .filter(col("_cn") <= SemMaxCluster).select(col("cid"))
       val f = withN.join(broadcast(ok), Seq("cid")) // ok is ≤ K rows

@@ -864,7 +864,7 @@ object PipelineOps {
       "FOR COLUMNS c_custkey, c_mktsegment")
     s.sql("ANALYZE TABLE graft_cbo_orders COMPUTE STATISTICS")
     s.sql("ANALYZE TABLE graft_cbo_orders COMPUTE STATISTICS " +
-      "FOR COLUMNS o_custkey")
+      "FOR COLUMNS o_custkey, o_orderpriority") // join key + group key NDV
     val cboKey = "spark.sql.cbo.enabled"
     val prevCbo = s.conf.get(cboKey)
     s.conf.set(cboKey, "true")

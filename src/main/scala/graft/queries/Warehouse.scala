@@ -503,15 +503,19 @@ object Warehouse {
     // guarantee (est ≥ true, error ≤ εN w.h.p.) is asserted in-row.
     "x_cms_heavy_hitters" -> ((s, dir) => {
       import graft.functions.{PortableHash, Text}
-      val toks = t(s, dir, "documents")
+      // one corpus scan: per-token counts feed BOTH the sketch (counters
+      // = count-weighted bucket sums ≡ per-occurrence counts) and the
+      // exact top-k; md5 runs once per DISTINCT token, not per occurrence
+      val tc = graft.GateCache.cache(t(s, dir, "documents")
         .select(explode(split(Text.normalize(col("text")), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("_c")))
       def bucketsOf(c: Column): Column = array((0 until CmsD).map(r =>
         PortableHash.hash32w(c, "cms|", r) % CmsW): _*)
-      val sketch = toks
-        .select(posexplode(bucketsOf(col("token"))).as(Seq("r", "bucket")))
-        .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
-      val top = toks.groupBy(col("token"))
-        .agg(count(lit(1)).as("true_cnt"))
+      val sketch = tc
+        .select(col("_c"),
+          posexplode(bucketsOf(col("token"))).as(Seq("r", "bucket")))
+        .groupBy(col("r"), col("bucket")).agg(sum(col("_c")).as("c"))
+      val top = tc.select(col("token"), col("_c").as("true_cnt"))
         .orderBy(col("true_cnt").desc, col("token").asc).limit(CmsTopK)
       top.select(col("token"), col("true_cnt"),
           posexplode(bucketsOf(col("token"))).as(Seq("r", "bucket")))

@@ -43,9 +43,25 @@ class CboStatsSpec extends AnyFunSuite with graft.GateCacheHygiene {
         .map(_.stats.rowCount)
       assert(planStats.forall(_.isDefined),
         s"leaf missing cataloged rowCount: $planStats")
+      // CBO's row-count estimation propagates to the ROOT of the plan —
+      // the size-only estimator leaves non-leaf rowCount undefined, so
+      // this pins that the cataloged stats actually drive the estimate
+      // (a BroadcastHashJoin alone would not: at this SF the dimension
+      // broadcasts on file size with or without CBO)
+      assert(q.queryExecution.optimizedPlan.stats.rowCount.isDefined,
+        "no CBO row-count estimate at the plan root")
       val exec = q.queryExecution.executedPlan.toString
       assert(exec.contains("BroadcastHashJoin"), s"no broadcast in:\n$exec")
     } finally spark.conf.set(cboKey, prev)
+    // the same plan WITHOUT CBO: root row-count estimate disappears —
+    // proves the assert above is pinning CBO, not a default behavior
+    val qOff = spark.table("graft_cbo_orders")
+      .join(spark.table("graft_cbo_customer")
+          .filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    assert(qOff.queryExecution.optimizedPlan.stats.rowCount.isEmpty,
+      "row-count estimate present without CBO — pin is vacuous")
 
     // values match an independent plain-parquet composition
     val expect = Tables.read(spark, TestSpark.Sf0001, "orders")

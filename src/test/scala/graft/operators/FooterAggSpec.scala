@@ -34,8 +34,7 @@ class FooterAggSpec extends AnyFunSuite with graft.GateCacheHygiene {
       assert(opt.contains("min(l_quantity)") &&
         opt.contains("max(l_extendedprice)"), s"incomplete pushdown:\n$opt")
       val exec = agg.queryExecution.executedPlan.toString
-      assert(exec.contains("PushedAggregation") ||
-        opt.contains("RelationV2[count(*)"), s"no marker:\n$exec")
+      assert(exec.contains("PushedAggregation"), s"no marker:\n$exec")
     } finally {
       spark.conf.set(listKey, prevList); spark.conf.set(pushKey, prevPush)
     }
