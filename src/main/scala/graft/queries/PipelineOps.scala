@@ -895,7 +895,8 @@ object PipelineOps {
     * the day's arrivals, not the archive. Counts and micro-unit sums are
     * the standard distributive aggregate state — the same partial-merge
     * algebra Spark's own partial aggregation uses, applied across time. */
-  def incrementalMvRefresh(s: SparkSession, dir: String): DataFrame = {
+  def incrementalMvRefresh(s: SparkSession, dir: String,
+                           cutoffUs: Long = Warehouse.DiffCutoffUs): DataFrame = {
     val mvDir = Files.createTempDirectory("graft_mv").toString
     val ev = Tables.events(s, dir).select(col("event_type"),
       to_date(timestamp_micros(col("ts_us"))).cast("string").as("day"),
@@ -905,10 +906,10 @@ object PipelineOps {
       df.groupBy(col("event_type"), col("day"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("_vq")).cast("long").as("sum_value_micro"))
-    aggOf(ev.filter(col("ts_us") < Warehouse.DiffCutoffUs))
+    aggOf(ev.filter(col("ts_us") < cutoffUs))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(mvDir)
     val mv = s.read.parquet(mvDir)
-    val delta = aggOf(ev.filter(col("ts_us") >= Warehouse.DiffCutoffUs))
+    val delta = aggOf(ev.filter(col("ts_us") >= cutoffUs))
       .withColumnRenamed("n_events", "_dn")
       .withColumnRenamed("sum_value_micro", "_ds")
     mv.join(delta, Seq("event_type", "day"), "full_outer")

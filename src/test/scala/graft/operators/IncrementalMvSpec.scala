@@ -35,5 +35,14 @@ class IncrementalMvSpec extends AnyFunSuite with graft.GateCacheHygiene {
     val cutoffGroups = Tables.events(spark, TestSpark.Sf0001)
       .filter(col("ts_us") >= graft.queries.Warehouse.DiffCutoffUs).count()
     assert(cutoffGroups > 0, "cutoff left an empty delta — vacuous merge")
+
+    // merge algebra holds at the boundaries: empty MV (everything is
+    // delta) and empty delta (MV is already final) both ≡ full recompute
+    Seq(0L, Long.MaxValue).foreach { cutoff =>
+      val edge = PipelineOps
+        .incrementalMvRefresh(spark, TestSpark.Sf0001, cutoff)
+        .as[(String, String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      assert(edge.toSeq == full.toSeq, s"cutoff $cutoff diverged")
+    }
   }
 }
