@@ -30,6 +30,7 @@ object Curation {
   val DsirBuckets = 4096 // DSIR hashed-feature space (mirrored in oracle)
   val DsirTargetLang = "en" // DSIR target domain: the English sub-corpus
   val DsirTopK = 50 // DSIR: report the top-k docs by importance weight
+  val BpeRounds = 3 // BPE merge-learning: unrolled rounds (kmeans pattern)
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
@@ -361,6 +362,56 @@ object Curation {
           sum(col("_c") * col("_lr")).cast("long").as("weight_nano"))
         .orderBy(col("weight_nano").desc, col("doc_id").asc)
         .limit(DsirTopK)
+    }),
+
+    // BPE merge learning (Sennrich et al. 2016): the tokenizer-INDUCTION
+    // step the token-counting gates assume has already happened. Classic
+    // byte-pair encoding, distributed: words become space-separated
+    // symbol sequences; each round counts adjacent symbol pairs weighted
+    // by word frequency (one partial-agg'd shuffle over the DISTINCT-word
+    // frame, not the corpus), picks the argmax pair (count desc, pair asc
+    // — deterministic), and applies the merge with a plain left-to-right
+    // string replace (both engines' replace() is l-to-r non-overlapping —
+    // BPE's convention). Caveat, documented: the STRING-level apply can
+    // also match where the pair's first symbol is the SUFFIX of a longer
+    // symbol ("ab c" matches "b c") — canonical BPE applies on the
+    // symbol array. The boundary-safe regex needs lookarounds, which
+    // DuckDB's RE2 lacks, so the greedy-string form is the deterministic
+    // cross-engine-exact choice; CurationSpec's JVM reference implements
+    // the canonical array form and proves the two coincide on this
+    // corpus at these rounds. BpeRounds rounds unrolled lazily, the
+    // x_kmeans_embed pattern; the 1-row winner rides a broadcast
+    // crossJoin, never a collect. Scale shape: the corpus is scanned
+    // ONCE into the cached word-frequency frame (|vocab| rows); every
+    // round is vocab-sized, independent of corpus size — which is why
+    // real BPE trainers also run on word-frequency tables.
+    "x_bpe_merges" -> ((s, dir) => {
+      val wf = graft.GateCache.cache(
+        docs(s, dir)
+          .select(explode(split(Text.normalize(col("text")), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy(col("w")).agg(count(lit(1)).as("_c"))
+          .withColumn("_sp",
+            trim(regexp_replace(col("w"), "(.)", "$1 "))))
+      def pairCounts(f: DataFrame): DataFrame = f
+        .select(col("_c"), explode(Text.wordShingles(col("_sp"), 2)).as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("_c")).cast("long").as("pair_freq"))
+      val (_, merges) = (1 to BpeRounds)
+        .foldLeft((wf, Seq.empty[DataFrame])) { case ((f, acc), r) =>
+          val top = pairCounts(f)
+            .orderBy(col("pair_freq").desc, col("pair").asc).limit(1)
+            .withColumn("merged",
+              regexp_replace(col("pair"), " ", ""))
+          val applied = f.crossJoin(broadcast(top))
+            .withColumn("_sp",
+              expr("replace(_sp, pair, merged)"))
+            .select(col("w"), col("_c"), col("_sp"))
+          (applied,
+            acc :+ top.select(lit(r).as("merge_round"), col("pair"),
+              col("merged"), col("pair_freq")))
+        }
+      merges.reduce(_ unionByName _)
     })
   )
 
@@ -542,6 +593,29 @@ object Curation {
            |FROM g JOIN b USING (bucket)
            |GROUP BY doc_id
            |ORDER BY weight_nano DESC, doc_id ASC LIMIT $DsirTopK""".stripMargin
+      },
+
+      "x_bpe_merges" -> {
+        val rounds = (1 to BpeRounds).map { r =>
+          s"""p$r AS (SELECT pair, CAST(sum(c) AS BIGINT) AS pair_freq
+             |  FROM (SELECT c, unnest(${Text.wordShinglesDuck("sp", 2)}) AS pair
+             |        FROM f$r) GROUP BY pair),
+             |t$r AS (SELECT pair, replace(pair, ' ', '') AS merged, pair_freq
+             |  FROM p$r ORDER BY pair_freq DESC, pair ASC LIMIT 1),
+             |f${r + 1} AS MATERIALIZED (SELECT w, c,
+             |  replace(sp, (SELECT pair FROM t$r), (SELECT merged FROM t$r))
+             |    AS sp FROM f$r)""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to BpeRounds)
+          .map(r => s"SELECT $r AS merge_round, pair, merged, pair_freq FROM t$r")
+          .mkString(" UNION ALL ")
+        s"""WITH w0 AS (SELECT w, count(*) AS c FROM (
+           |    SELECT unnest(string_split($norm, ' ')) AS w FROM documents)
+           |  WHERE w <> '' GROUP BY w),
+           |f1 AS MATERIALIZED (SELECT w, c,
+           |  trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sp FROM w0),
+           |$rounds
+           |$out""".stripMargin
       })
   }
 }

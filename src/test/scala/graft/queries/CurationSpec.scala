@@ -273,4 +273,43 @@ class CurationSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(topShare > corpusShare,
       s"top-k target share $topShare vs corpus $corpusShare")
   }
+
+  test("x_bpe_merges: matches a straight-line canonical (array-form) BPE trainer") {
+    // canonical BPE on symbol ARRAYS — deliberately the stricter form the
+    // gate's greedy-string apply is documented against; agreement here
+    // proves the string caveat doesn't bite on this corpus/rounds
+    val wf = Tables.read(spark, TestSpark.Sf0001, "documents")
+      .select("text").as[String].collect()
+      .flatMap(t => tokens(t)).filter(_.nonEmpty)
+      .groupBy(w => w).view.mapValues(_.length.toLong).toMap
+    var syms: Map[String, Vector[String]] =
+      wf.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    def applyMerge(v: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]; var i = 0
+      while (i < v.length) {
+        if (i + 1 < v.length && v(i) == a && v(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += v(i); i += 1 }
+      }
+      out.result()
+    }
+    val expected = (1 to Curation.BpeRounds).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      syms.foreach { case (w, v) =>
+        v.sliding(2).foreach {
+          case Vector(a, b) =>
+            counts((a, b)) = counts.getOrElse((a, b), 0L) + wf(w)
+          case _ =>
+        }
+      }
+      val ((a, b), freq) = counts.toSeq
+        .minBy { case ((x, y), c) => (-c, s"$x $y") }
+      syms = syms.map { case (w, v) => w -> applyMerge(v, a, b) }
+      (r, s"$a $b", a + b, freq)
+    }
+    val got = Curation.queries("x_bpe_merges")(spark, TestSpark.Sf0001)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == expected,
+      s"gate $got vs canonical $expected — greedy-string caveat bit")
+  }
 }
