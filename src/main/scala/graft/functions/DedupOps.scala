@@ -318,6 +318,12 @@ object DedupOps {
           val created = ck.queryExecution.logical.collectFirst {
             case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
           }
+          // A Spark upgrade that changes localCheckpoint's plan shape
+          // would make this None and silently leak every checkpoint's
+          // blocks for the rest of the run — make that visible.
+          if (created.isEmpty) System.err.println(
+            "[graft][cc] WARN: localCheckpoint plan has no LogicalRDD " +
+              "leaf; checkpoint blocks cannot be released this round")
           liveCkpt.foreach(_.unpersist(false))
           liveCkpt = created
           ck

@@ -397,6 +397,17 @@ object Curation {
         .select(col("_c"), explode(Text.wordShingles(col("_sp"), 2)).as("pair"))
         .groupBy(col("pair"))
         .agg(sum(col("_c")).cast("long").as("pair_freq"))
+      // Degenerate guard: a corpus with no adjacent symbol pair (all
+      // 1-char words) yields an empty round-1 winner, which annihilates
+      // the frequency frame via the crossJoin while the DuckDB oracle
+      // instead propagates NULL into sp — the engines would silently
+      // diverge. Fail loudly instead; the check is one limit(1) action
+      // on the cached |vocab|-sized frame. Later-round exhaustion
+      // (BpeRounds > available merges on a non-degenerate corpus) is a
+      // config error documented on BpeRounds.
+      require(!pairCounts(wf).isEmpty,
+        "x_bpe_merges: corpus has no adjacent symbol pairs; " +
+          "BpeRounds exceeds the available merges")
       val (_, merges) = (1 to BpeRounds)
         .foldLeft((wf, Seq.empty[DataFrame])) { case ((f, acc), r) =>
           val top = pairCounts(f)

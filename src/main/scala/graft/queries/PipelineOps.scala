@@ -88,13 +88,13 @@ object PipelineOps {
       .select(to_json(struct(
         when(isDel, row).as("before"),
         when(!isDel, row).as("after"),
-        struct((col("ts") / 1000000L).cast("long").as("ts_ms"),
+        struct(expr("ts div 1000000").as("ts_ms"),
           lit("graft").as("db"), lit("events").as("table"),
           lit("binlog.000001").as("file"), col("event_id").as("pos"))
           .as("source"),
         when(isDel, "d").when(col("event_type") === "signup", "c")
           .otherwise("u").as("op"),
-        (col("ts") / 1000000L).cast("long").as("ts_ms"))).as("value"))
+        expr("ts div 1000000").as("ts_ms"))).as("value"))
       .write.mode("overwrite").text(landing)
     // Kafka-ism the adapter must survive: a post-delete tombstone (no op,
     // no image) and a non-JSON line — both are dropped, not applied
@@ -880,7 +880,15 @@ object PipelineOps {
       import s.implicits._
       rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
         .toDF("o_orderpriority", "n_orders", "n_customers")
-    } finally s.conf.set(cboKey, prevCbo)
+    } finally {
+      s.conf.set(cboKey, prevCbo)
+      // The managed tables exist only to feed ANALYZE/CBO inside this
+      // gate — drop them (DROP on a managed table also deletes its
+      // warehouse files) so a read-only-looking query leaves no
+      // catalog/disk state behind.
+      Seq("graft_cbo_customer", "graft_cbo_orders")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    }
   }
 
   /** Incremental materialized-view maintenance: a per-(event_type, day)
