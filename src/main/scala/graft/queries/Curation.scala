@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{DedupOps, ShingleExprs, Text}
+import graft.functions.{DedupOps, PortableHash, ShingleExprs, Text}
 
 /** Corpus-curation operators beyond the dedup/similarity families already
   * in [[TrainingData]]: repetition analysis and rule-based quality
@@ -31,6 +31,7 @@ object Curation {
   val DsirTargetLang = "en" // DSIR target domain: the English sub-corpus
   val DsirTopK = 50 // DSIR: report the top-k docs by importance weight
   val BpeRounds = 3 // BPE merge-learning: unrolled rounds (kmeans pattern)
+  val ShardTokenBudget = 2500L // shard assignment: target tokens per shard
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
@@ -201,13 +202,12 @@ object Curation {
     // Vocabulary coverage (the Zipf head): how many distinct tokens cover
     // 90% of the corpus token mass. The 90% test is exact integer
     // arithmetic (cum·10 vs total·9), no float threshold. The cumulative
-    // sum is a DISTRIBUTED two-pass prefix sum (round 5): range-partition
-    // the vocabulary by the total order, cum-sum WITHIN each partition,
-    // then add each partition's broadcast prefix offset — no global
-    // single-reducer Window.orderBy (a billion-token 100 TB vocabulary
-    // would funnel through one task). The offset window runs over
-    // numPartitions rows, and the (freq, token) sort key is unique, so
-    // the global cumulative is exact regardless of sampled range bounds.
+    // sum is the DISTRIBUTED two-pass prefix sum
+    // ([[graft.operators.PrefixSum]], extracted round 7 — shared with
+    // x_shard_assign): no global single-reducer Window.orderBy (a
+    // billion-token 100 TB vocabulary would funnel through one task).
+    // The (freq, token) sort key is unique, so the global cumulative is
+    // exact regardless of sampled range bounds.
     "x_vocab_coverage" -> ((s, dir) => {
       val freq = graft.GateCache.cache(
         docs(s, dir)
@@ -220,32 +220,46 @@ object Curation {
       val nRanges = s.conf.getOption("graft.vocab.cumsum.partitions")
         .map(_.toInt)
         .getOrElse(s.sparkContext.defaultParallelism)
-      val ranged = freq.repartitionByRange(nRanges, col("freq").desc,
-        col("token").asc)
-      val wIn = Window.partitionBy(col("_pid"))
-        .orderBy(col("freq").desc, col("token").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // cached: `_pid` comes from the sampled range bounds, and BOTH the
-      // offset branch and the final join must see the same assignment —
-      // one materialization guarantees it (bounds re-sampled per branch
-      // could differ; partitions are contiguous order ranges either way,
-      // but offsets keyed on a different split would misalign)
-      val local = graft.GateCache.cache(
-        ranged.withColumn("_pid", spark_partition_id())
-          .withColumn("_lcum", sum(col("freq")).over(wIn)))
-      val wOff = Window.orderBy(col("_pid"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = local.groupBy(col("_pid"))
-        .agg(sum(col("freq")).as("_psum"))
-        .withColumn("_off", coalesce(sum(col("_psum")).over(wOff), lit(0L)))
-      local.join(broadcast(offsets.select(col("_pid"), col("_off"))), "_pid")
-        .withColumn("_cum", col("_lcum") + col("_off"))
+      graft.operators.PrefixSum.inclusive(freq,
+          Seq(col("freq").desc, col("token").asc), col("freq"), nRanges,
+          "_cum")
         .crossJoin(broadcast(freq.agg(
           sum(col("freq")).as("_total"), count(lit(1)).as("_vocab"))))
         .agg(min(col("_vocab")).cast("long").as("vocab_size"),
           min(col("_total")).cast("long").as("total_tokens"),
           sum(when((col("_cum") - col("freq")) * 10 < col("_total") * 9, 1L)
             .otherwise(0L)).cast("long").as("n_tokens_p90"))
+    }),
+
+    // Training-shard assignment — the "write the corpus out as N-token
+    // shards" step every pretraining pipeline ends with: a DETERMINISTIC
+    // global shuffle (order by portable hash of doc_id — reproducible,
+    // seed-stable, and uncorrelated with any corpus attribute) followed
+    // by token-budget packing: a doc goes to the shard its running token
+    // offset falls in (shard = exclusive-prefix-tokens div budget), so
+    // shard boundaries never depend on task count or scheduling. The
+    // running offset is the [[graft.operators.PrefixSum]] two-pass
+    // distributed cumsum over the corpus — the same no-single-reducer
+    // shape as x_vocab_coverage, here over O(corpus) rows, which is
+    // exactly where the naive global Window.orderBy would be the 100 TB
+    // bottleneck. Output is the shard manifest (docs + tokens per shard);
+    // the writer's downstream move is repartition-by-shard_id +
+    // partitionBy on write, manifest-driven. Shards are budget-sized ±1
+    // doc (a doc never splits): the gate pins the invariant that every
+    // shard's token span covers its budget window.
+    "x_shard_assign" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"),
+        PortableHash.hash32(col("doc_id").cast("string"), "shard|")
+          .as("_h"),
+        Text.tokenCount(col("text")).as("_nt"))
+      val nRanges = s.sparkContext.defaultParallelism
+      graft.operators.PrefixSum.inclusive(t,
+          Seq(col("_h").asc, col("doc_id").asc), col("_nt"), nRanges, "_cum")
+        .withColumn("shard_id",
+          expr(s"(_cum - _nt) div $ShardTokenBudget"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("_nt")).cast("long").as("n_tokens"))
     }),
 
     // Edit-distance verification of LSH candidates — the exact-similarity
@@ -385,46 +399,81 @@ object Curation {
     // ONCE into the cached word-frequency frame (|vocab| rows); every
     // round is vocab-sized, independent of corpus size — which is why
     // real BPE trainers also run on word-frequency tables.
-    "x_bpe_merges" -> ((s, dir) => {
-      val wf = graft.GateCache.cache(
-        docs(s, dir)
-          .select(explode(split(Text.normalize(col("text")), " ")).as("w"))
-          .filter(col("w") =!= "")
-          .groupBy(col("w")).agg(count(lit(1)).as("_c"))
-          .withColumn("_sp",
-            trim(regexp_replace(col("w"), "(.)", "$1 "))))
-      def pairCounts(f: DataFrame): DataFrame = f
-        .select(col("_c"), explode(Text.wordShingles(col("_sp"), 2)).as("pair"))
-        .groupBy(col("pair"))
-        .agg(sum(col("_c")).cast("long").as("pair_freq"))
-      // Degenerate guard: a corpus with no adjacent symbol pair (all
-      // 1-char words) yields an empty round-1 winner, which annihilates
-      // the frequency frame via the crossJoin while the DuckDB oracle
-      // instead propagates NULL into sp — the engines would silently
-      // diverge. Fail loudly instead; the check is one limit(1) action
-      // on the cached |vocab|-sized frame. Later-round exhaustion
-      // (BpeRounds > available merges on a non-degenerate corpus) is a
-      // config error documented on BpeRounds.
-      require(!pairCounts(wf).isEmpty,
-        "x_bpe_merges: corpus has no adjacent symbol pairs; " +
-          "BpeRounds exceeds the available merges")
-      val (_, merges) = (1 to BpeRounds)
-        .foldLeft((wf, Seq.empty[DataFrame])) { case ((f, acc), r) =>
-          val top = pairCounts(f)
-            .orderBy(col("pair_freq").desc, col("pair").asc).limit(1)
-            .withColumn("merged",
-              regexp_replace(col("pair"), " ", ""))
-          val applied = f.crossJoin(broadcast(top))
-            .withColumn("_sp",
-              expr("replace(_sp, pair, merged)"))
-            .select(col("w"), col("_c"), col("_sp"))
-          (applied,
-            acc :+ top.select(lit(r).as("merge_round"), col("pair"),
-              col("merged"), col("pair_freq")))
-        }
-      merges.reduce(_ unionByName _)
+    "x_bpe_merges" -> ((s, dir) => bpeLearn(s, dir)._2.reduce(_ unionByName _)),
+
+    // BPE tokenizer APPLY — the other half of the tokenizer story: the
+    // merges learned by x_bpe_merges are applied to the corpus, and the
+    // gate reports per-language token accounting (whitespace baseline vs
+    // post-merge BPE symbol count). Scale shape: the merge application
+    // runs entirely on the |vocab|-row word-frequency frame (never the
+    // corpus text); the corpus streams once into (lang, word) and joins
+    // the per-word symbol count — a word-keyed equi-join against a
+    // Heaps-law-sublinear vocabulary frame, strategy left to AQE (it
+    // broadcasts the vocab when measured small, shuffles when not).
+    // Token accounting per language is what feeds compute budgeting and
+    // tokenizer-fertility comparisons before a training run.
+    "x_bpe_tokenize" -> ((s, dir) => {
+      val wtok = bpeLearn(s, dir)._1
+        .select(col("w"), size(split(col("_sp"), " ")).cast("long").as("_bt"))
+      val cw = docs(s, dir).select(col("lang"),
+          explode(split(Text.normalize(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val tok = cw.join(wtok, Seq("w"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("ws_tokens"),
+          sum(col("_bt")).cast("long").as("bpe_tokens"))
+      docs(s, dir).groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .join(tok, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"),
+          coalesce(col("ws_tokens"), lit(0L)).as("ws_tokens"),
+          coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
     })
   )
+
+  /** The BPE merge-learning chain, shared by x_bpe_merges (reports the
+    * merge table) and x_bpe_tokenize (applies the merges corpus-wide):
+    * returns (post-merge word-frequency frame (w, _c, _sp), per-round
+    * 1-row winner frames). See the x_bpe_merges scaladoc for the
+    * algorithm and determinism notes. */
+  private def bpeLearn(s: SparkSession,
+                       dir: String): (DataFrame, Seq[DataFrame]) = {
+    val wf = graft.GateCache.cache(
+      docs(s, dir)
+        .select(explode(split(Text.normalize(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("_c"))
+        .withColumn("_sp",
+          trim(regexp_replace(col("w"), "(.)", "$1 "))))
+    def pairCounts(f: DataFrame): DataFrame = f
+      .select(col("_c"), explode(Text.wordShingles(col("_sp"), 2)).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("_c")).cast("long").as("pair_freq"))
+    // Degenerate guard: a corpus with no adjacent symbol pair (all
+    // 1-char words) yields an empty round-1 winner, which annihilates
+    // the frequency frame via the crossJoin while the DuckDB oracle
+    // instead propagates NULL into sp — the engines would silently
+    // diverge. Fail loudly instead; the check is one limit(1) action
+    // on the cached |vocab|-sized frame. Later-round exhaustion
+    // (BpeRounds > available merges on a non-degenerate corpus) is a
+    // config error documented on BpeRounds.
+    require(!pairCounts(wf).isEmpty,
+      "bpeLearn: corpus has no adjacent symbol pairs; " +
+        "BpeRounds exceeds the available merges")
+    (1 to BpeRounds)
+      .foldLeft((wf, Seq.empty[DataFrame])) { case ((f, acc), r) =>
+        val top = pairCounts(f)
+          .orderBy(col("pair_freq").desc, col("pair").asc).limit(1)
+          .withColumn("merged",
+            regexp_replace(col("pair"), " ", ""))
+        val applied = f.crossJoin(broadcast(top))
+          .withColumn("_sp",
+            expr("replace(_sp, pair, merged)"))
+          .select(col("w"), col("_c"), col("_sp"))
+        (applied,
+          acc :+ top.select(lit(r).as("merge_round"), col("pair"),
+            col("merged"), col("pair_freq")))
+      }
+  }
 
   val oracle: Map[String, String] = {
     val norm = Text.normalizeDuck("text")
@@ -535,6 +584,19 @@ object Curation {
            |    THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_p90
            |FROM c, t""".stripMargin,
 
+      "x_shard_assign" ->
+        s"""WITH t AS (SELECT doc_id,
+           |    ${PortableHash.duckSql("CAST(doc_id AS VARCHAR)", "shard|")} AS h,
+           |    CAST(${Text.tokenCountDuck("text")} AS BIGINT) AS nt
+           |  FROM documents),
+           |c AS (SELECT doc_id, nt,
+           |    sum(nt) OVER (ORDER BY h ASC, doc_id ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM t)
+           |SELECT CAST((cum - nt) // $ShardTokenBudget AS BIGINT) AS shard_id,
+           |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+           |FROM c GROUP BY 1""".stripMargin,
+
       "x_edit_distance_verify" ->
         s"""WITH ${TrainingData.minhashCtes},
            |t AS (SELECT doc_id, $norm AS nt, len($norm) AS l FROM documents)
@@ -607,26 +669,50 @@ object Curation {
       },
 
       "x_bpe_merges" -> {
-        val rounds = (1 to BpeRounds).map { r =>
-          s"""p$r AS (SELECT pair, CAST(sum(c) AS BIGINT) AS pair_freq
-             |  FROM (SELECT c, unnest(${Text.wordShinglesDuck("sp", 2)}) AS pair
-             |        FROM f$r) GROUP BY pair),
-             |t$r AS (SELECT pair, replace(pair, ' ', '') AS merged, pair_freq
-             |  FROM p$r ORDER BY pair_freq DESC, pair ASC LIMIT 1),
-             |f${r + 1} AS MATERIALIZED (SELECT w, c,
-             |  replace(sp, (SELECT pair FROM t$r), (SELECT merged FROM t$r))
-             |    AS sp FROM f$r)""".stripMargin
-        }.mkString(",\n")
         val out = (1 to BpeRounds)
           .map(r => s"SELECT $r AS merge_round, pair, merged, pair_freq FROM t$r")
           .mkString(" UNION ALL ")
-        s"""WITH w0 AS (SELECT w, count(*) AS c FROM (
-           |    SELECT unnest(string_split($norm, ' ')) AS w FROM documents)
-           |  WHERE w <> '' GROUP BY w),
-           |f1 AS MATERIALIZED (SELECT w, c,
-           |  trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sp FROM w0),
-           |$rounds
-           |$out""".stripMargin
-      })
+        s"WITH $bpeCtes\n$out"
+      },
+
+      "x_bpe_tokenize" ->
+        s"""WITH $bpeCtes,
+           |wt AS (SELECT w, CAST(len(string_split(sp, ' ')) AS BIGINT) AS bt
+           |       FROM f${BpeRounds + 1}),
+           |cw AS (SELECT lang, w FROM (
+           |    SELECT lang, unnest(string_split($norm, ' ')) AS w
+           |    FROM documents) WHERE w <> ''),
+           |tok AS (SELECT lang, count(*) AS ws_tokens,
+           |    CAST(sum(bt) AS BIGINT) AS bpe_tokens
+           |  FROM cw JOIN wt USING (w) GROUP BY lang),
+           |nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+           |SELECT nd.lang, nd.n_docs,
+           |  coalesce(tok.ws_tokens, 0) AS ws_tokens,
+           |  coalesce(tok.bpe_tokens, 0) AS bpe_tokens
+           |FROM nd LEFT JOIN tok USING (lang)""".stripMargin)
+  }
+
+  /** Shared DuckDB CTE chain mirroring [[bpeLearn]]: w0/f1 build the
+    * spaced word-frequency frame, then per round r: p_r counts pairs,
+    * t_r picks the winner, f_{r+1} applies the merge. The final
+    * vocabulary is `f${BpeRounds + 1}`. */
+  private def bpeCtes: String = {
+    val norm = Text.normalizeDuck("text")
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (SELECT pair, CAST(sum(c) AS BIGINT) AS pair_freq
+         |  FROM (SELECT c, unnest(${Text.wordShinglesDuck("sp", 2)}) AS pair
+         |        FROM f$r) GROUP BY pair),
+         |t$r AS (SELECT pair, replace(pair, ' ', '') AS merged, pair_freq
+         |  FROM p$r ORDER BY pair_freq DESC, pair ASC LIMIT 1),
+         |f${r + 1} AS MATERIALIZED (SELECT w, c,
+         |  replace(sp, (SELECT pair FROM t$r), (SELECT merged FROM t$r))
+         |    AS sp FROM f$r)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS (SELECT w, count(*) AS c FROM (
+       |    SELECT unnest(string_split($norm, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |f1 AS MATERIALIZED (SELECT w, c,
+       |  trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sp FROM w0),
+       |$rounds""".stripMargin
   }
 }

@@ -312,4 +312,89 @@ class CurationSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(got == expected,
       s"gate $got vs canonical $expected — greedy-string caveat bit")
   }
+
+  test("x_bpe_tokenize: per-lang token accounting matches a canonical apply") {
+    // same canonical array-form trainer as the x_bpe_merges spec, here
+    // driven through to per-word symbol counts and corpus accounting
+    val ds = Tables.read(spark, TestSpark.Sf0001, "documents")
+      .select("doc_id", "lang", "text").as[(Long, String, String)].collect()
+    val words = ds.flatMap(d => tokens(d._3)).filter(_.nonEmpty)
+    val wf = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var syms: Map[String, Vector[String]] =
+      wf.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    def applyMerge(v: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]; var i = 0
+      while (i < v.length) {
+        if (i + 1 < v.length && v(i) == a && v(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += v(i); i += 1 }
+      }
+      out.result()
+    }
+    (1 to Curation.BpeRounds).foreach { _ =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      syms.foreach { case (w, v) =>
+        v.sliding(2).foreach {
+          case Vector(a, b) =>
+            counts((a, b)) = counts.getOrElse((a, b), 0L) + wf(w)
+          case _ =>
+        }
+      }
+      val ((a, b), _) = counts.toSeq.minBy { case ((x, y), c) => (-c, s"$x $y") }
+      syms = syms.map { case (w, v) => w -> applyMerge(v, a, b) }
+    }
+    val expected = ds.groupBy(_._2).map { case (lang, rows) =>
+      val ws = rows.flatMap(r => tokens(r._3)).filter(_.nonEmpty)
+      lang -> ((rows.length.toLong, ws.length.toLong,
+        ws.map(w => syms(w).length.toLong).sum))
+    }
+    val got = Curation.queries("x_bpe_tokenize")(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expected)
+    // every word is ≥1 symbol, and merging can only shrink symbol counts
+    // toward that floor — so bpe is bounded below by the word count and
+    // above by the character count
+    val chars = ds.groupBy(_._2).map { case (lang, rows) =>
+      lang -> rows.flatMap(r => tokens(r._3)).filter(_.nonEmpty)
+        .map(_.length.toLong).sum
+    }
+    got.foreach { case (lang, (_, ws, bpe)) =>
+      assert(bpe >= ws && bpe <= chars(lang))
+    }
+  }
+
+  test("x_shard_assign: budget-packed manifest over the hash order") {
+    // straight-line reference: hash-order the docs, running token sum,
+    // shard = exclusive-prefix div budget
+    val ds = Tables.read(spark, TestSpark.Sf0001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def hash32(s: String): Long = {
+      val d = MessageDigest.getInstance("MD5")
+        .digest(("shard|" + s).getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val ordered = ds
+      .map { case (id, t) => (hash32(id.toString), id, tokens(t).length.toLong) }
+      .sortBy { case (h, id, _) => (h, id) }
+    var cum = 0L
+    val assigned = ordered.map { case (_, id, nt) =>
+      val shard = cum / Curation.ShardTokenBudget; cum += nt; (shard, id, nt)
+    }
+    val expected = assigned.groupBy(_._1).map { case (sh, rows) =>
+      sh -> ((rows.length.toLong, rows.map(_._3).sum))
+    }
+    val got = Curation.queries("x_shard_assign")(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expected)
+    // shards are contiguous 0..max and every FULL shard's mass covers its
+    // budget window (a doc never splits, so a shard can only overshoot)
+    val maxShard = got.keys.max
+    assert(got.keySet == (0L to maxShard).toSet)
+    (0L until maxShard).foreach { sh =>
+      val massThrough = (0L to sh).map(s => got(s)._2).sum
+      assert(massThrough >= (sh + 1) * Curation.ShardTokenBudget)
+    }
+  }
 }
