@@ -96,39 +96,57 @@ object SimilarityOps {
     * (AnnRecallSpec pins the floor); more bits = sharper buckets. */
   def lshAnnTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int, bands: Int, bandBits: Int,
-                 dim: Int, probeHamming: Int = 2): DataFrame = {
+                 dim: Int, probeHamming: Int = 2,
+                 excludeLabelCol: Option[String] = None): DataFrame = {
     val total = bands * bandBits
     val mask = (1L << bandBits) - 1
     def bandKeys(key: Column): Column =
       array((0 until bands).map(b =>
         shiftright(key, b * bandBits).bitwiseAND(lit(mask))): _*)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
-      norm(col(vecCol)).as("_cn"),
-      posexplode(bandKeys(hyperplaneKey(col(vecCol), total, dim)))
-        .as(Seq("_band", "_bkey")))
+    // Hard-negative mining mode: with `excludeLabelCol` set, candidates
+    // sharing the query's label (its positives) are dropped BEFORE
+    // ranking, so the top-k is the k most-confusable NEGATIVES — the
+    // standard contrastive-training mining step, riding the same bucketed
+    // candidate stage (the filter narrows the join output; the corpus-side
+    // cost is unchanged).
+    val lbl = excludeLabelCol.toSeq
+    val c = corpus.select(
+      Seq(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+        norm(col(vecCol)).as("_cn"),
+        posexplode(bandKeys(hyperplaneKey(col(vecCol), total, dim)))
+          .as(Seq("_band", "_bkey"))) ++
+        lbl.map(l => col(l).as("_cl")): _*)
     // Hamming-2 probes on the QUERY side only: queries are the broadcast
     // side, so the ×(1+bits+C(bits,2)) explosion is per-query-row cheap,
     // while the corpus side's cost is untouched — recall rises for free
     // at corpus scale (the multi-probe LSH trick, Lv et al., VLDB'07).
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
-        norm(col(vecCol)).as("_qn"),
-        posexplode(bandKeys(hyperplaneKey(col(vecCol), total, dim)))
-          .as(Seq("_band", "_bkey")))
-      .select(col("query_id"), col("_qv"), col("_qn"), col("_band"),
+    val q = queries.select(
+        Seq(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+          norm(col(vecCol)).as("_qn"),
+          posexplode(bandKeys(hyperplaneKey(col(vecCol), total, dim)))
+            .as(Seq("_band", "_bkey"))) ++
+          lbl.map(l => col(l).as("_ql")): _*)
+      .select(Seq(col("query_id"), col("_qv"), col("_qn"), col("_band"),
         explode(hyperplaneProbeKeys(col("_bkey"), bandBits, probeHamming))
-          .as("_bkey"))
-    val scored = c.join(broadcast(q), Seq("_band", "_bkey"))
+          .as("_bkey")) ++ lbl.map(_ => col("_ql")): _*)
+    val joined = c.join(broadcast(q), Seq("_band", "_bkey"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn"))).as("_cos"))
+    val negFiltered =
+      if (lbl.isEmpty) joined else joined.filter(col("_ql") =!= col("_cl"))
+    val scored = negFiltered
+      .select(Seq(col("query_id"), col("neighbor_id"),
+        (dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn"))).as("_cos")) ++
+        lbl.map(_ => col("_ql")) ++ lbl.map(_ => col("_cl")): _*)
       .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(round(col("_cos"), 6).desc, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("neighbor_id"),
-        round(col("_cos"), 6).cast("decimal(10,6)").as("cos_sim"))
+      .select(Seq(col("query_id"), col("rk"), col("neighbor_id")) ++
+        lbl.map(_ => col("_ql").as("q_label")) ++
+        lbl.map(_ => col("_cl").as("n_label")) :+
+        round(col("_cos"), 6).cast("decimal(10,6)").as("cos_sim"): _*)
   }
 
   /** IVF (inverted-file) ANN — the other classic scale path next to

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{DedupOps, PortableHash, SimilarityOps, Text}
+import graft.functions.{DedupOps, PortableHash, ShingleExprs, SimilarityOps, Text}
 import graft.multimodal.Multimodal
 
 /** Training-data pipeline operators over `documents` / `embeddings`
@@ -51,6 +51,9 @@ object TrainingData {
   val PqM = 8 // PQ: subspaces (64 dims → 8 per subspace)
   val PqKsub = 16 // PQ: codewords per subspace (init = first 16 vectors)
   val PqShortlist = 50 // PQ: ADC candidates kept for exact re-rank
+  val RrfConst = 60 // RRF: the standard rank-damping constant (k in 1/(k+r))
+  val FuseArmK = 20 // RRF: depth of each retrieval arm's ranked list
+  val FuseTopK = 10 // RRF: fused results reported per query
   val WinnowK = 5 // winnowing: char k-gram width
   val WinnowW = 4 // winnowing: min-window width (guarantee gap t = W+K-1)
   val FpMaxBucket = 100 // containment: keep only discriminative fps — a fp
@@ -353,6 +356,73 @@ object TrainingData {
         .filter(col("rk") <= 3)
         .select(col("token"), col("rk"), col("doc_id"),
           round(col("_s"), 6).cast("decimal(10,6)").as("bm25"))
+    }),
+
+    // Hybrid-retrieval fusion (RRF, Cormack et al. SIGIR'09): the lexical
+    // arm (shared distinct word-bigram count, inverted-index shape) and
+    // the vector arm (cosine top-k) each rank to depth FuseArmK; a doc's
+    // fused score is Σ 1/(RrfConst + rank) over the arms it appears in —
+    // rank-only fusion, so the arms' incomparable score scales never mix.
+    // Exactness: ranks are deterministic ints, each RRF term is one
+    // double divide, the sum is two doubles — no cross-row FP
+    // accumulation. Scale shape: the query set is the broadcast side in
+    // both arms (the corpus streams once per arm); the fusion itself is a
+    // full-outer equi-join of two ≤ Q·FuseArmK-row rank lists. At 100 TB
+    // each arm swaps to its bucketed scale path (inverted index with a
+    // df-cap on boilerplate bigrams — the FpMaxBucket pattern; LSH/IVF
+    // ANN for the vector arm) with the fusion join unchanged — RRF is
+    // the one retrieval stage that needs NO tuning as the arms scale,
+    // which is why hybrid search engines standardize on it.
+    "x_rrf_fusion" -> ((s, dir) => {
+      val bg = docs(s, dir).select(col("doc_id"),
+        explode(array_distinct(
+          ShingleExprs.wordShinglesNative(col("text"), 2))).as("bg"))
+      val qbg = bg.filter(col("doc_id") < AnnQueryIds)
+        .select(col("doc_id").as("query_id"), col("bg"))
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("shared").desc, col("doc_id").asc)
+      val lex = bg.join(broadcast(qbg), Seq("bg"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("rk_lex", row_number().over(wl))
+        .filter(col("rk_lex") <= FuseArmK)
+        .select(col("query_id"), col("doc_id"), col("rk_lex"))
+      val e = emb(s, dir)
+      val vec = SimilarityOps.bruteForceTopK(e,
+          e.filter(col("vec_id") < AnnQueryIds), "vec_id", "embedding",
+          FuseArmK)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rk").as("rk_vec"))
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(round(col("_rrf"), 6).desc, col("doc_id").asc)
+      lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("_rrf",
+          coalesce(lit(1.0) / (lit(RrfConst) + col("rk_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfConst) + col("rk_vec")), lit(0.0)))
+        .withColumn("rk_fused", row_number().over(wf))
+        .filter(col("rk_fused") <= FuseTopK)
+        .select(col("query_id"), col("rk_fused"), col("doc_id"),
+          coalesce(col("rk_lex"), lit(0)).as("rk_lex"),
+          coalesce(col("rk_vec"), lit(0)).as("rk_vec"),
+          round(col("_rrf"), 6).cast("decimal(10,6)").as("rrf"))
+    }),
+
+    // Contrastive hard-negative mining: for each query, the k most
+    // COSINE-SIMILAR corpus vectors with a DIFFERENT label — the
+    // highest-loss negatives a contrastive trainer wants in the batch.
+    // Same bucketed LSH candidate stage as x_ann_lsh_topk
+    // ([[SimilarityOps.lshAnnTopK]] with `excludeLabelCol`): positives
+    // are dropped before ranking, so recall tunes with (bands, bits)
+    // exactly as the ANN gate pins, and the corpus-side cost is
+    // unchanged by the filter.
+    "x_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.lshAnnTopK(e, e.filter(col("vec_id") < AnnQueryIds),
+        "vec_id", "embedding", AnnK, AnnBands, AnnBandBits, EmbeddingDim,
+        probeHamming = AnnProbeHamming, excludeLabelCol = Some("label"))
     }),
 
     // Leakage-safe train/eval split: fold assignment hashes the near-dup
@@ -865,6 +935,45 @@ object TrainingData {
        |  WHERE $cos > $CosDupThreshold)""".stripMargin
   }
 
+  /** Oracle for the banded-LSH ANN stage, parameterized for the
+    * hard-negative variant (candidates must differ in label; both labels
+    * are carried to the output). Mirrors [[SimilarityOps.lshAnnTopK]]'s
+    * key arithmetic, probe expansion, and tie order exactly. */
+  private def lshAnnOracle(excludeLabel: Boolean): String = {
+    val key = SimilarityOps.hyperplaneKeyDuck("embedding",
+      AnnBands * AnnBandBits, EmbeddingDim)
+    val mask = (1L << AnnBandBits) - 1
+    val bandRows = (0 until AnnBands).map(b =>
+      s"SELECT vec_id, label, embedding, nrm, $b AS band, " +
+        s"(key >> ${b * AnnBandBits}) & $mask AS bkey FROM b")
+      .mkString(" UNION ALL ")
+    val probes = SimilarityOps.hyperplaneProbeKeysDuck("bkey", AnnBandBits,
+      AnnProbeHamming)
+    val dot = SimilarityOps.dotDuck("q.embedding", "c.embedding", EmbeddingDim)
+    val n = s"sqrt(${SimilarityOps.dotDuck("embedding", "embedding", EmbeddingDim)})"
+    val negCond =
+      if (excludeLabel) " AND q.label <> c.label" else ""
+    val candLbl =
+      if (excludeLabel) " q.label AS q_label, c.label AS n_label," else ""
+    val outLbl = if (excludeLabel) " q_label, n_label," else ""
+    s"""WITH b AS (SELECT vec_id, label, embedding, $n AS nrm, $key AS key
+       |           FROM embeddings),
+       |cb AS ($bandRows),
+       |p AS (SELECT vec_id, label, embedding, nrm, band, unnest($probes) AS bkey
+       |      FROM cb WHERE vec_id < $AnnQueryIds),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |   $candLbl round($dot / (q.nrm * c.nrm), 6) AS cos6
+       |  FROM p q JOIN cb c ON c.band = q.band AND c.bkey = q.bkey
+       |                    AND q.vec_id <> c.vec_id$negCond)
+       |SELECT query_id, rk, neighbor_id,$outLbl cos_sim FROM (
+       |  SELECT query_id, neighbor_id,$outLbl
+       |    CAST(CAST(cos6 AS DECIMAL(10,6)) AS DOUBLE) AS cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos6 DESC, neighbor_id ASC) AS rk
+       |  FROM cand)
+       |WHERE rk <= $AnnK""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "x_dedup_exact" ->
       s"""SELECT md5($normDoc) AS fingerprint, min(doc_id) AS keep_id,
@@ -981,35 +1090,9 @@ object TrainingData {
          |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
          |  WHERE q.vec_id < $AnnQueryIds) WHERE rk <= $AnnK""".stripMargin,
 
-    "x_ann_lsh_topk" -> {
-      val key = SimilarityOps.hyperplaneKeyDuck("embedding",
-        AnnBands * AnnBandBits, EmbeddingDim)
-      val mask = (1L << AnnBandBits) - 1
-      val bandRows = (0 until AnnBands).map(b =>
-        s"SELECT vec_id, embedding, nrm, $b AS band, " +
-          s"(key >> ${b * AnnBandBits}) & $mask AS bkey FROM b")
-        .mkString(" UNION ALL ")
-      val probes = SimilarityOps.hyperplaneProbeKeysDuck("bkey", AnnBandBits,
-        AnnProbeHamming)
-      val dot = SimilarityOps.dotDuck("q.embedding", "c.embedding", EmbeddingDim)
-      val n = s"sqrt(${SimilarityOps.dotDuck("embedding", "embedding", EmbeddingDim)})"
-      s"""WITH b AS (SELECT vec_id, embedding, $n AS nrm, $key AS key
-         |           FROM embeddings),
-         |cb AS ($bandRows),
-         |p AS (SELECT vec_id, embedding, nrm, band, unnest($probes) AS bkey
-         |      FROM cb WHERE vec_id < $AnnQueryIds),
-         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    round($dot / (q.nrm * c.nrm), 6) AS cos6
-         |  FROM p q JOIN cb c ON c.band = q.band AND c.bkey = q.bkey
-         |                    AND q.vec_id <> c.vec_id)
-         |SELECT query_id, rk, neighbor_id, cos_sim FROM (
-         |  SELECT query_id, neighbor_id,
-         |    CAST(CAST(cos6 AS DECIMAL(10,6)) AS DOUBLE) AS cos_sim,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos6 DESC, neighbor_id ASC) AS rk
-         |  FROM cand)
-         |WHERE rk <= $AnnK""".stripMargin
-    },
+    "x_ann_lsh_topk" -> lshAnnOracle(excludeLabel = false),
+
+    "x_hard_negatives" -> lshAnnOracle(excludeLabel = true),
 
     "x_ann_pq_topk" ->
       SimilarityOps.pqAnnTopKDuck(AnnK, PqM, PqKsub, EmbeddingDim,
@@ -1041,6 +1124,44 @@ object TrainingData {
          |    row_number() OVER (PARTITION BY token
          |      ORDER BY round(s, 6) DESC, doc_id ASC) AS rk
          |  FROM sc) WHERE rk <= 3""".stripMargin,
+
+    "x_rrf_fusion" -> {
+      val cos = cosineDuck("q.embedding", "c.embedding")
+      s"""WITH bg AS (SELECT doc_id,
+         |    unnest(list_distinct(${Text.wordShinglesDuck("text", 2)})) AS bg
+         |  FROM documents),
+         |qb AS (SELECT doc_id AS query_id, bg FROM bg
+         |       WHERE doc_id < $AnnQueryIds),
+         |ov AS (SELECT qb.query_id, c.doc_id, count(*) AS shared
+         |  FROM qb JOIN bg c ON c.bg = qb.bg AND c.doc_id <> qb.query_id
+         |  GROUP BY qb.query_id, c.doc_id),
+         |lex AS (SELECT query_id, doc_id, rk_lex FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY shared DESC, doc_id ASC) AS rk_lex FROM ov)
+         |  WHERE rk_lex <= $FuseArmK),
+         |vec AS (SELECT query_id, doc_id, rk_vec FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round($cos, 6) DESC, c.vec_id ASC) AS rk_vec
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < $AnnQueryIds)
+         |  WHERE rk_vec <= $FuseArmK),
+         |f AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |    coalesce(CAST(1.0 AS DOUBLE) / ($RrfConst + l.rk_lex), 0) +
+         |      coalesce(CAST(1.0 AS DOUBLE) / ($RrfConst + v.rk_vec), 0)
+         |      AS rrf0,
+         |    coalesce(l.rk_lex, 0) AS rk_lex, coalesce(v.rk_vec, 0) AS rk_vec
+         |  FROM lex l FULL JOIN vec v
+         |    ON v.query_id = l.query_id AND v.doc_id = l.doc_id)
+         |SELECT query_id, rk_fused, doc_id, rk_lex, rk_vec, rrf FROM (
+         |  SELECT query_id, doc_id, rk_lex, rk_vec,
+         |    CAST(CAST(round(rrf0, 6) AS DECIMAL(10,6)) AS DOUBLE) AS rrf,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY round(rrf0, 6) DESC, doc_id ASC) AS rk_fused
+         |  FROM f)
+         |WHERE rk_fused <= $FuseTopK""".stripMargin
+    },
 
     "x_leakage_safe_split" ->
       s"""WITH RECURSIVE $minhashCtes,

@@ -149,4 +149,91 @@ class TrainingQueriesSpec extends AnyFunSuite with graft.GateCacheHygiene {
       assert(cen == sum.toDouble / n)
     }
   }
+
+  test("x_rrf_fusion ≡ full JVM reference (arms, fusion arithmetic, tie order)") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def round6(x: Double): Double =
+      new JBD(x).setScale(6, RoundingMode.HALF_UP).doubleValue
+    val Q = TrainingData.AnnQueryIds
+    val K = TrainingData.FuseArmK
+    def normalize(t: String): String =
+      t.toLowerCase.replaceAll("[ \\t\\n\\r\\f\\x0B]+", " ").trim
+    val docRows = Tables.read(spark, TestSpark.Sf0001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val bgs = docRows.map { case (id, t) =>
+      val tk = normalize(t).split(" ", -1).filter(_.nonEmpty)
+      id -> (if (tk.length < 2) Set.empty[String]
+             else tk.sliding(2).map(_.mkString(" ")).toSet)
+    }.toMap
+    val embs = Tables.read(spark, TestSpark.Sf0001, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = docRows.map(_._1).sorted
+    val expected = ids.filter(_ < Q).flatMap { q =>
+      val lex = ids.filter(_ != q)
+        .map(d => (d, (bgs(q) & bgs(d)).size)).filter(_._2 > 0)
+        .sortBy { case (d, s) => (-s, d) }.take(K)
+        .zipWithIndex.map { case ((d, _), i) => d -> (i + 1) }.toMap
+      val vec = ids.filter(_ != q)
+        .map(d => (d, round6(cos(embs(q), embs(d)))))
+        .sortBy { case (d, s) => (-s, d) }.take(K)
+        .zipWithIndex.map { case ((d, _), i) => d -> (i + 1) }.toMap
+      (lex.keySet ++ vec.keySet).toSeq
+        .map { d =>
+          val rl = lex.getOrElse(d, 0); val rv = vec.getOrElse(d, 0)
+          val s = (if (rl > 0) 1.0 / (TrainingData.RrfConst + rl) else 0.0) +
+            (if (rv > 0) 1.0 / (TrainingData.RrfConst + rv) else 0.0)
+          (d, rl, rv, round6(s))
+        }
+        .sortBy { case (d, _, _, s) => (-s, d) }.take(TrainingData.FuseTopK)
+        .zipWithIndex
+        .map { case ((d, rl, rv, s), i) => (q, i + 1, d, rl, rv, s) }
+    }.toSet
+    val got = TrainingData.queries("x_rrf_fusion")(spark, TestSpark.Sf0001)
+      .as[(Long, Int, Long, Int, Int, java.math.BigDecimal)].collect()
+      .map(r => (r._1, r._2, r._3, r._4, r._5, r._6.doubleValue)).toSet
+    assert(got == expected)
+  }
+
+  test("x_hard_negatives: cross-label only; ≡ label-filtered re-rank of the unfiltered LSH candidates") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.read(spark, TestSpark.Sf0001, "embeddings")
+    val labels = emb.select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap
+    val got = TrainingData.queries("x_hard_negatives")(spark, TestSpark.Sf0001)
+      .as[(Long, Int, Long, Int, Int, java.math.BigDecimal)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (q, _, n, ql, nl, _) =>
+      assert(ql == labels(q) && nl == labels(n) && ql != nl,
+        s"positive leaked into the negatives: $q -> $n")
+    }
+    // reference: the UNFILTERED candidate stage at unbounded k, label
+    // pairs removed, re-ranked in plain Scala — the mining gate must be
+    // exactly that (the filter changes membership, never scores or order)
+    val all = graft.functions.SimilarityOps.lshAnnTopK(emb,
+        emb.filter(col("vec_id") < TrainingData.AnnQueryIds),
+        "vec_id", "embedding", Int.MaxValue, TrainingData.AnnBands,
+        TrainingData.AnnBandBits, TrainingData.EmbeddingDim,
+        probeHamming = TrainingData.AnnProbeHamming)
+      .as[(Long, Int, Long, java.math.BigDecimal)].collect()
+    val expected = all
+      .filter { case (q, _, n, _) => labels(q) != labels(n) }
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.map { case (_, _, n, c) => (n, c.doubleValue) }
+          .sortBy { case (n, c) => (-c, n) }.take(TrainingData.AnnK)
+          .zipWithIndex
+          .map { case ((n, c), i) =>
+            (q, i + 1, n, labels(q), labels(n), c) }
+      }.toSet
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5, r._6.doubleValue))
+      .toSet == expected)
+  }
 }
