@@ -32,6 +32,9 @@ object Curation {
   val DsirTopK = 50 // DSIR: report the top-k docs by importance weight
   val BpeRounds = 3 // BPE merge-learning: unrolled rounds (kmeans pattern)
   val ShardTokenBudget = 2500L // shard assignment: target tokens per shard
+  val EquiDepthBins = 4 // equi-depth binning: number of bins (quartiles)
+  val LiftMinCount = 5L // collocation mining: min bigram occurrences
+  val LiftTopK = 20 // collocation mining: reported top-k by lift
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
@@ -260,6 +263,70 @@ object Curation {
         .groupBy(col("shard_id"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("_nt")).cast("long").as("n_tokens"))
+    }),
+
+    // Equi-depth binning — ntile() WITHOUT ntile's unpartitioned global
+    // window (which funnels the whole frame through one reducer): the
+    // global rank comes from the [[graft.operators.PrefixSum]] two-pass
+    // cumsum of 1s over the unique (n_chars, doc_id) order, and the bin
+    // is pure integer arithmetic on it — ((rank-1)·k) div N, ntile's
+    // exact semantics when N div k is uneven (first N mod k bins get the
+    // extra row). Equi-depth bins are the curriculum/length-bucketing
+    // primitive (batch packing groups like-length docs to cut padding
+    // waste); per-bin min/max pin the boundaries monotone.
+    "x_equidepth_bins" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"), col("n_chars"))
+      val n = t.agg(count(lit(1)).as("_n"))
+      graft.operators.PrefixSum.inclusive(t,
+          Seq(col("n_chars").asc, col("doc_id").asc), lit(1L),
+          s.sparkContext.defaultParallelism, "_rk")
+        .crossJoin(broadcast(n)) // scalar aggregate (1 row)
+        .withColumn("bin", expr(s"((_rk - 1) * $EquiDepthBins) div _n"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).cast("long").as("min_chars"),
+          max(col("n_chars")).cast("long").as("max_chars"))
+    }),
+
+    // Collocation mining by lift — the phrase-induction signal (the
+    // statistical cousin of x_bpe_merges' frequency argmax): lift(a,b) =
+    // P(ab) / (P(a)·P(b)) as the exact integer ratio c_ab·N_tok²
+    // / (N_bg·c_a·c_b), computed in one fixed double expression (no log,
+    // no cross-row FP accumulation — the engines agree bit-for-bit, the
+    // x_ngram_lm_score lesson without its nano-unit machinery). A min
+    // count floor keeps rare-pair noise out (classic collocation
+    // practice). Scale shape: one corpus scan into unigram + bigram count
+    // frames (both vocabulary-sized, Heaps-law sublinear); the bigram
+    // frame joins the unigram counts twice on the word key (AQE
+    // broadcast); totals ride scalar crossJoins; top-k is TakeOrdered.
+    "x_cooccur_lift" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(explode(split(Text.normalize(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val uni = graft.GateCache.cache(
+        toks.groupBy(col("w")).agg(count(lit(1)).as("_c")))
+      val bgAll = graft.GateCache.cache(
+        docs(s, dir)
+          .select(explode(
+            ShingleExprs.wordShinglesNative(col("text"), 2)).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab")))
+      // N_bg is the UNFILTERED bigram total (P(ab)'s denominator); the
+      // min-count floor only gates which pairs are reported
+      val bg = bgAll.filter(col("c_ab") >= LiftMinCount)
+      val ntok = uni.agg(sum(col("_c")).cast("long").as("_ntok"))
+      val nbg = bgAll.agg(sum(col("c_ab")).cast("long").as("_nbg"))
+      bg.withColumn("_w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("_w2", split(col("bigram"), " ").getItem(1))
+        .join(uni.select(col("w").as("_w1"), col("_c").as("_ca")), "_w1")
+        .join(uni.select(col("w").as("_w2"), col("_c").as("_cb")), "_w2")
+        .crossJoin(broadcast(ntok)).crossJoin(broadcast(nbg))
+        .withColumn("lift",
+          col("c_ab").cast("double") * col("_ntok") * col("_ntok") /
+            (col("_nbg").cast("double") * col("_ca") * col("_cb")))
+        .orderBy(round(col("lift"), 6).desc, col("bigram").asc)
+        .limit(LiftTopK)
+        .select(col("bigram"), col("c_ab"),
+          round(col("lift"), 6).cast("decimal(14,6)").as("lift"))
     }),
 
     // Edit-distance verification of LSH candidates — the exact-similarity
@@ -596,6 +663,39 @@ object Curation {
            |SELECT CAST((cum - nt) // $ShardTokenBudget AS BIGINT) AS shard_id,
            |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
            |FROM c GROUP BY 1""".stripMargin,
+
+      "x_equidepth_bins" ->
+        s"""WITH r AS (SELECT n_chars,
+           |    row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS rk,
+           |    count(*) OVER () AS n
+           |  FROM documents)
+           |SELECT CAST(((rk - 1) * $EquiDepthBins) // n AS BIGINT) AS bin,
+           |  count(*) AS n_docs,
+           |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+           |  CAST(max(n_chars) AS BIGINT) AS max_chars
+           |FROM r GROUP BY 1""".stripMargin,
+
+      "x_cooccur_lift" ->
+        s"""WITH toks AS (SELECT w FROM (
+           |    SELECT unnest(string_split($norm, ' ')) AS w FROM documents)
+           |  WHERE w <> ''),
+           |uni AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+           |bgall AS (SELECT bigram, count(*) AS c_ab FROM (
+           |    SELECT unnest(${Text.wordShinglesDuck("text", 2)}) AS bigram
+           |    FROM documents) GROUP BY bigram),
+           |ntok AS (SELECT CAST(sum(c) AS BIGINT) AS ntok FROM uni),
+           |nbg AS (SELECT CAST(sum(c_ab) AS BIGINT) AS nbg FROM bgall),
+           |sc AS (SELECT bigram, c_ab,
+           |    CAST(c_ab AS DOUBLE) * ntok * ntok /
+           |      (CAST(nbg AS DOUBLE) * a.c * b.c) AS lift
+           |  FROM bgall, ntok, nbg
+           |  JOIN uni a ON a.w = string_split(bigram, ' ')[1]
+           |  JOIN uni b ON b.w = string_split(bigram, ' ')[2]
+           |  WHERE c_ab >= $LiftMinCount)
+           |SELECT bigram, c_ab,
+           |  CAST(CAST(round(lift, 6) AS DECIMAL(14,6)) AS DOUBLE) AS lift
+           |FROM sc
+           |ORDER BY round(lift, 6) DESC, bigram ASC LIMIT $LiftTopK""".stripMargin,
 
       "x_edit_distance_verify" ->
         s"""WITH ${TrainingData.minhashCtes},

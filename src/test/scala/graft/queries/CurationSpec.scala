@@ -397,4 +397,49 @@ class CurationSpec extends AnyFunSuite with graft.GateCacheHygiene {
       assert(massThrough >= (sh + 1) * Curation.ShardTokenBudget)
     }
   }
+
+  test("x_equidepth_bins: ntile semantics, balanced sizes, monotone boundaries") {
+    val k = Curation.EquiDepthBins
+    val ds = Tables.read(spark, TestSpark.Sf0001, "documents")
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+    val ranked = ds.sortBy { case (id, nc) => (nc, id) }.zipWithIndex
+    val expected = ranked
+      .map { case ((_, nc), i) => (i.toLong * k / ds.length, nc) }
+      .groupBy(_._1).map { case (b, rows) =>
+        b -> ((rows.length.toLong, rows.map(_._2).min, rows.map(_._2).max))
+      }
+    val got = Curation.queries("x_equidepth_bins")(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expected)
+    // balanced within one row; boundaries monotone across bins
+    val sizes = got.values.map(_._1)
+    assert(sizes.max - sizes.min <= 1)
+    (0L until (k - 1).toLong).foreach { b =>
+      assert(got(b)._3 <= got(b + 1)._2)
+    }
+  }
+
+  test("x_cooccur_lift ≡ straight-line lift reference with exact tie order") {
+    val texts = Tables.read(spark, TestSpark.Sf0001, "documents")
+      .select("text").as[String].collect()
+    val toks = texts.flatMap(t => tokens(t)).filter(_.nonEmpty)
+    val uni = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bgAll = texts.flatMap(bigrams)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ntok = toks.length.toLong
+    val nbg = bgAll.values.sum
+    val expected = bgAll.toSeq
+      .filter(_._2 >= Curation.LiftMinCount)
+      .map { case (bgm, cab) =>
+        val Array(a, b) = bgm.split(" ")
+        val lift = cab.toDouble * ntok * ntok / (nbg.toDouble * uni(a) * uni(b))
+        (bgm, cab, round6(lift))
+      }
+      .sortBy { case (bgm, _, l) => (-l, bgm) }.take(Curation.LiftTopK)
+    val got = Curation.queries("x_cooccur_lift")(spark, TestSpark.Sf0001)
+      .as[(String, Long, java.math.BigDecimal)].collect()
+      .map(r => (r._1, r._2, r._3.doubleValue)).toSeq
+    assert(got == expected)
+  }
 }
