@@ -1,11 +1,13 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Distributed exact prefix sum over a global total order — the building
-  * block behind cumulative-coverage and shard-assignment operators.
+  * block behind cumulative-coverage, shard-assignment, and equi-depth
+  * binning operators.
   *
   * A naive `Window.orderBy` with no partitioning funnels the whole frame
   * through ONE reducer task; at a billion-row frame that single task is
@@ -16,36 +18,51 @@ import org.apache.spark.sql.functions._
   * (broadcast back). The order key must be globally UNIQUE — uniqueness is
   * what makes the result independent of the sampled range bounds.
   *
+  * The within-partition pass is a single `mapPartitions` scan over the
+  * range-sorted rows, NOT a `Window.partitionBy(spark_partition_id())`:
+  * Catalyst cannot see that the range exchange already clusters rows by
+  * their partition id, so the window form forces a SECOND full exchange
+  * (hash by pid) of the corpus — the round-7 plan audit caught exactly
+  * that. A sequential prefix scan inside an already-sorted partition is
+  * the textbook case of genuine per-partition imperative logic; the plan
+  * is now one range exchange + one tiny (≤nRanges-row) offsets aggregate.
+  *
   * Extracted from the round-5 `x_vocab_coverage` rewrite; also drives
-  * `x_shard_assign`.
+  * `x_shard_assign` and `x_equidepth_bins`.
   */
 object PrefixSum {
 
   /** `df` plus an INCLUSIVE running sum of `value` over the global order
-    * `order`, as column `cumName`. Internally materializes the ranged
-    * frame once (via [[graft.GateCache]]): `_ps_pid` comes from sampled
-    * range bounds, and both the offsets branch and the output must see
-    * the SAME assignment — bounds re-sampled per branch could differ. */
+    * `order`, as column `cumName` (long). Internally materializes the
+    * scanned frame once (via [[graft.GateCache]]): both the offsets
+    * branch and the output must see the SAME sampled range bounds. */
   def inclusive(df: DataFrame, order: Seq[Column], value: Column,
                 nRanges: Int, cumName: String): DataFrame = {
-    val ranged = df.repartitionByRange(math.max(1, nRanges), order: _*)
-    val wIn = Window.partitionBy(col("_ps_pid"))
-      .orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withV = df.withColumn("_ps_v", value.cast("long"))
+    val ranged = withV.repartitionByRange(math.max(1, nRanges), order: _*)
+      .sortWithinPartitions(order: _*)
+    val vIdx = ranged.schema.fieldIndex("_ps_v")
+    val outSchema = StructType(ranged.schema.fields ++
+      Seq(StructField("_ps_pid", IntegerType, nullable = false),
+        StructField("_ps_lcum", LongType, nullable = false)))
     val local = graft.GateCache.cache(
-      ranged.withColumn("_ps_pid", spark_partition_id())
-        .withColumn("_ps_lcum", sum(value).over(wIn)))
+      ranged.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var c = 0L
+        it.map { r => c += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ pid :+ c) }
+      }(Encoders.row(outSchema)))
     // The offsets window is a plain Window.orderBy — over ≤nRanges rows
     // (one per partition), which is exactly the frame size where a
-    // single-reducer window is the right plan.
-    val wOff = Window.orderBy(col("_ps_pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // single-reducer window is the right plan. Range buckets are
+    // assigned to ascending partition ids, so pid order IS range order.
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy(col("_ps_pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col("_ps_pid"))
-      .agg(sum(value).as("_ps_psum"))
+      .agg(sum(col("_ps_v")).as("_ps_psum"))
       .withColumn("_ps_off", coalesce(sum(col("_ps_psum")).over(wOff), lit(0L)))
     local.join(broadcast(offsets.select(col("_ps_pid"), col("_ps_off"))),
         "_ps_pid")
       .withColumn(cumName, col("_ps_lcum") + col("_ps_off"))
-      .drop("_ps_pid", "_ps_lcum", "_ps_off")
+      .drop("_ps_pid", "_ps_lcum", "_ps_v")
   }
 }
