@@ -847,7 +847,8 @@ object PipelineOps {
     * `CboStatsSpec` pins the cataloged stats and the hint-free broadcast.
     * Confs are scoped around an eager execution like
     * [[footerAggPushdown]] (optimizer confs bind at action time). */
-  def cboStatsJoin(s: SparkSession, dir: String): DataFrame = {
+  def cboStatsJoin(s: SparkSession, dir: String,
+                   keepTables: Boolean = false): DataFrame = {
     def saveManaged(name: String, df: DataFrame): Unit = {
       if (!s.catalog.tableExists(name)) {
         val wh = new org.apache.hadoop.fs.Path(
@@ -885,9 +886,11 @@ object PipelineOps {
       // The managed tables exist only to feed ANALYZE/CBO inside this
       // gate — drop them (DROP on a managed table also deletes its
       // warehouse files) so a read-only-looking query leaves no
-      // catalog/disk state behind.
-      Seq("graft_cbo_customer", "graft_cbo_orders")
-        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      // catalog/disk state behind. `keepTables` lets CboStatsSpec
+      // inspect the cataloged stats post-run; it drops them itself.
+      if (!keepTables)
+        Seq("graft_cbo_customer", "graft_cbo_orders")
+          .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 

@@ -14,10 +14,14 @@ class CboStatsSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
 
   test("x_cbo_stats_join: cataloged stats on the plan; hint-free broadcast") {
-    // running the gate populates + analyzes the managed tables
-    val got = PipelineOps.cboStatsJoin(spark, TestSpark.Sf0001)
+    // keepTables: the GATE drops its managed tables on exit (catalog
+    // hygiene); this spec needs them alive to inspect the cataloged
+    // stats, and drops them itself at the end
+    val got = PipelineOps.cboStatsJoin(spark, TestSpark.Sf0001,
+        keepTables = true)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
+    try {
 
     val meta = spark.sessionState.catalog
       .getTableMetadata(TableIdentifier("graft_cbo_customer"))
@@ -74,5 +78,11 @@ class CboStatsSpec extends AnyFunSuite with graft.GateCacheHygiene {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     assert(got.toSeq == expect.toSeq)
+    } finally Seq("graft_cbo_customer", "graft_cbo_orders")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // the gate's default path leaves no catalog state behind
+    PipelineOps.cboStatsJoin(spark, TestSpark.Sf0001).collect()
+    assert(!spark.catalog.tableExists("graft_cbo_customer"))
+    assert(!spark.catalog.tableExists("graft_cbo_orders"))
   }
 }
