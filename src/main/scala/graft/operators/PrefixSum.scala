@@ -65,4 +65,47 @@ object PrefixSum {
       .withColumn(cumName, col("_ps_lcum") + col("_ps_off"))
       .drop("_ps_pid", "_ps_lcum", "_ps_v")
   }
+
+  /** `df` plus an EXCLUSIVE running minimum of `value` (double) over the
+    * global order — NULL for the global first row. Same two-pass shape as
+    * [[inclusive]] with min as the combine: local exclusive running min
+    * per range partition, merged with the exclusive prefix-min of the
+    * per-partition minima (broadcast, ≤nRanges rows). The sort-order
+    * prefix-min is the scalable 2-D skyline primitive: sorted by (x asc,
+    * y asc), a point is Pareto-optimal iff every earlier point has a
+    * strictly larger y — i.e. iff the exclusive prefix-min of y exceeds
+    * its own. */
+  def exclusiveMin(df: DataFrame, order: Seq[Column], value: Column,
+                   nRanges: Int, outName: String): DataFrame = {
+    val withV = df.withColumn("_ps_v", value.cast("double"))
+    val ranged = withV.repartitionByRange(math.max(1, nRanges), order: _*)
+      .sortWithinPartitions(order: _*)
+    val vIdx = ranged.schema.fieldIndex("_ps_v")
+    val outSchema = StructType(ranged.schema.fields ++
+      Seq(StructField("_ps_pid", IntegerType, nullable = false),
+        StructField("_ps_lmin", org.apache.spark.sql.types.DoubleType,
+          nullable = true)))
+    val local = graft.GateCache.cache(
+      ranged.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var m = Double.NaN // NaN = "no prior row" sentinel, emitted as null
+        it.map { r =>
+          val excl: Any = if (m.isNaN) null else m
+          val v = r.getDouble(vIdx)
+          m = if (m.isNaN || v < m) v else m
+          Row.fromSeq(r.toSeq :+ pid :+ excl)
+        }
+      }(Encoders.row(outSchema)))
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy(col("_ps_pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("_ps_pid"))
+      .agg(min(col("_ps_v")).as("_ps_pmin"))
+      .withColumn("_ps_off", min(col("_ps_pmin")).over(wOff))
+    // least() ignores NULLs in both engines — NULL stands for "no prior
+    // row", the identity of min
+    local.join(broadcast(offsets.select(col("_ps_pid"), col("_ps_off"))),
+        "_ps_pid")
+      .withColumn(outName, least(col("_ps_lmin"), col("_ps_off")))
+      .drop("_ps_pid", "_ps_lmin", "_ps_off", "_ps_v")
+  }
 }

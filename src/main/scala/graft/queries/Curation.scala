@@ -171,6 +171,36 @@ object Curation {
           sum(col("_lp")).cast("long").as("lm_score_nano"))
     }),
 
+    // Token-distribution entropy per document — the diversity quality
+    // signal next to x_repetition_stats' duplicate fraction: gibberish
+    // and template docs sit at the entropy extremes. H = −Σ (c/n)·ln(c/n)
+    // over the in-doc token distribution, kept cross-engine exact as
+    // nano-unit integers per (doc, token) term before the integer sum —
+    // ln is a single-value libm call on an identical double in both
+    // engines (the x_ngram_lm_score pattern; no cross-row FP
+    // accumulation). Scale shape: one corpus scan into per-(doc, token)
+    // counts (partial-agg'd shuffle on the composite key), per-doc
+    // totals ride the same frame, final reduce shuffles on doc_id.
+    "x_token_entropy" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"),
+          explode(split(Text.normalize(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("_c"))
+      val lens = tf.groupBy(col("doc_id"))
+        .agg(sum(col("_c")).cast("long").as("_n"),
+          count(lit(1)).as("n_distinct"))
+      tf.join(lens, "doc_id")
+        .withColumn("_term", round(
+          (col("_c").cast("double") / col("_n")) *
+            log(col("_c").cast("double") / col("_n")) * 1000000000d, 0)
+          .cast("bigint"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("_n")).as("n_tokens"),
+          min(col("n_distinct")).as("n_distinct"),
+          (-sum(col("_term"))).cast("long").as("entropy_nano"))
+    }),
+
     // Mixture reweighting toward explicit per-source TARGET weights
     // (static DoReMi-style): odd-numbered sources are deemed high-quality
     // (weight 3) vs 1 for the rest; keep rate_s = (w_s/n_s) /
@@ -663,6 +693,21 @@ object Curation {
            |SELECT CAST((cum - nt) // $ShardTokenBudget AS BIGINT) AS shard_id,
            |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
            |FROM c GROUP BY 1""".stripMargin,
+
+      "x_token_entropy" ->
+        s"""WITH tf AS (SELECT doc_id, w, count(*) AS c FROM (
+           |    SELECT doc_id, unnest(string_split($norm, ' ')) AS w
+           |    FROM documents) WHERE w <> '' GROUP BY doc_id, w),
+           |lens AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+           |    count(*) AS n_distinct
+           |  FROM tf GROUP BY doc_id)
+           |SELECT tf.doc_id, min(n) AS n_tokens,
+           |  min(n_distinct) AS n_distinct,
+           |  CAST(-sum(CAST(round((CAST(c AS DOUBLE) / n) *
+           |    ln(CAST(c AS DOUBLE) / n) * 1000000000, 0) AS BIGINT))
+           |    AS BIGINT) AS entropy_nano
+           |FROM tf JOIN lens ON lens.doc_id = tf.doc_id
+           |GROUP BY tf.doc_id""".stripMargin,
 
       "x_equidepth_bins" ->
         s"""WITH r AS (SELECT n_chars,

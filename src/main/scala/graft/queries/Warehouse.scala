@@ -548,6 +548,28 @@ object Warehouse {
     // identically to the oracle's. Single partial-agg shuffle on a
     // 3-value key. Decimal(38,4) bounds: Σy² at SF1000 ≈ 1e10·6e9 rows ≈
     // 1e20·scale4 — still inside 38 digits.
+    // Pareto frontier (skyline) over (quantity, price), both minimized —
+    // the multi-objective "best tradeoffs" operator Spark has no built-in
+    // for. The scalable formulation: on DISTINCT (qty, price) points
+    // sorted by (qty asc, price asc), a point is Pareto-optimal iff the
+    // EXCLUSIVE prefix-min of price is absent or strictly larger — one
+    // [[graft.operators.PrefixSum.exclusiveMin]] two-pass prefix scan
+    // (no O(n²) dominance join, no unpartitioned window). Equal points
+    // collapse in the distinct stage (n_items keeps the multiplicity);
+    // a same-qty lower price dominates via the in-order prefix.
+    "x_pareto_front" -> ((s, dir) => {
+      val pts = t(s, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("qty"),
+          col("l_extendedprice").cast("double").as("price"))
+        .groupBy(col("qty"), col("price"))
+        .agg(count(lit(1)).as("n_items"))
+      graft.operators.PrefixSum.exclusiveMin(pts,
+          Seq(col("qty").asc, col("price").asc), col("price"),
+          s.sparkContext.defaultParallelism, "_pm")
+        .filter(col("_pm").isNull || col("_pm") > col("price"))
+        .select(col("qty"), col("price"), col("n_items"))
+    }),
+
     "x_corr_qty_price" -> ((s, dir) => {
       val x = col("l_quantity").cast("decimal(9,2)")
       val y = col("l_extendedprice").cast("decimal(18,2)")
@@ -883,6 +905,21 @@ object Warehouse {
         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_qty_price
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    // Same exclusive-prefix-min formulation as the Spark side, expressed
+    // as one window: a distinct (qty, price) point is on the frontier iff
+    // the running min of price over all strictly-earlier points in
+    // (qty asc, price asc) order is absent or strictly larger.
+    "x_pareto_front" ->
+      """WITH pts AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(l_extendedprice AS DOUBLE) AS price, count(*) AS n_items
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT qty, price, n_items,
+        |    min(price) OVER (ORDER BY qty ASC, price ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM pts)
+        |SELECT qty, price, n_items FROM m
+        |WHERE pm IS NULL OR pm > price""".stripMargin
   )
 }

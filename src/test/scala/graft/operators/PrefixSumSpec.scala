@@ -24,4 +24,43 @@ class PrefixSumSpec extends AnyFunSuite with graft.GateCacheHygiene {
       graft.GateCache.releaseAll()
     }
   }
+
+  test("exactly one O(frame) exchange: range partition, no pid re-shuffle") {
+    // the round-7 audit fix: the local cumsum must NOT be a
+    // Window.partitionBy(spark_partition_id()) — that form forces a
+    // second full hash exchange of the frame right after the range
+    // exchange. Pin: one rangepartitioning exchange feeds MapPartitions,
+    // and the only hash exchange in the whole plan is the ≤nRanges-row
+    // offsets aggregate (post-cache, partial-agg'd).
+    val df = (0 until 100).map(i => (i, 1L)).toDF("k", "v")
+    val out = PrefixSum.inclusive(df, Seq(col("k").asc), col("v"), 8, "cum")
+    val plan = out.queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toSeq
+    val mpIdx = lines.indexWhere(_.contains("MapPartitions"))
+    assert(mpIdx >= 0, s"local cumsum is not a mapPartitions scan:\n$plan")
+    // walking DOWN from MapPartitions toward its input: the first
+    // exchange must be the range partitioning — any hash exchange in
+    // between would be the pid re-shuffle creeping back
+    val nextEx = lines.drop(mpIdx).find(_.contains("Exchange"))
+    assert(nextEx.exists(_.contains("rangepartitioning")),
+      s"first exchange under MapPartitions is not the range exchange " +
+        s"($nextEx):\n$plan")
+    graft.GateCache.releaseAll()
+  }
+
+  test("exclusive prefix min matches scanLeft; global first row is null") {
+    val rows = (0 until 257).map(i => ((i * 131) % 257, ((i * 37) % 50) + 0.5))
+    val sorted = rows.sortBy(_._1)
+    val expected = sorted.map(_._1).zip(
+      sorted.map(_._2).scanLeft(Option.empty[Double]) {
+        case (m, v) => Some(m.fold(v)(math.min(_, v)))
+      }.init).toMap
+    for (n <- Seq(1, 3, 32, 1000)) {
+      val df = rows.toDF("k", "v").repartition(5)
+      val got = PrefixSum.exclusiveMin(df, Seq(col("k").asc), col("v"), n, "pm")
+        .select(col("k"), col("pm")).as[(Int, Option[Double])].collect().toMap
+      assert(got == expected, s"nRanges=$n")
+      graft.GateCache.releaseAll()
+    }
+  }
 }

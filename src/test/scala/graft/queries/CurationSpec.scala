@@ -420,6 +420,34 @@ class CurationSpec extends AnyFunSuite with graft.GateCacheHygiene {
     }
   }
 
+  test("x_token_entropy ≡ straight-line nano-unit entropy; uniform-doc law") {
+    val ds = Tables.read(spark, TestSpark.Sf0001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val expected = ds.flatMap { case (id, t) =>
+      val tk = tokens(t).filter(_.nonEmpty)
+      if (tk.isEmpty) None
+      else {
+        val cs = tk.groupBy(identity).view.mapValues(_.length.toLong)
+        val n = tk.length.toLong
+        val nano = cs.values.map { c =>
+          val p = c.toDouble / n
+          new JBigDecimal(p * math.log(p) * 1e9)
+            .setScale(0, RoundingMode.HALF_UP).longValue
+        }.sum
+        Some(id -> ((n, cs.size.toLong, -nano)))
+      }
+    }.toMap
+    val got = Curation.queries("x_token_entropy")(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expected)
+    // entropy is bounded by ln(n_distinct) (uniform distribution law)
+    got.foreach { case (id, (_, d, e)) =>
+      assert(e >= 0 && e <= math.ceil(math.log(d.toDouble) * 1e9).toLong + d,
+        s"doc $id entropy $e outside [0, ln($d)]")
+    }
+  }
+
   test("x_cooccur_lift ≡ straight-line lift reference with exact tie order") {
     val texts = Tables.read(spark, TestSpark.Sf0001, "documents")
       .select("text").as[String].collect()

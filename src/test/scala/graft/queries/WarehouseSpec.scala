@@ -232,4 +232,27 @@ class WarehouseSpec extends AnyFunSuite with graft.GateCacheHygiene {
       assert(est - c <= bound, s"'$t' error ${est - c} > $bound")
     }
   }
+
+  test("x_pareto_front ≡ O(n²) dominance reference on distinct points") {
+    val pts = Tables.read(spark, TestSpark.Sf0001, "lineitem")
+      .select(col("l_quantity").cast("long").as("q"),
+        col("l_extendedprice").cast("double").as("p"))
+      .as[(Long, Double)].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // straight-line skyline: keep a point iff no other distinct point is
+    // ≤ in both coordinates (strict in at least one — guaranteed here by
+    // distinctness)
+    val expected = pts.filter { case ((q, p), _) =>
+      !pts.keys.exists { case (q2, p2) =>
+        (q2, p2) != (q, p) && q2 <= q && p2 <= p }
+    }.map { case ((q, p), n) => (q, p, n) }.toSet
+    val got = Warehouse.queries("x_pareto_front")(spark, TestSpark.Sf0001)
+      .as[(Long, Double, Long)].collect().toSet
+    assert(got == expected)
+    // the frontier is a strictly-decreasing staircase in price over qty
+    val stair = got.toSeq.sortBy(_._1)
+    stair.zip(stair.tail).foreach { case (a, b) =>
+      assert(a._1 < b._1 && a._2 > b._2, s"not a staircase: $a -> $b")
+    }
+  }
 }
