@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Curation, Embeddings, EventOps, PipelineOps, ReferenceOps, TrainingData, Warehouse}
+import graft.queries.{Analytics, Curation, Embeddings, EventOps, GraphOps, PipelineOps, ReferenceOps, TrainingData, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,6 +25,7 @@ object SparkEntry {
     Curation.queries,
     Embeddings.queries,
     EventOps.queries,
+    GraphOps.queries,
     PipelineOps.queries,
     Warehouse.queries)
 
@@ -35,6 +36,7 @@ object SparkEntry {
     Curation.oracle,
     Embeddings.oracle,
     EventOps.oracle,
+    GraphOps.oracle,
     PipelineOps.oracle,
     Warehouse.oracle)
 

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over the warehouse star schema — the operator
+  * family (Pregel-style repeated join+aggregate) that complements the
+  * single-pass relational surface and the large-star/small-star connected
+  * components in [[graft.functions.DedupOps]].
+  *
+  * The graph is the customer–supplier bipartite relation mined from
+  * orders ⋈ lineitem (who trades with whom), walked in both directions so
+  * every node has out-degree ≥ 1 — no dangling-mass special case.
+  *
+  * Cross-engine exactness: PageRank is normally run in floating point,
+  * where the per-node Σ of incoming contributions depends on shuffle
+  * order. Here the whole recurrence is integer arithmetic on nano-unit
+  * ranks — contribution = rank div outdeg (integral division, positive
+  * operands, so Spark's truncating `div` ≡ DuckDB's flooring `//`), and
+  * the damping step is `150_000_000 + (Σ·85) div 100` — so the result is
+  * bit-exact under ANY aggregation order. Overflow bound: Σ incoming
+  * contributions ≤ total mass N·1e9; ·85 must stay < 2^63, i.e. the graph
+  * may hold up to ~1e8 nodes with NO single node absorbing >10% of global
+  * rank — far beyond any SF here, documented for the 100 TB reading.
+  *
+  * Scale shape: edges and degrees are built once, cached, and re-joined
+  * per iteration (partial-agg'd shuffle on dst); iterations unroll lazily
+  * into one plan (the x_kmeans_embed pattern — no driver-side loop over
+  * collected data). At 1000 executors each iteration is one co-partitioned
+  * shuffle join; skewed hub nodes are AQE's skew-join case.
+  */
+object GraphOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(s, dir, name)
+
+  /** Unrolled PageRank iterations (kept small so the DuckDB oracle's CTE
+    * chain stays readable; convergence behavior is spec'd, not gated). */
+  val PrIters = 3
+
+  /** Damping in integer parts-per-nano: rank' = Jump + (Σ·Damp) div 100. */
+  val PrJumpNano = 150000000L
+  val PrDampPct = 85L
+
+  /** Distinct trade edges, both directions: c<custkey> ↔ s<suppkey>. */
+  private[queries] def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .distinct()
+    e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_pagerank" -> ((s, dir) => {
+      val edges = graft.GateCache.cache(tradeEdges(s, dir))
+      val deg = graft.GateCache.cache(
+        edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
+      val init = deg.select(col("src").as("node"), col("outdeg"),
+        lit(1000000000L).as("rank_nano"))
+      val fin = (1 to PrIters).foldLeft(init) { (r, _) =>
+        edges.join(r, edges("src") === r("node"))
+          .select(col("dst"), expr("rank_nano div outdeg").as("c"))
+          .groupBy(col("dst"))
+          .agg((lit(PrJumpNano) +
+            expr(s"sum(c) * $PrDampPct div 100")).as("rank_nano"))
+          .join(deg, col("dst") === deg("src"))
+          .select(col("dst").as("node"), col("outdeg"), col("rank_nano"))
+      }
+      fin.select(col("node"), col("outdeg"), col("rank_nano"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    // Same integer recurrence unrolled as a CTE chain. edges/deg are
+    // MATERIALIZED: referenced once per iteration, and DuckDB's default
+    // inlining would otherwise replicate the join+distinct chain per
+    // reference. `//` floors vs Spark `div` truncates — identical on the
+    // all-positive ranks; sum() is HUGEINT, cast back before the scale.
+    "x_pagerank" ->
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |edges AS MATERIALIZED (
+        |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |deg AS MATERIALIZED (
+        |  SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |r0 AS (SELECT src AS node, outdeg,
+        |    CAST(1000000000 AS BIGINT) AS r FROM deg),
+        |r1 AS (SELECT e.dst AS node, d.outdeg, CAST(150000000 +
+        |      (CAST(sum(r.r // r.outdeg) AS BIGINT) * 85) // 100 AS BIGINT) AS r
+        |  FROM edges e JOIN r0 r ON e.src = r.node
+        |  JOIN deg d ON d.src = e.dst GROUP BY e.dst, d.outdeg),
+        |r2 AS (SELECT e.dst AS node, d.outdeg, CAST(150000000 +
+        |      (CAST(sum(r.r // r.outdeg) AS BIGINT) * 85) // 100 AS BIGINT) AS r
+        |  FROM edges e JOIN r1 r ON e.src = r.node
+        |  JOIN deg d ON d.src = e.dst GROUP BY e.dst, d.outdeg),
+        |r3 AS (SELECT e.dst AS node, d.outdeg, CAST(150000000 +
+        |      (CAST(sum(r.r // r.outdeg) AS BIGINT) * 85) // 100 AS BIGINT) AS r
+        |  FROM edges e JOIN r2 r ON e.src = r.node
+        |  JOIN deg d ON d.src = e.dst GROUP BY e.dst, d.outdeg)
+        |SELECT node, outdeg, r AS rank_nano FROM r3""".stripMargin)
+}

@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Semantic pins for the iterative graph operators: the integer PageRank
+  * recurrence against a straight-line JVM reference (any aggregation
+  * order must reproduce it bit-exactly), plus the rank laws a hash
+  * compare can't express. */
+class GraphOpsSpec extends AnyFunSuite with graft.GateCacheHygiene {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("x_pagerank ≡ straight-line integer recurrence; damping floor; mass bound") {
+    val edges = GraphOps.tradeEdges(spark, TestSpark.Sf0001)
+      .as[(String, String)].collect()
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val inbound = edges.groupBy(_._2)
+    var r: Map[String, Long] = outdeg.map { case (n, _) => n -> 1000000000L }
+    for (_ <- 1 to GraphOps.PrIters) {
+      r = inbound.map { case (v, es) =>
+        val s = es.iterator.map { case (u, _) => r(u) / outdeg(u) }.sum
+        v -> (GraphOps.PrJumpNano + s * GraphOps.PrDampPct / 100)
+      }
+    }
+    val got = GraphOps.queries("x_pagerank")(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long)].collect()
+    assert(got.map(g => g._1 -> g._3).toMap == r)
+    assert(got.map(g => g._1 -> g._2).toMap == outdeg)
+
+    // rank laws: every node keeps the jump floor; total mass stays within
+    // [jump·N, N·1e9] — integral division only ever loses mass, damping
+    // re-injects exactly the jump
+    val n = r.size.toLong
+    assert(r.values.forall(_ >= GraphOps.PrJumpNano))
+    val total = r.values.sum
+    assert(total >= GraphOps.PrJumpNano * n && total <= 1000000000L * n,
+      s"total mass $total outside [${GraphOps.PrJumpNano * n}, ${1000000000L * n}]")
+
+    // the bipartite hubs (few suppliers, many customers) out-rank the
+    // per-side median — the "importance concentrates" behavior PageRank
+    // exists for
+    val (supp, cust) = got.partition(_._1.startsWith("s"))
+    assert(supp.nonEmpty && cust.nonEmpty)
+    assert(supp.map(_._3).min > cust.map(_._3).max / 10,
+      "supplier ranks collapsed — recurrence lost the hub structure")
+  }
+
+  test("x_pagerank plan: cached edge frame, no driver-side iteration state") {
+    // iterations must unroll lazily into ONE plan over the cached edges —
+    // a collect-per-iteration loop would serialize the graph through the
+    // driver (the anti-pattern the scaladoc forbids)
+    val df = GraphOps.queries("x_pagerank")(spark, TestSpark.Sf0001)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("InMemoryRelation"),
+      s"edges/deg not served from cache:\n$plan")
+    assert(!plan.contains("LocalRelation") || !plan.contains("scala.Tuple"),
+      s"collected intermediate leaked into the plan:\n$plan")
+    df.limit(1).collect()
+    graft.GateCache.releaseAll()
+  }
+}
