@@ -67,6 +67,8 @@ object TrainingData {
   val SeqLen = 2048 // sequence packing: tokens per training sequence
   val ChunkW = 64 // overlapping chunking: tokens per chunk
   val ChunkStride = 48 // overlapping chunking: stride (overlap = W - stride)
+  val SubdupK = 8 // substring dedup: token k-gram span width (Lee et al.
+  // 2021 use 50 on web-scale corpora; 8 fits the harness doc lengths)
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
@@ -151,6 +153,52 @@ object TrainingData {
       val keep = d.groupBy(col("_fp")).agg(min(col("doc_id")).as("doc_id"))
       d.join(keep, Seq("_fp", "doc_id"), "left_semi")
         .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // Span-level exact substring dedup (Lee et al. 2021, "Deduplicating
+    // Training Data Makes Language Models Better", §4.1 ExactSubstr):
+    // whole-doc dedup misses documents that merely SHARE passages —
+    // boilerplate, licenses, quoted headers. Every k-token span is
+    // fingerprinted (md5 — exact, not sketched); of each repeated span,
+    // the globally-first occurrence (min doc_id, then min position) is
+    // kept and every other occurrence marks its k token positions as
+    // duplicated. Reported per doc: token count, duplicated-position
+    // count, duplicated fraction — the signal the cut step consumes.
+    // Scale shape: gram construction is array ops inside the scan (no
+    // shuffle); first-occurrence resolution is two partial-agg'd
+    // shuffles on the 32-char fingerprint + bounded joins back — the
+    // skew-safe form (a boilerplate span repeated 1e6× is absorbed
+    // map-side, never a hot window partition). Coverage union is a
+    // constant k-wide explode + distinct on (doc, pos).
+    "x_substring_dedup" -> ((s, dir) => {
+      val k = SubdupK
+      val base = graft.GateCache.cache(docs(s, dir)
+        .select(col("doc_id"),
+          split(Text.normalize(col("text")), " ").as("_raw"))
+        .select(col("doc_id"), expr("filter(_raw, w -> w <> '')").as("_arr"))
+        .withColumn("n_tokens", size(col("_arr"))))
+      val g = graft.GateCache.cache(base.filter(col("n_tokens") >= k)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(1, n_tokens - ${k - 1}), " +
+            s"i -> md5(concat_ws(' ', slice(_arr, i, $k))))")))
+        .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h")))
+      val firsts = g.groupBy(col("h")).agg(min(col("doc_id")).as("fd"))
+      val firstp = g.join(firsts, "h").filter(col("doc_id") === col("fd"))
+        .groupBy(col("h")).agg(min(col("i")).as("fp"))
+      val dup = g.join(firsts, "h").join(firstp, "h")
+        .filter(!(col("doc_id") === col("fd") && col("i") === col("fp")))
+      val cov = dup
+        .select(col("doc_id"), col("i"),
+          explode(expr(s"sequence(0, ${k - 1})")).as("off"))
+        .select(col("doc_id"), (col("i") + col("off")).as("p"))
+        .distinct()
+      val cnt = cov.groupBy(col("doc_id")).agg(count(lit(1)).as("_nd"))
+      base.join(cnt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          coalesce(col("_nd"), lit(0L)).as("n_dup_positions"),
+          when(col("n_tokens") === 0, lit(0.0))
+            .otherwise(coalesce(col("_nd"), lit(0L)).cast("double") /
+              col("n_tokens")).as("dup_ratio"))
     }),
 
     // Deterministic stratified sampling via portable hash — the
@@ -985,6 +1033,34 @@ object TrainingData {
          |WHERE doc_id IN (
          |  SELECT min(doc_id) FROM documents
          |  GROUP BY md5($normDoc))""".stripMargin,
+
+    // Mirrors the Spark two-step first-occurrence resolution exactly;
+    // a/g materialized (each referenced by multiple downstream CTEs).
+    "x_substring_dedup" ->
+      s"""WITH a AS MATERIALIZED (SELECT doc_id,
+         |    list_filter(string_split($normDoc, ' '), x -> x <> '') AS arr
+         |  FROM documents),
+         |g AS MATERIALIZED (SELECT doc_id, i,
+         |    md5(array_to_string(list_slice(arr, i, i + $SubdupK - 1), ' ')) AS h
+         |  FROM (SELECT doc_id, arr,
+         |      unnest(range(1, len(arr) - $SubdupK + 2)) AS i
+         |    FROM a WHERE len(arr) >= $SubdupK)),
+         |firsts AS (SELECT h, min(doc_id) AS fd FROM g GROUP BY h),
+         |firstp AS (SELECT g.h, min(g.i) AS fp FROM g
+         |  JOIN firsts ON g.h = firsts.h AND g.doc_id = firsts.fd
+         |  GROUP BY g.h),
+         |dup AS (SELECT g.doc_id, g.i FROM g
+         |  JOIN firsts ON g.h = firsts.h JOIN firstp ON g.h = firstp.h
+         |  WHERE NOT (g.doc_id = firsts.fd AND g.i = firstp.fp)),
+         |cov AS (SELECT DISTINCT doc_id, p FROM (
+         |  SELECT doc_id, i + unnest(range(0, $SubdupK)) AS p FROM dup)),
+         |cnt AS (SELECT doc_id, count(*) AS nd FROM cov GROUP BY doc_id)
+         |SELECT a.doc_id, CAST(len(arr) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(cnt.nd, 0) AS BIGINT) AS n_dup_positions,
+         |  CASE WHEN len(arr) = 0 THEN 0.0
+         |    ELSE CAST(coalesce(cnt.nd, 0) AS DOUBLE) / len(arr)
+         |  END AS dup_ratio
+         |FROM a LEFT JOIN cnt ON a.doc_id = cnt.doc_id""".stripMargin,
 
     "x_sample_stratified" ->
       s"""SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sampled_chars

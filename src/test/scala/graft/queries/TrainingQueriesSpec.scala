@@ -236,4 +236,45 @@ class TrainingQueriesSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(got.map(r => (r._1, r._2, r._3, r._4, r._5, r._6.doubleValue))
       .toSet == expected)
   }
+
+  test("x_substring_dedup ≡ straight-line keep-first span marking") {
+    def normalize(t: String): String =
+      t.toLowerCase.replaceAll("[ \\t\\n\\r\\f\\x0B]+", " ").trim
+    val k = TrainingData.SubdupK
+    val docRows = Tables.read(spark, TestSpark.Sf0001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val toks = docRows.map { case (id, t) =>
+      id -> normalize(t).split(" ", -1).filter(_.nonEmpty) }.toMap
+    // every k-gram occurrence, globally keyed by its text
+    val occs = toks.toSeq.flatMap { case (id, tk) =>
+      (0 to tk.length - k).map(i => (tk.slice(i, i + k).mkString(" "), id, i))
+    }
+    // keep-first: min (doc_id, pos); every other occurrence covers its span
+    val firsts = occs.groupBy(_._1).view
+      .mapValues(_.map(o => (o._2, o._3)).min).toMap
+    val covered = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Set[Int]]
+    occs.foreach { case (gram, id, i) =>
+      if (firsts(gram) != ((id, i)))
+        covered.getOrElseUpdate(id,
+          scala.collection.mutable.Set.empty) ++= (i until i + k)
+    }
+    val expected = toks.map { case (id, tk) =>
+      val nd = covered.get(id).map(_.size.toLong).getOrElse(0L)
+      id -> ((tk.length.toLong, nd,
+        if (tk.isEmpty) 0.0 else nd.toDouble / tk.length))
+    }
+    val got = TrainingData.queries("x_substring_dedup")(
+        spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expected)
+    // the corpus genuinely exercises the operator: some doc has duplicated
+    // spans, and no doc is 100% duplicate of a FIRST occurrence of itself
+    assert(got.values.exists(_._2 > 0), "no duplicate spans — degenerate")
+    // covered positions never exceed the doc's token count
+    got.values.foreach { case (n, nd, r) =>
+      assert(nd <= n && r >= 0.0 && r <= 1.0)
+    }
+  }
 }
