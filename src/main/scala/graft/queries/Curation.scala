@@ -35,6 +35,7 @@ object Curation {
   val EquiDepthBins = 4 // equi-depth binning: number of bins (quartiles)
   val LiftMinCount = 5L // collocation mining: min bigram occurrences
   val LiftTopK = 20 // collocation mining: reported top-k by lift
+  val WSampleK = 50 // weighted sampling: docs drawn per pass
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
@@ -199,6 +200,29 @@ object Curation {
         .agg(min(col("_n")).as("n_tokens"),
           min(col("n_distinct")).as("n_distinct"),
           (-sum(col("_term"))).cast("long").as("entropy_nano"))
+    }),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    // each doc draws a deterministic uniform u from the portable hash and
+    // competes on key = ln(u)/w — the top-k by key IS an exact w-weighted
+    // without-replacement draw. Weight = n_chars (longer docs
+    // proportionally likelier — the byte-budget sampling shape). Seed-free
+    // and engine-portable: u is md5-derived, ln and the divide are
+    // per-row single-value FP (identical doubles both engines, no
+    // cross-row accumulation). Scale: expression-only scan +
+    // TakeOrderedAndProject — no shuffle, no global sort; only the final
+    // k-row re-rank windows (k rows, not corpus).
+    "x_weighted_sample" -> ((s, dir) => {
+      val key = (log((PortableHash.hash32(col("doc_id").cast("string"),
+          "ws|") + 1).cast("double") / 4294967296.0) /
+        col("n_chars")).as("_k")
+      val top = docs(s, dir).filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars"), key)
+        .orderBy(col("_k").desc, col("doc_id").asc).limit(WSampleK)
+      top.withColumn("rk", row_number().over(
+          Window.orderBy(col("_k").desc, col("doc_id").asc)))
+        .select(col("rk"), col("doc_id"), col("n_chars"),
+          round(col("_k"), 6).as("w_key"))
     }),
 
     // Mixture reweighting toward explicit per-source TARGET weights
@@ -693,6 +717,15 @@ object Curation {
            |SELECT CAST((cum - nt) // $ShardTokenBudget AS BIGINT) AS shard_id,
            |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
            |FROM c GROUP BY 1""".stripMargin,
+
+      "x_weighted_sample" ->
+        s"""WITH s AS (SELECT doc_id, n_chars,
+           |    ln((${PortableHash.duckSql("CAST(doc_id AS VARCHAR)", "ws|")}
+           |      + 1) / 4294967296.0) / n_chars AS k
+           |  FROM documents WHERE n_chars > 0)
+           |SELECT row_number() OVER (ORDER BY k DESC, doc_id ASC) AS rk,
+           |  doc_id, n_chars, CAST(round(k, 6) AS DOUBLE) AS w_key
+           |FROM s ORDER BY k DESC, doc_id ASC LIMIT $WSampleK""".stripMargin,
 
       "x_token_entropy" ->
         s"""WITH tf AS (SELECT doc_id, w, count(*) AS c FROM (
