@@ -33,7 +33,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
 object PrefixSum {
 
   /** `df` plus an INCLUSIVE running sum of `value` over the global order
-    * `order`, as column `cumName` (long). Internally materializes the
+    * `order`, as column `cumName` (long). NULL values contribute 0 to the
+    * running sum — the SQL `sum`-ignores-NULL convention (the r7-audited
+    * form NPE'd on a null, undocumented). Internally materializes the
     * scanned frame once (via [[graft.GateCache]]): both the offsets
     * branch and the output must see the SAME sampled range bounds. */
   def inclusive(df: DataFrame, order: Seq[Column], value: Column,
@@ -49,7 +51,10 @@ object PrefixSum {
       ranged.mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
         var c = 0L
-        it.map { r => c += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ pid :+ c) }
+        it.map { r =>
+          if (!r.isNullAt(vIdx)) c += r.getLong(vIdx)
+          Row.fromSeq(r.toSeq :+ pid :+ c)
+        }
       }(Encoders.row(outSchema)))
     // The offsets window is a plain Window.orderBy — over ≤nRanges rows
     // (one per partition), which is exactly the frame size where a
@@ -67,7 +72,8 @@ object PrefixSum {
   }
 
   /** `df` plus an EXCLUSIVE running minimum of `value` (double) over the
-    * global order — NULL for the global first row. Same two-pass shape as
+    * global order — NULL for the global first row. NULL values are
+    * ignored by the running min (same convention as [[inclusive]]). Same two-pass shape as
     * [[inclusive]] with min as the combine: local exclusive running min
     * per range partition, merged with the exclusive prefix-min of the
     * per-partition minima (broadcast, ≤nRanges rows). The sort-order
@@ -91,8 +97,12 @@ object PrefixSum {
         var m = Double.NaN // NaN = "no prior row" sentinel, emitted as null
         it.map { r =>
           val excl: Any = if (m.isNaN) null else m
-          val v = r.getDouble(vIdx)
-          m = if (m.isNaN || v < m) v else m
+          // NULL values don't move the running min (min-ignores-NULL, the
+          // same convention as inclusive's sum)
+          if (!r.isNullAt(vIdx)) {
+            val v = r.getDouble(vIdx)
+            m = if (m.isNaN || v < m) v else m
+          }
           Row.fromSeq(r.toSeq :+ pid :+ excl)
         }
       }(Encoders.row(outSchema)))

@@ -107,6 +107,13 @@ final class SnapshotReplicator(
     * this turns daily re-syncs from O(table) into O(delta); the predicate
     * is pushed into the source scan.
     *
+    * Watermark domain: for numeric columns `lastValue` is compared raw;
+    * for TIMESTAMP / TIMESTAMP_NTZ columns it is a µs-epoch long — the
+    * literal is lifted into the column's native type (a foldable constant,
+    * so the comparison still reaches the parquet scan as a pushed filter;
+    * a `unix_micros(col) > x` form would not) and the returned
+    * high-watermark is µs-epoch.
+    *
     * NULL watermarks: a strict `>` predicate never matches NULL, so such
     * rows would be silently unreplicated on every run. They are therefore
     * included when `lastValue == Long.MinValue` (the documented "first
@@ -116,16 +123,27 @@ final class SnapshotReplicator(
                            lastValue: Long): (ReplicationResult, Long) = {
     Identifiers.validate(watermarkCol, "column name")
     Try {
-      val wm = org.apache.spark.sql.functions.col(watermarkCol)
+      import org.apache.spark.sql.functions.{col, lit, max, timestamp_micros, unix_micros}
+      import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+      val src = catalog.read(table)
+      val raw = col(watermarkCol)
+      // (native-type comparison column vs lastValue's literal, µs extractor)
+      val (wmPred, wmMark) = src.schema(watermarkCol).dataType match {
+        case TimestampType =>
+          (raw > timestamp_micros(lit(lastValue)), unix_micros(raw))
+        case _: TimestampNTZType => // UTC session: cast is value-exact
+          (raw > timestamp_micros(lit(lastValue)).cast(TimestampNTZType),
+            unix_micros(raw.cast(TimestampType)))
+        case _ => (raw > lastValue, raw.cast("long"))
+      }
       val pred =
-        if (lastValue == Long.MinValue) wm > lastValue || wm.isNull
-        else wm > lastValue
-      val delta = catalog.read(table).filter(pred)
+        if (lastValue == Long.MinValue) lit(true) // first full run: all rows
+        else wmPred
+      val delta = src.filter(pred)
       val deltaCount = delta.count()
       val maxRow =
         if (deltaCount == 0) null
-        else delta.agg(org.apache.spark.sql.functions.max(
-          wm.cast("long"))).head() // cast: watermark may be INT etc.
+        else delta.agg(max(wmMark)).head()
       val newMark =
         if (maxRow == null || maxRow.isNullAt(0)) lastValue // all-NULL delta
         else maxRow.getLong(0)

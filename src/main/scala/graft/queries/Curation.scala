@@ -40,6 +40,32 @@ object Curation {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * each doc draws a deterministic uniform u from the portable hash and
+    * competes on key = ln(u)/w — the top-k by key IS an exact w-weighted
+    * without-replacement draw. Weight = n_chars (longer docs
+    * proportionally likelier — the byte-budget sampling shape).
+    * Deterministic yet re-drawable: `pass` salts the hash (`ws<pass>|`),
+    * so pass 2 is an INDEPENDENT draw from pass 1 — the repeated-sampling
+    * use (bootstrap resamples, per-epoch subsets) a fixed salt can't
+    * serve (r7 ADVICE). Engine-portable: u is md5-derived, ln and the
+    * divide are per-row single-value FP (identical doubles both engines,
+    * no cross-row accumulation). Scale: expression-only scan +
+    * TakeOrderedAndProject — no shuffle, no global sort; only the final
+    * k-row re-rank windows (k rows, not corpus). */
+  def weightedSample(s: SparkSession, dir: String, pass: Int): DataFrame = {
+    val key = (log((PortableHash.hash32(col("doc_id").cast("string"),
+        s"ws$pass|") + 1).cast("double") / 4294967296.0) /
+      col("n_chars")).as("_k")
+    val top = docs(s, dir).filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"), key)
+      .orderBy(col("_k").desc, col("doc_id").asc).limit(WSampleK)
+    top.withColumn("rk", row_number().over(
+        Window.orderBy(col("_k").desc, col("doc_id").asc)))
+      .select(col("rk"), col("doc_id"), col("n_chars"),
+        round(col("_k"), 6).as("w_key"))
+  }
+
   /** Project tokens/bigrams to attributes FIRST: both are referenced from
     * inside higher-order-function lambdas below, where an inlined
     * expression would re-evaluate per array element. */
@@ -202,28 +228,9 @@ object Curation {
           (-sum(col("_term"))).cast("long").as("entropy_nano"))
     }),
 
-    // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
-    // each doc draws a deterministic uniform u from the portable hash and
-    // competes on key = ln(u)/w — the top-k by key IS an exact w-weighted
-    // without-replacement draw. Weight = n_chars (longer docs
-    // proportionally likelier — the byte-budget sampling shape). Seed-free
-    // and engine-portable: u is md5-derived, ln and the divide are
-    // per-row single-value FP (identical doubles both engines, no
-    // cross-row accumulation). Scale: expression-only scan +
-    // TakeOrderedAndProject — no shuffle, no global sort; only the final
-    // k-row re-rank windows (k rows, not corpus).
-    "x_weighted_sample" -> ((s, dir) => {
-      val key = (log((PortableHash.hash32(col("doc_id").cast("string"),
-          "ws|") + 1).cast("double") / 4294967296.0) /
-        col("n_chars")).as("_k")
-      val top = docs(s, dir).filter(col("n_chars") > 0)
-        .select(col("doc_id"), col("n_chars"), key)
-        .orderBy(col("_k").desc, col("doc_id").asc).limit(WSampleK)
-      top.withColumn("rk", row_number().over(
-          Window.orderBy(col("_k").desc, col("doc_id").asc)))
-        .select(col("rk"), col("doc_id"), col("n_chars"),
-          round(col("_k"), 6).as("w_key"))
-    }),
+    // Weighted sampling without replacement — see [[weightedSample]];
+    // the gate is pass 1 of the parameterized draw.
+    "x_weighted_sample" -> ((s, dir) => weightedSample(s, dir, pass = 1)),
 
     // Mixture reweighting toward explicit per-source TARGET weights
     // (static DoReMi-style): odd-numbered sources are deemed high-quality
@@ -569,23 +576,33 @@ object Curation {
       .select(col("_c"), explode(Text.wordShingles(col("_sp"), 2)).as("pair"))
       .groupBy(col("pair"))
       .agg(sum(col("_c")).cast("long").as("pair_freq"))
-    // Degenerate guard: a corpus with no adjacent symbol pair (all
-    // 1-char words) yields an empty round-1 winner, which annihilates
+    // Degenerate guard, per-round and LAZY (r7 ADVICE — the old form ran
+    // an eager isEmpty action at plan-construction time and only checked
+    // round 1): an exhausted round (no adjacent symbol pair anywhere —
+    // all 1-char words, or BpeRounds > available merges) would annihilate
     // the frequency frame via the crossJoin while the DuckDB oracle
     // instead propagates NULL into sp — the engines would silently
-    // diverge. Fail loudly instead; the check is one limit(1) action
-    // on the cached |vocab|-sized frame. Later-round exhaustion
-    // (BpeRounds > available merges on a non-degenerate corpus) is a
-    // config error documented on BpeRounds.
-    require(!pairCounts(wf).isEmpty,
-      "bpeLearn: corpus has no adjacent symbol pairs; " +
-        "BpeRounds exceeds the available merges")
+    // diverge. Instead the winner is a 1-row AGGREGATE over the ordered
+    // limit(1) frame (one row even when the input is empty), carrying an
+    // assert_true(count=1) column; the filter on it forces evaluation at
+    // ACTION time and throws a per-round message when the round is dry.
+    // Plan cost: the agg replaces nothing measurable — it runs over ≤1
+    // row — and no job is launched before the gate's own action.
     (1 to BpeRounds)
       .foldLeft((wf, Seq.empty[DataFrame])) { case ((f, acc), r) =>
         val top = pairCounts(f)
           .orderBy(col("pair_freq").desc, col("pair").asc).limit(1)
+          .agg(
+            assert_true(count(lit(1)) === 1,
+              lit(s"bpeLearn: round $r has no adjacent symbol pair " +
+                "(degenerate corpus, or BpeRounds exceeds the available " +
+                "merges)")).as("_g"),
+            first(col("pair")).as("pair"),
+            first(col("pair_freq")).as("pair_freq"))
+          .filter(col("_g").isNull)
           .withColumn("merged",
             regexp_replace(col("pair"), " ", ""))
+          .select(col("pair"), col("merged"), col("pair_freq"))
         val applied = f.crossJoin(broadcast(top))
           .withColumn("_sp",
             expr("replace(_sp, pair, merged)"))
@@ -720,7 +737,7 @@ object Curation {
 
       "x_weighted_sample" ->
         s"""WITH s AS (SELECT doc_id, n_chars,
-           |    ln((${PortableHash.duckSql("CAST(doc_id AS VARCHAR)", "ws|")}
+           |    ln((${PortableHash.duckSql("CAST(doc_id AS VARCHAR)", "ws1|")}
            |      + 1) / 4294967296.0) / n_chars AS k
            |  FROM documents WHERE n_chars > 0)
            |SELECT row_number() OVER (ORDER BY k DESC, doc_id ASC) AS rk,

@@ -583,17 +583,20 @@ object PipelineOps {
   def incrementalSnapshot(s: SparkSession, dir: String): DataFrame = {
     val wh = Files.createTempDirectory("graft_incr_wh").toString
     val rep = new SnapshotReplicator(s, dir, wh)
-    val cutoffNs = 1705276800L * 1000000000L // 2024-01-15T00:00Z
-    Tables.read(s, dir, "events").filter(col("ts") <= cutoffNs)
+    // watermark domain is µs-epoch regardless of the parquet encoding
+    // (replicateIncremental maps timestamp columns into it; Tables.tsUs
+    // normalizes the reads here)
+    val cutoffUs = 1705276800L * 1000000L // 2024-01-15T00:00Z
+    Tables.tsUs(Tables.read(s, dir, "events"))
+      .filter(col("ts_us") <= cutoffUs).drop("ts_us")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(rep.targetPath("events"))
-    val (res, newMark) = rep.replicateIncremental("events", "ts", cutoffNs)
-    // ns → µs for the oracle (DuckDB fetches TIMESTAMP_NS at µs precision)
-    rep.readTarget("events")
+    val (res, newMark) = rep.replicateIncremental("events", "ts", cutoffUs)
+    Tables.tsUs(rep.readTarget("events"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("event_id")).as("n_distinct_ids"),
-        max(expr("ts div 1000")).as("max_ts_us"))
-      .withColumn("new_watermark", lit(newMark / 1000))
+        max(col("ts_us")).as("max_ts_us"))
+      .withColumn("new_watermark", lit(newMark))
       .withColumn("delta_ok", lit(res.success))
   }
 

@@ -2,40 +2,52 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Harness table access with schema normalization.
   *
-  * The driver's `events` table stores `ts` as parquet TIMESTAMP(NANOS),
-  * which Spark 4 rejects by default (PARQUET_TYPE_ILLEGAL). We flip the
-  * runtime conf `spark.sql.legacy.parquet.nanosAsLong` and normalize to a
-  * µs-epoch long column `ts_us` (truncation — identical to DuckDB's ns→µs
-  * handling, so oracles use `epoch_us(ts)`). Queries use `ts_us` only.
+  * The driver's `events` table has stored `ts` as parquet TIMESTAMP(NANOS)
+  * (which Spark 4 rejects by default — PARQUET_TYPE_ILLEGAL — so we flip
+  * `spark.sql.legacy.parquet.nanosAsLong`) and, since the 2026-08-13
+  * regeneration, as TIMESTAMP(MICROS) without timezone (which Spark 4
+  * infers as TIMESTAMP_NTZ by default). We normalize every variant to a
+  * µs-epoch long column `ts_us` (identical to DuckDB's `epoch_us(ts)` on
+  * the same file, given the UTC session). Queries use `ts_us` only.
   */
 object Tables {
 
-  /** NOTE: sets `spark.sql.legacy.parquet.nanosAsLong=true` on the
-    * SESSION (runtime conf is session-global, not per-read): every later
-    * read in the same session — including ones outside these helpers —
-    * will see TIMESTAMP(NANOS) parquet columns as nanos-epoch LONGs.
-    * That is the engine-wide contract here (Main sets it at session
-    * construction too); the per-read set only makes fresh test/Verify
-    * sessions self-sufficient. */
+  /** NOTE: sets two read confs on the SESSION (runtime conf is
+    * session-global, not per-read): `nanosAsLong=true` so legacy
+    * TIMESTAMP(NANOS) parquet reads as nanos-epoch LONG instead of
+    * failing, and `inferTimestampNTZ.enabled=false` so timezone-less
+    * parquet timestamps read as plain `TimestampType` (UTC session ⇒
+    * value-identical instants) engine-wide. That is the contract here
+    * (the harness mains set both at session construction too); the
+    * per-read set only makes fresh test/Verify sessions self-sufficient. */
   def read(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     s.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** `events` with a normalized `ts_us` (µs epoch, LongType) column, robust
-    * to whether the session read `ts` as nanos-long or as timestamp. */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    val df = read(s, dir, "events")
+  /** `df` plus a normalized µs-epoch long column `outName` derived from
+    * its `ts` column, robust to all three encodings a session may have
+    * read it under: nanos-long (legacy conf), TIMESTAMP, or TIMESTAMP_NTZ
+    * (a foreign session may have inferred NTZ before the conf above was
+    * set — handle it rather than fail analysis). */
+  def tsUs(df: DataFrame, outName: String = "ts_us"): DataFrame =
     df.schema("ts").dataType match {
       case LongType => // nanos as long — integral division (`div`), NOT
         // `/` (double division loses exactness above 2^53 ns)
-        df.withColumn("ts_us", expr("ts div 1000"))
+        df.withColumn(outName, expr("ts div 1000"))
+      case _: TimestampNTZType => // naive µs: cast is exact under the
+        // pinned UTC session, matching DuckDB's epoch_us on the same value
+        df.withColumn(outName, unix_micros(col("ts").cast(TimestampType)))
       case _ =>
-        df.withColumn("ts_us", unix_micros(col("ts")))
+        df.withColumn(outName, unix_micros(col("ts")))
     }
-  }
+
+  /** `events` with the normalized `ts_us` column — see [[tsUs]]. */
+  def events(s: SparkSession, dir: String): DataFrame =
+    tsUs(read(s, dir, "events"))
 }

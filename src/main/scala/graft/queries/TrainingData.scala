@@ -98,6 +98,37 @@ object TrainingData {
       DedupOps.lshBands(sig, "doc_id", Bands, RowsPerBand), "doc_id",
       maxBucket = MaxBucket)
 
+  /** Shared pipeline of the substring-dedup family (stats + apply gates):
+    * returns (base, cov) where `base` is the tokenized corpus
+    * (doc_id, _arr, n_tokens) and `cov` the distinct (doc_id, p) set of
+    * 1-based token positions covered by a non-first occurrence of some
+    * repeated k-gram span (Lee et al. 2021 §4.1 ExactSubstr semantics;
+    * see the x_substring_dedup gate comment for the scale analysis). */
+  def subdupCoverage(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val k = SubdupK
+    val base = graft.GateCache.cache(docs(s, dir)
+      .select(col("doc_id"),
+        split(Text.normalize(col("text")), " ").as("_raw"))
+      .select(col("doc_id"), expr("filter(_raw, w -> w <> '')").as("_arr"))
+      .withColumn("n_tokens", size(col("_arr"))))
+    val g = graft.GateCache.cache(base.filter(col("n_tokens") >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, n_tokens - ${k - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(_arr, i, $k))))")))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h")))
+    val firsts = g.groupBy(col("h")).agg(min(col("doc_id")).as("fd"))
+    val firstp = g.join(firsts, "h").filter(col("doc_id") === col("fd"))
+      .groupBy(col("h")).agg(min(col("i")).as("fp"))
+    val dup = g.join(firsts, "h").join(firstp, "h")
+      .filter(!(col("doc_id") === col("fd") && col("i") === col("fp")))
+    val cov = dup
+      .select(col("doc_id"), col("i"),
+        explode(expr(s"sequence(0, ${k - 1})")).as("off"))
+      .select(col("doc_id"), (col("i") + col("off")).as("p"))
+      .distinct()
+    (base, cov)
+  }
+
   /** LSH-bucketed embedding near-dup pair stage — the 100 TB path. One
     * deterministic scan hashes each vector into a hyperplane bucket
     * ([[SimilarityOps.hyperplaneKey]] native kernel); candidates are pairs
@@ -171,27 +202,7 @@ object TrainingData {
     // map-side, never a hot window partition). Coverage union is a
     // constant k-wide explode + distinct on (doc, pos).
     "x_substring_dedup" -> ((s, dir) => {
-      val k = SubdupK
-      val base = graft.GateCache.cache(docs(s, dir)
-        .select(col("doc_id"),
-          split(Text.normalize(col("text")), " ").as("_raw"))
-        .select(col("doc_id"), expr("filter(_raw, w -> w <> '')").as("_arr"))
-        .withColumn("n_tokens", size(col("_arr"))))
-      val g = graft.GateCache.cache(base.filter(col("n_tokens") >= k)
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(1, n_tokens - ${k - 1}), " +
-            s"i -> md5(concat_ws(' ', slice(_arr, i, $k))))")))
-        .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h")))
-      val firsts = g.groupBy(col("h")).agg(min(col("doc_id")).as("fd"))
-      val firstp = g.join(firsts, "h").filter(col("doc_id") === col("fd"))
-        .groupBy(col("h")).agg(min(col("i")).as("fp"))
-      val dup = g.join(firsts, "h").join(firstp, "h")
-        .filter(!(col("doc_id") === col("fd") && col("i") === col("fp")))
-      val cov = dup
-        .select(col("doc_id"), col("i"),
-          explode(expr(s"sequence(0, ${k - 1})")).as("off"))
-        .select(col("doc_id"), (col("i") + col("off")).as("p"))
-        .distinct()
+      val (base, cov) = subdupCoverage(s, dir)
       val cnt = cov.groupBy(col("doc_id")).agg(count(lit(1)).as("_nd"))
       base.join(cnt, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
@@ -199,6 +210,33 @@ object TrainingData {
           when(col("n_tokens") === 0, lit(0.0))
             .otherwise(coalesce(col("_nd"), lit(0L)).cast("double") /
               col("n_tokens")).as("dup_ratio"))
+    }),
+
+    // The APPLY (cut) step of span-level dedup: every duplicated position
+    // that x_substring_dedup marks is REMOVED (keep-first: the globally
+    // first occurrence of each span survives intact), and the cleaned
+    // corpus is certified per doc as kept-token count + md5 of the
+    // surviving text — hash-adjudicable without shipping the corpus
+    // through the compare. Scale shape: one token posexplode (same order
+    // of work as the gram explode the stats step already does), an
+    // anti-join on (doc, position) against the coverage set — partial-agg
+    // shuffles only — and an order-preserving reassembly via
+    // sort-by-position inside a per-doc aggregate (bounded by doc length,
+    // never a global sort).
+    "x_substring_dedup_apply" -> ((s, dir) => {
+      val (base, cov) = subdupCoverage(s, dir)
+      val toks = base.select(col("doc_id"), posexplode(col("_arr")))
+        .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("w"))
+      val kept = toks.join(cov, Seq("doc_id", "p"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("_nk"),
+          md5(expr("array_join(transform(" +
+            "array_sort(collect_list(struct(p, w))), x -> x.w), ' ')"))
+            .as("_md5"))
+      base.join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("_nk"), lit(0L)).as("n_kept_tokens"),
+          coalesce(col("_md5"), md5(lit(""))).as("kept_md5"))
     }),
 
     // Deterministic stratified sampling via portable hash — the
@@ -787,14 +825,24 @@ object TrainingData {
         .agg(count(lit(1)).as("n_vecs"))
     }),
 
-    // HLL approximate distinct (sketch — no exact cross-engine oracle by
-    // construction, so rows-only in the gate; the ScalaTest spec pins the
-    // error bound against exact countDistinct).
+    // HLL approximate distinct. The sketch VALUE is engine-dependent (no
+    // cross-engine oracle), so the gate emits what IS adjudicable (r7
+    // VERDICT #6): the exact distinct count (DuckDB-oracled) plus a
+    // within-bound boolean pinning |approx - exact| ≤ 5·rsd·exact — far
+    // outside HLL's plausible deviation at rsd=0.02, so deterministically
+    // true on real data yet binding the sketch to reality in the hash
+    // compare. (The ScalaTest spec pins the tighter statistical bound.)
     "x_hll_distinct_users" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), rsd = 0.02)
-          .as("approx_users"))),
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), rsd = 0.02)
+            .as("_approx"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("_approx").cast("double") -
+            col("exact_users").cast("double")) <=
+            col("exact_users").cast("double") * 0.10).as("hll_in_bound"))),
 
     // ----------------------------------------------------- multimodal
     "x_multimodal_meta" -> ((s, dir) => Multimodal.mediaMetadata(s, dir)),
@@ -1023,6 +1071,12 @@ object TrainingData {
   }
 
   val oracle: Map[String, String] = Map(
+    // exact side + pinned-true bound of the HLL gate (see the gate comment)
+    "x_hll_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  true AS hll_in_bound
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "x_dedup_exact" ->
       s"""SELECT md5($normDoc) AS fingerprint, min(doc_id) AS keep_id,
          |  count(*) AS n_copies
@@ -1061,6 +1115,41 @@ object TrainingData {
          |    ELSE CAST(coalesce(cnt.nd, 0) AS DOUBLE) / len(arr)
          |  END AS dup_ratio
          |FROM a LEFT JOIN cnt ON a.doc_id = cnt.doc_id""".stripMargin,
+
+    // Same CTE prefix as x_substring_dedup up to cov, then: anti-join the
+    // exploded tokens against the coverage set, reassemble in position
+    // order (string_agg ORDER BY p), md5-certify.
+    "x_substring_dedup_apply" ->
+      s"""WITH a AS MATERIALIZED (SELECT doc_id,
+         |    list_filter(string_split($normDoc, ' '), x -> x <> '') AS arr
+         |  FROM documents),
+         |g AS MATERIALIZED (SELECT doc_id, i,
+         |    md5(array_to_string(list_slice(arr, i, i + $SubdupK - 1), ' ')) AS h
+         |  FROM (SELECT doc_id, arr,
+         |      unnest(range(1, len(arr) - $SubdupK + 2)) AS i
+         |    FROM a WHERE len(arr) >= $SubdupK)),
+         |firsts AS (SELECT h, min(doc_id) AS fd FROM g GROUP BY h),
+         |firstp AS (SELECT g.h, min(g.i) AS fp FROM g
+         |  JOIN firsts ON g.h = firsts.h AND g.doc_id = firsts.fd
+         |  GROUP BY g.h),
+         |dup AS (SELECT g.doc_id, g.i FROM g
+         |  JOIN firsts ON g.h = firsts.h JOIN firstp ON g.h = firstp.h
+         |  WHERE NOT (g.doc_id = firsts.fd AND g.i = firstp.fp)),
+         |cov AS (SELECT DISTINCT doc_id, p FROM (
+         |  SELECT doc_id, i + unnest(range(0, $SubdupK)) AS p FROM dup)),
+         |toks AS (SELECT doc_id, i AS p, arr[i] AS w FROM (
+         |  SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i FROM a)),
+         |kept AS (SELECT t.doc_id,
+         |    CAST(count(*) AS BIGINT) AS nk,
+         |    md5(string_agg(t.w, ' ' ORDER BY t.p)) AS km
+         |  FROM toks t LEFT JOIN cov c
+         |    ON c.doc_id = t.doc_id AND c.p = t.p
+         |  WHERE c.doc_id IS NULL
+         |  GROUP BY t.doc_id)
+         |SELECT a.doc_id,
+         |  CAST(coalesce(kept.nk, 0) AS BIGINT) AS n_kept_tokens,
+         |  coalesce(kept.km, md5('')) AS kept_md5
+         |FROM a LEFT JOIN kept ON a.doc_id = kept.doc_id""".stripMargin,
 
     "x_sample_stratified" ->
       s"""SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sampled_chars

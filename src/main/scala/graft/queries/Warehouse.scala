@@ -528,19 +528,37 @@ object Warehouse {
     }),
 
     // Approximate quantiles (the 100 TB fast path x_percentiles documents):
-    // one pass, mergeable sketch, ε-rank error 1/accuracy. Rows-only gate
-    // by construction (sketch picks engine-dependent order statistics);
-    // the ε-rank contract is pinned against the exact form in
-    // WarehouseSpec.
-    "x_approx_quantiles" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .groupBy(col("o_orderpriority"))
+    // one pass, mergeable sketch, ε-rank error 1/accuracy. The sketch
+    // VALUES are engine-dependent order statistics (no cross-engine
+    // oracle), so the gate emits what IS adjudicable (r7 VERDICT #6):
+    // group counts plus per-quantile within-ε-rank booleans — the approx
+    // value's rank interval [count(<v)+1, count(≤v)] must intersect
+    // [(q-ε)n - 1, (q+ε)n + 1]. The oracle pins the booleans to literal
+    // true; a sketch that drifted out of its contract hash-mismatches
+    // instead of passing rows-only. (ε = 1/accuracy = 1e-4.)
+    "x_approx_quantiles" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val ap = o.groupBy(col("o_orderpriority"))
         .agg(
           percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
-            .as("p50_approx"),
+            .as("_p50a"),
           percentile_approx(col("o_totalprice"), lit(0.9), lit(10000))
-            .as("p90_approx"),
-          count(lit(1)).as("n_rows"))),
+            .as("_p90a"))
+      def inBound(v: Column, q: Double): Column = {
+        val n = count(lit(1)).cast("double")
+        val eps = n * 1e-4 + 1.0
+        val target = n * q
+        (sum(when(col("o_totalprice") < v, 1L).otherwise(0L))
+          .cast("double") < target + eps) &&
+          (sum(when(col("o_totalprice") <= v, 1L).otherwise(0L))
+            .cast("double") >= target - eps)
+      }
+      o.join(broadcast(ap), "o_orderpriority")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          inBound(col("_p50a"), 0.5).as("p50_in_bound"),
+          inBound(col("_p90a"), 0.9).as("p90_in_bound"))
+    }),
 
     // Exact distributed correlation: Pearson r from six exact decimal
     // sums (n, Σx, Σy, Σxy, Σx², Σy²) — order-independent, unlike a
@@ -881,8 +899,10 @@ object Warehouse {
         |  CAST(sum(l_suppkey) AS BIGINT) AS sum_suppkey
         |FROM lineitem""".stripMargin,
 
-    // x_approx_quantiles: intentionally no oracle (rows-only) — sketch
-    // outputs are engine-dependent order statistics; see WarehouseSpec.
+    "x_approx_quantiles" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |  true AS p50_in_bound, true AS p90_in_bound
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "x_corr_qty_price" ->
       """WITH s AS (SELECT l_returnflag, count(*) AS n,

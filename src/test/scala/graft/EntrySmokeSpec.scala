@@ -11,11 +11,22 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(SparkEntry.entry(fresh).count() > 0)
   }
 
+  test("gate surface size is pinned") {
+    // Guards against the round-8 failure mode: Verify swallows a throwing
+    // gate, the driver's correctness JSON just gets smaller, and 31 red
+    // gates read as "fewer queries". A silent shrink (or an unregistered
+    // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
+    val pinned = 167 // r9: +x_substring_dedup_apply
+    assert(SparkEntry.queries.size == pinned,
+      s"gate count ${SparkEntry.queries.size} != pinned $pinned — " +
+        "update the pin if gates were added/removed on purpose")
+  }
+
   test("every query has either an oracle or is documented rows-only") {
-    // Sketch outputs have no exact cross-engine oracle by construction;
-    // the driver records a weaker rows-only check for these (their error
-    // bounds are pinned by ScalaTest specs instead).
-    val documentedRowsOnly = Set("x_hll_distinct_users", "x_approx_quantiles")
+    // r9: the two sketch gates now emit exact values + within-bound
+    // booleans, so every gate is fully oracled — the set is empty and
+    // should stay that way.
+    val documentedRowsOnly = Set.empty[String]
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o diff q}")

@@ -25,6 +25,7 @@ object TestSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // exercise the cluster-default deployment path for the native SQL
       // functions (GraftExtensionsSpec asserts resolution w/o register())
       .config("spark.sql.extensions", "graft.GraftExtensions")

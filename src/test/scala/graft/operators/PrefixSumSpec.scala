@@ -48,6 +48,24 @@ class PrefixSumSpec extends AnyFunSuite with graft.GateCacheHygiene {
     graft.GateCache.releaseAll()
   }
 
+  test("null values contribute 0 to the sum / don't move the min") {
+    // the r7-audited form NPE'd on a null value; the contract is now the
+    // SQL one — sum and min ignore NULLs
+    val df = Seq((1, Some(2L)), (2, None), (3, Some(5L)), (4, None))
+      .toDF("k", "v")
+    val got = PrefixSum.inclusive(df, Seq(col("k").asc), col("v"), 2, "cum")
+      .select(col("k"), col("cum")).as[(Int, Long)].collect().toMap
+    assert(got == Map(1 -> 2L, 2 -> 2L, 3 -> 7L, 4 -> 7L))
+    graft.GateCache.releaseAll()
+    val dfd = Seq((1, Some(3.0)), (2, None), (3, Some(1.0)), (4, None))
+      .toDF("k", "v")
+    val gotM = PrefixSum.exclusiveMin(dfd, Seq(col("k").asc), col("v"), 2, "pm")
+      .select(col("k"), col("pm")).as[(Int, Option[Double])].collect().toMap
+    assert(gotM == Map(1 -> None, 2 -> Some(3.0), 3 -> Some(3.0),
+      4 -> Some(1.0)))
+    graft.GateCache.releaseAll()
+  }
+
   test("exclusive prefix min matches scanLeft; global first row is null") {
     val rows = (0 until 257).map(i => ((i * 131) % 257, ((i * 37) % 50) + 0.5))
     val sorted = rows.sortBy(_._1)

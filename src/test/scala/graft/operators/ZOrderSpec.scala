@@ -84,20 +84,34 @@ class ZOrderSpec extends AnyFunSuite with graft.GateCacheHygiene {
   }
 
   test("x_approx_quantiles: sketch honors the ε-rank contract vs exact ranks") {
-    val approx = graft.queries.Warehouse.queries("x_approx_quantiles")(
-      spark, TestSpark.Sf0001)
-      .as[(String, Double, Double, Long)].collect()
+    // the raw sketch values (now internal to the gate — its output is the
+    // adjudicable booleans), re-derived here and checked against exact
+    // JVM ranks: the TIGHT statistical contract, vs the gate's loose one
+    import org.apache.spark.sql.functions.{col, lit, percentile_approx}
+    val approx = graft.queries.Tables.read(spark, TestSpark.Sf0001, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("p90"))
+      .as[(String, Double, Double)].collect()
     val orders = graft.queries.Tables.read(spark, TestSpark.Sf0001, "orders")
       .select($"o_orderpriority", $"o_totalprice").as[(String, Double)]
       .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
-    approx.foreach { case (prio, p50, p90, nRows) =>
+    approx.foreach { case (prio, p50, p90) =>
       val v = orders(prio); val n = v.length
-      assert(nRows == n)
       val eps = math.max(1, n / 10000) // accuracy=10000 → ε·n rank error
       def rankOf(x: Double) = v.count(_ <= x)
       assert(math.abs(rankOf(p50) - 0.5 * n) <= eps + 1, s"$prio p50")
       assert(math.abs(rankOf(p90) - 0.9 * n) <= eps + 1, s"$prio p90")
       assert(v.contains(p50) && v.contains(p90)) // sketch returns real values
+    }
+    // and the gate's own booleans (what the driver hashes) are all true
+    val gate = graft.queries.Warehouse.queries("x_approx_quantiles")(
+      spark, TestSpark.Sf0001)
+      .as[(String, Long, Boolean, Boolean)].collect()
+    assert(gate.length == orders.size)
+    gate.foreach { case (prio, nRows, b50, b90) =>
+      assert(nRows == orders(prio).length && b50 && b90, prio)
     }
   }
 }

@@ -41,6 +41,52 @@ class CurationSpec extends AnyFunSuite with graft.GateCacheHygiene {
     else bg.groupBy(identity).values.map(_.length).max.toDouble / bg.length
   }
 
+  test("weightedSample: passes draw independently; gate is pass 1") {
+    // the pass salt (r7 ADVICE) must yield a genuinely different draw —
+    // and the registered gate must remain exactly pass 1
+    def draw(p: Int): Seq[(Int, Long)] =
+      Curation.weightedSample(spark, TestSpark.Sf0001, p)
+        .select("rk", "doc_id").as[(Int, Long)].collect().toSeq.sortBy(_._1)
+    val p1 = draw(1)
+    val p2 = draw(2)
+    assert(p1.size == Curation.WSampleK && p2.size == Curation.WSampleK)
+    assert(p1 != p2, "pass 2 drew the identical sample — salt not applied")
+    val gate = Curation.queries("x_weighted_sample")(spark, TestSpark.Sf0001)
+      .select("rk", "doc_id").as[(Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(gate == p1)
+  }
+
+  test("bpeLearn guard is lazy (no job at construction) and per-round") {
+    // construction of the gate frame must launch no MORE Spark jobs than
+    // a known-lazy gate reading the same table does (spark.read.parquet
+    // itself runs a footer-listing job — that's the baseline, not the
+    // guard); the old guard ran an eager isEmpty action on top
+    val sc = spark.sparkContext
+    def jobs(): Int = sc.statusTracker.getJobIdsForGroup(null).length
+    val b0 = jobs()
+    Curation.queries("x_repetition_stats")(spark, TestSpark.Sf0001)
+    val baseline = jobs() - b0
+    val b1 = jobs()
+    val frame = Curation.queries("x_bpe_merges")(spark, TestSpark.Sf0001)
+    val bpeJobs = jobs() - b1
+    assert(bpeJobs <= baseline,
+      s"x_bpe_merges construction launched $bpeJobs job(s) vs the lazy " +
+        s"baseline's $baseline — guard is eager again")
+    assert(frame.count() == Curation.BpeRounds)
+    graft.GateCache.releaseAll()
+    // degenerate corpus (all 1-char words → no adjacent symbol pair in
+    // any word): the throw happens at ACTION time, not construction, and
+    // names round 1
+    val dir = java.nio.file.Files.createTempDirectory("bpe_deg").toString
+    Seq((1L, "a b c"), (2L, "x y")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val degFrame = Curation.queries("x_bpe_merges")(spark, dir) // no throw
+    val ex = intercept[Exception] { degFrame.count() }
+    assert(ex.getMessage != null && ex.getMessage.contains("round 1"),
+      s"guard message lost: ${ex.getMessage}")
+    graft.GateCache.releaseAll()
+  }
+
   test("x_repetition_stats matches a straight-line JVM recomputation") {
     val got = Curation.queries("x_repetition_stats")(spark, TestSpark.Sf0001)
       .as[(Long, Long, java.math.BigDecimal, java.math.BigDecimal)]

@@ -55,7 +55,11 @@ class GraphOpsSpec extends AnyFunSuite with graft.GateCacheHygiene {
     val plan = df.queryExecution.optimizedPlan.toString
     assert(plan.contains("InMemoryRelation"),
       s"edges/deg not served from cache:\n$plan")
-    assert(!plan.contains("LocalRelation") || !plan.contains("scala.Tuple"),
+    // no LocalRelation at all: a collect-then-createDataFrame iteration
+    // would surface the collected rows as a LocalRelation leaf (the old
+    // form OR'd two negations — vacuously true whenever either string was
+    // absent, i.e. always; r7 ADVICE)
+    assert(!plan.contains("LocalRelation"),
       s"collected intermediate leaked into the plan:\n$plan")
     df.limit(1).collect()
     graft.GateCache.releaseAll()
