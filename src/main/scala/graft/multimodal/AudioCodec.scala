@@ -5,8 +5,9 @@ package graft.multimodal
   * closes the `audio` kind of the documented stub. WAV/PCM is lossless,
   * so decoded sample values are a pure function of the synthesized
   * pattern and the DuckDB oracle recomputes the checksum with integer
-  * arithmetic — no audio library on the oracle side. Video stays stubbed:
-  * the JDK ships no video codec.
+  * arithmetic — no audio library on the oracle side. (Video: see
+  * [[VideoCodec]], which hand-parses the AVI container this RIFF walk
+  * generalizes to.)
   *
   * The synthesizer writes a spec-compliant RIFF/WAVE header BY HAND and
   * the decoder goes through the real `AudioSystem` parser — the gate

@@ -6,8 +6,8 @@ package graft.multimodal
   * lossless), so decoded width/height and a positional pixel checksum
   * are deterministic functions of the painted pattern and the DuckDB
   * oracle can recompute them from arithmetic alone — no image library on
-  * the oracle side. Audio/video stay stubbed ([[Multimodal.FakeCodec]]):
-  * their codecs aren't in the JDK.
+  * the oracle side. (Audio: [[AudioCodec]] via `javax.sound.sampled`;
+  * video: [[VideoCodec]], hand-parsed RIFF/AVI.)
   *
   * Scale: decode runs inside `mapPartitions` tasks (partition-parallel,
   * no shuffle, no driver involvement) — the same plan shape as a

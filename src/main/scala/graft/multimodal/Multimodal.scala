@@ -6,11 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata (extension surface, SURVEY.md §7.2 step 7).
   *
-  * The decode step is STUBBED (no image/audio libs in this container) with
-  * a deterministic fake, but the Spark-side plumbing is real and tested:
-  * schema, batch shape, partition-parallel `mapPartitions` over a typed
-  * Dataset — the Scala analog of a Pandas-UDF `mapInPandas` stage. Swapping
-  * [[FakeCodec]] for a real JNI/library decoder changes no plan shape.
+  * All three kinds now have REAL decoders — [[ImageCodec]] (PNG via
+  * `javax.imageio`), [[AudioCodec]] (RIFF/PCM via `javax.sound.sampled`),
+  * [[VideoCodec]] (RIFF/AVI, hand-parsed — the JDK ships no video codec).
+  * [[FakeCodec]] remains only as the fallback for payloads that aren't
+  * actual media bytes (the harness's text-payload media table). The
+  * Spark-side plumbing is the point either way: schema, batch shape,
+  * partition-parallel `mapPartitions` over a typed Dataset — the Scala
+  * analog of a Pandas-UDF `mapInPandas` stage; swapping a codec changes
+  * no plan shape.
   */
 object Multimodal {
 
@@ -116,9 +120,10 @@ object Multimodal {
     * R/G/B) padded to `dim`, one "frame" — a still) and `audio` payloads
     * through the REAL WAV codec ([[AudioCodec.decodeWav]],
     * `javax.sound.sampled`: feature = (rate, n_samples), frames =
-    * samples) when they decode. Payloads that aren't actual media bytes
-    * (the harness's text-payload media) and the `video` kind take the
-    * documented stub — the JDK ships no video codec — so the historical
+    * samples) and `video` payloads through the REAL AVI parser
+    * ([[VideoCodec.decodeAvi]]: feature = (w, h, frames)) when they
+    * decode. Payloads that aren't actual media bytes (the harness's
+    * text-payload media) take the documented stub, so the historical
     * metadata gate is byte-stable. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 8,
                       frameStride: Int = 32): Dataset[MediaFeatures] = {
@@ -133,6 +138,10 @@ object Multimodal {
           MediaFeatures(m.media_id, m.kind, m.payload.length,
             Array(d.sample_rate.toFloat, d.n_samples.toFloat)
               .padTo(dim, 0f).take(dim), d.n_samples))
+        case "video" => VideoCodec.decodeAvi(m.payload).map(d =>
+          MediaFeatures(m.media_id, m.kind, m.payload.length,
+            Array(d.width.toFloat, d.height.toFloat, d.n_frames.toFloat)
+              .padTo(dim, 0f).take(dim), d.n_frames))
         case _ => None
       }
       real.getOrElse(
@@ -184,6 +193,30 @@ object Multimodal {
         val d = AudioCodec.decodeWav(AudioCodec.synthWav(id, n, rate))
           .getOrElse(sys.error(s"WAV for media $id failed to decode"))
         DecodedWav(id, d.sample_rate, d.n_samples, d.checksum)
+      }).toDF()
+  }
+
+  /** Decoded-AVI table, the video companion to [[decodePngTable]] /
+    * [[decodeWavTable]]: synthesize a real RIFF/AVI clip of uncompressed
+    * 24-bit DIB frames per document id, decode it back through
+    * [[VideoCodec.decodeAvi]]'s independent RIFF chunk walk, report
+    * (width, height, n_frames, positional pixel checksum). Uncompressed
+    * DIB is lossless ⇒ pure function of the pattern; the oracle
+    * recomputes it arithmetically. Partition-parallel, zero shuffle. */
+  final case class DecodedAvi(media_id: Long, width: Int, height: Int,
+                              n_frames: Int, checksum: Long)
+  def decodeAviTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.queries.Tables.read(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 4 + 2).cast("int").as("n"),
+        (col("doc_id") % 12 + 8).cast("int").as("w"),
+        (col("doc_id") % 8 + 6).cast("int").as("h"))
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions(_.map { case (id, n, w, h) =>
+        val d = VideoCodec.decodeAvi(VideoCodec.synthAvi(id, n, w, h))
+          .getOrElse(sys.error(s"AVI for media $id failed to decode"))
+        DecodedAvi(id, d.width, d.height, d.n_frames, d.checksum)
       }).toDF()
   }
 

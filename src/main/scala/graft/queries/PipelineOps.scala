@@ -178,6 +178,59 @@ object PipelineOps {
       .groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
   }
 
+  /** T13: streaming near-dup at ingest — [[graft.streaming.StreamNearDup]]
+    * replaying `documents` as three micro-batches in ascending doc_id
+    * ranges (forced modtimes, the lateDataWindows technique), the LSH band
+    * index accruing across batches. Returns the per-document flagged
+    * frame; the gate aggregates per language. Under the ascending-id
+    * replay, flagged ≡ "shares a band key with any smaller doc_id" — the
+    * batch-relational definition the oracle re-derives. */
+  def streamNearDupRaw(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = Files.createTempDirectory("graft_snd_src").toString
+    val outDir = Files.createTempDirectory("graft_snd_out").toString
+    val idxDir = Files.createTempDirectory("graft_snd_idx").toString + "/idx"
+    val ckp = Files.createTempDirectory("graft_snd_ckp").toString
+    val d = Tables.read(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val m = d.agg(max(col("doc_id"))).head().getLong(0)
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_snd_tmp").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      require(dst.setLastModified(mtime), s"failed to set mtime on $dst")
+      ()
+    }
+    val base = 1600000000000L // strictly increasing modtimes = replay order
+    stage(d.filter(col("doc_id") * 3 <= m), "b0.parquet", base)
+    stage(d.filter(col("doc_id") * 3 > m && col("doc_id") * 3 <= 2 * m),
+      "b1.parquet", base + 600000L)
+    stage(d.filter(col("doc_id") * 3 > 2 * m), "b2.parquet", base + 1200000L)
+    val stream = s.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      graft.streaming.StreamNearDup.run(stream,
+        idCol = "doc_id", textCol = "text",
+        keepCols = Seq("doc_id", "lang"),
+        indexDir = idxDir, outDir = outDir, checkpointDir = ckp,
+        shingleWidth = TrainingData.ShingleW, k = TrainingData.MinhashK,
+        bands = TrainingData.Bands, rowsPerBand = TrainingData.RowsPerBand,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(outDir)
+  }
+
+  def streamNearDupCounts(s: SparkSession, dir: String): DataFrame =
+    streamNearDupRaw(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_dup")).cast("long").as("n_dup_candidates"),
+        sum(lit(1L) - col("is_dup")).cast("long").as("n_novel"))
+
   /** Watermark late-data semantics, exactly reproduced. Three chunks
     * replayed in forced modtime order: on-time history (ts < Jan 16,
     * minus stragglers), mid-period data (Jan 16–23), then the tail PLUS
@@ -1107,6 +1160,7 @@ object PipelineOps {
     "t1_cdc_stream_live" -> ((s, dir) => cdcStreamLive(s, dir)),
     "t12_debezium_cdc" -> ((s, dir) => debeziumCdcLive(s, dir)),
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
+    "t13_stream_neardup" -> ((s, dir) => streamNearDupCounts(s, dir)),
     "t7_stream_stream_join" -> ((s, dir) => streamStreamJoin(s, dir)),
 
     // Sessionization by 30-min inactivity gap (session_window — merged
@@ -1126,6 +1180,21 @@ object PipelineOps {
           col("n_events"))))
 
   val oracle: Map[String, String] = Map(
+    // the ascending-id replay makes the streaming index-accrual dedup
+    // equal this batch definition: dup ⇔ shares a band key with a
+    // smaller doc_id (see streamNearDupRaw)
+    "t13_stream_neardup" ->
+      s"""WITH ${TrainingData.minhashCtes},
+         |dup AS (SELECT DISTINCT a.doc_id FROM bands a
+         |        JOIN bands b USING (band, band_key)
+         |        WHERE b.doc_id < a.doc_id)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM dup)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_candidates,
+         |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM dup)
+         |    THEN 0 ELSE 1 END) AS BIGINT) AS n_novel
+         |FROM documents GROUP BY lang""".stripMargin,
+
     "o10_time_travel" ->
       """WITH changes AS (
         |  SELECT c_custkey, c_acctbal + CAST(100.0 AS DOUBLE) AS c_acctbal,

@@ -861,6 +861,15 @@ object TrainingData {
     "x_multimodal_audio_decode" -> ((s, dir) =>
       Multimodal.decodeWavTable(s, dir)),
 
+    // REAL video decode (VERDICT r7 #4, closing the last stub kind):
+    // synthesized RIFF/AVI clips of uncompressed 24-bit DIB frames
+    // round-tripped through VideoCodec's independent chunk walk; the
+    // oracle recomputes dims/frame-count/positional checksum
+    // arithmetically — a dropped frame, wrong padding, or un-un-flipped
+    // DIB row order cannot hash-match.
+    "x_multimodal_video_decode" -> ((s, dir) =>
+      Multimodal.decodeAviTable(s, dir)),
+
     // The resize stage over the media table: payload downsampled to a
     // fixed byte budget (decode/resize stubbed — plumbing real: binary
     // column in, binary column out, partition-parallel typed stage).
@@ -1599,6 +1608,26 @@ object TrainingData {
         |     + 256*((x*3 + y*5 + media_id*17) % 256)
         |     + 65536*((x*11 + y*19 + media_id*23) % 256))
         |    * (1 + x + y*w)) AS BIGINT) AS checksum
+        |FROM px GROUP BY media_id""".stripMargin,
+
+    // the DIB frame pattern re-derived per (frame, pixel) over a
+    // generate_series grid (bounds = max frames/w/h of the id-derived
+    // shape); checksum weights every pixel by its top-down frame-major
+    // position so frame drops, reorders, and row flips all collide
+    "x_multimodal_video_decode" ->
+      """WITH d AS (SELECT doc_id AS media_id, doc_id % 4 + 2 AS n,
+        |                  doc_id % 12 + 8 AS w, doc_id % 8 + 6 AS h
+        |           FROM documents),
+        |px AS (SELECT media_id, n, w, h, gf.f AS f, gx.x AS x, gy.y AS y
+        |  FROM d, generate_series(0, 5) gf(f),
+        |       generate_series(0, 19) gx(x), generate_series(0, 13) gy(y)
+        |  WHERE gf.f < n AND gx.x < w AND gy.y < h)
+        |SELECT media_id, CAST(min(w) AS INT) AS width,
+        |  CAST(min(h) AS INT) AS height, CAST(min(n) AS INT) AS n_frames,
+        |  CAST(sum(((x*7 + y*13 + f*11 + media_id*31) % 256
+        |     + 256*((x*3 + y*5 + f*19 + media_id*17) % 256)
+        |     + 65536*((x*11 + y*19 + f*29 + media_id*23) % 256))
+        |    * (1 + x + y*w + f*w*h)) AS BIGINT) AS checksum
         |FROM px GROUP BY media_id""".stripMargin,
 
     // the PCM pattern re-derived per sample index over a generate_series

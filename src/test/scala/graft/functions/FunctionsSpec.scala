@@ -448,6 +448,42 @@ class MultimodalSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(f.frames_sampled == 100 && f.n_bytes == wav.length)
   }
 
+  test("real AVI decode: frames recovered exactly; junk falls back to stub") {
+    import graft.multimodal.VideoCodec
+    // independent straight-line reference: top-down frame-major positional
+    // checksum over the pattern — shares only the pattern definition with
+    // the codec (which must un-flip the bottom-up DIB rows to match)
+    def refChecksum(id: Long, n: Int, w: Int, h: Int): Long = {
+      var sum = 0L
+      for (f <- 0 until n; y <- 0 until h; x <- 0 until w)
+        sum += (VideoCodec.patternB(id, f, x, y) +
+          256L * VideoCodec.patternG(id, f, x, y) +
+          65536L * VideoCodec.patternR(id, f, x, y)) *
+          (1L + x + y.toLong * w + f.toLong * w * h)
+      sum
+    }
+    for (id <- Seq(0L, 1L, 5L, 123L)) {
+      val (n, w, h) =
+        ((id % 4 + 2).toInt, (id % 12 + 8).toInt, (id % 8 + 6).toInt)
+      val d = VideoCodec.decodeAvi(VideoCodec.synthAvi(id, n, w, h)).get
+      assert((d.width, d.height, d.n_frames) == (w, h, n), s"clip $id shape")
+      assert(d.checksum == refChecksum(id, n, w, h), s"clip $id pixels")
+    }
+    // w=9: rows are 27 bytes, padded to 28 — exercises the 4-byte DIB pad
+    val padded = VideoCodec.decodeAvi(VideoCodec.synthAvi(7L, 3, 9, 5)).get
+    assert(padded.checksum == refChecksum(7L, 3, 9, 5), "row padding")
+    assert(VideoCodec.decodeAvi("not an avi".getBytes("UTF-8")).isEmpty)
+    assert(VideoCodec.decodeAvi(Array.emptyByteArray).isEmpty)
+    // extractFeatures routes a REAL clip through the codec
+    import spark.implicits._
+    val avi = VideoCodec.synthAvi(11L, 4, 10, 8)
+    val media = Seq(graft.multimodal.Multimodal.MediaRow(
+      11L, "video", avi, 10, 8, 0)).toDS()
+    val f = graft.multimodal.Multimodal.extractFeatures(media, dim = 8).head()
+    assert(f.feature(0) == 10f && f.feature(1) == 8f && f.feature(2) == 4f)
+    assert(f.frames_sampled == 4 && f.n_bytes == avi.length)
+  }
+
   test("frame-sample stage: byte-exact slices, tail truncation, empty payload") {
     import spark.implicits._
     val media = Seq(

@@ -47,6 +47,41 @@ class GraphOpsSpec extends AnyFunSuite with graft.GateCacheHygiene {
       "supplier ranks collapsed — recurrence lost the hub structure")
   }
 
+  test("pagerank at 10 iterations: bounded plan depth, values ≡ pure unroll") {
+    // beyond the gate's 3-iteration unroll, localCheckpoint-every-3 must
+    // keep the FINAL plan's join count bounded by one segment (each
+    // iteration contributes 2 joins) instead of 2·iters — the r7 scale
+    // defect; and the truncation must not change a single rank (integer
+    // recurrence — bit-exact through materialization)
+    val iters = 10
+    val got = GraphOps.pagerank(spark, TestSpark.Sf0001, iters)
+    val plan = got.queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.length
+    assert(joins <= 2 * GraphOps.PrCheckpointEvery,
+      s"$joins joins in the 10-iteration plan — checkpoint not truncating")
+    assert(plan.collectFirst {
+      case _: org.apache.spark.sql.execution.LogicalRDD => ()
+    }.nonEmpty, "no LogicalRDD leaf — checkpoint never fired")
+    val gotMap = got.as[(String, Long, Long)].collect()
+      .map(g => g._1 -> g._3).toMap
+    graft.GateCache.releaseAll()
+    // pure-unroll reference: straight-line JVM recurrence at 10 iters
+    val edges = GraphOps.tradeEdges(spark, TestSpark.Sf0001)
+      .as[(String, String)].collect()
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val inbound = edges.groupBy(_._2)
+    var r: Map[String, Long] = outdeg.map { case (n, _) => n -> 1000000000L }
+    for (_ <- 1 to iters) {
+      r = inbound.map { case (v, es) =>
+        val s = es.iterator.map { case (u, _) => r(u) / outdeg(u) }.sum
+        v -> (GraphOps.PrJumpNano + s * GraphOps.PrDampPct / 100)
+      }
+    }
+    assert(gotMap == r, "checkpointed ranks diverge from the pure unroll")
+  }
+
   test("x_pagerank plan: cached edge frame, no driver-side iteration state") {
     // iterations must unroll lazily into ONE plan over the cached edges —
     // a collect-per-iteration loop would serialize the graph through the
