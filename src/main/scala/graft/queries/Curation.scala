@@ -36,6 +36,10 @@ object Curation {
   val LiftMinCount = 5L // collocation mining: min bigram occurrences
   val LiftTopK = 20 // collocation mining: reported top-k by lift
   val WSampleK = 50 // weighted sampling: docs drawn per pass
+  val BloomItems = 100000L // bloom digest: sized-for item count (≫ corpus
+  // here; at 100 TB size to the real count — digest = numBits/8 bytes)
+  val BloomBits = 800000L // 8 bits/item at capacity ⇒ ~2% worst-case fpp,
+  // far below the gate's 5% head-room; ~tiny fpp at harness fill levels
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
@@ -459,6 +463,47 @@ object Curation {
             .as("n_novel"))
     }),
 
+    // Cross-run dedup via a compact bloom digest ([[BloomOps]] — the
+    // explicit form of the runtime-filter machinery x_bloom_join lets
+    // Catalyst inject): the corpus (doc_id % 10 ≠ 9) reduces to ONE
+    // binary digest over xxhash64(fingerprint); the delta probes the
+    // broadcast digest — O(delta) work, yesterday's data untouched —
+    // then an exact fingerprint semi-join clears the bounded false
+    // positives. Adjudication, the sketch-gate pattern: n_delta and the
+    // exact dup count are DuckDB-oracled values; bloom soundness (zero
+    // false negatives — guaranteed by construction, so any false here is
+    // a bug, not noise) and the FP bound ride as pinned-true booleans.
+    "x_dedup_bloom_probe" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          graft.functions.Text.fingerprint(col("text")).as("_fp"))
+      val corpus = d.filter(col("doc_id") % DeltaMod =!= DeltaMod - 1)
+      val delta = d.filter(col("doc_id") % DeltaMod === DeltaMod - 1)
+      // the digest is materialized (ONE row, numBits/8 ≈ 100 KB) — in
+      // production it IS the persisted cross-run artifact; might_contain
+      // requires a constant/scalar digest anyway, and the literal reaches
+      // every probe task via the plan, never a per-row join
+      val digest = corpus.agg(graft.functions.BloomOps.bloomAgg(
+        xxhash64(col("_fp")), BloomItems, BloomBits).as("_bf"))
+        .head().getAs[Array[Byte]]("_bf")
+      val corpusFps = corpus.select(col("_fp")).distinct()
+      val probed = delta
+        .withColumn("_cand", graft.functions.BloomOps.mightContain(
+          lit(digest), xxhash64(col("_fp"))))
+        .join(corpusFps.withColumn("_in", lit(1L)), Seq("_fp"), "left")
+        .withColumn("_dup", when(col("_in").isNotNull, 1L).otherwise(0L))
+      probed.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_delta"),
+        sum(col("_dup")).cast("long").as("n_dup_exact"),
+        // soundness: a true dup the digest missed would be a real bug
+        (sum(when(col("_dup") === 1L && !col("_cand"), 1L).otherwise(0L))
+          === 0L).as("no_false_negatives"),
+        // FP head-room: candidates that aren't dups, ≤ 5% of delta + 10
+        // (digest sized at BloomBits/BloomItems ⇒ fpp ≪ 1%)
+        (sum(when(col("_cand") && col("_dup") === 0L, 1L).otherwise(0L))
+          <= count(lit(1)) * 0.05 + 10.0).as("fp_within_bound"))
+    }),
+
     // DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
     // every document by how much its hashed n-gram profile looks like a
     // TARGET domain (here the English sub-corpus — the paper's
@@ -829,6 +874,22 @@ object Curation {
            |    THEN 0 ELSE 1 END) AS BIGINT) AS n_novel
            |FROM documents WHERE doc_id % $DeltaMod = ${DeltaMod - 1}
            |GROUP BY lang""".stripMargin,
+
+      // exact side + pinned-true bounds of the bloom probe (sketch-gate
+      // pattern): dup ⇔ delta fingerprint present among corpus prints
+      "x_dedup_bloom_probe" -> {
+        val fp = Text.fingerprintDuck("text")
+        s"""WITH f AS MATERIALIZED (
+           |  SELECT doc_id, lang, $fp AS fp FROM documents),
+           |c AS (SELECT DISTINCT fp FROM f
+           |      WHERE doc_id % $DeltaMod <> ${DeltaMod - 1})
+           |SELECT lang, count(*) AS n_delta,
+           |  CAST(sum(CASE WHEN fp IN (SELECT fp FROM c) THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_dup_exact,
+           |  true AS no_false_negatives, true AS fp_within_bound
+           |FROM f WHERE doc_id % $DeltaMod = ${DeltaMod - 1}
+           |GROUP BY lang""".stripMargin
+      },
 
       "x_dsir_weights" -> {
         val bgs = Text.wordShinglesDuck("text", 2)

@@ -34,6 +34,7 @@ object Warehouse {
   val CmsD = 4 // Count-Min sketch depth (4 hash rows = 4 md5 windows)
   val CmsW = 1024 // Count-Min sketch width (buckets per row)
   val CmsTopK = 20 // heavy-hitter candidates probed against the sketch
+  val KAnonK = 10 // k-anonymity: min group size a published row may have
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Wide→long melt (the inverse of pivot_orders_by_priority): per-nation
@@ -106,6 +107,38 @@ object Warehouse {
         .agg(count(lit(1)).as("n_customers"),
           countDistinct(col("name_token")).as("n_tokens"),
           min(col("name_token")).as("first_token"))),
+
+    // k-anonymity suppression (Sweeney 2002) — the release-side privacy
+    // op next to x_pseudonymize's masking: aggregates over the
+    // quasi-identifier (nation, segment) are published only for groups
+    // with ≥ KAnonK members; smaller groups collapse into ONE __other__
+    // bucket (their counts and sums still included, so totals reconcile —
+    // suppression, not deletion). The training-data use: corpus metadata
+    // reports that cannot isolate an individual contributor. Scale: one
+    // partial-agg'd shuffle on the quasi-identifier; the suppressed set
+    // is a scalar aggregate over the (≤ |QI| card) group frame — no
+    // second corpus pass. Decimal-exact sums, double only at the edge;
+    // the __other__ row is emitted even when nothing was suppressed
+    // (coalesced zeros), so the schema and row-set shape are SF-stable.
+    "x_kanon_agg" -> ((s, dir) => {
+      val g = graft.GateCache.cache(t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("_n"),
+          sum(col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("_s")))
+      val pub = g.filter(col("_n") >= KAnonK)
+        .select(col("c_nationkey").cast("string").as("nation"),
+          col("c_mktsegment").as("segment"),
+          col("_n").as("n_members"),
+          col("_s").cast("double").as("bal_total"))
+      val other = g.filter(col("_n") < KAnonK)
+        .agg(coalesce(sum(col("_n")), lit(0L)).as("n_members"),
+          coalesce(sum(col("_s")), lit(java.math.BigDecimal.ZERO)
+            .cast("decimal(38,2)")).cast("double").as("bal_total"))
+        .select(lit("__other__").as("nation"), lit("__other__").as("segment"),
+          col("n_members"), col("bal_total"))
+      pub.unionByName(other)
+    }),
 
     // Equi-width histogram (distribution profiling): 20 buckets over
     // [min, max] of the order totals, bucket edges from one exact
@@ -702,6 +735,20 @@ object Warehouse {
         |  count(DISTINCT sha256('graft:' || c_name)) AS n_tokens,
         |  min(sha256('graft:' || c_name)) AS first_token
         |FROM customer GROUP BY 1""".stripMargin,
+
+    "x_kanon_agg" ->
+      s"""WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(c_nationkey AS VARCHAR) AS nation,
+        |  c_mktsegment AS segment, CAST(n AS BIGINT) AS n_members,
+        |  CAST(s AS DOUBLE) AS bal_total
+        |FROM g WHERE n >= $KAnonK
+        |UNION ALL
+        |SELECT '__other__', '__other__',
+        |  CAST(coalesce(sum(n), 0) AS BIGINT),
+        |  CAST(coalesce(sum(s), 0) AS DOUBLE)
+        |FROM g WHERE n < $KAnonK""".stripMargin,
 
     "x_histogram" ->
       """WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx

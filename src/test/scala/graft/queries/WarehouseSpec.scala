@@ -84,6 +84,27 @@ class WarehouseSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(!plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("x_kanon_agg: no published group below k; totals reconcile; __other__ always present") {
+    val rows = Warehouse.queries("x_kanon_agg")(spark, TestSpark.Sf0001)
+      .as[(String, String, Long, Double)].collect()
+    val (other, pub) = rows.partition(_._1 == "__other__")
+    assert(other.length == 1 && other.head._2 == "__other__",
+      "exactly one __other__ bucket required")
+    assert(pub.forall(_._3 >= Warehouse.KAnonK),
+      s"published group below k: ${pub.filter(_._3 < Warehouse.KAnonK).toSeq}")
+    // suppression, not deletion: published + other = the full population
+    val full = graft.queries.Tables.read(spark, TestSpark.Sf0001, "customer")
+      .agg(count(lit(1)),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("decimal(38,2)")
+          .cast("double"))
+      .as[(Long, Double)].head()
+    assert(rows.map(_._3).sum == full._1)
+    assert(math.abs(rows.map(_._4).sum - full._2) < 1e-6,
+      "balance mass lost in suppression")
+    // no quasi-identifier leaks through the other bucket's labels
+    assert(pub.forall(r => r._1 != "__other__" && r._2 != "__other__"))
+  }
+
   test("x_percentiles: matches a straight-line sorted-array reference") {
     val got = Warehouse.queries("x_percentiles")(spark, TestSpark.Sf0001)
       .as[(String, Long, Long, Long)].collect()
