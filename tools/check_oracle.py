@@ -40,6 +40,18 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
+    # An interrupted Verify (killed JVM) leaves a TRUNCATED outDir that
+    # used to read as a smaller all-green set — the round-8 failure mode
+    # at tool level. Every oracle key without a result dir is a failure.
+    for name in sorted(oracle):
+        if not os.path.isdir(os.path.join(out_dir, name)):
+            results[name] = "MISSING (oracle has no result dir — " \
+                "Verify failed or was interrupted)"
+    # Verify-recorded in-JVM failures are visible red rows here too
+    errs_path = os.path.join(out_dir, "errors.json")
+    if os.path.exists(errs_path):
+        for name, msg in json.load(open(errs_path)).items():
+            results[name] = f"VERIFY_ERROR {msg}"
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
