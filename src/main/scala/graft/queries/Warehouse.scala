@@ -525,9 +525,10 @@ object Warehouse {
     // Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005) — the
     // frequency sketch that, unlike HLL/quantile digests, is EXACTLY
     // reproducible cross-engine: counters are plain integer sums over
-    // deterministic hash buckets, so this sketch gate has a full DuckDB
-    // oracle (contrast x_approx_quantiles/x_hll, rows-only by
-    // construction). All CmsD rows come from ONE md5 per token (the four
+    // deterministic hash buckets, so this sketch gate oracle-checks its
+    // VALUES directly (x_approx_quantiles/x_hll adjudicate via exact
+    // values + within-bound booleans — their sketch internals are
+    // engine-specific). All CmsD rows come from ONE md5 per token (the four
     // 32-bit windows — the wide-simhash trick), the sketch is a fixed
     // d×w = 4096-counter frame REGARDLESS of corpus size (mergeable:
     // partial aggregation builds per-partition sketches and the shuffle
