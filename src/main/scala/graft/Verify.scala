@@ -61,7 +61,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // restricted to the same filter as the query run: check_oracle treats
+    // every oracle key without a result dir as a FAILURE (truncation
+    // guard), so a filtered dev run must emit a filtered oracle set too
     val json = SparkEntry.oracleSql
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors

@@ -127,48 +127,56 @@ object VideoCodec {
       if (cc() != "AVI ") return None
       var w = 0; var h = 0; var bitCount = 0; var compression = -1
       var frames = 0; var sum = 0L
-      // walk a chunk run within [from, until)
+      // walk a chunk run within [from, until). A corrupt/adversarial size
+      // field must make the walk STOP, not spin: a negative size (e.g.
+      // 0xFFFFFFF8 = -8) would otherwise compute pos_next == pos and
+      // loop forever inside the executor task — the one failure mode the
+      // surrounding try/catch cannot convert to None.
       def walk(from: Int, until: Int): Unit = {
         var pos = from
-        while (pos + 8 <= until) {
+        var cont = true
+        while (cont && pos + 8 <= until) {
           bb.position(pos)
           val id = cc()
           val size = bb.getInt
-          val body = bb.position()
-          if (id == "LIST") {
-            val listType = cc()
-            if (listType == "hdrl" || listType == "strl" ||
-              listType == "movi")
-              walk(body + 4, body + size)
-          } else if (id == "strf" && size >= 40) {
-            bb.getInt // biSize
-            w = bb.getInt
-            h = bb.getInt
-            bb.getShort // planes
-            bitCount = bb.getShort.toInt
-            compression = bb.getInt
-          } else if ((id == "00db" || id == "00dc") && w > 0 && h > 0 &&
-            bitCount == 24 && compression == 0) {
-            val rowBytes = (w * 3 + 3) / 4 * 4
-            if (size >= rowBytes * h) {
-              val base = frames.toLong * w * h
-              var y = 0
-              while (y < h) { // logical top-down row y …
-                val srcRow = body + (h - 1 - y) * rowBytes // … stored flipped
-                var x = 0
-                while (x < w) {
-                  val o = srcRow + x * 3
-                  val v = (payload(o) & 0xff) + 256L * (payload(o + 1) & 0xff) +
-                    65536L * (payload(o + 2) & 0xff)
-                  sum += v * (1L + base + x + y.toLong * w)
-                  x += 1
+          if (size < 0) cont = false
+          else {
+            val body = bb.position()
+            if (id == "LIST") {
+              val listType = cc()
+              if (listType == "hdrl" || listType == "strl" ||
+                listType == "movi")
+                walk(body + 4, body + size)
+            } else if (id == "strf" && size >= 40) {
+              bb.getInt // biSize
+              w = bb.getInt
+              h = bb.getInt
+              bb.getShort // planes
+              bitCount = bb.getShort.toInt
+              compression = bb.getInt
+            } else if ((id == "00db" || id == "00dc") && w > 0 && h > 0 &&
+              bitCount == 24 && compression == 0) {
+              val rowBytes = (w * 3 + 3) / 4 * 4
+              if (size >= rowBytes * h) {
+                val base = frames.toLong * w * h
+                var y = 0
+                while (y < h) { // logical top-down row y …
+                  val srcRow = body + (h - 1 - y) * rowBytes // … stored flipped
+                  var x = 0
+                  while (x < w) {
+                    val o = srcRow + x * 3
+                    val v = (payload(o) & 0xff) + 256L * (payload(o + 1) & 0xff) +
+                      65536L * (payload(o + 2) & 0xff)
+                    sum += v * (1L + base + x + y.toLong * w)
+                    x += 1
+                  }
+                  y += 1
                 }
-                y += 1
+                frames += 1
               }
-              frames += 1
             }
+            pos = body + size + (size & 1) // chunks are word-aligned
           }
-          pos = body + size + (size & 1) // chunks are word-aligned
         }
       }
       walk(12, payload.length)

@@ -107,8 +107,11 @@ final class SnapshotReplicator(
     * this turns daily re-syncs from O(table) into O(delta); the predicate
     * is pushed into the source scan.
     *
-    * Watermark domain: for numeric columns `lastValue` is compared raw;
-    * for TIMESTAMP / TIMESTAMP_NTZ columns it is a µs-epoch long — the
+    * Watermark domain: for numeric columns `lastValue` is compared raw in
+    * the COLUMN'S native unit, and the returned high-watermark is in that
+    * same unit — a caller holding a nanos-as-long timestamp column must
+    * convert at its own boundary (incrementalSnapshot does). For
+    * TIMESTAMP / TIMESTAMP_NTZ columns it is a µs-epoch long — the
     * literal is lifted into the column's native type (a foldable constant,
     * so the comparison still reaches the parquet scan as a pushed filter;
     * a `unix_micros(col) > x` form would not) and the returned

@@ -474,9 +474,13 @@ object Curation {
     // false negatives — guaranteed by construction, so any false here is
     // a bug, not noise) and the FP bound ride as pinned-true booleans.
     "x_dedup_bloom_probe" -> ((s, dir) => {
-      val d = docs(s, dir)
+      // cached: the fingerprint scan feeds THREE consumers (the eager
+      // digest action, the corpus fingerprint set, the delta probe) —
+      // uncached it would md5-normalize the corpus three times (review
+      // find), same sharing pattern as the sibling dedup gates
+      val d = graft.GateCache.cache(docs(s, dir)
         .select(col("doc_id"), col("lang"),
-          graft.functions.Text.fingerprint(col("text")).as("_fp"))
+          graft.functions.Text.fingerprint(col("text")).as("_fp")))
       val corpus = d.filter(col("doc_id") % DeltaMod =!= DeltaMod - 1)
       val delta = d.filter(col("doc_id") % DeltaMod === DeltaMod - 1)
       // the digest is materialized (ONE row, numBits/8 ≈ 100 KB) — in

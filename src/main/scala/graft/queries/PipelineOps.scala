@@ -636,15 +636,26 @@ object PipelineOps {
   def incrementalSnapshot(s: SparkSession, dir: String): DataFrame = {
     val wh = Files.createTempDirectory("graft_incr_wh").toString
     val rep = new SnapshotReplicator(s, dir, wh)
-    // watermark domain is µs-epoch regardless of the parquet encoding
-    // (replicateIncremental maps timestamp columns into it; Tables.tsUs
-    // normalizes the reads here)
+    // gate-facing watermark domain is µs-epoch. replicateIncremental maps
+    // TIMESTAMP(_NTZ) columns into µs itself, but a NUMERIC watermark
+    // column compares in its own native unit — and legacy testdata reads
+    // events.ts as nanos-long (nanosAsLong), a factor-1000 unit mismatch
+    // if we passed µs blindly (review find). Convert at this boundary:
+    // cutoff µs→native going in, returned mark native→µs coming out.
     val cutoffUs = 1705276800L * 1000000L // 2024-01-15T00:00Z
-    Tables.tsUs(Tables.read(s, dir, "events"))
+    val events = Tables.read(s, dir, "events")
+    val (cutoffNative, markToUs): (Long, Long => Long) =
+      events.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // legacy nanos-long
+          (cutoffUs * 1000L, _ / 1000L)
+        case _ => (cutoffUs, identity[Long] _)
+      }
+    Tables.tsUs(events)
       .filter(col("ts_us") <= cutoffUs).drop("ts_us")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(rep.targetPath("events"))
-    val (res, newMark) = rep.replicateIncremental("events", "ts", cutoffUs)
+    val (res, newMark0) = rep.replicateIncremental("events", "ts", cutoffNative)
+    val newMark = markToUs(newMark0)
     Tables.tsUs(rep.readTarget("events"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("event_id")).as("n_distinct_ids"),

@@ -474,6 +474,15 @@ class MultimodalSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(padded.checksum == refChecksum(7L, 3, 9, 5), "row padding")
     assert(VideoCodec.decodeAvi("not an avi".getBytes("UTF-8")).isEmpty)
     assert(VideoCodec.decodeAvi(Array.emptyByteArray).isEmpty)
+    // adversarial chunk size: a negative size field must terminate the
+    // walk with None, not spin forever (pos would stop advancing)
+    val evil = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes("US-ASCII")).putInt(24)
+      .put("AVI ".getBytes("US-ASCII"))
+      .put("JUNK".getBytes("US-ASCII")).putInt(-8) // pos_next == pos
+      .putInt(0).putInt(0).putInt(0)
+    assert(VideoCodec.decodeAvi(evil.array()).isEmpty)
     // extractFeatures routes a REAL clip through the codec
     import spark.implicits._
     val avi = VideoCodec.synthAvi(11L, 4, 10, 8)

@@ -47,12 +47,18 @@ def main(sf_dir, out_dir):
         if not os.path.isdir(os.path.join(out_dir, name)):
             results[name] = "MISSING (oracle has no result dir — " \
                 "Verify failed or was interrupted)"
-    # Verify-recorded in-JVM failures are visible red rows here too
+    # Verify-recorded in-JVM failures are red rows with the REAL reason —
+    # a gate that threw mid-write leaves a partial dir, so these must win
+    # over whatever the dir loop below would conclude from the remnants
+    errs = {}
     errs_path = os.path.join(out_dir, "errors.json")
     if os.path.exists(errs_path):
-        for name, msg in json.load(open(errs_path)).items():
-            results[name] = f"VERIFY_ERROR {msg}"
+        errs = json.load(open(errs_path))
+    for name, msg in errs.items():  # covers dir-less failures too
+        results[name] = f"VERIFY_ERROR {msg}"
     for name in sorted(os.listdir(out_dir)):
+        if name in errs:
+            continue
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
