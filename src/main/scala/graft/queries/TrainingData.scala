@@ -640,6 +640,38 @@ object TrainingData {
           sum(col("n_chars")).cast("long").as("total_chars"))
     }),
 
+    // The decontamination AUDIT, complementing the apply step's cut: per
+    // EVAL doc, how much of it leaked into the train split (the GPT-3
+    // 13-gram-style overlap report) — fraction of its winnow fingerprints
+    // found anywhere in training, bucketed clean / partial / contaminated
+    // (same DecontamRatio threshold as the apply gate). Join direction is
+    // REVERSED from the apply gate: the train fingerprint set is
+    // O(corpus) — never broadcast-hinted; the eval side is tiny, so AQE
+    // broadcasts IT and the train set streams map-side through the
+    // semi-join probe.
+    "x_contamination_report" -> ((s, dir) => {
+      val fps = graft.GateCache.cache(
+        docs(s, dir).select(col("doc_id"),
+          explode(array_distinct(graft.functions.WinnowExprs
+            .winnowMinsNative(col("text"), WinnowK, WinnowW))).as("fp")))
+      val trainFps = fps.filter(col("doc_id") % EvalMod =!= 0)
+        .select(col("fp")).distinct()
+      val ev = fps.filter(col("doc_id") % EvalMod === 0)
+      val hits = ev.join(trainFps, Seq("fp"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("_hit"))
+      val sizes = ev.groupBy(col("doc_id")).agg(count(lit(1)).as("_nf"))
+      sizes.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("_nf").cast("long").as("n_fingerprints"),
+          coalesce(col("_hit"), lit(0L)).as("n_in_train"),
+          round(coalesce(col("_hit"), lit(0L)).cast("double") /
+            col("_nf"), 6).cast("decimal(10,6)").as("overlap"),
+          when(coalesce(col("_hit"), lit(0L)) === 0, "clean")
+            .when(coalesce(col("_hit"), lit(0L)).cast("double") /
+              col("_nf") > DecontamRatio, "contaminated")
+            .otherwise("partial").as("verdict"))
+    }),
+
     // Winnowing (MOSS-style rolling-hash fingerprinting): char k-gram
     // hashes, sliding-window min, distinct mins = the doc's fingerprint
     // set. The per-doc window-min array comes from the native WinnowMins
@@ -1439,6 +1471,23 @@ object TrainingData {
          |WHERE doc_id % $EvalMod <> 0
          |  AND doc_id NOT IN (SELECT doc_id FROM dropped)
          |GROUP BY lang""".stripMargin,
+
+    "x_contamination_report" ->
+      s"""WITH $winnowFpCtes,
+         |trainf AS (SELECT DISTINCT fp FROM fps WHERE doc_id % $EvalMod <> 0),
+         |ev AS (SELECT * FROM fps WHERE doc_id % $EvalMod = 0),
+         |hits AS (SELECT doc_id, count(*) AS n_hit
+         |         FROM ev JOIN trainf USING (fp) GROUP BY 1),
+         |sizes AS (SELECT doc_id, count(*) AS nf FROM ev GROUP BY 1)
+         |SELECT s.doc_id, CAST(nf AS BIGINT) AS n_fingerprints,
+         |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_in_train,
+         |  CAST(CAST(round(CAST(coalesce(n_hit, 0) AS DOUBLE) / nf, 6)
+         |    AS DECIMAL(10,6)) AS DOUBLE) AS overlap,
+         |  CASE WHEN coalesce(n_hit, 0) = 0 THEN 'clean'
+         |       WHEN CAST(coalesce(n_hit, 0) AS DOUBLE) / nf
+         |         > $DecontamRatio THEN 'contaminated'
+         |       ELSE 'partial' END AS verdict
+         |FROM sizes s LEFT JOIN hits USING (doc_id)""".stripMargin,
 
     "x_winnow_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $normDoc AS t FROM documents),
