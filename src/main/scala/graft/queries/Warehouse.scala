@@ -35,6 +35,8 @@ object Warehouse {
   val CmsW = 1024 // Count-Min sketch width (buckets per row)
   val CmsTopK = 20 // heavy-hitter candidates probed against the sketch
   val KAnonK = 10 // k-anonymity: min group size a published row may have
+  val DdGamma = 1.02 // DDSketch bucket ratio — ≤ ~1% relative error
+  // ((γ−1)/(γ+1)); ~1160 buckets span [1, 1e10], size independent of rows
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Wide→long melt (the inverse of pivot_orders_by_priority): per-nation
@@ -561,6 +563,48 @@ object Warehouse {
         .orderBy(col("true_cnt").desc, col("token").asc)
     }),
 
+    // DDSketch-style relative-error quantiles (Masson et al. 2019,
+    // arXiv:1908.10693) — the quantile sketch that IS exactly
+    // cross-engine reproducible, completing the quantile triptych:
+    // x_percentiles (exact, window), x_approx_quantiles (t-digest-style,
+    // engine-internal, boolean-adjudicated), and this (sketch semantics
+    // with full value-level oracle). Values map to integer log-buckets
+    // k = ceil(ln(x)/ln(γ)) — quantized to nano units BEFORE the ceil,
+    // the x_ngram_lm_score trick, so the one libm ln both engines share
+    // can't flip a boundary — and the per-(group, bucket) counts are a
+    // plain integer aggregate: mergeable, one partial-agg'd shuffle,
+    // sketch size O(log(range)/log γ) per group REGARDLESS of input
+    // rows. The quantile estimate is the canonical 2γ^k/(γ+1) midpoint
+    // of the smallest bucket whose cumulative count reaches ⌈q·n⌉; the
+    // guarantee |est − true|/true ≤ (γ−1)/(γ+1) is pinned in the spec
+    // against exact ranks. Cumulative walk is a window over ≤ a few
+    // hundred bucket rows per group — never the data.
+    "x_ddsketch_quantiles" -> ((s, dir) => {
+      val lnG = math.log(DdGamma)
+      val bkt = graft.GateCache.cache(t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          ceil(round(log(col("o_totalprice")) / lnG * 1e9, 0) / 1e9)
+            .cast("int").as("_k"))
+        .groupBy(col("o_orderpriority"), col("_k"))
+        .agg(count(lit(1)).as("_c")))
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("_k").asc)
+      val cum = bkt
+        .withColumn("_cum", sum(col("_c")).over(w))
+        .withColumn("_n", sum(col("_c")).over(
+          Window.partitionBy(col("o_orderpriority"))))
+      def estAt(q: Double): Column =
+        min(when(col("_cum") * lit(1.0) >= ceil(col("_n") * q), col("_k")))
+      val est = cum.groupBy(col("o_orderpriority"))
+        .agg(min(col("_n")).cast("long").as("n_rows"),
+          estAt(0.5).as("_k50"), estAt(0.9).as("_k90"))
+      def mid(k: Column): Column =
+        round(pow(lit(DdGamma), k.cast("double")) * 2.0 / (DdGamma + 1.0), 4)
+          .cast("decimal(18,4)")
+      est.select(col("o_orderpriority"), col("n_rows"),
+        mid(col("_k50")).as("p50_est"), mid(col("_k90")).as("p90_est"))
+    }),
+
     // Approximate quantiles (the 100 TB fast path x_percentiles documents):
     // one pass, mergeable sketch, ε-rank error 1/accuracy. The sketch
     // VALUES are engine-dependent order statistics (no cross-engine
@@ -951,6 +995,32 @@ object Warehouse {
       """SELECT o_orderpriority, count(*) AS n_rows,
         |  true AS p50_in_bound, true AS p90_in_bound
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // identical integer log-bucket arithmetic (nano-quantized before the
+    // ceil), identical midpoint formula — full value-level sketch oracle
+    "x_ddsketch_quantiles" -> {
+      val lnG = math.log(DdGamma)
+      s"""WITH b AS (SELECT o_orderpriority,
+         |    CAST(ceil(round(ln(o_totalprice) / $lnG * 1e9, 0) / 1e9)
+         |      AS INT) AS k,
+         |    count(*) AS c
+         |  FROM orders GROUP BY 1, 2),
+         |cum AS (SELECT o_orderpriority, k,
+         |    sum(c) OVER (PARTITION BY o_orderpriority ORDER BY k
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(c) OVER (PARTITION BY o_orderpriority) AS n
+         |  FROM b),
+         |est AS (SELECT o_orderpriority, CAST(min(n) AS BIGINT) AS n_rows,
+         |    min(CASE WHEN cum >= ceil(n * 0.5) THEN k END) AS k50,
+         |    min(CASE WHEN cum >= ceil(n * 0.9) THEN k END) AS k90
+         |  FROM cum GROUP BY 1)
+         |SELECT o_orderpriority, n_rows,
+         |  CAST(CAST(round(pow($DdGamma, k50) * 2.0 / ($DdGamma + 1.0), 4)
+         |    AS DECIMAL(18,4)) AS DOUBLE) AS p50_est,
+         |  CAST(CAST(round(pow($DdGamma, k90) * 2.0 / ($DdGamma + 1.0), 4)
+         |    AS DECIMAL(18,4)) AS DOUBLE) AS p90_est
+         |FROM est""".stripMargin
+    },
 
     "x_corr_qty_price" ->
       """WITH s AS (SELECT l_returnflag, count(*) AS n,

@@ -83,6 +83,30 @@ class ZOrderSpec extends AnyFunSuite with graft.GateCacheHygiene {
     }
   }
 
+  test("x_ddsketch_quantiles: estimates within (γ−1)/(γ+1) of exact rank values") {
+    import org.apache.spark.sql.functions.col
+    val g = graft.queries.Warehouse.DdGamma
+    val bound = (g - 1) / (g + 1) + 1e-4 // + rounding slack (4 dp output)
+    val got = graft.queries.Warehouse.queries("x_ddsketch_quantiles")(
+      spark, TestSpark.Sf0001)
+      .select(col("o_orderpriority"), col("n_rows"),
+        col("p50_est").cast("double"), col("p90_est").cast("double"))
+      .as[(String, Long, Double, Double)].collect()
+    val orders = graft.queries.Tables.read(spark, TestSpark.Sf0001, "orders")
+      .select($"o_orderpriority", $"o_totalprice").as[(String, Double)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got.length == orders.size)
+    got.foreach { case (prio, n, p50, p90) =>
+      val v = orders(prio)
+      assert(n == v.length)
+      def exact(q: Double) = v(math.ceil(q * v.length).toInt - 1)
+      assert(math.abs(p50 - exact(0.5)) / exact(0.5) <= bound,
+        s"$prio p50 est=$p50 exact=${exact(0.5)}")
+      assert(math.abs(p90 - exact(0.9)) / exact(0.9) <= bound,
+        s"$prio p90 est=$p90 exact=${exact(0.9)}")
+    }
+  }
+
   test("x_approx_quantiles: sketch honors the ε-rank contract vs exact ranks") {
     // the raw sketch values (now internal to the gate — its output is the
     // adjudicable booleans), re-derived here and checked against exact
