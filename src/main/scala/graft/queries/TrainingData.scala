@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{DedupOps, PortableHash, ShingleExprs, SimilarityOps, Text}
 import graft.multimodal.Multimodal
@@ -69,6 +70,9 @@ object TrainingData {
   val ChunkStride = 48 // overlapping chunking: stride (overlap = W - stride)
   val SubdupK = 8 // substring dedup: token k-gram span width (Lee et al.
   // 2021 use 50 on web-scale corpora; 8 fits the harness doc lengths)
+  val BitextQueryIds = 60 // bitext mining: query window (non-en ids < 60)
+  val BitextMinCos = 0.2 // bitext: absolute top-1 cosine floor
+  val BitextMargin = 0.01 // bitext: required top-1 − top-2 margin
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
@@ -362,6 +366,48 @@ object TrainingData {
       emb(s, dir).join(drop, Seq("vec_id"), "left_anti")
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_vecs"))
+    }),
+
+    // Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    // CCMatrix/LASER parallel-corpus recipe): each non-English document
+    // is paired with its nearest English neighbor in embedding space,
+    // ACCEPTED only when the top-1 cosine clears an absolute floor AND
+    // beats the runner-up by a margin — the margin is what separates a
+    // genuine translation pair from a generically-similar topic match.
+    // Difference margin (cos1 − cos2) on round-6 scores keeps the whole
+    // decision engine-exact. Query side is a bounded id-window
+    // (broadcast); the candidate scan streams map-side — same plan shape
+    // as x_ann_brute_topk, and at 100 TB the candidate generation swaps
+    // to the LSH/IVF bucketed paths exactly as the ANN family documents.
+    "x_bitext_mine" -> ((s, dir) => {
+      val lang = docs(s, dir).select(col("doc_id"), col("lang"))
+      val e0 = emb(s, dir)
+      val e = e0.join(lang, e0("vec_id") === lang("doc_id"))
+        .select(col("vec_id"), col("lang"), col("embedding"),
+          SimilarityOps.norm(col("embedding")).as("_n"))
+      val q = e.filter(col("lang") =!= "en" && col("vec_id") < BitextQueryIds)
+        .select(col("vec_id").as("qid"), col("embedding").as("_qe"),
+          col("_n").as("_qn"))
+      val c = e.filter(col("lang") === "en")
+        .select(col("vec_id").as("cid"), col("embedding").as("_ce"),
+          col("_n").as("_cn"))
+      val scored = c.crossJoin(broadcast(q))
+        .withColumn("_cos", round(
+          SimilarityOps.dot(col("_qe"), col("_ce")) /
+            (col("_qn") * col("_cn")), 6))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("_cos").desc, col("cid").asc)
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+        .groupBy(col("qid"))
+        .agg(max(when(col("rk") === 1, col("cid"))).as("matched_id"),
+          max(when(col("rk") === 1, col("_cos"))).as("_c1"),
+          coalesce(max(when(col("rk") === 2, col("_cos"))), lit(-1.0))
+            .as("_c2"))
+        .select(col("qid").as("query_id"), col("matched_id"),
+          col("_c1").cast("decimal(10,6)").as("cos_sim"),
+          (col("_c1") - col("_c2")).cast("decimal(10,6)").as("margin"),
+          (col("_c1") > BitextMinCos &&
+            col("_c1") - col("_c2") > BitextMargin).as("accepted"))
     }),
 
     // ----------------------------------------------------- similarity
@@ -1284,6 +1330,30 @@ object TrainingData {
          |FROM embeddings e
          |WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.vid = e.vec_id)
          |GROUP BY label""".stripMargin,
+
+    // identical round-6 cosine, rank window, and margin arithmetic
+    "x_bitext_mine" ->
+      s"""WITH e AS MATERIALIZED (SELECT e.vec_id, d.lang, e.embedding,
+         |    sqrt(${SimilarityOps.dotDuck("e.embedding", "e.embedding", EmbeddingDim)}) AS n
+         |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+         |q AS (SELECT vec_id AS qid, embedding, n FROM e
+         |      WHERE lang <> 'en' AND vec_id < $BitextQueryIds),
+         |c AS (SELECT vec_id AS cid, embedding, n FROM e WHERE lang = 'en'),
+         |s AS (SELECT qid, cid,
+         |    round(${SimilarityOps.dotDuck("q.embedding", "c.embedding", EmbeddingDim)}
+         |      / (q.n * c.n), 6) AS cos
+         |  FROM q, c),
+         |r AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid
+         |        ORDER BY cos DESC, cid ASC) AS rk FROM s),
+         |p AS (SELECT qid, max(CASE WHEN rk = 1 THEN cid END) AS matched_id,
+         |    max(CASE WHEN rk = 1 THEN cos END) AS c1,
+         |    coalesce(max(CASE WHEN rk = 2 THEN cos END), -1.0) AS c2
+         |  FROM r WHERE rk <= 2 GROUP BY qid)
+         |SELECT qid AS query_id, matched_id,
+         |  CAST(CAST(c1 AS DECIMAL(10,6)) AS DOUBLE) AS cos_sim,
+         |  CAST(CAST(c1 - c2 AS DECIMAL(10,6)) AS DOUBLE) AS margin,
+         |  (c1 > $BitextMinCos AND c1 - c2 > $BitextMargin) AS accepted
+         |FROM p""".stripMargin,
 
     "x_ann_brute_topk" ->
       s"""SELECT query_id, rk, neighbor_id, cos_sim FROM (
