@@ -87,6 +87,19 @@ object TrainingData {
       DedupOps.minhashSignature(docs(s, dir), "doc_id", "text",
         ShingleW, MinhashK))
 
+  /** The exploded per-doc winnow fingerprint frame (doc_id, fp), CACHED:
+    * the SQL side factors this as the `winnowFpCtes` CTE; this is the one
+    * Spark-side source of truth (containment, decontaminate-apply, and
+    * the contamination report all consume it — a recipe change applied to
+    * one inlined copy but not another would silently desynchronize gates;
+    * r9 review find). Each gate's multiple branches read it from cache,
+    * so the winnow kernel scan runs once per gate, not per branch. */
+  def winnowFps(s: SparkSession, dir: String): DataFrame =
+    graft.GateCache.cache(
+      docs(s, dir).select(col("doc_id"),
+        explode(array_distinct(graft.functions.WinnowExprs
+          .winnowMinsNative(col("text"), WinnowK, WinnowW))).as("fp")))
+
   /** Per-doc fingerprint stats over a (doc_id, _m window-mins) frame —
     * shared by the kernel query and WinnowSpec's composed-form check. */
   def winnowStats(withMins: DataFrame): DataFrame =
@@ -630,10 +643,7 @@ object TrainingData {
     // one equi-join shuffle on the fingerprint, partial-agg'd pair counts.
     // Scores use the filtered (discriminative) sets on both sides.
     "x_winnow_containment" -> ((s, dir) => {
-      val fps = graft.GateCache.cache(
-        docs(s, dir).select(col("doc_id"),
-          explode(array_distinct(graft.functions.WinnowExprs
-            .winnowMinsNative(col("text"), WinnowK, WinnowW))).as("fp")))
+      val fps = winnowFps(s, dir)
       val bad = fps.groupBy(col("fp")).agg(count(lit(1)).as("_c"))
         .filter(col("_c") > FpMaxBucket).select(col("fp"))
       // both the pair counts AND the denominators use the discriminative
@@ -664,12 +674,7 @@ object TrainingData {
     // docs survive by construction (no evidence of overlap).
     "x_decontaminate_apply" -> ((s, dir) => {
       val d = docs(s, dir)
-      // cached: the eval-set branch, the hit counts, and the sizes all
-      // read this frame — uncached, the winnow kernel scan runs 3×
-      val fps = graft.GateCache.cache(
-        d.select(col("doc_id"),
-          explode(array_distinct(graft.functions.WinnowExprs
-            .winnowMinsNative(col("text"), WinnowK, WinnowW))).as("fp")))
+      val fps = winnowFps(s, dir)
       val evalFps = fps.filter(col("doc_id") % EvalMod === 0)
         .select(col("fp")).distinct()
       val train = fps.filter(col("doc_id") % EvalMod =!= 0)
@@ -692,18 +697,18 @@ object TrainingData {
     // found anywhere in training, bucketed clean / partial / contaminated
     // (same DecontamRatio threshold as the apply gate). Join direction is
     // REVERSED from the apply gate: the train fingerprint set is
-    // O(corpus) — never broadcast-hinted; the eval side is tiny, so AQE
-    // broadcasts IT and the train set streams map-side through the
-    // semi-join probe.
+    // O(corpus) — never broadcast-hinted; the eval side is tiny. The hit
+    // probe is an INNER join (trainFps is distinct, so inner ≡ semi):
+    // Spark can only broadcast the LEFT side of Inner/RightOuter joins —
+    // a left_semi would have forced either broadcasting the corpus-sized
+    // right side or shuffling both (review find) — so inner is what lets
+    // the tiny eval side broadcast while the train set streams map-side.
     "x_contamination_report" -> ((s, dir) => {
-      val fps = graft.GateCache.cache(
-        docs(s, dir).select(col("doc_id"),
-          explode(array_distinct(graft.functions.WinnowExprs
-            .winnowMinsNative(col("text"), WinnowK, WinnowW))).as("fp")))
+      val fps = winnowFps(s, dir)
       val trainFps = fps.filter(col("doc_id") % EvalMod =!= 0)
         .select(col("fp")).distinct()
       val ev = fps.filter(col("doc_id") % EvalMod === 0)
-      val hits = ev.join(trainFps, Seq("fp"), "left_semi")
+      val hits = ev.join(trainFps, Seq("fp"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("_hit"))
       val sizes = ev.groupBy(col("doc_id")).agg(count(lit(1)).as("_nf"))
       sizes.join(hits, Seq("doc_id"), "left")

@@ -578,15 +578,21 @@ object Warehouse {
     // of the smallest bucket whose cumulative count reaches ⌈q·n⌉; the
     // guarantee |est − true|/true ≤ (γ−1)/(γ+1) is pinned in the spec
     // against exact ranks. Cumulative walk is a window over ≤ a few
-    // hundred bucket rows per group — never the data.
+    // hundred bucket rows per group — never the data. The quantile
+    // BUCKETS (k50/k90) are the sketch's exact integer core; the midpoint
+    // estimates additionally go through libm pow, which is not
+    // correctly-rounded — at these magnitudes a 1-ulp disagreement flips
+    // a 2-dp rounding boundary with probability ~1e-8 per value (review
+    // find; ln is protected by the nano-quantize, pow rides the same
+    // negligible-boundary argument as the repo's round-6 cosines).
     "x_ddsketch_quantiles" -> ((s, dir) => {
       val lnG = math.log(DdGamma)
-      val bkt = graft.GateCache.cache(t(s, dir, "orders")
+      val bkt = t(s, dir, "orders")
         .select(col("o_orderpriority"),
           ceil(round(log(col("o_totalprice")) / lnG * 1e9, 0) / 1e9)
             .cast("int").as("_k"))
         .groupBy(col("o_orderpriority"), col("_k"))
-        .agg(count(lit(1)).as("_c")))
+        .agg(count(lit(1)).as("_c"))
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("_k").asc)
       val cum = bkt
@@ -599,9 +605,10 @@ object Warehouse {
         .agg(min(col("_n")).cast("long").as("n_rows"),
           estAt(0.5).as("_k50"), estAt(0.9).as("_k90"))
       def mid(k: Column): Column =
-        round(pow(lit(DdGamma), k.cast("double")) * 2.0 / (DdGamma + 1.0), 4)
-          .cast("decimal(18,4)")
+        round(pow(lit(DdGamma), k.cast("double")) * 2.0 / (DdGamma + 1.0), 2)
+          .cast("decimal(18,2)")
       est.select(col("o_orderpriority"), col("n_rows"),
+        col("_k50").as("k50"), col("_k90").as("k90"),
         mid(col("_k50")).as("p50_est"), mid(col("_k90")).as("p90_est"))
     }),
 
@@ -1015,10 +1022,11 @@ object Warehouse {
          |    min(CASE WHEN cum >= ceil(n * 0.9) THEN k END) AS k90
          |  FROM cum GROUP BY 1)
          |SELECT o_orderpriority, n_rows,
-         |  CAST(CAST(round(pow($DdGamma, k50) * 2.0 / ($DdGamma + 1.0), 4)
-         |    AS DECIMAL(18,4)) AS DOUBLE) AS p50_est,
-         |  CAST(CAST(round(pow($DdGamma, k90) * 2.0 / ($DdGamma + 1.0), 4)
-         |    AS DECIMAL(18,4)) AS DOUBLE) AS p90_est
+         |  CAST(k50 AS INT) AS k50, CAST(k90 AS INT) AS k90,
+         |  CAST(CAST(round(pow($DdGamma, k50) * 2.0 / ($DdGamma + 1.0), 2)
+         |    AS DECIMAL(18,2)) AS DOUBLE) AS p50_est,
+         |  CAST(CAST(round(pow($DdGamma, k90) * 2.0 / ($DdGamma + 1.0), 2)
+         |    AS DECIMAL(18,2)) AS DOUBLE) AS p90_est
          |FROM est""".stripMargin
     },
 
