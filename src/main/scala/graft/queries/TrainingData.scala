@@ -256,6 +256,28 @@ object TrainingData {
           coalesce(col("_md5"), md5(lit(""))).as("kept_md5"))
     }),
 
+    // Span-duplication SPECTRUM (the Lee et al. 2021 §3 analysis that
+    // motivates dedup thresholds): frequency-of-frequencies of the same
+    // k-token spans the substring-dedup gates fingerprint — how many
+    // distinct spans occur once, twice, k times. Two partial-agg'd
+    // shuffles (span hash, then occurrence count); the second input is
+    // |distinct spans| rows and the output is the tiny spectrum itself.
+    // The corpus-size-invariant tail shape is what tells an operator how
+    // much boilerplate a dedup pass will find before running it.
+    "x_dup_spectrum" -> ((s, dir) => {
+      val k = SubdupK
+      docs(s, dir)
+        .select(split(Text.normalize(col("text")), " ").as("_raw"))
+        .select(expr("filter(_raw, w -> w <> '')").as("_arr"))
+        .filter(size(col("_arr")) >= k)
+        .select(explode(expr(
+          s"transform(sequence(1, size(_arr) - ${k - 1}), " +
+            s"i -> md5(concat_ws(' ', slice(_arr, i, $k))))")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("_c"))
+        .groupBy(col("_c").as("n_occurrences"))
+        .agg(count(lit(1)).as("n_spans"))
+    }),
+
     // Deterministic stratified sampling via portable hash — the
     // reproducible (seed-free, engine-portable) way to cut a training
     // subset; rate 1/5 per stratum.
@@ -1242,6 +1264,20 @@ object TrainingData {
          |  CAST(coalesce(kept.nk, 0) AS BIGINT) AS n_kept_tokens,
          |  coalesce(kept.km, md5('')) AS kept_md5
          |FROM a LEFT JOIN kept ON a.doc_id = kept.doc_id""".stripMargin,
+
+    // same gram CTE shape as the substring-dedup family, reduced to the
+    // frequency-of-frequencies
+    "x_dup_spectrum" ->
+      s"""WITH a AS (SELECT
+         |    list_filter(string_split($normDoc, ' '), x -> x <> '') AS arr
+         |  FROM documents),
+         |g AS (SELECT
+         |    md5(array_to_string(list_slice(arr, i, i + $SubdupK - 1), ' ')) AS h
+         |  FROM (SELECT arr, unnest(range(1, len(arr) - $SubdupK + 2)) AS i
+         |        FROM a WHERE len(arr) >= $SubdupK)),
+         |f AS (SELECT h, count(*) AS c FROM g GROUP BY h)
+         |SELECT c AS n_occurrences, count(*) AS n_spans
+         |FROM f GROUP BY c""".stripMargin,
 
     "x_sample_stratified" ->
       s"""SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sampled_chars
