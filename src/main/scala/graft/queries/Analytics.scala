@@ -156,6 +156,76 @@ object Analytics {
           sum(col("c_acctbal").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_bal"))
     }),
 
+    // TPC-H Q21 shape: the double-correlated-subquery pattern — EXISTS
+    // (another supplier in the order) AND NOT EXISTS (another LATE
+    // supplier in the order) — adapted to the harness schema (no
+    // l_receiptdate/l_commitdate: "late" = shipped >90 days after the
+    // order date; no partsupp needed). Spark-first decorrelation: ONE
+    // per-order aggregate (supplier count + late-supplier count) replaces
+    // both correlated subqueries, turning two repeated fact-table probes
+    // into a single shuffle reused by an equi-join — the classic Q21
+    // rewrite, and the shape that survives 100 TB (the correlated form
+    // re-scans lineitem twice per outer row). ONE lineitem pass: the
+    // per-(order, supplier) aggregate carries both the late-line count
+    // (the numwait contribution) and the any-late flag; per-order
+    // supplier stats are a WINDOW over that already-reduced frame (one
+    // row per order-supplier pair — tiny vs lineitem), so the fact table
+    // is scanned and shuffled exactly once, with no recompute branch.
+    "q21_sole_late_supplier" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val perOrdSupp = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("_late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(sum(when(col("_late"), 1L).otherwise(0L)).as("_n_late_lines"),
+          max(col("_late")).as("_any_late"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey"))
+      perOrdSupp
+        .withColumn("_n_supp", count(lit(1)).over(wOrd))
+        .withColumn("_n_late",
+          sum(when(col("_any_late"), 1L).otherwise(0L)).over(wOrd))
+        .filter(col("_any_late") && col("_n_supp") > 1 && col("_n_late") === 1)
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("s_name"), col("n_name"))
+        .agg(sum(col("_n_late_lines")).cast("long").as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(25)
+    }),
+
+    // RANGE window frames (value-based, vs the ROWS frames of
+    // window_running_sum): trailing-30-day order count/sum per customer
+    // keyed on days-since-epoch — deterministic even with same-day ties
+    // because RANGE frames are peer-inclusive by value. Plus the
+    // first/last/nth_value positional family over a full-partition frame.
+    // Single hash exchange on o_custkey; per-partition sort only.
+    "window_range_frame" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+      val wRange = w.orderBy(col("day_no").asc).rangeBetween(-30, 0)
+      val wFull = w.orderBy(col("day_no").asc, col("o_orderkey").asc)
+        .rowsBetween(Long.MinValue, Long.MaxValue)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+            .as("day_no"),
+          col("o_totalprice").cast("decimal(18,2)").as("_price"))
+        .select(col("o_custkey"), col("o_orderkey"), col("day_no"),
+          count(lit(1)).over(wRange).as("n_trailing_30d"),
+          sum(col("_price")).over(wRange).cast("decimal(38,2)")
+            .as("sum_trailing_30d"),
+          first(col("o_orderkey")).over(wFull).as("first_orderkey"),
+          last(col("o_orderkey")).over(wFull).as("last_orderkey"),
+          nth_value(col("o_orderkey"), 2).over(wFull).as("second_orderkey"))
+    }),
+
     // SQL surface: the same engine through spark.sql over registered views.
     "sql_interface" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("orders_v")
@@ -520,6 +590,43 @@ object Analytics {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND year(o_orderdate) = 1997)
         |GROUP BY c_nationkey""".stripMargin,
+
+    "q21_sole_late_supplier" ->
+      """SELECT s_name, n_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name, n_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 25""".stripMargin,
+
+    "window_range_frame" ->
+      """SELECT o_custkey, o_orderkey, day_no,
+        |  count(*) OVER wr AS n_trailing_30d,
+        |  CAST(sum(price) OVER wr AS DOUBLE) AS sum_trailing_30d,
+        |  first_value(o_orderkey) OVER wf AS first_orderkey,
+        |  last_value(o_orderkey) OVER wf AS last_orderkey,
+        |  nth_value(o_orderkey, 2) OVER wf AS second_orderkey
+        |FROM (SELECT o_custkey, o_orderkey,
+        |        CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT)
+        |          AS day_no,
+        |        CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |      FROM orders)
+        |WINDOW
+        |  wr AS (PARTITION BY o_custkey ORDER BY day_no ASC
+        |         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY o_custkey ORDER BY day_no ASC, o_orderkey ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
 
     "sql_interface" ->
       """SELECT o_orderpriority, count(*) AS n,

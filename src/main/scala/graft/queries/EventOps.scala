@@ -120,6 +120,49 @@ object EventOps {
         ("click_after_view", afterView.count()),
         ("purchase_after_click", afterClick.count()))
         .toDF("stage", "n_users")
+    }),
+
+    // Sketch SET OPERATIONS (extends x_hll_distinct_users from single-set
+    // cardinality to pairwise overlap): audience overlap between every
+    // pair of event types via HLL inclusion-exclusion
+    // (|A∩B| ≈ hll(A) + hll(B) − hll(A∪B)). HLL registers merge under
+    // union but not intersection — inclusion-exclusion is the standard
+    // mergeable-sketch answer, and the whole plan is partial-agg'd
+    // equi-joins: one distinct shuffle of (type, user), tiny per-type
+    // aggregates, pair membership via two broadcast equi-joins (NOT an
+    // OR-condition nested-loop join). Adjudication follows the hardened
+    // sketch-gate pattern: exact overlap/union (DuckDB-oracled) plus a
+    // within-bound boolean — |est − exact| ≤ 15% of the union, ≫ the
+    // ~2%·3-estimate plausible deviation, so deterministically true on
+    // real data while still binding the sketch to reality in the hash.
+    "x_hll_audience_overlap" -> ((s, dir) => {
+      val du = graft.GateCache.cache(
+        Tables.read(s, dir, "events")
+          .select(col("event_type"), col("user_id")).distinct())
+      val perType = du.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("_hll"))
+      val pairs = perType
+        .select(col("event_type").as("type_a"), col("_hll").as("_hll_a"))
+        .join(perType.select(col("event_type").as("type_b"),
+          col("_hll").as("_hll_b")), col("type_a") < col("type_b"))
+      val members = pairs.select("type_a", "type_b")
+        .join(du, col("event_type") === col("type_a"))
+        .select(col("type_a"), col("type_b"), col("user_id"))
+        .unionByName(pairs.select("type_a", "type_b")
+          .join(du, col("event_type") === col("type_b"))
+          .select(col("type_a"), col("type_b"), col("user_id")))
+      members.groupBy(col("type_a"), col("type_b"))
+        .agg(
+          (count(lit(1)) - countDistinct(col("user_id"))).as("exact_overlap"),
+          countDistinct(col("user_id")).as("exact_union"),
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("_hll_u"))
+        .join(broadcast(pairs), Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"),
+          col("exact_overlap"), col("exact_union"),
+          (abs((col("_hll_a") + col("_hll_b") - col("_hll_u"))
+            .cast("double") - col("exact_overlap").cast("double")) <=
+            col("exact_union").cast("double") * 0.15 + lit(1.0))
+            .as("hll_overlap_in_bound"))
     })
   )
 
@@ -168,6 +211,25 @@ object EventOps {
         |  arg_max(value, k) AS close,
         |  count(*) AS n_events
         |FROM e GROUP BY bar_us, event_type""".stripMargin,
+
+    // exact side + pinned-true bound of the HLL set-op gate (same
+    // adjudication pattern as x_hll_distinct_users — see the gate comment)
+    "x_hll_audience_overlap" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        |tp AS (SELECT DISTINCT event_type FROM du),
+        |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+        |       FROM tp a JOIN tp b ON a.event_type < b.event_type),
+        |un AS (
+        |  SELECT type_a, type_b, user_id FROM pr
+        |  JOIN du ON du.event_type = pr.type_a
+        |  UNION ALL
+        |  SELECT type_a, type_b, user_id FROM pr
+        |  JOIN du ON du.event_type = pr.type_b)
+        |SELECT type_a, type_b,
+        |  count(*) - count(DISTINCT user_id) AS exact_overlap,
+        |  count(DISTINCT user_id) AS exact_union,
+        |  true AS hll_overlap_in_bound
+        |FROM un GROUP BY 1, 2""".stripMargin,
 
     "x_funnel_stages" ->
       s"""WITH pu AS (SELECT user_id,

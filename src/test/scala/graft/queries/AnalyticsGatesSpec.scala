@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Semantics pins for the round-9 analytics additions: the Q21-shaped
+  * double-correlated-subquery decorrelation, RANGE window frames, and the
+  * HLL set-operation gate. Cross-engine exactness is the DuckDB oracle's
+  * job; these specs pin the Spark-side rewrites against literal forms. */
+class AnalyticsGatesSpec extends AnyFunSuite with graft.GateCacheHygiene {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("q21_sole_late_supplier: aggregate-then-join decorrelation equals the literal EXISTS/NOT EXISTS form") {
+    val dir = TestSpark.Sf0001
+    Tables.read(spark, dir, "lineitem").createOrReplaceTempView("q21_li")
+    Tables.read(spark, dir, "orders").createOrReplaceTempView("q21_ord")
+    Tables.read(spark, dir, "supplier").createOrReplaceTempView("q21_supp")
+    Tables.read(spark, dir, "nation").createOrReplaceTempView("q21_nat")
+    // the correlated form the oracle states, executed by Spark itself —
+    // Catalyst rewrites the subqueries to semi/anti joins; our gate's
+    // single-aggregate decorrelation must agree row-for-row
+    val literal = spark.sql(
+      """SELECT s_name, n_name, count(*) AS numwait
+        |FROM q21_li l1
+        |JOIN q21_ord ON o_orderkey = l1.l_orderkey
+        |JOIN q21_supp ON s_suppkey = l1.l_suppkey
+        |JOIN q21_nat ON n_nationkey = s_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM q21_li l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM q21_li l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name, n_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 25""".stripMargin)
+      .as[(String, String, Long)].collect().toSeq
+    val gate = Analytics.queries("q21_sole_late_supplier")(spark, dir)
+      .as[(String, String, Long)].collect().toSeq
+    assert(gate == literal)
+    assert(gate.nonEmpty, "lateness threshold selects no waiting supplier")
+  }
+
+  test("window_range_frame: one exchange; RANGE frame counts the value-band, positional family pins partition ends") {
+    val df = Analytics.queries("window_range_frame")(spark, TestSpark.Sf0001)
+    val nEx = "(?m)^.*Exchange".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(nEx == 1, "both windows must share the o_custkey exchange")
+    val rows = df
+      .select(col("o_custkey").cast("long"), col("o_orderkey").cast("long"),
+        col("day_no").cast("long"), col("n_trailing_30d"),
+        col("first_orderkey").cast("long"), col("last_orderkey").cast("long"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, part) =>
+      val days = part.map(_._3)
+      part.foreach { case (_, _, d, n30, firstK, lastK) =>
+        assert(n30 == days.count(x => x >= d - 30 && x <= d),
+          s"RANGE frame at day $d")
+        // first/last over the full-partition frame: the (day_no, orderkey)
+        // extremes of the partition, identical on every row
+        val ord = part.sortBy(r => (r._3, r._2))
+        assert(firstK == ord.head._2 && lastK == ord.last._2)
+      }
+    }
+  }
+
+  test("x_hll_audience_overlap: exact overlap matches set intersection; estimate within the tight statistical bound") {
+    val dir = TestSpark.Sf0001
+    val du = Tables.read(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .as[(String, Long)].collect()
+    val sets = du.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    val rows = EventOps.queries("x_hll_audience_overlap")(spark, dir)
+      .as[(String, String, Long, Long, Boolean)].collect()
+    val types = sets.keySet.toSeq.sorted
+    assert(rows.length == types.combinations(2).length)
+    rows.foreach { case (a, b, overlap, union, inBound) =>
+      assert(a < b)
+      assert(overlap == (sets(a) intersect sets(b)).size.toLong)
+      assert(union == (sets(a) union sets(b)).size.toLong)
+      assert(inBound) // the 15%-of-union gate bound
+    }
+  }
+}
