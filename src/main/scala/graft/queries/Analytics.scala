@@ -285,6 +285,22 @@ object Analytics {
             .withColumn("status", lit("churned")))
     }),
 
+    // Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL — the multiset
+    // complement of setop_retained_customers' distinct forms): per
+    // (customer, priority) multiplicities of 1996 vs 1997 orders. Both
+    // plan as a multiplicity-tagged aggregate + join, not a distinct —
+    // duplicates carry through with min/difference counts.
+    "setop_bag_priorities" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      def pri(yr: Int) = ord.filter(year(col("o_orderdate")) === yr)
+        .select(col("o_custkey"), col("o_orderpriority"))
+      pri(1996).intersectAll(pri(1997)).withColumn("op", lit("both"))
+        .unionByName(pri(1996).exceptAll(pri(1997))
+          .withColumn("op", lit("only_1996")))
+        .groupBy(col("op"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"))
+    }),
+
     // Pivot: orders per priority pivoted into columns by year — Spark's
     // groupBy().pivot() with explicit values (single pass, no re-scan).
     "pivot_orders_by_priority" -> ((s, dir) =>
@@ -667,6 +683,23 @@ object Analytics {
         |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
         |  EXCEPT
         |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)""".stripMargin,
+
+    "setop_bag_priorities" ->
+      """SELECT op, o_orderpriority, count(*) AS n_rows FROM (
+        |  SELECT 'both' AS op, o_custkey, o_orderpriority FROM (
+        |    SELECT o_custkey, o_orderpriority FROM orders
+        |    WHERE year(o_orderdate) = 1996
+        |    INTERSECT ALL
+        |    SELECT o_custkey, o_orderpriority FROM orders
+        |    WHERE year(o_orderdate) = 1997)
+        |  UNION ALL
+        |  SELECT 'only_1996' AS op, o_custkey, o_orderpriority FROM (
+        |    SELECT o_custkey, o_orderpriority FROM orders
+        |    WHERE year(o_orderdate) = 1996
+        |    EXCEPT ALL
+        |    SELECT o_custkey, o_orderpriority FROM orders
+        |    WHERE year(o_orderdate) = 1997))
+        |GROUP BY 1, 2""".stripMargin,
 
     "pivot_orders_by_priority" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS order_year,

@@ -36,6 +36,13 @@ object Curation {
   val LiftMinCount = 5L // collocation mining: min bigram occurrences
   val LiftTopK = 20 // collocation mining: reported top-k by lift
   val WSampleK = 50 // weighted sampling: docs drawn per pass
+  // epoch-upsampling recipe (lang → epochs): en 2.5, de 1.25, fr 0.5,
+  // es 1.75, zh 1.0. Fractional parts are exact binary fractions so the
+  // per-doc hash thresholds below are exact 32-bit integers (no float
+  // boundary can disagree between engines).
+  val EpochThrHalf = 2147483648L // 0.50 * 2^32
+  val EpochThrQuarter = 1073741824L // 0.25 * 2^32
+  val EpochThr3Q = 3221225472L // 0.75 * 2^32
   val BloomItems = 100000L // bloom digest: sized-for item count (≫ corpus
   // here; at 100 TB size to the real count — digest = numBits/8 bytes)
   val BloomBits = 800000L // 8 bits/item at capacity ⇒ ~2% worst-case fpp,
@@ -265,6 +272,32 @@ object Curation {
         .agg(min(col("_ns")).as("n_orig"),
           sum(when(col("_hm") < col("_thr"), 1L).otherwise(0L)).cast("long")
             .as("n_sampled"))
+    }),
+
+    // Epoch-aware mixture UPSAMPLING — the "books ×2.5 epochs" step of a
+    // pretraining data recipe (vs x_mixture_sample, which only
+    // downsamples): every doc of a language repeats floor(w) times, plus
+    // one more copy with probability frac(w) decided DETERMINISTICALLY
+    // per doc by the portable hash — reproducible across runs and
+    // engines, no RNG state, and the fractional epoch lands on an exact
+    // per-doc subset instead of a count approximation. Map-side only:
+    // when-chain weights + sequence/explode ride the scan (zero
+    // shuffles); output is the replicated corpus order-free.
+    "x_epoch_upsample" -> ((s, dir) => {
+      val fullEpochs = when(col("lang") === "en", 2)
+        .when(col("lang") === "fr", 0).otherwise(1)
+      val fracThr = when(col("lang") === "en", EpochThrHalf)
+        .when(col("lang") === "de", EpochThrQuarter)
+        .when(col("lang") === "fr", EpochThrHalf)
+        .when(col("lang") === "es", EpochThr3Q)
+        .otherwise(0L)
+      docs(s, dir)
+        .withColumn("_n", fullEpochs +
+          when(PortableHash.hash32(col("doc_id").cast("string"), "epoch|")
+            < fracThr, 1).otherwise(0))
+        .filter(col("_n") > 0)
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(0), col("_n") - 1)).as("epoch_idx"))
     }),
 
     // Vocabulary coverage (the Zipf head): how many distinct tokens cover
@@ -756,6 +789,21 @@ object Curation {
            |    AS n_sampled
            |FROM hd JOIN r ON r.source = hd.source
            |GROUP BY hd.source""".stripMargin,
+
+      "x_epoch_upsample" ->
+        s"""WITH n AS (SELECT doc_id, lang,
+           |    (CASE lang WHEN 'en' THEN 2 WHEN 'fr' THEN 0 ELSE 1 END)
+           |    + (CASE WHEN
+           |        ${graft.functions.PortableHash.duckSql("CAST(doc_id AS VARCHAR)", "epoch|")}
+           |        < (CASE lang WHEN 'en' THEN $EpochThrHalf
+           |           WHEN 'de' THEN $EpochThrQuarter
+           |           WHEN 'fr' THEN $EpochThrHalf
+           |           WHEN 'es' THEN $EpochThr3Q ELSE 0 END)
+           |      THEN 1 ELSE 0 END) AS n
+           |  FROM documents)
+           |SELECT doc_id, lang,
+           |  CAST(unnest(generate_series(0, n - 1)) AS INT) AS epoch_idx
+           |FROM n WHERE n > 0""".stripMargin,
 
       "x_vocab_coverage" ->
         s"""WITH freq AS (SELECT token, count(*) AS freq FROM (

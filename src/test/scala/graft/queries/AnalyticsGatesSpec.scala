@@ -86,4 +86,28 @@ class AnalyticsGatesSpec extends AnyFunSuite with graft.GateCacheHygiene {
       assert(inBound) // the 15%-of-union gate bound
     }
   }
+
+  test("setop_bag_priorities: bag intersect/except equal multiset min/difference arithmetic") {
+    val dir = TestSpark.Sf0001
+    val ord = Tables.read(spark, dir, "orders")
+      .select(col("o_custkey").cast("long"), col("o_orderpriority"),
+        year(col("o_orderdate")).cast("int"))
+      .as[(Long, String, Int)].collect()
+    def bag(yr: Int) = ord.filter(_._3 == yr)
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.length).toMap
+    val b96 = bag(1996); val b97 = bag(1997)
+    val expected = (
+      b96.map { case (k, n) => ("both", k._2, math.min(n, b97.getOrElse(k, 0))) } ++
+      Seq.empty).groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._3.toLong).sum).toMap ++
+      b96.map { case (k, n) => ("only_1996", k._2, math.max(n - b97.getOrElse(k, 0), 0)) }
+        .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3.toLong).sum).toMap
+    val rows = Analytics.queries("setop_bag_priorities")(spark, dir)
+      .as[(String, String, Long)].collect()
+      .map { case (op, pri, n) => (op, pri) -> n }.toMap
+    expected.filter(_._2 > 0).foreach { case (k, v) =>
+      assert(rows.getOrElse(k, 0L) == v, s"mismatch at $k")
+    }
+    rows.foreach { case (k, v) => assert(expected.getOrElse(k, 0L) == v) }
+  }
 }

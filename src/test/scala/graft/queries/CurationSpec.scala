@@ -516,4 +516,34 @@ class CurationSpec extends AnyFunSuite with graft.GateCacheHygiene {
       .map(r => (r._1, r._2, r._3.doubleValue)).toSeq
     assert(got == expected)
   }
+
+  test("x_epoch_upsample: deterministic per-doc multiplicities match the straight-line recipe; scan-only plan") {
+    val df = Curation.queries("x_epoch_upsample")(spark, TestSpark.Sf0001)
+    // map-side claim: weights + explode ride the scan, no Exchange
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"upsample plan shuffles:\n$plan")
+    val rows = df.as[(Long, String, Int)].collect()
+    val docs = Tables.read(spark, TestSpark.Sf0001, "documents")
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def h32(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"epoch|$id").substring(0, 8), 16)
+    val wFull = Map("en" -> 2, "fr" -> 0).withDefaultValue(1)
+    val wThr = Map("en" -> Curation.EpochThrHalf,
+      "de" -> Curation.EpochThrQuarter, "fr" -> Curation.EpochThrHalf,
+      "es" -> Curation.EpochThr3Q).withDefaultValue(0L)
+    val expected = docs.flatMap { case (id, lang) =>
+      val n = wFull(lang) + (if (h32(id) < wThr(lang)) 1 else 0)
+      (0 until n).map(e => (id, lang, e))
+    }.toSet
+    assert(rows.toSet == expected)
+    assert(rows.length == expected.size) // no duplicate copies
+    // fractional epochs actually fire both ways somewhere in the corpus
+    val nByLang = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    val dByLang = docs.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(nByLang("en") > 2 * dByLang("en")) // some en docs got the 3rd copy
+    assert(nByLang("en") < 3 * dByLang("en"))
+  }
 }
