@@ -105,10 +105,99 @@ object GraphOps {
     fin.select(col("node"), col("outdeg"), col("rank_nano"))
   }
 
+  /** Triangle counting over the supplier co-occurrence graph (suppliers
+    * appearing in the same order — the unipartite projection of the
+    * bipartite trade relation, which itself has no triangles). The
+    * scale-correct compact-forward algorithm: orient every undirected
+    * edge from its lower-(degree, id) endpoint to the higher one, build
+    * wedges at each vertex from its ORIENTED out-edges only, and close
+    * them against the canonical edge set. Degree orientation bounds
+    * every vertex's wedge fanout by O(√m) on any graph (arboricity
+    * argument) — the all-pairs-per-vertex blowup a naive 3-way
+    * self-join takes on hub vertices cannot happen. Every join is an
+    * equi-join; every count is integer-exact.
+    *
+    * Output: one row of global graph stats — nodes, edges, wedges
+    * (open triads, Σ d(d−1)/2 — exact integer: d(d−1) is even),
+    * triangles, and the global clustering coefficient 3T/W (one double
+    * division, deterministic in both engines, rounded to 6). */
+  private def triangleStats(s: SparkSession, dir: String): DataFrame = {
+    val su = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val e = graft.GateCache.cache(
+      su.select(col("l_orderkey").as("_ok"), col("l_suppkey").as("u"))
+        .join(su.select(col("l_orderkey").as("_ok2"), col("l_suppkey").as("v")),
+          col("_ok") === col("_ok2") && col("u") < col("v"))
+        .select(col("u"), col("v")).distinct())
+    triangleStatsFromEdges(e)
+  }
+
+  /** Core of [[triangleStats]] over an arbitrary canonical (u < v,
+    * distinct) undirected edge frame — separated so specs can pin the
+    * count on crafted non-complete graphs (the harness supplier graph is
+    * a clique at small SF, where C(n,3) bugs would hide). */
+  private[queries] def triangleStatsFromEdges(e: DataFrame): DataFrame = {
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // orient by (degree, id): src = the smaller endpoint under that order
+    val ed = e
+      .join(deg.select(col("node").as("u"), col("d").as("_du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("_dv")), "v")
+      .select(
+        when(col("_du") < col("_dv") ||
+          (col("_du") === col("_dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("_du") < col("_dv") ||
+          (col("_du") === col("_dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+    val wedges = ed.select(col("src"), col("dst").as("w1"))
+      .join(ed.select(col("src"), col("dst").as("w2")), Seq("src"))
+      .filter(col("w1") < col("w2"))
+    val tri = wedges.join(e,
+        least(col("w1"), col("w2")) === col("u") &&
+          greatest(col("w1"), col("w2")) === col("v"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val base = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).cast("long").as("n_wedges"))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+    base.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(lit(3.0) * col("n_triangles").cast("double") /
+          col("n_wedges").cast("double"), 6).as("clustering_coeff"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_pagerank" -> ((s, dir) => pagerank(s, dir, PrIters)))
+    "x_pagerank" -> ((s, dir) => pagerank(s, dir, PrIters)),
+    "x_triangle_count" -> ((s, dir) => triangleStats(s, dir)))
 
   val oracle: Map[String, String] = Map(
+    // Orientation-free statement: with edges canonical as u < v, each
+    // triangle u < v < w is counted exactly once by the ascending 3-way
+    // self-join — equal to the gate's degree-oriented count because any
+    // acyclic orientation counts each triangle once.
+    "x_triangle_count" ->
+      """WITH su AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM su a JOIN su b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_suppkey < b.l_suppkey),
+        |deg AS (SELECT node, count(*) AS d FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        |  GROUP BY 1),
+        |tri AS (SELECT count(*) AS t FROM e e1
+        |  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |agg AS (SELECT count(*) AS n_nodes,
+        |    CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg)
+        |SELECT agg.n_nodes, (SELECT count(*) FROM e) AS n_edges,
+        |  agg.n_wedges, tri.t AS n_triangles,
+        |  round(3.0 * CAST(tri.t AS DOUBLE)
+        |    / CAST(agg.n_wedges AS DOUBLE), 6) AS clustering_coeff
+        |FROM agg, tri""".stripMargin,
+
     // Same integer recurrence unrolled as a CTE chain. edges/deg are
     // MATERIALIZED: referenced once per iteration, and DuckDB's default
     // inlining would otherwise replicate the join+distinct chain per

@@ -691,6 +691,37 @@ object Warehouse {
               (sqrt(d("n") * d("sxx") - d("sx") * d("sx")) *
                 sqrt(d("n") * d("syy") - d("sy") * d("sy"))), 6)
             .as("corr_qty_price"))
+    }),
+
+    // Closed-form distributed OLS (normal equations): slope/intercept/R²
+    // of extendedprice ~ quantity per return flag — the "fit a linear
+    // model on the cluster" primitive. ONE partial-agg'd pass collects
+    // the exact decimal sufficient statistics (the x_corr_qty_price
+    // pattern — no iterative optimizer, no order-dependent float sums);
+    // the only floating-point work is the final per-group scalar
+    // arithmetic, an identical IEEE sequence in both engines (rounded to
+    // 6 for the hash). At 100 TB this is the same single shuffle as any
+    // grouped aggregate; model quality math costs O(groups).
+    "x_linreg_price" -> ((s, dir) => {
+      val x = col("l_quantity").cast("decimal(9,2)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      def d(c: String): Column = col(c).cast("double")
+      def num: Column = d("n") * d("sxy") - d("sx") * d("sy")
+      def denx: Column = d("n") * d("sxx") - d("sx") * d("sx")
+      def deny: Column = d("n") * d("syy") - d("sy") * d("sy")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("decimal(38,2)").as("sx"),
+          sum(y).cast("decimal(38,2)").as("sy"),
+          sum((x * y).cast("decimal(30,4)")).cast("decimal(38,4)").as("sxy"),
+          sum((x * x).cast("decimal(20,4)")).cast("decimal(38,4)").as("sxx"),
+          sum((y * y).cast("decimal(38,4)")).cast("decimal(38,4)").as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          round(num / denx, 6).as("slope"),
+          round((d("sy") - (num / denx) * d("sx")) / d("n"), 6)
+            .as("intercept"),
+          round((num * num) / (denx * deny), 6).as("r2"))
     })
   )
 
@@ -1052,6 +1083,34 @@ object Warehouse {
         |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_qty_price
         |FROM s""".stripMargin,
+
+    "x_linreg_price" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(9,2))) AS DECIMAL(38,2)) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(9,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4)))
+        |      AS DECIMAL(38,4)) AS sxy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(9,2))
+        |      * CAST(l_quantity AS DECIMAL(9,2)) AS DECIMAL(20,4)))
+        |      AS DECIMAL(38,4)) AS sxx,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+        |      AS DECIMAL(38,4)) AS syy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (SELECT l_returnflag, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+        |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+        |  FROM s)
+        |SELECT l_returnflag, n,
+        |  round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
+        |    AS slope,
+        |  round((syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd))
+        |    * sxd) / nd, 6) AS intercept,
+        |  round(((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))
+        |    / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6) AS r2
+        |FROM d""".stripMargin,
 
     // Same exclusive-prefix-min formulation as the Spark side, expressed
     // as one window: a distinct (qty, price) point is on the frontier iff

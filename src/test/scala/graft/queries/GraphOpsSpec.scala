@@ -99,4 +99,33 @@ class GraphOpsSpec extends AnyFunSuite with graft.GateCacheHygiene {
     df.limit(1).collect()
     graft.GateCache.releaseAll()
   }
+
+  test("x_triangle_count: crafted non-complete graph counts exactly; gate stats self-consistent") {
+    import spark.implicits._
+    // bowtie (two triangles sharing node 3) + a pendant edge + an
+    // isolated edge: 6 wedges closed out of 11, none by symmetry tricks
+    val edges = Seq((1L,2L),(1L,3L),(2L,3L),(3L,4L),(3L,5L),(4L,5L),
+      (5L,6L),(7L,8L)).toDF("u","v")
+    val r = GraphOps.triangleStatsFromEdges(edges)
+      .as[(Long, Long, Long, Long, Double)].head()
+    // brute-force reference on the same edge set
+    val es = Seq((1,2),(1,3),(2,3),(3,4),(3,5),(4,5),(5,6),(7,8))
+      .map { case (a,b) => (a.min(b), a.max(b)) }.toSet
+    val nodes = es.flatMap(t => Seq(t._1, t._2)).toSeq.sorted
+    val triBrute = nodes.combinations(3).count { c =>
+      es((c(0),c(1))) && es((c(0),c(2))) && es((c(1),c(2)))
+    }
+    val wBrute = nodes.map(n => es.count(t => t._1 == n || t._2 == n))
+      .map(d => d.toLong * (d - 1) / 2).sum
+    assert(r == ((nodes.length.toLong, es.size.toLong, wBrute,
+      triBrute.toLong,
+      BigDecimal(3.0 * triBrute / wBrute)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(triBrute == 2) // the crafted graph really is non-degenerate
+    // and the harness gate holds its own invariants at sf0.001
+    val g = GraphOps.queries("x_triangle_count")(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(g._4 * 3 <= g._3) // 3T <= W always
+    assert(g._2 <= g._1 * (g._1 - 1) / 2)
+  }
 }

@@ -276,4 +276,30 @@ class WarehouseSpec extends AnyFunSuite with graft.GateCacheHygiene {
       assert(a._1 < b._1 && a._2 > b._2, s"not a staircase: $a -> $b")
     }
   }
+
+  test("x_linreg_price: closed-form OLS matches a straight-line JVM fit; R2 in [0,1]") {
+    import spark.implicits._
+    val rows = Warehouse.queries("x_linreg_price")(spark, TestSpark.Sf0001)
+      .as[(String, Long, Double, Double, Double)].collect()
+    val li = Tables.read(spark, TestSpark.Sf0001, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_returnflag"),
+        org.apache.spark.sql.functions.col("l_quantity").cast("double"),
+        org.apache.spark.sql.functions.col("l_extendedprice").cast("double"))
+      .as[(String, Double, Double)].collect()
+    rows.foreach { case (flag, n, slope, intercept, r2) =>
+      val pts = li.filter(_._1 == flag)
+      assert(n == pts.length)
+      // independent reference fit in BigDecimal (exact sums, like the gate)
+      def bd(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      val sx = pts.map(p => bd(p._2)).sum; val sy = pts.map(p => bd(p._3)).sum
+      val sxy = pts.map(p => bd(p._2) * bd(p._3)).sum
+      val sxx = pts.map(p => bd(p._2) * bd(p._2)).sum
+      val num = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+      val den = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+      assert(math.abs(slope - num / den) < 1e-4)
+      assert(math.abs(intercept - (sy.toDouble - (num / den) * sx.toDouble) / n) < 1e-2)
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+    assert(rows.length == 3)
+  }
 }
