@@ -346,6 +346,56 @@ object TrainingData {
       DedupOps.ngramJaccard(docs(s, dir), minhashPairs(minhashSig(s, dir)),
         "doc_id", "text", ShingleW)),
 
+    // EXACT set-similarity join with PPJoin-style prefix filtering — the
+    // deterministic complement of the MinHash/LSH family: candidates come
+    // from a provably-complete prefix index, not probabilistic banding,
+    // so NO qualifying pair can be missed. The oracle states the naive
+    // complete all-pairs join — completeness IS what the hash compare
+    // binds. Shingles are globally ordered rarest-first via the
+    // distributed prefix-sum rank (no single-reducer window); each doc
+    // indexes only its n − ceil(θn) + 1 rarest shingles (PPJoin lemma:
+    // under a consistent order, any pair with J ≥ θ shares a shingle in
+    // BOTH prefixes); candidates verify with integer-exact intersection
+    // counts (8·i ≥ 3·(|A|+|B|) ⟺ J ≥ 3/5 — no float boundary). Scale:
+    // prefix-join fanout is the per-shingle frequency of RARE shingles
+    // by construction; every step is an equi-join or a per-doc window.
+    "x_setsim_join_exact" -> ((s, dir) => {
+      val sh = graft.GateCache.cache(
+        docs(s, dir).select(col("doc_id"),
+          explode(graft.functions.ShingleExprs
+            .wordShinglesNative(col("text"), ShingleW)).as("shingle"))
+          .distinct())
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("f"))
+      val rank = graft.operators.PrefixSum.inclusive(freq,
+        Seq(col("f").asc, col("shingle").asc), lit(1L),
+        s.sparkContext.defaultParallelism, "_rank")
+        .select(col("shingle"), col("_rank"))
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("_rank").asc)
+      val prefix = sh.join(rank, "shingle")
+        .join(sz, "doc_id")
+        .withColumn("_rn", row_number().over(wDoc))
+        .filter(col("_rn") <= col("n") - expr("(3 * n + 4) div 5") + 1)
+        .select(col("doc_id"), col("shingle"), col("n"))
+      val cand = prefix
+        .select(col("doc_id").as("da"), col("shingle"), col("n").as("na"))
+        .join(prefix
+          .select(col("doc_id").as("db"), col("shingle"), col("n").as("nb")),
+          "shingle")
+        .filter(col("da") < col("db"))
+        .select("da", "db", "na", "nb").distinct()
+      cand
+        .join(sh.select(col("doc_id").as("da"), col("shingle")), "da")
+        .join(sh.select(col("doc_id").as("db"), col("shingle")),
+          Seq("db", "shingle"))
+        .groupBy(col("da"), col("db"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") * 8 >= (col("na") + col("nb")) * 3)
+        .select(col("da"), col("db"), col("n_shared"),
+          (col("na") + col("nb") - col("n_shared")).as("n_union"))
+    }),
+
     // Cluster-level dedup apply: pair lists alone don't dedup
     // transitively (A–B and B–C must collapse to ONE cluster), so the
     // minhash LSH pairs feed connected components (min-label
@@ -1337,6 +1387,26 @@ object TrainingData {
 
     "x_dedup_simhash_pairs" -> simhashPairsOracle(SimhashPairBits,
       SimhashPairBands, SimhashMaxHamming),
+
+    // Completeness-binding form: the NAIVE complete all-pairs join — the
+    // prefix-filtered gate must produce exactly this set or the hash
+    // mismatches (a lost pair cannot hide).
+    "x_setsim_join_exact" ->
+      s"""WITH sh AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id,
+         |      unnest(${graft.functions.Text.wordShinglesDuck("text", ShingleW)})
+         |        AS shingle
+         |    FROM documents)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+         |      FROM sh a JOIN sh b
+         |        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT da, db, c AS n_shared, sa.n + sb.n - c AS n_union
+         |FROM i
+         |JOIN sz sa ON sa.doc_id = da
+         |JOIN sz sb ON sb.doc_id = db
+         |WHERE c * 8 >= (sa.n + sb.n) * 3""".stripMargin,
 
     "x_ngram_jaccard" ->
       s"""WITH $minhashCtes,

@@ -277,4 +277,34 @@ class TrainingQueriesSpec extends AnyFunSuite with graft.GateCacheHygiene {
       assert(nd <= n && r >= 0.0 && r <= 1.0)
     }
   }
+
+  test("x_setsim_join_exact: prefix-filtered join equals brute-force all-pairs; prefix actually prunes") {
+    val dir = TestSpark.Sf0001
+    val gate = TrainingData.queries("x_setsim_join_exact")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // straight-line reference: shingle sets in plain Scala, all pairs
+    val docs = Tables.read(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def shingles(t: String): Set[String] = {
+      val tk = t.toLowerCase.replaceAll("[ \\t\\n\\r\\f\\x0B]+", " ")
+        .trim.split(" ", -1).filter(_.nonEmpty)
+      if (tk.length < 3) Set.empty
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val ss = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    val expected = (for {
+      a <- ss.keys; b <- ss.keys if a < b
+      i = (ss(a) intersect ss(b)).size
+      if i * 8 >= (ss(a).size + ss(b).size) * 3
+    } yield (a, b, i.toLong, (ss(a).size + ss(b).size - i).toLong)).toSet
+    assert(gate == expected)
+    assert(gate.nonEmpty) // the corpus really contains qualifying pairs
+    // the prefix index is a strict subset of the full posting list —
+    // pruning is real, not vacuous
+    val nSh = docs.map { case (_, t) => shingles(t).size.toLong }.sum
+    val nPrefix = docs.map { case (_, t) =>
+      val n = shingles(t).size; (n - (3 * n + 4) / 5 + 1).max(0).toLong
+    }.sum
+    assert(nPrefix * 2 < nSh, s"prefix $nPrefix vs full $nSh")
+  }
 }
