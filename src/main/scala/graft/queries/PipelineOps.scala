@@ -596,6 +596,108 @@ object PipelineOps {
     s.read.parquet(outDir)
   }
 
+  /** T14: stream-stream LEFT OUTER join with a FINITE watermark — the
+    * state-eviction semantics t7's inner form cannot exercise: an
+    * unmatched view emits its null-padded row only when the global
+    * watermark passes the end of its join window, i.e. outer results
+    * come out of EXPIRING state, not batch-local co-presence.
+    * Determinism (exactly the batch left-join oracle) needs two staging
+    * properties: (a) the replay presents files in ascending event-TIME
+    * ranges (forced modtimes), so the 0-delay watermark never drops a
+    * legitimate row; (b) two far-future sentinel "flush" batches (one
+    * impossible user id per side, matching nothing) push the watermark
+    * past every real join window before the stream ends — without them
+    * the tail's unmatched views would still sit in state at termination
+    * and the landed output would depend on where the replay stopped.
+    * The second flush batch exists because eviction emits one batch
+    * AFTER the watermark advance; its own sentinels stay in state and
+    * are filtered from the landed frame (negative user ids). */
+  def streamOuterJoinRaw(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = Files.createTempDirectory("graft_soj_src").toString
+    val d = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_micros(col("ts_us")).as("ts_ev"))
+    val b = d.agg(min(unix_micros(col("ts_ev"))).as("lo"),
+      max(unix_micros(col("ts_ev"))).as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val mid1 = lo + (hi - lo) / 3
+    val mid2 = lo + 2 * (hi - lo) / 3
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_soj_tmp").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      require(dst.setLastModified(mtime), s"failed to set mtime on $dst")
+      ()
+    }
+    def flush(atUs: Long): DataFrame = s.range(1).select(
+      lit(-1L).as("user_id"), lit(-1L).as("event_id"),
+      lit("view").as("event_type"), timestamp_micros(lit(atUs)).as("ts_ev"))
+      .unionByName(s.range(1).select(
+        lit(-2L).as("user_id"), lit(-2L).as("event_id"),
+        lit("purchase").as("event_type"),
+        timestamp_micros(lit(atUs)).as("ts_ev")))
+    val dayUs = 86400000000L
+    val base = 1600000000000L // strictly increasing modtimes = replay order
+    stage(d.filter(unix_micros(col("ts_ev")) <= mid1), "b0.parquet", base)
+    stage(d.filter(unix_micros(col("ts_ev")) > mid1 &&
+      unix_micros(col("ts_ev")) <= mid2), "b1.parquet", base + 600000L)
+    stage(d.filter(unix_micros(col("ts_ev")) > mid2), "b2.parquet",
+      base + 1200000L)
+    stage(flush(hi + 10 * dayUs), "b3.parquet", base + 1800000L)
+    stage(flush(hi + 20 * dayUs), "b4.parquet", base + 2400000L)
+    runStreamOuterJoin(s, srcDir).filter(col("v_user") >= 0)
+  }
+
+  /** The streaming core of [[streamOuterJoinRaw]], runnable on any staged
+    * (user_id, event_id, event_type, ts_ev) parquet dir whose files
+    * replay in ascending event-time ranges and end with watermark-flush
+    * batches — the spec drives it with crafted files pinning that
+    * unmatched rows come out of EVICTED state (across micro-batches),
+    * not batch-local bookkeeping. Returns the landed joined rows,
+    * sentinels included (callers filter negative user ids). */
+  def runStreamOuterJoin(s: SparkSession, srcDir: String): DataFrame = {
+    val outDir = Files.createTempDirectory("graft_soj_out").toString
+    val ckp = Files.createTempDirectory("graft_soj_ckp").toString
+    val schema = s.read.parquet(srcDir).schema
+    def src() = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val views = src().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_event"),
+        col("ts_ev").as("v_ts"))
+      .withWatermark("v_ts", "0 seconds")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_event"),
+        col("ts_ev").as("p_ts"))
+      .withWatermark("p_ts", "0 seconds")
+    val joined = views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = joined.writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(outDir)
+  }
+
+  def streamOuterJoin(s: SparkSession, dir: String): DataFrame =
+    streamOuterJoinRaw(s, dir)
+      .groupBy((col("v_user") % 10).as("user_bucket"))
+      .agg(count(col("p_event")).as("n_pairs"),
+        sum(when(col("p_event").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_unmatched"),
+        countDistinct(col("v_event")).as("n_views"))
+
   /** The production JDBC path promoted to the gate: region and nation
     * written through [[graft.sources.JdbcSink]] into embedded Derby (the
     * same operator surface that targets ClickHouse — only the URL
@@ -1173,6 +1275,7 @@ object PipelineOps {
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
     "t13_stream_neardup" -> ((s, dir) => streamNearDupCounts(s, dir)),
     "t7_stream_stream_join" -> ((s, dir) => streamStreamJoin(s, dir)),
+    "t14_stream_outer_join" -> ((s, dir) => streamOuterJoin(s, dir)),
 
     // Sessionization by 30-min inactivity gap (session_window — merged
     // event-time windows, the stateful-aggregation shape). Batch form of
@@ -1466,6 +1569,22 @@ object PipelineOps {
         |  AND epoch_us(p.ts) >= epoch_us(v.ts)
         |  AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000
         |GROUP BY 1""".stripMargin,
+
+    // the watermark-evicted outer rows must equal the batch LEFT JOIN
+    // exactly — unmatched views appear exactly once with a null purchase
+    "t14_stream_outer_join" ->
+      """WITH v AS (SELECT user_id vu, event_id ve, epoch_us(ts) vt
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id pu, event_id pe, epoch_us(ts) pt
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT vu, ve, pe FROM v LEFT JOIN p
+        |  ON pu = vu AND pt >= vt AND pt <= vt + 3600000000)
+        |SELECT CAST(vu % 10 AS BIGINT) AS user_bucket,
+        |  count(pe) AS n_pairs,
+        |  CAST(sum(CASE WHEN pe IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unmatched,
+        |  count(DISTINCT ve) AS n_views
+        |FROM j GROUP BY 1""".stripMargin,
 
     // session_window merges windows while the inter-event gap < 30 min,
     // so islands break exactly when gap ≥ 30 min (1800000000 µs)
