@@ -285,6 +285,32 @@ object Analytics {
             .withColumn("status", lit("churned")))
     }),
 
+    // NULL-handling semantics surface: GROUP BY with a null group,
+    // count(*) vs count(col) (the latter skips nulls), and the
+    // null-safe equality join (`<=>` / IS NOT DISTINCT FROM — the one
+    // equality under which the null group matches itself). A synthetic
+    // nullable key (every 7th order) exercises all three against the
+    // same frame; the null-safe self-join count for the null group is
+    // n_null² while plain `=` would yield zero. The frame is a 1/29
+    // key-slice: the self-join is quadratic PER KEY by design (that's
+    // the semantics being pinned), so the input must stay bounded.
+    "x_null_semantics" -> ((s, dir) => {
+      val a = t(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(29)) === 0)
+        .select(col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null))
+          .otherwise(col("o_orderpriority")).as("k"))
+      val counts = a.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_rows"), count(col("k")).as("n_nonnull"))
+      val selfPairs = a.select(col("k"))
+        .join(a.select(col("k").as("k2")), col("k") <=> col("k2"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_nullsafe_pairs"))
+      counts.as("c").join(selfPairs.as("p"),
+          col("c.k") <=> col("p.k"))
+        .select(col("c.k").as("k"), col("n_rows"), col("n_nonnull"),
+          col("n_nullsafe_pairs"))
+    }),
+
     // Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL — the multiset
     // complement of setop_retained_customers' distinct forms): per
     // (customer, priority) multiplicities of 1996 vs 1997 orders. Both
@@ -683,6 +709,19 @@ object Analytics {
         |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
         |  EXCEPT
         |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)""".stripMargin,
+
+    "x_null_semantics" ->
+      """WITH a AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |         ELSE o_orderpriority END AS k
+        |  FROM orders WHERE o_orderkey % 29 = 0),
+        |c AS (SELECT k, count(*) AS n_rows, count(k) AS n_nonnull
+        |  FROM a GROUP BY k),
+        |p AS (SELECT x.k, count(*) AS n_nullsafe_pairs
+        |  FROM a x JOIN a y ON x.k IS NOT DISTINCT FROM y.k
+        |  GROUP BY x.k)
+        |SELECT c.k AS k, n_rows, n_nonnull, n_nullsafe_pairs
+        |FROM c JOIN p ON c.k IS NOT DISTINCT FROM p.k""".stripMargin,
 
     "setop_bag_priorities" ->
       """SELECT op, o_orderpriority, count(*) AS n_rows FROM (

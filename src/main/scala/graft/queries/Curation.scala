@@ -274,6 +274,34 @@ object Curation {
             .as("n_sampled"))
     }),
 
+    // ROBUST outlier detection — median/MAD instead of the mean/σ of
+    // x_length_outliers (one corrupt mega-document shifts a mean but not
+    // a median; robust stats are the curation-pipeline standard for
+    // heavy-tailed web corpora). Exactness: medians of integers land on
+    // k/2 steps, MADs of those on k/4 steps, and the 1.5·MAD fence on
+    // 3k/8 — all exact binary fractions, so both engines' type-7
+    // interpolating percentile agrees bit-for-bit and the fence
+    // comparison has no float boundary. Two grouped aggregates + two
+    // broadcast joins of per-lang scalars; the data is scanned twice
+    // (median then deviations) — the unavoidable shape of exact
+    // order-statistics, still linear.
+    "x_mad_outliers" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("x"))
+      val med = d.groupBy(col("lang"))
+        .agg(percentile(col("x"), lit(0.5)).as("med"))
+      val dev = d.join(broadcast(med), "lang")
+        .withColumn("adev", abs(col("x") - col("med")))
+      val mad = dev.groupBy(col("lang"))
+        .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), "lang")
+        .filter(col("adev") > col("mad") * 1.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_outliers"),
+          min(col("x")).as("min_len"), max(col("x")).as("max_len"),
+          min(col("med")).as("med"), min(col("mad")).as("mad"))
+    }),
+
     // Epoch-aware mixture UPSAMPLING — the "books ×2.5 epochs" step of a
     // pretraining data recipe (vs x_mixture_sample, which only
     // downsamples): every doc of a language repeats floor(w) times, plus
@@ -789,6 +817,20 @@ object Curation {
            |    AS n_sampled
            |FROM hd JOIN r ON r.source = hd.source
            |GROUP BY hd.source""".stripMargin,
+
+      "x_mad_outliers" ->
+        """WITH d AS (SELECT lang, CAST(n_chars AS BIGINT) AS x
+           |  FROM documents),
+           |m AS (SELECT lang, median(x) AS med FROM d GROUP BY 1),
+           |dev AS (SELECT d.lang, x, med, abs(x - med) AS adev
+           |  FROM d JOIN m USING (lang)),
+           |md AS (SELECT lang, median(adev) AS mad FROM dev GROUP BY 1)
+           |SELECT dev.lang, count(*) AS n_outliers,
+           |  min(x) AS min_len, max(x) AS max_len,
+           |  min(med) AS med, min(mad) AS mad
+           |FROM dev JOIN md USING (lang)
+           |WHERE adev > mad * 1.5
+           |GROUP BY 1""".stripMargin,
 
       "x_epoch_upsample" ->
         s"""WITH n AS (SELECT doc_id, lang,

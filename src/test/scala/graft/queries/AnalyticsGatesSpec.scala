@@ -110,4 +110,23 @@ class AnalyticsGatesSpec extends AnyFunSuite with graft.GateCacheHygiene {
     }
     rows.foreach { case (k, v) => assert(expected.getOrElse(k, 0L) == v) }
   }
+
+  test("x_null_semantics: null group counted, skipped by count(col), and self-matching only under <=>") {
+    val rows = Analytics.queries("x_null_semantics")(spark, TestSpark.Sf0001)
+      .select(col("k"), col("n_rows"), col("n_nonnull"),
+        col("n_nullsafe_pairs"))
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val nullRow = rows.filter(_._1.isEmpty)
+    assert(nullRow.length == 1, "exactly one null group")
+    val (_, nr, nn, np) = nullRow.head
+    assert(nn == 0L) // count(k) skips nulls
+    assert(nr > 0L)
+    assert(np == nr * nr) // <=> matches null to null: full cross of the group
+    rows.filter(_._1.nonEmpty).foreach { case (_, r, n, p) =>
+      assert(r == n)     // non-null groups: count(*) == count(k)
+      assert(p == r * r)
+    }
+  }
 }

@@ -546,4 +546,29 @@ class CurationSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(nByLang("en") > 2 * dByLang("en")) // some en docs got the 3rd copy
     assert(nByLang("en") < 3 * dByLang("en"))
   }
+
+  test("x_mad_outliers: median/MAD/fence match a straight-line reference; robust vs the mean") {
+    val rows = Curation.queries("x_mad_outliers")(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    val docs = Tables.read(spark, TestSpark.Sf0001, "documents")
+      .select("lang", "n_chars").as[(String, Long)].collect()
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val byLang = docs.groupBy(_._1).view.mapValues(_.map(_._2.toDouble).toSeq)
+    rows.foreach { case (lang, nOut, minL, maxL, med, mad) =>
+      val xs = byLang(lang)
+      val m = median(xs)
+      val md = median(xs.map(x => math.abs(x - m)))
+      assert(med == m && mad == md, s"$lang: ($med,$mad) vs ($m,$md)")
+      val out = xs.filter(x => math.abs(x - m) > md * 1.5)
+      assert(nOut == out.length)
+      assert(out.nonEmpty || nOut == 0L)
+      if (out.nonEmpty) {
+        assert(minL == out.min.toLong && maxL == out.max.toLong)
+      }
+    }
+    assert(rows.nonEmpty)
+  }
 }
