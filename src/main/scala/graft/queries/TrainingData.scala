@@ -356,9 +356,12 @@ object TrainingData {
     // indexes only its n − ceil(θn) + 1 rarest shingles (PPJoin lemma:
     // under a consistent order, any pair with J ≥ θ shares a shingle in
     // BOTH prefixes); candidates verify with integer-exact intersection
-    // counts (8·i ≥ 3·(|A|+|B|) ⟺ J ≥ 3/5 — no float boundary). Scale:
-    // prefix-join fanout is the per-shingle frequency of RARE shingles
-    // by construction; every step is an equi-join or a per-doc window.
+    // counts (8·i ≥ 3·(|A|+|B|) ⟺ J ≥ 3/5 — no float boundary). The
+    // lemma needs only a CONSISTENT total order, so the (freq, shingle)
+    // sort key is compared directly inside the per-doc window — no
+    // global rank materialization at all. Scale: prefix-join fanout is
+    // the per-shingle frequency of RARE shingles by construction; every
+    // step is an equi-join or a per-doc window.
     "x_setsim_join_exact" -> ((s, dir) => {
       val sh = graft.GateCache.cache(
         docs(s, dir).select(col("doc_id"),
@@ -367,13 +370,10 @@ object TrainingData {
           .distinct())
       val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("f"))
-      val rank = graft.operators.PrefixSum.inclusive(freq,
-        Seq(col("f").asc, col("shingle").asc), lit(1L),
-        s.sparkContext.defaultParallelism, "_rank")
-        .select(col("shingle"), col("_rank"))
       val wDoc = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("_rank").asc)
-      val prefix = sh.join(rank, "shingle")
+        .partitionBy(col("doc_id"))
+        .orderBy(col("f").asc, col("shingle").asc)
+      val prefix = sh.join(freq, "shingle")
         .join(sz, "doc_id")
         .withColumn("_rn", row_number().over(wDoc))
         .filter(col("_rn") <= col("n") - expr("(3 * n + 4) div 5") + 1)
@@ -383,7 +383,11 @@ object TrainingData {
         .join(prefix
           .select(col("doc_id").as("db"), col("shingle"), col("n").as("nb")),
           "shingle")
-        .filter(col("da") < col("db"))
+        // length filter (the other PPJoin prune): J ≥ θ forces
+        // θ·|A| ≤ |B| ≤ |A|/θ — size-incompatible pairs can't qualify,
+        // so they never reach the verify expansion
+        .filter(col("da") < col("db") &&
+          col("na") * 3 <= col("nb") * 5 && col("nb") * 3 <= col("na") * 5)
         .select("da", "db", "na", "nb").distinct()
       cand
         .join(sh.select(col("doc_id").as("da"), col("shingle")), "da")
