@@ -697,6 +697,26 @@ object TrainingData {
     "x_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))),
 
+    // Classifier EVALUATION — confusion matrix + per-class recall of the
+    // n-gram lang-ID heuristic against the corpus's gold labels: the
+    // eval harness every curation classifier needs before its filter
+    // decisions are trusted. One grouped aggregate over the prediction
+    // scan + a per-actual window on the tiny matrix; recall is an exact
+    // small rational rendered at 6 places (identical doubles in both
+    // engines).
+    "x_langid_confusion" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("actual"))
+      docs(s, dir)
+        .select(col("lang").as("actual"),
+          Text.langId(col("text")).as("predicted"))
+        .groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("recall",
+          round(col("n_docs").cast("double") /
+            sum(col("n_docs")).over(w), 6).cast("decimal(10,6)"))
+    }),
+
     "x_quality_score" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         Text.qualityScore(col("text")).as("quality"))),
@@ -1611,6 +1631,16 @@ object TrainingData {
 
     "x_lang_id" ->
       s"SELECT doc_id, ${Text.langIdDuck("text")} AS lang_pred FROM documents",
+
+    "x_langid_confusion" ->
+      s"""WITH c AS (SELECT lang AS actual,
+         |    ${Text.langIdDuck("text")} AS predicted, count(*) AS n_docs
+         |  FROM documents GROUP BY 1, 2)
+         |SELECT actual, predicted, n_docs,
+         |  CAST(CAST(round(CAST(n_docs AS DOUBLE)
+         |      / sum(n_docs) OVER (PARTITION BY actual), 6)
+         |    AS DECIMAL(10,6)) AS DOUBLE) AS recall
+         |FROM c""".stripMargin,
 
     "x_quality_score" ->
       s"SELECT doc_id, CAST(${Text.qualityScoreDuck("text")} AS DOUBLE) AS quality FROM documents",

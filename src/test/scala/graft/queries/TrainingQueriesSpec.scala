@@ -307,4 +307,22 @@ class TrainingQueriesSpec extends AnyFunSuite with graft.GateCacheHygiene {
     }.sum
     assert(nPrefix * 2 < nSh, s"prefix $nPrefix vs full $nSh")
   }
+
+  test("x_langid_confusion: matrix mass equals corpus; per-class recall sums to 1") {
+    val rows = OracleSafe.canon(
+      TrainingData.queries("x_langid_confusion")(spark, TestSpark.Sf0001))
+      .as[(String, String, Long, Double)].collect()
+    val nDocs = Tables.read(spark, TestSpark.Sf0001, "documents").count()
+    assert(rows.map(_._3).sum == nDocs)
+    rows.groupBy(_._1).foreach { case (actual, cells) =>
+      val total = cells.map(_._3).sum
+      cells.foreach { case (_, _, n, recall) =>
+        assert(math.abs(recall - n.toDouble / total) < 1e-6, s"$actual recall")
+      }
+      assert(math.abs(cells.map(_._4).sum - 1.0) < 1e-4)
+    }
+    // the classifier is non-degenerate: it gets most English docs right
+    val en = rows.filter(r => r._1 == "en" && r._2 == "en")
+    assert(en.nonEmpty && en.head._4 > 0.5)
+  }
 }
