@@ -1179,6 +1179,42 @@ object PipelineOps {
       .select(col("version"), col("n_rows"), col("sum_acctbal"))
   }
 
+  /** O14: retention VACUUM over the versioned table — the lifecycle step
+    * o10's time travel stops short of: three snapshot versions land
+    * (base, merge-upsert, balance filter), the retention policy expires
+    * all but the newest two (a directory delete — readers pinned to
+    * survivors never block writers or the vacuum), and the gate
+    * re-READS the survivors AFTER the expire, proving snapshot
+    * isolation held through it. v0's stats are captured pre-expire and
+    * the gate asserts its directory is physically gone — the oracle
+    * pins which version died and that the survivors' contents are
+    * byte-equal to their relational definitions. */
+  def retentionVacuum(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TimeTravel
+    val root = Files.createTempDirectory("graft_vac").toString
+    TimeTravel.write(Tables.read(s, dir, "customer"), root) // v0
+    val v0 = TimeTravel.readAt(s, root, 0)
+    TimeTravel.write(
+      graft.operators.Merge.upsert(v0, customerChanges(v0), "c_custkey",
+        deletedCol = DeletedCol), root) // v1
+    TimeTravel.write(
+      TimeTravel.readAt(s, root, 1).filter(col("c_acctbal") > 0),
+      root) // v2
+    val v0Rows = TimeTravel.readAt(s, root, 0).count()
+    val expired = TimeTravel.expire(root, keep = 2)
+    require(expired == Seq(0L), s"expected only v0 expired, got $expired")
+    require(!new java.io.File(s"$root/v0").exists(), "v0 dir must be gone")
+    require(TimeTravel.versions(root) == Seq(1L, 2L))
+    def live(v: Long): DataFrame =
+      TimeTravel.readAt(s, root, v) // re-read AFTER the vacuum
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(v).cast("int").as("version"), col("n_rows"),
+          lit("live").as("status"))
+    import s.implicits._
+    Seq((0, v0Rows, "expired")).toDF("version", "n_rows", "status")
+      .unionByName(live(1)).unionByName(live(2))
+  }
+
   /** K3/O3 over NESTED types, gate-promoted (previously spec-only in
     * CdcSnapshotSpec): a struct/array/map frame derived deterministically
     * from `nation` is staged to parquet, replicated through the snapshot
@@ -1245,6 +1281,7 @@ object PipelineOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o10_time_travel" -> ((s, dir) => timeTravel(s, dir)),
+    "o14_retention_vacuum" -> ((s, dir) => retentionVacuum(s, dir)),
     "t10_late_data" -> ((s, dir) => lateDataWindows(s, dir)),
     "t9_stream_merge_sink" -> ((s, dir) => streamMergeSink(s, dir)),
     "x_dpp_join" -> ((s, dir) => dppJoin(s, dir)),
@@ -1334,6 +1371,31 @@ object PipelineOps {
         |SELECT 1, count(*),
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
         |FROM merged""".stripMargin,
+
+    "o14_retention_vacuum" ->
+      """WITH changes AS (
+        |  SELECT c_custkey, c_acctbal + CAST(100.0 AS DOUBLE) AS c_acctbal,
+        |    0 AS _deleted
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal, 1
+        |  FROM customer WHERE c_custkey % 10 = 3
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_acctbal, 0
+        |  FROM customer WHERE c_custkey < 50
+        |), merged AS (
+        |  SELECT c.c_acctbal FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM changes ch
+        |                    WHERE ch.c_custkey = c.c_custkey)
+        |  UNION ALL
+        |  SELECT c_acctbal FROM changes WHERE _deleted = 0
+        |)
+        |SELECT 0 AS version, count(*) AS n_rows, 'expired' AS status
+        |FROM customer
+        |UNION ALL
+        |SELECT 1, count(*), 'live' FROM merged
+        |UNION ALL
+        |SELECT 2, count(*), 'live' FROM merged WHERE c_acctbal > 0""".stripMargin,
 
     "t10_late_data" ->
       """WITH c AS (
