@@ -506,6 +506,40 @@ object TrainingData {
         e.filter(col("vec_id") < AnnQueryIds), "vec_id", "embedding", AnnK)
     }),
 
+    // Retrieval EVALUATION — P@k, R@k and MRR of the brute-force cosine
+    // ranking against same-label relevance judgments: the metric harness
+    // a retrieval stack needs before its rankings are trusted (and the
+    // reason the ANN family can quote recall numbers at all). All three
+    // metrics are exact small rationals (single IEEE divisions of
+    // integer counts — no log discounts, no order-dependent float
+    // sums), emitted per query so the hash binds every judgment, not a
+    // mean. Cost: the ranked lists are k rows per query; everything
+    // after the (already-gated) ranking stage is a tiny join + agg.
+    "x_retrieval_eval" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val ranked = SimilarityOps.bruteForceTopK(e,
+        e.filter(col("vec_id") < AnnQueryIds), "vec_id", "embedding", AnnK)
+      val qlbl = e.filter(col("vec_id") < AnnQueryIds)
+        .select(col("vec_id").as("query_id"), col("label").as("_ql"))
+      val nlbl = e.groupBy(col("label").as("_ql"))
+        .agg(count(lit(1)).as("_nlab"))
+      ranked
+        .join(broadcast(qlbl), "query_id")
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("label").as("_cl")), "neighbor_id")
+        .withColumn("_rel", (col("_ql") === col("_cl")).cast("long"))
+        .groupBy(col("query_id"), col("_ql"))
+        .agg(sum(col("_rel")).as("n_rel_at_k"),
+          min(when(col("_rel") === 1, col("rk"))).as("_first"))
+        .join(broadcast(nlbl), "_ql")
+        .select(col("query_id"),
+          col("n_rel_at_k").cast("long").as("n_rel_at_k"),
+          (col("n_rel_at_k").cast("double") / AnnK).as("p_at_k"),
+          (col("n_rel_at_k").cast("double") / (col("_nlab") - 1))
+            .as("r_at_k"),
+          coalesce(lit(1.0) / col("_first"), lit(0.0)).as("mrr"))
+    }),
+
     // LSH-bucketed ANN — banded OR-construction scale path. Recall < 1 by
     // design (AnnRecallSpec pins the floor vs brute force); the result
     // itself is exact-oracled since the bucketing is deterministic.
@@ -1500,6 +1534,31 @@ object TrainingData {
          |               c.vec_id ASC) AS rk
          |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
          |  WHERE q.vec_id < $AnnQueryIds) WHERE rk <= $AnnK""".stripMargin,
+
+    "x_retrieval_eval" ->
+      s"""WITH r AS (
+         |  SELECT query_id, rk, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(${cosineDuck("q.embedding", "c.embedding")}, 6) DESC,
+         |                 c.vec_id ASC) AS rk
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < $AnnQueryIds) WHERE rk <= $AnnK),
+         |ql AS (SELECT vec_id AS query_id, label AS qlab FROM embeddings
+         |       WHERE vec_id < $AnnQueryIds),
+         |nl AS (SELECT label, count(*) AS nlab FROM embeddings GROUP BY 1),
+         |rel AS (SELECT r.query_id, ql.qlab, r.rk,
+         |    CASE WHEN c.label = ql.qlab THEN 1 ELSE 0 END AS rel
+         |  FROM r JOIN ql USING (query_id)
+         |  JOIN embeddings c ON c.vec_id = r.neighbor_id),
+         |agg AS (SELECT query_id, qlab, sum(rel) AS nrel,
+         |    min(CASE WHEN rel = 1 THEN rk END) AS first_rel
+         |  FROM rel GROUP BY 1, 2)
+         |SELECT query_id, CAST(nrel AS BIGINT) AS n_rel_at_k,
+         |  CAST(nrel AS DOUBLE) / $AnnK AS p_at_k,
+         |  CAST(nrel AS DOUBLE) / (nlab - 1) AS r_at_k,
+         |  coalesce(CAST(1 AS DOUBLE) / first_rel, CAST(0 AS DOUBLE)) AS mrr
+         |FROM agg JOIN nl ON nl.label = agg.qlab""".stripMargin,
 
     "x_ann_lsh_topk" -> lshAnnOracle(excludeLabel = false),
 

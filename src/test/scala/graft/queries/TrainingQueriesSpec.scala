@@ -325,4 +325,28 @@ class TrainingQueriesSpec extends AnyFunSuite with graft.GateCacheHygiene {
     val en = rows.filter(r => r._1 == "en" && r._2 == "en")
     assert(en.nonEmpty && en.head._4 > 0.5)
   }
+
+  test("x_retrieval_eval: metrics match a straight-line recomputation from the gated ranking") {
+    val dir = TestSpark.Sf0001
+    val ranked = TrainingData.queries("x_ann_brute_topk")(spark, dir)
+      .selectExpr("CAST(query_id AS LONG)", "CAST(rk AS INT)",
+        "CAST(neighbor_id AS LONG)")
+      .as[(Long, Int, Long)].collect()
+    val labels = Tables.read(spark, dir, "embeddings")
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val nByLabel = labels.values.groupBy(identity).view.mapValues(_.size).toMap
+    val rows = TrainingData.queries("x_retrieval_eval")(spark, dir)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(rows.length == ranked.map(_._1).distinct.length)
+    rows.foreach { case (q, nRel, p, r, mrr) =>
+      val ql = labels(q)
+      val hits = ranked.filter(_._1 == q).sortBy(_._2)
+        .map(t => labels(t._3) == ql)
+      assert(nRel == hits.count(identity).toLong)
+      assert(p == nRel.toDouble / TrainingData.AnnK)
+      assert(r == nRel.toDouble / (nByLabel(ql) - 1))
+      val first = hits.indexWhere(identity)
+      assert(mrr == (if (first < 0) 0.0 else 1.0 / (first + 1)))
+    }
+  }
 }
