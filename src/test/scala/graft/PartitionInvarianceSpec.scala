@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-count invariance — the distributed-determinism property the
+  * whole oracle methodology rests on: every gate's result must be
+  * identical under ANY shuffle partitioning, or the same query would
+  * hash differently on a 1000-executor cluster than on local[32]. A
+  * representative gate per determinism technique is re-run with
+  * shuffle.partitions=3 (vs the session default 32) and compared
+  * row-for-row: decimal sums (q1), window + RANGE frames, the live-view
+  * dedup, LSH banding, the distributed prefix sum (vocab/shard), the
+  * integer PageRank, star-CC clustering, degree-oriented triangles, the
+  * prefix-filtered similarity join, OLS moments, and the substring-dedup
+  * apply's per-doc reassembly. */
+class PartitionInvarianceSpec extends AnyFunSuite with GateCacheHygiene {
+  lazy val spark = TestSpark.spark
+
+  private val gates = Seq(
+    "q1_pricing_summary", "window_range_frame", "w1_live_view",
+    "x_dedup_minhash_lsh", "x_vocab_coverage", "x_shard_assign",
+    "x_pagerank", "x_triangle_count", "x_setsim_join_exact",
+    "x_linreg_price", "x_substring_dedup_apply", "x_dedup_cluster_apply")
+
+  private def run(name: String): Seq[String] = {
+    val rows = SparkEntry.queries(name)(spark, TestSpark.Sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    GateCache.releaseAll()
+    spark.catalog.clearCache()
+    rows
+  }
+
+  test("gate results are identical under shuffle.partitions = 3 vs the default") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    gates.foreach { g =>
+      val wide = run(g)
+      assert(wide.nonEmpty, s"$g returned no rows")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        val narrow = run(g)
+        assert(narrow == wide,
+          s"$g differs between partition counts: " +
+            s"${narrow.diff(wide).take(3)} vs ${wide.diff(narrow).take(3)}")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+}
