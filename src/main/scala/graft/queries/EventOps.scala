@@ -122,6 +122,22 @@ object EventOps {
         .toDF("stage", "n_users")
     }),
 
+    // Rolling MEDIAN smoothing — exact order statistics inside a moving
+    // ROWS frame (the robust alternative to window_running_sum's moving
+    // mean, and the windowed form of x_mad_outliers' global median):
+    // per user, the median of the trailing five event values. Odd
+    // frames select an exact element; the short head frames average two
+    // doubles — identical IEEE result in both engines either way. One
+    // hash exchange on user_id, per-partition sort only.
+    "x_rolling_median" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+        .rowsBetween(-4, 0)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          percentile(col("value"), lit(0.5)).over(w).as("roll_med"))
+    }),
+
     // Sketch SET OPERATIONS (extends x_hll_distinct_users from single-set
     // cardinality to pairwise overlap): audience overlap between every
     // pair of event types via HLL inclusion-exclusion
@@ -211,6 +227,13 @@ object EventOps {
         |  arg_max(value, k) AS close,
         |  count(*) AS n_events
         |FROM e GROUP BY bar_us, event_type""".stripMargin,
+
+    "x_rolling_median" ->
+      """SELECT user_id, event_id,
+        |  median(value) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_med
+        |FROM events""".stripMargin,
 
     // exact side + pinned-true bound of the HLL set-op gate (same
     // adjudication pattern as x_hll_distinct_users — see the gate comment)

@@ -16,13 +16,13 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     // gate, the driver's correctness JSON just gets smaller, and 31 red
     // gates read as "fewer queries". A silent shrink (or an unregistered
     // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
-    val pinned = 189 // r9: +x_substring_dedup_apply, +t13_stream_neardup,
+    val pinned = 190 // r9: +x_substring_dedup_apply, +t13_stream_neardup,
     // +x_multimodal_video_decode, +x_kanon_agg, +x_dedup_bloom_probe,
     // +x_contamination_report, +x_ddsketch_quantiles, +x_bitext_mine,
     // +x_dup_spectrum, +q21_sole_late_supplier, +window_range_frame,
     // +x_hll_audience_overlap, +x_epoch_upsample, +setop_bag_priorities,
     // +x_linreg_price, +x_triangle_count, +x_setsim_join_exact, +t14_stream_outer_join,
-    // +x_mad_outliers, +x_null_semantics, +x_langid_confusion, +o14_retention_vacuum, +x_retrieval_eval
+    // +x_mad_outliers, +x_null_semantics, +x_langid_confusion, +o14_retention_vacuum, +x_retrieval_eval, +x_rolling_median
     assert(SparkEntry.queries.size == pinned,
       s"gate count ${SparkEntry.queries.size} != pinned $pinned — " +
         "update the pin if gates were added/removed on purpose")

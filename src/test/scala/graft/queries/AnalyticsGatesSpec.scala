@@ -129,4 +129,28 @@ class AnalyticsGatesSpec extends AnyFunSuite with graft.GateCacheHygiene {
       assert(p == r * r)
     }
   }
+
+  test("x_rolling_median: frame median equals a straight-line trailing-window reference") {
+    val dir = TestSpark.Sf0001
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val expected = ev.groupBy(_._1).flatMap { case (_, es) =>
+      val ord = es.sortBy(e => (e._3, e._2))
+      ord.indices.map { i =>
+        val frame = ord.slice(math.max(0, i - 4), i + 1).map(_._4)
+        (ord(i)._1, ord(i)._2) -> median(frame)
+      }
+    }
+    val rows = EventOps.queries("x_rolling_median")(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.length == ev.length)
+    rows.foreach { case (u, e, m) =>
+      assert(m == expected((u, e)), s"user $u event $e")
+    }
+  }
 }
