@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Curation, Embeddings, EventOps, GraphOps, PipelineOps, ReferenceOps, TrainingData, Warehouse}
+import graft.queries.{Analytics, Curation, Embeddings, EventOps, GraphOps, PipelineOps, ReferenceOps, SqlSurface, TrainingData, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,7 +27,8 @@ object SparkEntry {
     EventOps.queries,
     GraphOps.queries,
     PipelineOps.queries,
-    Warehouse.queries)
+    Warehouse.queries,
+    SqlSurface.queries)
 
   def oracleGroups: Seq[Map[String, String]] = Seq(
     ReferenceOps.oracle,
@@ -38,7 +39,8 @@ object SparkEntry {
     EventOps.oracle,
     GraphOps.oracle,
     PipelineOps.oracle,
-    Warehouse.oracle)
+    Warehouse.oracle,
+    SqlSurface.oracle)
 
   /** One entry per implemented operator from SURVEY.md §2. Every result
     * passes through [[graft.queries.OracleSafe.canon]] so the verify

@@ -178,6 +178,62 @@ object PipelineOps {
       .groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
   }
 
+  /** T15: per-user running totals on `transformWithState` (Spark 4's
+    * arbitrary-state API — see [[graft.streaming.RunningTotals]] for why
+    * it supersedes the flatMapGroupsWithState t6 path). Events replay as
+    * three micro-batches (repartition + maxFilesPerTrigger) over the
+    * RocksDB state store transformWithState requires; each batch emits
+    * the updated (count, exact cents) per touched user, landed in append
+    * mode. A user's totals grow monotonically across their emissions, so
+    * the row with the max count per user is the full aggregate — which
+    * the oracle recomputes relationally; the integer-cents quantization
+    * (round(value*100), identical IEEE arithmetic in DuckDB) is what
+    * makes those totals batching-invariant and hash-adjudicable. */
+  def transformWithStateTotals(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = Files.createTempDirectory("graft_tws_src").toString
+    val outDir = Files.createTempDirectory("graft_tws_out").toString
+    val ckp = Files.createTempDirectory("graft_tws_ckp").toString
+    Tables.read(s, dir, "events")
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .repartition(3).write.mode("overwrite").parquet(srcDir)
+    val schema = s.read.parquet(srcDir).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // file sinks are append-only — land the update-mode emissions via
+      // foreachBatch (each batch's touched-key rows appended)
+      val q = graft.streaming.RunningTotals.totalsStream(stream)
+        .toDF("user_id", "n_events", "total_cents")
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .option("checkpointLocation", ckp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+    }
+    s.read.parquet(outDir)
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("n_events"), col("total_cents")),
+        col("n_events")).as("_w"))
+      .select(col("user_id"), col("_w.n_events").as("n_events"),
+        col("_w.total_cents").as("total_cents"))
+  }
+
   /** T13: streaming near-dup at ingest — [[graft.streaming.StreamNearDup]]
     * replaying `documents` as three micro-batches in ascending doc_id
     * ranges (forced modtimes, the lateDataWindows technique), the LSH band
@@ -1311,6 +1367,7 @@ object PipelineOps {
     "t12_debezium_cdc" -> ((s, dir) => debeziumCdcLive(s, dir)),
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
     "t13_stream_neardup" -> ((s, dir) => streamNearDupCounts(s, dir)),
+    "t15_transform_with_state" -> ((s, dir) => transformWithStateTotals(s, dir)),
     "t7_stream_stream_join" -> ((s, dir) => streamStreamJoin(s, dir)),
     "t14_stream_outer_join" -> ((s, dir) => streamOuterJoin(s, dir)),
 
@@ -1319,7 +1376,8 @@ object PipelineOps {
     // [[graft.streaming.EventAnalytics.sessionCounts]]; the same plan
     // serves readStream with a watermark. The oracle restates it as
     // gaps-and-islands SQL (break when the gap to the previous event is
-    // ≥ the session gap), pinning the merge semantics.
+    // STRICTLY GREATER than the session gap — exactly-gap windows touch
+    // and still merge), pinning the merge semantics.
     "t5_sessionized" -> ((s, dir) =>
       graft.streaming.EventAnalytics.sessionCounts(
         Tables.events(s, dir)
@@ -1632,6 +1690,13 @@ object PipelineOps {
         |  AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000
         |GROUP BY 1""".stripMargin,
 
+    // the final (max-count) emission per user must equal the batch
+    // aggregate exactly — integer cents make the totals batch-invariant
+    "t15_transform_with_state" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+        |FROM events GROUP BY user_id""".stripMargin,
+
     // the watermark-evicted outer rows must equal the batch LEFT JOIN
     // exactly — unmatched views appear exactly once with a null purchase
     "t14_stream_outer_join" ->
@@ -1648,13 +1713,16 @@ object PipelineOps {
         |  count(DISTINCT ve) AS n_views
         |FROM j GROUP BY 1""".stripMargin,
 
-    // session_window merges windows while the inter-event gap < 30 min,
-    // so islands break exactly when gap ≥ 30 min (1800000000 µs)
+    // session_window merges windows that overlap OR touch — an
+    // inter-event gap of exactly 30 min still merges; islands break only
+    // when gap > 30 min (1800000000 µs). Pinned on crafted boundary data
+    // in SqlSurfaceSpec (the 6h x_session_windows_batch twin — same
+    // operator, same semantics).
     "t5_sessionized" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
         |m AS (SELECT user_id, t,
         |    CASE WHEN lag(t) OVER w IS NULL
-        |         OR t - lag(t) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |         OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
         |s AS (SELECT user_id, t, sum(brk) OVER (PARTITION BY user_id
         |    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
