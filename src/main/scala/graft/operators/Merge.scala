@@ -33,6 +33,50 @@ object Merge {
     keep.unionByName(applied.select(target.columns.map(col).toSeq: _*))
   }
 
+  /** Change data feed of [[upsert]]: the row-level diff a downstream
+    * consumer (an incremental MV, a cache invalidator, a replica) needs to
+    * follow the merge without rescanning the target. For each change key:
+    *
+    *   - insert           → one `insert` row (the after-image);
+    *   - replace of an existing key → `update_preimage` + `update_postimage`;
+    *   - delete of an existing key  → one `delete` row (the before-image);
+    *   - delete of an absent key    → NOTHING (a no-op merge emits no change).
+    *
+    * Returned columns = target's columns + `_op`. Scale shape: ONE keyed
+    * join of changes against the target (broadcast/co-located under the
+    * same conditions as the merge itself) and one explode — the feed costs
+    * O(changeset), never O(table), and emits in the same pass a combined
+    * merge+CDF job would. Pair with [[upsert]] on the same inputs: applying
+    * the feed's post-images/deletes to `target` reproduces the merged
+    * table (MergeSpec pins this). */
+  def changeFeed(target: DataFrame, changes: DataFrame, pk: String,
+                 deletedCol: String = "_deleted"): DataFrame = {
+    require(changes.columns.contains(deletedCol),
+      s"changes must carry $deletedCol")
+    val tCols = target.columns.toSeq
+    val tgt = target.select(
+      col(pk).as("_t_pk"), struct(tCols.map(col): _*).as("_before"))
+    val chg = changes.select(
+      col(pk).as("_c_pk"), col(deletedCol).as("_del"),
+      struct(tCols.map(col): _*).as("_after"))
+    val joined = chg.join(tgt, col("_c_pk") === col("_t_pk"), "left")
+    val matched = col("_t_pk").isNotNull
+    val isDel = col("_del") === 1
+    val entries = array(
+      struct(lit("delete").as("_op"), col("_before").as("_row"),
+        (isDel && matched).as("_keep")),
+      struct(lit("update_preimage").as("_op"), col("_before").as("_row"),
+        (!isDel && matched).as("_keep")),
+      struct(lit("update_postimage").as("_op"), col("_after").as("_row"),
+        (!isDel && matched).as("_keep")),
+      struct(lit("insert").as("_op"), col("_after").as("_row"),
+        (!isDel && !matched).as("_keep")))
+    joined
+      .select(explode(filter(entries, e => e("_keep"))).as("_e"))
+      .select(col("_e._op").as("_op") +: tCols.map(c =>
+        col(s"_e._row.$c").as(c)): _*)
+  }
+
   /** Order-independent versioned merge (the ReplacingMergeTree LWW shape):
     * per pk the row with the highest `versionCol` wins, whether it came
     * from `state` or `changes` — so out-of-order batches and at-least-once

@@ -51,6 +51,53 @@ object EventOps {
             .as("purchase_value_ff"))
     }),
 
+    // Linear interpolation between known points (the time-series
+    // densification x_gap_fill forward-fills, upgraded to the two-sided
+    // estimate an ML feature pipeline wants): per user-day, a missing
+    // daily purchase total is interpolated between the nearest previous
+    // and next purchase days; before the first / after the last anchor
+    // the nearest known value extends (edge semantics made explicit in
+    // the `kind` column). Two per-user ordered windows (prev/next anchor)
+    // over the densified frame — same exchange, no self-join. The
+    // interpolation arithmetic is a fixed double expression tree
+    // (pv + (nv − pv) · (Δprev / Δspan)) mirrored verbatim in the oracle,
+    // so both engines round identically at every step.
+    "x_interpolate_linear" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id") < GapFillUsers)
+        .withColumn("day", to_date(timestamp_micros(col("ts_us"))))
+      val span = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      val days = span.select(col("user_id"),
+        explode(sequence(col("_d0"), col("_d1"))).as("day"))
+      val daily = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)")
+          .cast("double").as("_dv"))
+      val wPrev = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val known = when(col("_dv").isNotNull, col("day"))
+      val knownV = when(col("_dv").isNotNull, col("_dv"))
+      days.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("_pd", last(known, ignoreNulls = true).over(wPrev))
+        .withColumn("_pv", last(knownV, ignoreNulls = true).over(wPrev))
+        .withColumn("_nd", first(known, ignoreNulls = true).over(wNext))
+        .withColumn("_nv", first(knownV, ignoreNulls = true).over(wNext))
+        .select(col("user_id"), col("day").cast("string").as("day"),
+          when(col("_dv").isNotNull, lit("actual"))
+            .when(col("_pd").isNull || col("_nd").isNull, lit("edge"))
+            .otherwise(lit("interp")).as("kind"),
+          when(col("_dv").isNotNull, col("_dv"))
+            .when(col("_pd").isNull && col("_nd").isNull, lit(0.0))
+            .when(col("_pd").isNull, col("_nv"))
+            .when(col("_nd").isNull, col("_pv"))
+            .otherwise(col("_pv") + (col("_nv") - col("_pv")) *
+              (datediff(col("day"), col("_pd")).cast("double") /
+                datediff(col("_nd"), col("_pd")).cast("double")))
+            .as("value_interp"))
+    }),
+
     // Weekly cohort retention: users grouped by the week of their FIRST
     // event; each later active week counts them at its integer week
     // offset. Two partial-agg'd shuffles (first-event per user, then
@@ -203,6 +250,51 @@ object EventOps {
          |    AS DOUBLE) AS purchase_value_ff
          |FROM days d LEFT JOIN daily
          |  ON daily.user_id = d.user_id AND daily.day = d.day""".stripMargin,
+
+    // identical expression tree to the Spark side so every IEEE rounding
+    // agrees; DuckDB date subtraction yields integer days (= datediff)
+    "x_interpolate_linear" ->
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+         |    value FROM events WHERE user_id < $GapFillUsers),
+         |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+         |  FROM ev GROUP BY user_id),
+         |days AS (SELECT user_id,
+         |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+         |      AS day
+         |  FROM span),
+         |daily AS (SELECT user_id, day,
+         |    CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+         |      AS DOUBLE) AS dv
+         |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, day),
+         |f AS (SELECT d.user_id, d.day, daily.dv FROM days d
+         |  LEFT JOIN daily ON daily.user_id = d.user_id
+         |    AND daily.day = d.day),
+         |a AS (SELECT user_id, day, dv,
+         |    last_value(CASE WHEN dv IS NOT NULL THEN day END IGNORE NULLS)
+         |      OVER wp AS pd,
+         |    last_value(CASE WHEN dv IS NOT NULL THEN dv END IGNORE NULLS)
+         |      OVER wp AS pv,
+         |    first_value(CASE WHEN dv IS NOT NULL THEN day END IGNORE NULLS)
+         |      OVER wn AS nd,
+         |    first_value(CASE WHEN dv IS NOT NULL THEN dv END IGNORE NULLS)
+         |      OVER wn AS nv
+         |  FROM f WINDOW
+         |    wp AS (PARTITION BY user_id ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wn AS (PARTITION BY user_id ORDER BY day
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT user_id, CAST(day AS VARCHAR) AS day,
+         |  CASE WHEN dv IS NOT NULL THEN 'actual'
+         |       WHEN pd IS NULL OR nd IS NULL THEN 'edge'
+         |       ELSE 'interp' END AS kind,
+         |  CASE WHEN dv IS NOT NULL THEN dv
+         |       WHEN pd IS NULL AND nd IS NULL THEN CAST(0.0 AS DOUBLE)
+         |       WHEN pd IS NULL THEN nv
+         |       WHEN nd IS NULL THEN pv
+         |       ELSE pv + (nv - pv) *
+         |         (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+         |  END AS value_interp
+         |FROM a""".stripMargin,
 
     "x_retention_cohorts" ->
       s"""WITH ev AS (SELECT user_id,

@@ -1004,6 +1004,27 @@ object PipelineOps {
           .as("sum_acctbal"))
   }
 
+  /** Change data feed of the o9 merge: the SAME deterministic changeset,
+    * but instead of the merged table the gate emits the row-level diff —
+    * insert / update_preimage / update_postimage / delete rows — that an
+    * incremental consumer needs to follow the merge without rescanning
+    * the target ([[graft.operators.Merge.changeFeed]]; Delta's CDF and
+    * ClickHouse's MaterializedView-over-CDC serve the same role). A
+    * delete for an absent key is also injected and must emit NOTHING
+    * (no-op merges produce no change rows). Cost is O(changeset):
+    * one keyed join + one explode. MergeSpec pins feed ∘ target ≡ merged. */
+  def mergeChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val target = Tables.read(s, dir, "customer")
+    val noop = target.limit(1)
+      .withColumn("c_custkey", lit(99999999L))
+      .withColumn(DeletedCol, lit(1))
+    graft.operators.Merge.changeFeed(target,
+        customerChanges(target).unionByName(noop),
+        "c_custkey", deletedCol = DeletedCol)
+      .select(col("_op"), col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+  }
+
   /** Partition-pruned layout: events written `partitionBy(event_date)`,
     * read back with a date-range filter that must touch only the matching
     * partition directories (the 100 TB lever: a day query over a year of
@@ -1342,6 +1363,7 @@ object PipelineOps {
     "t9_stream_merge_sink" -> ((s, dir) => streamMergeSink(s, dir)),
     "x_dpp_join" -> ((s, dir) => dppJoin(s, dir)),
     "o9_merge_upsert" -> ((s, dir) => mergeUpsert(s, dir)),
+    "x_merge_cdf" -> ((s, dir) => mergeChangeFeed(s, dir)),
     "x_partitioned_prune" -> ((s, dir) => partitionedPrune(s, dir)),
     "x_footer_agg_pushdown" -> ((s, dir) => footerAggPushdown(s, dir)),
     "x_cbo_stats_join" -> ((s, dir) => cboStatsJoin(s, dir)),
@@ -1516,6 +1538,40 @@ object PipelineOps {
         |SELECT c_mktsegment, count(*) AS n_rows,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
         |FROM merged GROUP BY 1""".stripMargin,
+
+    // same changeset as o9; the absent-key no-op delete emits nothing by
+    // construction (it joins to no customer row and _deleted=1 ∧ unmatched
+    // maps to no CDF row)
+    "x_merge_cdf" ->
+      """WITH changes AS (
+        |  SELECT c_custkey, c_acctbal + CAST(100.0 AS DOUBLE) AS c_acctbal,
+        |    'MERGED' AS c_mktsegment, 0 AS _deleted
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal, c_mktsegment, 1
+        |  FROM customer WHERE c_custkey % 10 = 3
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_acctbal, c_mktsegment, 0
+        |  FROM customer WHERE c_custkey < 50
+        |  UNION ALL
+        |  SELECT 99999999, CAST(0.0 AS DOUBLE), 'X', 1
+        |), j AS (
+        |  SELECT ch.c_custkey AS k, ch._deleted AS del,
+        |    ch.c_acctbal AS a_bal, ch.c_mktsegment AS a_seg,
+        |    c.c_custkey AS tk, c.c_acctbal AS b_bal, c.c_mktsegment AS b_seg
+        |  FROM changes ch LEFT JOIN customer c ON c.c_custkey = ch.c_custkey
+        |)
+        |SELECT 'delete' AS _op, k AS c_custkey, b_bal AS c_acctbal,
+        |  b_seg AS c_mktsegment FROM j WHERE del = 1 AND tk IS NOT NULL
+        |UNION ALL
+        |SELECT 'update_preimage', k, b_bal, b_seg FROM j
+        |  WHERE del = 0 AND tk IS NOT NULL
+        |UNION ALL
+        |SELECT 'update_postimage', k, a_bal, a_seg FROM j
+        |  WHERE del = 0 AND tk IS NOT NULL
+        |UNION ALL
+        |SELECT 'insert', k, a_bal, a_seg FROM j
+        |  WHERE del = 0 AND tk IS NULL""".stripMargin,
 
     "x_partitioned_prune" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,

@@ -61,6 +61,46 @@ class MergeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(merged == Seq((7L, 50L, "x", 1))) // delete at ver 50 still wins
   }
 
+  test("changeFeed: ops per key are correct and a no-op delete emits nothing") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      (2L, "b2", 99.0, 0),  // update → pre + post
+      (3L, "c", 30.0, 1),   // delete → before-image
+      (4L, "d", 40.0, 0),   // insert → after-image
+      (9L, "zz", 0.0, 1))   // delete of absent key → NOTHING
+      .toDF("k", "name", "bal", "_deleted")
+    val feed = Merge.changeFeed(target, changes, "k")
+      .as[(String, Long, String, Double)].collect().toSeq.sorted
+    assert(feed == Seq(
+      ("delete", 3L, "c", 30.0),
+      ("insert", 4L, "d", 40.0),
+      ("update_postimage", 2L, "b2", 99.0),
+      ("update_preimage", 2L, "b", 20.0)))
+  }
+
+  test("changeFeed replays the merge: post-images/inserts applied and deletes removed reproduce upsert()") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq((2L, "b2", 99.0, 0), (3L, "c", 30.0, 1),
+      (4L, "d", 40.0, 0)).toDF("k", "name", "bal", "_deleted")
+    val feed = Merge.changeFeed(target, changes, "k")
+    // a CDF consumer's apply: upserts = post-images + inserts, deletes =
+    // delete rows; replaying them through upsert() must equal the direct
+    // merge — the feed is a faithful row-level account of it
+    val applied = Merge.upsert(target,
+      feed.filter(col("_op").isin("update_postimage", "insert"))
+        .drop("_op").withColumn("_deleted", lit(0))
+        .unionByName(feed.filter(col("_op") === "delete")
+          .drop("_op").withColumn("_deleted", lit(1))),
+      "k").as[(Long, String, Double)].collect().toSeq.sorted
+    val direct = Merge.upsert(target, changes, "k")
+      .as[(Long, String, Double)].collect().toSeq.sorted
+    assert(applied == direct)
+  }
+
   test("no nested-loop join: the anti join is hash- or broadcast-based") {
     import spark.implicits._
     val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")

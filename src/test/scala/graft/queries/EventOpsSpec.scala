@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** In-engine pins for the event-analytics gates (cross-engine exactness
+  * is the DuckDB oracle's job). */
+class EventOpsSpec extends AnyFunSuite with graft.GateCacheHygiene {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("x_interpolate_linear: exact values between anchors, edge extension, full coverage") {
+    val dir = TestSpark.Sf0001
+    val rows = EventOps.queries("x_interpolate_linear")(spark, dir)
+      .as[(Long, String, String, Double)].collect().toSeq
+    val byUser = rows.groupBy(_._1)
+    // the densified frame is complete: per user, one row per day of span
+    byUser.foreach { case (_, rs) =>
+      val days = rs.map(r => java.time.LocalDate.parse(r._2))
+      assert(days.distinct.size == days.size)
+      assert(java.time.temporal.ChronoUnit.DAYS.between(
+        days.min(Ordering[java.time.LocalDate]),
+        days.max(Ordering[java.time.LocalDate])) + 1 == days.size)
+    }
+    assert(Set("actual", "interp", "edge").subsetOf(rows.map(_._3).toSet),
+      "corpus exercises all three kinds")
+    // every interpolated value lies between its user's anchor bounds
+    byUser.foreach { case (_, rs) =>
+      val actual = rs.filter(_._3 == "actual").map(_._4)
+      if (actual.nonEmpty) {
+        val (lo, hi) = (actual.min, actual.max)
+        rs.filter(_._3 == "interp").foreach { r =>
+          assert(r._4 >= lo - 1e-9 && r._4 <= hi + 1e-9,
+            s"interp ${r._4} outside anchor envelope [$lo, $hi]")
+        }
+      }
+    }
+    // crafted exactness: anchors 10 @ d0 and 40 @ d3 → 20, 30 on the
+    // missing days (exact binary fractions — no tolerance)
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", "purchase", 10.0),
+      (1L, "2024-01-04 00:00:00", "purchase", 40.0),
+      (1L, "2024-01-02 00:00:00", "view", 5.0)) // non-purchase: no anchor
+      .toDF("user_id", "t", "event_type", "value")
+      .withColumn("ts_us", unix_micros(to_timestamp($"t")))
+    val tmp = java.nio.file.Files.createTempDirectory("interp").toString
+    ev.select($"user_id", timestamp_micros($"ts_us").as("ts"),
+      $"event_type", $"value",
+      lit(0L).as("event_id"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = EventOps.queries("x_interpolate_linear")(spark, tmp)
+      .as[(Long, String, String, Double)].collect().toSeq.sortBy(_._2)
+    assert(out == Seq(
+      (1L, "2024-01-01", "actual", 10.0),
+      (1L, "2024-01-02", "interp", 20.0),
+      (1L, "2024-01-03", "interp", 30.0),
+      (1L, "2024-01-04", "actual", 40.0)))
+  }
+}
