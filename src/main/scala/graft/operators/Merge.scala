@@ -42,20 +42,26 @@ object Merge {
     *   - delete of an existing key  → one `delete` row (the before-image);
     *   - delete of an absent key    → NOTHING (a no-op merge emits no change).
     *
-    * Returned columns = target's columns + `_op`. Scale shape: ONE keyed
-    * join of changes against the target (broadcast/co-located under the
-    * same conditions as the merge itself) and one explode — the feed costs
-    * O(changeset), never O(table), and emits in the same pass a combined
-    * merge+CDF job would. Pair with [[upsert]] on the same inputs: applying
-    * the feed's post-images/deletes to `target` reproduces the merged
-    * table (MergeSpec pins this). */
+    * Returned columns = target's columns + `_op`. Scale shape: the outer
+    * join PRESERVES the changeset side, so Spark could not broadcast the
+    * changeset into it — naively that shuffles the whole table. Instead
+    * the target is first semi-join-PRUNED to the changeset's keys (build
+    * side = broadcast keys, so the table streams map-side with no
+    * exchange), and the outer join then runs over two changeset-sized
+    * frames. Total cost: one table scan + O(changeset) joins — no
+    * table-sized shuffle, same class as [[upsert]]'s anti join. Pair with
+    * [[upsert]] on the same inputs: applying the feed's post-images/
+    * deletes to `target` reproduces the merged table (MergeSpec pins
+    * this). */
   def changeFeed(target: DataFrame, changes: DataFrame, pk: String,
                  deletedCol: String = "_deleted"): DataFrame = {
     require(changes.columns.contains(deletedCol),
       s"changes must carry $deletedCol")
     val tCols = target.columns.toSeq
-    val tgt = target.select(
-      col(pk).as("_t_pk"), struct(tCols.map(col): _*).as("_before"))
+    val tgt = target
+      .join(broadcast(changes.select(col(pk)).distinct()), Seq(pk),
+        "left_semi")
+      .select(col(pk).as("_t_pk"), struct(tCols.map(col): _*).as("_before"))
     val chg = changes.select(
       col(pk).as("_c_pk"), col(deletedCol).as("_del"),
       struct(tCols.map(col): _*).as("_after"))

@@ -185,6 +185,32 @@ object EventOps {
           percentile(col("value"), lit(0.5)).over(w).as("roll_med"))
     }),
 
+    // Exponentially-weighted moving average — the recency-weighted
+    // smoother next to x_rolling_median's robust one. The α=1/2
+    // recurrence over a trailing-8 frame is computed EXACTLY: integer
+    // cents × power-of-two weights (newest 2^(m−1), halving backwards)
+    // accumulated in a higher-order `aggregate` over the frame's
+    // collect_list, one final double division — so the sum is
+    // order-independent integer arithmetic and both engines round once,
+    // identically. One hash exchange on user_id; the per-row list is ≤ 8
+    // elements, constant memory.
+    "x_ewma_smooth" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+        .rowsBetween(-7, 0)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          round(col("value") * 100).cast("long").as("_cents"))
+        .withColumn("_lst", collect_list(col("_cents")).over(w))
+        .select(col("user_id"), col("event_id"),
+          aggregate(col("_lst"),
+            struct(lit(0L).as("n"), lit(1L).as("w")),
+            (acc, x) => struct((acc("n") + x * acc("w")).as("n"),
+              (acc("w") * 2).as("w")),
+            acc => acc("n").cast("double") /
+              (acc("w") - 1).cast("double")).as("ewma"))
+    }),
+
     // Sketch SET OPERATIONS (extends x_hll_distinct_users from single-set
     // cardinality to pairwise overlap): audience overlap between every
     // pair of event types via HLL inclusion-exclusion
@@ -326,6 +352,21 @@ object EventOps {
         |    ORDER BY epoch_us(ts), event_id
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_med
         |FROM events""".stripMargin,
+
+    // same integer weights via 1-based list index (oldest first, so
+    // weight 2^(i−1) doubles toward the newest element), one division
+    "x_ewma_smooth" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |l AS (SELECT user_id, event_id,
+        |    list(cents) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS lst
+        |  FROM e)
+        |SELECT user_id, event_id,
+        |  CAST(list_sum(list_transform(lst,
+        |      (x, i) -> x * (CAST(1 AS BIGINT) << (i - 1)))) AS DOUBLE)
+        |    / CAST((CAST(1 AS BIGINT) << len(lst)) - 1 AS DOUBLE) AS ewma
+        |FROM l""".stripMargin,
 
     // exact side + pinned-true bound of the HLL set-op gate (same
     // adjudication pattern as x_hll_distinct_users — see the gate comment)

@@ -71,13 +71,17 @@ class MergeSpec extends AnyFunSuite with graft.GateCacheHygiene {
       (4L, "d", 40.0, 0),   // insert → after-image
       (9L, "zz", 0.0, 1))   // delete of absent key → NOTHING
       .toDF("k", "name", "bal", "_deleted")
-    val feed = Merge.changeFeed(target, changes, "k")
+    val feedDf = Merge.changeFeed(target, changes, "k")
+    val feed = feedDf
       .as[(String, Long, String, Double)].collect().toSeq.sorted
     assert(feed == Seq(
       ("delete", 3L, "c", 30.0),
       ("insert", 4L, "d", 40.0),
       ("update_postimage", 2L, "b2", 99.0),
       ("update_preimage", 2L, "b", 20.0)))
+    // the table side is semi-join-pruned to changeset keys BEFORE the
+    // outer join (the no-table-shuffle lever — see scaladoc)
+    assert(feedDf.queryExecution.executedPlan.toString.contains("LeftSemi"))
   }
 
   test("changeFeed replays the merge: post-images/inserts applied and deletes removed reproduce upsert()") {

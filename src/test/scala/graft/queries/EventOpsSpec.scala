@@ -10,6 +10,31 @@ class EventOpsSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("x_ewma_smooth: exact power-of-two weighting, trailing-8 truncation") {
+    val tmp = java.nio.file.Files.createTempDirectory("ewma").toString
+    // 10 events, one user, values 1.00 … 10.00 — weights double toward
+    // the newest; from the 9th row the frame drops the oldest element
+    val ev = (1 to 10).map(i => (7L, i.toLong, i.toDouble))
+      .toDF("user_id", "event_id", "value")
+      .withColumn("ts", timestamp_micros($"event_id" * 1000000L))
+      .withColumn("event_type", lit("view")).withColumn("props", lit("{}"))
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = EventOps.queries("x_ewma_smooth")(spark, tmp)
+      .as[(Long, Long, Double)].collect().sortBy(_._2).toSeq
+    def ewma(vals: Seq[Long]): Double = {
+      val num = vals.zipWithIndex.map { case (v, i) => v << i }.sum
+      num.toDouble / ((1L << vals.size) - 1).toDouble
+    }
+    val cents = (1 to 10).map(_ * 100L)
+    val expect = (1 to 10).map { i =>
+      ewma(cents.slice(math.max(0, i - 8), i))
+    }
+    assert(out.map(_._3) == expect)
+    assert(out.head._3 == 100.0) // single element: the value itself
+    // row 3: (100·1 + 200·2 + 300·4)/7 — recency dominates
+    assert(out(2)._3 == 1700.0 / 7.0)
+  }
+
   test("x_interpolate_linear: exact values between anchors, edge extension, full coverage") {
     val dir = TestSpark.Sf0001
     val rows = EventOps.queries("x_interpolate_linear")(spark, dir)
