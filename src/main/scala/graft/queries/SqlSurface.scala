@@ -160,6 +160,50 @@ object SqlSurface {
         .select(col("segment"), col("n_customers"), col("total_bal"))
     }),
 
+    // SQL-defined functions (Spark 4 CREATE FUNCTION … RETURN): the
+    // pricing helpers every TPC-H query repeats, named once in the
+    // catalog and reused — including one SQL UDF calling another. Unlike
+    // a JVM/Python UDF, the body is INLINED into the plan at analysis
+    // time, so codegen, pushdown and null-propagation all still apply
+    // (SqlSurfaceSpec pins a ScalaUDF/BatchEvalPython-free physical
+    // plan); at 100 TB that is the difference between an expression and
+    // a per-row black-box call. Products of ≤2-decimal inputs are exact
+    // at 6 decimals, so the DECIMAL(22,6) partial-sum pattern carries
+    // over unchanged from q1.
+    "x_sql_udf" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("udf_lineitem")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE,
+              |d DOUBLE) RETURNS DOUBLE RETURN p * (1 - d)""".stripMargin)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION charged(p DOUBLE,
+              |d DOUBLE, t DOUBLE) RETURNS DOUBLE
+              |RETURN disc_price(p, d) * (1 + t)""".stripMargin)
+      s.sql(
+        """SELECT l_returnflag,
+          |  CAST(sum(CAST(disc_price(l_extendedprice, l_discount)
+          |    AS DECIMAL(22,6))) AS DOUBLE) AS disc_revenue,
+          |  CAST(sum(CAST(charged(l_extendedprice, l_discount, l_tax)
+          |    AS DECIMAL(22,6))) AS DOUBLE) AS charged_revenue,
+          |  count(*) AS n
+          |FROM udf_lineitem GROUP BY l_returnflag""".stripMargin)
+    }),
+
+    // SQL pipe syntax (Spark 4 `|>`): the linear query form — each
+    // operator consumes the previous result, in reading order. Pure
+    // parser surface: the pipe form optimizes to the IDENTICAL plan as
+    // the classic SQL (SqlSurfaceSpec pins optimized-plan equality), so
+    // it costs nothing at any scale; the oracle is the classic form.
+    "x_pipe_syntax" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("pipe_orders")
+      s.sql(
+        """FROM pipe_orders
+          ||> WHERE o_orderstatus = 'F'
+          ||> AGGREGATE count(*) AS n_orders,
+          |     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          |       AS DECIMAL(38,2)) AS total
+          |   GROUP BY o_orderpriority
+          ||> SELECT o_orderpriority, n_orders, total""".stripMargin)
+    }),
+
     // Observed metrics (`Dataset.observe`): pipeline QA counters —
     // row count, purchase count, max value at the scan, and the row
     // count again after a filter stage — accumulated DURING the single
@@ -249,6 +293,25 @@ object SqlSurface {
         |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2))
         |    AS DOUBLE) AS total_bal
         |FROM customer GROUP BY lower(c_mktsegment)""".stripMargin,
+
+    // the UDF bodies inlined — proving the named functions compute the
+    // plain expressions
+    "x_sql_udf" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(22,6))) AS DOUBLE) AS disc_revenue,
+        |  CAST(sum(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax)
+        |    AS DECIMAL(22,6))) AS DOUBLE) AS charged_revenue,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // the classic form of the pipe query
+    "x_pipe_syntax" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    AS DECIMAL(38,2)) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "x_observe_metrics" ->
       """SELECT count(*) AS n_rows,

@@ -151,6 +151,49 @@ class SqlSurfaceSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(gate == direct)
   }
 
+  test("x_sql_udf: the SQL-defined functions inline — no black-box UDF node, codegen intact") {
+    val dir = TestSpark.Sf0001
+    val df = SqlSurface.queries("x_sql_udf")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      "SQL UDFs must inline into expressions, not call out per row")
+    // the function BODY shows up as a plain arithmetic expression inside
+    // the aggregate (AQE's pre-execution plan string omits the codegen
+    // stage markers, so pin the inlining itself)
+    assert(plan.contains("* (1.0 - "),
+      s"expected the inlined p * (1 - d) body in the plan:\n$plan")
+    // and they compute the plain expressions (one-UDF-calls-another too)
+    val direct = Tables.read(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(22,6)")).cast("double").as("disc_revenue"),
+        sum(((col("l_extendedprice") * (lit(1) - col("l_discount"))) *
+          (lit(1) + col("l_tax"))).cast("decimal(22,6)"))
+          .cast("double").as("charged_revenue"),
+        count(lit(1)).as("n"))
+      .as[(String, Double, Double, Long)].collect().sortBy(_._1).toSeq
+    val gate = df.as[(String, Double, Double, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(gate == direct)
+  }
+
+  test("x_pipe_syntax: the pipe form optimizes to the identical plan as classic SQL") {
+    val dir = TestSpark.Sf0001
+    val pipe = SqlSurface.queries("x_pipe_syntax")(spark, dir)
+    val classic = spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    AS DECIMAL(38,2)) AS total
+        |FROM pipe_orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority""".stripMargin)
+    // compare the optimized plans canonically — pipe syntax must be
+    // parser sugar with zero plan cost
+    assert(pipe.queryExecution.optimizedPlan.canonicalized.toString ==
+      classic.queryExecution.optimizedPlan.canonicalized.toString)
+    assert(pipe.count() > 0)
+  }
+
   test("x_observe_metrics equals the direct aggregates (metrics ride the single pass)") {
     val dir = TestSpark.Sf0001
     val row = SqlSurface.queries("x_observe_metrics")(spark, dir)
