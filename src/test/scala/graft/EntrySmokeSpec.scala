@@ -16,12 +16,13 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     // gate, the driver's correctness JSON just gets smaller, and 31 red
     // gates read as "fewer queries". A silent shrink (or an unregistered
     // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
-    val pinned = 202 // r9 second wave: +x_variant_shred, +x_ewma_smooth,
+    val pinned = 202 // r9 THIRD wave (matches COVERAGE.md/PLANS.md
+    // naming): +x_variant_shred, +x_ewma_smooth,
     // +x_sql_udf, +x_pipe_syntax,
     // +t15_transform_with_state, +x_merge_cdf, +x_interpolate_linear,
     // +x_session_windows_batch, +x_lateral_topn, +x_not_in_semantics,
     // +x_collated_group, +x_observe_metrics (queries/SqlSurface.scala).
-    // Earlier r9: +x_substring_dedup_apply, +t13_stream_neardup,
+    // Earlier r9 waves: +x_substring_dedup_apply, +t13_stream_neardup,
     // +x_multimodal_video_decode, +x_kanon_agg, +x_dedup_bloom_probe,
     // +x_contamination_report, +x_ddsketch_quantiles, +x_bitext_mine,
     // +x_dup_spectrum, +q21_sole_late_supplier, +window_range_frame,
