@@ -20,7 +20,12 @@ class PartitionInvarianceSpec extends AnyFunSuite with GateCacheHygiene {
     "q1_pricing_summary", "window_range_frame", "w1_live_view",
     "x_dedup_minhash_lsh", "x_vocab_coverage", "x_shard_assign",
     "x_pagerank", "x_triangle_count", "x_setsim_join_exact",
-    "x_linreg_price", "x_substring_dedup_apply", "x_dedup_cluster_apply")
+    "x_linreg_price", "x_substring_dedup_apply", "x_dedup_cluster_apply",
+    // r9 third wave: frame-ordered collect_list + integer weights (ewma),
+    // session merging, sorted-array JSON → VARIANT roundtrip, the pruned
+    // join + explode change feed, and the two-anchor interpolation windows
+    "x_ewma_smooth", "x_session_windows_batch", "x_variant_shred",
+    "x_merge_cdf", "x_interpolate_linear")
 
   private def run(name: String): Seq[String] = {
     val rows = SparkEntry.queries(name)(spark, TestSpark.Sf0001)
