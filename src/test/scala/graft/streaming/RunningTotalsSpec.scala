@@ -12,30 +12,39 @@ class RunningTotalsSpec extends AnyFunSuite with graft.GateCacheHygiene {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("state accumulates across micro-batches; last emission per key is the batch aggregate") {
-    val src = java.nio.file.Files.createTempDirectory("rt_src").toString
-    val out = java.nio.file.Files.createTempDirectory("rt_out").toString
-    val ckp = java.nio.file.Files.createTempDirectory("rt_ckp").toString
-    // three staged files = three micro-batches; user 1 appears in all
-    // three, user 2 only in the first — forced modtimes fix replay order
-    def stage(rows: Seq[(Long, Long)], name: String, mtime: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("rt_tmp").toString
-      rows.toDF("user_id", "cents").coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(src, name)
-      java.nio.file.Files.copy(part.toPath, dst.toPath)
-      require(dst.setLastModified(mtime))
-      ()
-    }
-    val base = 1600000000000L
-    stage(Seq((1L, 100L), (1L, 50L), (2L, 10L)), "b0.parquet", base)
-    stage(Seq((1L, 7L)), "b1.parquet", base + 600000L)
-    stage(Seq((1L, 3L)), "b2.parquet", base + 1200000L)
+  private def drain(src: String, out: String, ckp: String): Unit = {
     val schema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = RunningTotals.totalsStream(stream)
+      .toDF("user_id", "n_events", "total_cents")
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.write.mode("append").parquet(out); ()
+      }
+      .option("checkpointLocation", ckp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def stageTo(src: String)(rows: Seq[(Long, Long)], name: String,
+                                   mtime: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("rt_tmp").toString
+    rows.toDF("user_id", "cents").coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(src, name)
+    java.nio.file.Files.copy(part.toPath, dst.toPath)
+    require(dst.setLastModified(mtime))
+    ()
+  }
+
+  test("state survives a query RESTART from the checkpoint: a new query instance continues the totals") {
+    val src = java.nio.file.Files.createTempDirectory("rtr_src").toString
+    val out = java.nio.file.Files.createTempDirectory("rtr_out").toString
+    val ckp = java.nio.file.Files.createTempDirectory("rtr_ckp").toString
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProv = spark.conf.getOption(provKey)
@@ -43,16 +52,43 @@ class RunningTotalsSpec extends AnyFunSuite with graft.GateCacheHygiene {
     spark.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val q = RunningTotals.totalsStream(stream)
-        .toDF("user_id", "n_events", "total_cents")
-        .writeStream.outputMode("update")
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          b.write.mode("append").parquet(out); ()
-        }
-        .option("checkpointLocation", ckp)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      val base = 1600000000000L
+      stageTo(src)(Seq((5L, 100L), (5L, 20L)), "b0.parquet", base)
+      drain(src, out, ckp) // first query instance: sees b0, stops (drained)
+      stageTo(src)(Seq((5L, 1L)), "b1.parquet", base + 600000L)
+      drain(src, out, ckp) // NEW query instance, same checkpoint
+      val landed = spark.read.parquet(out)
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._2)
+      // the restarted query recovered (2, 120) from RocksDB via the
+      // checkpoint and continued — not restarted from zero
+      assert(landed == Seq((5L, 2L, 120L), (5L, 3L, 121L)))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
+  test("state accumulates across micro-batches; last emission per key is the batch aggregate") {
+    val src = java.nio.file.Files.createTempDirectory("rt_src").toString
+    val out = java.nio.file.Files.createTempDirectory("rt_out").toString
+    val ckp = java.nio.file.Files.createTempDirectory("rt_ckp").toString
+    // three staged files = three micro-batches; user 1 appears in all
+    // three, user 2 only in the first — forced modtimes fix replay order
+    val base = 1600000000000L
+    stageTo(src)(Seq((1L, 100L), (1L, 50L), (2L, 10L)), "b0.parquet", base)
+    stageTo(src)(Seq((1L, 7L)), "b1.parquet", base + 600000L)
+    stageTo(src)(Seq((1L, 3L)), "b2.parquet", base + 1200000L)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      drain(src, out, ckp)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       prevProv match {
