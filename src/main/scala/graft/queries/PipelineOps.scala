@@ -234,6 +234,84 @@ object PipelineOps {
         col("_w.total_cents").as("total_cents"))
   }
 
+  /** T16: streaming sessionization — the t5 batch gate's `session_window`
+    * run UNDER readStream with a 0-delay watermark over an ascending
+    * event-time replay (3 ranges + two far-future flush batches, the
+    * t14 technique), APPEND mode: a session row may only be emitted when
+    * the advancing watermark proves the session closed (its end behind
+    * the watermark) — i.e. out of EVICTING merging-session state, the
+    * part of the operator the batch gate cannot exercise. Watermarks
+    * bind state size at scale; the ascending staging makes the 0-second
+    * delay lossless here. The first flush pushes the watermark past
+    * every real session end, the second batch carries the resulting
+    * eviction emission (watermark advances take effect one batch later);
+    * the sentinel's own session stays in state and is filtered. Landed
+    * sessions ≡ the batch islands oracle — t5's, verbatim. */
+  def streamSessionized(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = Files.createTempDirectory("graft_tss_src").toString
+    val outDir = Files.createTempDirectory("graft_tss_out").toString
+    val ckp = Files.createTempDirectory("graft_tss_ckp").toString
+    val d = Tables.events(s, dir)
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts_ev"))
+    val b = d.agg(min(unix_micros(col("ts_ev"))).as("lo"),
+      max(unix_micros(col("ts_ev"))).as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val mid1 = lo + (hi - lo) / 3
+    val mid2 = lo + 2 * (hi - lo) / 3
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_tss_tmp").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      require(dst.setLastModified(mtime), s"failed to set mtime on $dst")
+      ()
+    }
+    def flush(atUs: Long): DataFrame = s.range(1).select(
+      lit(-1L).as("user_id"), timestamp_micros(lit(atUs)).as("ts_ev"))
+    val dayUs = 86400000000L
+    val base = 1600000000000L
+    stage(d.filter(unix_micros(col("ts_ev")) <= mid1), "b0.parquet", base)
+    stage(d.filter(unix_micros(col("ts_ev")) > mid1 &&
+      unix_micros(col("ts_ev")) <= mid2), "b1.parquet", base + 600000L)
+    stage(d.filter(unix_micros(col("ts_ev")) > mid2), "b2.parquet",
+      base + 1200000L)
+    stage(flush(hi + 10 * dayUs), "b3.parquet", base + 1800000L)
+    stage(flush(hi + 20 * dayUs), "b4.parquet", base + 2400000L)
+    runStreamSessionized(s, srcDir)
+  }
+
+  /** The streaming core of [[streamSessionized]], runnable on any staged
+    * (user_id, ts_ev) parquet dir whose files replay in ascending
+    * event-time ranges and end with watermark-flush batches — the spec
+    * drives it with crafted files pinning that a session spanning two
+    * micro-batches is emitted ONCE, complete, by eviction. Returns the
+    * landed sessions, sentinels filtered. */
+  def runStreamSessionized(s: SparkSession, srcDir: String): DataFrame = {
+    val outDir = Files.createTempDirectory("graft_tss_out").toString
+    val ckp = Files.createTempDirectory("graft_tss_ckp").toString
+    val schema = s.read.parquet(srcDir).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val sess = graft.streaming.EventAnalytics.sessionCounts(stream,
+      tsCol = "ts_ev", gap = "30 minutes", watermark = Some("0 seconds"))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = sess.writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(outDir).filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        (unix_micros(col("session_end")) - 1800000000L).as("last_us"),
+        col("n_events"))
+  }
+
   /** T13: streaming near-dup at ingest — [[graft.streaming.StreamNearDup]]
     * replaying `documents` as three micro-batches in ascending doc_id
     * ranges (forced modtimes, the lateDataWindows technique), the LSH band
@@ -1390,6 +1468,7 @@ object PipelineOps {
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
     "t13_stream_neardup" -> ((s, dir) => streamNearDupCounts(s, dir)),
     "t15_transform_with_state" -> ((s, dir) => transformWithStateTotals(s, dir)),
+    "t16_stream_sessionized" -> ((s, dir) => streamSessionized(s, dir)),
     "t7_stream_stream_join" -> ((s, dir) => streamStreamJoin(s, dir)),
     "t14_stream_outer_join" -> ((s, dir) => streamOuterJoin(s, dir)),
 
@@ -1774,6 +1853,23 @@ object PipelineOps {
     // when gap > 30 min (1800000000 µs). Pinned on crafted boundary data
     // in SqlSurfaceSpec (the 6h x_session_windows_batch twin — same
     // operator, same semantics).
+    // the streamed sessions must equal the batch islands EXACTLY — the
+    // ascending replay + 0-delay watermark is lossless, and every
+    // session is emitted by eviction before the drain ends
+    "t16_stream_sessionized" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |m AS (SELECT user_id, t,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |         OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |s AS (SELECT user_id, t, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS sid
+        |  FROM m)
+        |SELECT user_id, min(t) AS start_us, max(t) AS last_us,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
     "t5_sessionized" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
         |m AS (SELECT user_id, t,
