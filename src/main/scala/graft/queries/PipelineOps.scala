@@ -16,6 +16,25 @@ import graft.streaming.CdcPipeline
   */
 object PipelineOps {
 
+  /** Stage `df` as ONE parquet file named `name` under `srcDir` with a
+    * forced modification time — `maxFilesPerTrigger=1` replays staged
+    * files in mtime order, so ascending mtimes define the micro-batch
+    * order every staged-replay gate (t10/t13/t14/t16) and their specs
+    * depend on. Replay order IS those gates' premise: a filesystem that
+    * ignores mtime updates must fail loudly, not produce a confusing
+    * mismatch — hence the require. */
+  private[graft] def stageReplayFile(srcDir: String)(
+      df: DataFrame, name: String, mtime: Long): Unit = {
+    val tmp = Files.createTempDirectory("graft_stage_tmp").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(srcDir, name)
+    java.nio.file.Files.copy(part.toPath, dst.toPath)
+    require(dst.setLastModified(mtime), s"failed to set mtime on $dst")
+    ()
+  }
+
   /** O3/A4: replicate three tables into a fresh warehouse and report the
     * reference's result-dict shape (`src/replicator.py:74-85`). */
   def snapshotRoundtrip(s: SparkSession, dir: String): DataFrame = {
@@ -249,25 +268,15 @@ object PipelineOps {
     * sessions ≡ the batch islands oracle — t5's, verbatim. */
   def streamSessionized(s: SparkSession, dir: String): DataFrame = {
     val srcDir = Files.createTempDirectory("graft_tss_src").toString
-    val outDir = Files.createTempDirectory("graft_tss_out").toString
-    val ckp = Files.createTempDirectory("graft_tss_ckp").toString
     val d = Tables.events(s, dir)
       .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts_ev"))
     val b = d.agg(min(unix_micros(col("ts_ev"))).as("lo"),
       max(unix_micros(col("ts_ev"))).as("hi")).head()
+    require(!b.isNullAt(0), s"events table in $dir is empty — nothing to sessionize")
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val mid1 = lo + (hi - lo) / 3
     val mid2 = lo + 2 * (hi - lo) / 3
-    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = Files.createTempDirectory("graft_tss_tmp").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(srcDir, name)
-      java.nio.file.Files.copy(part.toPath, dst.toPath)
-      require(dst.setLastModified(mtime), s"failed to set mtime on $dst")
-      ()
-    }
+    val stage = stageReplayFile(srcDir) _
     def flush(atUs: Long): DataFrame = s.range(1).select(
       lit(-1L).as("user_id"), timestamp_micros(lit(atUs)).as("ts_ev"))
     val dayUs = 86400000000L
@@ -327,16 +336,7 @@ object PipelineOps {
     val d = Tables.read(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
     val m = d.agg(max(col("doc_id"))).head().getLong(0)
-    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = Files.createTempDirectory("graft_snd_tmp").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(srcDir, name)
-      java.nio.file.Files.copy(part.toPath, dst.toPath)
-      require(dst.setLastModified(mtime), s"failed to set mtime on $dst")
-      ()
-    }
+    val stage = stageReplayFile(srcDir) _
     val base = 1600000000000L // strictly increasing modtimes = replay order
     stage(d.filter(col("doc_id") * 3 <= m), "b0.parquet", base)
     stage(d.filter(col("doc_id") * 3 > m && col("doc_id") * 3 <= 2 * m),
@@ -385,18 +385,7 @@ object PipelineOps {
     val Mid2Us = 1705968000000000L // 2024-01-23T00:00:00Z
     val ev = Tables.events(s, dir).select(col("event_id"), col("ts_us"))
     val straggler = col("event_id") % 97 === 0
-    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = Files.createTempDirectory("graft_late_tmp").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(srcDir, name)
-      java.nio.file.Files.copy(part.toPath, dst.toPath)
-      // replay order IS the gate's premise — a filesystem that ignores
-      // mtime updates must fail loudly, not produce a confusing mismatch
-      require(dst.setLastModified(mtime), s"failed to set mtime on $dst")
-      ()
-    }
+    val stage = stageReplayFile(srcDir) _
     val base = 1600000000000L // fixed modtimes: strictly increasing
     stage(ev.filter(col("ts_us") < MidUs && !straggler), "chunk0.parquet", base)
     stage(ev.filter(col("ts_us") >= MidUs && col("ts_us") < Mid2Us),
@@ -757,16 +746,7 @@ object PipelineOps {
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val mid1 = lo + (hi - lo) / 3
     val mid2 = lo + 2 * (hi - lo) / 3
-    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = Files.createTempDirectory("graft_soj_tmp").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(srcDir, name)
-      java.nio.file.Files.copy(part.toPath, dst.toPath)
-      require(dst.setLastModified(mtime), s"failed to set mtime on $dst")
-      ()
-    }
+    val stage = stageReplayFile(srcDir) _
     def flush(atUs: Long): DataFrame = s.range(1).select(
       lit(-1L).as("user_id"), lit(-1L).as("event_id"),
       lit("view").as("event_type"), timestamp_micros(lit(atUs)).as("ts_ev"))

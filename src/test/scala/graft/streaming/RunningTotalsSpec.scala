@@ -29,17 +29,9 @@ class RunningTotalsSpec extends AnyFunSuite with graft.GateCacheHygiene {
   }
 
   private def stageTo(src: String)(rows: Seq[(Long, Long)], name: String,
-                                   mtime: Long): Unit = {
-    val tmp = java.nio.file.Files.createTempDirectory("rt_tmp").toString
-    rows.toDF("user_id", "cents").coalesce(1)
-      .write.mode("overwrite").parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .filter(_.getName.endsWith(".parquet")).head
-    val dst = new java.io.File(src, name)
-    java.nio.file.Files.copy(part.toPath, dst.toPath)
-    require(dst.setLastModified(mtime))
-    ()
-  }
+                                   mtime: Long): Unit =
+    graft.queries.PipelineOps.stageReplayFile(src)(
+      rows.toDF("user_id", "cents"), name, mtime)
 
   test("state survives a query RESTART from the checkpoint: a new query instance continues the totals") {
     val src = java.nio.file.Files.createTempDirectory("rtr_src").toString

@@ -15,18 +15,11 @@ class StreamSessionSpec extends AnyFunSuite with graft.GateCacheHygiene {
 
   test("a session spanning two micro-batches is emitted once, complete, by watermark eviction") {
     val src = java.nio.file.Files.createTempDirectory("tss_src").toString
-    def stage(rows: Seq[(Long, Long)], name: String, mtime: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("tss_tmp").toString
-      rows.toDF("user_id", "us")
-        .select($"user_id", timestamp_micros($"us").as("ts_ev"))
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(src, name)
-      java.nio.file.Files.copy(part.toPath, dst.toPath)
-      require(dst.setLastModified(mtime))
-      ()
-    }
+    def stage(rows: Seq[(Long, Long)], name: String, mtime: Long): Unit =
+      graft.queries.PipelineOps.stageReplayFile(src)(
+        rows.toDF("user_id", "us")
+          .select($"user_id", timestamp_micros($"us").as("ts_ev")),
+        name, mtime)
     val min = 60000000L // 1 minute in µs
     val base = 1600000000000L
     // user 1: events at t=0 and t=20min — SAME session (gap < 30min),
