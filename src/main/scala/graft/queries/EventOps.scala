@@ -211,6 +211,30 @@ object EventOps {
               (acc("w") - 1).cast("double")).as("ewma"))
     }),
 
+    // Time-WEIGHTED average (TWAP) — the correct mean for irregularly
+    // sampled series, where x_ewma_smooth weights by recency and a plain
+    // avg() would weight by sampling density: each value is held until
+    // the next observation, so it contributes proportionally to its
+    // holding duration. All integer arithmetic — cents × µs-duration
+    // sums (≤10^17, no overflow), one double division per user at the
+    // end. One lead() window and one aggregate on the same user_id
+    // exchange; single-event users have no holding interval and are
+    // excluded by construction (lead is null).
+    "x_twap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          round(col("value") * 100).cast("long").as("_cents"))
+        .withColumn("_dur", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        .filter(col("_dur").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          // Σ dur telescopes to exactly t_last − t_first — the span
+          (sum(col("_cents") * col("_dur")).cast("double") /
+            sum(col("_dur")).cast("double")).as("twap_cents"))
+    }),
+
     // Sketch SET OPERATIONS (extends x_hll_distinct_users from single-set
     // cardinality to pairwise overlap): audience overlap between every
     // pair of event types via HLL inclusion-exclusion
@@ -352,6 +376,19 @@ object EventOps {
         |    ORDER BY epoch_us(ts), event_id
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_med
         |FROM events""".stripMargin,
+
+    // identical integer sums, one division — lead() mirrors exactly
+    "x_twap" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT user_id, cents,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      - us AS dur
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  CAST(sum(cents * dur) AS DOUBLE) / CAST(sum(dur) AS DOUBLE)
+        |    AS twap_cents
+        |FROM d WHERE dur IS NOT NULL GROUP BY user_id""".stripMargin,
 
     // same integer weights via 1-based list index (oldest first, so
     // weight 2^(i−1) doubles toward the newest element), one division

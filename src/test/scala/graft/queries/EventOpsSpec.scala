@@ -35,6 +35,24 @@ class EventOpsSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(out(2)._3 == 1700.0 / 7.0)
   }
 
+  test("x_twap: duration-weighted exactly — a value held 9x longer weighs 9x; single-event users excluded") {
+    val tmp = java.nio.file.Files.createTempDirectory("twap").toString
+    // user 1: 1.00 held 9 µs-units, then 11.00 held 1 → TWAP = (100·9e6 +
+    // 1100·1e6)/10e6 = 200 cents (NOT the density-weighted avg of 600).
+    // user 2: one event — no holding interval, excluded.
+    val ev = Seq(
+      (1L, 1L, 0L, 1.0), (1L, 2L, 9000000L, 11.0), (1L, 3L, 10000000L, 5.0),
+      (2L, 4L, 0L, 42.0))
+      .toDF("user_id", "event_id", "us", "value")
+      .withColumn("ts", timestamp_micros($"us"))
+      .withColumn("event_type", lit("view")).withColumn("props", lit("{}"))
+      .drop("us")
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = EventOps.queries("x_twap")(spark, tmp)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 200.0)))
+  }
+
   test("x_interpolate_linear: exact values between anchors, edge extension, full coverage") {
     val dir = TestSpark.Sf0001
     val rows = EventOps.queries("x_interpolate_linear")(spark, dir)
