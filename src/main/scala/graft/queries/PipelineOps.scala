@@ -935,6 +935,54 @@ object PipelineOps {
           .as("total_bal"))
   }
 
+  /** Malformed-record handling on the CSV ingest path — the operational
+    * surface every file-based pipeline hits: deterministic CSV lines are
+    * built from `orders` with every key ≡ 0 (mod 13) corrupted (a
+    * non-numeric total price). PERMISSIVE mode parses the good columns,
+    * nulls the bad one, and captures the raw line in
+    * `columnNameOfCorruptRecord`; DROPMALFORMED discards the row
+    * entirely. The gate reconciles both modes' counts and the surviving
+    * aggregate; the oracle recomputes all of it arithmetically from
+    * `orders` (which rows were corrupted is a pure function of the key).
+    * FAILFAST (abort-on-first-bad) is pinned in the spec — a gate can't
+    * emit an exception. Scale: the malformed path is per-row parser
+    * logic, no extra pass, no shuffle beyond the final aggregate. */
+  def csvMalformed(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_csvm").toString
+    val lines = Tables.read(s, dir, "orders").select(
+      concat_ws(",", col("o_orderkey"), col("o_orderpriority"),
+        when(col("o_orderkey") % 13 === 0, lit("NOT_A_NUMBER"))
+          .otherwise(col("o_totalprice").cast("decimal(18,2)")
+            .cast("string"))).as("value"))
+    lines.write.mode("overwrite").text(tmp)
+    val schema = StructType.fromDDL(
+      "o_orderkey BIGINT, o_orderpriority STRING, total DOUBLE, _bad STRING")
+    val permissive = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad").csv(tmp)
+    val dropped = s.read.schema(StructType.fromDDL(
+        "o_orderkey BIGINT, o_orderpriority STRING, total DOUBLE"))
+      .option("mode", "DROPMALFORMED").csv(tmp)
+    val p = permissive.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("_bad")).as("n_corrupt"),
+      // the corrupted rows' KEYS still parse in PERMISSIVE — their sum
+      // proves partial-column recovery, not just row counting
+      sum(when(col("_bad").isNotNull, col("o_orderkey"))).cast("long")
+        .as("corrupt_key_sum"),
+      sum(col("total").cast("decimal(18,2)")).cast("decimal(38,2)")
+        .as("good_total"))
+    // CAVEAT (pinned here deliberately): CSV column pruning means a
+    // query that never READS the bad column never parses it — a
+    // count(*) over DROPMALFORMED drops nothing. Malformedness is
+    // defined relative to the columns the query needs; aggregating the
+    // typed column forces the parse and the drop.
+    val d = dropped.agg(count(lit(1)).as("n_after_drop"),
+      sum(col("total").cast("decimal(18,2)")).cast("decimal(38,2)")
+        .as("drop_total"))
+    p.crossJoin(d)
+  }
+
   /** ORC sink+source coverage — the columnar alternative to parquet
     * (same predicate-pushdown/column-pruning machinery; schema travels in
     * the file footer so no explicit schema needed on read). */
@@ -1428,6 +1476,7 @@ object PipelineOps {
     "x_incremental_mv_refresh" -> ((s, dir) => incrementalMvRefresh(s, dir)),
     "o7_jdbc_roundtrip" -> ((s, dir) => jdbcRoundtrip(s, dir)),
     "x_csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
+    "x_csv_malformed" -> ((s, dir) => csvMalformed(s, dir)),
     "x_json_roundtrip" -> ((s, dir) => jsonRoundtrip(s, dir)),
     "x_orc_roundtrip" -> ((s, dir) => orcRoundtrip(s, dir)),
     "o12_dynamic_overwrite" -> ((s, dir) => dynamicOverwrite(s, dir)),
@@ -1698,6 +1747,22 @@ object PipelineOps {
       """SELECT c_mktsegment, count(*) AS n_rows,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    // which rows were corrupted is a pure function of the key, so every
+    // parser-mode outcome is recomputable from orders directly
+    "x_csv_malformed" ->
+      """SELECT count(*) AS n_rows,
+        |  count(CASE WHEN o_orderkey % 13 = 0 THEN 1 END) AS n_corrupt,
+        |  CAST(sum(CASE WHEN o_orderkey % 13 = 0 THEN o_orderkey END)
+        |    AS BIGINT) AS corrupt_key_sum,
+        |  CAST(CAST(sum(CASE WHEN o_orderkey % 13 <> 0
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |    AS DECIMAL(38,2)) AS DOUBLE) AS good_total,
+        |  count(CASE WHEN o_orderkey % 13 <> 0 THEN 1 END) AS n_after_drop,
+        |  CAST(CAST(sum(CASE WHEN o_orderkey % 13 <> 0
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |    AS DECIMAL(38,2)) AS DOUBLE) AS drop_total
+        |FROM orders""".stripMargin,
 
     "x_json_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n_rows,
