@@ -25,7 +25,7 @@ class PartitionInvarianceSpec extends AnyFunSuite with GateCacheHygiene {
     // session merging, sorted-array JSON → VARIANT roundtrip, the pruned
     // join + explode change feed, and the two-anchor interpolation windows
     "x_ewma_smooth", "x_session_windows_batch", "x_variant_shred",
-    "x_merge_cdf", "x_interpolate_linear")
+    "x_merge_cdf", "x_interpolate_linear", "x_twap")
 
   private def run(name: String): Seq[String] = {
     val rows = SparkEntry.queries(name)(spark, TestSpark.Sf0001)
