@@ -935,6 +935,43 @@ object PipelineOps {
           .as("total_bal"))
   }
 
+  /** O15: write-audit-publish — the staged-deployment pattern every
+    * production pipeline puts between compute and consumers: a candidate
+    * version is AUDITED (no null keys, no >50% volume collapse vs the
+    * served version) and only published into the versioned table
+    * ([[graft.operators.TimeTravel]]) on pass. A deliberately corrupted
+    * second candidate (90% of rows dropped, a key nulled) fails both
+    * audits and must NOT be published — readers keep serving the good
+    * version, which is what distinguishes WAP from validate-after-write.
+    * Audit cost: two counts + an isEmpty over the candidate (bounded
+    * driver actions, same class as the funnel gate); publish is a
+    * directory commit, readers never block. */
+  def writeAuditPublish(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TimeTravel
+    val served = Files.createTempDirectory("graft_wap").toString + "/nation"
+    def audit(cand: DataFrame, current: Option[DataFrame]): (Boolean, Boolean) = {
+      val noNullKeys = cand.filter(col("n_nationkey").isNull).isEmpty
+      val noCollapse = current.forall(c => cand.count() * 2 > c.count())
+      (noNullKeys, noCollapse)
+    }
+    val good = Tables.read(s, dir, "nation")
+    val (g1, g2) = audit(good, None)
+    require(g1 && g2, "good candidate must pass its own audits")
+    val v0 = TimeTravel.write(good, served)
+    val bad = good.filter(col("n_nationkey") % 10 === 0)
+      .withColumn("n_nationkey",
+        when(col("n_nationkey") === 0, lit(null)).otherwise(col("n_nationkey")))
+    val (b1, b2) = audit(bad, Some(TimeTravel.readLatest(s, served)))
+    if (b1 && b2) TimeTravel.write(bad, served) // must not happen
+    TimeTravel.readLatest(s, served)
+      .agg(count(lit(1)).as("served_rows"),
+        sum(col("n_nationkey")).cast("long").as("served_key_sum"))
+      .select(lit(v0).as("served_version"), col("served_rows"),
+        col("served_key_sum"),
+        lit(b1).as("bad_null_audit"), lit(b2).as("bad_volume_audit"),
+        lit(TimeTravel.versions(served).size).as("n_versions"))
+  }
+
   /** Malformed-record handling on the CSV ingest path — the operational
     * surface every file-based pipeline hits: deterministic CSV lines are
     * built from `orders` with every key ≡ 0 (mod 13) corrupted (a
@@ -1477,6 +1514,7 @@ object PipelineOps {
     "o7_jdbc_roundtrip" -> ((s, dir) => jdbcRoundtrip(s, dir)),
     "x_csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
     "x_csv_malformed" -> ((s, dir) => csvMalformed(s, dir)),
+    "o15_write_audit_publish" -> ((s, dir) => writeAuditPublish(s, dir)),
     "x_json_roundtrip" -> ((s, dir) => jsonRoundtrip(s, dir)),
     "x_orc_roundtrip" -> ((s, dir) => orcRoundtrip(s, dir)),
     "o12_dynamic_overwrite" -> ((s, dir) => dynamicOverwrite(s, dir)),
@@ -1747,6 +1785,15 @@ object PipelineOps {
       """SELECT c_mktsegment, count(*) AS n_rows,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    // the corrupted candidate provably fails both audits, so the served
+    // state is exactly the good nation snapshot at version 0
+    "o15_write_audit_publish" ->
+      """SELECT CAST(0 AS BIGINT) AS served_version, count(*) AS served_rows,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS served_key_sum,
+        |  false AS bad_null_audit, false AS bad_volume_audit,
+        |  1 AS n_versions
+        |FROM nation""".stripMargin,
 
     // which rows were corrupted is a pure function of the key, so every
     // parser-mode outcome is recomputable from orders directly

@@ -382,6 +382,45 @@ object Warehouse {
     // the count-match validation (A4) upgraded to row granularity, and
     // the FULL OUTER join surface. Both sides dedup map-side
     // (WindowGroupLimit); the diff join shuffles each once on user_id.
+    // Cross-table CONSISTENT snapshot cut: orders and lineitem are
+    // versioned together (v0 = the ⅔ of orders with key % 3 ≠ 0 plus
+    // exactly their lineitems; v1 = everything), and the gate proves the
+    // property a multi-table warehouse needs: reading BOTH tables at the
+    // SAME version has zero referential violations, while a MIXED read
+    // (lineitem@v1 against orders@v0) orphans every lineitem of a
+    // v1-only order. Versions are independent directories (TimeTravel),
+    // so a consistent cut is just "pin one version number across
+    // tables" — no cross-table lock, readers never block writers. The
+    // violation check is a broadcast-able anti join on the FK.
+    "x_consistent_cut" -> ((s, dir) => {
+      import graft.operators.TimeTravel
+      val root = java.nio.file.Files.createTempDirectory("graft_cut").toString
+      val o = t(s, dir, "orders").select(col("o_orderkey"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"))
+      val oV0 = o.filter(col("o_orderkey") % 3 =!= 0)
+      TimeTravel.write(oV0, s"$root/orders")
+      TimeTravel.write(
+        l.join(oV0, col("l_orderkey") === col("o_orderkey"), "left_semi"),
+        s"$root/lineitem")
+      TimeTravel.write(o, s"$root/orders")
+      TimeTravel.write(l, s"$root/lineitem")
+      def violations(li: DataFrame, ord: DataFrame) =
+        li.join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .count()
+      val cut0 = violations(TimeTravel.readAt(s, s"$root/lineitem", 0),
+        TimeTravel.readAt(s, s"$root/orders", 0))
+      val cut1 = violations(TimeTravel.readAt(s, s"$root/lineitem", 1),
+        TimeTravel.readAt(s, s"$root/orders", 1))
+      val mixed = violations(TimeTravel.readAt(s, s"$root/lineitem", 1),
+        TimeTravel.readAt(s, s"$root/orders", 0))
+      val cutRows = TimeTravel.readAt(s, s"$root/lineitem", 0).count()
+      import s.implicits._
+      Seq((cut0, cut1, mixed, cutRows))
+        .toDF("cut_v0_violations", "cut_v1_violations",
+          "mixed_read_violations", "v0_lineitem_rows")
+    }),
+
     "x_snapshot_diff" -> ((s, dir) => {
       val st = ReferenceOps.stamped(s, dir)
         .select(col("user_id"), col("event_type"), col("value"), col("props"),
@@ -932,6 +971,16 @@ object Warehouse {
         |  (lead(epoch_us(ts)) OVER w IS NULL AND event_type <> 'error') AS is_current
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)""".stripMargin,
+
+    // both same-version cuts are violation-free by construction; the
+    // mixed read orphans exactly the lineitems of % 3 = 0 orders
+    "x_consistent_cut" ->
+      """SELECT CAST(0 AS BIGINT) AS cut_v0_violations,
+        |  CAST(0 AS BIGINT) AS cut_v1_violations,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey % 3 = 0)
+        |    AS mixed_read_violations,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey % 3 <> 0)
+        |    AS v0_lineitem_rows""".stripMargin,
 
     "x_snapshot_diff" ->
       s"""WITH snap_a AS (

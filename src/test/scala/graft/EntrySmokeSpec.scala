@@ -16,8 +16,9 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     // gate, the driver's correctness JSON just gets smaller, and 31 red
     // gates read as "fewer queries". A silent shrink (or an unregistered
     // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
-    val pinned = 205 // r9 THIRD wave (matches COVERAGE.md/PLANS.md
-    // naming): +x_csv_malformed,
+    val pinned = 207 // r9 THIRD wave (matches COVERAGE.md/PLANS.md
+    // naming): +x_csv_malformed, +o15_write_audit_publish,
+    // +x_consistent_cut,
     // naming): +t16_stream_sessionized, +x_twap, +x_variant_shred, +x_ewma_smooth,
     // +x_sql_udf, +x_pipe_syntax,
     // +t15_transform_with_state, +x_merge_cdf, +x_interpolate_linear,
