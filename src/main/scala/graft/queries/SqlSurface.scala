@@ -204,6 +204,34 @@ object SqlSurface {
           ||> SELECT o_orderpriority, n_orders, total""".stripMargin)
     }),
 
+    // SQL scripting (Spark 4 BEGIN…END): the procedural shape a
+    // warehouse migration brings along — a script-local variable is
+    // computed by one statement (the exact-decimal mean balance) and
+    // parameterizes the next, with the table name resolved through
+    // IDENTIFIER() from a session variable (the injection-safe dynamic
+    // SQL path — SqlSurfaceSpec pins that a malicious "name" is rejected
+    // at parse, never executed, and that EXECUTE IMMEDIATE … USING
+    // binds parameters equivalently). Each statement is still a full
+    // Catalyst-planned query — scripting is control flow, not a row
+    // engine, so it costs nothing at scale.
+    "x_sql_scripting" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("scr_customer")
+      s.sql("DECLARE OR REPLACE VARIABLE scr_tab STRING DEFAULT 'scr_customer'")
+      s.sql(
+        """BEGIN
+          |  DECLARE cutoff DOUBLE DEFAULT 0;
+          |  SET cutoff = (SELECT
+          |      CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+          |        AS DECIMAL(38,2)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+          |    FROM IDENTIFIER(scr_tab));
+          |  SELECT c_mktsegment, count(*) AS n_above,
+          |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+          |      AS DECIMAL(38,2)) AS bal_above
+          |  FROM IDENTIFIER(scr_tab)
+          |  WHERE c_acctbal > cutoff GROUP BY c_mktsegment;
+          |END""".stripMargin)
+    }),
+
     // Observed metrics (`Dataset.observe`): pipeline QA counters —
     // row count, purchase count, max value at the scan, and the row
     // count again after a filter stage — accumulated DURING the single
@@ -312,6 +340,19 @@ object SqlSurface {
         |    AS DECIMAL(38,2)) AS DOUBLE) AS total
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority""".stripMargin,
+
+    // the script's two statements collapsed into one subquery — the
+    // variable plumbing must be semantics-free
+    "x_sql_scripting" ->
+      """SELECT c_mktsegment, count(*) AS n_above,
+        |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+        |    AS DECIMAL(38,2)) AS DOUBLE) AS bal_above
+        |FROM customer
+        |WHERE c_acctbal > (SELECT
+        |    CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+        |      AS DECIMAL(38,2)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |  FROM customer)
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "x_observe_metrics" ->
       """SELECT count(*) AS n_rows,

@@ -194,6 +194,42 @@ class SqlSurfaceSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(pipe.count() > 0)
   }
 
+  test("x_sql_scripting: EXECUTE IMMEDIATE binds parameters equivalently; IDENTIFIER rejects injection at parse") {
+    val dir = TestSpark.Sf0001
+    Tables.read(spark, dir, "customer").createOrReplaceTempView("scr_customer")
+    // parameterized dynamic SQL ≡ the literal query
+    val bound = spark.sql(
+      """EXECUTE IMMEDIATE
+        |'SELECT count(*) AS n FROM scr_customer WHERE c_mktsegment = ?'
+        |USING 'AUTOMOBILE'""".stripMargin).as[Long].head()
+    val direct = spark.sql(
+      "SELECT count(*) FROM scr_customer WHERE c_mktsegment = 'AUTOMOBILE'")
+      .as[Long].head()
+    assert(bound == direct && bound > 0)
+    // a malicious "table name" through IDENTIFIER is a parse/analysis
+    // error, never an executed statement — the injection-safe contract
+    spark.sql("DECLARE OR REPLACE VARIABLE scr_evil STRING")
+    spark.sql("SET VAR scr_evil = 'scr_customer; DROP VIEW scr_customer'")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT count(*) FROM IDENTIFIER(scr_evil)").collect()
+    }
+    assert(spark.catalog.tableExists("scr_customer"),
+      "the view must survive the rejected injection attempt")
+    // and the gate's script equals its collapsed single-query form
+    val gate = SqlSurface.queries("x_sql_scripting")(spark, dir)
+      .select(col("c_mktsegment"), col("n_above"))
+      .as[(String, Long)].collect().toMap
+    val collapsed = spark.sql(
+      """SELECT c_mktsegment, count(*) AS n FROM scr_customer
+        |WHERE c_acctbal > (SELECT
+        |    CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+        |      AS DECIMAL(38,2)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |  FROM scr_customer)
+        |GROUP BY c_mktsegment""".stripMargin)
+      .as[(String, Long)].collect().toMap
+    assert(gate == collapsed)
+  }
+
   test("x_observe_metrics equals the direct aggregates (metrics ride the single pass)") {
     val dir = TestSpark.Sf0001
     val row = SqlSurface.queries("x_observe_metrics")(spark, dir)
