@@ -935,6 +935,29 @@ object PipelineOps {
           .as("total_bal"))
   }
 
+  /** Output-file governance: `maxRecordsPerFile` bounds every written
+    * file — the writer-side half of the small/huge-file problem (o6
+    * compaction is the repair-side half). One upstream partition split
+    * into exactly ⌈rows/limit⌉ files, content unchanged: at 100 TB this
+    * knob is what keeps a skewed task from emitting a 50 GB file that
+    * one downstream task must then read alone. */
+  def fileGovernance(s: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_gov").toString
+    val limit = 100L
+    Tables.read(s, dir, "orders").coalesce(1)
+      .write.mode("overwrite").option("maxRecordsPerFile", limit)
+      .parquet(out)
+    val nFiles = new java.io.File(out).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    s.read.parquet(out).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).cast("long").as("key_sum"))
+      .select(col("n_rows"), col("key_sum"),
+        lit(nFiles).cast("long").as("n_files"),
+        (lit(nFiles).cast("long") === ceil(col("n_rows") /
+          lit(limit.toDouble))).as("file_count_exact"))
+  }
+
   /** O15: write-audit-publish — the staged-deployment pattern every
     * production pipeline puts between compute and consumers: a candidate
     * version is AUDITED (no null keys, no >50% volume collapse vs the
@@ -1515,6 +1538,7 @@ object PipelineOps {
     "x_csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
     "x_csv_malformed" -> ((s, dir) => csvMalformed(s, dir)),
     "o15_write_audit_publish" -> ((s, dir) => writeAuditPublish(s, dir)),
+    "x_file_governance" -> ((s, dir) => fileGovernance(s, dir)),
     "x_json_roundtrip" -> ((s, dir) => jsonRoundtrip(s, dir)),
     "x_orc_roundtrip" -> ((s, dir) => orcRoundtrip(s, dir)),
     "o12_dynamic_overwrite" -> ((s, dir) => dynamicOverwrite(s, dir)),
@@ -1785,6 +1809,14 @@ object PipelineOps {
       """SELECT c_mktsegment, count(*) AS n_rows,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    // ⌈rows/100⌉ files from one upstream partition; content unchanged
+    "x_file_governance" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(ceil(count(*) / 100.0) AS BIGINT) AS n_files,
+        |  true AS file_count_exact
+        |FROM orders""".stripMargin,
 
     // the corrupted candidate provably fails both audits, so the served
     // state is exactly the good nation snapshot at version 0
