@@ -943,7 +943,11 @@ object PipelineOps {
     * one downstream task must then read alone. */
   def fileGovernance(s: SparkSession, dir: String): DataFrame = {
     val out = Files.createTempDirectory("graft_gov").toString
-    val limit = 100L
+    // 5000/file → 30 files at sf0.1, 3 at sf0.01 — proves the split
+    // without serializing thousands of file creations through one task
+    // (100/file read 12 s at sf0.1: 1500 serial opens, a bench artifact
+    // not an engine cost)
+    val limit = 5000L
     Tables.read(s, dir, "orders").coalesce(1)
       .write.mode("overwrite").option("maxRecordsPerFile", limit)
       .parquet(out)
@@ -1810,11 +1814,11 @@ object PipelineOps {
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
-    // ⌈rows/100⌉ files from one upstream partition; content unchanged
+    // ⌈rows/5000⌉ files from one upstream partition; content unchanged
     "x_file_governance" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-        |  CAST(ceil(count(*) / 100.0) AS BIGINT) AS n_files,
+        |  CAST(ceil(count(*) / 5000.0) AS BIGINT) AS n_files,
         |  true AS file_count_exact
         |FROM orders""".stripMargin,
 
