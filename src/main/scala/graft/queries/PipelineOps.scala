@@ -935,6 +935,31 @@ object PipelineOps {
           .as("total_bal"))
   }
 
+  /** XML roundtrip through Spark 4's NATIVE xml source (spark-xml merged
+    * into core — no external package): supplier → `<supplier>` row
+    * elements → read back with the EXPLICIT source schema (the
+    * production pattern: inference means a second full pass at 100 TB
+    * and mixed per-file guesses) → aggregate. The name column carries
+    * `#` characters ("Supplier#000000001"), so the per-nation
+    * distinct-name count and name-length sum bind the writer's entity
+    * escaping and the parser's decoding, not just numeric fidelity. XML
+    * splits like any text format — partition-parallel both directions. */
+  def xmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_xml").toString
+    val src = Tables.read(s, dir, "supplier")
+    src.write.mode("overwrite").format("xml")
+      .option("rowTag", "supplier").save(tmp)
+    s.read.format("xml").option("rowTag", "supplier")
+      .schema(src.schema).load(tmp)
+      .groupBy(col("s_nationkey").cast("int").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("s_suppkey")).as("key_sum"),
+        countDistinct(col("s_name")).as("n_names"),
+        sum(length(col("s_name"))).as("name_len_sum"),
+        sum(col("s_acctbal").cast("decimal(18,2)")).cast("decimal(38,2)")
+          .as("total_bal"))
+  }
+
   /** Output-file governance: `maxRecordsPerFile` bounds every written
     * file — the writer-side half of the small/huge-file problem (o6
     * compaction is the repair-side half). One upstream partition split
@@ -1540,6 +1565,7 @@ object PipelineOps {
     "x_incremental_mv_refresh" -> ((s, dir) => incrementalMvRefresh(s, dir)),
     "o7_jdbc_roundtrip" -> ((s, dir) => jdbcRoundtrip(s, dir)),
     "x_csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
+    "x_xml_roundtrip" -> ((s, dir) => xmlRoundtrip(s, dir)),
     "x_csv_malformed" -> ((s, dir) => csvMalformed(s, dir)),
     "o15_write_audit_publish" -> ((s, dir) => writeAuditPublish(s, dir)),
     "x_file_governance" -> ((s, dir) => fileGovernance(s, dir)),
@@ -1813,6 +1839,18 @@ object PipelineOps {
       """SELECT c_mktsegment, count(*) AS n_rows,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    // the XML writer+parser must be a no-op on values: same aggregate
+    // straight off the parquet
+    "x_xml_roundtrip" ->
+      """SELECT CAST(s_nationkey AS INT) AS nationkey,
+        |  count(*) AS n_suppliers,
+        |  CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+        |  count(DISTINCT s_name) AS n_names,
+        |  CAST(sum(length(s_name)) AS BIGINT) AS name_len_sum,
+        |  CAST(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2)))
+        |    AS DECIMAL(38,2)) AS DOUBLE) AS total_bal
+        |FROM supplier GROUP BY 1""".stripMargin,
 
     // ⌈rows/5000⌉ files from one upstream partition; content unchanged
     "x_file_governance" ->

@@ -259,6 +259,35 @@ object SqlSurface {
         m1("max_value").asInstanceOf[Double],
         m2("n_after_filter").asInstanceOf[Long]))
         .toDF("n_rows", "n_purchase", "max_value", "n_after_filter")
+    }),
+
+    // Recursive CTE (Spark 4 WITH RECURSIVE): hierarchy traversal, the
+    // one query shape plain joins cannot express at unknown depth. The
+    // contiguous customer keys (0-based in the harness data — shifted +1
+    // to heap node ids so the walk is TOTAL) form an implicit binary-heap
+    // org chart (parent of k = ⌊k/2⌋, root = 1), and the recursion walks
+    // it to its data-dependent depth (⌊log2 N⌋ — 13 levels at sf0.1),
+    // emitting per-depth node counts and node sums. Execution is Spark's
+    // UnionLoop: each step equi-joins the previous FRONTIER (one level,
+    // not the accumulated result) against the table — at 100 TB that is
+    // O(depth) hash joins with partial aggregation, not a quadratic
+    // self-join cascade, and the loop stops the first time a frontier
+    // comes back empty. Identical SQL runs in DuckDB (floor-division
+    // spelled portably); depth reaching every row and the closed-form
+    // heap-shape law are pinned in SqlSurfaceSpec.
+    "x_recursive_cte" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("rc_customer")
+      s.sql(
+        """WITH RECURSIVE tree AS (
+          |  SELECT c_custkey + 1 AS node, 0 AS depth
+          |  FROM rc_customer WHERE c_custkey + 1 = 1
+          |  UNION ALL
+          |  SELECT c.c_custkey + 1, t.depth + 1
+          |  FROM rc_customer c JOIN tree t
+          |    ON CAST(floor((c.c_custkey + 1) / 2.0) AS BIGINT) = t.node
+          |)
+          |SELECT depth, count(*) AS n_nodes, sum(node) AS key_sum
+          |FROM tree GROUP BY depth""".stripMargin)
     })
   )
 
@@ -359,5 +388,18 @@ object SqlSurface {
         |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
         |  max(value) AS max_value,
         |  count(CASE WHEN event_type <> 'view' THEN 1 END) AS n_after_filter
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+
+    // the very same recursion, run by DuckDB
+    "x_recursive_cte" ->
+      """WITH RECURSIVE tree AS (
+        |  SELECT c_custkey + 1 AS node, 0 AS depth
+        |  FROM customer WHERE c_custkey + 1 = 1
+        |  UNION ALL
+        |  SELECT c.c_custkey + 1, t.depth + 1
+        |  FROM customer c JOIN tree t
+        |    ON CAST(floor((c.c_custkey + 1) / 2.0) AS BIGINT) = t.node
+        |)
+        |SELECT depth, count(*) AS n_nodes, sum(node) AS key_sum
+        |FROM tree GROUP BY depth""".stripMargin)
 }

@@ -16,7 +16,8 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     // gate, the driver's correctness JSON just gets smaller, and 31 red
     // gates read as "fewer queries". A silent shrink (or an unregistered
     // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
-    val pinned = 209 // r9 THIRD wave (matches COVERAGE.md/PLANS.md
+    val pinned = 211 // r9 FOURTH wave: +x_recursive_cte, +x_xml_roundtrip.
+    // THIRD wave (matches COVERAGE.md/PLANS.md
     // naming): +x_file_governance,
     // naming): +x_sql_scripting,
     // naming): +x_csv_malformed, +o15_write_audit_publish,

@@ -243,4 +243,28 @@ class SqlSurfaceSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(row == direct)
     assert(row._4 < row._1, "filter stage removed nothing — observation points indistinct")
   }
+
+  test("x_recursive_cte: the recursion reaches every customer and matches the closed-form heap shape") {
+    val dir = TestSpark.Sf0001
+    val got = SqlSurface.queries("x_recursive_cte")(spark, dir)
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    val n = Tables.read(spark, dir, "customer").count()
+    // the shifted node ids 1..N under parent(k)=⌊k/2⌋ form a complete
+    // binary heap: depth d holds exactly the nodes in
+    // [2^d, min(2^{d+1}-1, N)] — closed-form counts and node sums, no
+    // recursion in the reference
+    val expect = Iterator.from(0)
+      .map { d =>
+        val lo = 1L << d
+        val hi = math.min((1L << (d + 1)) - 1, n)
+        (d, lo, hi)
+      }
+      .takeWhile { case (_, lo, _) => lo <= n }
+      .map { case (d, lo, hi) =>
+        (d, hi - lo + 1, (lo + hi) * (hi - lo + 1) / 2)
+      }
+      .toSeq
+    assert(got == expect)
+    assert(got.map(_._2).sum == n, "recursion must visit every key exactly once")
+  }
 }
