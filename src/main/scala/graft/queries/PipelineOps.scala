@@ -253,6 +253,113 @@ object PipelineOps {
         col("_w.total_cents").as("total_cents"))
   }
 
+  /** T18: composite typed state on `transformWithState` —
+    * [[graft.streaming.TypedStateProfile]]'s MapState (per-event-type
+    * counts, point updates) + ListState (append-only cents log) on one
+    * handle, replayed over three micro-batches on RocksDB. Update-mode
+    * emissions land via foreachBatch; the LAST emission per user (max
+    * all-type total — totals grow monotonically, so it identifies the
+    * final batch that touched the user) must equal the batch aggregate
+    * per the processor's order-independence contract. */
+  def typedStateProfile(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = Files.createTempDirectory("graft_tsp_src").toString
+    val outDir = Files.createTempDirectory("graft_tsp_out").toString
+    val ckp = Files.createTempDirectory("graft_tsp_ckp").toString
+    Tables.read(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .repartition(3).write.mode("overwrite").parquet(srcDir)
+    val schema = s.read.parquet(srcDir).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = graft.streaming.TypedStateProfile.profileStream(stream)
+        .toDF()
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .option("checkpointLocation", ckp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+    }
+    val fields = Seq("n_click", "n_error", "n_purchase", "n_signup",
+      "n_view", "n_total", "n_cents", "total_cents")
+    s.read.parquet(outDir)
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(fields.map(col): _*), col("n_total")).as("_w"))
+      .select(col("user_id") +: fields.map(f => col(s"_w.$f").as(f)): _*)
+  }
+
+  /** T17: the state-store READER (Spark 4 `statestore` batch source) —
+    * a running streaming aggregation's checkpoint opened as a DataFrame,
+    * no replay and no query restart. This is the operational tool a
+    * 100 TB streaming deployment leans on: when a live-view pipeline
+    * misbehaves, the state (here: per-user count + cents totals after
+    * the full multi-micro-batch run) is inspected DIRECTLY from the
+    * RocksDB/HDFS checkpoint files, partition-parallel, instead of
+    * re-streaming days of input to reproduce it. The gate runs an
+    * update-mode aggregation whose emissions are deliberately DISCARDED
+    * — everything the oracle sees is recovered from the checkpoint via
+    * `statestore`, so the read path itself is what's certified; the
+    * `state-metadata` source pins which operator/store the bytes belong
+    * to before trusting them. */
+  def stateStoreReader(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = Files.createTempDirectory("graft_ssr_src").toString
+    val ckp = Files.createTempDirectory("graft_ssr_ckp").toString
+    Tables.read(s, dir, "events")
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .repartition(3).write.mode("overwrite").parquet(srcDir)
+    val schema = s.read.parquet(srcDir).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = stream.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // emissions dropped on purpose — the state IS the product. The
+          // noop sink still CONSUMES every partition: Spark 4 validates
+          // that foreachBatch processed all of them before committing
+          // state (a bare () fails STATE_STORE_COMMIT_VALIDATION_FAILED)
+          b.write.format("noop").mode("overwrite").save()
+        }
+        .option("checkpointLocation", ckp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // provenance first: one aggregation operator, store "default",
+    // state present from batch 0 — only then read its bytes
+    val md = s.read.format("state-metadata").load(ckp).collect()
+    require(md.length == 1, s"expected one stateful operator, got ${md.length}")
+    require(md(0).getAs[String]("operatorName") == "stateStoreSave",
+      s"unexpected operator: ${md(0)}")
+    require(md(0).getAs[Long]("minBatchId") == 0L, s"state history truncated: ${md(0)}")
+    // the value struct holds the AGGREGATION BUFFER row, named after the
+    // buffer attributes (`count`, `sum`) — not the query's output aliases
+    s.read.format("statestore").load(ckp)
+      .select(col("key.user_id").as("user_id"),
+        col("value.count").as("n_events"),
+        col("value.sum").as("total_cents"))
+  }
+
   /** T16: streaming sessionization — the t5 batch gate's `session_window`
     * run UNDER readStream with a 0-delay watermark over an ascending
     * event-time replay (3 ranges + two far-future flush batches, the
@@ -1589,6 +1696,8 @@ object PipelineOps {
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
     "t13_stream_neardup" -> ((s, dir) => streamNearDupCounts(s, dir)),
     "t15_transform_with_state" -> ((s, dir) => transformWithStateTotals(s, dir)),
+    "t17_state_store_reader" -> ((s, dir) => stateStoreReader(s, dir)),
+    "t18_typed_state_profile" -> ((s, dir) => typedStateProfile(s, dir)),
     "t16_stream_sessionized" -> ((s, dir) => streamSessionized(s, dir)),
     "t7_stream_stream_join" -> ((s, dir) => streamStreamJoin(s, dir)),
     "t14_stream_outer_join" -> ((s, dir) => streamOuterJoin(s, dir)),
@@ -1995,6 +2104,26 @@ object PipelineOps {
     // aggregate exactly — integer cents make the totals batch-invariant
     "t15_transform_with_state" ->
       """SELECT user_id, count(*) AS n_events,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // what the checkpoint's state must contain after the full run —
+    // the same per-user totals, recovered WITHOUT replaying the stream
+    "t17_state_store_reader" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // the map's per-type counts, the list's length and integer-cent sum
+    // — all order-independent, so the last emission equals the batch agg
+    "t18_typed_state_profile" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        |  count(*) AS n_total, count(*) AS n_cents,
         |  sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
         |FROM events GROUP BY user_id""".stripMargin,
 
