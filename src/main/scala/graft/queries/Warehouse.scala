@@ -39,6 +39,23 @@ object Warehouse {
   // ((γ−1)/(γ+1)); ~1160 buckets span [1, 1e10], size independent of rows
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Typed-Aggregator UDAF (graft.functions.TopKAgg): per-priority top-3
+    // order values in cents through Spark's two-phase aggregation with a
+    // k-BOUNDED partial buffer — identical answer to
+    // sort_array(collect_list)[0:3] but the partial state is 3 longs, not
+    // the whole group (the collect_list formulation buffers a hot group's
+    // entire history per task before slicing; at 100 TB that's the OOM).
+    // Values joined to one string so the multiset — not any tie-broken
+    // row identity — is what the oracle hashes.
+    "x_topk_udaf" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.TopKAgg.topK(3)(col("cents")).as("_top"))
+        .select(col("o_orderpriority"),
+          concat_ws(",", col("_top")).as("top3_cents"))),
+
     // Wide→long melt (the inverse of pivot_orders_by_priority): per-nation
     // customer metrics unpivoted to (nation, metric, value) rows. Spark's
     // native unpivot — an Expand node, zero shuffle beyond the agg's own;
@@ -765,6 +782,18 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    // the top-3 multiset per priority, tie-safe: row_number may cut ties
+    // arbitrarily but the surviving VALUES are identical either way
+    "x_topk_udaf" ->
+      """SELECT o_orderpriority,
+        |  string_agg(CAST(c AS VARCHAR), ',' ORDER BY c DESC) AS top3_cents
+        |FROM (SELECT o_orderpriority, c,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY c DESC) AS rn
+        |  FROM (SELECT o_orderpriority,
+        |      CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders))
+        |WHERE rn <= 3 GROUP BY o_orderpriority""".stripMargin,
+
     "x_cms_heavy_hitters" -> {
       val norm = graft.functions.Text.normalizeDuck("text")
       def bkt(r: Int) =
