@@ -181,9 +181,99 @@ object GraphOps {
           col("n_wedges").cast("double"), 6).as("clustering_coeff"))
   }
 
+  /** Synchronous min-label-propagation rounds for the gate (kept small so
+    * the unrolled DuckDB CTE oracle stays readable — the PrIters rule). */
+  val LpRounds = 3
+
+  /** Every 1-in-`LpSampleMod` canonical trade edge survives into the
+    * sparsified community graph (portable-hash Bernoulli on the edge key,
+    * reproducible in DuckDB) — the full trade graph is one connected hub
+    * at every SF, where label propagation degenerates to a single label;
+    * the sparsified graph fragments into a real component-size spectrum. */
+  val LpSampleMod = 20
+
+  /** Deterministically sparsified trade edges: the canonical c→s edge set
+    * filtered by a portable 32-bit hash of "src>dst", then mirrored so the
+    * graph stays undirected. The filter is BEFORE the mirror — sampling
+    * per-direction would break symmetry and make "undirected" a lie. */
+  private[queries] def sparseTradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .distinct()
+      .filter(graft.functions.PortableHash.hash32(
+        concat(col("src"), lit(">"), col("dst"))) % LpSampleMod === 0)
+    e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Synchronous min-label propagation (community detection): every round
+    * each node takes the minimum label over {itself} ∪ in-neighbors —
+    * expressed as UNION ALL + min-groupBy, the same one-shuffle-per-round
+    * BSP relax step as [[khopFromEdges]]. String labels (the node ids)
+    * order identically under Spark's and DuckDB's binary collation, so the
+    * fixpoint is engine-exact. Per round the cost is one co-partitioned
+    * join on `src` plus one partial-agg'd shuffle on `node`; at 1000
+    * executors the frontier never materializes on the driver. Converged
+    * communities carry their minimum member id as the label. */
+  private[queries] def labelPropFromEdges(edges: DataFrame, rounds: Int): DataFrame = {
+    val init = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    (1 to rounds).foldLeft(init) { (l, _) =>
+      val nbr = edges.join(l, edges("src") === l("node"))
+        .select(col("dst").as("node"), col("label"))
+      l.unionAll(nbr).groupBy(col("node")).agg(min(col("label")).as("label"))
+    }
+  }
+
+  /** Gate shape: community-size histogram after [[LpRounds]] rounds over
+    * the sparsified trade graph — label = min member id, size = members. */
+  private def labelPropagation(s: SparkSession, dir: String): DataFrame =
+    labelPropFromEdges(graft.GateCache.cache(sparseTradeEdges(s, dir)), LpRounds)
+      .groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+
+  /** BFS hop budget for the gate (same unroll-readability rule). */
+  val BfsHops = 3
+
+  /** Seed stride: suppliers with `s_suppkey % BfsSeedMod == 0` are the
+    * multi-source frontier — a fixed 1/10 of the supplier side at any SF. */
+  val BfsSeedMod = 10
+
+  /** Multi-source BFS as iterative min-distance relaxation: reached set
+    * starts at the seeds (dist 0); each round appends every out-neighbor
+    * at dist+1 and re-minimizes per node. Relaxation (min-agg over the
+    * whole reached set) rather than frontier-difference keeps every round
+    * a pure join + partial agg — no anti-join against the visited set, so
+    * the plan is two exchanges per hop regardless of graph shape; the
+    * min-agg dedups re-reached nodes exactly like the visited check would.
+    * Monotone + idempotent, so partition order cannot change a distance. */
+  private[queries] def khopFromEdges(edges: DataFrame, seeds: DataFrame,
+      hops: Int): DataFrame = {
+    val d0 = seeds.select(col("node"), lit(0L).as("dist"))
+    (1 to hops).foldLeft(d0) { (r, _) =>
+      val expand = edges.join(r, edges("src") === r("node"))
+        .select(col("dst").as("node"), (col("dist") + lit(1L)).as("dist"))
+      r.unionAll(expand).groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+  }
+
+  /** Gate shape: nodes-per-hop-distance histogram after [[BfsHops]] hops
+    * from the supplier seed set over the full (connected) trade graph. */
+  private def bfsKhop(s: SparkSession, dir: String): DataFrame = {
+    val seeds = t(s, dir, "supplier")
+      .filter(col("s_suppkey") % BfsSeedMod === 0)
+      .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"))
+    khopFromEdges(graft.GateCache.cache(tradeEdges(s, dir)), seeds, BfsHops)
+      .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_pagerank" -> ((s, dir) => pagerank(s, dir, PrIters)),
-    "x_triangle_count" -> ((s, dir) => triangleStats(s, dir)))
+    "x_triangle_count" -> ((s, dir) => triangleStats(s, dir)),
+    "x_label_propagation" -> ((s, dir) => labelPropagation(s, dir)),
+    "x_bfs_khop" -> ((s, dir) => bfsKhop(s, dir)))
 
   val oracle: Map[String, String] = Map(
     // Orientation-free statement: with edges canonical as u < v, each
@@ -241,5 +331,57 @@ object GraphOps {
         |      (CAST(sum(r.r // r.outdeg) AS BIGINT) * 85) // 100 AS BIGINT) AS r
         |  FROM edges e JOIN r2 r ON e.src = r.node
         |  JOIN deg d ON d.src = e.dst GROUP BY e.dst, d.outdeg)
-        |SELECT node, outdeg, r AS rank_nano FROM r3""".stripMargin)
+        |SELECT node, outdeg, r AS rank_nano FROM r3""".stripMargin,
+
+    // Same three min-label rounds unrolled; the Bernoulli edge filter is
+    // the identical MD5-window arithmetic via PortableHash.duckSql.
+    "x_label_propagation" -> {
+      val h = graft.functions.PortableHash.duckSql("(src || '>' || dst)")
+      def round(prev: String, cur: String) =
+        s"""$cur AS (SELECT node, min(label) AS label FROM (
+           |    SELECT node, label FROM $prev
+           |    UNION ALL
+           |    SELECT e.dst AS node, x.label AS label
+           |    FROM edges e JOIN $prev x ON e.src = x.node)
+           |  GROUP BY node)""".stripMargin
+      s"""WITH es AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |      's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |    FROM orders JOIN lineitem ON l_orderkey = o_orderkey)
+        |  WHERE ($h) % $LpSampleMod = 0),
+        |edges AS MATERIALIZED (
+        |  SELECT src, dst FROM es UNION ALL SELECT dst, src FROM es),
+        |l0 AS (SELECT node, node AS label FROM (
+        |  SELECT DISTINCT src AS node FROM edges)),
+        |${round("l0", "l1")},
+        |${round("l1", "l2")},
+        |${round("l2", "l3")}
+        |SELECT label, count(*) AS community_size FROM l3
+        |GROUP BY label""".stripMargin
+    },
+
+    // Same three relax rounds unrolled over the full mirrored trade graph.
+    "x_bfs_khop" -> {
+      def round(prev: String, cur: String) =
+        s"""$cur AS (SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM $prev
+           |    UNION ALL
+           |    SELECT e.dst AS node, r.dist + 1 AS dist
+           |    FROM edges e JOIN $prev r ON e.src = r.node)
+           |  GROUP BY node)""".stripMargin
+      s"""WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |edges AS MATERIALIZED (
+        |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |d0 AS (SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node,
+        |    CAST(0 AS BIGINT) AS dist
+        |  FROM supplier WHERE s_suppkey % $BfsSeedMod = 0),
+        |${round("d0", "d1")},
+        |${round("d1", "d2")},
+        |${round("d2", "d3")}
+        |SELECT dist, count(*) AS n_nodes FROM d3 GROUP BY dist""".stripMargin
+    })
 }

@@ -128,4 +128,68 @@ class GraphOpsSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(g._4 * 3 <= g._3) // 3T <= W always
     assert(g._2 <= g._1 * (g._1 - 1) / 2)
   }
+
+  test("x_label_propagation: two crafted components get their min labels; gate ≡ straight-line rounds") {
+    import spark.implicits._
+    // two components — a path a-b-c and a pair x-y — mirrored undirected
+    val und = Seq(("a","b"),("b","c"),("x","y"))
+    val edges = (und ++ und.map(_.swap)).toDF("src","dst")
+    val r = GraphOps.labelPropFromEdges(edges, 3)
+      .as[(String, String)].collect().toMap
+    assert(r == Map("a"->"a","b"->"a","c"->"a","x"->"x","y"->"x"))
+
+    // the gate's community histogram vs a straight-line JVM run of the
+    // same 3 synchronous min-rounds on the same sparsified edge set
+    val es = GraphOps.sparseTradeEdges(spark, TestSpark.Sf0001)
+      .as[(String, String)].collect()
+    assert(es.nonEmpty, "sparsifier dropped every edge — mod too coarse")
+    val inb = es.groupBy(_._2)
+    var lab: Map[String, String] = es.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to GraphOps.LpRounds) {
+      lab = lab.map { case (v, l) =>
+        val nbrs = inb.getOrElse(v, Array.empty[(String, String)])
+        v -> (Iterator(l) ++ nbrs.iterator.map(e => lab(e._1))).min
+      }
+    }
+    val want = lab.values.groupBy(identity).map { case (l, vs) => l -> vs.size.toLong }
+    val got = GraphOps.queries("x_label_propagation")(spark, TestSpark.Sf0001)
+      .as[(String, Long)].collect().toMap
+    assert(got == want)
+    assert(got.size > 1, "sparsified graph collapsed to one community — " +
+      "gate would not distinguish LP from connected components at round 1")
+  }
+
+  test("x_bfs_khop: path-graph distances exact; gate ≡ straight-line relaxation") {
+    import spark.implicits._
+    // path a-b-c-d-e (mirrored), seed {a}: dists 0..3 one node each, e unreached
+    val und = Seq(("a","b"),("b","c"),("c","d"),("d","e"))
+    val edges = (und ++ und.map(_.swap)).toDF("src","dst")
+    val seeds = Seq("a").toDF("node")
+    val r = GraphOps.khopFromEdges(edges, seeds, 3)
+      .as[(String, Long)].collect().toMap
+    assert(r == Map("a"->0L,"b"->1L,"c"->2L,"d"->3L))
+
+    // straight-line multi-source BFS on the real sf0.001 trade graph
+    val es = GraphOps.tradeEdges(spark, TestSpark.Sf0001)
+      .as[(String, String)].collect()
+    val adj = es.groupBy(_._1)
+    val seedSet = spark.read.parquet(s"${TestSpark.Sf0001}/supplier.parquet")
+      .filter(col("s_suppkey") % GraphOps.BfsSeedMod === 0)
+      .select(concat(lit("s"), col("s_suppkey").cast("string")))
+      .as[String].collect().toSet
+    var dist: Map[String, Long] = seedSet.map(_ -> 0L).toMap
+    for (_ <- 1 to GraphOps.BfsHops) {
+      val expand = dist.toSeq.flatMap { case (u, d) =>
+        adj.getOrElse(u, Array.empty[(String, String)]).map(e => e._2 -> (d + 1))
+      }
+      dist = (dist.toSeq ++ expand).groupBy(_._1)
+        .map { case (n, ds) => n -> ds.map(_._2).min }
+    }
+    val want = dist.values.groupBy(identity).map { case (d, vs) => d -> vs.size.toLong }
+    val got = GraphOps.queries("x_bfs_khop")(spark, TestSpark.Sf0001)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+    assert(got.keySet.max >= 2L, "everything within 1 hop — seed stride " +
+      "too dense for the gate to exercise multi-round relaxation")
+  }
 }
