@@ -269,11 +269,67 @@ object GraphOps {
       .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** Relaxation budget for the weighted-SSSP gate (unroll rule again). */
+  val SsspRounds = 3
+
+  /** Weighted trade edges: weight = the MINIMUM line quantity ever traded
+    * on the c–s relation (the "cheapest lane" reading), mirrored
+    * undirected. Harness quantities are integral-valued doubles
+    * (spec-checked), so the bigint cast is exact and identical under
+    * Spark's truncating and DuckDB's rounding double→int conversion —
+    * all downstream path sums are integer arithmetic, bit-exact in any
+    * relaxation order. One partial-agg'd shuffle builds the edge list. */
+  private[queries] def weightedTradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"),
+        col("l_quantity").cast("bigint").as("w"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+    e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+  }
+
+  /** Multi-source single-source-shortest-path by Bellman–Ford relaxation:
+    * [[khopFromEdges]] with the +1 hop cost generalized to the edge
+    * weight. Each round is still one co-partitioned join plus one
+    * partial-agg'd min shuffle; k rounds bound path LENGTH at k edges
+    * (Bellman–Ford's invariant), so a longer-hop-but-lighter path wins
+    * exactly when it fits the budget — the behavior the crafted spec
+    * pins. Monotone + idempotent like BFS: partition order can't change
+    * a distance. */
+  private[queries] def ssspFromEdges(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val d0 = seeds.select(col("node"), lit(0L).as("dist"))
+    (1 to rounds).foldLeft(d0) { (r, _) =>
+      val relax = edges.join(r, edges("src") === r("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      r.unionAll(relax).groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+  }
+
+  /** Gate shape: weighted distances from the supplier seed stride
+    * ([[BfsSeedMod]]) after [[SsspRounds]] relaxations, restricted to
+    * supplier nodes (dist 0 seeds and the 2-edge c-hop paths between
+    * suppliers — where min-over-many-paths does real work) so the output
+    * stays O(suppliers) at any SF. */
+  private def ssspWeighted(s: SparkSession, dir: String): DataFrame = {
+    val seeds = t(s, dir, "supplier")
+      .filter(col("s_suppkey") % BfsSeedMod === 0)
+      .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"))
+    ssspFromEdges(graft.GateCache.cache(weightedTradeEdges(s, dir)),
+        seeds, SsspRounds)
+      .filter(col("node").startsWith("s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_pagerank" -> ((s, dir) => pagerank(s, dir, PrIters)),
     "x_triangle_count" -> ((s, dir) => triangleStats(s, dir)),
     "x_label_propagation" -> ((s, dir) => labelPropagation(s, dir)),
-    "x_bfs_khop" -> ((s, dir) => bfsKhop(s, dir)))
+    "x_bfs_khop" -> ((s, dir) => bfsKhop(s, dir)),
+    "x_sssp_weighted" -> ((s, dir) => ssspWeighted(s, dir)))
 
   val oracle: Map[String, String] = Map(
     // Orientation-free statement: with edges canonical as u < v, each
@@ -383,5 +439,31 @@ object GraphOps {
         |${round("d1", "d2")},
         |${round("d2", "d3")}
         |SELECT dist, count(*) AS n_nodes FROM d3 GROUP BY dist""".stripMargin
+    },
+
+    // Same three relax rounds with the edge weight in place of +1.
+    "x_sssp_weighted" -> {
+      def round(prev: String, cur: String) =
+        s"""$cur AS (SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM $prev
+           |    UNION ALL
+           |    SELECT e.dst AS node, r.dist + e.w AS dist
+           |    FROM edges e JOIN $prev r ON e.src = r.node)
+           |  GROUP BY node)""".stripMargin
+      s"""WITH e0 AS MATERIALIZED (
+        |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS dst,
+        |    min(CAST(l_quantity AS BIGINT)) AS w
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |edges AS MATERIALIZED (
+        |  SELECT src, dst, w FROM e0 UNION ALL SELECT dst, src, w FROM e0),
+        |d0 AS (SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node,
+        |    CAST(0 AS BIGINT) AS dist
+        |  FROM supplier WHERE s_suppkey % $BfsSeedMod = 0),
+        |${round("d0", "d1")},
+        |${round("d1", "d2")},
+        |${round("d2", "d3")}
+        |SELECT node, dist FROM d3 WHERE node LIKE 's%'""".stripMargin
     })
 }

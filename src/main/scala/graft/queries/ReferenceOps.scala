@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.SchemaModel.{DeletedCol, SeqCol, VersionCol}
-import graft.operators.{CdcTransform, LiveView}
+import graft.operators.{CdcTransform, Collapsing, LiveView}
 import graft.sources.ParquetCatalog
 
 /** Harness queries exercising the reference-parity operator surface
@@ -82,7 +82,19 @@ object ReferenceOps {
             VersionCol, SeqCol, DeletedCol),
           pks = Seq("user_id"), tieBreak = Some(SeqCol))
         .filter(col(DeletedCol) === 0)
-        .drop(VersionCol, DeletedCol, SeqCol))
+        .drop(VersionCol, DeletedCol, SeqCol)),
+
+    // CollapsingMergeTree FINAL (the sibling ClickHouse engine family):
+    // the stream's sign-changelog, sum-of-signs collapsed — must produce
+    // the exact ReplacingMergeTree live rows, so the oracle is w1's.
+    "x_collapsing_final" -> ((s, dir) => {
+      val st = stamped(s, dir).select("user_id", "event_type", "value",
+        "props", VersionCol, SeqCol, DeletedCol)
+      val payload = Seq("event_type", "value", "props")
+      Collapsing.collapseFinal(
+        Collapsing.changelog(st, pks = Seq("user_id"), payload = payload),
+        pks = Seq("user_id"), payload = payload)
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -114,7 +126,10 @@ object ReferenceOps {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "w1_live_view" -> LiveViewOracle,
-    "w1_live_view_aggform" -> LiveViewOracle
+    "w1_live_view_aggform" -> LiveViewOracle,
+    // cross-engine-family equivalence: Collapsing FINAL over the derived
+    // sign-changelog must reproduce the Replacing FINAL rows exactly
+    "x_collapsing_final" -> LiveViewOracle
   )
 
   /** Shared by w1 (read path), its aggform, and the stateful write-path

@@ -192,4 +192,50 @@ class GraphOpsSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(got.keySet.max >= 2L, "everything within 1 hop — seed stride " +
       "too dense for the gate to exercise multi-round relaxation")
   }
+
+  test("x_sssp_weighted: lighter longer path beats heavy edge; gate ≡ straight-line relaxation") {
+    import spark.implicits._
+    // a→b direct costs 10; a→c→b costs 2 — with 2+ rounds b must be 2.
+    // d hangs off b so one distance is a genuine 3-edge path (2+1=3).
+    val und = Seq(("a","b",10L),("a","c",1L),("c","b",1L),("b","d",1L))
+    val edges = (und ++ und.map(e => (e._2, e._1, e._3))).toDF("src","dst","w")
+    val seeds = Seq("a").toDF("node")
+    val r = GraphOps.ssspFromEdges(edges, seeds, 3)
+      .as[(String, Long)].collect().toMap
+    assert(r == Map("a"->0L,"b"->2L,"c"->1L,"d"->3L))
+
+    // weight-cast exactness precondition: every harness quantity integral
+    val nonIntegral = spark.read
+      .parquet(s"${TestSpark.Sf0001}/lineitem.parquet")
+      .filter(col("l_quantity") =!= floor(col("l_quantity"))).count()
+    assert(nonIntegral == 0L, "l_quantity not integral — bigint edge " +
+      "weights would diverge between Spark (truncate) and DuckDB (round)")
+
+    // straight-line multi-source Bellman–Ford on the real sf0.001 graph
+    val es = GraphOps.weightedTradeEdges(spark, TestSpark.Sf0001)
+      .as[(String, String, Long)].collect()
+    val adj = es.groupBy(_._1)
+    val seedSet = spark.read.parquet(s"${TestSpark.Sf0001}/supplier.parquet")
+      .filter(col("s_suppkey") % GraphOps.BfsSeedMod === 0)
+      .select(concat(lit("s"), col("s_suppkey").cast("string")))
+      .as[String].collect().toSet
+    var dist: Map[String, Long] = seedSet.map(_ -> 0L).toMap
+    for (_ <- 1 to GraphOps.SsspRounds) {
+      val relax = dist.toSeq.flatMap { case (u, d) =>
+        adj.getOrElse(u, Array.empty[(String, String, Long)])
+          .map(e => e._2 -> (d + e._3))
+      }
+      dist = (dist.toSeq ++ relax).groupBy(_._1)
+        .map { case (n, ds) => n -> ds.map(_._2).min }
+    }
+    val want = dist.filter(_._1.startsWith("s"))
+    val got = GraphOps.queries("x_sssp_weighted")(spark, TestSpark.Sf0001)
+      .as[(String, Long)].collect().toMap
+    assert(got == want)
+    // the gate must exercise real relaxation: some non-seed supplier is
+    // reached through a 2-edge path, and min-over-paths beat at least one
+    // single heaviest alternative (distances are not all 0)
+    assert(got.values.exists(_ > 0L))
+    assert(got.keySet.exists(n => !seedSet.contains(n)))
+  }
 }
