@@ -1,0 +1,205 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, max, min, sum}
+
+/** Transparent materialized-view rewrite — ClickHouse "projections"
+  * semantics (a table declares pre-aggregated alternates; the optimizer
+  * silently answers matching queries from them) re-expressed as a custom
+  * Catalyst `Rule[LogicalPlan]`, the extension tier the engine reserves
+  * for semantics the declarative API can't reach: the USER's plan must
+  * change without the user changing their query.
+  *
+  * Contract: an MV registered for base path P with grouping columns G and
+  * measure columns M is a parquet table holding G plus, per m ∈ M, the
+  * partial columns `_cnt` = count(*), `_sum_m`, `_min_m`, `_max_m` at
+  * grouping granularity G. An `Aggregate` over a clean scan of P (column
+  * projections only — any filter, computed input, or join disqualifies)
+  * whose grouping keys ⊆ G and whose aggregates are count(*) / sum /
+  * min / max over M is answered from the MV by RE-AGGREGATION: counts and
+  * sums add, mins min, maxes max — the partial-states-merge law that makes
+  * the rewrite exact at ANY coarser grouping. Anything outside the
+  * contract is left untouched (the rule returns the node unchanged), so
+  * soundness never depends on the matcher being clever — only on it being
+  * conservative.
+  *
+  * At 100 TB this is the difference between a full fact-table scan and a
+  * few thousand MV rows for every dashboard-style rollup; the rewrite also
+  * composes with [[graft.queries.PipelineOps]]'s incremental MV refresh
+  * gate (`x_incr_agg` maintains exactly such partial states).
+  *
+  * Install: session-scoped via `spark.experimental.extraOptimizations`
+  * (the public hook for user optimizer rules — runs as the final batch, by
+  * which time projection collapse has left the Aggregate directly over the
+  * pruned scan). Output attribute ids of the rewritten subtree are
+  * re-aliased to the ORIGINAL aggregate's `ExprId`s, so every consumer
+  * above binds unchanged. Data types are verified equal before the swap is
+  * committed; the one intentional widening is nullability (`sum` of
+  * partials is nullable where `count(*)` was not — never null in practice
+  * since every surviving group has ≥ 1 MV row).
+  */
+object MvRewrite {
+
+  final case class MvDef(
+      mvDf: DataFrame,
+      groupCols: Set[String],
+      measures: Set[String])
+
+  /** base-path (URI path component) → MV definition. */
+  private val registry = new ConcurrentHashMap[String, MvDef]()
+
+  /** Scheme-insensitive path identity: `file:/x/y` ≡ `/x/y`. */
+  def normalizePath(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  def register(
+      spark: SparkSession,
+      basePath: String,
+      mvPath: String,
+      groupCols: Seq[String],
+      measures: Set[String]): Unit = {
+    registry.put(normalizePath(basePath),
+      MvDef(spark.read.parquet(mvPath), groupCols.toSet, measures))
+    install(spark)
+  }
+
+  def clear(): Unit = registry.clear()
+
+  /** Idempotently append the rule to the session's user-optimizer batch. */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[MvAggregateRewrite])) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new MvAggregateRewrite
+    }
+
+  /** Root paths of every file-source relation in `plan` (normalized) —
+    * the observable the gate and spec pin the rewrite on. */
+  def scannedPaths(plan: LogicalPlan): Seq[String] = plan.collect {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.map(p => normalizePath(p.toString))
+      case _ => Nil
+    }
+  }.flatten
+
+  /** The parsed shape of one aggregate output column. */
+  private sealed trait Out
+  private case class GroupOut(name: String) extends Out
+  private case object CntOut extends Out
+  private case class SumOut(m: String) extends Out
+  private case class MinOut(m: String) extends Out
+  private case class MaxOut(m: String) extends Out
+
+  final class MvAggregateRewrite extends Rule[LogicalPlan] {
+
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      if (registry.isEmpty) plan
+      else plan.transformUp {
+        case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+      }
+
+    /** Unwrap attribute-only projections down to a single file relation. */
+    private def relationOf(p: LogicalPlan): Option[LogicalRelation] = p match {
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        relationOf(c)
+      case lr: LogicalRelation => Some(lr)
+      case _ => None
+    }
+
+    private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = for {
+      lr <- relationOf(agg.child)
+      fs <- lr.relation match {
+        case f: HadoopFsRelation => Some(f); case _ => None
+      }
+      paths = fs.location.rootPaths.map(p => normalizePath(p.toString))
+      ddef <- paths.headOption.flatMap(h => Option(registry.get(h)))
+        if paths.nonEmpty && paths.forall(p => registry.get(p) == ddef)
+      // every grouping key must be a plain column the MV grouped by
+      gnames <- traverse(agg.groupingExpressions) {
+        case a: AttributeReference if ddef.groupCols(a.name) => Some(a.name)
+        case _ => None
+      }
+      outs <- traverse(agg.aggregateExpressions)(parseOut(_, gnames.toSet, ddef))
+        if outs.exists(o => !o._2.isInstanceOf[GroupOut]) // ≥1 real aggregate
+      rewritten <- build(agg, ddef, gnames, outs)
+    } yield rewritten
+
+    private def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] =
+      xs.foldLeft(Option(Vector.empty[B])) { (acc, x) =>
+        acc.flatMap(v => f(x).map(v :+ _))
+      }
+
+    /** One result expression → (output name, parsed shape), or None when
+      * anything falls outside the rewritable contract. */
+    private def parseOut(ne: NamedExpression, gnames: Set[String],
+        ddef: MvDef): Option[(String, Out)] = ne match {
+      case a: AttributeReference if gnames(a.name) =>
+        Some(a.name -> GroupOut(a.name))
+      case al @ Alias(a: AttributeReference, _) if gnames(a.name) =>
+        Some(al.name -> GroupOut(a.name))
+      case al @ Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        val out = ae.aggregateFunction match {
+          case c: Count if c.children.forall(ch =>
+              ch.foldable && ch.eval() != null) => Some(CntOut)
+          case s: Sum => s.child match {
+            case a: AttributeReference if ddef.measures(a.name) =>
+              Some(SumOut(a.name))
+            case _ => None
+          }
+          case m: Min => m.child match {
+            case a: AttributeReference if ddef.measures(a.name) =>
+              Some(MinOut(a.name))
+            case _ => None
+          }
+          case m: Max => m.child match {
+            case a: AttributeReference if ddef.measures(a.name) =>
+              Some(MaxOut(a.name))
+            case _ => None
+          }
+          case _ => None
+        }
+        out.map(al.name -> _)
+      case _ => None
+    }
+
+    /** Assemble the replacement: re-aggregate the MV at the query's
+      * granularity through the public Dataset API (analysis only — no
+      * re-entrant optimization), then re-alias to the original ExprIds so
+      * the parent plan binds unchanged. Bails (None) on any dtype drift. */
+    private def build(agg: Aggregate, ddef: MvDef, gnames: Seq[String],
+        outs: Seq[(String, Out)]): Option[LogicalPlan] = {
+      val aggCols: Seq[Column] = outs.zipWithIndex.collect {
+        case ((_, CntOut), i)    => sum(col("_cnt")).as(s"_o$i")
+        case ((_, SumOut(m)), i) => sum(col(s"_sum_$m")).as(s"_o$i")
+        case ((_, MinOut(m)), i) => min(col(s"_min_$m")).as(s"_o$i")
+        case ((_, MaxOut(m)), i) => max(col(s"_max_$m")).as(s"_o$i")
+      }
+      val grouped = ddef.mvDf
+        .groupBy(gnames.distinct.map(col): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+      val sel: Seq[Column] = outs.zipWithIndex.map {
+        case ((_, GroupOut(g)), _) => col(g)
+        case (_, i)                => col(s"_o$i")
+      }
+      val newPlan = grouped.select(sel: _*).queryExecution.analyzed
+      val ok = newPlan.output.length == agg.output.length &&
+        newPlan.output.zip(agg.output).forall {
+          case (n, o) => n.dataType == o.dataType
+        }
+      if (!ok) None
+      else Some(Project(
+        agg.output.zip(newPlan.output).map { case (o, n) =>
+          Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+        }, newPlan))
+    }
+  }
+}

@@ -1479,6 +1479,49 @@ object PipelineOps {
           coalesce(col("_ds"), lit(0L))).as("sum_value_micro"))
   }
 
+  /** Transparent MV rewrite ([[graft.plans.MvRewrite]] — ClickHouse
+    * "projections" semantics as a custom Catalyst optimizer rule): a
+    * partial-state projection of lineitem at (l_returnflag, l_linestatus)
+    * granularity is built and registered, then the gate query aggregates
+    * THE BASE TABLE at the coarser l_returnflag granularity — the rule
+    * must silently answer it by re-aggregating the MV's partial states
+    * (counts/sums add, mins min, maxes max). The in-gate requires pin the
+    * plan swap (MV scanned, base NOT scanned: without them the gate would
+    * pass vacuously off the base table); the DuckDB oracle recomputes from
+    * the raw base rows, binding that the rewrite is semantics-preserving.
+    * Quantities are integral-valued doubles, so partial double sums are
+    * exact integers — re-aggregation order cannot perturb them. */
+  def mvTransparentRewrite(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.MvRewrite
+    val base = s"$dir/lineitem.parquet"
+    val mvDir = Files.createTempDirectory("graft_mv_proj").toString
+    s.read.parquet(base)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("_cnt"),
+        sum(col("l_quantity")).as("_sum_l_quantity"),
+        min(col("l_quantity")).as("_min_l_quantity"),
+        max(col("l_quantity")).as("_max_l_quantity"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(mvDir)
+    MvRewrite.register(s, basePath = base, mvPath = mvDir,
+      groupCols = Seq("l_returnflag", "l_linestatus"),
+      measures = Set("l_quantity"))
+    // the registry is session-shared state: empty it with the gate caches
+    // so no later gate ever sees a stale MV mapping
+    graft.GateCache.onRelease(() => MvRewrite.clear())
+    val q = s.read.parquet(base)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+    val scanned = MvRewrite.scannedPaths(q.queryExecution.optimizedPlan)
+    require(scanned.contains(MvRewrite.normalizePath(mvDir)),
+      "MV rewrite did not fire — query still plans off the base scan")
+    require(!scanned.contains(MvRewrite.normalizePath(base)),
+      "rewritten plan still scans the base table")
+    q
+  }
+
   /** T1/T3 by a third mechanism: the CDC stream applied with a set-based
     * versioned [[graft.operators.Merge]] per micro-batch (the
     * Delta-`MERGE INTO` production pattern), versus t1's
@@ -1670,6 +1713,7 @@ object PipelineOps {
     "x_footer_agg_pushdown" -> ((s, dir) => footerAggPushdown(s, dir)),
     "x_cbo_stats_join" -> ((s, dir) => cboStatsJoin(s, dir)),
     "x_incremental_mv_refresh" -> ((s, dir) => incrementalMvRefresh(s, dir)),
+    "x_mv_transparent_rewrite" -> ((s, dir) => mvTransparentRewrite(s, dir)),
     "o7_jdbc_roundtrip" -> ((s, dir) => jdbcRoundtrip(s, dir)),
     "x_csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
     "x_xml_roundtrip" -> ((s, dir) => xmlRoundtrip(s, dir)),
@@ -1895,6 +1939,15 @@ object PipelineOps {
         |  min(l_extendedprice) AS min_price,
         |  max(l_extendedprice) AS max_price
         |FROM lineitem""".stripMargin,
+
+    // recomputed from the RAW base rows — the oracle never sees the MV,
+    // so a wrong partial-state merge cannot agree with it
+    "x_mv_transparent_rewrite" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  sum(l_quantity) AS sum_qty,
+        |  min(l_quantity) AS min_qty,
+        |  max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "x_incremental_mv_refresh" ->
       """SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
