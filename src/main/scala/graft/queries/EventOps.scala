@@ -276,6 +276,43 @@ object EventOps {
             .cast("double") - col("exact_overlap").cast("double")) <=
             col("exact_union").cast("double") * 0.15 + lit(1.0))
             .as("hll_overlap_in_bound"))
+    }),
+
+    // AggregatingMergeTree -State/-Merge (the third ClickHouse MergeTree
+    // family next to Replacing = w1 and Collapsing = x_collapsing_final):
+    // per-day PARTIAL aggregate states — a datasketches HLL binary from
+    // hll_sketch_agg plus additive count/sum — are PERSISTED to parquet
+    // (the -State half), then re-read and finalized WITHOUT touching raw
+    // rows (the -Merge half: hll_union_agg → hll_sketch_estimate, sums
+    // add). At 100 TB the raw scan happens once at state-build time;
+    // every later rollup reads O(days) state rows. Adjudication is the
+    // hardened-sketch pattern: every additive value exact-oracled, the
+    // sketch estimate bound to exact distinct by a pinned boolean (±5%
+    // ≫ the ~1.6% lgK=12 plausible deviation).
+    "x_agg_state_merge" -> ((s, dir) => {
+      val mvDir =
+        java.nio.file.Files.createTempDirectory("graft_aggstate").toString
+      val ev = Tables.events(s, dir).select(
+        to_date(timestamp_micros(col("ts_us"))).cast("string").as("day"),
+        col("user_id"),
+        round(col("value") * 1000000d, 0).cast("bigint").as("_vq"))
+      ev.groupBy(col("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("_state"),
+          count(lit(1)).as("_n"), sum(col("_vq")).as("_sv"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(mvDir)
+      val merged = s.read.parquet(mvDir).agg(
+        count(lit(1)).as("n_days"),
+        sum(col("_n")).cast("long").as("n_events"),
+        sum(col("_sv")).cast("long").as("sum_value_micro"),
+        hll_sketch_estimate(hll_union_agg(col("_state"))).as("_est"))
+      val exact = Tables.events(s, dir)
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      merged.crossJoin(exact).select(
+        col("n_days"), col("n_events"), col("sum_value_micro"),
+        col("exact_users"),
+        (abs(col("_est").cast("double") - col("exact_users").cast("double"))
+          <= col("exact_users").cast("double") * 0.05 + lit(1.0))
+          .as("est_in_bound"))
     })
   )
 
@@ -423,6 +460,17 @@ object EventOps {
         |  count(DISTINCT user_id) AS exact_union,
         |  true AS hll_overlap_in_bound
         |FROM un GROUP BY 1, 2""".stripMargin,
+
+    // every additive value recomputed from raw rows; the sketch binds
+    // through the pinned bound boolean
+    "x_agg_state_merge" ->
+      """SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_micro,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  true AS est_in_bound
+        |FROM events""".stripMargin,
 
     "x_funnel_stages" ->
       s"""WITH pu AS (SELECT user_id,

@@ -1479,6 +1479,42 @@ object PipelineOps {
           coalesce(col("_ds"), lit(0L))).as("sum_value_micro"))
   }
 
+  /** T19: incremental CollapsingMergeTree FINAL under streaming
+    * ([[graft.streaming.StreamCollapse]]): the batch gate's sign-changelog
+    * replayed as three micro-batches split on version terciles, each batch
+    * folding per-key partial states (net sign + latest +1 candidate — a
+    * pair of commutative monoids) into a store of size O(live keys). The
+    * split is arbitrary BY CONSTRUCTION (additive merge is batch-order
+    * independent — the spec pins a hash-permuted replay equal), and the
+    * collapsed FINAL must reproduce the same live rows as w1 /
+    * x_collapsing_final — a fourth query sharing the LiveViewOracle. */
+  def streamCollapsingFinal(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = Files.createTempDirectory("graft_scl_src").toString
+    val storeDir = Files.createTempDirectory("graft_scl_store").toString
+    val ckp = Files.createTempDirectory("graft_scl_ckp").toString
+    val payload = Seq("event_type", "value", "props")
+    val cl = graft.operators.Collapsing.changelog(
+      ReferenceOps.stamped(s, dir).select("user_id", "event_type", "value",
+        "props", VersionCol, SeqCol, DeletedCol),
+      pks = Seq("user_id"), payload = payload)
+    val b = cl.agg(min(col(VersionCol)).as("lo"), max(col(VersionCol)).as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val (mid1, mid2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val stage = stageReplayFile(srcDir) _
+    val base = 1600000000000L
+    stage(cl.filter(col(VersionCol) <= mid1), "b0.parquet", base)
+    stage(cl.filter(col(VersionCol) > mid1 && col(VersionCol) <= mid2),
+      "b1.parquet", base + 600000L)
+    stage(cl.filter(col(VersionCol) > mid2), "b2.parquet", base + 1200000L)
+    val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try graft.streaming.StreamCollapse.run(stream, pks = Seq("user_id"),
+      payload = payload, storeDir = storeDir, checkpointDir = ckp)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Transparent MV rewrite ([[graft.plans.MvRewrite]] — ClickHouse
     * "projections" semantics as a custom Catalyst optimizer rule): a
     * partial-state projection of lineitem at (l_returnflag, l_linestatus)
@@ -1714,6 +1750,7 @@ object PipelineOps {
     "x_cbo_stats_join" -> ((s, dir) => cboStatsJoin(s, dir)),
     "x_incremental_mv_refresh" -> ((s, dir) => incrementalMvRefresh(s, dir)),
     "x_mv_transparent_rewrite" -> ((s, dir) => mvTransparentRewrite(s, dir)),
+    "t19_stream_collapsing" -> ((s, dir) => streamCollapsingFinal(s, dir)),
     "o7_jdbc_roundtrip" -> ((s, dir) => jdbcRoundtrip(s, dir)),
     "x_csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
     "x_xml_roundtrip" -> ((s, dir) => xmlRoundtrip(s, dir)),
@@ -2068,6 +2105,8 @@ object PipelineOps {
 
     // write-path ≡ read-path: same oracle as w1_live_view
     "t6_stateful_live_view" -> ReferenceOps.LiveViewOracle,
+    // incremental sign-collapse must land on the same live rows
+    "t19_stream_collapsing" -> ReferenceOps.LiveViewOracle,
 
     // flattened values re-derived from nation: the parquet roundtrip
     // through the replicator must reproduce them from the NESTED columns

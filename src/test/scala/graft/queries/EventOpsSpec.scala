@@ -100,4 +100,36 @@ class EventOpsSpec extends AnyFunSuite with graft.GateCacheHygiene {
       (1L, "2024-01-03", "interp", 30.0),
       (1L, "2024-01-04", "actual", 40.0)))
   }
+
+  test("x_agg_state_merge: persisted HLL states union to the whole-set " +
+      "estimate; additive partials reconcile exactly") {
+    import org.apache.spark.sql.functions._
+    // crafted overlap across groups: users 0-99 in g0, 50-149 in g1 —
+    // union-of-states must see 150 distinct, not 200
+    val df = spark.range(100).select(lit("g0").as("g"), col("id"))
+      .unionAll(spark.range(50, 150).select(lit("g1").as("g"), col("id")))
+    val mv = java.nio.file.Files.createTempDirectory("aggstate_spec").toString
+    df.groupBy(col("g")).agg(hll_sketch_agg(col("id")).as("_state"),
+        count(lit(1)).as("_n"))
+      .write.mode("overwrite").parquet(mv)
+    val r = spark.read.parquet(mv).agg(
+      sum(col("_n")).as("n"),
+      hll_sketch_estimate(hll_union_agg(col("_state"))).as("est"),
+      count(lit(1)).as("groups")).head()
+    assert(r.getLong(2) == 2L && r.getLong(0) == 200L)
+    assert(math.abs(r.getLong(1) - 150L) <= 8L) // ±5% of 150 at lgK=12
+    // the merged estimate must equal estimating one directly-built
+    // global sketch — state merge loses nothing vs a single pass
+    val direct = df.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("id")))).head().getLong(0)
+    assert(r.getLong(1) == direct)
+
+    // the real gate on real data: booleans pinned, additives positive
+    val g = EventOps.queries("x_agg_state_merge")(spark, TestSpark.Sf0001)
+      .collect()
+    assert(g.length == 1)
+    val row = g.head
+    assert(row.getAs[Boolean]("est_in_bound"))
+    assert(row.getAs[Long]("n_days") > 0 && row.getAs[Long]("n_events") > 0)
+  }
 }
