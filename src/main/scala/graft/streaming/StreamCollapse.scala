@@ -69,26 +69,41 @@ object StreamCollapse {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val p = partial(batch, pks, payload)
-        val prev = latestVersion(storeDir)
-        val folded = prev match {
-          case Some(v) =>
-            merge(spark.read.parquet(s"$storeDir/v$v"), p, pks)
-          case None => p
-        }
-        folded.write.mode("overwrite").parquet(s"$storeDir/v$batchId")
-        ()
+        foldBatch(batch, pks, payload, storeDir, batchId)
       }
       .start()
     q.awaitTermination()
     finalRows(spark, storeDir, pks, payload)
   }
 
-  /** Highest committed store version, if any batch has landed. */
-  private def latestVersion(storeDir: String): Option[Long] = {
+  /** One micro-batch's fold: reduce the chunk to partial states and merge
+    * them onto the newest snapshot STRICTLY BELOW this batch id — never
+    * the absolute latest: after a crash between the snapshot write and
+    * the checkpoint commit, this batch REPLAYS, and folding from its own
+    * half-committed `v<batchId>` would double-count the partial. Reading
+    * `v<prev>` + overwriting `v<batchId>` makes the replay
+    * byte-idempotent (exactly-once on at-least-once delivery, the
+    * foreachBatch contract — spec'd by a literal double fold). */
+  private[streaming] def foldBatch(batch: DataFrame, pks: Seq[String],
+      payload: Seq[String], storeDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val p = partial(batch, pks, payload)
+    val folded = latestVersion(storeDir, below = Some(batchId)) match {
+      case Some(v) => merge(spark.read.parquet(s"$storeDir/v$v"), p, pks)
+      case None => p
+    }
+    folded.write.mode("overwrite").parquet(s"$storeDir/v$batchId")
+    ()
+  }
+
+  /** Highest committed store version (optionally strictly below a batch
+    * id — the replay-idempotency read point), if any batch has landed. */
+  private def latestVersion(
+      storeDir: String, below: Option[Long] = None): Option[Long] = {
     val vs = Option(new File(storeDir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("v"))
       .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption)
+      .filter(v => below.forall(v < _))
     if (vs.isEmpty) None else Some(vs.max)
   }
 

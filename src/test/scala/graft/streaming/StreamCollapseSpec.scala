@@ -81,4 +81,25 @@ class StreamCollapseSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(changelog.count() == 10L)
     assert(spark.read.parquet(s"$storeDir/v${vs.max}").count() == 3L)
   }
+
+  test("batch replay after a crash is idempotent (fold reads below batchId)") {
+    def drain(replayLast: Boolean): Map[Long, String] = {
+      val store = Files.createTempDirectory("graft_sclr_store").toString
+      val batches = Seq(
+        changelog.filter(col(VersionCol) <= 1),
+        changelog.filter(col(VersionCol) > 1 && col(VersionCol) <= 3),
+        changelog.filter(col(VersionCol) > 3))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StreamCollapse.foldBatch(b, Seq("k"), payload, store, i.toLong)
+      }
+      // crash between snapshot write and checkpoint commit → the source
+      // redelivers the last batch under the SAME batch id
+      if (replayLast)
+        StreamCollapse.foldBatch(batches.last, Seq("k"), payload, store, 2L)
+      StreamCollapse.finalRows(spark, store, Seq("k"), payload)
+        .as[(Long, String)].collect().toMap
+    }
+    assert(drain(replayLast = true) == drain(replayLast = false))
+    assert(drain(replayLast = true) == Map(1L -> "c", 3L -> "q"))
+  }
 }
