@@ -2,13 +2,12 @@ package graft.plans
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, max, min, sum}
 
 /** Transparent materialized-view rewrite — ClickHouse "projections"
   * semantics (a table declares pre-aggregated alternates; the optimizer
@@ -21,11 +20,14 @@ import org.apache.spark.sql.functions.{col, max, min, sum}
   * measure columns M is a parquet table holding G plus, per m ∈ M, the
   * partial columns `_cnt` = count(*), `_sum_m`, `_min_m`, `_max_m` at
   * grouping granularity G. An `Aggregate` over a clean scan of P (column
-  * projections only — any filter, computed input, or join disqualifies)
-  * whose grouping keys ⊆ G and whose aggregates are count(*) / sum /
-  * min / max over M is answered from the MV by RE-AGGREGATION: counts and
-  * sums add, mins min, maxes max — the partial-states-merge law that makes
-  * the rewrite exact at ANY coarser grouping. Anything outside the
+  * projections plus filters that touch ONLY grouping columns — such a
+  * predicate cuts whole MV groups exactly as it cuts the same groups'
+  * base rows, so it is rebound by name and pushed onto the MV; any other
+  * filter, computed input, or join disqualifies) whose grouping keys ⊆ G
+  * and whose aggregates are count(*) / sum / min / max over M is answered
+  * from the MV by RE-AGGREGATION: counts and sums add, mins min, maxes
+  * max — the partial-states-merge law that makes the rewrite exact at ANY
+  * coarser grouping. Anything outside the
   * contract is left untouched (the rule returns the node unchanged), so
   * soundness never depends on the matcher being clever — only on it being
   * conservative.
@@ -106,22 +108,38 @@ object MvRewrite {
         case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
       }
 
-    /** Unwrap attribute-only projections down to a single file relation. */
-    private def relationOf(p: LogicalPlan): Option[LogicalRelation] = p match {
+    /** Unwrap attribute-only projections and filters down to a single
+      * file relation, collecting the filter conjuncts on the way — a
+      * filter is admissible later only if it references grouping columns
+      * alone (then it cuts whole MV groups, exactly as it cuts the same
+      * groups' base rows). */
+    private def unwrap(p: LogicalPlan, conds: Seq[Expression])
+        : Option[(Seq[Expression], LogicalRelation)] = p match {
       case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        relationOf(c)
-      case lr: LogicalRelation => Some(lr)
+        unwrap(c, conds)
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, c) =>
+        unwrap(c, conds :+ cond)
+      case lr: LogicalRelation => Some((conds, lr))
       case _ => None
     }
 
+    /** A filter conjunct is MV-pushable iff it is deterministic, free of
+      * subqueries, and every column it touches is a grouping column. */
+    private def pushable(cond: Expression, ddef: MvDef): Boolean =
+      cond.deterministic &&
+        cond.find(_.isInstanceOf[PlanExpression[_]]).isEmpty &&
+        cond.references.forall(a => ddef.groupCols(a.name))
+
     private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = for {
-      lr <- relationOf(agg.child)
+      cl <- unwrap(agg.child, Nil)
+      (conds, lr) = cl
       fs <- lr.relation match {
         case f: HadoopFsRelation => Some(f); case _ => None
       }
       paths = fs.location.rootPaths.map(p => normalizePath(p.toString))
       ddef <- paths.headOption.flatMap(h => Option(registry.get(h)))
         if paths.nonEmpty && paths.forall(p => registry.get(p) == ddef)
+        if conds.forall(pushable(_, ddef))
       // every grouping key must be a plain column the MV grouped by
       gnames <- traverse(agg.groupingExpressions) {
         case a: AttributeReference if ddef.groupCols(a.name) => Some(a.name)
@@ -129,7 +147,7 @@ object MvRewrite {
       }
       outs <- traverse(agg.aggregateExpressions)(parseOut(_, gnames.toSet, ddef))
         if outs.exists(o => !o._2.isInstanceOf[GroupOut]) // ≥1 real aggregate
-      rewritten <- build(agg, ddef, gnames, outs)
+      rewritten <- build(agg, ddef, gnames, outs, conds)
     } yield rewritten
 
     private def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] =
@@ -171,35 +189,47 @@ object MvRewrite {
       case _ => None
     }
 
-    /** Assemble the replacement: re-aggregate the MV at the query's
-      * granularity through the public Dataset API (analysis only — no
-      * re-entrant optimization), then re-alias to the original ExprIds so
-      * the parent plan binds unchanged. Bails (None) on any dtype drift. */
+    /** Assemble the replacement in pure Catalyst: (optional) filter over
+      * the MV relation with the query's grouping-column predicates
+      * rebound by NAME to MV attributes, then one Aggregate whose result
+      * aliases carry the ORIGINAL ExprIds so the parent plan binds
+      * unchanged. Bails (None) on any dtype drift. */
     private def build(agg: Aggregate, ddef: MvDef, gnames: Seq[String],
-        outs: Seq[(String, Out)]): Option[LogicalPlan] = {
-      val aggCols: Seq[Column] = outs.zipWithIndex.collect {
-        case ((_, CntOut), i)    => sum(col("_cnt")).as(s"_o$i")
-        case ((_, SumOut(m)), i) => sum(col(s"_sum_$m")).as(s"_o$i")
-        case ((_, MinOut(m)), i) => min(col(s"_min_$m")).as(s"_o$i")
-        case ((_, MaxOut(m)), i) => max(col(s"_max_$m")).as(s"_o$i")
+        outs: Seq[(String, Out)], conds: Seq[Expression]): Option[LogicalPlan] = {
+      val mvPlan = ddef.mvDf.queryExecution.analyzed
+      val mvOut: Map[String, Attribute] = mvPlan.output.map(a => a.name -> a).toMap
+      val needed = gnames ++ outs.collect {
+        case (_, CntOut)    => "_cnt"
+        case (_, SumOut(m)) => s"_sum_$m"
+        case (_, MinOut(m)) => s"_min_$m"
+        case (_, MaxOut(m)) => s"_max_$m"
       }
-      val grouped = ddef.mvDf
-        .groupBy(gnames.distinct.map(col): _*)
-        .agg(aggCols.head, aggCols.tail: _*)
-      val sel: Seq[Column] = outs.zipWithIndex.map {
-        case ((_, GroupOut(g)), _) => col(g)
-        case (_, i)                => col(s"_o$i")
-      }
-      val newPlan = grouped.select(sel: _*).queryExecution.analyzed
-      val ok = newPlan.output.length == agg.output.length &&
-        newPlan.output.zip(agg.output).forall {
-          case (n, o) => n.dataType == o.dataType
+      // a mis-registered MV (missing partial columns) must mean "no
+      // rewrite", never an optimizer-time exception
+      if (!needed.forall(mvOut.contains)) return None
+      val child: LogicalPlan =
+        if (conds.isEmpty) mvPlan
+        else org.apache.spark.sql.catalyst.plans.logical.Filter(
+          conds.map(_.transformUp {
+            case a: AttributeReference => mvOut(a.name)
+          }).reduce(And), mvPlan)
+      def fin(f: AggregateFunction): AggregateExpression =
+        AggregateExpression(f, Complete, isDistinct = false)
+      val resultExprs = agg.output.zip(outs).map { case (o, (_, shape)) =>
+        val e: Expression = shape match {
+          case GroupOut(g) => mvOut(g)
+          case CntOut      => fin(Sum(mvOut("_cnt")))
+          case SumOut(m)   => fin(Sum(mvOut(s"_sum_$m")))
+          case MinOut(m)   => fin(Min(mvOut(s"_min_$m")))
+          case MaxOut(m)   => fin(Max(mvOut(s"_max_$m")))
         }
+        Alias(e, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+      }
+      val ok = resultExprs.zip(agg.output).forall {
+        case (n, o) => n.dataType == o.dataType
+      }
       if (!ok) None
-      else Some(Project(
-        agg.output.zip(newPlan.output).map { case (o, n) =>
-          Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
-        }, newPlan))
+      else Some(Aggregate(gnames.distinct.map(mvOut), resultExprs, child))
     }
   }
 }

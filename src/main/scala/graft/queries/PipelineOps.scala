@@ -1515,6 +1515,96 @@ object PipelineOps {
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** T20 plumbing: replay events as three micro-batches; each batch BOTH
+    * appends to the landed base table and folds the MV's partial states
+    * (count/sum/min/max per event_type — additive monoids, so the fold
+    * reads the snapshot strictly below the batch id and is
+    * replay-idempotent, the [[graft.streaming.StreamCollapse]] protocol).
+    * Returns (landed base dir, final MV snapshot dir). */
+  private[graft] def runLiveProjection(
+      s: SparkSession, dir: String): (String, String) = {
+    val srcDir = Files.createTempDirectory("graft_lpj_src").toString
+    val baseDir = Files.createTempDirectory("graft_lpj_base").toString + "/t"
+    val mvDir = Files.createTempDirectory("graft_lpj_mv").toString
+    val ckp = Files.createTempDirectory("graft_lpj_ckp").toString
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"),
+      round(col("value") * 1000000d, 0).cast("bigint").as("value_micro"))
+    val m = ev.agg(max(col("event_id"))).head().getLong(0)
+    val stage = stageReplayFile(srcDir) _
+    val base = 1600000000000L
+    stage(ev.filter(col("event_id") * 3 <= m), "b0.parquet", base)
+    stage(ev.filter(col("event_id") * 3 > m && col("event_id") * 3 <= 2 * m),
+      "b1.parquet", base + 600000L)
+    stage(ev.filter(col("event_id") * 3 > 2 * m), "b2.parquet", base + 1200000L)
+    def partialOf(df: DataFrame): DataFrame = df.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("_cnt"),
+        sum(col("value_micro")).as("_sum_value_micro"),
+        min(col("value_micro")).as("_min_value_micro"),
+        max(col("value_micro")).as("_max_value_micro"))
+    val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          b.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(baseDir)
+          val p = partialOf(b)
+          val prev = (0L until batchId).map(v => s"$mvDir/v$v")
+            .filter(d => new java.io.File(d).isDirectory).lastOption
+          val folded = prev match {
+            case Some(d) => s.read.parquet(d).unionByName(p)
+              .groupBy(col("event_type"))
+              .agg(sum(col("_cnt")).cast("long").as("_cnt"),
+                sum(col("_sum_value_micro")).cast("long").as("_sum_value_micro"),
+                min(col("_min_value_micro")).as("_min_value_micro"),
+                max(col("_max_value_micro")).as("_max_value_micro"))
+            case None => p
+          }
+          folded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$mvDir/v$batchId")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val last = new java.io.File(mvDir).listFiles()
+      .filter(_.getName.startsWith("v")).map(_.getName.drop(1).toLong).max
+    (baseDir, s"$mvDir/v$last")
+  }
+
+  /** T20: the ClickHouse MATERIALIZED-VIEW composition end to end — an
+    * insert stream maintains an AggregatingMergeTree-style partial-state
+    * MV incrementally, and the [[graft.plans.MvRewrite]] optimizer rule
+    * then answers a filtered aggregate over the LANDED BASE TABLE from
+    * that stream-maintained MV (the grouping-column filter pushes onto
+    * the MV). In-gate requires pin the plan swap; the oracle recomputes
+    * from the raw events rows, binding the whole pipeline —
+    * stream fold ∘ rewrite ≡ direct aggregation. */
+  def liveProjection(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.MvRewrite
+    val (baseDir, mvSnap) = runLiveProjection(s, dir)
+    MvRewrite.register(s, basePath = baseDir, mvPath = mvSnap,
+      groupCols = Seq("event_type"), measures = Set("value_micro"))
+    graft.GateCache.onRelease(() => MvRewrite.clear())
+    val q = s.read.parquet(baseDir)
+      .filter(col("event_type") =!= "error")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_micro")).as("sum_value_micro"),
+        min(col("value_micro")).as("min_value_micro"),
+        max(col("value_micro")).as("max_value_micro"))
+    val scanned = MvRewrite.scannedPaths(q.queryExecution.optimizedPlan)
+    require(scanned.contains(MvRewrite.normalizePath(mvSnap)),
+      "live-projection rewrite did not fire")
+    require(!scanned.contains(MvRewrite.normalizePath(baseDir)),
+      "query still scans the landed base table")
+    q
+  }
+
   /** Transparent MV rewrite ([[graft.plans.MvRewrite]] — ClickHouse
     * "projections" semantics as a custom Catalyst optimizer rule): a
     * partial-state projection of lineitem at (l_returnflag, l_linestatus)
@@ -1751,6 +1841,7 @@ object PipelineOps {
     "x_incremental_mv_refresh" -> ((s, dir) => incrementalMvRefresh(s, dir)),
     "x_mv_transparent_rewrite" -> ((s, dir) => mvTransparentRewrite(s, dir)),
     "t19_stream_collapsing" -> ((s, dir) => streamCollapsingFinal(s, dir)),
+    "t20_live_projection" -> ((s, dir) => liveProjection(s, dir)),
     "o7_jdbc_roundtrip" -> ((s, dir) => jdbcRoundtrip(s, dir)),
     "x_csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
     "x_xml_roundtrip" -> ((s, dir) => xmlRoundtrip(s, dir)),
@@ -2107,6 +2198,16 @@ object PipelineOps {
     "t6_stateful_live_view" -> ReferenceOps.LiveViewOracle,
     // incremental sign-collapse must land on the same live rows
     "t19_stream_collapsing" -> ReferenceOps.LiveViewOracle,
+
+    // the stream-maintained-MV + rewrite composition vs raw rows
+    "t20_live_projection" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_micro,
+        |  min(CAST(round(value * 1000000, 0) AS BIGINT)) AS min_value_micro,
+        |  max(CAST(round(value * 1000000, 0) AS BIGINT)) AS max_value_micro
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY event_type""".stripMargin,
 
     // flattened values re-derived from nation: the parquet roundtrip
     // through the replicator must reproduce them from the NESTED columns

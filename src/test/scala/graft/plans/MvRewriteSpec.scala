@@ -51,11 +51,30 @@ class MvRewriteSpec extends AnyFunSuite with graft.GateCacheHygiene {
     }
   }
 
+  test("grouping-column filters push onto the MV; values ≡ un-rewritten") {
+    def fq = spark.read.parquet(base)
+      .filter(col("l_linestatus") === "F" && col("l_returnflag") =!= "N")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("s"))
+    val expected = fq.collect().toSet
+    registered {
+      val df = fq
+      assert(!scansBase(df), "grouping-column filter blocked the rewrite")
+      assert(df.collect().toSet == expected)
+    }
+  }
+
   test("conservatism: anything outside the contract keeps the base scan") {
     registered {
-      // filter over the base disqualifies (the MV granularity can't see it)
+      // filter over a MEASURE disqualifies (the MV granularity can't see
+      // sub-group rows; only grouping-column predicates are pushable)
       assert(scansBase(spark.read.parquet(base)
         .filter(col("l_quantity") > 10).groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("s"))))
+      // and so does a filter mixing a grouping column with a measure
+      assert(scansBase(spark.read.parquet(base)
+        .filter(col("l_returnflag") === "R" || col("l_quantity") > 10)
+        .groupBy(col("l_returnflag"))
         .agg(sum(col("l_quantity")).as("s"))))
       // grouping key the MV didn't group by
       assert(scansBase(spark.read.parquet(base).groupBy(col("l_suppkey"))
@@ -73,6 +92,21 @@ class MvRewriteSpec extends AnyFunSuite with graft.GateCacheHygiene {
       assert(scansBase(spark.read.parquet(base).groupBy(col("l_returnflag"))
         .agg(avg(col("l_quantity")).as("a"))))
     }
+  }
+
+  test("t20 maintenance law: stream-folded MV snapshot ≡ recompute from " +
+      "the landed base") {
+    val (baseDir, mvSnap) =
+      graft.queries.PipelineOps.runLiveProjection(spark, TestSpark.Sf0001)
+    val recomputed = spark.read.parquet(baseDir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("_cnt"),
+        sum(col("value_micro")).as("_sum_value_micro"),
+        min(col("value_micro")).as("_min_value_micro"),
+        max(col("value_micro")).as("_max_value_micro"))
+    val snap = spark.read.parquet(mvSnap)
+    assert(snap.count() == recomputed.count())
+    assert(snap.exceptAll(recomputed).isEmpty &&
+      recomputed.exceptAll(snap).isEmpty)
   }
 
   test("cleared registry is inert and other tables are never touched") {
