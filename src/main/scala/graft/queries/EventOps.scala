@@ -278,6 +278,37 @@ object EventOps {
             .as("hll_overlap_in_bound"))
     }),
 
+    // ClickHouse `TTL … GROUP BY` — age-tiered downsampling (the
+    // GraphiteMergeTree retention-policy shape): the newest third of the
+    // event span keeps hourly resolution, the middle third rolls to
+    // daily, the oldest to weekly. The tier is decided PER ROW (exactly
+    // ClickHouse's TTL semantics — a bucket straddling a cutoff splits
+    // across tiers), cutoffs derived from the data's own span in exact
+    // Long arithmetic (Spark's truncating / and DuckDB's // agree on
+    // positive operands). One scan + one partial-agg'd shuffle; output is
+    // O(time buckets), independent of row count — the 100 TB point of
+    // retention rollup. Bucket timestamps emitted as epoch micros
+    // (driver-safe types; date_trunc is UTC-session-exact both engines,
+    // weeks start Monday in both).
+    "x_ttl_rollup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("ts_us"),
+        round(col("value") * 1000000d, 0).cast("bigint").as("_vq"))
+      val b = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val (c1, c2) = (hi - (hi - lo) / 3, hi - 2 * ((hi - lo) / 3))
+      val t = timestamp_micros(col("ts_us"))
+      ev.select(
+          when(col("ts_us") > c1, "hour")
+            .when(col("ts_us") > c2, "day").otherwise("week").as("tier"),
+          when(col("ts_us") > c1, unix_micros(date_trunc("hour", t)))
+            .when(col("ts_us") > c2, unix_micros(date_trunc("day", t)))
+            .otherwise(unix_micros(date_trunc("week", t))).as("bucket_us"),
+          col("_vq"))
+        .groupBy(col("tier"), col("bucket_us"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("_vq")).cast("long").as("sum_value_micro"))
+    }),
+
     // AggregatingMergeTree -State/-Merge (the third ClickHouse MergeTree
     // family next to Replacing = w1 and Collapsing = x_collapsing_final):
     // per-day PARTIAL aggregate states — a datasketches HLL binary from
@@ -460,6 +491,28 @@ object EventOps {
         |  count(DISTINCT user_id) AS exact_union,
         |  true AS hll_overlap_in_bound
         |FROM un GROUP BY 1, 2""".stripMargin,
+
+    // identical per-row tier logic, cutoffs from the same span arithmetic
+    "x_ttl_rollup" ->
+      """WITH b AS (SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi
+        |  FROM events),
+        |e AS (SELECT epoch_us(ts) AS us, ts,
+        |    CAST(round(value * 1000000, 0) AS BIGINT) AS vq
+        |  FROM events),
+        |tiered AS (SELECT
+        |    CASE WHEN us > hi - (hi - lo) // 3 THEN 'hour'
+        |         WHEN us > hi - 2 * ((hi - lo) // 3) THEN 'day'
+        |         ELSE 'week' END AS tier,
+        |    CASE WHEN us > hi - (hi - lo) // 3
+        |           THEN epoch_us(date_trunc('hour', ts))
+        |         WHEN us > hi - 2 * ((hi - lo) // 3)
+        |           THEN epoch_us(date_trunc('day', ts))
+        |         ELSE epoch_us(date_trunc('week', ts)) END AS bucket_us,
+        |    vq
+        |  FROM e CROSS JOIN b)
+        |SELECT tier, bucket_us, count(*) AS n_events,
+        |  CAST(sum(vq) AS BIGINT) AS sum_value_micro
+        |FROM tiered GROUP BY tier, bucket_us""".stripMargin,
 
     // every additive value recomputed from raw rows; the sketch binds
     // through the pinned bound boolean

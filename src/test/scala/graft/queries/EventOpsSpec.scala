@@ -101,6 +101,32 @@ class EventOpsSpec extends AnyFunSuite with graft.GateCacheHygiene {
       (1L, "2024-01-04", "actual", 40.0)))
   }
 
+  test("x_ttl_rollup: tiers partition the rows; buckets align to their " +
+      "resolution") {
+    import org.apache.spark.sql.functions._
+    val out = EventOps.queries("x_ttl_rollup")(spark, TestSpark.Sf0001)
+      .collect()
+    val total = spark.read
+      .parquet(s"${TestSpark.Sf0001}/events.parquet").count()
+    // mass conservation: every event lands in exactly one tier bucket
+    assert(out.map(_.getAs[Long]("n_events")).sum == total)
+    assert(out.map(_.getAs[String]("tier")).toSet == Set("hour", "day", "week"))
+    val hourUs = 3600L * 1000000L
+    out.foreach { r =>
+      val b = r.getAs[Long]("bucket_us")
+      r.getAs[String]("tier") match {
+        case "hour" => assert(b % hourUs == 0)
+        case "day"  => assert(b % (24 * hourUs) == 0)
+        case "week" => // Monday-start: epoch Thursday + 4 days offset
+          assert((b - 4 * 24 * hourUs) % (7 * 24 * hourUs) == 0)
+      }
+    }
+    // downsampling: coarser tiers hold fewer buckets per covered row
+    val byTier = out.groupBy(_.getAs[String]("tier"))
+      .view.mapValues(_.length).toMap
+    assert(byTier("week") < byTier("day") && byTier("day") < byTier("hour"))
+  }
+
   test("x_agg_state_merge: persisted HLL states union to the whole-set " +
       "estimate; additive partials reconcile exactly") {
     import org.apache.spark.sql.functions._
