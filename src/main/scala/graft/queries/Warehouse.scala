@@ -481,6 +481,39 @@ object Warehouse {
     // key; rank targets are integer arithmetic, so both engines agree
     // bit-for-bit. (approx_percentile is the 100 TB fast path; this is
     // the exact-oracle form pinning semantics.)
+    // Exact WEIGHTED quantiles (ClickHouse quantileExactWeighted): per
+    // return flag, the weighted median and p90 of line price with the
+    // line QUANTITY as weight. The definition is order-free — equal
+    // prices are collapsed first (one partial-agg shuffle), the
+    // cumulative weight is a window over the now-total price order, and
+    // quantile q = min price with cum ≥ q·total (all in exact integer
+    // cents/weights: 2·cum ≥ tot, 10·cum ≥ 9·tot — no float rank
+    // interpolation to diverge between engines). Scale shape: the window
+    // runs over O(distinct prices per group), not O(rows); the row-level
+    // work is the collapsing partial agg riding the scan.
+    "x_weighted_quantiles" -> ((s, dir) => {
+      val collapsed = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+          col("l_quantity").cast("long").as("w"))
+        .groupBy(col("l_returnflag"), col("price_cents"))
+        .agg(sum(col("w")).as("w"))
+      val g = Window.partitionBy(col("l_returnflag"))
+      val cumW = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("price_cents").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      collapsed
+        .withColumn("cum", sum(col("w")).over(cumW))
+        .withColumn("tot", sum(col("w")).over(g))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          min(when(col("cum") * 2 >= col("tot"), col("price_cents")))
+            .as("wmedian_cents"),
+          min(when(col("cum") * 10 >= col("tot") * 9, col("price_cents")))
+            .as("wp90_cents"),
+          max(col("tot")).as("total_weight"))
+    }),
+
     "x_percentiles" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("cents").asc)
       val mid1 = expr("(n + 1) div 2") // integer div — exact rank targets
@@ -1051,6 +1084,25 @@ object Warehouse {
         |  count(DISTINCT o_orderdate) FROM orders
         |UNION ALL SELECT 'o_orderpriority', count(*) FILTER (o_orderpriority IS NULL),
         |  count(DISTINCT o_orderpriority) FROM orders""".stripMargin,
+
+    // same collapse + cumulative definition, verbatim
+    "x_weighted_quantiles" ->
+      """WITH c AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |cw AS (SELECT l_returnflag, price_cents, w,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY price_cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM c)
+        |SELECT l_returnflag,
+        |  min(CASE WHEN cum * 2 >= tot THEN price_cents END)
+        |    AS wmedian_cents,
+        |  min(CASE WHEN cum * 10 >= tot * 9 THEN price_cents END)
+        |    AS wp90_cents,
+        |  CAST(max(tot) AS BIGINT) AS total_weight
+        |FROM cw GROUP BY l_returnflag""".stripMargin,
 
     "x_percentiles" ->
       """WITH r AS (SELECT o_orderpriority,

@@ -302,4 +302,47 @@ class WarehouseSpec extends AnyFunSuite with graft.GateCacheHygiene {
     }
     assert(rows.length == 3)
   }
+
+  test("x_weighted_quantiles ≡ straight-line weighted quantile; boundary " +
+      "at exact half picks the lower value") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // gate vs a JVM reference on real data (order-free definition)
+    val base = spark.read.parquet(s"${TestSpark.Sf0001}/lineitem.parquet")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        col("l_quantity").cast("long"))
+      .as[(String, Long, Long)].collect()
+    val want = base.groupBy(_._1).map { case (rf, rows) =>
+      val byPrice = rows.groupBy(_._2).view
+        .mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+      val tot = byPrice.map(_._2).sum
+      def q(num: Long, den: Long): Long = {
+        var cum = 0L
+        byPrice.find { case (_, w) => cum += w; cum * den >= tot * num }
+          .get._1
+      }
+      rf -> ((q(1, 2), q(9, 10), tot))
+    }
+    val got = Warehouse.queries("x_weighted_quantiles")(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == want)
+    // a heavy tail drags the weighted median where the unweighted stays:
+    // prices 1..4, weights 1,1,1,7 → wmedian = 4; exact-half boundary:
+    // equal weights 5/5 over prices 10,20 → lower value 10
+    val crafted = Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 1L),
+      ("a", 4L, 7L), ("b", 10L, 5L), ("b", 20L, 5L))
+      .toDF("l_returnflag", "price_cents", "w")
+    val w = org.apache.spark.sql.expressions.Window
+    val cum = w.partitionBy(col("l_returnflag")).orderBy(col("price_cents"))
+      .rowsBetween(Long.MinValue, 0)
+    val r = crafted.withColumn("cum", sum(col("w")).over(cum))
+      .withColumn("tot", sum(col("w")).over(w.partitionBy(col("l_returnflag"))))
+      .groupBy(col("l_returnflag"))
+      .agg(min(when(col("cum") * 2 >= col("tot"), col("price_cents")))
+        .as("m"))
+      .as[(String, Long)].collect().toMap
+    assert(r == Map("a" -> 4L, "b" -> 10L))
+  }
 }
