@@ -278,6 +278,39 @@ object EventOps {
             .as("hll_overlap_in_bound"))
     }),
 
+    // ClickHouse sequenceCount (non-overlapping pattern occurrences):
+    // how many DISJOINT view→purchase chains each user's ordered stream
+    // contains — the funnel gate counts first-occurrence chains, this
+    // counts the maximal disjoint matching. Closed form (no iterative
+    // scan): matched = n_purchases − max(0, max over inclusive prefixes
+    // of (purchases − views)) — the prefix max is exactly the purchases
+    // that arrive with no view available (the bracket-deficit law; the
+    // naive "more views than purchases before" identity OVERCOUNTS when
+    // unmatched purchases precede views, which the spec's greedy matcher
+    // caught). One per-user window exchange feeds both prefix counts,
+    // then a per-user aggregate; output is the pairs-per-user histogram —
+    // O(distinct counts) rows at any scale. Total order (ts, event_id)
+    // makes every prefix engine-exact.
+    "x_sequence_count" -> ((s, dir) => {
+      val wi = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+        .filter(col("event_type").isin("view", "purchase"))
+        .withColumn("_d",
+          count(when(col("event_type") === "purchase", 1)).over(wi) -
+            count(when(col("event_type") === "view", 1)).over(wi))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("_np"),
+          greatest(max(col("_d")), lit(0L)).as("_maxdef"))
+        .select(col("user_id"), (col("_np") - col("_maxdef")).as("n_pairs"))
+        .filter(col("n_pairs") > 0)
+        .groupBy(col("n_pairs")).agg(count(lit(1)).as("n_users"))
+    }),
+
     // ClickHouse `TTL … GROUP BY` — age-tiered downsampling (the
     // GraphiteMergeTree retention-policy shape): the newest third of the
     // event span keeps hourly resolution, the middle third rolls to
@@ -491,6 +524,22 @@ object EventOps {
         |  count(DISTINCT user_id) AS exact_union,
         |  true AS hll_overlap_in_bound
         |FROM un GROUP BY 1, 2""".stripMargin,
+
+    // the same bracket-deficit closed form, verbatim
+    "x_sequence_count" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |m AS (SELECT user_id, event_type,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) OVER w
+        |      - count(CASE WHEN event_type = 'view' THEN 1 END) OVER w AS d
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |per AS (SELECT user_id,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      - greatest(max(d), 0) AS n_pairs
+        |  FROM m GROUP BY user_id)
+        |SELECT n_pairs, count(*) AS n_users FROM per
+        |WHERE n_pairs > 0 GROUP BY n_pairs""".stripMargin,
 
     // identical per-row tier logic, cutoffs from the same span arithmetic
     "x_ttl_rollup" ->

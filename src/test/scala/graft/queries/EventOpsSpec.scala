@@ -101,6 +101,40 @@ class EventOpsSpec extends AnyFunSuite with graft.GateCacheHygiene {
       (1L, "2024-01-04", "actual", 40.0)))
   }
 
+  test("x_sequence_count: bracket identity ≡ greedy non-overlap matcher") {
+    import org.apache.spark.sql.functions._
+    // crafted: V P P V V P → P1 consumes V1, P2 finds no view,
+    // P3 consumes V2 — greedy disjoint pairs = 2
+    val seq = Seq("view", "purchase", "purchase", "view", "view", "purchase")
+    var open = 0L; var matched = 0L
+    seq.foreach {
+      case "view" => open += 1
+      case _ => if (open > 0) { open -= 1; matched += 1 }
+    }
+    assert(matched == 2L)
+
+    // straight-line greedy matcher over real sf0.001 streams ≡ the gate
+    val ev = spark.read.parquet(s"${TestSpark.Sf0001}/events.parquet")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .filter(col("event_type").isin("view", "purchase"))
+      .as[(Long, Long, Long, String)].collect()
+    val want = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      var o = 0L; var m = 0L
+      rows.sortBy(r => (r._2, r._3)).foreach { r =>
+        if (r._4 == "view") o += 1
+        else if (o > 0) { o -= 1; m += 1 }
+      }
+      if (m > 0) Some(u -> m) else None
+    }
+    val wantHist = want.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val got = EventOps.queries("x_sequence_count")(spark, TestSpark.Sf0001)
+      .as[(Long, Long)].collect().toMap
+    assert(got == wantHist)
+    assert(got.nonEmpty)
+  }
+
   test("x_ttl_rollup: tiers partition the rows; buckets align to their " +
       "resolution") {
     import org.apache.spark.sql.functions._
