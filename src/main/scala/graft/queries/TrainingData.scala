@@ -278,6 +278,38 @@ object TrainingData {
         .agg(count(lit(1)).as("n_spans"))
     }),
 
+    // Join-consistent ENTITY sampling (the user-level holdout): a
+    // 1-in-10 customer universe selected by portable hash of the
+    // customer key, with every dependent table following by hashing THE
+    // SAME KEY wherever it appears — no join against the sampled
+    // universe for any table carrying the foreign key (orders is a pure
+    // map-side filter); fact rows without it (lineitem) ride the one
+    // orderkey equi-join they already need. Entity-atomicity
+    // (all-or-nothing per customer — a held-out user's every row stays
+    // out of training) is certified in-row by the anti-join count, and
+    // the leakage rule x_leakage_safe_split enforces at cluster level is
+    // here applied at the entity level. At 100 TB the holdout costs one
+    // predicate per scan.
+    "x_entity_sample" -> ((s, dir) => {
+      def keep(c: org.apache.spark.sql.Column) =
+        PortableHash.hash32(c.cast("string"), "ent|") % 10 === 0
+      val cust = Tables.read(s, dir, "customer").filter(keep(col("c_custkey")))
+      val ords = Tables.read(s, dir, "orders").filter(keep(col("o_custkey")))
+      val li = Tables.read(s, dir, "lineitem").select(col("l_orderkey"))
+        .join(Tables.read(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(keep(col("o_custkey")))
+      val orphans = ords.select(col("o_custkey")).distinct()
+        .join(cust.select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+      cust.agg(count(lit(1)).as("n_customers"))
+        .crossJoin(ords.agg(count(lit(1)).as("n_orders")))
+        .crossJoin(li.agg(count(lit(1)).as("n_lineitems")))
+        .crossJoin(orphans.agg(count(lit(1)).as("_orph")))
+        .select(col("n_customers"), col("n_orders"), col("n_lineitems"),
+          (col("_orph") === 0L).as("entity_atomic"))
+    }),
+
     // Deterministic stratified sampling via portable hash — the
     // reproducible (seed-free, engine-portable) way to cut a training
     // subset; rate 1/5 per stratum.
@@ -1392,6 +1424,26 @@ object TrainingData {
          |FROM documents
          |WHERE ${PortableHash.duckSql("CAST(doc_id AS VARCHAR)", "smp|")} % 5 = 0
          |GROUP BY lang""".stripMargin,
+
+    // the same key-hash predicate per table; atomicity restated as the
+    // orders-without-their-customer anti count
+    "x_entity_sample" -> {
+      def k(c: String) = PortableHash.duckSql(s"CAST($c AS VARCHAR)", "ent|")
+      s"""SELECT
+         |  (SELECT count(*) FROM customer
+         |    WHERE (${k("c_custkey")}) % 10 = 0) AS n_customers,
+         |  (SELECT count(*) FROM orders
+         |    WHERE (${k("o_custkey")}) % 10 = 0) AS n_orders,
+         |  (SELECT count(*) FROM lineitem
+         |    JOIN orders ON l_orderkey = o_orderkey
+         |    WHERE (${k("o_custkey")}) % 10 = 0) AS n_lineitems,
+         |  (SELECT count(*) FROM (
+         |      SELECT DISTINCT o_custkey FROM orders
+         |      WHERE (${k("o_custkey")}) % 10 = 0) o
+         |    WHERE NOT EXISTS (SELECT 1 FROM customer
+         |      WHERE c_custkey = o.o_custkey
+         |        AND (${k("c_custkey")}) % 10 = 0)) = 0 AS entity_atomic""".stripMargin
+    },
 
     "x_temperature_sample" ->
       s"""WITH hd AS (SELECT lang,

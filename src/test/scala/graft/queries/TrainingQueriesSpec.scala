@@ -349,4 +349,31 @@ class TrainingQueriesSpec extends AnyFunSuite with graft.GateCacheHygiene {
       assert(mrr == (if (first < 0) 0.0 else 1.0 / (first + 1)))
     }
   }
+
+  test("x_entity_sample: entity-atomic holdout — dependents follow their " +
+      "customer exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.PortableHash
+    val sf = TestSpark.Sf0001
+    def keep(c: org.apache.spark.sql.Column) =
+      PortableHash.hash32(c.cast("string"), "ent|") % 10 === 0
+    val keptCust = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(keep(col("c_custkey"))).select(col("c_custkey"))
+      .as[Long].collect().toSet
+    val totalCust = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(keptCust.nonEmpty && keptCust.size < totalCust)
+    // independently recompute: orders of kept customers, their lineitems
+    val ords = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .as[(Long, Long)].collect()
+    val keptOrders = ords.filter(o => keptCust.contains(o._2)).map(_._1).toSet
+    val nLi = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey")).as[Long].collect()
+      .count(keptOrders.contains)
+    val row = TrainingData.queries("x_entity_sample")(spark, sf).head()
+    assert(row.getAs[Long]("n_customers") == keptCust.size.toLong)
+    assert(row.getAs[Long]("n_orders") == keptOrders.size.toLong)
+    assert(row.getAs[Long]("n_lineitems") == nLi.toLong)
+    assert(row.getAs[Boolean]("entity_atomic"))
+  }
 }
