@@ -25,7 +25,14 @@ class PartitionInvarianceSpec extends AnyFunSuite with GateCacheHygiene {
     // session merging, sorted-array JSON → VARIANT roundtrip, the pruned
     // join + explode change feed, and the two-anchor interpolation windows
     "x_ewma_smooth", "x_session_windows_batch", "x_variant_shred",
-    "x_merge_cdf", "x_interpolate_linear", "x_twap")
+    "x_merge_cdf", "x_interpolate_linear", "x_twap",
+    // r9 sixth-eighth waves: the sign collapse's max_by-over-struct under
+    // shuffle, the three min-monoid relaxations, the cumulative-weight
+    // quantiles, the prefix-window sequence count, the span-cutoff tier
+    // rollup, the HLL register-max state merge, and the key-hash holdout
+    "x_collapsing_final", "x_label_propagation", "x_bfs_khop",
+    "x_sssp_weighted", "x_weighted_quantiles", "x_sequence_count",
+    "x_ttl_rollup", "x_agg_state_merge", "x_entity_sample")
 
   private def run(name: String): Seq[String] = {
     val rows = SparkEntry.queries(name)(spark, TestSpark.Sf0001)
