@@ -278,6 +278,29 @@ object EventOps {
             .as("hll_overlap_in_bound"))
     }),
 
+    // ClickHouse deltaSum — counter-reset-aware monitoring aggregation:
+    // per (user, event_type) series ordered by (ts, event_id), sum ONLY
+    // the positive deltas of the value — a counter that resets (drops)
+    // contributes its growth segments, never the negative reset jump.
+    // Integer-micro quantization before the lag keeps every delta exact;
+    // one per-series window exchange, output per event_type (n_series +
+    // delta sum) — O(types) rows. Complements x_ttl_rollup as the other
+    // half of the Graphite/monitoring rollup pair.
+    "x_delta_sum" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("event_id"),
+          round(col("value") * 1000000d, 0).cast("bigint").as("_vq"))
+        .withColumn("_d", col("_vq") - lag(col("_vq"), 1).over(w))
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_series"),
+          sum(when(col("_d") > 0, col("_d")).otherwise(0L))
+            .cast("long").as("delta_sum_micro"))
+    }),
+
     // ClickHouse sequenceCount (non-overlapping pattern occurrences):
     // how many DISJOINT view→purchase chains each user's ordered stream
     // contains — the funnel gate counts first-occurrence chains, this
@@ -524,6 +547,20 @@ object EventOps {
         |  count(DISTINCT user_id) AS exact_union,
         |  true AS hll_overlap_in_bound
         |FROM un GROUP BY 1, 2""".stripMargin,
+
+    // identical per-series lag arithmetic
+    "x_delta_sum" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    event_id, CAST(round(value * 1000000, 0) AS BIGINT) AS vq
+        |  FROM events),
+        |d AS (SELECT user_id, event_type,
+        |    vq - lag(vq, 1) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY us, event_id) AS dd
+        |  FROM e)
+        |SELECT event_type, count(DISTINCT user_id) AS n_series,
+        |  CAST(sum(CASE WHEN dd > 0 THEN dd ELSE 0 END) AS BIGINT)
+        |    AS delta_sum_micro
+        |FROM d GROUP BY event_type""".stripMargin,
 
     // the same bracket-deficit closed form, verbatim
     "x_sequence_count" ->

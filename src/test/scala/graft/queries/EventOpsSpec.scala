@@ -101,6 +101,35 @@ class EventOpsSpec extends AnyFunSuite with graft.GateCacheHygiene {
       (1L, "2024-01-04", "actual", 40.0)))
   }
 
+  test("x_delta_sum: counter resets never contribute; ≡ straight-line lag") {
+    import org.apache.spark.sql.functions._
+    // crafted counter with a reset: 10 → 13 → 7 → 20 sums only +3 and
+    // +13 = 16; the −6 reset jump is dropped
+    val deltas = Seq(10L, 13L, 7L, 20L).sliding(2)
+      .map { case Seq(a, b) => b - a }.filter(_ > 0).sum
+    assert(deltas == 16L)
+
+    val ev = spark.read.parquet(s"${TestSpark.Sf0001}/events.parquet")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")),
+        col("event_id"),
+        round(col("value") * 1000000d, 0).cast("bigint"))
+      .as[(Long, String, Long, Long, Option[Long])].collect()
+    val want = ev.groupBy(r => r._2).map { case (tpe, rows) =>
+      val bySeries = rows.groupBy(_._1)
+      val ds = bySeries.values.map { series =>
+        series.sortBy(r => (r._3, r._4)).map(_._5).toSeq
+          .sliding(2).collect {
+            case Seq(Some(a), Some(b)) if b - a > 0 => b - a
+          }.sum
+      }.sum
+      tpe -> ((bySeries.size.toLong, ds))
+    }
+    val got = EventOps.queries("x_delta_sum")(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == want)
+  }
+
   test("x_sequence_count: bracket identity ≡ greedy non-overlap matcher") {
     import org.apache.spark.sql.functions._
     // crafted: V P P V V P → P1 consumes V1, P2 finds no view,
