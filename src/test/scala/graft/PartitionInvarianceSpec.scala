@@ -32,7 +32,7 @@ class PartitionInvarianceSpec extends AnyFunSuite with GateCacheHygiene {
     // rollup, the HLL register-max state merge, and the key-hash holdout
     "x_collapsing_final", "x_label_propagation", "x_bfs_khop",
     "x_sssp_weighted", "x_weighted_quantiles", "x_sequence_count",
-    "x_ttl_rollup", "x_agg_state_merge", "x_entity_sample")
+    "x_ttl_rollup", "x_agg_state_merge", "x_entity_sample", "x_delta_sum")
 
   private def run(name: String): Seq[String] = {
     val rows = SparkEntry.queries(name)(spark, TestSpark.Sf0001)
