@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -20,8 +20,27 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val nErrors = dump(spark, sfDir, outDir,
+      SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) },
+      SparkEntry.oracleSql.filter { case (n, _) => only.forall(_.contains(n)) })
+    if (nErrors > 0)
+      System.err.println(s"[verify] $nErrors FAILED gates — see $outDir/errors.json")
+    spark.stop()
+  }
+
+  /** The testable core: run every query into `outDir/<name>`, dump the
+    * filtered oracle set, and record every in-JVM failure as a visible
+    * red row in `errors.json` (round 8's lesson: a throwing gate must
+    * never just make the correctness JSON smaller). Returns the failure
+    * count. */
+  def dump(
+      spark: SparkSession,
+      sfDir: String,
+      outDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      oracles: Map[String, String]): Int = {
     // clear stale results (e.g. from renamed queries) so the compare set
-    // is exactly SparkEntry.queries
+    // is exactly the query map passed in
     val out = new java.io.File(outDir)
     if (out.isDirectory) {
       def rm(f: java.io.File): Unit = {
@@ -31,13 +50,8 @@ object Verify {
       Option(out.listFiles()).getOrElse(Array.empty).foreach(rm)
     }
     out.mkdirs()
-    // a throwing gate must be a visible red row, not a silently smaller
-    // JSON (round 8: 31 gates vanished from CORRECTNESS unnoticed) —
-    // collect name → message and dump errors.json alongside oracle_sql.json
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -64,15 +78,12 @@ object Verify {
     // restricted to the same filter as the query run: check_oracle treats
     // every oracle key without a result dir as a FAILURE (truncation
     // guard), so a filtered dev run must emit a filtered oracle set too
-    val json = SparkEntry.oracleSql
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
-    if (errors.nonEmpty)
-      System.err.println(s"[verify] ${errors.size} FAILED gates — see $outDir/errors.json")
-    spark.stop()
+    errors.size
   }
 }
