@@ -310,6 +310,30 @@ object TrainingData {
           (col("_orph") === 0L).as("entity_atomic"))
     }),
 
+    // EXACT-SIZE stratified sampling: exactly min(50, n) docs per
+    // language, chosen by portable-hash order (doc_id tie-break makes
+    // the order total, so the chosen SET is deterministic). This is the
+    // fixed-budget complement of the Bernoulli-rate family
+    // (x_sample_stratified etc.), whose sample sizes fluctuate — "give
+    // me exactly k per stratum" at 100 TB plans as partial+final
+    // WindowGroupLimit: each map partition keeps ≤ k rows per stratum
+    // BEFORE the exchange, so the shuffle carries O(partitions·k), not
+    // the corpus. The sum of chosen doc_ids binds the exact selected
+    // set in the hash compare, not just its size.
+    "x_exact_stratified" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(PortableHash.hash32(col("doc_id").cast("string"), "xs|").asc,
+          col("doc_id").asc)
+      docs(s, dir)
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= 50)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_taken"),
+          sum(col("n_chars")).cast("long").as("sampled_chars"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+    }),
+
     // Deterministic stratified sampling via portable hash — the
     // reproducible (seed-free, engine-portable) way to cut a training
     // subset; rate 1/5 per stratum.
@@ -1424,6 +1448,18 @@ object TrainingData {
          |FROM documents
          |WHERE ${PortableHash.duckSql("CAST(doc_id AS VARCHAR)", "smp|")} % 5 = 0
          |GROUP BY lang""".stripMargin,
+
+    // the same hash-order rank, verbatim
+    "x_exact_stratified" ->
+      s"""WITH r AS (SELECT lang, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY lang ORDER BY
+         |      ${PortableHash.duckSql("CAST(doc_id AS VARCHAR)", "xs|")} ASC,
+         |      doc_id ASC) AS rk
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_taken,
+         |  CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM r WHERE rk <= 50 GROUP BY lang""".stripMargin,
 
     // the same key-hash predicate per table; atomicity restated as the
     // orders-without-their-customer anti count

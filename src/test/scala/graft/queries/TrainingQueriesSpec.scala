@@ -350,6 +350,31 @@ class TrainingQueriesSpec extends AnyFunSuite with graft.GateCacheHygiene {
     }
   }
 
+  test("x_exact_stratified: exactly min(50, n) per stratum; the chosen " +
+      "set is the hash-order prefix") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.PortableHash
+    val sf = TestSpark.Sf0001
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), col("doc_id"),
+        PortableHash.hash32(col("doc_id").cast("string"), "xs|").as("h"))
+      .as[(String, Long, Long)].collect()
+    val want = d.groupBy(_._1).map { case (lang, rows) =>
+      val chosen = rows.sortBy(r => (r._3, r._2)).take(50)
+      lang -> ((chosen.length.toLong, chosen.map(_._2).sum))
+    }
+    val got = TrainingData.queries("x_exact_stratified")(spark, sf)
+      .select(col("lang"), col("n_taken"), col("id_sum"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == want)
+    // the budget binds: every stratum takes min(50, n) exactly
+    val counts = d.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    got.foreach { case (lang, (n, _)) =>
+      assert(n == math.min(50L, counts(lang)))
+    }
+  }
+
   test("x_entity_sample: entity-atomic holdout — dependents follow their " +
       "customer exactly") {
     import org.apache.spark.sql.functions._
