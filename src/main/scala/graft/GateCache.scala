@@ -41,4 +41,46 @@ object GateCache {
       f = releases.poll()
     }
   }
+
+  // ---- session-lifetime temp dirs -----------------------------------
+  // Gate queries stage data through Files.createTempDirectory (CDC
+  // landing zones, checkpoint dirs, MV snapshots, ...). Their lifetime
+  // is the SESSION, not the gate — several are memoized across gates by
+  // lazy staging helpers — so they can't ride `releases`; but leaving
+  // them behind let repeated suite/bench runs accumulate parquet dirs on
+  // disk (r9 ADVICE). Every dir created through [[tempDir]] is deleted
+  // recursively by one JVM shutdown hook instead.
+
+  private val tempDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  private lazy val hookInstalled: Unit = {
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => cleanupTempDirs(), "graft-tempdir-cleanup"))
+    ()
+  }
+
+  /** `Files.createTempDirectory` + registration for cleanup at JVM exit. */
+  def tempDir(prefix: String): java.nio.file.Path = {
+    hookInstalled
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs.add(p)
+    p
+  }
+
+  /** Delete every registered temp dir now (what the shutdown hook runs;
+    * callable directly so specs can pin the behavior). Deletion failures
+    * are ignored — `File.delete` returns false rather than throwing. */
+  def cleanupTempDirs(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    var p = tempDirs.poll()
+    while (p != null) {
+      try rm(p.toFile) catch { case _: Throwable => () }
+      p = tempDirs.poll()
+    }
+  }
 }

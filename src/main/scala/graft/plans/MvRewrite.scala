@@ -44,8 +44,9 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * re-aliased to the ORIGINAL aggregate's `ExprId`s, so every consumer
   * above binds unchanged. Data types are verified equal before the swap is
   * committed; the one intentional widening is nullability (`sum` of
-  * partials is nullable where `count(*)` was not — never null in practice
-  * since every surviving group has ≥ 1 MV row).
+  * partials is nullable where `count(*)` was not — the count itself is
+  * kept non-null by a coalesce-to-0, which matters exactly when a global
+  * aggregate's input is filtered to empty).
   */
 object MvRewrite {
 
@@ -57,9 +58,18 @@ object MvRewrite {
   /** base-path (URI path component) → MV definition. */
   private val registry = new ConcurrentHashMap[String, MvDef]()
 
-  /** Scheme-insensitive path identity: `file:/x/y` ≡ `/x/y`. */
-  def normalizePath(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.getPath
+  /** Registry path identity. Local paths are scheme-insensitive
+    * (`file:/x/y` ≡ `/x/y` — the equivalence the gates rely on), but any
+    * OTHER filesystem keeps its full scheme + authority: collapsing
+    * `s3://bucketA/data` and `s3://bucketB/data` to `/data` would let a
+    * query over one table be answered from the other's MV (r9 ADVICE). */
+  def normalizePath(p: String): String = {
+    val u = new org.apache.hadoop.fs.Path(p).toUri
+    val scheme = Option(u.getScheme).getOrElse("file")
+    val auth = Option(u.getAuthority).getOrElse("")
+    if (scheme == "file" && auth.isEmpty) u.getPath
+    else s"$scheme://$auth${u.getPath}"
+  }
 
   def register(
       spark: SparkSession,
@@ -198,12 +208,18 @@ object MvRewrite {
         outs: Seq[(String, Out)], conds: Seq[Expression]): Option[LogicalPlan] = {
       val mvPlan = ddef.mvDf.queryExecution.analyzed
       val mvOut: Map[String, Attribute] = mvPlan.output.map(a => a.name -> a).toMap
-      val needed = gnames ++ outs.collect {
-        case (_, CntOut)    => "_cnt"
-        case (_, SumOut(m)) => s"_sum_$m"
-        case (_, MinOut(m)) => s"_min_$m"
-        case (_, MaxOut(m)) => s"_max_$m"
-      }
+      // filter-only grouping columns count as needed too: a conjunct can
+      // reference a grouping column that appears in no output, and the
+      // rebind below would throw at optimizer time if the (mis-registered)
+      // MV lacks it (r9 ADVICE)
+      val needed = gnames ++
+        conds.flatMap(_.references.map(_.name)) ++
+        outs.collect {
+          case (_, CntOut)    => "_cnt"
+          case (_, SumOut(m)) => s"_sum_$m"
+          case (_, MinOut(m)) => s"_min_$m"
+          case (_, MaxOut(m)) => s"_max_$m"
+        }
       // a mis-registered MV (missing partial columns) must mean "no
       // rewrite", never an optimizer-time exception
       if (!needed.forall(mvOut.contains)) return None
@@ -218,7 +234,16 @@ object MvRewrite {
       val resultExprs = agg.output.zip(outs).map { case (o, (_, shape)) =>
         val e: Expression = shape match {
           case GroupOut(g) => mvOut(g)
-          case CntOut      => fin(Sum(mvOut("_cnt")))
+          // a GLOBAL aggregate (no grouping keys) still emits one row when
+          // its input is empty — the MV may be empty, or a pushed
+          // grouping-column filter may cut every MV row — and there
+          // count(*) must be 0 while Sum(_cnt) is NULL (r9 ADVICE,
+          // medium). sum/min/max over the same empty input are NULL in
+          // the un-rewritten query too, so only the count needs the
+          // coalesce; for grouped queries every surviving group has ≥1 MV
+          // row and the fallback literal is dead.
+          case CntOut      =>
+            Coalesce(Seq(fin(Sum(mvOut("_cnt"))), Literal(0L)))
           case SumOut(m)   => fin(Sum(mvOut(s"_sum_$m")))
           case MinOut(m)   => fin(Min(mvOut(s"_min_$m")))
           case MaxOut(m)   => fin(Max(mvOut(s"_max_$m")))

@@ -378,7 +378,7 @@ object EventOps {
     // ≫ the ~1.6% lgK=12 plausible deviation).
     "x_agg_state_merge" -> ((s, dir) => {
       val mvDir =
-        java.nio.file.Files.createTempDirectory("graft_aggstate").toString
+        graft.GateCache.tempDir("graft_aggstate").toString
       val ev = Tables.events(s, dir).select(
         to_date(timestamp_micros(col("ts_us"))).cast("string").as("day"),
         col("user_id"),

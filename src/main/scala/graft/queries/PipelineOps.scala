@@ -25,7 +25,7 @@ object PipelineOps {
     * mismatch — hence the require. */
   private[graft] def stageReplayFile(srcDir: String)(
       df: DataFrame, name: String, mtime: Long): Unit = {
-    val tmp = Files.createTempDirectory("graft_stage_tmp").toString
+    val tmp = graft.GateCache.tempDir("graft_stage_tmp").toString
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = new java.io.File(tmp).listFiles()
       .filter(_.getName.endsWith(".parquet")).head
@@ -38,7 +38,7 @@ object PipelineOps {
   /** O3/A4: replicate three tables into a fresh warehouse and report the
     * reference's result-dict shape (`src/replicator.py:74-85`). */
   def snapshotRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val wh = Files.createTempDirectory("graft_snap_wh").toString
+    val wh = graft.GateCache.tempDir("graft_snap_wh").toString
     val rep = new SnapshotReplicator(s, dir, wh)
     val results = rep.run(Seq("region", "nation", "supplier"), parallelism = 3)
     import s.implicits._
@@ -52,8 +52,8 @@ object PipelineOps {
     * constant version ⇒ survivor per user = max ingest seq (event_id). */
   def cdcStreamLive(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tgt = Files.createTempDirectory("graft_cdc_tgt").toString
-    val ckp = Files.createTempDirectory("graft_cdc_ckp").toString
+    val tgt = graft.GateCache.tempDir("graft_cdc_tgt").toString
+    val ckp = graft.GateCache.tempDir("graft_cdc_ckp").toString
     val pipe = new CdcPipeline(s, tgt, ckp)
 
     // schema as read with nanosAsLong (ts: LONG ns)
@@ -62,7 +62,7 @@ object PipelineOps {
         "value DOUBLE, props STRING")
     // the file stream source requires a directory: stage the single
     // events.parquet file behind a temp-dir symlink (no data copy)
-    val srcDir = Files.createTempDirectory("graft_cdc_src")
+    val srcDir = graft.GateCache.tempDir("graft_cdc_src")
     Files.createSymbolicLink(srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val stream = s.readStream.schema(schema)
@@ -93,9 +93,9 @@ object PipelineOps {
     * pos, so the oracle is the same derivation as t1's. */
   def debeziumCdcLive(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tgt = Files.createTempDirectory("graft_dbz_tgt").toString
-    val ckp = Files.createTempDirectory("graft_dbz_ckp").toString
-    val landing = Files.createTempDirectory("graft_dbz_src").toString
+    val tgt = graft.GateCache.tempDir("graft_dbz_tgt").toString
+    val ckp = graft.GateCache.tempDir("graft_dbz_ckp").toString
+    val landing = graft.GateCache.tempDir("graft_dbz_src").toString
     val rowSchema = StructType.fromDDL(
       "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
         "value DOUBLE, props STRING")
@@ -141,9 +141,9 @@ object PipelineOps {
     * pins. Event times stay inside the 30-day horizon, so no state is
     * evicted mid-run and the stream dedups globally, like the batch op. */
   def streamDedupCounts(s: SparkSession, dir: String): DataFrame = {
-    val srcDir = Files.createTempDirectory("graft_sdd_src").toString
-    val outDir = Files.createTempDirectory("graft_sdd_out").toString
-    val ckp = Files.createTempDirectory("graft_sdd_ckp").toString
+    val srcDir = graft.GateCache.tempDir("graft_sdd_src").toString
+    val outDir = graft.GateCache.tempDir("graft_sdd_out").toString
+    val ckp = graft.GateCache.tempDir("graft_sdd_ckp").toString
     Tables.read(s, dir, "documents")
       .repartition(3).write.mode("overwrite").parquet(srcDir)
     val schema = s.read.parquet(srcDir).schema
@@ -209,9 +209,9 @@ object PipelineOps {
     * (round(value*100), identical IEEE arithmetic in DuckDB) is what
     * makes those totals batching-invariant and hash-adjudicable. */
   def transformWithStateTotals(s: SparkSession, dir: String): DataFrame = {
-    val srcDir = Files.createTempDirectory("graft_tws_src").toString
-    val outDir = Files.createTempDirectory("graft_tws_out").toString
-    val ckp = Files.createTempDirectory("graft_tws_ckp").toString
+    val srcDir = graft.GateCache.tempDir("graft_tws_src").toString
+    val outDir = graft.GateCache.tempDir("graft_tws_out").toString
+    val ckp = graft.GateCache.tempDir("graft_tws_ckp").toString
     Tables.read(s, dir, "events")
       .select(col("user_id"),
         round(col("value") * 100).cast("long").as("cents"))
@@ -262,9 +262,9 @@ object PipelineOps {
     * final batch that touched the user) must equal the batch aggregate
     * per the processor's order-independence contract. */
   def typedStateProfile(s: SparkSession, dir: String): DataFrame = {
-    val srcDir = Files.createTempDirectory("graft_tsp_src").toString
-    val outDir = Files.createTempDirectory("graft_tsp_out").toString
-    val ckp = Files.createTempDirectory("graft_tsp_ckp").toString
+    val srcDir = graft.GateCache.tempDir("graft_tsp_src").toString
+    val outDir = graft.GateCache.tempDir("graft_tsp_out").toString
+    val ckp = graft.GateCache.tempDir("graft_tsp_ckp").toString
     Tables.read(s, dir, "events")
       .select(col("user_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
@@ -318,8 +318,8 @@ object PipelineOps {
     * `state-metadata` source pins which operator/store the bytes belong
     * to before trusting them. */
   def stateStoreReader(s: SparkSession, dir: String): DataFrame = {
-    val srcDir = Files.createTempDirectory("graft_ssr_src").toString
-    val ckp = Files.createTempDirectory("graft_ssr_ckp").toString
+    val srcDir = graft.GateCache.tempDir("graft_ssr_src").toString
+    val ckp = graft.GateCache.tempDir("graft_ssr_ckp").toString
     Tables.read(s, dir, "events")
       .select(col("user_id"),
         round(col("value") * 100).cast("long").as("cents"))
@@ -360,6 +360,111 @@ object PipelineOps {
         col("value.sum").as("total_cents"))
   }
 
+  /** T21: the state-store reader over TRANSFORMWITHSTATE checkpoints —
+    * t17 certifies the `statestore` source against a `stateStoreSave`
+    * aggregation; this gate opens the RocksDB state the t15/t18
+    * processors actually keep (r9 VERDICT #5): the `totals`
+    * ValueState[(Long, Long)] of [[graft.streaming.RunningTotals]], and
+    * the `byType` MapState + `centsLog` ListState of
+    * [[graft.streaming.TypedStateProfile]] — the three typed-state
+    * encodings a 100 TB live-view deployment would inspect when a
+    * processor misbehaves. Both pipelines run with their emissions
+    * deliberately DISCARDED; every output cell is recovered from the
+    * checkpoints via `stateVarName` reads (value rows, flattened
+    * map entries pivoted back to per-type counts, flattened list
+    * elements re-reduced), with `state-metadata` provenance pinned
+    * first — operator `transformWithStateExec` and the declared state
+    * variables in `operatorProperties`. The oracle recomputes the same
+    * per-user profile relationally; integer-cents quantization makes it
+    * batching-invariant. Reads are partition-parallel over the
+    * checkpoint files — no replay, no driver funnel. */
+  def typedStateReader(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = graft.GateCache.tempDir("graft_tsr_src").toString
+    val ckpV = graft.GateCache.tempDir("graft_tsr_ckpv").toString
+    val ckpT = graft.GateCache.tempDir("graft_tsr_ckpt").toString
+    Tables.read(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .repartition(3).write.mode("overwrite").parquet(srcDir)
+    val schema = s.read.parquet(srcDir).schema
+    def stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def drain(d: DataFrame, ckp: String): Unit = {
+        val q = d.writeStream.outputMode("update")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            // emissions dropped — the state IS the product (t17 contract)
+            b.write.format("noop").mode("overwrite").save()
+          }
+          .option("checkpointLocation", ckp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain(graft.streaming.RunningTotals.totalsStream(
+        stream.select(col("user_id"), col("cents"))).toDF(), ckpV)
+      drain(graft.streaming.TypedStateProfile.profileStream(stream).toDF(),
+        ckpT)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+    }
+    // provenance: one transformWithState operator per checkpoint, state
+    // from batch 0, and the DECLARED state variables — only then read.
+    // (The reader itself re-applies the checkpoint's own conf from the
+    // offset log, so the provider restore above cannot misdirect it.)
+    def pin(ckp: String, vars: Set[String]): Unit = {
+      val md = s.read.format("state-metadata").load(ckp).collect()
+      require(md.length == 1, s"expected one stateful operator, got ${md.length}")
+      require(md(0).getAs[String]("operatorName") == "transformWithStateExec",
+        s"unexpected operator: ${md(0)}")
+      require(md(0).getAs[Long]("minBatchId") == 0L,
+        s"state history truncated: ${md(0)}")
+      val props = md(0).getAs[String]("operatorProperties")
+      vars.foreach(v => require(props.contains(s""""stateName":"$v""""),
+        s"state var $v not declared in $props"))
+    }
+    pin(ckpV, Set("totals"))
+    pin(ckpT, Set("byType", "centsLog"))
+    def readVar(ckp: String, name: String): DataFrame =
+      s.read.format("statestore").option("stateVarName", name).load(ckp)
+    // ValueState[(Long, Long)]: one row per key, product-encoder fields
+    val totals = readVar(ckpV, "totals")
+      .select(col("key.value").as("user_id"),
+        col("value._1").as("n_events"), col("value._2").as("total_cents"))
+    // MapState[String, Long]: flattened (key, user_map_key, user_map_value)
+    // entries, pivoted back to the per-type count columns t18 emits
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val typeCounts = types.map(t =>
+      sum(when(col("_t") === t, col("_n")).otherwise(0L)).as(s"n_$t"))
+    val byType = readVar(ckpT, "byType")
+      .select(col("key.value").as("user_id"),
+        col("user_map_key.value").as("_t"),
+        col("user_map_value.value").as("_n"))
+      .groupBy(col("user_id"))
+      .agg(typeCounts.head, typeCounts.tail: _*)
+    // ListState[Long]: flattened one row per element — re-reduce
+    val centsLog = readVar(ckpT, "centsLog")
+      .select(col("key.value").as("user_id"),
+        col("list_element.value").as("_c"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_cents"),
+        sum(col("_c")).cast("long").as("cents_from_log"))
+    totals.join(byType, Seq("user_id")).join(centsLog, Seq("user_id"))
+      .select(Seq(col("user_id"), col("n_events"), col("total_cents")) ++
+        types.map(t => col(s"n_$t")) :+
+        col("n_cents") :+ col("cents_from_log"): _*)
+  }
+
   /** T16: streaming sessionization — the t5 batch gate's `session_window`
     * run UNDER readStream with a 0-delay watermark over an ascending
     * event-time replay (3 ranges + two far-future flush batches, the
@@ -374,7 +479,7 @@ object PipelineOps {
     * the sentinel's own session stays in state and is filtered. Landed
     * sessions ≡ the batch islands oracle — t5's, verbatim. */
   def streamSessionized(s: SparkSession, dir: String): DataFrame = {
-    val srcDir = Files.createTempDirectory("graft_tss_src").toString
+    val srcDir = graft.GateCache.tempDir("graft_tss_src").toString
     val d = Tables.events(s, dir)
       .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts_ev"))
     val b = d.agg(min(unix_micros(col("ts_ev"))).as("lo"),
@@ -405,8 +510,8 @@ object PipelineOps {
     * micro-batches is emitted ONCE, complete, by eviction. Returns the
     * landed sessions, sentinels filtered. */
   def runStreamSessionized(s: SparkSession, srcDir: String): DataFrame = {
-    val outDir = Files.createTempDirectory("graft_tss_out").toString
-    val ckp = Files.createTempDirectory("graft_tss_ckp").toString
+    val outDir = graft.GateCache.tempDir("graft_tss_out").toString
+    val ckp = graft.GateCache.tempDir("graft_tss_ckp").toString
     val schema = s.read.parquet(srcDir).schema
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
@@ -436,10 +541,10 @@ object PipelineOps {
     * replay, flagged ≡ "shares a band key with any smaller doc_id" — the
     * batch-relational definition the oracle re-derives. */
   def streamNearDupRaw(s: SparkSession, dir: String): DataFrame = {
-    val srcDir = Files.createTempDirectory("graft_snd_src").toString
-    val outDir = Files.createTempDirectory("graft_snd_out").toString
-    val idxDir = Files.createTempDirectory("graft_snd_idx").toString + "/idx"
-    val ckp = Files.createTempDirectory("graft_snd_ckp").toString
+    val srcDir = graft.GateCache.tempDir("graft_snd_src").toString
+    val outDir = graft.GateCache.tempDir("graft_snd_out").toString
+    val idxDir = graft.GateCache.tempDir("graft_snd_idx").toString + "/idx"
+    val ckp = graft.GateCache.tempDir("graft_snd_ckp").toString
     val d = Tables.read(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
     val m = d.agg(max(col("doc_id"))).head().getLong(0)
@@ -472,6 +577,61 @@ object PipelineOps {
         sum(col("is_dup")).cast("long").as("n_dup_candidates"),
         sum(lit(1L) - col("is_dup")).cast("long").as("n_novel"))
 
+  /** T22: at-ingest contamination screening
+    * ([[graft.streaming.StreamContamination]], r9 VERDICT #8) — the
+    * benchmark's winnow fingerprints (eval split: `doc_id % EvalMod ==
+    * 0`, the decontamination gates' convention) staged once, the train
+    * split replayed as three micro-batches; each batch's documents are
+    * flagged against the broadcast benchmark set inside foreachBatch.
+    * Because the benchmark set is fixed, the per-document verdict is
+    * batch-boundary-invariant and equals the batch
+    * `x_decontaminate_apply` decision — the oracle recomputes it
+    * relationally over the whole corpus. */
+  def streamContamination(s: SparkSession, dir: String): DataFrame =
+    streamContaminationRaw(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_contaminated")).cast("long").as("n_flagged"),
+        sum(when(col("is_contaminated") === 0L, col("n_chars"))
+          .otherwise(0L)).cast("long").as("clean_chars"))
+
+  /** The t22 run itself, returning the per-document flagged rows —
+    * separated so the spec can pin individual verdicts on crafted docs. */
+  def streamContaminationRaw(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = graft.GateCache.tempDir("graft_sct_src").toString
+    val outDir = graft.GateCache.tempDir("graft_sct_out").toString
+    val evalDir = graft.GateCache.tempDir("graft_sct_eval").toString + "/fps"
+    val ckp = graft.GateCache.tempDir("graft_sct_ckp").toString
+    TrainingData.winnowFps(s, dir)
+      .filter(col("doc_id") % TrainingData.EvalMod === 0)
+      .select(col("fp")).distinct()
+      .write.mode("overwrite").parquet(evalDir)
+    val d = Tables.read(s, dir, "documents")
+      .filter(col("doc_id") % TrainingData.EvalMod =!= 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+    val m = d.agg(max(col("doc_id"))).head().getLong(0)
+    val stage = stageReplayFile(srcDir) _
+    val base = 1600000000000L // strictly increasing modtimes = replay order
+    stage(d.filter(col("doc_id") * 3 <= m), "b0.parquet", base)
+    stage(d.filter(col("doc_id") * 3 > m && col("doc_id") * 3 <= 2 * m),
+      "b1.parquet", base + 600000L)
+    stage(d.filter(col("doc_id") * 3 > 2 * m), "b2.parquet", base + 1200000L)
+    val stream = s.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      graft.streaming.StreamContamination.run(stream,
+        idCol = "doc_id", textCol = "text",
+        keepCols = Seq("doc_id", "lang", "n_chars"),
+        evalFpDir = evalDir, outDir = outDir, checkpointDir = ckp,
+        k = TrainingData.WinnowK, w = TrainingData.WinnowW,
+        ratio = TrainingData.DecontamRatio,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(outDir)
+  }
+
   /** Watermark late-data semantics, exactly reproduced. Three chunks
     * replayed in forced modtime order: on-time history (ts < Jan 16,
     * minus stragglers), mid-period data (Jan 16–23), then the tail PLUS
@@ -485,9 +645,9 @@ object PipelineOps {
     * replays drop (window.end ≤ lagged wm) and emit (window.end ≤ final
     * wm) in SQL — exactly which rows vanish and which windows appear. */
   def lateDataWindows(s: SparkSession, dir: String): DataFrame = {
-    val srcDir = Files.createTempDirectory("graft_late_src").toString
-    val outDir = Files.createTempDirectory("graft_late_out").toString
-    val ckp = Files.createTempDirectory("graft_late_ckp").toString
+    val srcDir = graft.GateCache.tempDir("graft_late_src").toString
+    val outDir = graft.GateCache.tempDir("graft_late_out").toString
+    val ckp = graft.GateCache.tempDir("graft_late_ckp").toString
     val MidUs = 1705363200000000L // 2024-01-16T00:00:00Z
     val Mid2Us = 1705968000000000L // 2024-01-23T00:00:00Z
     val ev = Tables.events(s, dir).select(col("event_id"), col("ts_us"))
@@ -534,7 +694,7 @@ object PipelineOps {
     * Output rows (stage, table_name, n, ok) are all reproducible from
     * source table counts, so the oracle is exact. */
   def tableLifecycle(s: SparkSession, dir: String): DataFrame = {
-    val wh = Files.createTempDirectory("graft_lc_wh").toString
+    val wh = graft.GateCache.tempDir("graft_lc_wh").toString
     val rep = new SnapshotReplicator(s, dir, wh)
     val results = rep.run(Seq("region", "nation", "no_such_table"))
     val snapRows = results.map(r =>
@@ -558,13 +718,13 @@ object PipelineOps {
         rep.targetExists("nation")))
 
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tgt = Files.createTempDirectory("graft_lc_tgt").toString
-    val ckp = Files.createTempDirectory("graft_lc_ckp").toString
+    val tgt = graft.GateCache.tempDir("graft_lc_tgt").toString
+    val ckp = graft.GateCache.tempDir("graft_lc_ckp").toString
     val pipe = new CdcPipeline(s, tgt, ckp)
     val schema = StructType.fromDDL(
       "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
         "value DOUBLE, props STRING")
-    val srcDir = Files.createTempDirectory("graft_lc_src")
+    val srcDir = graft.GateCache.tempDir("graft_lc_src")
     Files.createSymbolicLink(srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val stream = s.readStream.schema(schema).parquet(srcDir.toString)
@@ -593,9 +753,9 @@ object PipelineOps {
     * `w1_live_view` result, so both share one oracle
     * ([[ReferenceOps.LiveViewOracle]]): write-path ≡ read-path dedup. */
   def statefulLiveView(s: SparkSession, dir: String): DataFrame = {
-    val srcDir = Files.createTempDirectory("graft_slv_src").toString
-    val outDir = Files.createTempDirectory("graft_slv_out").toString
-    val ckp = Files.createTempDirectory("graft_slv_ckp").toString
+    val srcDir = graft.GateCache.tempDir("graft_slv_src").toString
+    val outDir = graft.GateCache.tempDir("graft_slv_out").toString
+    val ckp = graft.GateCache.tempDir("graft_slv_ckp").toString
     Tables.events(s, dir).repartition(3).write.mode("overwrite").parquet(srcDir)
     val schema = s.read.parquet(srcDir).schema
     val stream = s.readStream.schema(schema)
@@ -663,7 +823,7 @@ object PipelineOps {
     * bucket counts + post-repair checksum equality — the oracle pins all
     * four from the source alone, so a silent repair failure mismatches. */
   def bucketRepair(s: SparkSession, dir: String): DataFrame = {
-    val wh = Files.createTempDirectory("graft_repair").toString
+    val wh = graft.GateCache.tempDir("graft_repair").toString
     val rep = new SnapshotReplicator(s, dir, wh)
     val nb = 16
     val src = Tables.read(s, dir, "customer")
@@ -714,7 +874,7 @@ object PipelineOps {
     * mode next to the append gates (t5/t10) and the update-like
     * foreachBatch sinks (t1/t9). */
   def completeModeAgg(s: SparkSession, dir: String): DataFrame = {
-    val srcDir = Files.createTempDirectory("graft_cm_src").toString
+    val srcDir = graft.GateCache.tempDir("graft_cm_src").toString
     Tables.events(s, dir)
       .select(col("event_id"), col("event_type"))
       .repartition(3).write.mode("overwrite").parquet(srcDir)
@@ -777,7 +937,7 @@ object PipelineOps {
     * delay — same plan, smaller state. Joined rows land in parquet; the
     * batch aggregation below is on the landed output. */
   def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
-    val srcDir = Files.createTempDirectory("graft_ssj_src").toString
+    val srcDir = graft.GateCache.tempDir("graft_ssj_src").toString
     Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
         timestamp_micros(col("ts_us")).as("ts_ev"))
@@ -796,8 +956,8 @@ object PipelineOps {
     * batch-local co-presence. Returns the landed joined rows (batch
     * frame). */
   def runStreamStreamJoin(s: SparkSession, srcDir: String): DataFrame = {
-    val outDir = Files.createTempDirectory("graft_ssj_out").toString
-    val ckp = Files.createTempDirectory("graft_ssj_ckp").toString
+    val outDir = graft.GateCache.tempDir("graft_ssj_out").toString
+    val ckp = graft.GateCache.tempDir("graft_ssj_ckp").toString
     val schema = s.read.parquet(srcDir).schema
     def src() = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
@@ -843,7 +1003,7 @@ object PipelineOps {
     * AFTER the watermark advance; its own sentinels stay in state and
     * are filtered from the landed frame (negative user ids). */
   def streamOuterJoinRaw(s: SparkSession, dir: String): DataFrame = {
-    val srcDir = Files.createTempDirectory("graft_soj_src").toString
+    val srcDir = graft.GateCache.tempDir("graft_soj_src").toString
     val d = Tables.events(s, dir)
       .filter(col("event_type").isin("view", "purchase"))
       .select(col("user_id"), col("event_id"), col("event_type"),
@@ -881,8 +1041,8 @@ object PipelineOps {
     * not batch-local bookkeeping. Returns the landed joined rows,
     * sentinels included (callers filter negative user ids). */
   def runStreamOuterJoin(s: SparkSession, srcDir: String): DataFrame = {
-    val outDir = Files.createTempDirectory("graft_soj_out").toString
-    val ckp = Files.createTempDirectory("graft_soj_ckp").toString
+    val outDir = graft.GateCache.tempDir("graft_soj_out").toString
+    val ckp = graft.GateCache.tempDir("graft_soj_ckp").toString
     val schema = s.read.parquet(srcDir).schema
     def src() = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
@@ -957,7 +1117,7 @@ object PipelineOps {
     * new high-watermark. Distinct event_ids pin "no row replicated
     * twice"; the oracle is the full source table. */
   def incrementalSnapshot(s: SparkSession, dir: String): DataFrame = {
-    val wh = Files.createTempDirectory("graft_incr_wh").toString
+    val wh = graft.GateCache.tempDir("graft_incr_wh").toString
     val rep = new SnapshotReplicator(s, dir, wh)
     // gate-facing watermark domain is µs-epoch. replicateIncremental maps
     // TIMESTAMP(_NTZ) columns into µs itself, but a NUMERIC watermark
@@ -992,7 +1152,7 @@ object PipelineOps {
     * compact to the 512 MB target, and prove content is byte-equal to the
     * source while the layout actually shrank. */
   def compactionRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tgt = Files.createTempDirectory("graft_cpt").toString + "/lineitem.parquet"
+    val tgt = graft.GateCache.tempDir("graft_cpt").toString + "/lineitem.parquet"
     Tables.read(s, dir, "lineitem").repartition(64).write.parquet(tgt)
     val res = graft.operators.Compaction.compact(s, tgt,
       targetFileBytes = 512L * 1024 * 1024)
@@ -1009,7 +1169,7 @@ object PipelineOps {
     * mode) reports exactly which column changed how. Footer-only reads —
     * no data scanned. */
   def schemaDriftCheck(s: SparkSession, dir: String): DataFrame = {
-    val wh = Files.createTempDirectory("graft_drift").toString
+    val wh = graft.GateCache.tempDir("graft_drift").toString
     val rep = new SnapshotReplicator(s, dir, wh)
     val nation = Tables.read(s, dir, "nation")
     Tables.read(s, dir, "region")
@@ -1032,7 +1192,7 @@ object PipelineOps {
     * the parquet-side oracle. Distributed: one file per partition out,
     * splittable scan back. */
   def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_csv").toString
+    val tmp = graft.GateCache.tempDir("graft_csv").toString
     val src = Tables.read(s, dir, "customer")
     src.write.mode("overwrite").option("header", "true").csv(tmp)
     s.read.option("header", "true").schema(src.schema).csv(tmp)
@@ -1052,7 +1212,7 @@ object PipelineOps {
     * escaping and the parser's decoding, not just numeric fidelity. XML
     * splits like any text format — partition-parallel both directions. */
   def xmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_xml").toString
+    val tmp = graft.GateCache.tempDir("graft_xml").toString
     val src = Tables.read(s, dir, "supplier")
     src.write.mode("overwrite").format("xml")
       .option("rowTag", "supplier").save(tmp)
@@ -1074,7 +1234,7 @@ object PipelineOps {
     * knob is what keeps a skewed task from emitting a 50 GB file that
     * one downstream task must then read alone. */
   def fileGovernance(s: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_gov").toString
+    val out = graft.GateCache.tempDir("graft_gov").toString
     // 5000/file → 30 files at sf0.1, 3 at sf0.01 — proves the split
     // without serializing thousands of file creations through one task
     // (100/file read 12 s at sf0.1: 1500 serial opens, a bench artifact
@@ -1107,7 +1267,7 @@ object PipelineOps {
     * directory commit, readers never block. */
   def writeAuditPublish(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.TimeTravel
-    val served = Files.createTempDirectory("graft_wap").toString + "/nation"
+    val served = graft.GateCache.tempDir("graft_wap").toString + "/nation"
     def audit(cand: DataFrame, current: Option[DataFrame]): (Boolean, Boolean) = {
       val noNullKeys = cand.filter(col("n_nationkey").isNull).isEmpty
       val noCollapse = current.forall(c => cand.count() * 2 > c.count())
@@ -1144,7 +1304,7 @@ object PipelineOps {
     * emit an exception. Scale: the malformed path is per-row parser
     * logic, no extra pass, no shuffle beyond the final aggregate. */
   def csvMalformed(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_csvm").toString
+    val tmp = graft.GateCache.tempDir("graft_csvm").toString
     val lines = Tables.read(s, dir, "orders").select(
       concat_ws(",", col("o_orderkey"), col("o_orderpriority"),
         when(col("o_orderkey") % 13 === 0, lit("NOT_A_NUMBER"))
@@ -1183,7 +1343,7 @@ object PipelineOps {
     * (same predicate-pushdown/column-pruning machinery; schema travels in
     * the file footer so no explicit schema needed on read). */
   def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_orc").toString
+    val tmp = graft.GateCache.tempDir("graft_orc").toString
     Tables.read(s, dir, "nation")
       .write.mode("overwrite").orc(tmp)
     s.read.orc(tmp)
@@ -1197,7 +1357,7 @@ object PipelineOps {
     * (static overwrite would truncate the whole table). The gate rewrites
     * one day with stamped rows and proves the other days survived. */
   def dynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_dynow").toString
+    val out = graft.GateCache.tempDir("graft_dynow").toString
     val ev = Tables.events(s, dir)
       .withColumn("event_date",
         to_date(timestamp_micros(col("ts_us"))).cast("string"))
@@ -1226,7 +1386,7 @@ object PipelineOps {
     * (explicit schema on read; newline-delimited JSON is splittable, so
     * the scan parallelizes like any text source). */
   def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_json").toString
+    val tmp = graft.GateCache.tempDir("graft_json").toString
     val src = Tables.read(s, dir, "supplier")
     src.write.mode("overwrite").json(tmp)
     s.read.schema(src.schema).json(tmp)
@@ -1244,9 +1404,9 @@ object PipelineOps {
     * micro-batches; the enriched rows land and aggregate per market
     * segment. */
   def streamStaticEnrich(s: SparkSession, dir: String): DataFrame = {
-    val srcDir = Files.createTempDirectory("graft_sse_src").toString
-    val outDir = Files.createTempDirectory("graft_sse_out").toString
-    val ckp = Files.createTempDirectory("graft_sse_ckp").toString
+    val srcDir = graft.GateCache.tempDir("graft_sse_src").toString
+    val outDir = graft.GateCache.tempDir("graft_sse_out").toString
+    val ckp = graft.GateCache.tempDir("graft_sse_ckp").toString
     Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("value"))
       .repartition(3).write.mode("overwrite").parquet(srcDir)
@@ -1292,7 +1452,7 @@ object PipelineOps {
   }
 
   def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
-    val wh = Files.createTempDirectory("graft_merge").toString
+    val wh = graft.GateCache.tempDir("graft_merge").toString
     val rep = new SnapshotReplicator(s, dir, wh)
     val target = Tables.read(s, dir, "customer")
     graft.operators.Merge.upsert(target, customerChanges(target),
@@ -1333,7 +1493,7 @@ object PipelineOps {
     * data scans 3/365ths of the files). `PartitionedLayoutSpec` pins the
     * pruning on the physical scan; this gate pins the values. */
   def partitionedPrune(s: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_part").toString
+    val out = graft.GateCache.tempDir("graft_part").toString
     Tables.events(s, dir)
       .withColumn("event_date",
         to_date(timestamp_micros(col("ts_us"))).cast("string"))
@@ -1456,7 +1616,7 @@ object PipelineOps {
     * algebra Spark's own partial aggregation uses, applied across time. */
   def incrementalMvRefresh(s: SparkSession, dir: String,
                            cutoffUs: Long = Warehouse.DiffCutoffUs): DataFrame = {
-    val mvDir = Files.createTempDirectory("graft_mv").toString
+    val mvDir = graft.GateCache.tempDir("graft_mv").toString
     val ev = Tables.events(s, dir).select(col("event_type"),
       to_date(timestamp_micros(col("ts_us"))).cast("string").as("day"),
       col("ts_us"),
@@ -1489,9 +1649,9 @@ object PipelineOps {
     * collapsed FINAL must reproduce the same live rows as w1 /
     * x_collapsing_final — a fourth query sharing the LiveViewOracle. */
   def streamCollapsingFinal(s: SparkSession, dir: String): DataFrame = {
-    val srcDir = Files.createTempDirectory("graft_scl_src").toString
-    val storeDir = Files.createTempDirectory("graft_scl_store").toString
-    val ckp = Files.createTempDirectory("graft_scl_ckp").toString
+    val srcDir = graft.GateCache.tempDir("graft_scl_src").toString
+    val storeDir = graft.GateCache.tempDir("graft_scl_store").toString
+    val ckp = graft.GateCache.tempDir("graft_scl_ckp").toString
     val payload = Seq("event_type", "value", "props")
     val cl = graft.operators.Collapsing.changelog(
       ReferenceOps.stamped(s, dir).select("user_id", "event_type", "value",
@@ -1523,10 +1683,10 @@ object PipelineOps {
     * Returns (landed base dir, final MV snapshot dir). */
   private[graft] def runLiveProjection(
       s: SparkSession, dir: String): (String, String) = {
-    val srcDir = Files.createTempDirectory("graft_lpj_src").toString
-    val baseDir = Files.createTempDirectory("graft_lpj_base").toString + "/t"
-    val mvDir = Files.createTempDirectory("graft_lpj_mv").toString
-    val ckp = Files.createTempDirectory("graft_lpj_ckp").toString
+    val srcDir = graft.GateCache.tempDir("graft_lpj_src").toString
+    val baseDir = graft.GateCache.tempDir("graft_lpj_base").toString + "/t"
+    val mvDir = graft.GateCache.tempDir("graft_lpj_mv").toString
+    val ckp = graft.GateCache.tempDir("graft_lpj_ckp").toString
     val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
       col("event_type"),
       round(col("value") * 1000000d, 0).cast("bigint").as("value_micro"))
@@ -1620,7 +1780,7 @@ object PipelineOps {
   def mvTransparentRewrite(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.MvRewrite
     val base = s"$dir/lineitem.parquet"
-    val mvDir = Files.createTempDirectory("graft_mv_proj").toString
+    val mvDir = graft.GateCache.tempDir("graft_mv_proj").toString
     s.read.parquet(base)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("_cnt"),
@@ -1659,9 +1819,9 @@ object PipelineOps {
     * events cannot resurrect deletes. The oracle is the same global LWW
     * the live view pins — three write mechanisms, one semantics. */
   def streamMergeSink(s: SparkSession, dir: String): DataFrame = {
-    val srcDir = Files.createTempDirectory("graft_ms_src").toString
-    val tgtRoot = Files.createTempDirectory("graft_ms_tgt").toString
-    val ckp = Files.createTempDirectory("graft_ms_ckp").toString
+    val srcDir = graft.GateCache.tempDir("graft_ms_src").toString
+    val tgtRoot = graft.GateCache.tempDir("graft_ms_tgt").toString
+    val ckp = graft.GateCache.tempDir("graft_ms_ckp").toString
     Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"))
@@ -1711,7 +1871,7 @@ object PipelineOps {
     * re-derives v1 with the same merge CTE o9 uses. */
   def timeTravel(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.TimeTravel
-    val root = Files.createTempDirectory("graft_tt").toString
+    val root = graft.GateCache.tempDir("graft_tt").toString
     TimeTravel.write(Tables.read(s, dir, "customer"), root) // v0
     val v0 = TimeTravel.readAt(s, root, 0)
     TimeTravel.write(
@@ -1739,7 +1899,7 @@ object PipelineOps {
     * byte-equal to their relational definitions. */
   def retentionVacuum(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.TimeTravel
-    val root = Files.createTempDirectory("graft_vac").toString
+    val root = graft.GateCache.tempDir("graft_vac").toString
     TimeTravel.write(Tables.read(s, dir, "customer"), root) // v0
     val v0 = TimeTravel.readAt(s, root, 0)
     TimeTravel.write(
@@ -1773,8 +1933,8 @@ object PipelineOps {
     * the oracle, which re-derives them straight from `nation`. 100 TB
     * lakes carry nested data; the replicator must move it losslessly. */
   def nestedRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val srcDir = Files.createTempDirectory("graft_nested_src").toString
-    val wh = Files.createTempDirectory("graft_nested_wh").toString
+    val srcDir = graft.GateCache.tempDir("graft_nested_src").toString
+    val wh = graft.GateCache.tempDir("graft_nested_wh").toString
     Tables.read(s, dir, "nation")
       .select(col("n_nationkey").cast("long").as("id"),
         struct(col("n_name").as("name"),
@@ -1807,13 +1967,13 @@ object PipelineOps {
     * (The dim goes through parquet deliberately — a LocalRelation dim is
     * constant-folded and DPP's selective-predicate check never fires.) */
   def dppJoin(s: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_dpp_fact").toString
+    val out = graft.GateCache.tempDir("graft_dpp_fact").toString
     Tables.events(s, dir)
       .withColumn("event_date",
         to_date(timestamp_micros(col("ts_us"))).cast("string"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("event_date").parquet(out)
-    val dimDir = Files.createTempDirectory("graft_dpp_dim").toString
+    val dimDir = graft.GateCache.tempDir("graft_dpp_dim").toString
     import s.implicits._
     (1 to 31).map(d => (f"2024-01-$d%02d",
         if (d % 7 == 0) "peak" else "off"))
@@ -1867,9 +2027,11 @@ object PipelineOps {
     "t12_debezium_cdc" -> ((s, dir) => debeziumCdcLive(s, dir)),
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
     "t13_stream_neardup" -> ((s, dir) => streamNearDupCounts(s, dir)),
+    "t22_stream_contamination" -> ((s, dir) => streamContamination(s, dir)),
     "t15_transform_with_state" -> ((s, dir) => transformWithStateTotals(s, dir)),
     "t17_state_store_reader" -> ((s, dir) => stateStoreReader(s, dir)),
     "t18_typed_state_profile" -> ((s, dir) => typedStateProfile(s, dir)),
+    "t21_typed_state_reader" -> ((s, dir) => typedStateReader(s, dir)),
     "t16_stream_sessionized" -> ((s, dir) => streamSessionized(s, dir)),
     "t7_stream_stream_join" -> ((s, dir) => streamStreamJoin(s, dir)),
     "t14_stream_outer_join" -> ((s, dir) => streamOuterJoin(s, dir)),
@@ -1906,6 +2068,30 @@ object PipelineOps {
          |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM dup)
          |    THEN 0 ELSE 1 END) AS BIGINT) AS n_novel
          |FROM documents GROUP BY lang""".stripMargin,
+
+    // the batch decontamination decision (x_decontaminate_apply's rule),
+    // recomputed relationally — the stream's fixed benchmark set makes
+    // the per-doc verdict batch-boundary-invariant
+    "t22_stream_contamination" ->
+      s"""WITH ${TrainingData.winnowFpCtes},
+         |evalf AS (SELECT DISTINCT fp FROM fps
+         |          WHERE doc_id % ${TrainingData.EvalMod} = 0),
+         |train AS (SELECT * FROM fps
+         |          WHERE doc_id % ${TrainingData.EvalMod} <> 0),
+         |hits AS (SELECT t.doc_id, count(*) AS n_hit
+         |         FROM train t JOIN evalf USING (fp) GROUP BY 1),
+         |sizes AS (SELECT doc_id, count(*) AS nf FROM train GROUP BY doc_id),
+         |flagged AS (SELECT s.doc_id FROM sizes s JOIN hits h
+         |              ON h.doc_id = s.doc_id
+         |            WHERE CAST(n_hit AS DOUBLE) / nf
+         |              > ${TrainingData.DecontamRatio})
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM flagged)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM flagged)
+         |    THEN 0 ELSE n_chars END) AS BIGINT) AS clean_chars
+         |FROM documents WHERE doc_id % ${TrainingData.EvalMod} <> 0
+         |GROUP BY lang""".stripMargin,
 
     "o10_time_travel" ->
       """WITH changes AS (
@@ -2297,14 +2483,33 @@ object PipelineOps {
     // aggregate exactly — integer cents make the totals batch-invariant
     "t15_transform_with_state" ->
       """SELECT user_id, count(*) AS n_events,
-        |  sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
         |FROM events GROUP BY user_id""".stripMargin,
 
     // what the checkpoint's state must contain after the full run —
     // the same per-user totals, recovered WITHOUT replaying the stream
     "t17_state_store_reader" ->
       """SELECT user_id, count(*) AS n_events,
-        |  sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // everything the t15 value state, the t18 map state and the t18 list
+    // state must hold after the full run — recovered from the RocksDB
+    // checkpoints alone, never from the (discarded) emissions
+    "t21_typed_state_reader" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        |  count(*) AS n_cents,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents_from_log
         |FROM events GROUP BY user_id""".stripMargin,
 
     // the map's per-type counts, the list's length and integer-cent sum
@@ -2317,7 +2522,8 @@ object PipelineOps {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
         |  count(*) AS n_total, count(*) AS n_cents,
-        |  sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
         |FROM events GROUP BY user_id""".stripMargin,
 
     // the watermark-evicted outer rows must equal the batch LEFT JOIN

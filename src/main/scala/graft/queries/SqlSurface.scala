@@ -300,7 +300,8 @@ object SqlSurface {
         |    count(*) AS ni FROM lineitem GROUP BY l_orderkey)
         |SELECT c_mktsegment AS segment, count(*) AS n_orders,
         |  count(DISTINCT c_name) AS n_customers,
-        |  sum(q0) AS sum_min_qty, sum(ni) AS sum_items
+        |  CAST(sum(q0) AS BIGINT) AS sum_min_qty,
+        |  CAST(sum(ni) AS BIGINT) AS sum_items
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN it ON o_orderkey = l_orderkey
         |GROUP BY c_mktsegment""".stripMargin,
@@ -400,6 +401,7 @@ object SqlSurface {
         |  FROM customer c JOIN tree t
         |    ON CAST(floor((c.c_custkey + 1) / 2.0) AS BIGINT) = t.node
         |)
-        |SELECT depth, count(*) AS n_nodes, sum(node) AS key_sum
+        |SELECT depth, count(*) AS n_nodes,
+        |  CAST(sum(node) AS BIGINT) AS key_sum
         |FROM tree GROUP BY depth""".stripMargin)
 }

@@ -186,6 +186,28 @@ object TrainingData {
         round(col("_cos"), 6).cast("decimal(10,6)").as("cos_sim"))
   }
 
+  /** The temperature draw behind `x_temperature_sample`, re-drawable:
+    * `pass` salts the membership hash (`tmp<pass>|`) so pass 2 keeps an
+    * INDEPENDENT per-language subset from pass 1 at the SAME per-language
+    * rates (the rate table depends only on counts, not the salt) — the
+    * [[Curation.weightedSample]] pass contract, extended family-wide per
+    * r9 ADVICE #7. The gate is exactly pass 1. */
+  def temperatureSample(s: SparkSession, dir: String, pass: Int): DataFrame = {
+    val d = docs(s, dir).withColumn("_hm",
+      PortableHash.hash32(col("doc_id").cast("string"), s"tmp$pass|") % 1000000)
+    val n = d.groupBy(col("lang")).agg(count(lit(1)).as("_nl"))
+    val m = n.agg(min(col("_nl")).as("_mn"))
+    val r = n.crossJoin(broadcast(m))
+      .withColumn("_thr",
+        round(sqrt(col("_mn").cast("double") / col("_nl")) * 1000000, 0)
+          .cast("long"))
+    d.join(broadcast(r.select(col("lang"), col("_nl"), col("_thr"))), "lang")
+      .groupBy(col("lang"))
+      .agg(min(col("_nl")).as("n_orig"),
+        sum(when(col("_hm") < col("_thr"), 1L).otherwise(0L)).cast("long")
+          .as("n_sampled"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---------------------------------------------------------- dedup
@@ -352,21 +374,7 @@ object TrainingData {
     // ppm threshold, and membership is a portable-hash compare (the
     // x_sample_stratified mechanism). The rate table is lang-cardinality
     // rows — broadcast; the corpus never shuffles.
-    "x_temperature_sample" -> ((s, dir) => {
-      val d = docs(s, dir).withColumn("_hm",
-        PortableHash.hash32(col("doc_id").cast("string"), "tmp|") % 1000000)
-      val n = d.groupBy(col("lang")).agg(count(lit(1)).as("_nl"))
-      val m = n.agg(min(col("_nl")).as("_mn"))
-      val r = n.crossJoin(broadcast(m))
-        .withColumn("_thr",
-          round(sqrt(col("_mn").cast("double") / col("_nl")) * 1000000, 0)
-            .cast("long"))
-      d.join(broadcast(r.select(col("lang"), col("_nl"), col("_thr"))), "lang")
-        .groupBy(col("lang"))
-        .agg(min(col("_nl")).as("n_orig"),
-          sum(when(col("_hm") < col("_thr"), 1L).otherwise(0L)).cast("long")
-            .as("n_sampled"))
-    }),
+    "x_temperature_sample" -> ((s, dir) => temperatureSample(s, dir, pass = 1)),
 
     "x_dedup_minhash_lsh" -> ((s, dir) => minhashPairs(minhashSig(s, dir))),
 
@@ -1271,7 +1279,7 @@ object TrainingData {
   /** Shared CTEs producing the per-doc winnow fingerprint SET
     * (fps(doc_id, fp)) — same arithmetic as the x_winnow_fingerprint
     * oracle and [[graft.functions.WinnowExprs.winnowMinsNative]]. */
-  private def winnowFpCtes: String =
+  private[queries] def winnowFpCtes: String =
     s"""t AS (SELECT doc_id, $normDoc AS t FROM documents),
        |g0 AS (SELECT doc_id, len(t) - ${WinnowK - 1} AS G, t,
        |         unnest(range(1, len(t) - ${WinnowK - 1} + 1)) AS i
@@ -1483,7 +1491,7 @@ object TrainingData {
 
     "x_temperature_sample" ->
       s"""WITH hd AS (SELECT lang,
-         |    ${PortableHash.duckSql("CAST(doc_id AS VARCHAR)", "tmp|")} % 1000000 AS hm
+         |    ${PortableHash.duckSql("CAST(doc_id AS VARCHAR)", "tmp1|")} % 1000000 AS hm
          |  FROM documents),
          |n AS (SELECT lang, count(*) AS nl FROM hd GROUP BY lang),
          |m AS (SELECT min(nl) AS mn FROM n),

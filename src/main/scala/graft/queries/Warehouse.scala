@@ -38,6 +38,23 @@ object Warehouse {
   val DdGamma = 1.02 // DDSketch bucket ratio — ≤ ~1% relative error
   // ((γ−1)/(γ+1)); ~1160 buckets span [1, 1e10], size independent of rows
 
+  /** The frozen-reservoir draw behind `x_reservoir_sample`, re-drawable:
+    * `pass` salts the ranking hash (`rsv<pass>`) so pass 2 is an
+    * INDEPENDENT exactly-k draw from pass 1 — bootstrap resamples and
+    * per-epoch subsets need repeated draws a fixed salt can't serve (the
+    * [[Curation.weightedSample]] contract, extended family-wide per r9
+    * ADVICE #7). The gate is exactly pass 1. */
+  def reservoirSample(s: SparkSession, dir: String, pass: Int): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("_h").asc, col("doc_id").asc)
+    t(s, dir, "documents")
+      .withColumn("_h",
+        graft.functions.PortableHash.md5Hex(col("doc_id").cast("string"), s"rsv$pass"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("source"), col("rk"), col("n_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Typed-Aggregator UDAF (graft.functions.TopKAgg): per-priority top-3
     // order values in cents through Spark's two-phase aggregation with a
@@ -411,7 +428,7 @@ object Warehouse {
     // violation check is a broadcast-able anti join on the FK.
     "x_consistent_cut" -> ((s, dir) => {
       import graft.operators.TimeTravel
-      val root = java.nio.file.Files.createTempDirectory("graft_cut").toString
+      val root = graft.GateCache.tempDir("graft_cut").toString
       val o = t(s, dir, "orders").select(col("o_orderkey"))
       val l = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"))
@@ -583,23 +600,14 @@ object Warehouse {
     // pins the sample SIZE. WindowGroupLimit prunes to k rows map-side
     // before the single group-key exchange, so the shuffle carries
     // ~k·|groups| rows regardless of corpus size.
-    "x_reservoir_sample" -> ((s, dir) => {
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("_h").asc, col("doc_id").asc)
-      t(s, dir, "documents")
-        .withColumn("_h",
-          graft.functions.PortableHash.md5Hex(col("doc_id").cast("string"), "rsv1"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("doc_id"), col("source"), col("rk"), col("n_chars"))
-    }),
+    "x_reservoir_sample" -> ((s, dir) => reservoirSample(s, dir, pass = 1)),
 
     // Z-order re-layout roundtrip: lineitem rewritten so files cover
     // compact (partkey, suppkey) rectangles — min/max stats then prune
     // scans on EITHER column (ZOrderSpec pins the pruning win; this gate
     // pins that re-layout preserves content exactly). One range shuffle.
     "x_zorder_layout" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_zorder")
+      val tmp = graft.GateCache.tempDir("graft_zorder")
         .toString + "/lineitem_z.parquet"
       graft.operators.ZOrder
         .layoutBy2(t(s, dir, "lineitem"), "l_partkey", "l_suppkey",

@@ -94,6 +94,70 @@ class MvRewriteSpec extends AnyFunSuite with graft.GateCacheHygiene {
     }
   }
 
+  test("global aggregate filtered to empty: count is 0, not NULL; values " +
+      "≡ un-rewritten plan") {
+    // no grouping keys + a pushed grouping-column predicate matching no
+    // group: the rewritten global Aggregate runs over ZERO MV rows and
+    // must still emit count = 0 exactly like the base plan (r9 ADVICE,
+    // medium — Sum(_cnt) alone would yield NULL)
+    def gq = spark.read.parquet(base)
+      .filter(col("l_returnflag") === "Z") // no such flag at any SF
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("s"),
+        min(col("l_quantity")).as("mn"), max(col("l_quantity")).as("mx"))
+    val expected = gq.collect().toSeq // registry empty → base plan
+    assert(expected.head.getLong(0) == 0L && expected.head.isNullAt(1))
+    registered {
+      val df = gq
+      assert(!scansBase(df), "global aggregate rewrite did not fire")
+      assert(df.collect().toSeq == expected)
+    }
+    // non-empty global aggregate for completeness: same values either way
+    def gq2 = spark.read.parquet(base)
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("s"))
+    val expected2 = gq2.collect().toSeq
+    registered {
+      assert(!scansBase(gq2))
+      assert(gq2.collect().toSeq == expected2)
+    }
+  }
+
+  test("registry identity: remote URIs keep scheme+authority; local " +
+      "file:/ ≡ bare path") {
+    assert(MvRewrite.normalizePath("file:/x/y") ==
+      MvRewrite.normalizePath("/x/y"))
+    assert(MvRewrite.normalizePath("s3a://bucketA/data") !=
+      MvRewrite.normalizePath("s3a://bucketB/data"),
+      "different buckets collapsed to one registry key — cross-MV answer")
+    assert(MvRewrite.normalizePath("s3a://bucketA/data") ==
+      "s3a://bucketA/data")
+  }
+
+  test("mis-registered MV missing a filter-only grouping column: no " +
+      "rewrite, no optimizer-time exception") {
+    // MV parquet carries l_returnflag but NOT l_linestatus, yet the
+    // registration claims both as grouping columns; a query filtering on
+    // the absent column must keep the base scan rather than throw in the
+    // rebind (r9 ADVICE)
+    val mvDir = java.nio.file.Files.createTempDirectory("graft_mv_mis").toString
+    spark.read.parquet(base)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("_cnt"),
+        sum(col("l_quantity")).as("_sum_l_quantity"),
+        min(col("l_quantity")).as("_min_l_quantity"),
+        max(col("l_quantity")).as("_max_l_quantity"))
+      .write.mode("overwrite").parquet(mvDir)
+    MvRewrite.register(spark, base, mvDir,
+      Seq("l_returnflag", "l_linestatus"), Set("l_quantity"))
+    try {
+      val df = spark.read.parquet(base)
+        .filter(col("l_linestatus") === "F") // references the absent column
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+      assert(scansBase(df), "mis-registered MV answered the query")
+      df.collect() // and the plan must actually execute
+    } finally MvRewrite.clear()
+  }
+
   test("t20 maintenance law: stream-folded MV snapshot ≡ recompute from " +
       "the landed base") {
     val (baseDir, mvSnap) =

@@ -100,6 +100,82 @@ class GraphOpsSpec extends AnyFunSuite with graft.GateCacheHygiene {
     graft.GateCache.releaseAll()
   }
 
+  test("khop/sssp/labelprop at 10 rounds: bounded plan depth, values ≡ pure unroll") {
+    import spark.implicits._
+    // each relax round contributes exactly ONE join, so beyond
+    // PrCheckpointEvery rounds the shared bspLoop must truncate lineage:
+    // the FINAL plan holds at most one segment of joins — the pagerank
+    // depth pin (above), now a family-wide invariant (r9 VERDICT #3).
+    // Chain n00—…—n11 (11 edges) so 10 rounds do real work: n10 is only
+    // reached at round 10, n11 never.
+    val rounds = 10
+    val names = (0 to 11).map(i => f"n$i%02d")
+    val und = names.sliding(2).map(p => (p(0), p(1))).toSeq
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    // w=2 per chain edge, plus a heavy n00→n05 shortcut (beaten: 5·2 < 100)
+    val wund = und.map { case (a, b) => (a, b, 2L) } :+ (("n00", "n05", 100L))
+    val wedges = (wund ++ wund.map(e => (e._2, e._1, e._3)))
+      .toDF("src", "dst", "w")
+    val seeds = Seq("n00").toDF("node")
+
+    def checkPlan(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val plan = df.queryExecution.optimizedPlan
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.length
+      assert(joins <= GraphOps.PrCheckpointEvery,
+        s"$what: $joins joins in the $rounds-round plan — not truncating")
+      assert(plan.collectFirst {
+        case _: org.apache.spark.sql.execution.LogicalRDD => ()
+      }.nonEmpty, s"$what: no LogicalRDD leaf — checkpoint never fired")
+    }
+
+    // straight-line min-relaxation reference shared by BFS and SSSP
+    def relax(adj: Map[String, Seq[(String, Long)]],
+        init: Map[String, Long]): Map[String, Long] =
+      (1 to rounds).foldLeft(init) { (dist, _) =>
+        val relaxed = dist.toSeq.flatMap { case (u, d) =>
+          adj.getOrElse(u, Seq.empty).map { case (v, w) => v -> (d + w) }
+        }
+        (dist.toSeq ++ relaxed).groupBy(_._1)
+          .map { case (n, ds) => n -> ds.map(_._2).min }
+      }
+
+    val khop = GraphOps.khopFromEdges(edges, seeds, rounds)
+    checkPlan(khop, "khop")
+    val adj1 = (und ++ und.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(e => e._2 -> 1L)).toMap
+    assert(khop.as[(String, Long)].collect().toMap ==
+      relax(adj1, Map("n00" -> 0L)))
+    graft.GateCache.releaseAll()
+
+    val sssp = GraphOps.ssspFromEdges(wedges, seeds, rounds)
+    checkPlan(sssp, "sssp")
+    val adjW = (wund ++ wund.map(e => (e._2, e._1, e._3))).groupBy(_._1)
+      .view.mapValues(_.map(e => e._2 -> e._3)).toMap
+    val wantW = relax(adjW, Map("n00" -> 0L))
+    assert(wantW("n05") == 10L) // the shortcut really was beaten
+    assert(sssp.as[(String, Long)].collect().toMap == wantW)
+    graft.GateCache.releaseAll()
+
+    val lp = GraphOps.labelPropFromEdges(edges, rounds)
+    checkPlan(lp, "labelprop")
+    val inb = (und ++ und.map(_.swap)).groupBy(_._2)
+    var lab = names.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      lab = lab.map { case (v, l) =>
+        v -> (Iterator(l) ++ inb.getOrElse(v, Seq.empty)
+          .iterator.map(e => lab(e._1))).min
+      }
+    }
+    // min-label floods one hop per round: after 10 rounds every node is
+    // "n00" EXCEPT n11 (11 hops out — still one round short, so the 10th
+    // round did real work)
+    assert(lab.values.toSet == Set("n00", "n01") && lab("n11") == "n01")
+    assert(lp.as[(String, String)].collect().toMap == lab)
+    graft.GateCache.releaseAll()
+  }
+
   test("x_triangle_count: crafted non-complete graph counts exactly; gate stats self-consistent") {
     import spark.implicits._
     // bowtie (two triangles sharing node 3) + a pendant edge + an

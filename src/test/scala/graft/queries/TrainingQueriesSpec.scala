@@ -401,4 +401,48 @@ class TrainingQueriesSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(row.getAs[Long]("n_lineitems") == nLi.toLong)
     assert(row.getAs[Boolean]("entity_atomic"))
   }
+
+  test("temperatureSample: passes keep near-independent subsets at the " +
+      "same per-language rates; gate is pass 1") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.Sf0001
+    val d = Tables.read(spark, sf, "documents")
+    val counts = d.groupBy(col("lang")).count()
+      .as[(String, Long)].collect().toMap
+    val mn = counts.values.min
+    // the rate table depends only on counts, never the salt
+    val thr = counts.map { case (l, n) =>
+      l -> math.round(math.sqrt(mn.toDouble / n) * 1000000)
+    }
+    def members(pass: Int): Map[String, Set[Long]] = d
+      .select(col("doc_id"), col("lang"),
+        (graft.functions.PortableHash.hash32(col("doc_id").cast("string"),
+          s"tmp$pass|") % 1000000).as("hm"))
+      .as[(Long, String, Long)].collect()
+      .filter { case (_, l, hm) => hm < thr(l) }
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val m1 = members(1)
+    val m2 = members(2)
+    // the gate is exactly the pass-1 membership, aggregated
+    val gate = TrainingData.queries("x_temperature_sample")(spark, sf)
+      .select("lang", "n_sampled").as[(String, Long)].collect().toMap
+    assert(gate == counts.keySet.map(l =>
+      l -> m1.getOrElse(l, Set.empty[Long]).size.toLong).toMap)
+    // salted independence: a rate-capped (r=1.0) language keeps everything
+    // in BOTH passes — full overlap there is CORRECT — so the
+    // independence pin applies to the sub-rate languages: each pass keeps
+    // a different subset, and the overlap tracks nl·r² (the independent-
+    // draw expectation), not nl·r (the identical-draw signature)
+    val subRate = counts.keys.filter(l => thr(l) < 1000000L).toSeq
+    assert(subRate.nonEmpty, "every language rate-capped — spec is vacuous")
+    val ids1 = subRate.flatMap(l => m1.getOrElse(l, Set.empty)).toSet
+    val ids2 = subRate.flatMap(l => m2.getOrElse(l, Set.empty)).toSet
+    assert(ids1 != ids2, "pass 2 kept the identical subset — salt inert")
+    val expected = subRate.map { l =>
+      val r = thr(l).toDouble / 1000000.0; counts(l) * r * r
+    }.sum
+    val observed = ids1.intersect(ids2).size.toDouble
+    assert(observed <= expected * 1.5 + 10,
+      f"overlap $observed%.0f ≫ independent expectation $expected%.1f")
+  }
 }

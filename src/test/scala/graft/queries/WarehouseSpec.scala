@@ -182,6 +182,29 @@ class WarehouseSpec extends AnyFunSuite with graft.GateCacheHygiene {
     }
   }
 
+  test("reservoirSample: passes draw near-independently; gate is pass 1") {
+    // the pass salt (r9 ADVICE #7, the weightedSample contract) must
+    // yield a genuinely different exactly-k draw per pass
+    def draw(p: Int): Array[(Long, String, Int, Long)] =
+      Warehouse.reservoirSample(spark, TestSpark.Sf0001, p)
+        .as[(Long, String, Int, Long)].collect()
+    val p1 = draw(1)
+    val p2 = draw(2)
+    // both passes keep the exactly-k contract
+    Seq(p1, p2).foreach(_.groupBy(_._2).values
+      .foreach(rows => assert(rows.length == 3)))
+    val ids1 = p1.map(_._1).toSet
+    val ids2 = p2.map(_._1).toSet
+    assert(ids1 != ids2, "pass 2 drew the identical sample — salt inert")
+    // near-independence: expected overlap per group is k²/n_group ≪ k, so
+    // across all groups the shared fraction must stay well under half
+    val overlap = ids1.intersect(ids2).size.toDouble / ids1.size
+    assert(overlap < 0.5, f"passes share $overlap%.2f of the draw")
+    val gate = Warehouse.queries("x_reservoir_sample")(spark, TestSpark.Sf0001)
+      .as[(Long, String, Int, Long)].collect()
+    assert(gate.sortBy(_._1).toSeq == p1.sortBy(_._1).toSeq)
+  }
+
   test("x_grouping_sets: each set's marginals re-aggregate the finest set") {
     val rows = Warehouse.queries("x_grouping_sets")(spark, TestSpark.Sf0001)
       .selectExpr("n_name", "o_orderpriority", "g_nation", "g_prio", "n_orders")

@@ -24,6 +24,25 @@ import pyarrow.parquet as pq
 
 UNSAFE = ("decimal", "date", "timestamp")
 
+# Round-9 lesson (the symmetric gap): the spark-vs-oracle type compare
+# below goes through the DB-API cursor description, which collapses
+# BIGINT and HUGEINT into one generic numeric code — so an oracle whose
+# output column is a bare sum(BIGINT) (HUGEINT in DuckDB) passed here
+# while the real driver, which canonicalizes the oracle result through
+# a dataframe where HUGEINT becomes float64, stringified `477.0` vs
+# Spark's `477`. Local green must imply driver green, so the oracle's
+# REAL DuckDB types (via DESCRIBE) are gated on this allowlist: any
+# other type (HUGEINT, DECIMAL, DATE, TIMESTAMP, UBIGINT, ...) is
+# rejected as ORACLE_TYPE_UNSAFE even when the values compare equal.
+ORACLE_SAFE_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+                     "DOUBLE", "FLOAT", "BOOLEAN", "VARCHAR"}
+
+def oracle_unsafe_types(con, sql):
+    """Column/type pairs of the oracle result not on the allowlist."""
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [f"{r[0]}:{r[1]}" for r in desc
+            if r[1] not in ORACLE_SAFE_TYPES]
+
 def canon(rows, cols):
     # sort columns by name, stringify exactly, sort rows
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -80,6 +99,7 @@ def main(sf_dir, out_dir):
                              else f"ROWS_ONLY rows={len(grows)}")
             continue
         try:
+            oracle_unsafe = oracle_unsafe_types(con, oracle[name])
             exp = con.execute(oracle[name])
             ecols = [c[0] for c in exp.description]
             et = {c[0]: str(c[1]) for c in exp.description}
@@ -94,6 +114,8 @@ def main(sf_dir, out_dir):
                     for c in gt if c in et and gt[c] != et[c]]
         if unsafe:
             results[name] = f"TYPE_UNSAFE {unsafe}"
+        elif oracle_unsafe:
+            results[name] = f"ORACLE_TYPE_UNSAFE {oracle_unsafe}"
         elif gc != ec:
             results[name] = f"SCHEMA_MISMATCH spark={gc} oracle={ec}"
         elif badtypes:
@@ -114,5 +136,27 @@ def main(sf_dir, out_dir):
     print(f"\n{len(results)-bad}/{len(results)} pass")
     return 1 if bad else 0
 
+def selftest():
+    """Regression pin for the round-9 defect class: a bare sum(BIGINT)
+    oracle output (HUGEINT) must be rejected HERE, before the driver
+    ever sees it; the CAST(... AS BIGINT) form must pass."""
+    con = duckdb.connect()
+    bare = "SELECT sum(x) AS s FROM (SELECT CAST(477 AS BIGINT) AS x)"
+    cast = ("SELECT CAST(sum(x) AS BIGINT) AS s "
+            "FROM (SELECT CAST(477 AS BIGINT) AS x)")
+    bad = oracle_unsafe_types(con, bare)
+    assert bad == ["s:HUGEINT"], f"bare sum(BIGINT) not flagged: {bad}"
+    ok = oracle_unsafe_types(con, cast)
+    assert ok == [], f"cast sum flagged: {ok}"
+    for sql, t in [("SELECT CAST(1.5 AS DECIMAL(4,2)) AS c", "DECIMAL(4,2)"),
+                   ("SELECT DATE '2026-01-01' AS c", "DATE"),
+                   ("SELECT TIMESTAMP '2026-01-01' AS c", "TIMESTAMP")]:
+        got = oracle_unsafe_types(con, sql)
+        assert got == [f"c:{t}"], f"{t} not flagged: {got}"
+    print("selftest OK")
+    return 0
+
 if __name__ == "__main__":
+    if sys.argv[1:] == ["--selftest"]:
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))
