@@ -170,32 +170,72 @@ object SimilarityOps {
   def ivfAnnTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int, centroidMod: Int,
                  nprobe: Int): DataFrame = {
-    val cent = corpus.filter(col(idCol) % centroidMod === 0)
+    val cent = ivfCentroids(corpus, idCol, vecCol, centroidMod)
+    ivfProbeTopK(ivfAssignCells(corpus, idCol, vecCol, cent),
+      queries, idCol, vecCol, cent, k, nprobe)
+  }
+
+  /** The deterministic coarse-quantizer centroid frame (`_cid`, `_cvec`,
+    * `_cnrm`) — factored out so the STREAMING index maintainer
+    * ([[graft.streaming.StreamAnnIndex]]) can freeze it once and ship it
+    * to every micro-batch, the "trained quantizer deployed to ingest"
+    * production shape. */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   centroidMod: Int): DataFrame =
+    corpus.filter(col(idCol) % centroidMod === 0)
       .select(col(idCol).as("_cid"), col(vecCol).as("_cvec"),
         norm(col(vecCol)).as("_cnrm"))
-    // nearest-centroid rank: shared by assignment (rank 1) and probing
-    // (rank ≤ nprobe). Deterministic ties: rounded cosine desc, cid asc.
-    def cellRank(side: DataFrame, id: String, vec: String, nrm: String) = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(id))
-        .orderBy(round(col("_ccos"), 6).desc, col("_cid").asc)
-      side.crossJoin(broadcast(cent))
-        .withColumn("_ccos",
-          dot(col(vec), col("_cvec")) / (col(nrm) * col("_cnrm")))
-        .withColumn("_crk", row_number().over(w))
-    }
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
-      norm(col(vecCol)).as("_cn"))
-    val cells = cellRank(c, "neighbor_id", "_cv", "_cn")
+
+  /** Nearest-centroid rank against a FIXED centroid frame: shared by
+    * assignment (rank 1) and probing (rank ≤ nprobe). Deterministic
+    * ties: rounded cosine desc, cid asc. */
+  private def cellRank(side: DataFrame, id: String, vec: String,
+                       nrm: String, cent: DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id))
+      .orderBy(round(col("_ccos"), 6).desc, col("_cid").asc)
+    side.crossJoin(broadcast(cent))
+      .withColumn("_ccos",
+        dot(col(vec), col("_cvec")) / (col(nrm) * col("_cnrm")))
+      .withColumn("_crk", row_number().over(w))
+  }
+
+  /** Nearest-cell assignment of a vector frame: (`neighbor_id`, `_cv`,
+    * `_cn`, `_cell`). Per-vector independent given the fixed centroids —
+    * assigning a corpus in one pass or micro-batch by micro-batch yields
+    * the identical cells, the invariant the streaming index rests on. */
+  def ivfAssignCells(corpus: DataFrame, idCol: String, vecCol: String,
+                     cent: DataFrame): DataFrame =
+    cellRank(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("_cv"), norm(col(vecCol)).as("_cn")),
+      "neighbor_id", "_cv", "_cn", cent)
       .filter(col("_crk") === 1)
       .select(col("neighbor_id"), col("_cv"), col("_cn"),
         col("_cid").as("_cell"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
-      norm(col(vecCol)).as("_qn"))
-    val probes = cellRank(q, "query_id", "_qv", "_qn")
+
+  /** Probe + exact re-rank over an assigned-cells frame (however it was
+    * built — one batch pass or an accrued streaming index). */
+  def ivfProbeTopK(cells: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, cent: DataFrame, k: Int,
+                   nprobe: Int): DataFrame =
+    ivfScoreTopK(cells,
+      ivfProbes(queries, idCol, vecCol, cent, nprobe), k)
+
+  /** The probe frame — each query paired with its `nprobe` nearest cells
+    * (`query_id`, `_qv`, `_qn`, `_cell`). Factored out so a caller can
+    * read the BOUNDED probed-cell set off it and prune the index scan
+    * before scoring ([[graft.streaming.StreamAnnIndex]]). */
+  def ivfProbes(queries: DataFrame, idCol: String, vecCol: String,
+                cent: DataFrame, nprobe: Int): DataFrame =
+    cellRank(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("_qv"), norm(col(vecCol)).as("_qn")),
+      "query_id", "_qv", "_qn", cent)
       .filter(col("_crk") <= nprobe)
       .select(col("query_id"), col("_qv"), col("_qn"),
         col("_cid").as("_cell"))
+
+  /** Exact scoring + top-k of a probe frame against assigned cells. */
+  def ivfScoreTopK(cells: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val scored = cells.join(broadcast(probes), Seq("_cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

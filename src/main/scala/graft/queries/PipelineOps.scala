@@ -632,6 +632,51 @@ object PipelineOps {
     s.read.parquet(outDir)
   }
 
+  /** T23: streaming IVF index maintenance
+    * ([[graft.streaming.StreamAnnIndex]]) — the ANN scale path kept
+    * current under continuous embedding ingest. The coarse quantizer is
+    * frozen before the stream (the deterministic
+    * [[graft.functions.SimilarityOps.ivfCentroids]] subset — in
+    * production, trained k-means shipped to ingest); the embedding
+    * corpus replays as three micro-batches, each assigning its vectors
+    * to cells and appending a cell-clustered sorted delta to the index;
+    * the probe answers top-k from the INDEX ALONE, pruning the scan to
+    * its probed cells' row groups. Per-vector assignment
+    * against fixed centroids is batch-invariant, so the result is
+    * byte-identical to the batch `x_ann_ivf_topk` — whose oracle this
+    * gate reuses verbatim. */
+  def streamAnnIndex(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = graft.GateCache.tempDir("graft_sai_src").toString
+    val idxDir = graft.GateCache.tempDir("graft_sai_idx").toString + "/idx"
+    val centDir = graft.GateCache.tempDir("graft_sai_cent").toString + "/cent"
+    val ckp = graft.GateCache.tempDir("graft_sai_ckp").toString
+    val e = Tables.read(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    graft.functions.SimilarityOps.ivfCentroids(e, "vec_id", "embedding",
+      TrainingData.IvfCentroidMod).write.mode("overwrite").parquet(centDir)
+    val m = e.agg(max(col("vec_id"))).head().getLong(0)
+    val stage = stageReplayFile(srcDir) _
+    val base = 1600000000000L // strictly increasing modtimes = replay order
+    stage(e.filter(col("vec_id") * 3 <= m), "b0.parquet", base)
+    stage(e.filter(col("vec_id") * 3 > m && col("vec_id") * 3 <= 2 * m),
+      "b1.parquet", base + 600000L)
+    stage(e.filter(col("vec_id") * 3 > 2 * m), "b2.parquet", base + 1200000L)
+    val stream = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      graft.streaming.StreamAnnIndex.run(stream,
+        idCol = "vec_id", vecCol = "embedding",
+        centDir = centDir, indexDir = idxDir, checkpointDir = ckp,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    graft.streaming.StreamAnnIndex.probeTopK(s, idxDir,
+      e.filter(col("vec_id") < TrainingData.AnnQueryIds),
+      "vec_id", "embedding", s.read.parquet(centDir),
+      TrainingData.AnnK, TrainingData.IvfNProbe)
+  }
+
   /** Watermark late-data semantics, exactly reproduced. Three chunks
     * replayed in forced modtime order: on-time history (ts < Jan 16,
     * minus stragglers), mid-period data (Jan 16–23), then the tail PLUS
@@ -2028,6 +2073,7 @@ object PipelineOps {
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
     "t13_stream_neardup" -> ((s, dir) => streamNearDupCounts(s, dir)),
     "t22_stream_contamination" -> ((s, dir) => streamContamination(s, dir)),
+    "t23_stream_ann_index" -> ((s, dir) => streamAnnIndex(s, dir)),
     "t15_transform_with_state" -> ((s, dir) => transformWithStateTotals(s, dir)),
     "t17_state_store_reader" -> ((s, dir) => stateStoreReader(s, dir)),
     "t18_typed_state_profile" -> ((s, dir) => typedStateProfile(s, dir)),
@@ -2092,6 +2138,11 @@ object PipelineOps {
          |    THEN 0 ELSE n_chars END) AS BIGINT) AS clean_chars
          |FROM documents WHERE doc_id % ${TrainingData.EvalMod} <> 0
          |GROUP BY lang""".stripMargin,
+
+    // batch-invariant by construction (fixed quantizer, per-vector
+    // assignment), so the streamed index must answer EXACTLY what the
+    // one-pass batch IVF answers — same oracle, verbatim
+    "t23_stream_ann_index" -> TrainingData.oracle("x_ann_ivf_topk"),
 
     "o10_time_travel" ->
       """WITH changes AS (

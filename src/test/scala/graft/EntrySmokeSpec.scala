@@ -16,9 +16,10 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     // gate, the driver's correctness JSON just gets smaller, and 31 red
     // gates read as "fewer queries". A silent shrink (or an unregistered
     // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
-    val pinned = 230 // r10: +t21_typed_state_reader (transformWithState
+    val pinned = 231 // r10: +t21_typed_state_reader (transformWithState
     // checkpoint forensics), +t22_stream_contamination (at-ingest
-    // benchmark-leakage screen).
+    // benchmark-leakage screen), +t23_stream_ann_index (streaming IVF
+    // index maintenance).
     // r9 SIXTH wave: +x_collapsing_final, +x_sssp_weighted,
     // +x_mv_transparent_rewrite, +t19_stream_collapsing, +x_agg_state_merge,
     // +t20_live_projection, +x_ttl_rollup.
