@@ -26,9 +26,18 @@ object Compaction {
 
   /** Compact one parquet table directory in place (write-new-then-swap via
     * a sibling temp dir — readers of the old files are unaffected until
-    * the atomic-ish rename). */
+    * the atomic-ish rename).
+    *
+    * `cluster`: optional clustering columns — the rewrite then
+    * repartitions on them and sorts within tasks, so output files cover
+    * disjoint key ranges and row groups carry tight min/max stats for
+    * those columns. This is how a stats-pruned layout (e.g. the
+    * [[graft.streaming.StreamAnnIndex]] cell-clustered deltas) is
+    * re-established after many appends WITHOUT changing readers: the
+    * schema and the pruning path are identical before and after. */
   def compact(spark: SparkSession, path: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): CompactionResult = {
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              cluster: Seq[String] = Nil): CompactionResult = {
     val dir = new File(path)
     // crash recovery: a previous compact that died between its two renames
     // leaves the data intact in `<dir>._compact_old` with no live dir —
@@ -47,7 +56,12 @@ object Compaction {
     val targetFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(path)
     val out =
-      if (targetFiles < before.length) df.coalesce(targetFiles)
+      if (cluster.nonEmpty) {
+        import org.apache.spark.sql.functions.col
+        df.repartition(targetFiles, cluster.map(col): _*)
+          .sortWithinPartitions(cluster.map(col): _*)
+      }
+      else if (targetFiles < before.length) df.coalesce(targetFiles)
       else df.repartition(targetFiles)
     val tmp = new File(dir.getParentFile, dir.getName + "._compact_tmp")
     out.write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)

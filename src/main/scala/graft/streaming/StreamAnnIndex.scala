@@ -68,6 +68,18 @@ object StreamAnnIndex {
                 indexDir: String): DataFrame =
     s.read.parquet(indexDir)
 
+  /** Re-establishes the cell-clustered layout after many appended deltas
+    * (each micro-batch adds files; thousands of deltas degrade listing
+    * and widen row-group cell ranges). Same schema, same pruning path —
+    * [[probeTopK]] is unchanged before and after; the
+    * [[graft.operators.Compaction]] write-new-then-swap protocol keeps
+    * it crash-safe. */
+  def compact(s: org.apache.spark.sql.SparkSession, indexDir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024)
+      : graft.operators.Compaction.CompactionResult =
+    graft.operators.Compaction.compact(s, indexDir, targetFileBytes,
+      cluster = Seq("_cell"))
+
   /** Top-k from the index for a query frame: the probe cell set is
     * BOUNDED (|queries|·nprobe — the query router always knows its
     * cells), so it prunes the index scan as a pushed `In(_cell, …)`

@@ -31,4 +31,40 @@ class StreamAnnIndexSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(streamed == batch,
       "streamed-index probe diverged from the one-pass batch IVF")
   }
+
+  test("index compaction: fewer files, identical probe answers, pruning intact") {
+    val sf = TestSpark.Sf0001
+    val e = graft.queries.Tables.read(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cent = graft.functions.SimilarityOps.ivfCentroids(
+      e, "vec_id", "embedding", graft.queries.TrainingData.IvfCentroidMod)
+    val centDir = graft.GateCache.tempDir("sai_cmp_cent").toString + "/c"
+    cent.write.parquet(centDir)
+    // simulate many appended micro-batch deltas
+    val idxDir = graft.GateCache.tempDir("sai_cmp_idx").toString + "/idx"
+    val m = e.agg(org.apache.spark.sql.functions.max(col("vec_id")))
+      .head().getLong(0)
+    for (i <- 0 until 4) {
+      graft.functions.SimilarityOps.ivfAssignCells(
+          e.filter(col("vec_id") % 4 === i), "vec_id", "embedding",
+          spark.read.parquet(centDir))
+        .repartition(col("_cell")).sortWithinPartitions(col("_cell"))
+        .write.mode("append").parquet(idxDir)
+    }
+    assert(m > 0)
+    def probe() = StreamAnnIndex.probeTopK(spark, idxDir,
+        e.filter(col("vec_id") < graft.queries.TrainingData.AnnQueryIds),
+        "vec_id", "embedding", spark.read.parquet(centDir),
+        graft.queries.TrainingData.AnnK,
+        graft.queries.TrainingData.IvfNProbe)
+    val before = probe().collect().map(_.toString).sorted.toSeq
+    val r = StreamAnnIndex.compact(spark, idxDir)
+    assert(r.filesAfter < r.filesBefore,
+      s"compaction did not shrink the file count: $r")
+    val after = probe()
+    val plan = after.queryExecution.executedPlan.toString
+    assert(plan.contains("In(_cell"), "pruning lost after compaction")
+    assert(after.collect().map(_.toString).sorted.toSeq == before,
+      "compaction changed probe answers")
+  }
 }
