@@ -70,6 +70,12 @@ object TrainingData {
   val ChunkStride = 48 // overlapping chunking: stride (overlap = W - stride)
   val SubdupK = 8 // substring dedup: token k-gram span width (Lee et al.
   // 2021 use 50 on web-scale corpora; 8 fits the harness doc lengths)
+  val LineSegWords = 8 // line-level dedup: words per synthesized "line"
+  // (the harness corpus has no newlines, so C4's line unit is synthesized
+  // as fixed non-overlapping word windows)
+  val PhraseTermA = "hash" // phrase search: first query term
+  val PhraseTermB = "join" // phrase search: second query term ("hash join"
+  // occurs at every SF — measured 25/28/289 at sf0.001/0.01/0.1)
   val BitextQueryIds = 60 // bitext mining: query window (non-en ids < 60)
   val BitextMinCos = 0.2 // bitext: absolute top-1 cosine floor
   val BitextMargin = 0.01 // bitext: required top-1 − top-2 margin
@@ -262,6 +268,90 @@ object TrainingData {
     // shuffles only — and an order-preserving reassembly via
     // sort-by-position inside a per-doc aggregate (bounded by doc length,
     // never a global sort).
+    // Positional inverted-index search: conjunctive term query + exact
+    // phrase verification — the retrieval shape TF-IDF/BM25 (pure scoring)
+    // can't express, because it needs token POSITIONS, not counts. The
+    // postings list (term, doc_id, pos) is built in one tokenizing scan
+    // and filtered to the query terms AT THE SCAN (a real index would be
+    // term-bucketed parquet — the b1/b2 bucketing machinery — making this
+    // filter a partition prune; the query-time plan is identical either
+    // way). Conjunctive AND = one partial-agg'd per-doc regroup of the
+    // two posting sets; the phrase check is the classic positional
+    // intersection — an equi-join on (doc_id) with pos_b = pos_a + 1 —
+    // whose cost is |postings(A)|·|postings(B)| WITHIN a doc, not across
+    // docs. Output is O(matching docs).
+    "x_phrase_search" -> ((s, dir) => {
+      val (ta, tb) = (PhraseTermA, PhraseTermB)
+      val post = graft.GateCache.cache(docs(s, dir)
+        .select(col("doc_id"),
+          split(Text.normalize(col("text")), " ").as("_raw"))
+        .select(col("doc_id"),
+          posexplode(expr("filter(_raw, x -> x <> '')")))
+        .select(col("doc_id"), col("pos").cast("long").as("p"),
+          col("col").as("term"))
+        .filter(col("term").isin(ta, tb)))
+      val conj = post.groupBy(col("doc_id")).agg(
+          sum(when(col("term") === ta, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("term") === tb, 1L).otherwise(0L)).as("n_b"))
+        .filter(col("n_a") > 0 && col("n_b") > 0)
+      val pa = post.filter(col("term") === ta)
+        .select(col("doc_id"), col("p").as("_pa"))
+      val pb = post.filter(col("term") === tb)
+        .select(col("doc_id"), col("p").as("_pb"))
+      val ph = pa.join(pb, Seq("doc_id"))
+        .filter(col("_pb") === col("_pa") + 1)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("_np"))
+      conj.join(ph, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_a"), col("n_b"),
+          coalesce(col("_np"), lit(0L)).as("n_phrase"))
+    }),
+
+    // C4-style LINE-level corpus dedup, applied (Raffel et al. 2020 §2.2:
+    // "we discarded all but one of any three-sentence span occurring more
+    // than once in the data set"): the dedup unit is a whole line — here
+    // synthesized as fixed non-overlapping [[LineSegWords]]-word segments
+    // since the harness corpus carries no newlines — and every occurrence
+    // EXCEPT the globally first (min doc_id, then min position) is
+    // removed wholesale, including repeats inside the same document. The
+    // cleaned corpus itself is the output. Complements the substring
+    // family: grams there OVERLAP and removal is per-position; lines here
+    // tile the document and removal is per-unit — the cheap first pass a
+    // production pipeline runs before gram-level dedup. Scale shape: the
+    // segment split is a pure per-row expression (rides the scan, ×1
+    // blowup vs the gram family's ×k), then two partial-agg'd shuffles
+    // pick first owners and one shuffle back on the segment key; doc
+    // reassembly is the bounded per-doc sort-in-aggregate, never global.
+    "x_line_dedup_apply" -> ((s, dir) => {
+      val w = LineSegWords
+      val base = graft.GateCache.cache(docs(s, dir)
+        .select(col("doc_id"),
+          split(Text.normalize(col("text")), " ").as("_raw"))
+        .select(col("doc_id"), expr("filter(_raw, x -> x <> '')").as("_arr")))
+      val segs = graft.GateCache.cache(base
+        .filter(size(col("_arr")) > 0)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, cast(ceil(size(_arr) / $w.0) as int) - 1), " +
+            s"i -> array_join(slice(_arr, i * $w + 1, $w), ' '))")))
+        .select(col("doc_id"), col("pos").cast("long").as("seg_idx"),
+          col("col").as("seg")))
+      val fd = segs.groupBy(col("seg")).agg(min(col("doc_id")).as("fd"))
+      val fp = segs.join(fd, "seg").filter(col("doc_id") === col("fd"))
+        .groupBy(col("seg")).agg(min(col("seg_idx")).as("fp"))
+      val kept = segs.join(fd, "seg").join(fp, "seg")
+        .filter(col("doc_id") === col("fd") && col("seg_idx") === col("fp"))
+      val tot = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("_ns"))
+      val out = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("_nk"),
+          expr("array_join(transform(" +
+            "array_sort(collect_list(struct(seg_idx, seg))), x -> x.seg), ' ')")
+            .as("_ct"))
+      base.join(tot, Seq("doc_id"), "left").join(out, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("_ns"), lit(0L)).as("n_segments"),
+          coalesce(col("_nk"), lit(0L)).as("n_kept_segments"),
+          coalesce(col("_ct"), lit("")).as("clean_text"))
+    }),
+
     "x_substring_dedup_apply" -> ((s, dir) => {
       val (base, cov) = subdupCoverage(s, dir)
       val toks = base.select(col("doc_id"), posexplode(col("_arr")))
@@ -1401,6 +1491,65 @@ object TrainingData {
          |    ELSE CAST(coalesce(cnt.nd, 0) AS DOUBLE) / len(arr)
          |  END AS dup_ratio
          |FROM a LEFT JOIN cnt ON a.doc_id = cnt.doc_id""".stripMargin,
+
+    // Postings from the same normalize+split; conjunctive counts via
+    // conditional sums; phrase via the pos+1 self-intersection.
+    "x_phrase_search" ->
+      s"""WITH a AS MATERIALIZED (SELECT doc_id,
+         |    list_filter(string_split($normDoc, ' '), x -> x <> '') AS arr
+         |  FROM documents),
+         |post AS MATERIALIZED (SELECT doc_id, i - 1 AS p, arr[i] AS t
+         |  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i
+         |    FROM a)
+         |  WHERE arr[i] IN ('$PhraseTermA', '$PhraseTermB')),
+         |conj AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN t = '$PhraseTermA' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN t = '$PhraseTermB' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_b
+         |  FROM post GROUP BY doc_id
+         |  HAVING n_a > 0 AND n_b > 0),
+         |ph AS (SELECT a.doc_id, count(*) AS np
+         |  FROM post a JOIN post b
+         |    ON a.doc_id = b.doc_id AND b.p = a.p + 1
+         |  WHERE a.t = '$PhraseTermA' AND b.t = '$PhraseTermB'
+         |  GROUP BY a.doc_id)
+         |SELECT conj.doc_id, conj.n_a, conj.n_b,
+         |  CAST(coalesce(ph.np, 0) AS BIGINT) AS n_phrase
+         |FROM conj LEFT JOIN ph ON conj.doc_id = ph.doc_id""".stripMargin,
+
+    // Same tiling arithmetic: list_slice's inclusive clamped bounds ≡
+    // Spark slice's (start, length) truncation; first owner = min doc_id
+    // then min seg_idx within it; ordered string_agg reassembles.
+    "x_line_dedup_apply" ->
+      s"""WITH a AS MATERIALIZED (SELECT doc_id,
+         |    list_filter(string_split($normDoc, ' '), x -> x <> '') AS arr
+         |  FROM documents),
+         |segs AS MATERIALIZED (SELECT doc_id, i AS seg_idx,
+         |    array_to_string(list_slice(arr,
+         |      i * $LineSegWords + 1, i * $LineSegWords + $LineSegWords),
+         |      ' ') AS seg
+         |  FROM (SELECT doc_id, arr,
+         |      unnest(range(0,
+         |        CAST(ceil(len(arr) / $LineSegWords.0) AS BIGINT))) AS i
+         |    FROM a WHERE len(arr) > 0)),
+         |fd AS (SELECT seg, min(doc_id) AS fd FROM segs GROUP BY seg),
+         |fp AS (SELECT s.seg, min(s.seg_idx) AS fp FROM segs s
+         |  JOIN fd ON s.seg = fd.seg AND s.doc_id = fd.fd
+         |  GROUP BY s.seg),
+         |kept AS (SELECT s.doc_id, s.seg_idx, s.seg FROM segs s
+         |  JOIN fd ON s.seg = fd.seg JOIN fp ON s.seg = fp.seg
+         |  WHERE s.doc_id = fd.fd AND s.seg_idx = fp.fp),
+         |tot AS (SELECT doc_id, count(*) AS ns FROM segs GROUP BY doc_id),
+         |k AS (SELECT doc_id, count(*) AS nk,
+         |    string_agg(seg, ' ' ORDER BY seg_idx) AS ct
+         |  FROM kept GROUP BY doc_id)
+         |SELECT a.doc_id,
+         |  CAST(coalesce(tot.ns, 0) AS BIGINT) AS n_segments,
+         |  CAST(coalesce(k.nk, 0) AS BIGINT) AS n_kept_segments,
+         |  coalesce(k.ct, '') AS clean_text
+         |FROM a LEFT JOIN tot ON a.doc_id = tot.doc_id
+         |LEFT JOIN k ON a.doc_id = k.doc_id""".stripMargin,
 
     // Same CTE prefix as x_substring_dedup up to cov, then: anti-join the
     // exploded tokens against the coverage set, reassemble in position

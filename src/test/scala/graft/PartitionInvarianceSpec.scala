@@ -32,7 +32,12 @@ class PartitionInvarianceSpec extends AnyFunSuite with GateCacheHygiene {
     // rollup, the HLL register-max state merge, and the key-hash holdout
     "x_collapsing_final", "x_label_propagation", "x_bfs_khop",
     "x_sssp_weighted", "x_weighted_quantiles", "x_sequence_count",
-    "x_ttl_rollup", "x_agg_state_merge", "x_entity_sample", "x_delta_sum")
+    "x_ttl_rollup", "x_agg_state_merge", "x_entity_sample", "x_delta_sum",
+    // r10 wave: keep-first segment ownership + per-doc ordered reassembly
+    // under shuffle, and the positional postings intersection (x_kcore's
+    // peel is exercised at sf0.01-scale by its own spec — its 4-core is
+    // empty at sf0.001, and this matrix requires non-empty results)
+    "x_line_dedup_apply", "x_phrase_search")
 
   private def run(name: String): Seq[String] = {
     val rows = SparkEntry.queries(name)(spark, TestSpark.Sf0001)

@@ -314,4 +314,69 @@ class GraphOpsSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(got.values.exists(_ > 0L))
     assert(got.keySet.exists(n => !seedSet.contains(n)))
   }
+
+  test("x_kcore: path peels from the ends, a triangle survives; gate ≡ straight-line peel; 10-round plan bounded") {
+    import spark.implicits._
+    // straight-line reference peel over an undirected (mirrored) edge list
+    def peelRef(edges: Set[(String, String)], k: Int, rounds: Int): Set[(String, String)] =
+      (1 to rounds).foldLeft(edges) { (e, _) =>
+        val deg = e.toSeq.groupBy(_._1).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        e.filter { case (u, v) => keep(u) && keep(v) }
+      }
+
+    // chain c00—…—c21 (each 2-core peel removes both endpoints: real work
+    // in EVERY round through round 10) plus a disjoint triangle (a true
+    // 2-core — must survive any number of peels)
+    val chain = (0 to 21).map(i => f"c$i%02d").sliding(2)
+      .map(p => (p(0), p(1))).toSeq
+    val tri = Seq(("t0", "t1"), ("t1", "t2"), ("t0", "t2"))
+    val und = chain ++ tri
+    val mirrored = (und ++ und.map(_.swap)).toSet
+    val edges = mirrored.toSeq.toDF("src", "dst")
+
+    val peeled10 = GraphOps.kcorePeel(edges, 2, 10)
+    // plan depth: each peel round contributes two semi-joins; beyond
+    // PrCheckpointEvery rounds the shared bspLoop must truncate to ≤ one
+    // segment (the family-wide invariant)
+    val plan = peeled10.queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.length
+    assert(joins <= 2 * GraphOps.PrCheckpointEvery,
+      s"$joins joins in the 10-round peel plan — not truncating")
+    assert(plan.collectFirst {
+      case _: org.apache.spark.sql.execution.LogicalRDD => ()
+    }.nonEmpty, "no LogicalRDD leaf — checkpoint never fired")
+
+    val want10 = peelRef(mirrored, 2, 10)
+    // P22 loses its two endpoints per round: after 10 rounds a 2-node
+    // remnant is still alive (round 10 did real work), plus the triangle
+    assert(want10.map(_._1) == Set("c10", "c11", "t0", "t1", "t2"))
+    assert(peeled10.as[(String, String)].collect().toSet == want10)
+    graft.GateCache.releaseAll()
+
+    // gate ≡ straight-line peel on the real sf0.001 sparsified graph
+    val real = GraphOps.sparseTradeEdges(spark, TestSpark.Sf0001)
+      .as[(String, String)].collect().toSet
+    val wantReal = peelRef(real, GraphOps.KcoreK, GraphOps.KcoreRounds)
+    val wantHist = wantReal.toSeq.groupBy(_._1).values
+      .groupBy(_.size.toLong).view.mapValues(_.size.toLong).toMap
+    val got = GraphOps.queries("x_kcore")(spark, TestSpark.Sf0001)
+      .as[(Long, Long)].collect().toMap
+    assert(got == wantHist)
+    graft.GateCache.releaseAll()
+
+    // partition invariance (the 4-core is empty at sf0.001, so the gate
+    // can't ride PartitionInvarianceSpec's non-empty matrix): the crafted
+    // peel must be identical under a different shuffle partitioning
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val narrow = GraphOps.kcorePeel(edges, 2, 10)
+        .as[(String, String)].collect().toSet
+      assert(narrow == want10)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    graft.GateCache.releaseAll()
+  }
 }

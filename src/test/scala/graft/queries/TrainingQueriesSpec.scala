@@ -445,4 +445,77 @@ class TrainingQueriesSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(observed <= expected * 1.5 + 10,
       f"overlap $observed%.0f ≫ independent expectation $expected%.1f")
   }
+
+  test("x_line_dedup_apply ≡ straight-line keep-first segment dedup; tiling and conservation laws") {
+    def normalize(t: String): String =
+      t.toLowerCase.replaceAll("[ \\t\\n\\r\\f\\x0B]+", " ").trim
+    val w = TrainingData.LineSegWords
+    val docRows = Tables.read(spark, TestSpark.Sf0001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val toks = docRows.map { case (id, t) =>
+      id -> normalize(t).split(" ", -1).filter(_.nonEmpty) }.toMap
+    // tile each doc into non-overlapping w-word segments (last may be short)
+    val segs = toks.toSeq.flatMap { case (id, tk) =>
+      tk.grouped(w).zipWithIndex.map { case (g, i) =>
+        (g.mkString(" "), id, i.toLong) }
+    }
+    // keep-first globally: min (doc_id, seg_idx) per segment TEXT
+    val firsts = segs.groupBy(_._1).view
+      .mapValues(_.map(o => (o._2, o._3)).min).toMap
+    val keptRef = segs.filter { case (t, id, i) => firsts(t) == ((id, i)) }
+    val expected = toks.map { case (id, tk) =>
+      val mine = keptRef.filter(_._2 == id).sortBy(_._3)
+      id -> ((math.ceil(tk.length / w.toDouble).toLong,
+        mine.size.toLong, mine.map(_._1).mkString(" ")))
+    }
+    val got = TrainingData.queries("x_line_dedup_apply")(
+        spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expected)
+    // the corpus genuinely exercises the operator: some segment was
+    // dropped somewhere, and at least one doc survives fully intact
+    assert(got.values.exists(v => v._2 < v._1), "no segment dropped — degenerate")
+    assert(got.values.exists(v => v._2 == v._1 && v._1 > 0))
+    // conservation: kept ≤ total; kept word count = clean_text word count
+    got.values.foreach { case (ns, nk, ct) =>
+      assert(nk <= ns)
+      val ctw = ct.split(" ", -1).filter(_.nonEmpty).length
+      assert(nk > 0 || ctw == 0)
+    }
+    // global law: every distinct segment text survives exactly once, so
+    // Σ kept = |distinct segment texts|
+    assert(got.values.map(_._2).sum == segs.map(_._1).distinct.size.toLong)
+  }
+
+  test("x_phrase_search ≡ straight-line positional search; phrase ⊆ conjunctive; adjacency is real") {
+    def normalize(t: String): String =
+      t.toLowerCase.replaceAll("[ \\t\\n\\r\\f\\x0B]+", " ").trim
+    val (ta, tb) = (TrainingData.PhraseTermA, TrainingData.PhraseTermB)
+    val docRows = Tables.read(spark, TestSpark.Sf0001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val expected = docRows.flatMap { case (id, t) =>
+      val tk = normalize(t).split(" ", -1).filter(_.nonEmpty)
+      val na = tk.count(_ == ta).toLong
+      val nb = tk.count(_ == tb).toLong
+      val np = tk.sliding(2).count(p =>
+        p.length == 2 && p(0) == ta && p(1) == tb).toLong
+      if (na > 0 && nb > 0) Some(id -> ((na, nb, np))) else None
+    }.toMap
+    val got = TrainingData.queries("x_phrase_search")(
+        spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expected)
+    // the corpus exercises both sides of the positional check: some
+    // conjunctive match has the exact phrase, some has none (terms
+    // present but never adjacent) — so adjacency genuinely filters
+    assert(got.values.exists(_._3 > 0), "no phrase hit — degenerate")
+    assert(got.values.exists(_._3 == 0),
+      "every conjunctive match is a phrase match — adjacency is vacuous")
+    // phrase occurrences are bounded by min(term counts)
+    got.values.foreach { case (na, nb, np) =>
+      assert(np <= math.min(na, nb))
+    }
+  }
 }
