@@ -133,6 +133,71 @@ object PipelineOps {
       pks = Seq("user_id"), tieBreak = Some(SeqCol))
   }
 
+  /** T24: mid-stream `ALTER TABLE … ADD COLUMN` replication — the
+    * reference's first documented limitation
+    * (`/root/reference/README.md:585` "No DDL replication"), closed by
+    * [[graft.streaming.EvolvingCdc]]. The t12 Debezium replay split at
+    * the half-way binlog position: envelopes before the cutoff carry the
+    * base 6-column row; from the cutoff on, the upstream table has grown
+    * `region` (string) and `score` (double) and the after-images carry
+    * them. Ingestion starts with ONLY the base schema, detects the new
+    * fields on the drifting batch, widens, and keeps applying — no
+    * restart, no manual DDL on the target. Gate output = the live view
+    * with the evolved columns; every survivor here post-dates the cutoff
+    * (≥ ~13 events/user, so the probability of an all-pre-cutoff user is
+    * ~2^-13 per user — the NULL-backfill path is pinned by the spec on
+    * crafted data instead). The half-max cutoff and both new columns are
+    * deterministic expressions of the row, so the oracle derives them
+    * relationally. */
+  def evolvingCdcLive(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tgt = graft.GateCache.tempDir("graft_evo_tgt").toString
+    val ckp = graft.GateCache.tempDir("graft_evo_ckp").toString
+    val landing = graft.GateCache.tempDir("graft_evo_src").toString
+    val rowSchema = StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, props STRING")
+    val events = s.read.schema(rowSchema).parquet(s"$dir/events.parquet")
+    // the DDL's binlog position: half the max event id (1-row collect)
+    val cutoff = events.agg(expr("max(event_id) div 2")).head().getLong(0)
+    val isDel = col("event_type") === "error"
+    def envelope(row: org.apache.spark.sql.Column) = to_json(struct(
+      when(isDel, row).as("before"),
+      when(!isDel, row).as("after"),
+      struct(expr("ts div 1000000").as("ts_ms"),
+        lit("graft").as("db"), lit("events").as("table"),
+        lit("binlog.000001").as("file"), col("event_id").as("pos"))
+        .as("source"),
+      when(isDel, "d").when(col("event_type") === "signup", "c")
+        .otherwise("u").as("op"),
+      expr("ts div 1000000").as("ts_ms")))
+    val baseRow = struct(rowSchema.fieldNames.toIndexedSeq.map(col): _*)
+    // post-DDL row: the two ALTER-added columns, deterministic per row
+    val wideRow = struct(rowSchema.fieldNames.toIndexedSeq.map(col) ++ Seq(
+      concat(lit("r"), (col("user_id") % 3).cast("string")).as("region"),
+      ((col("user_id") % 100).cast("double") / 10).as("score")): _*)
+    events.filter(col("event_id") < cutoff)
+      .select(envelope(baseRow).as("value")).repartition(2)
+      .write.mode("overwrite").text(landing)
+    events.filter(col("event_id") >= cutoff)
+      .select(envelope(wideRow).as("value")).repartition(2)
+      .write.mode("append").text(landing)
+    val evolved = graft.streaming.EvolvingCdc.run(
+      s, landing, tgt, ckp, rowSchema, "events", maxFilesPerTrigger = 2)
+    require(evolved.fieldNames.contains("region") &&
+      evolved.fieldNames.contains("score"),
+      s"schema did not evolve: ${evolved.treeString}")
+    LiveView.live(
+      graft.streaming.EvolvingCdc.landed(s, tgt)
+        .select(col("user_id"), col("event_type"), col("value"), col("props"),
+          col("region"), col("score"),
+          col(VersionCol), col(SeqCol), col(DeletedCol)),
+      pks = Seq("user_id"), tieBreak = Some(SeqCol))
+      .select(col("user_id"), col("event_type"), col("value"), col("props"),
+        coalesce(col("region"), lit("")).as("region"),
+        coalesce(col("score"), lit(-1.0)).as("score"))
+  }
+
   /** Streaming at-ingest exact dedup ≡ batch dedup: documents replayed as
     * three micro-batches through [[graft.streaming.StreamDedup]], survivors
     * landed to parquet, then counted per language. Batch boundaries (and
@@ -2070,6 +2135,7 @@ object PipelineOps {
     "t6_stateful_live_view" -> ((s, dir) => statefulLiveView(s, dir)),
     "t1_cdc_stream_live" -> ((s, dir) => cdcStreamLive(s, dir)),
     "t12_debezium_cdc" -> ((s, dir) => debeziumCdcLive(s, dir)),
+    "t24_schema_evolution" -> ((s, dir) => evolvingCdcLive(s, dir)),
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
     "t13_stream_neardup" -> ((s, dir) => streamNearDupCounts(s, dir)),
     "t22_stream_contamination" -> ((s, dir) => streamContamination(s, dir)),
@@ -2508,6 +2574,22 @@ object PipelineOps {
     "t12_debezium_cdc" ->
       """SELECT user_id, event_type, value, props FROM (
         |  SELECT user_id, event_type, value, props,
+        |         CASE WHEN event_type='error' THEN 1 ELSE 0 END AS _deleted,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND _deleted = 0""".stripMargin,
+
+    // t12's derivation plus the two ALTER-added columns: present exactly
+    // when the survivor post-dates the half-max-event-id DDL cutoff
+    // (earlier survivors would read back NULL → the '' / -1.0 sentinels).
+    "t24_schema_evolution" ->
+      """SELECT user_id, event_type, value, props,
+        |  CASE WHEN event_id >= (SELECT max(event_id) // 2 FROM events)
+        |    THEN 'r' || CAST(user_id % 3 AS VARCHAR) ELSE '' END AS region,
+        |  CASE WHEN event_id >= (SELECT max(event_id) // 2 FROM events)
+        |    THEN CAST(user_id % 100 AS DOUBLE) / 10 ELSE -1.0 END AS score
+        |FROM (
+        |  SELECT user_id, event_type, value, props, event_id,
         |         CASE WHEN event_type='error' THEN 1 ELSE 0 END AS _deleted,
         |         row_number() OVER (PARTITION BY user_id
         |           ORDER BY event_id DESC) AS rn

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{MapType, StringType, StructType}
+import graft.operators.CdcTransform
+
+/** Schema-evolving CDC ingestion — the reference's FIRST documented
+  * limitation, closed (`/root/reference/README.md:585` "No DDL
+  * replication: schema changes (ALTER, DROP) are not replicated —
+  * manually apply DDL to ClickHouse"; also `:491` "DDL changes (ALTER
+  * TABLE) → inconsistency"). Here an upstream `ALTER TABLE … ADD COLUMN`
+  * needs NO manual action: envelopes from later binlog positions simply
+  * carry the new fields, ingestion detects them, widens its parse schema
+  * mid-stream, and the landed table evolves — earlier rows read back with
+  * the new columns NULL (exactly MySQL's own backfill semantics for a
+  * plain ADD COLUMN).
+  *
+  * Per micro-batch, in order:
+  *   1. '''Cheap drift probe''' — the distinct top-level key set of the
+  *      `after` images via `from_json(…, MAP<STRING,STRING>)` +
+  *      `map_keys`: one codegen'd scan of the batch, collecting ≤ table
+  *      width key names (bounded by schema size, never by rows).
+  *   2. '''Typed inference, only on drift''' — when unknown keys appear,
+  *      `spark.read.json` over the batch's after-images infers their
+  *      types distributed (LONG/DOUBLE/STRING by JSON shape); known
+  *      columns keep their registered types, and the new fields are
+  *      appended in name order (a deterministic registry regardless of
+  *      which batch first sees them). A production deployment would
+  *      instead map the types straight off Debezium's DDL `HistoryRecord`
+  *      (which carries the MySQL column type) through
+  *      [[graft.model.TypeMapper]]; shape-inference is the fallback that
+  *      needs nothing but the data.
+  *   3. '''Parse + stamp + append''' with the CURRENT schema —
+  *      [[DebeziumEnvelope.parse]] reads missing fields as NULL, so a
+  *      batch mixing pre- and post-DDL envelopes (or a late pre-DDL file
+  *      arriving after the widening) is handled by construction. Parquet
+  *      append writes each batch in its own schema; readers merge
+  *      footers (`mergeSchema`), which is exactly the "old rows backfill
+  *      as NULL" contract.
+  *
+  * The final result is batch-split-invariant: the survivor per key is
+  * chosen by binlog position, widening is monotone (a field set union),
+  * and inferred types depend on the JSON values, not on which batch
+  * carried them.
+  *
+  * Scale: steps 1 and 3 ride the batch scan (no shuffle, no UDF); step 2
+  * runs only on the (rare) drifting batch and costs one extra scan of
+  * that batch. The landed table is the same append-only layout as
+  * [[CdcPipeline]]'s.
+  */
+object EvolvingCdc {
+
+  /** Ingest every Debezium JSON line under `landing` for `table`,
+    * evolving the row schema from `base` as new after-image fields
+    * appear. Returns the final evolved schema; the landed rows are at
+    * `tgt` (read with `mergeSchema=true`). */
+  def run(s: SparkSession, landing: String, tgt: String, ckp: String,
+          base: StructType, table: String,
+          maxFilesPerTrigger: Int = 1): StructType = {
+    var current = base
+    val q = s.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(landing)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val afters = batch
+          .select(get_json_object(col("value"), "$.after").as("a"))
+          .filter(col("a").isNotNull)
+        val keys = afters
+          .select(explode(map_keys(
+            from_json(col("a"), MapType(StringType, StringType)))).as("k"))
+          .distinct().collect().map(_.getString(0)).toSet
+        val unknown = keys -- current.fieldNames.toSet
+        if (unknown.nonEmpty) {
+          import s.implicits._
+          val inferred = s.read.json(afters.select(col("a")).as[String]).schema
+          inferred.fields.filter(f => unknown(f.name)).sortBy(f => f.name)
+            .foreach(f => current = current.add(f.name, f.dataType))
+        }
+        val parsed = DebeziumEnvelope.parse(batch, "value", current)
+        CdcTransform.stamp(parsed, "op", "_seq", lit(1L))
+          .filter(col("_tbl") === table).drop("op", "_tbl")
+          .write.mode("append").parquet(tgt)
+        ()
+      }
+      .option("checkpointLocation", ckp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    current
+  }
+
+  /** The evolved landed table: parquet footers merged so pre-DDL files
+    * surface the post-DDL columns as NULL. */
+  def landed(s: SparkSession, tgt: String): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(tgt)
+}
