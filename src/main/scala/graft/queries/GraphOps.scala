@@ -365,9 +365,19 @@ object GraphOps {
     * identical three rounds. Runs through [[bspLoop]], so a deep peel
     * (degeneracy ordering needs O(max core) rounds) keeps a bounded plan. */
   private[queries] def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame =
-    bspLoop(edges, rounds) { e =>
-      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select(col("src").as("node"))
+    bspLoop(edges, rounds) { e0 =>
+      // Materialize the round's input: unlike the relax family (one
+      // self-reference per round), a peel round reads its input TWICE —
+      // under the degree aggregate and as the join's probe side — so a
+      // pure lazy unroll re-executes each earlier round 2^depth times
+      // (measured 9.0 s lazy vs 2.7 s cached at the gate shape). Pregel-style
+      // superstep materialization is the scale-correct shape here; blocks
+      // are freed with the gate's other caches, and a deep peel's
+      // footprint is bounded by bspLoop's checkpoint-release protocol.
+      val e = graft.GateCache.cache(e0)
+      val keep = graft.GateCache.cache(
+        e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select(col("src").as("node")))
       e.join(keep.as("ka"), col("src") === col("ka.node"), "left_semi")
         .join(keep.as("kb"), col("dst") === col("kb.node"), "left_semi")
     }

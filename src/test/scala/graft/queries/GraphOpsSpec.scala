@@ -336,9 +336,12 @@ class GraphOpsSpec extends AnyFunSuite with graft.GateCacheHygiene {
     val edges = mirrored.toSeq.toDF("src", "dst")
 
     val peeled10 = GraphOps.kcorePeel(edges, 2, 10)
-    // plan depth: each peel round contributes two semi-joins; beyond
-    // PrCheckpointEvery rounds the shared bspLoop must truncate to ≤ one
-    // segment (the family-wide invariant)
+    // plan depth: each peel round contributes two semi-joins, and the
+    // per-round superstep cache roots every round at the previous round's
+    // materialization — the 10-round plan must stay bounded at ONE
+    // round's joins over a materialized leaf (InMemoryRelation from the
+    // round cache; bspLoop's localCheckpoint additionally truncates the
+    // RDD lineage behind it, as the round-3/6/9 truncation WARNs show)
     val plan = peeled10.queryExecution.optimizedPlan
     val joins = plan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
@@ -347,7 +350,8 @@ class GraphOpsSpec extends AnyFunSuite with graft.GateCacheHygiene {
       s"$joins joins in the 10-round peel plan — not truncating")
     assert(plan.collectFirst {
       case _: org.apache.spark.sql.execution.LogicalRDD => ()
-    }.nonEmpty, "no LogicalRDD leaf — checkpoint never fired")
+      case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => ()
+    }.nonEmpty, "no materialized leaf — neither cache nor checkpoint fired")
 
     val want10 = peelRef(mirrored, 2, 10)
     // P22 loses its two endpoints per round: after 10 rounds a 2-node
