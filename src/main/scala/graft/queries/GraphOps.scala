@@ -238,7 +238,8 @@ object GraphOps {
   private[queries] def labelPropFromEdges(edges: DataFrame, rounds: Int): DataFrame = {
     val init = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    bspLoop(init, rounds) { l =>
+    bspLoop(init, rounds) { l0 =>
+      val l = graft.GateCache.cache(l0) // superstep cache — see khop
       val nbr = edges.join(l, edges("src") === l("node"))
         .select(col("dst").as("node"), col("label"))
       l.unionAll(nbr).groupBy(col("node")).agg(min(col("label")).as("label"))
@@ -269,7 +270,11 @@ object GraphOps {
   private[queries] def khopFromEdges(edges: DataFrame, seeds: DataFrame,
       hops: Int): DataFrame = {
     val d0 = seeds.select(col("node"), lit(0L).as("dist"))
-    bspLoop(d0, hops) { r =>
+    bspLoop(d0, hops) { r0 =>
+      // superstep cache: the relax state feeds BOTH the expand join and
+      // the unionAll, so a lazy unroll re-executes earlier rounds
+      // ~2^depth times (the x_kcore lesson applied family-wide)
+      val r = graft.GateCache.cache(r0)
       val expand = edges.join(r, edges("src") === r("node"))
         .select(col("dst").as("node"), (col("dist") + lit(1L)).as("dist"))
       r.unionAll(expand).groupBy(col("node")).agg(min(col("dist")).as("dist"))
@@ -320,7 +325,8 @@ object GraphOps {
   private[queries] def ssspFromEdges(edges: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
     val d0 = seeds.select(col("node"), lit(0L).as("dist"))
-    bspLoop(d0, rounds) { r =>
+    bspLoop(d0, rounds) { r0 =>
+      val r = graft.GateCache.cache(r0) // superstep cache — see khop
       val relax = edges.join(r, edges("src") === r("node"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       r.unionAll(relax).groupBy(col("node")).agg(min(col("dist")).as("dist"))

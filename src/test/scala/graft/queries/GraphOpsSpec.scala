@@ -125,9 +125,13 @@ class GraphOpsSpec extends AnyFunSuite with graft.GateCacheHygiene {
       }.length
       assert(joins <= GraphOps.PrCheckpointEvery,
         s"$what: $joins joins in the $rounds-round plan — not truncating")
+      // the superstep cache roots each round at the previous round's
+      // InMemoryRelation; bspLoop's localCheckpoint (LogicalRDD) still
+      // truncates the RDD lineage behind it every PrCheckpointEvery
       assert(plan.collectFirst {
         case _: org.apache.spark.sql.execution.LogicalRDD => ()
-      }.nonEmpty, s"$what: no LogicalRDD leaf — checkpoint never fired")
+        case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => ()
+      }.nonEmpty, s"$what: no materialized leaf — cache/checkpoint never fired")
     }
 
     // straight-line min-relaxation reference shared by BFS and SSSP
