@@ -1749,6 +1749,55 @@ object PipelineOps {
           coalesce(col("_ds"), lit(0L))).as("sum_value_micro"))
   }
 
+  /** Insert-only JOIN-view incremental maintenance — the delta rule
+    * Δ(O ⋈ C) = ΔO⋈C ∪ O⋈ΔC ∪ ΔO⋈ΔC — completing the IVM family next to
+    * aggregate IVM ([[incrementalMvRefresh]]) and the stream-maintained
+    * aggregate MV (t20). The orders⋈customer view is materialized at a
+    * deterministic split (orders with `o_orderkey % 5 == 0` and customers
+    * with `c_custkey % 7 == 0` play the "new" arrivals), then brought
+    * current WITHOUT rejoining old⋈old: that term is read back from the
+    * stored MV, and only the three delta terms — each one small-side join
+    * — are computed fresh. The gate output carries the per-TERM pair
+    * counts alongside the totals, so a mis-assembled maintenance (a
+    * missing or double-counted term) breaks the oracle even when the
+    * union happens to have the right total; the oracle derives the same
+    * term labels relationally from the full join (the split predicates
+    * are row-deterministic).
+    *
+    * Scale shape: the stored MV is scanned, never recomputed (the whole
+    * point of IVM — at 100 TB old⋈old is the dominant term); each delta
+    * term joins a DELTA against a base or another delta, the classic
+    * broadcast-side candidates. Deletions/updates need the counting
+    * (multiset-multiplicity) extension; the insert-only rule here is the
+    * ClickHouse-MV / append-pipeline case. */
+  def joinIvm(s: SparkSession, dir: String): DataFrame = {
+    val mvDir = graft.GateCache.tempDir("graft_jivm").toString
+    val o = s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("_cents"))
+    val c = s.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val oNew = col("o_orderkey") % 5 === 0
+    val cNew = col("c_custkey") % 7 === 0
+    val (oOld, oDelta) = (o.filter(!oNew), o.filter(oNew))
+    val (cOld, cDelta) = (c.filter(!cNew), c.filter(cNew))
+    def j(a: DataFrame, b: DataFrame, term: String): DataFrame =
+      a.join(b, col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("_cents"),
+          lit(term).as("term"))
+    // the MV: old⋈old materialized once…
+    j(oOld, cOld, "oo").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(mvDir)
+    // …then maintenance = stored MV ∪ the three delta terms
+    val maintained = s.read.parquet(mvDir)
+      .unionByName(j(oDelta, cOld, "no"))
+      .unionByName(j(oOld, cDelta, "on"))
+      .unionByName(j(oDelta, cDelta, "nn"))
+    maintained.groupBy(col("segment"), col("term"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_cents")).cast("long").as("sum_cents"))
+  }
+
   /** T19: incremental CollapsingMergeTree FINAL under streaming
     * ([[graft.streaming.StreamCollapse]]): the batch gate's sign-changelog
     * replayed as three micro-batches split on version terciles, each batch
@@ -2109,6 +2158,7 @@ object PipelineOps {
     "x_footer_agg_pushdown" -> ((s, dir) => footerAggPushdown(s, dir)),
     "x_cbo_stats_join" -> ((s, dir) => cboStatsJoin(s, dir)),
     "x_incremental_mv_refresh" -> ((s, dir) => incrementalMvRefresh(s, dir)),
+    "x_join_ivm" -> ((s, dir) => joinIvm(s, dir)),
     "x_mv_transparent_rewrite" -> ((s, dir) => mvTransparentRewrite(s, dir)),
     "t19_stream_collapsing" -> ((s, dir) => streamCollapsingFinal(s, dir)),
     "t20_live_projection" -> ((s, dir) => liveProjection(s, dir)),
@@ -2386,6 +2436,21 @@ object PipelineOps {
         |  CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT)
         |    AS sum_value_micro
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the full join, term-labeled by the same row-deterministic split
+    // predicates — a mis-assembled delta union (missing/doubled term)
+    // cannot match these per-term counts
+    "x_join_ivm" ->
+      """SELECT c_mktsegment AS segment,
+        |  CASE WHEN o_orderkey % 5 <> 0 AND c_custkey % 7 <> 0 THEN 'oo'
+        |       WHEN o_orderkey % 5 = 0 AND c_custkey % 7 <> 0 THEN 'no'
+        |       WHEN o_orderkey % 5 <> 0 AND c_custkey % 7 = 0 THEN 'on'
+        |       ELSE 'nn' END AS term,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "x_cbo_stats_join" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

@@ -45,4 +45,47 @@ class IncrementalMvSpec extends AnyFunSuite with graft.GateCacheHygiene {
       assert(edge.toSeq == full.toSeq, s"cutoff $cutoff diverged")
     }
   }
+
+  test("x_join_ivm: delta-rule union ≡ full join recompute; old⋈old comes " +
+      "from the stored MV; terms partition the pairs") {
+    val got = PipelineOps.joinIvm(spark, TestSpark.Sf0001)
+    got.count() // force the AQE final plan
+    // the maintenance plan reads the materialized old⋈old — and performs
+    // exactly the three delta joins, never a fourth for the stored term
+    def joinCount(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          joinCount(a.executedPlan)
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+          1 + j.children.map(joinCount).sum
+        case other => other.children.map(joinCount).sum
+      }
+    val plan = got.queryExecution.executedPlan
+    assert(plan.toString.contains("graft_jivm"),
+      s"no MV scan in maintenance plan")
+    val joins = joinCount(plan)
+    assert(joins == 3, s"$joins joins in the maintenance plan — expected " +
+      "exactly the three delta terms (old⋈old must come from the MV)")
+
+    // term-summed result ≡ full recompute, and the term labels partition
+    // the full join by the split predicates
+    val byTerm = got.as[(String, String, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(rs => (rs.map(_._3).sum, rs.map(_._4).sum)).toMap
+    val full = spark.read
+      .parquet(s"${TestSpark.Sf0001}/orders.parquet")
+      .join(spark.read.parquet(s"${TestSpark.Sf0001}/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("s"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byTerm == full)
+    // all four delta-rule terms genuinely occur at this split
+    val terms = got.as[(String, String, Long, Long)].collect()
+      .map(_._2).toSet
+    assert(terms == Set("oo", "no", "on", "nn"),
+      s"missing delta terms: $terms")
+  }
 }
