@@ -21,6 +21,13 @@ object Analytics {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.read(s, dir, name)
 
+  /** Spatial grid join: the synthetic 1°×1° point box, micro-degrees. */
+  val GeoSpanMicroDeg = 1000000L
+
+  /** Spatial grid join: radius AND cell size (cell = radius ⇒ any pair
+    * within r falls in adjacent cells — recall 1.0 by construction). */
+  val GeoRadiusMicroDeg = 10000L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: single scan + hash agg on low-cardinality keys.
     // Partial aggregation makes the shuffle tiny at any scale.
@@ -518,6 +525,49 @@ object Analytics {
             col("value").cast("decimal(18,2)"))
             .otherwise(lit(0).cast("decimal(18,2)"))).cast("decimal(38,2)").as("purchase_value"))),
 
+    // Spatial radius join via grid bucketing — the geohash/S2-cell scale
+    // pattern: points land in radius-sized integer cells, each point
+    // probes its 3×3 cell neighborhood (the Hamming-multi-probe shape:
+    // probe side explodes ×9, corpus side keeps its exact cell, so the
+    // candidate stage is ONE equi-join shuffle, never the
+    // BroadcastNestedLoop a raw distance predicate plans), and only
+    // candidates pay the exact distance check. A pair matches through
+    // exactly one probe offset ((dx,dy) = the cell delta), so no dedup
+    // pass is needed. All-integer: micro-degree coordinates from the
+    // portable hash, squared distance in int64 — bit-exact cross-engine,
+    // no trig. Cell size = radius guarantees recall 1.0 (any pair within
+    // r is in adjacent cells). At 100 TB the cells are the shuffle key
+    // and skewed dense cells are AQE's skew-join case.
+    "x_spatial_grid_join" -> ((s, dir) => {
+      import graft.functions.PortableHash
+      val (span, r) = (GeoSpanMicroDeg, GeoRadiusMicroDeg)
+      val key = col("c_custkey").cast("string")
+      val pts = graft.GateCache.cache(t(s, dir, "customer")
+        .select(col("c_custkey").as("id"),
+          (PortableHash.hash32w(key, "geo|", 0) % span).as("x"),
+          (PortableHash.hash32w(key, "geo|", 1) % span).as("y"))
+        .withColumn("cx", expr(s"x div $r"))
+        .withColumn("cy", expr(s"y div $r")))
+      val probes = pts.select(col("id").as("aid"), col("x").as("ax"),
+          col("y").as("ay"), col("cx"), col("cy"))
+        .select(col("aid"), col("ax"), col("ay"), col("cx"), col("cy"),
+          explode(expr("flatten(transform(sequence(-1, 1), " +
+            "dx -> transform(sequence(-1, 1), dy -> struct(dx, dy))))"))
+            .as("_o"))
+        .select(col("aid"), col("ax"), col("ay"),
+          (col("cx") + col("_o.dx")).as("pcx"),
+          (col("cy") + col("_o.dy")).as("pcy"))
+      val cand = probes.join(pts,
+          col("pcx") === col("cx") && col("pcy") === col("cy") &&
+            col("aid") < col("id"))
+        .select(((col("ax") - col("x")) * (col("ax") - col("x")) +
+          (col("ay") - col("y")) * (col("ay") - col("y"))).as("d2"))
+      cand.agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("d2") <= r * r, 1L).otherwise(0L)).as("n_within"),
+        sum(when(col("d2") <= r * r, col("d2")).otherwise(0L))
+          .as("sum_dist2_within"))
+    }),
+
     // Range (interval-overlap) join via banding: delivery windows derived
     // from lineitem (ship date + quantity-dependent transit days) against
     // calendar months derived from orders; count deliveries in flight per
@@ -876,6 +926,34 @@ object Analytics {
         |       FROM mo)
         |SELECT strftime(ms, '%Y-%m') AS month, count(*) AS n_deliveries
         |FROM li JOIN mw ON li.ls <= mw.re AND mw.rs <= li.le
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // Same grid arithmetic: hash coords, radius-sized cells, the 3×3
+    // probe cross, exact int64 distance check on candidates only.
+    "x_spatial_grid_join" -> {
+      import graft.functions.PortableHash
+      val h0 = PortableHash.duckSqlW("CAST(c_custkey AS VARCHAR)", "geo|", 0)
+      val h1 = PortableHash.duckSqlW("CAST(c_custkey AS VARCHAR)", "geo|", 1)
+      val (span, r) = (GeoSpanMicroDeg, GeoRadiusMicroDeg)
+      s"""WITH pts AS MATERIALIZED (SELECT c_custkey AS id,
+         |    ($h0 % $span) AS x, ($h1 % $span) AS y
+         |  FROM customer),
+         |cells AS MATERIALIZED (SELECT id, x, y,
+         |    x // $r AS cx, y // $r AS cy FROM pts),
+         |probes AS (SELECT id, x, y, cx + dx AS pcx, cy + dy AS pcy
+         |  FROM cells,
+         |    (SELECT unnest(range(-1, 2)) AS dx),
+         |    (SELECT unnest(range(-1, 2)) AS dy)),
+         |cand AS (SELECT
+         |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+         |  FROM probes a JOIN cells b
+         |    ON a.pcx = b.cx AND a.pcy = b.cy AND a.id < b.id)
+         |SELECT count(*) AS n_candidates,
+         |  CAST(sum(CASE WHEN d2 <= ${r * r} THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_within,
+         |  CAST(sum(CASE WHEN d2 <= ${r * r} THEN d2 ELSE 0 END) AS BIGINT)
+         |    AS sum_dist2_within
+         |FROM cand""".stripMargin
+    }
   )
 }

@@ -153,4 +153,40 @@ class AnalyticsGatesSpec extends AnyFunSuite with graft.GateCacheHygiene {
       assert(m == expected((u, e)), s"user $u event $e")
     }
   }
+
+  test("x_spatial_grid_join: gate ≡ brute-force within-radius pairs on real data; grid recall is total") {
+    import graft.functions.PortableHash
+    val dir = TestSpark.Sf0001
+    val (span, r) = (Analytics.GeoSpanMicroDeg, Analytics.GeoRadiusMicroDeg)
+    // brute force straight-line reference over the same hashed coords
+    val pts = Tables.read(spark, dir, "customer")
+      .select(col("c_custkey").as("id"),
+        (PortableHash.hash32w(col("c_custkey").cast("string"), "geo|", 0)
+          % span).as("x"),
+        (PortableHash.hash32w(col("c_custkey").cast("string"), "geo|", 1)
+          % span).as("y"))
+      .as[(Long, Long, Long)].collect()
+    val all = for {
+      a <- pts; b <- pts if a._1 < b._1
+      d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+    } yield (a._1, b._1, d2)
+    val within = all.filter(_._3 <= r * r)
+    // candidate set per the grid: adjacent (≤1 apart) cells on both axes
+    val cand = all.filter { case (ai, bi, _) =>
+      val a = pts.find(_._1 == ai).get; val b = pts.find(_._1 == bi).get
+      math.abs(a._2 / r - b._2 / r) <= 1 && math.abs(a._3 / r - b._3 / r) <= 1
+    }
+    // total recall: cell size = radius ⇒ every within-pair is a candidate
+    assert(within.map(p => (p._1, p._2)).toSet
+      .subsetOf(cand.map(p => (p._1, p._2)).toSet))
+    val got = Analytics.queries("x_spatial_grid_join")(spark, dir)
+      .as[(Long, Long, Long)].collect().head
+    assert(got._1 == cand.length.toLong, "candidate count differs from grid law")
+    assert(got._2 == within.length.toLong)
+    assert(got._3 == within.map(_._3).sum)
+    // the data genuinely exercises both outcomes: candidates that fail the
+    // exact check exist (grid is a superset), and some pairs are within
+    assert(within.nonEmpty && cand.length > within.length)
+    graft.GateCache.releaseAll()
+  }
 }
