@@ -278,6 +278,40 @@ object EventOps {
             .as("hll_overlap_in_bound"))
     }),
 
+    // Lag-k autocorrelation of the daily event-count series — the
+    // seasonality probe a monitoring stack runs next to deltaSum/TTL:
+    // corr(y_t, y_{t−k}) for k = 1 (day-over-day persistence) and k = 7
+    // (weekly cycle). The series is an integer aggregate (daily counts),
+    // the lag pairing is an exact self-join on day+k (robust to calendar
+    // gaps, unlike a positional lag), and the sufficient statistics are
+    // exact integer sums — the x_corr_qty_price protocol, so the only
+    // floating-point work is the final per-lag scalar formula, identical
+    // expression tree both engines (IEEE division and sqrt are correctly
+    // rounded). One events scan + one O(days) self-join; output O(lags).
+    "x_autocorr" -> ((s, dir) => {
+      val daily = graft.GateCache.cache(Tables.events(s, dir)
+        .groupBy(datediff(to_date(timestamp_micros(col("ts_us"))),
+          to_date(lit("1970-01-01"))).as("d"))
+        .agg(count(lit(1)).as("y")))
+      def d(c: String): org.apache.spark.sql.Column = col(c).cast("double")
+      Seq(1, 7).map { k =>
+        val a = daily.select(col("d"), col("y").as("y0"))
+        val b = daily.select((col("d") + k).as("d"), col("y").as("yk"))
+        a.join(b, "d")
+          .agg(count(lit(1)).as("n"),
+            sum(col("y0")).as("sx"), sum(col("yk")).as("sy"),
+            sum(col("y0") * col("yk")).as("sxy"),
+            sum(col("y0") * col("y0")).as("sxx"),
+            sum(col("yk") * col("yk")).as("syy"))
+          .select(lit(k).as("lag"), col("n").as("n_pairs"),
+            round(
+              (d("n") * d("sxy") - d("sx") * d("sy")) /
+                (sqrt(d("n") * d("sxx") - d("sx") * d("sx")) *
+                  sqrt(d("n") * d("syy") - d("sy") * d("sy"))), 6)
+              .as("autocorr"))
+      }.reduce(_ unionByName _)
+    }),
+
     // ClickHouse deltaSum — counter-reset-aware monitoring aggregation:
     // per (user, event_type) series ordered by (ts, event_id), sum ONLY
     // the positive deltas of the value — a counter that resets (drops)
@@ -547,6 +581,29 @@ object EventOps {
         |  count(DISTINCT user_id) AS exact_union,
         |  true AS hll_overlap_in_bound
         |FROM un GROUP BY 1, 2""".stripMargin,
+
+    // same daily series, same day+k self-join, the identical scalar
+    // formula over exact integer moments (HUGEINT sums cast to DOUBLE
+    // inside the formula, exactly where Spark's long→double casts sit)
+    "x_autocorr" -> {
+      def leg(k: Int) =
+        s"""SELECT $k AS lag, count(*) AS n_pairs,
+           |  round((CAST(count(*) AS DOUBLE) * CAST(sum(a.y * b.y) AS DOUBLE)
+           |      - CAST(sum(a.y) AS DOUBLE) * CAST(sum(b.y) AS DOUBLE))
+           |    / (sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(a.y * a.y) AS DOUBLE)
+           |        - CAST(sum(a.y) AS DOUBLE) * CAST(sum(a.y) AS DOUBLE))
+           |      * sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(b.y * b.y) AS DOUBLE)
+           |        - CAST(sum(b.y) AS DOUBLE) * CAST(sum(b.y) AS DOUBLE))), 6)
+           |    AS autocorr
+           |FROM daily a JOIN daily b ON b.d + $k = a.d""".stripMargin
+      s"""WITH daily AS MATERIALIZED (
+         |  SELECT (CAST(ts AS DATE) - DATE '1970-01-01') AS d,
+         |    count(*) AS y
+         |  FROM events GROUP BY 1)
+         |${leg(1)}
+         |UNION ALL
+         |${leg(7)}""".stripMargin
+    },
 
     // identical per-series lag arithmetic
     "x_delta_sum" ->

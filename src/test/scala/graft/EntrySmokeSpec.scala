@@ -16,7 +16,8 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     // gate, the driver's correctness JSON just gets smaller, and 31 red
     // gates read as "fewer queries". A silent shrink (or an unregistered
     // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
-    val pinned = 237 // r10 waves: +x_spatial_grid_join (grid-bucketed
+    val pinned = 238 // r10 waves: +x_autocorr (lag-k seasonality),
+    // +x_spatial_grid_join (grid-bucketed
     // radius join), +x_kcore (BSP peeling),
     // +x_line_dedup_apply (C4 line dedup), +x_phrase_search (positional
     // inverted index), +t24_schema_evolution (DDL replication),

@@ -221,4 +221,42 @@ class EventOpsSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(row.getAs[Boolean]("est_in_bound"))
     assert(row.getAs[Long]("n_days") > 0 && row.getAs[Long]("n_events") > 0)
   }
+
+  test("x_autocorr ≡ straight-line lag correlation of the daily series; pair counts match the calendar") {
+    import spark.implicits._
+    val daily = Tables.events(spark, graft.TestSpark.Sf0001)
+      .groupBy(to_date(timestamp_micros(col("ts_us"))).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .select(datediff(col("day"), to_date(lit("1970-01-01"))).as("d"),
+        col("y"))
+      .as[(Int, Long)].collect().toMap
+    def ref(k: Int): (Long, Double) = {
+      val pairs = daily.toSeq.flatMap { case (d, y0) =>
+        daily.get(d - k).map(yk => (y0, yk)) }
+      val n = pairs.length.toDouble
+      val (sx, sy) = (pairs.map(_._1).sum.toDouble, pairs.map(_._2).sum.toDouble)
+      val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+      val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+      val syy = pairs.map(p => p._2 * p._2).sum.toDouble
+      val c = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      (pairs.length.toLong,
+        BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = EventOps.queries("x_autocorr")(spark, graft.TestSpark.Sf0001)
+      .as[(Int, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(1, 7))
+    Seq(1, 7).foreach { k =>
+      val (n, c) = ref(k)
+      assert(got(k)._1 == n, s"lag $k pair count")
+      assert(math.abs(got(k)._2 - c) < 1e-9, s"lag $k corr ${got(k)._2} vs $c")
+      assert(math.abs(got(k)._2) <= 1.0)
+    }
+    // the event calendar is dense: a 30-day span gives span−k pairs
+    val span = daily.keySet.max - daily.keySet.min + 1
+    assert(got(1)._1 == span - 1 && got(7)._1 == span - 7,
+      "calendar gaps would shrink the lag join — not expected on this corpus")
+    graft.GateCache.releaseAll()
+  }
 }
