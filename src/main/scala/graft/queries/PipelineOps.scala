@@ -1749,6 +1749,72 @@ object PipelineOps {
           coalesce(col("_ds"), lit(0L))).as("sum_value_micro"))
   }
 
+  /** O16: idempotent full re-sync over a lossy CDC target — the
+    * reference's own disaster-recovery protocol (`README.md:478-487`
+    * event-loss table; `:493-497` "why duplicates are safe"; `:556+`
+    * "periodic full re-sync"): at-least-once delivery means crash
+    * replays DUPLICATE events (healed automatically by
+    * ReplacingMergeTree — same version, same row, one survivor) and
+    * network partitions LOSE events (healed only by a full re-sync).
+    * Simulated deterministically: events with `event_id % 5 == 0` are
+    * lost in flight, events with `% 13 == 0` are delivered twice. The
+    * re-sync then snapshots the SOURCE truth with a strictly newer
+    * version — the reference stamps one fresh µs version per re-synced
+    * table (`src/cdc_replicator.py:268-273`) — and appends; stale
+    * survivors lose to version 2. One reference gap closed along the
+    * way: a row deleted upstream while its tombstone was lost stays a
+    * GHOST under insert-only re-sync (the snapshot has nothing to
+    * overwrite it with); the reconciling re-sync here anti-joins the
+    * target's live keys against the source and appends version-2
+    * tombstones, so the healed view equals the source exactly. Output =
+    * the healed live view plus per-row was_healed / was_duped flags
+    * (derivable relationally — the loss/dup predicates are functions of
+    * the surviving event id).
+    *
+    * Scale shape: the CDC legs are appends; the re-sync is one source
+    * scan + one target live-view scan + an anti-join on O(keys); healing
+    * cost is independent of how much history the target accumulated —
+    * the property that makes weekly re-syncs viable at 100 TB. */
+  def fullResync(s: SparkSession, dir: String): DataFrame = {
+    val tgt = graft.GateCache.tempDir("graft_resync").toString
+    val payload = Seq("user_id", "event_type", "value", "props")
+    val base = ReferenceOps.changes(s, dir)
+      .select(col("event_id") +: col("op") +: payload.map(col): _*)
+    val stampedV1 = graft.operators.CdcTransform.stamp(
+      base, opCol = "op", seqCol = "event_id", version = lit(1L))
+      .select(payload.map(col) ++ Seq(col(VersionCol), col(SeqCol),
+        col(DeletedCol)): _*)
+    // leg 1: lossy, duplicating at-least-once delivery
+    stampedV1.filter(col(SeqCol) % 5 =!= 0)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tgt)
+    stampedV1.filter(col(SeqCol) % 5 =!= 0 && col(SeqCol) % 13 === 0)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(tgt)
+    // leg 2: reconciling full re-sync at version 2 — source truth rows…
+    val truth = LiveView.dedupLatest(stampedV1, pks = Seq("user_id"),
+      tieBreak = Some(SeqCol))
+    val truthAlive = truth.filter(col(DeletedCol) === 0)
+    truthAlive.withColumn(VersionCol, lit(2L))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(tgt)
+    // …plus tombstones for the target's ghosts (alive in the lossy
+    // target, gone at the source)
+    val targetAlive = LiveView.dedupLatest(s.read.parquet(tgt)
+        .filter(col(VersionCol) === 1), pks = Seq("user_id"),
+        tieBreak = Some(SeqCol))
+      .filter(col(DeletedCol) === 0)
+    targetAlive.join(truthAlive.select(col("user_id")), Seq("user_id"),
+        "left_anti")
+      .withColumn(VersionCol, lit(2L)).withColumn(DeletedCol, lit(1))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(tgt)
+    // healed view ≡ source truth; flags from the surviving event id
+    LiveView.live(s.read.parquet(tgt), pks = Seq("user_id"),
+        tieBreak = Some(SeqCol))
+      .join(truth.select(col("user_id"), col(SeqCol).as("_srv")), "user_id")
+      .select(col("user_id"), col("event_type"), col("value"), col("props"),
+        when(col("_srv") % 5 === 0, 1L).otherwise(0L).as("was_healed"),
+        when(col("_srv") % 13 === 0 && col("_srv") % 5 =!= 0, 1L)
+          .otherwise(0L).as("was_duped"))
+  }
+
   /** Insert-only JOIN-view incremental maintenance — the delta rule
     * Δ(O ⋈ C) = ΔO⋈C ∪ O⋈ΔC ∪ ΔO⋈ΔC — completing the IVM family next to
     * aggregate IVM ([[incrementalMvRefresh]]) and the stream-maintained
@@ -2148,6 +2214,7 @@ object PipelineOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o10_time_travel" -> ((s, dir) => timeTravel(s, dir)),
+    "o16_full_resync" -> ((s, dir) => fullResync(s, dir)),
     "o14_retention_vacuum" -> ((s, dir) => retentionVacuum(s, dir)),
     "t10_late_data" -> ((s, dir) => lateDataWindows(s, dir)),
     "t9_stream_merge_sink" -> ((s, dir) => streamMergeSink(s, dir)),
@@ -2285,6 +2352,23 @@ object PipelineOps {
         |SELECT 1, count(*),
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
         |FROM merged""".stripMargin,
+
+    // Healed target ≡ source truth: the latest event per user (constant
+    // v1 stamp → tie broken by event_id) survives unless it's a delete;
+    // the loss (%17) / duplication (%13) predicates are functions of that
+    // surviving event id, so the flags restate relationally.
+    "o16_full_resync" ->
+      """WITH latest AS (
+        |  SELECT user_id, event_type, value, props, event_id,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, value, props,
+        |  CAST(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS was_healed,
+        |  CAST(CASE WHEN event_id % 13 = 0 AND event_id % 5 <> 0
+        |       THEN 1 ELSE 0 END AS BIGINT) AS was_duped
+        |FROM latest WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
 
     "o14_retention_vacuum" ->
       """WITH changes AS (
