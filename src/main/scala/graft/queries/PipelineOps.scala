@@ -1864,6 +1864,43 @@ object PipelineOps {
         sum(col("_cents")).cast("long").as("sum_cents"))
   }
 
+  /** T25: incremental SCD2 history maintenance under streaming
+    * ([[graft.streaming.StreamScd2]]): the batch `x_scd2_history` view
+    * rebuilt from three micro-batches split on version terciles (the
+    * binlog/commit-order arrival contract — a version-range split is
+    * per-key monotone by construction). Each batch appends ONLY the
+    * intervals it closes and folds an O(live keys) open-frontier
+    * snapshot; accumulated closed history is never re-read or rewritten
+    * until final assembly — the property that keeps per-batch cost
+    * O(delta) when the history is 100 TB. Shares the x_scd2_history
+    * oracle: stream ≡ batch, interval for interval. */
+  def streamScd2(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = graft.GateCache.tempDir("graft_scd2_src").toString
+    val storeDir = graft.GateCache.tempDir("graft_scd2_store").toString
+    val ckp = graft.GateCache.tempDir("graft_scd2_ckp").toString
+    val rows = ReferenceOps.stamped(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        col(DeletedCol).as("deleted"), col(VersionCol).as("valid_from"),
+        col(SeqCol))
+    val b = rows.agg(min(col("valid_from")).as("lo"),
+      max(col("valid_from")).as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val (mid1, mid2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val stage = stageReplayFile(srcDir) _
+    val base = 1600000000000L
+    stage(rows.filter(col("valid_from") <= mid1), "b0.parquet", base)
+    stage(rows.filter(col("valid_from") > mid1
+      && col("valid_from") <= mid2), "b1.parquet", base + 600000L)
+    stage(rows.filter(col("valid_from") > mid2), "b2.parquet",
+      base + 1200000L)
+    val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try graft.streaming.StreamScd2.run(stream, storeDir, ckp)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** T19: incremental CollapsingMergeTree FINAL under streaming
     * ([[graft.streaming.StreamCollapse]]): the batch gate's sign-changelog
     * replayed as three micro-batches split on version terciles, each batch
@@ -2228,6 +2265,7 @@ object PipelineOps {
     "x_join_ivm" -> ((s, dir) => joinIvm(s, dir)),
     "x_mv_transparent_rewrite" -> ((s, dir) => mvTransparentRewrite(s, dir)),
     "t19_stream_collapsing" -> ((s, dir) => streamCollapsingFinal(s, dir)),
+    "t25_stream_scd2" -> ((s, dir) => streamScd2(s, dir)),
     "t20_live_projection" -> ((s, dir) => liveProjection(s, dir)),
     "o7_jdbc_roundtrip" -> ((s, dir) => jdbcRoundtrip(s, dir)),
     "x_csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
@@ -2650,6 +2688,9 @@ object PipelineOps {
     "t6_stateful_live_view" -> ReferenceOps.LiveViewOracle,
     // incremental sign-collapse must land on the same live rows
     "t19_stream_collapsing" -> ReferenceOps.LiveViewOracle,
+    // stream ≡ batch: the incremental SCD2 maintenance must reproduce the
+    // batch lead()-window history interval for interval
+    "t25_stream_scd2" -> Warehouse.oracle("x_scd2_history"),
 
     // the stream-maintained-MV + rewrite composition vs raw rows
     "t20_live_projection" ->

@@ -38,7 +38,8 @@ class PartitionInvarianceSpec extends AnyFunSuite with GateCacheHygiene {
     // peel is exercised at sf0.01-scale by its own spec — its 4-core is
     // empty at sf0.001, and this matrix requires non-empty results)
     "x_line_dedup_apply", "x_phrase_search", "x_join_ivm",
-    "x_spatial_grid_join", "x_autocorr", "o16_full_resync")
+    "x_spatial_grid_join", "x_autocorr", "o16_full_resync",
+    "t25_stream_scd2")
 
   private def run(name: String): Seq[String] = {
     val rows = SparkEntry.queries(name)(spark, TestSpark.Sf0001)
