@@ -434,10 +434,72 @@ object EventOps {
         (abs(col("_est").cast("double") - col("exact_users").cast("double"))
           <= col("exact_users").cast("double") * 0.05 + lit(1.0))
           .as("est_in_bound"))
+    }),
+
+    // Session path analysis (top paths): each session's ordered
+    // event-type sequence — the product-analytics query behind "what do
+    // users do before buying". Sessionized by the 6 h inactivity gap
+    // (same law as x_session_windows_batch, spelled as a lag/cumsum
+    // window so the oracle mirrors it exactly); paths truncated to the
+    // first PathMaxSteps steps — the bound that keeps per-session state
+    // (and path-string cardinality) fixed regardless of session length,
+    // the difference between O(sessions) and O(events) output at 100 TB.
+    // One user-partitioned window exchange covers sessionize + step rank
+    // (same partition key, one sort); the path build is a per-session
+    // collect of ≤ PathMaxSteps structs; the top-k is a
+    // TakeOrderedAndProject over O(distinct paths), total-ordered by
+    // (count desc, path asc) so the cut is deterministic.
+    "x_top_paths" -> ((s, dir) => {
+      val wUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val sess = Tables.events(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"))
+        .withColumn("_gap", col("ts_us") - lag(col("ts_us"), 1).over(wUser))
+        .withColumn("_new",
+          when(col("_gap").isNull
+            || col("_gap") > SqlSurface.SessionGapUs, 1L).otherwise(0L))
+        .withColumn("_sess", sum(col("_new")).over(wUser))
+      val wSess = Window.partitionBy(col("user_id"), col("_sess"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val paths = sess
+        .withColumn("_step", row_number().over(wSess))
+        .filter(col("_step") <= PathMaxSteps)
+        .groupBy(col("user_id"), col("_sess"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("_step"),
+              col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+      paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path").asc)
+        .limit(TopPathsK)
     })
   )
 
+  val PathMaxSteps = 8 // path truncation: first k steps of each session
+  val TopPathsK = 20 // paths reported
+
   val oracle: Map[String, String] = Map(
+    "x_top_paths" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         |    event_type FROM events),
+         |s AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w
+         |      IS NOT DISTINCT FROM NULL
+         |      OR ts_us - lag(ts_us) OVER w > ${SqlSurface.SessionGapUs}
+         |      THEN 1 ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id
+         |    ORDER BY ts_us ASC, event_id ASC)),
+         |s2 AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us ASC, event_id ASC) AS sess FROM s),
+         |s3 AS (SELECT *, row_number() OVER (PARTITION BY user_id, sess
+         |    ORDER BY ts_us ASC, event_id ASC) AS step FROM s2),
+         |p AS (SELECT user_id, sess,
+         |    string_agg(event_type, '>' ORDER BY step ASC) AS path
+         |  FROM s3 WHERE step <= $PathMaxSteps GROUP BY user_id, sess)
+         |SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+         |ORDER BY n_sessions DESC, path ASC LIMIT $TopPathsK""".stripMargin,
+
     "x_gap_fill" ->
       s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type,
          |    value

@@ -259,4 +259,43 @@ class EventOpsSpec extends AnyFunSuite with graft.GateCacheHygiene {
       "calendar gaps would shrink the lag join — not expected on this corpus")
     graft.GateCache.releaseAll()
   }
+
+  test("x_top_paths ≡ straight-line sessionize+truncate+rank; the " +
+      "truncation genuinely binds") {
+    import spark.implicits._
+    val ev = Tables.events(spark, graft.TestSpark.Sf0001)
+      .select($"user_id", $"ts_us", $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    // straight-line reference: per user, order by (ts, id), split on the
+    // 6 h gap, keep the first 8 steps, join with '>'
+    val sessions = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3)).toSeq
+      val sessionsOfUser =
+        scala.collection.mutable.ArrayBuffer(
+          scala.collection.mutable.ArrayBuffer(sorted.head))
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          if (b._2 - a._2 > SqlSurface.SessionGapUs)
+            sessionsOfUser += scala.collection.mutable.ArrayBuffer(b)
+          else sessionsOfUser.last += b
+        case _ => ()
+      }
+      sessionsOfUser.map(sess => (sess.size,
+        sess.take(EventOps.PathMaxSteps).map(_._4).mkString(">")))
+    }.toSeq
+    val want = sessions.map(_._2).groupBy(identity)
+      .view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(EventOps.TopPathsK)
+    val got = EventOps.queries("x_top_paths")(spark, graft.TestSpark.Sf0001)
+      .as[(String, Long)].collect().toSeq
+      .sortBy { case (p, n) => (-n, p) }
+    assert(got == want)
+    // the 8-step cap must do real work on this corpus (a session LONGER
+    // than the cap exists) — otherwise the bound is untested
+    assert(sessions.exists(_._1 > EventOps.PathMaxSteps),
+      "no session exceeds the truncation cap at sf0.001")
+    assert(got.nonEmpty && got.map(_._2).sum <= sessions.size)
+    assert(got.map(_._1).distinct.size > 1, "degenerate single path")
+    graft.GateCache.releaseAll()
+  }
 }
