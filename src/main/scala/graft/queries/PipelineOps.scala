@@ -1864,6 +1864,78 @@ object PipelineOps {
         sum(col("_cents")).cast("long").as("sum_cents"))
   }
 
+  /** Targeted delete mutation (ClickHouse `ALTER TABLE … DELETE WHERE` /
+    * GDPR right-to-be-forgotten): physically remove every row of a
+    * requested key set from a bucketed store, rewriting ONLY the
+    * partitions that can contain those keys. This is the one operation
+    * that legitimately rewrites history (a delete TOMBSTONE is not
+    * erasure — the data remains on disk under it), and the mutation
+    * mechanics mirror ClickHouse's: new parts are written to a staging
+    * location from a partition-PRUNED read of the affected buckets only,
+    * then swapped in via dynamic partition overwrite; untouched buckets
+    * are never read and their files stay byte-identical (asserted).
+    * At 100 TB the cost is O(affected buckets) = O(requests), not
+    * O(table): bucket = f(key), so the prune needs only the request
+    * list — no table scan locates the victims. The request list is
+    * driver-collected by design (GDPR requests arrive as explicit key
+    * lists, bounded by their nature, not derived from data volume). */
+  def gdprErasure(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val root = graft.GateCache.tempDir("graft_gdpr").toString + "/t"
+    val staging = graft.GateCache.tempDir("graft_gdpr_stage").toString
+    val nBuckets = 16
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      pmod(PortableHash.hash32(c.cast("string"), "gdpr|"),
+        lit(nBuckets.toLong)).cast("int")
+    ReferenceOps.stamped(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        col(VersionCol), col(SeqCol), col(DeletedCol))
+      .withColumn("_bucket", bucketOf(col("user_id")))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(root)
+    val target = s.read.parquet(root)
+    val nBefore = target.count()
+    import s.implicits._
+    val requests = target.filter(col("user_id") % 37 === 0)
+      .select(col("user_id")).distinct().as[Long].collect().sorted
+    val reqDf = requests.toSeq.toDF("user_id")
+    // affected buckets from the REQUEST LIST alone — no table scan
+    val affected = reqDf.select(bucketOf(col("user_id")).as("b"))
+      .distinct().as[Int].collect().sorted
+    def fileState(b: Int) =
+      Option(new java.io.File(s"$root/_bucket=$b").listFiles())
+        .getOrElse(Array.empty)
+        .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val untouchedBefore = (0 until nBuckets).filterNot(affected.contains)
+      .map(b => b -> fileState(b)).toMap
+    // mutation: pruned read → staging parts → dynamic-overwrite swap
+    target.filter(col("_bucket").isin(affected.map(Integer.valueOf): _*))
+      .join(broadcast(reqDf), Seq("user_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("_bucket").parquet(staging)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prevV = s.conf.getOption(key)
+    s.conf.set(key, "dynamic")
+    try s.read.parquet(staging).write.mode("overwrite")
+      .partitionBy("_bucket").parquet(root)
+    finally prevV match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+    val after = s.read.parquet(root)
+    val nAfter = after.count()
+    val erasedRemaining =
+      after.join(broadcast(reqDf), Seq("user_id"), "left_semi").count()
+    val untouchedIntact = untouchedBefore.forall { case (b, st) =>
+      fileState(b) == st }
+    require(untouchedIntact, "mutation touched an unaffected bucket")
+    require(erasedRemaining == 0, "an erased key survived the mutation")
+    Seq((nBefore, requests.length.toLong, nBefore - nAfter, nAfter,
+        affected.length.toLong, nBuckets.toLong, untouchedIntact,
+        erasedRemaining == 0))
+      .toDF("n_before", "n_requests", "n_rows_erased", "n_after",
+        "buckets_rewritten", "buckets_total", "untouched_intact",
+        "erased_absent")
+  }
+
   /** T25: incremental SCD2 history maintenance under streaming
     * ([[graft.streaming.StreamScd2]]): the batch `x_scd2_history` view
     * rebuilt from three micro-batches split on version terciles (the
@@ -2266,6 +2338,7 @@ object PipelineOps {
     "x_mv_transparent_rewrite" -> ((s, dir) => mvTransparentRewrite(s, dir)),
     "t19_stream_collapsing" -> ((s, dir) => streamCollapsingFinal(s, dir)),
     "t25_stream_scd2" -> ((s, dir) => streamScd2(s, dir)),
+    "x_gdpr_erasure" -> ((s, dir) => gdprErasure(s, dir)),
     "t20_live_projection" -> ((s, dir) => liveProjection(s, dir)),
     "o7_jdbc_roundtrip" -> ((s, dir) => jdbcRoundtrip(s, dir)),
     "x_csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
@@ -2691,6 +2764,23 @@ object PipelineOps {
     // stream ≡ batch: the incremental SCD2 maintenance must reproduce the
     // batch lead()-window history interval for interval
     "t25_stream_scd2" -> Warehouse.oracle("x_scd2_history"),
+
+    // every count() in DuckDB is BIGINT (no HUGEINT risk); the bucket of
+    // an erased user mirrors the Spark portable hash exactly
+    "x_gdpr_erasure" ->
+      s"""SELECT count(*) AS n_before,
+         |  count(DISTINCT CASE WHEN user_id % 37 = 0 THEN user_id END)
+         |    AS n_requests,
+         |  count(CASE WHEN user_id % 37 = 0 THEN 1 END) AS n_rows_erased,
+         |  count(CASE WHEN user_id % 37 <> 0 THEN 1 END) AS n_after,
+         |  count(DISTINCT CASE WHEN user_id % 37 = 0 THEN
+         |    (${graft.functions.PortableHash.duckSql(
+                "CAST(user_id AS VARCHAR)", "gdpr|")}) % 16 END)
+         |    AS buckets_rewritten,
+         |  CAST(16 AS BIGINT) AS buckets_total,
+         |  TRUE AS untouched_intact,
+         |  TRUE AS erased_absent
+         |FROM events""".stripMargin,
 
     // the stream-maintained-MV + rewrite composition vs raw rows
     "t20_live_projection" ->

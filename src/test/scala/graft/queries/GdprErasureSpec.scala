@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** x_gdpr_erasure: targeted delete mutation. The gate itself `require`s
+  * the two safety invariants (untouched buckets byte-identical, no erased
+  * key survives); this spec pins the arithmetic against an independent
+  * recompute and the SCALE property — the rewrite's read is partition-
+  * pruned to the affected buckets, so mutation cost is O(requests), not
+  * O(table). */
+class GdprErasureSpec extends AnyFunSuite with graft.GateCacheHygiene {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("erasure arithmetic ≡ independent recompute; full history of " +
+      "every requested key gone, every other row accounted for") {
+    val out = PipelineOps.queries("x_gdpr_erasure")(spark,
+      TestSpark.Sf0001).collect().head
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+    val nBefore = ev.count()
+    val nErased = ev.filter($"user_id" % 37 === 0).count()
+    val nReq = ev.filter($"user_id" % 37 === 0)
+      .select($"user_id").distinct().count()
+    assert(nReq > 0 && nErased > nReq,
+      "sf0.001 must have multi-row victims or the history claim is vacuous")
+    assert(out.getAs[Long]("n_before") == nBefore)
+    assert(out.getAs[Long]("n_requests") == nReq)
+    assert(out.getAs[Long]("n_rows_erased") == nErased)
+    // counts close the ledger: erased keys fully gone (erased_absent) and
+    // total matches ⇒ every non-requested row survived the rewrite
+    assert(out.getAs[Long]("n_after") == nBefore - nErased)
+    assert(out.getAs[Boolean]("untouched_intact"))
+    assert(out.getAs[Boolean]("erased_absent"))
+    assert(out.getAs[Long]("buckets_rewritten") <=
+      out.getAs[Long]("buckets_total"))
+  }
+
+  test("the mutation's read is partition-pruned to the affected buckets") {
+    val root = graft.GateCache.tempDir("graft_gdpr_prune").toString + "/t"
+    (0L until 64L).map(i => (i, i * 10))
+      .toDF("user_id", "v")
+      .withColumn("_bucket", (col("user_id") % 8).cast("int"))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(root)
+    val pruned = spark.read.parquet(root)
+      .filter(col("_bucket").isin(Integer.valueOf(3), Integer.valueOf(5)))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_bucket"),
+      s"no partition filter in:\n$plan")
+    // the scan must list ONLY the two buckets' files
+    val files = pruned.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+            .flatMap(_.files.map(_.getPath.toString))
+      }).flatten
+    assert(files.nonEmpty && files.forall(p =>
+      p.contains("_bucket=3") || p.contains("_bucket=5")),
+      s"scan lists files outside the affected buckets: $files")
+  }
+}
