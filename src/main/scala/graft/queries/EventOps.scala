@@ -474,6 +474,38 @@ object EventOps {
       paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
         .orderBy(col("n_sessions").desc, col("path").asc)
         .limit(TopPathsK)
+    }),
+
+    // First-order Markov transition matrix over the event stream: for
+    // each adjacent pair within a session (same 6 h gap law as
+    // x_top_paths — a cross-session adjacency is not a behavioral
+    // transition), count from_type → to_type and row-normalize into
+    // transition probabilities. One user-keyed window exchange (lag only
+    // — no self-join of the stream), one O(types²) aggregate, and the
+    // row totals re-derived from the pair counts themselves (a
+    // broadcast-able O(types) join) rather than a second pass over the
+    // events. Integer counts exact; the probability is one terminal
+    // double division under the x_autocorr round-6 protocol.
+    "x_event_transitions" -> ((s, dir) => {
+      val wUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"))
+        .withColumn("_from", lag(col("event_type"), 1).over(wUser))
+        .withColumn("_gap", col("ts_us") - lag(col("ts_us"), 1).over(wUser))
+        .filter(col("_from").isNotNull
+          && col("_gap") <= SqlSurface.SessionGapUs)
+      val counts = pairs
+        .groupBy(col("_from").as("from_type"),
+          col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+      val totals = counts.groupBy(col("from_type"))
+        .agg(sum(col("n_transitions")).cast("long").as("_tot"))
+      counts.join(broadcast(totals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n_transitions"),
+          round(col("n_transitions").cast("double") / col("_tot")
+            .cast("double"), 6).as("p"))
     })
   )
 
@@ -481,6 +513,25 @@ object EventOps {
   val TopPathsK = 20 // paths reported
 
   val oracle: Map[String, String] = Map(
+    "x_event_transitions" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         |    event_type FROM events),
+         |p AS (SELECT lag(event_type) OVER w AS from_type,
+         |    event_type AS to_type,
+         |    ts_us - lag(ts_us) OVER w AS gap
+         |  FROM e WINDOW w AS (PARTITION BY user_id
+         |    ORDER BY ts_us ASC, event_id ASC)),
+         |c AS (SELECT from_type, to_type, count(*) AS n_transitions
+         |  FROM p WHERE from_type IS NOT NULL
+         |    AND gap <= ${SqlSurface.SessionGapUs}
+         |  GROUP BY from_type, to_type),
+         |t AS (SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS tot
+         |  FROM c GROUP BY from_type)
+         |SELECT c.from_type, c.to_type, c.n_transitions,
+         |  round(CAST(c.n_transitions AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+         |    AS p
+         |FROM c JOIN t ON c.from_type = t.from_type""".stripMargin,
+
     "x_top_paths" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
          |    event_type FROM events),

@@ -39,7 +39,8 @@ class PartitionInvarianceSpec extends AnyFunSuite with GateCacheHygiene {
     // empty at sf0.001, and this matrix requires non-empty results)
     "x_line_dedup_apply", "x_phrase_search", "x_join_ivm",
     "x_spatial_grid_join", "x_autocorr", "o16_full_resync",
-    "t25_stream_scd2", "x_top_paths")
+    "t25_stream_scd2", "x_top_paths", "x_gdpr_erasure",
+    "x_event_transitions")
 
   private def run(name: String): Seq[String] = {
     val rows = SparkEntry.queries(name)(spark, TestSpark.Sf0001)

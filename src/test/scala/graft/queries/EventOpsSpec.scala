@@ -298,4 +298,32 @@ class EventOpsSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(got.map(_._1).distinct.size > 1, "degenerate single path")
     graft.GateCache.releaseAll()
   }
+
+  test("x_event_transitions ≡ straight-line adjacency counts; rows " +
+      "normalize to 1; cross-session adjacencies excluded") {
+    import spark.implicits._
+    val ev = Tables.events(spark, graft.TestSpark.Sf0001)
+      .select($"user_id", $"ts_us", $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val pairs = ev.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (r._2, r._3)).toSeq.sliding(2).collect {
+        case Seq(a, b) if b._2 - a._2 <= SqlSurface.SessionGapUs =>
+          (a._4, b._4)
+      }
+    }.toSeq
+    val want = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = EventOps.queries("x_event_transitions")(spark,
+        graft.TestSpark.Sf0001)
+      .as[(String, String, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == want)
+    // per-from probabilities sum to 1 (up to the round-6 quantization)
+    got.groupBy(_._1).foreach { case (from, rs) =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-4, s"row $from")
+    }
+    // the session bound does real work: some adjacency was excluded
+    val allPairs = ev.groupBy(_._1).values.map(_.size - 1).sum
+    assert(pairs.size < allPairs,
+      "no cross-session gap at sf0.001 — the gap filter is vacuous")
+    graft.GateCache.releaseAll()
+  }
 }
