@@ -30,7 +30,17 @@ object TypeMapper {
   val DefaultDecimalScale     = 0
 
   /** Map a lower-cased MySQL base type (no length suffix) to Spark.
-    * Total: anything unrecognized → `StringType`. */
+    * Total: anything unrecognized → `StringType`.
+    *
+    * UNSIGNED is detected from the type string ("int unsigned" is how
+    * MySQL reports it) and each unsigned integer WIDENS to the next Spark
+    * type that holds its full range — closing the reference's documented
+    * overflow limitation ("UNSIGNED INT mapped to signed types — may
+    * overflow on large values", `README.md:590`): u8→Short, u16→Int,
+    * u24→Int (max 16,777,215 fits), u32→Long, and u64→Decimal(20,0), the
+    * only type that holds values above 2^63−1. The widened columns cost
+    * one size class at rest; silent negative wraparound at 100 TB costs
+    * a re-backfill. */
   def toSparkType(
       mysqlType: String,
       numericPrecision: Option[Int] = None,
@@ -38,12 +48,16 @@ object TypeMapper {
     // Strip length/enum payload: "varchar(255)" -> "varchar",
     // "decimal(10,2)" -> "decimal" (reference lower-cases the same way,
     // `src/schema_converter.py:42`, `src/mysql_client.py:117`).
-    val base = mysqlType.trim.toLowerCase.takeWhile(c => c != '(' && c != ' ')
+    val lower = mysqlType.trim.toLowerCase
+    val unsigned = lower.contains("unsigned")
+    val base = lower.takeWhile(c => c != '(' && c != ' ')
     base match {
-      case "tinyint"                        => ByteType
-      case "smallint"                       => ShortType
-      case "mediumint" | "int" | "integer"  => IntegerType
-      case "bigint"                         => LongType
+      case "tinyint"             => if (unsigned) ShortType else ByteType
+      case "smallint"            => if (unsigned) IntegerType else ShortType
+      case "mediumint"           => IntegerType // u24 max fits IntegerType
+      case "int" | "integer"     => if (unsigned) LongType else IntegerType
+      case "bigint" =>
+        if (unsigned) DecimalType(20, 0) else LongType
       case "float"                          => FloatType
       case "double"                         => DoubleType
       case "decimal" | "numeric" =>

@@ -25,6 +25,27 @@ class TypeMapperSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(toSparkType("year") == ShortType)
   }
 
+  test("UNSIGNED widens to the next range-holding type " +
+      "(closes README.md:590 — no silent wraparound)") {
+    assert(toSparkType("tinyint unsigned") == ShortType)
+    assert(toSparkType("tinyint(1) unsigned") == ShortType)
+    assert(toSparkType("smallint unsigned") == IntegerType)
+    assert(toSparkType("mediumint unsigned") == IntegerType)
+    assert(toSparkType("int unsigned") == LongType)
+    assert(toSparkType("int(10) unsigned") == LongType)
+    assert(toSparkType("integer unsigned") == LongType)
+    // u64 max 18446744073709551615 > 2^63−1: only Decimal(20,0) holds it
+    assert(toSparkType("bigint unsigned") == DecimalType(20, 0))
+    assert(toSparkType("bigint(20) unsigned") == DecimalType(20, 0))
+    // the widened type must actually hold each unsigned max
+    assert(java.math.BigDecimal.valueOf(255L).precision <= 5) // Short ok
+    assert(16777215L <= Int.MaxValue && 4294967295L <= Long.MaxValue)
+    assert(new java.math.BigDecimal("18446744073709551615").precision == 20)
+    // signed mappings unchanged by the suffix detection
+    assert(toSparkType("bigint") == LongType)
+    assert(toSparkType("int") == IntegerType)
+  }
+
   test("float family") {
     assert(toSparkType("float") == FloatType)
     assert(toSparkType("double") == DoubleType)
