@@ -1936,6 +1936,48 @@ object PipelineOps {
         "erased_absent")
   }
 
+  /** T26: transient sink failure → checkpoint-restart retry with a
+    * partial write left behind ([[graft.streaming.SinkRetry]]) — closes
+    * the reference's "no retry on insert failure" limitation
+    * (`README.md:588`). The stamped stream replays as three version-
+    * tercile micro-batches; batch 1's first attempt writes ONE row then
+    * dies; the restarted query replays exactly batch 1 (batch 0's commit
+    * is honored — exactly-once, asserted by the execution trace), whose
+    * overwrite erases the partial state. Output = the live view over the
+    * healed store: the fifth query bound to the shared LiveViewOracle
+    * (batch Replacing ≡ Collapsing ≡ stateful ≡ streaming collapse ≡
+    * failure-retried sink). */
+  def sinkRetry(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = graft.GateCache.tempDir("graft_rty_src").toString
+    val storeDir = graft.GateCache.tempDir("graft_rty_store").toString
+    val ckp = graft.GateCache.tempDir("graft_rty_ckp").toString
+    val rows = ReferenceOps.stamped(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"), col("props"),
+        col(VersionCol), col(SeqCol), col(DeletedCol))
+    val b = rows.agg(min(col(VersionCol)).as("lo"),
+      max(col(VersionCol)).as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val (mid1, mid2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val stage = stageReplayFile(srcDir) _
+    val base = 1600000000000L
+    stage(rows.filter(col(VersionCol) <= mid1), "b0.parquet", base)
+    stage(rows.filter(col(VersionCol) > mid1 && col(VersionCol) <= mid2),
+      "b1.parquet", base + 600000L)
+    stage(rows.filter(col(VersionCol) > mid2), "b2.parquet",
+      base + 1200000L)
+    val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val attempts =
+      try graft.streaming.SinkRetry.runWithTransientFailure(
+        stream, storeDir, ckp)
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    require(attempts == 2, s"fault must fire exactly once, took $attempts")
+    LiveView.live(graft.streaming.SinkRetry.landed(s, storeDir),
+      pks = Seq("user_id"), tieBreak = Some(SeqCol))
+  }
+
   /** T25: incremental SCD2 history maintenance under streaming
     * ([[graft.streaming.StreamScd2]]): the batch `x_scd2_history` view
     * rebuilt from three micro-batches split on version terciles (the
@@ -2339,6 +2381,7 @@ object PipelineOps {
     "t19_stream_collapsing" -> ((s, dir) => streamCollapsingFinal(s, dir)),
     "t25_stream_scd2" -> ((s, dir) => streamScd2(s, dir)),
     "x_gdpr_erasure" -> ((s, dir) => gdprErasure(s, dir)),
+    "t26_sink_retry" -> ((s, dir) => sinkRetry(s, dir)),
     "t20_live_projection" -> ((s, dir) => liveProjection(s, dir)),
     "o7_jdbc_roundtrip" -> ((s, dir) => jdbcRoundtrip(s, dir)),
     "x_csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
@@ -2764,6 +2807,7 @@ object PipelineOps {
     // stream ≡ batch: the incremental SCD2 maintenance must reproduce the
     // batch lead()-window history interval for interval
     "t25_stream_scd2" -> Warehouse.oracle("x_scd2_history"),
+    "t26_sink_retry" -> ReferenceOps.LiveViewOracle,
 
     // every count() in DuckDB is BIGINT (no HUGEINT risk); the bucket of
     // an erased user mirrors the Spark portable hash exactly

@@ -16,7 +16,8 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     // gate, the driver's correctness JSON just gets smaller, and 31 red
     // gates read as "fewer queries". A silent shrink (or an unregistered
     // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
-    val pinned = 243 // r10 waves: +x_event_transitions (Markov matrix),
+    val pinned = 244 // r10 waves: +t26_sink_retry (transient-failure
+    // recovery), +x_event_transitions (Markov matrix),
     // +x_gdpr_erasure (mutation delete),
     // +x_top_paths (session path analysis),
     // +t25_stream_scd2 (incremental SCD2
