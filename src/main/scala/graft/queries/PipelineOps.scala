@@ -1936,6 +1936,66 @@ object PipelineOps {
         "erased_absent")
   }
 
+  /** O17: multi-database replication from ONE engine instance — closes
+    * the reference's "Single database: only one MySQL database per
+    * instance / run multiple replicator instances" limitation
+    * (`README.md:586`). Two database namespaces, each with its own table
+    * set and its own isolated warehouse root, replicate CONCURRENTLY
+    * inside one process: per-database [[SnapshotReplicator]]s driven in
+    * parallel (Spark's scheduler interleaves their jobs; no shared
+    * mutable state — each replicator owns its catalog and target root).
+    * At scale this is the difference between N processes × N checkpoints
+    * to operate and one: the unit of isolation is a directory, not a
+    * deployment. */
+  def multiDbReplication(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.GateCache.tempDir("graft_mdb").toString
+    val assign = Seq(
+      ("db_ref", Seq("region", "nation")),
+      ("db_core", Seq("supplier", "customer")))
+    import scala.collection.parallel.CollectionConverters._
+    val par = assign.par
+    par.tasksupport = new scala.collection.parallel.ExecutionContextTaskSupport(
+      scala.concurrent.ExecutionContext.global)
+    val results = par.map { case (db, tables) =>
+      val rep = new SnapshotReplicator(s, dir, s"$wh/$db")
+      rep.run(tables, parallelism = tables.length).map(r => (db, r))
+    }.toList.flatten
+    import s.implicits._
+    results.map { case (db, r) =>
+      (db, r.table, r.sourceCount, r.targetCount, r.success) }
+      .toDF("database", "table_name", "source_count", "target_count",
+        "success")
+  }
+
+  /** O18: row-filtered replication — closes the reference's "No
+    * filtering: cannot filter rows (WHERE clause), filter in ClickHouse
+    * views" limitation (`README.md:589`). The predicate applies AT THE
+    * SOURCE SCAN (in-gate require pins `PushedFilters` on the parquet
+    * read), so excluded rows never leave the source — the reference's
+    * workaround ships 100% of the data and hides it behind a view;
+    * at 100 TB with a 1% retention predicate that is a 100× ingest
+    * difference. */
+  def filteredReplication(s: SparkSession, dir: String): DataFrame = {
+    val tgt = graft.GateCache.tempDir("graft_fltr").toString + "/orders"
+    val src = s.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderstatus") === "F")
+    val scanStr = src.queryExecution.executedPlan.toString
+    require(scanStr.contains("PushedFilters")
+      && scanStr.contains("EqualTo(o_orderstatus,F)"),
+      s"filter not pushed to the source scan:\n$scanStr")
+    src.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tgt)
+    val replicated = s.read.parquet(tgt)
+    val nTarget = replicated.count()
+    val offStatus =
+      replicated.filter(col("o_orderstatus") =!= "F").count()
+    replicated
+      .agg(count(lit(1)).as("n_replicated"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"))
+      .select(col("n_replicated"), col("n_statuses"),
+        lit(offStatus == 0L).as("only_matching_rows"),
+        lit(nTarget).as("n_target"))
+  }
+
   /** T26: transient sink failure → checkpoint-restart retry with a
     * partial write left behind ([[graft.streaming.SinkRetry]]) — closes
     * the reference's "no retry on insert failure" limitation
@@ -2382,6 +2442,8 @@ object PipelineOps {
     "t25_stream_scd2" -> ((s, dir) => streamScd2(s, dir)),
     "x_gdpr_erasure" -> ((s, dir) => gdprErasure(s, dir)),
     "t26_sink_retry" -> ((s, dir) => sinkRetry(s, dir)),
+    "o17_multidb" -> ((s, dir) => multiDbReplication(s, dir)),
+    "o18_filtered_replication" -> ((s, dir) => filteredReplication(s, dir)),
     "t20_live_projection" -> ((s, dir) => liveProjection(s, dir)),
     "o7_jdbc_roundtrip" -> ((s, dir) => jdbcRoundtrip(s, dir)),
     "x_csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
@@ -2808,6 +2870,27 @@ object PipelineOps {
     // batch lead()-window history interval for interval
     "t25_stream_scd2" -> Warehouse.oracle("x_scd2_history"),
     "t26_sink_retry" -> ReferenceOps.LiveViewOracle,
+
+    "o17_multidb" ->
+      """SELECT 'db_ref' AS database, 'region' AS table_name,
+        |  (SELECT count(*) FROM region) AS source_count,
+        |  (SELECT count(*) FROM region) AS target_count, TRUE AS success
+        |UNION ALL
+        |SELECT 'db_ref', 'nation', (SELECT count(*) FROM nation),
+        |  (SELECT count(*) FROM nation), TRUE
+        |UNION ALL
+        |SELECT 'db_core', 'supplier', (SELECT count(*) FROM supplier),
+        |  (SELECT count(*) FROM supplier), TRUE
+        |UNION ALL
+        |SELECT 'db_core', 'customer', (SELECT count(*) FROM customer),
+        |  (SELECT count(*) FROM customer), TRUE""".stripMargin,
+
+    "o18_filtered_replication" ->
+      """SELECT count(*) AS n_replicated,
+        |  CAST(1 AS BIGINT) AS n_statuses,
+        |  TRUE AS only_matching_rows,
+        |  count(*) AS n_target
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
 
     // every count() in DuckDB is BIGINT (no HUGEINT risk); the bucket of
     // an erased user mirrors the Spark portable hash exactly
