@@ -66,6 +66,9 @@ object TrainingData {
   val DecontamRatio = 0.8 // drop train doc if > ratio of its fps hit eval
   val PackShards = 32 // sequence packing: independent shards (parallelism)
   val SeqLen = 2048 // sequence packing: tokens per training sequence
+  // lexicon-based entity scrub: \b is ASCII-identical in Java regex and
+  // RE2; no escaping-sensitive characters in the alternation
+  val RedactPattern = "\\b(customer|supplier)\\b"
   val ChunkW = 64 // overlapping chunking: tokens per chunk
   val ChunkStride = 48 // overlapping chunking: stride (overlap = W - stride)
   val SubdupK = 8 // substring dedup: token k-gram span width (Lee et al.
@@ -1126,6 +1129,26 @@ object TrainingData {
           sum(when(col("_long_run"), 1L).otherwise(0L)).cast("long")
             .as("n_docs_long_runs"))),
 
+    // The APPLY form of redaction: emit the scrubbed corpus — every
+    // lexicon term replaced by a fixed <ENT> token (lexicon-based entity
+    // scrubbing, the names-list PII pass; the corpus is digit-free so the
+    // x_redact_stats digit accounting is structural, while THIS pass does
+    // real per-row work), with the per-doc redaction count and the
+    // cleaned text's md5 (the _apply convention: prove the transformation
+    // row-exactly without hashing megabytes of text through the driver).
+    // Expression-only scan — regexp_replace/regexp_extract_all are
+    // codegen'd per row, zero shuffles; \b word boundaries and the
+    // alternation have identical Java-regex/RE2 semantics over ASCII (the
+    // Text-ops portability rule), so the md5 binds Spark's replacement
+    // byte-for-byte to DuckDB's.
+    "x_redact_apply" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(regexp_extract_all(col("text"), lit(RedactPattern), lit(0)))
+            .cast("long").as("n_redactions"),
+          md5(regexp_replace(col("text"), RedactPattern, "<ENT>"))
+            .as("clean_md5"))),
+
     // Per-label embedding centroids as QUANTIZED integer sums: component
     // micro-units (round(v·10⁶) per dim) summed exactly — float sums
     // across rows are accumulation-order-dependent and Spark's partial-
@@ -2074,6 +2097,14 @@ object TrainingData {
          |  CAST(len(toks[o + 1 : o + $ChunkW]) AS INT) AS n_chunk_tokens,
          |  md5(array_to_string(toks[o + 1 : o + $ChunkW], ' ')) AS chunk_md5
          |FROM c""".stripMargin,
+
+    "x_redact_apply" ->
+      s"""SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(text, '$RedactPattern'))
+        |    AS BIGINT) AS n_redactions,
+        |  md5(regexp_replace(text, '$RedactPattern', '<ENT>', 'g'))
+        |    AS clean_md5
+        |FROM documents""".stripMargin,
 
     "x_redact_stats" ->
       """SELECT lang, count(*) AS n_docs,

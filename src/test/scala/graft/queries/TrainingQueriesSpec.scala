@@ -518,4 +518,40 @@ class TrainingQueriesSpec extends AnyFunSuite with graft.GateCacheHygiene {
       assert(np <= math.min(na, nb))
     }
   }
+
+  test("x_redact_apply: word boundaries exact, multiple hits per doc, " +
+      "substrings untouched; ≡ straight-line scrub on real data") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("redact").toString
+    Seq(
+      (1L, "en", "customer paid supplier twice customer"), // three hits
+      (2L, "en", "customers keep their suffix"), // substring — no \b hit
+      (3L, "de", "supplier"), // whole text is one entity
+      (4L, "fr", "clean text")
+    ).toDF("doc_id", "lang", "text")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TrainingData.queries("x_redact_apply")(spark, tmp)
+      .as[(Long, String, Long, String)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) == ((3L, m("<ENT> paid <ENT> twice <ENT>"))))
+    assert(got(2L) == ((0L, m("customers keep their suffix"))))
+    assert(got(3L) == ((1L, m("<ENT>"))))
+    assert(got(4L) == ((0L, m("clean text"))))
+    // on the real corpus: the scrub must fire somewhere, and the md5
+    // must equal a straight-line JVM replaceAll of the same text
+    val docs = Tables.read(spark, graft.TestSpark.Sf0001, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val real = TrainingData.queries("x_redact_apply")(spark,
+        graft.TestSpark.Sf0001)
+      .as[(Long, String, Long, String)].collect()
+    assert(real.exists(_._3 > 0), "no redaction fired at sf0.001")
+    real.foreach { case (id, _, _, md) =>
+      assert(md == m(docs(id).replaceAll(
+        TrainingData.RedactPattern, "<ENT>")), s"doc $id")
+    }
+  }
 }
