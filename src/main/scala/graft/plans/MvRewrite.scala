@@ -55,7 +55,8 @@ object MvRewrite {
       groupCols: Set[String],
       measures: Set[String])
 
-  /** base-path (URI path component) → MV definition. */
+  /** Normalized base URI (scheme + authority + path; bare paths and
+    * file:/ collapse together) → MV definition. */
   private val registry = new ConcurrentHashMap[String, MvDef]()
 
   /** Registry path identity. Local paths are scheme-insensitive
