@@ -576,6 +576,39 @@ object TrainingData {
         .agg(count(lit(1)).as("n_survivors"))
     }),
 
+    // Quality-aware cluster representative (the C4/FineWeb keep rule):
+    // same LSH pair graph and connected components as
+    // x_dedup_cluster_apply, but each cluster keeps its LONGEST member
+    // (ties by min id) instead of the min id — the choice that preserves
+    // the most training tokens per cluster. Costs ONE extra broadcast-
+    // sized join over the min-id rule (cluster members ⋈ doc lengths +
+    // a per-label max_by); n_reps_not_minid counts clusters where the
+    // quality rule genuinely changed the survivor. */
+    "x_dedup_keep_best" -> ((s, dir) => {
+      val cc = DedupOps.connectedComponents(minhashPairs(minhashSig(s, dir)))
+      val members = cc.select(col("id"), col("label"))
+        .join(docs(s, dir).select(col("doc_id").as("id"), col("n_chars")),
+          "id")
+      val best = members.groupBy(col("label"))
+        .agg(max_by(col("id"), struct(col("n_chars"), -col("id")))
+            .as("keep"),
+          min(col("id")).as("_mn"))
+      val dropped = members.join(best, "label")
+        .filter(col("id") =!= col("keep"))
+        .select(col("id").as("doc_id"))
+      val reps = best.select(col("keep").as("doc_id"),
+        (col("keep") =!= col("_mn")).as("_differs"))
+      docs(s, dir)
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .join(reps, Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_survivors"),
+          sum(when(col("_differs").isNotNull, 1L).otherwise(0L))
+            .cast("long").as("n_cluster_reps"),
+          sum(when(col("_differs") === true, 1L).otherwise(0L))
+            .cast("long").as("n_reps_not_minid"))
+    }),
+
     // BRUTE-FORCE BASELINE (all-pairs non-equi join → BroadcastNestedLoop):
     // correct and exact-oracled, but O(n²) pairs — kept as the reference
     // answer the LSH path is measured against. The 100 TB path is
@@ -1689,6 +1722,35 @@ object TrainingData {
          |FROM pairs p JOIN sig a ON a.doc_id = p.id1
          |             JOIN sig b ON b.doc_id = p.id2""".stripMargin
     },
+
+    // same transitive closure; the keep rule becomes longest-member
+    // (ties min id), restated as an ordered array_agg prefix
+    "x_dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |e AS (SELECT id1, id2 FROM pairs UNION SELECT id2, id1 FROM pairs),
+         |walk(id, r) AS (
+         |  SELECT id1, id2 FROM e
+         |  UNION
+         |  SELECT w.id, e.id2 FROM walk w JOIN e ON e.id1 = w.r),
+         |lab AS (SELECT id, least(id, min(r)) AS label FROM walk GROUP BY id),
+         |members AS (SELECT l.id, l.label, d.n_chars
+         |  FROM lab l JOIN documents d ON d.doc_id = l.id),
+         |best AS (SELECT label,
+         |    (array_agg(id ORDER BY n_chars DESC, id ASC))[1] AS keep,
+         |    min(id) AS mn
+         |  FROM members GROUP BY label),
+         |dropped AS (SELECT m.id FROM members m
+         |  JOIN best b ON b.label = m.label WHERE m.id <> b.keep),
+         |reps AS (SELECT keep AS id, (keep <> mn) AS differs FROM best)
+         |SELECT lang, count(*) AS n_survivors,
+         |  CAST(sum(CASE WHEN r.id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_cluster_reps,
+         |  CAST(sum(CASE WHEN r.differs THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_reps_not_minid
+         |FROM documents d
+         |LEFT JOIN reps r ON r.id = d.doc_id
+         |WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.id = d.doc_id)
+         |GROUP BY lang""".stripMargin,
 
     // transitive closure over the (small) pair graph; min reachable id =
     // the same fixpoint the Spark label propagation converges to

@@ -554,4 +554,38 @@ class TrainingQueriesSpec extends AnyFunSuite with graft.GateCacheHygiene {
         TrainingData.RedactPattern, "<ENT>")), s"doc $id")
     }
   }
+
+  test("x_dedup_keep_best: same cluster structure as the min-id rule, " +
+      "one rep per cluster, and the longest member genuinely wins") {
+    import spark.implicits._
+    val dir = graft.TestSpark.Sf0001
+    val best = TrainingData.queries("x_dedup_keep_best")(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    val minid = TrainingData.queries("x_dedup_cluster_apply")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    // identical clusters, one survivor each ⇒ identical survivor COUNTS
+    // per language may shift, but the total is invariant
+    assert(best.map(_._2).sum == minid.values.sum,
+      "keep rules must drop the same number of docs")
+    assert(best.map(_._4).sum > 0, "quality rule never differed — vacuous")
+    assert(best.forall(r => r._4 <= r._3), "differs ⊆ reps")
+    // straight-line law: per cluster, the kept member's length is the max
+    val cc = graft.functions.DedupOps.connectedComponents(
+      TrainingData.minhashPairs(TrainingData.minhashSig(spark, dir)))
+    val lens = Tables.read(spark, dir, "documents")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    val clusters = cc.select($"id", $"label").as[(Long, Long)].collect()
+      .groupBy(_._2).values.map(_.map(_._1))
+    val gainOverMin = clusters.map { ids =>
+      val bestLen = ids.map(lens).max
+      val minIdLen = lens(ids.min)
+      assert(bestLen >= minIdLen)
+      bestLen - minIdLen
+    }.sum
+    assert(gainOverMin > 0,
+      "keep-best must preserve strictly more chars than keep-min-id here")
+    // rep count = number of clusters
+    assert(best.map(_._3).sum == clusters.size)
+    graft.GateCache.releaseAll()
+  }
 }
