@@ -35,6 +35,9 @@ object TrainingData {
   val CosDupThreshold = 0.4
   val AnnK = 5
   val AnnQueryIds = 10 // query set = vec_id < 10
+  val MmrLambda10 = 7L // MMR λ=0.7 as integer weights: 7·rel − 3·penalty
+  val MmrPool = 8 // MMR candidate pool per query (the re-rank window)
+  val MmrK = 3 // MMR selections per query (greedy steps unrolled)
   val LshPlanes = 8
   // Pair stage probes only 1-bit flips: the probe side of this self-join
   // IS the corpus, so the explode factor (1+planes = 9 vs 37 at Hamming-2)
@@ -694,6 +697,85 @@ object TrainingData {
       val e = emb(s, dir)
       SimilarityOps.bruteForceTopK(e,
         e.filter(col("vec_id") < AnnQueryIds), "vec_id", "embedding", AnnK)
+    }),
+
+    // Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    // diversity-aware top-k selection over each query's candidate pool —
+    // the step between retrieval and context assembly that stops a RAG
+    // prompt from being k near-copies of one passage. Greedy argmax of
+    // λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s), λ=0.7, unrolled as
+    // MmrK(=3) dataframe steps over ALL queries at once (each step one
+    // per-query max_by — no driver loop, queries stay parallel).
+    // Exactness: similarities quantized to int micro-units (the
+    // round(·×10⁶) idiom), λ split as integer weights 7/3, so every
+    // argmax is integer arithmetic with a (score, −cid) total order.
+    // Scale: the pool stage is the gated brute top-k (10×N dots, the
+    // x_ann_* family's cost); MMR itself touches pool² = 64 pairs per
+    // query — O(queries·pool²), independent of corpus size.
+    "x_mmr_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < AnnQueryIds)
+        .select(col("vec_id").as("qid"), col("embedding").as("_qv"),
+          SimilarityOps.norm(col("embedding")).as("_qn"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("_cv"),
+        SimilarityOps.norm(col("embedding")).as("_cn"))
+      val scored = c.crossJoin(broadcast(q))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), col("_cv"), col("_cn"),
+          round(SimilarityOps.dot(col("_qv"), col("_cv")) /
+            (col("_qn") * col("_cn")) * 1000000d, 0).cast("long").as("qs"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("qs").desc, col("cid").asc)
+      val pool = graft.GateCache.cache(
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= MmrPool)
+          .select(col("qid"), col("cid"), col("qs"), col("_cv"),
+            col("_cn")))
+      // candidate-candidate sims within each query's pool: pool² rows
+      val a = pool.select(col("qid"), col("cid").as("c1"),
+        col("_cv").as("_v1"), col("_cn").as("_n1"))
+      val b = pool.select(col("qid"), col("cid").as("c2"),
+        col("_cv").as("_v2"), col("_cn").as("_n2"))
+      val ps = graft.GateCache.cache(a.join(b, Seq("qid"))
+        .filter(col("c1") =!= col("c2"))
+        .select(col("qid"), col("c1"), col("c2"),
+          round(SimilarityOps.dot(col("_v1"), col("_v2")) /
+            (col("_n1") * col("_n2")) * 1000000d, 0).cast("long")
+            .as("s")))
+      val cand = pool.select(col("qid"), col("cid"), col("qs"))
+      // step 1: pure relevance
+      def pick(frame: DataFrame): DataFrame = frame.groupBy(col("qid"))
+        .agg(max_by(struct(col("cid"), col("_score")),
+          struct(col("_score"), -col("cid"))).as("_p"))
+        .select(col("qid"), col("_p.cid").as("sel"),
+          col("_p._score").as("mmr_score"))
+      val s1 = pick(cand.withColumn("_score", col("qs") * MmrLambda10))
+      // step t>1: penalty = max sim to the selected-so-far set (a long
+      // (qid, sid) frame — anti-join removes the selected, the ps lookup
+      // keeps only pairs against selected members)
+      def step(selectedLong: DataFrame): DataFrame = {
+        val remaining = cand.join(
+          selectedLong.withColumnRenamed("sid", "cid"),
+          Seq("qid", "cid"), "left_anti")
+        val pen = remaining
+          .join(ps.withColumnRenamed("c1", "cid"), Seq("qid", "cid"))
+          .join(selectedLong.withColumnRenamed("sid", "c2"),
+            Seq("qid", "c2"), "left_semi")
+          .groupBy(col("qid"), col("cid"), col("qs"))
+          .agg(max(col("s")).as("_pen"))
+        pick(pen.withColumn("_score",
+          col("qs") * MmrLambda10 - col("_pen") * (10 - MmrLambda10)))
+      }
+      val sel1 = s1.select(col("qid"), col("sel").as("sid"))
+      val s2 = step(sel1)
+      val s3 = step(sel1.unionByName(
+        s2.select(col("qid"), col("sel").as("sid"))))
+      s1.select(col("qid").as("query_id"), lit(1).as("pos"),
+          col("sel").as("selected_id"), col("mmr_score"))
+        .unionByName(s2.select(col("qid").as("query_id"), lit(2).as("pos"),
+          col("sel").as("selected_id"), col("mmr_score")))
+        .unionByName(s3.select(col("qid").as("query_id"), lit(3).as("pos"),
+          col("sel").as("selected_id"), col("mmr_score")))
     }),
 
     // Retrieval EVALUATION — P@k, R@k and MRR of the brute-force cosine
@@ -1721,6 +1803,58 @@ object TrainingData {
          |  CAST(CAST(CAST($agree AS DOUBLE) / $MinhashK AS DECIMAL(10,6)) AS DOUBLE) AS est_jaccard
          |FROM pairs p JOIN sig a ON a.doc_id = p.id1
          |             JOIN sig b ON b.doc_id = p.id2""".stripMargin
+    },
+
+    // the identical greedy unroll: integer MMR scores, array_agg-prefix
+    // argmax with the same (score desc, cid asc) total order
+    "x_mmr_rerank" -> {
+      val qs = s"CAST(round(${cosineDuck("q.qv", "e.embedding")}" +
+        " * 1000000, 0) AS BIGINT)"
+      val pss = s"CAST(round(${cosineDuck("a.cv", "b.cv")}" +
+        " * 1000000, 0) AS BIGINT)"
+      def argmax(scoreExpr: String, src: String) =
+        s"""SELECT qid,
+           |    (array_agg(cid ORDER BY $scoreExpr DESC, cid ASC))[1]
+           |      AS sel,
+           |    (array_agg($scoreExpr ORDER BY $scoreExpr DESC, cid ASC))[1]
+           |      AS mmr_score
+           |  FROM $src GROUP BY qid""".stripMargin
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id < $AnnQueryIds),
+         |sc AS (SELECT q.qid, e.vec_id AS cid, e.embedding AS cv, $qs AS qs
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+         |pool AS (SELECT * FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY qid ORDER BY qs DESC, cid ASC) AS rk FROM sc)
+         |  WHERE rk <= $MmrPool),
+         |ps AS (SELECT a.qid, a.cid AS c1, b.cid AS c2, $pss AS s
+         |  FROM pool a JOIN pool b ON a.qid = b.qid AND a.cid <> b.cid),
+         |s1 AS (${argmax(s"qs * $MmrLambda10", "pool")}),
+         |p2 AS (SELECT p.qid, p.cid,
+         |    qs * $MmrLambda10 - max(ps.s) * ${10 - MmrLambda10} AS sc2
+         |  FROM pool p
+         |  JOIN s1 ON s1.qid = p.qid AND p.cid <> s1.sel
+         |  JOIN ps ON ps.qid = p.qid AND ps.c1 = p.cid AND ps.c2 = s1.sel
+         |  GROUP BY p.qid, p.cid, p.qs),
+         |s2 AS (${argmax("sc2", "p2")}),
+         |p3 AS (SELECT p.qid, p.cid,
+         |    qs * $MmrLambda10 - max(ps.s) * ${10 - MmrLambda10} AS sc3
+         |  FROM pool p
+         |  JOIN s1 ON s1.qid = p.qid
+         |  JOIN s2 ON s2.qid = p.qid
+         |  JOIN ps ON ps.qid = p.qid AND ps.c1 = p.cid
+         |         AND (ps.c2 = s1.sel OR ps.c2 = s2.sel)
+         |  WHERE p.cid <> s1.sel AND p.cid <> s2.sel
+         |  GROUP BY p.qid, p.cid, p.qs),
+         |s3 AS (${argmax("sc3", "p3")})
+         |SELECT qid AS query_id, CAST(1 AS INT) AS pos,
+         |  sel AS selected_id, CAST(mmr_score AS BIGINT) AS mmr_score
+         |FROM s1
+         |UNION ALL
+         |SELECT qid, CAST(2 AS INT), sel, CAST(mmr_score AS BIGINT)
+         |FROM s2
+         |UNION ALL
+         |SELECT qid, CAST(3 AS INT), sel, CAST(mmr_score AS BIGINT)
+         |FROM s3""".stripMargin
     },
 
     // same transitive closure; the keep rule becomes longest-member

@@ -588,4 +588,54 @@ class TrainingQueriesSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(best.map(_._3).sum == clusters.size)
     graft.GateCache.releaseAll()
   }
+
+  test("x_mmr_rerank ≡ straight-line greedy MMR; diversity penalty " +
+      "genuinely changes the ranking") {
+    import spark.implicits._
+    val dir = graft.TestSpark.Sf0001
+    val vecs = Tables.read(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.map(i => x(i).toDouble * y(i).toDouble).sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    def q6(x: Double): Long = math.round(x * 1000000d)
+    val queries = vecs.keys.filter(_ < TrainingData.AnnQueryIds).toSeq.sorted
+    val want = queries.flatMap { qid =>
+      val pool = vecs.keys.filter(_ != qid).toSeq
+        .map(c => (c, q6(cos(vecs(qid), vecs(c)))))
+        .sortBy { case (c, s) => (-s, c) }.take(TrainingData.MmrPool)
+      val selected = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      (1 to TrainingData.MmrK).foreach { pos =>
+        val cand = pool.filterNot(p => selected.exists(_._1 == p._1))
+          .map { case (c, s) =>
+            val pen = if (selected.isEmpty) 0L
+              else selected.map(sl => q6(cos(vecs(c), vecs(sl._1)))).max
+            (c, s * TrainingData.MmrLambda10 -
+              pen * (10 - TrainingData.MmrLambda10))
+          }
+        val (c, sc) = cand.minBy { case (c, sc) => (-sc, c) }
+        selected += ((c, sc))
+      }
+      selected.zipWithIndex.map { case ((c, sc), i) =>
+        (qid, i + 1, c, sc) }
+    }.toSet
+    val got = TrainingData.queries("x_mmr_rerank")(spark, dir)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(got == want)
+    // λ<1 must matter: some query's MMR picks differ from its pure
+    // relevance top-3 (otherwise the penalty is dead code on this data)
+    val relTop3 = queries.map { qid =>
+      qid -> vecs.keys.filter(_ != qid).toSeq
+        .map(c => (c, q6(cos(vecs(qid), vecs(c)))))
+        .sortBy { case (c, s) => (-s, c) }.take(3).map(_._1).toSet
+    }.toMap
+    val mmrSel = got.groupBy(_._1).map { case (q, rs) =>
+      q -> rs.map(_._3) }
+    assert(queries.exists(q => mmrSel(q) != relTop3(q)),
+      "MMR ≡ relevance top-3 everywhere — diversity penalty vacuous")
+    graft.GateCache.releaseAll()
+  }
 }
