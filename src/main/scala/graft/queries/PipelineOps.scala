@@ -1936,6 +1936,62 @@ object PipelineOps {
         "erased_absent")
   }
 
+  /** T27: transactionally consistent multi-table CDC
+    * ([[graft.streaming.MultiTableCdc]]): orders and their lineitems
+    * travel in the SAME micro-batch (split on the shared order key, the
+    * transaction boundary MySQL's binlog preserves and the reference's
+    * per-table threads destroy); each batch lands per-table delta dirs
+    * then a commit marker, and a reader pinning ONE version across both
+    * tables is referentially clean at every version while a mixed-version
+    * read orphans exactly the later batch's lineitems. Output = the
+    * four-cut ledger, all counts derivable from the split predicate. */
+  def multiTableCdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.MultiTableCdc
+    val srcDir = graft.GateCache.tempDir("graft_mtc_src").toString
+    val root = graft.GateCache.tempDir("graft_mtc_root").toString
+    val ckp = graft.GateCache.tempDir("graft_mtc_ckp").toString
+    val o = s.read.parquet(s"$dir/orders.parquet")
+      .select(lit("orders").as("tbl"), col("o_orderkey").as("k0"),
+        lit(0L).as("k1"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+    val l = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(lit("lineitem").as("tbl"), col("l_orderkey").as("k0"),
+        col("l_linenumber").cast("long").as("k1"),
+        col("l_quantity").cast("long").as("v"))
+    val env = o.unionByName(l)
+    val stage = stageReplayFile(srcDir) _
+    val base = 1600000000000L
+    (0 to 2).foreach { b =>
+      stage(env.filter(col("k0") % 3 === b), s"b$b.parquet",
+        base + b * 600000L)
+    }
+    val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try MultiTableCdc.run(stream, Seq("orders", "lineitem"), root, ckp)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    def cut(name: String, vO: Long, vL: Long): DataFrame = {
+      val ord = MultiTableCdc.readAt(s, root, "orders", vO)
+        .select(col("k0").as("_ok"))
+      val li = MultiTableCdc.readAt(s, root, "lineitem", vL)
+      val viol = li.join(ord, li("k0") === col("_ok"), "left_anti").count()
+      import s.implicits._
+      Seq((name, MultiTableCdc.readAt(s, root, "orders", vO).count(),
+        li.count(), viol))
+        .toDF("cut", "n_orders", "n_lineitems", "n_violations")
+    }
+    val sameCuts = (0L to 2L).map(v => cut(s"v$v", v, v))
+    val mixed = cut("mixed_li2_o1", 1L, 2L)
+    val all = sameCuts.reduce(_.unionByName(_)).unionByName(mixed)
+    val rows = all.collect()
+    require(rows.filter(_.getString(0).startsWith("v"))
+      .forall(_.getLong(3) == 0L), "a same-version cut has orphans")
+    require(rows.find(_.getString(0) == "mixed_li2_o1")
+      .exists(_.getLong(3) > 0L), "mixed cut shows no orphans — vacuous")
+    all
+  }
+
   /** O17: multi-database replication from ONE engine instance — closes
     * the reference's "Single database: only one MySQL database per
     * instance / run multiple replicator instances" limitation
@@ -2443,6 +2499,7 @@ object PipelineOps {
     "x_gdpr_erasure" -> ((s, dir) => gdprErasure(s, dir)),
     "t26_sink_retry" -> ((s, dir) => sinkRetry(s, dir)),
     "o17_multidb" -> ((s, dir) => multiDbReplication(s, dir)),
+    "t27_multitable_cdc" -> ((s, dir) => multiTableCdc(s, dir)),
     "o18_filtered_replication" -> ((s, dir) => filteredReplication(s, dir)),
     "t20_live_projection" -> ((s, dir) => liveProjection(s, dir)),
     "o7_jdbc_roundtrip" -> ((s, dir) => jdbcRoundtrip(s, dir)),
@@ -2884,6 +2941,32 @@ object PipelineOps {
         |UNION ALL
         |SELECT 'db_core', 'customer', (SELECT count(*) FROM customer),
         |  (SELECT count(*) FROM customer), TRUE""".stripMargin,
+
+    // all four cuts restate from the split predicate (batch b holds
+    // keys with k % 3 = b; cumulative at v = k % 3 <= v); same-version
+    // cuts are orphan-free because a lineitem ships with its order
+    "t27_multitable_cdc" ->
+      """SELECT 'v0' AS cut,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 <= 0)
+        |    AS n_orders,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey % 3 <= 0)
+        |    AS n_lineitems,
+        |  CAST(0 AS BIGINT) AS n_violations
+        |UNION ALL
+        |SELECT 'v1',
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 <= 1),
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey % 3 <= 1),
+        |  CAST(0 AS BIGINT)
+        |UNION ALL
+        |SELECT 'v2',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM lineitem),
+        |  CAST(0 AS BIGINT)
+        |UNION ALL
+        |SELECT 'mixed_li2_o1',
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 <= 1),
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey % 3 = 2)""".stripMargin,
 
     "o18_filtered_replication" ->
       """SELECT count(*) AS n_replicated,

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Transactionally consistent MULTI-TABLE CDC apply — the cross-table
+  * guarantee the reference cannot give (it replicates table-by-table in
+  * independent threads, `src/replicator.py:105-123`, so a reader joining
+  * orders to lineitems mid-replication sees orphans; MySQL's binlog is
+  * transaction-ordered, so the source never had that inconsistency).
+  *
+  * Protocol (the delta-log shape): each micro-batch demultiplexes its
+  * envelope rows per table and appends one immutable delta directory per
+  * table (`<root>/<tbl>/d<batchId>`, overwrite-on-replay = idempotent),
+  * then — LAST — writes an empty commit marker `<root>/commits/c<batchId>`.
+  * Readers resolve a version as "all deltas with a committed id ≤ v", so
+  * a crash between the two table writes leaves a torn, INVISIBLE batch
+  * (no marker → no reader ever sees half a transaction), and pinning one
+  * version number across tables is a consistent cut with no cross-table
+  * lock. Per-batch cost is O(delta); per-read cost is O(committed
+  * deltas ≤ v) — at 100 TB the same compaction o6 applies to any
+  * append-log applies here.
+  */
+object MultiTableCdc {
+
+  /** One micro-batch: per-table delta dirs, then the commit marker. */
+  private[graft] def foldBatch(batch: DataFrame, tables: Seq[String],
+      root: String, batchId: Long, commit: Boolean = true): Unit = {
+    tables.foreach { tbl =>
+      batch.filter(col("tbl") === tbl).drop("tbl")
+        .write.mode("overwrite").parquet(s"$root/$tbl/d$batchId")
+    }
+    if (commit) {
+      val dir = new File(s"$root/commits")
+      dir.mkdirs()
+      new File(dir, s"c$batchId").createNewFile()
+      ()
+    }
+  }
+
+  /** Committed batch ids, ascending. */
+  def committed(root: String): Seq[Long] =
+    Option(new File(s"$root/commits").listFiles()).getOrElse(Array.empty)
+      .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption)
+      .sorted.toSeq
+
+  /** Table contents AT version `v`: every delta whose id is committed
+    * and ≤ v. An uncommitted (torn) delta directory is never read. */
+  def readAt(s: SparkSession, root: String, tbl: String,
+      v: Long): DataFrame = {
+    val ids = committed(root).filter(_ <= v)
+    require(ids.nonEmpty, s"no committed batches ≤ $v under $root")
+    s.read.parquet(ids.map(i => s"$root/$tbl/d$i"): _*)
+  }
+
+  /** Drain the multiplexed envelope stream. */
+  def run(stream: DataFrame, tables: Seq[String], root: String,
+      checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(batch, tables, root, batchId)
+      }
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -16,7 +16,8 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     // gate, the driver's correctness JSON just gets smaller, and 31 red
     // gates read as "fewer queries". A silent shrink (or an unregistered
     // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
-    val pinned = 249 // r10 waves: +x_mmr_rerank (diversity re-rank),
+    val pinned = 250 // r10 waves: +t27_multitable_cdc (transactional
+    // cross-table apply), +x_mmr_rerank (diversity re-rank),
     // +x_dedup_keep_best (quality keep rule),
     // +x_redact_apply (scrubbed corpus),
     // +o17_multidb +o18_filtered_replication

@@ -42,7 +42,7 @@ class PartitionInvarianceSpec extends AnyFunSuite with GateCacheHygiene {
     "t25_stream_scd2", "x_top_paths", "x_gdpr_erasure",
     "x_event_transitions", "t26_sink_retry", "o17_multidb",
     "o18_filtered_replication", "x_redact_apply", "x_dedup_keep_best",
-    "x_mmr_rerank")
+    "x_mmr_rerank", "t27_multitable_cdc")
 
   private def run(name: String): Seq[String] = {
     val rows = SparkEntry.queries(name)(spark, TestSpark.Sf0001)
