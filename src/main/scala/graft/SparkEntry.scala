@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Curation, Embeddings, EventOps, GraphOps, PipelineOps, ReferenceOps, SqlSurface, TrainingData, Warehouse}
+import graft.queries.{Analytics, Curation, Embeddings, EventOps, GraphOps, PipelineOps, Procurement, ReferenceOps, SqlSurface, TrainingData, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,7 +28,8 @@ object SparkEntry {
     GraphOps.queries,
     PipelineOps.queries,
     Warehouse.queries,
-    SqlSurface.queries)
+    SqlSurface.queries,
+    Procurement.queries)
 
   def oracleGroups: Seq[Map[String, String]] = Seq(
     ReferenceOps.oracle,
@@ -40,7 +41,8 @@ object SparkEntry {
     GraphOps.oracle,
     PipelineOps.oracle,
     Warehouse.oracle,
-    SqlSurface.oracle)
+    SqlSurface.oracle,
+    Procurement.oracle)
 
   /** One entry per implemented operator from SURVEY.md §2. Every result
     * passes through [[graft.queries.OracleSafe.canon]] so the verify

@@ -16,7 +16,11 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     // gate, the driver's correctness JSON just gets smaller, and 31 red
     // gates read as "fewer queries". A silent shrink (or an unregistered
     // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
-    val pinned = 250 // r10 waves: +t27_multitable_cdc (transactional
+    val pinned = 254 // r11: +q9_product_profit +q2_min_cost_supplier
+    // +q11_important_stock +q20_excess_suppliers (the four partsupp
+    // TPC-H shapes over the staged deterministic partsupp —
+    // queries/Procurement.scala).
+    // r10 waves: +t27_multitable_cdc (transactional
     // cross-table apply), +x_mmr_rerank (diversity re-rank),
     // +x_dedup_keep_best (quality keep rule),
     // +x_redact_apply (scrubbed corpus),
