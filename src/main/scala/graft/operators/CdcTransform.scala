@@ -50,6 +50,41 @@ object CdcTransform {
       .withColumn(DeletedCol,
         when(col(opCol) === Delete, lit(1)).otherwise(lit(0)))
 
+  /** [[stamp]] plus the before-image repair the reference lacks: its
+    * update processor keeps only after-images
+    * (`src/cdc_replicator.py:184-186`), so an UPDATE that changes the
+    * primary key leaves the OLD key's last pre-update row alive in the
+    * target forever (the PK-update orphan, SURVEY §7.4 — reproduced
+    * bug-for-bug by the plain [[stamp]] path for parity). With
+    * `fixPkUpdateOrphans=true` (opt-in;
+    * `ReplicationConfig.fixPkUpdateOrphans`, default = parity) every
+    * update whose before-image key differs from its after-image key also
+    * emits a tombstone for the old key, stamped with the SAME
+    * (version, seq) as the update itself so it supersedes everything the
+    * old key had before the move but never outranks unrelated later
+    * writes. Declarative: the tombstone branch is a filter + re-key +
+    * union on the same stream — no extra shuffle before the sink.
+    *
+    * `changes` must carry `keyCol` (after-image key) and `beforeKeyCol`
+    * (before-image key; equal to `keyCol` for inserts/deletes and
+    * non-key updates). The returned frame drops `beforeKeyCol`. */
+  def stampWithBeforeImage(changes: DataFrame, opCol: String, seqCol: String,
+      version: org.apache.spark.sql.Column, keyCol: String,
+      beforeKeyCol: String, fixPkUpdateOrphans: Boolean): DataFrame = {
+    val after = stamp(changes, opCol, seqCol, version).drop(beforeKeyCol)
+    if (!fixPkUpdateOrphans) after
+    else {
+      val tombstones = stamp(
+        changes.filter(col(opCol) === Update &&
+          col(beforeKeyCol) =!= col(keyCol)),
+        opCol, seqCol, version)
+        .withColumn(keyCol, col(beforeKeyCol))
+        .drop(beforeKeyCol)
+        .withColumn(DeletedCol, lit(1))
+      after.unionByName(tombstones)
+    }
+  }
+
   /** Event-time variant: version = µs epoch of a source timestamp column.
     * Strictly finer-grained than the reference's wall-clock batch stamp;
     * used where the harness's `events` table plays the binlog. */

@@ -32,6 +32,61 @@ object ReferenceOps {
     CdcTransform.stamp(
       changes(s, dir), opCol = "op", seqCol = "event_id", version = col("ts_us"))
 
+  /** T28: the PK-update orphan, demonstrated and repaired. The reference
+    * discards UPDATE before-images (`src/cdc_replicator.py:184-186`), so a
+    * PK-changing update strands the old key's last pre-update row in the
+    * live view forever; [[CdcTransform.stampWithBeforeImage]] offers the
+    * opt-in tombstone repair (default = parity). Scenario derived
+    * deterministically from `events`: each user whose id ≡ 3 (mod 10) is
+    * "renumbered" to id+1,000,000 by their chronologically LAST event
+    * (ids are ≤1,500 at every SF — no collisions); all other events are
+    * plain upserts. Output = a one-row ledger counting live keys and
+    * orphans under BOTH modes: parity shows one orphan per moved user
+    * that had an earlier event; fixed shows zero, and the two live views
+    * agree everywhere else. All six numbers are recomputable from the
+    * event log alone, which is what the oracle does. */
+  def pkUpdateOrphan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("ts_us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val changes = ev
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_moved", col("user_id") % 10 === 3 && col("_rn") === 1)
+      .select(
+        lit(CdcTransform.Update).as("op"),
+        col("user_id").as("before_key"),
+        when(col("_moved"), col("user_id") + 1000000L)
+          .otherwise(col("user_id")).as("key"),
+        col("event_type"), col("value"), col("ts_us"), col("event_id"))
+    def liveKeys(fix: Boolean): DataFrame =
+      LiveView.live(
+        CdcTransform.stampWithBeforeImage(changes, opCol = "op",
+            seqCol = "event_id", version = col("ts_us"), keyCol = "key",
+            beforeKeyCol = "before_key", fixPkUpdateOrphans = fix)
+          .select(col("key"), col("event_type"), col("value"),
+            col(VersionCol), col(SeqCol), col(DeletedCol)),
+        pks = Seq("key"), tieBreak = Some(SeqCol))
+    val oldKeys = changes.filter(col("key") =!= col("before_key"))
+      .select(col("before_key").as("mk")).distinct()
+    def counts(lv: DataFrame): (Long, Long) = {
+      val c = graft.GateCache.cache(lv.select(col("key")))
+      (c.count(), c.join(broadcast(oldKeys), col("key") === col("mk"),
+        "left_semi").count())
+    }
+    val (parityLive, parityOrphans) = counts(liveKeys(fix = false))
+    val (fixedLive, fixedOrphans) = counts(liveKeys(fix = true))
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    val nAffected = oldKeys.count()
+    import s.implicits._
+    Seq((nUsers, nAffected, parityLive, fixedLive, parityOrphans,
+        fixedOrphans))
+      .toDF("n_users", "n_affected", "parity_live", "fixed_live",
+        "parity_orphans", "fixed_orphans")
+  }
+
   /** Flagship: the `<table>_live` dedup view over the stamped stream
     * (W1+P2+P3 — ClickHouse FINAL + `_deleted=0` semantics). */
   def liveView(s: SparkSession, dir: String): DataFrame =
@@ -73,6 +128,11 @@ object ReferenceOps {
 
     // W1/P2/P3/K5: the live view itself.
     "w1_live_view" -> ((s, dir) => liveView(s, dir)),
+
+    // T28: PK-update orphan — parity mode reproduces the reference's
+    // stranded-old-key bug; fixed mode (stampWithBeforeImage tombstones)
+    // eliminates it. See pkUpdateOrphan.
+    "t28_pk_update_orphan" -> ((s, dir) => pkUpdateOrphan(s, dir)),
 
     // W1 alternative physical form: max_by aggregation — must agree with
     // the window form; exposed so the oracle pins both.
@@ -126,6 +186,26 @@ object ReferenceOps {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "w1_live_view" -> LiveViewOracle,
+
+    // The six ledger numbers recomputed from the event log alone: the
+    // orphan count is exactly "moved users with a second event" (their
+    // last event leaves under the new key; anything older survives under
+    // the old key in parity mode and is tombstoned in fixed mode).
+    // BIGINT-safe: count(*) is BIGINT and + of BIGINTs stays BIGINT.
+    "t28_pk_update_orphan" ->
+      """WITH per_user AS (
+        |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |aff AS (SELECT user_id, n FROM per_user WHERE user_id % 10 = 3)
+        |SELECT
+        |  (SELECT count(*) FROM per_user) AS n_users,
+        |  (SELECT count(*) FROM aff) AS n_affected,
+        |  (SELECT count(*) FROM per_user WHERE user_id % 10 <> 3)
+        |    + (SELECT count(*) FROM aff WHERE n >= 2)
+        |    + (SELECT count(*) FROM aff) AS parity_live,
+        |  (SELECT count(*) FROM per_user WHERE user_id % 10 <> 3)
+        |    + (SELECT count(*) FROM aff) AS fixed_live,
+        |  (SELECT count(*) FROM aff WHERE n >= 2) AS parity_orphans,
+        |  CAST(0 AS BIGINT) AS fixed_orphans""".stripMargin,
     "w1_live_view_aggform" -> LiveViewOracle,
     // cross-engine-family equivalence: Collapsing FINAL over the derived
     // sign-changelog must reproduce the Replacing FINAL rows exactly

@@ -16,7 +16,10 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     // gate, the driver's correctness JSON just gets smaller, and 31 red
     // gates read as "fewer queries". A silent shrink (or an unregistered
     // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
-    val pinned = 254 // r11: +q9_product_profit +q2_min_cost_supplier
+    val pinned = 255 // r11: +t28_pk_update_orphan (PK-update orphan
+    // reproduced in parity mode, repaired by the opt-in
+    // stampWithBeforeImage tombstone path).
+    // Earlier r11: +q9_product_profit +q2_min_cost_supplier
     // +q11_important_stock +q20_excess_suppliers (the four partsupp
     // TPC-H shapes over the staged deterministic partsupp —
     // queries/Procurement.scala).

@@ -27,6 +27,31 @@ class CdcTransformSpec extends AnyFunSuite with graft.GateCacheHygiene {
       Seq(100L, 200L, 300L))
   }
 
+  test("stampWithBeforeImage: parity mode ≡ stamp; fixed mode tombstones " +
+      "exactly the PK-changing updates under their OLD key (T28)") {
+    // key 2 moves 2→20 via an update; key 1 is a non-key update; key 3
+    // deletes (before≠after on a delete must NOT tombstone-fork)
+    val moves = Seq(
+      (1L, 1L, "a2", "U", 150L),
+      (2L, 20L, "b2", "U", 250L),
+      (3L, 30L, "c2", "D", 350L))
+      .toDF("before_key", "key", "payload", "op", "ts_us")
+    val parity = CdcTransform.stampWithBeforeImage(moves, "op", "ts_us",
+      col("ts_us"), "key", "before_key", fixPkUpdateOrphans = false)
+    val plain = CdcTransform.stamp(moves, "op", "ts_us", col("ts_us"))
+      .drop("before_key")
+    assert(parity.exceptAll(plain).isEmpty && plain.exceptAll(parity).isEmpty)
+    val fixed = CdcTransform.stampWithBeforeImage(moves, "op", "ts_us",
+      col("ts_us"), "key", "before_key", fixPkUpdateOrphans = true)
+    assert(fixed.count() == 4) // 3 after-images + 1 tombstone (key 2 only)
+    val tomb = fixed.exceptAll(parity)
+    val row = tomb.select("key", DeletedCol, VersionCol, SeqCol)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    // old key, tombstoned, SAME (version, seq) as the update that moved it
+    assert(row == Seq((2L, 1, 250L, 250L)))
+    assert(!fixed.columns.contains("before_key"))
+  }
+
   test("threeWayUnion ≡ single-pass stamp (§2.6 union operator)") {
     val a = CdcTransform.threeWayUnion(
       changes.withColumn("ts", timestamp_micros($"ts_us")), "op", "id", "ts")
