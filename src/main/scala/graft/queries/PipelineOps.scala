@@ -1879,6 +1879,57 @@ object PipelineOps {
     * list — no table scan locates the victims. The request list is
     * driver-collected by design (GDPR requests arrive as explicit key
     * lists, bounded by their nature, not derived from data volume). */
+  /** The erasure mutation core shared by the gate and GdprErasureSpec:
+    * pruned read of the affected buckets → left-anti vs the request list →
+    * staging parts → dynamic-partition-overwrite swap → FULL-BUCKET
+    * cleanup. The last step closes the r10 ADVICE edge: dynamic overwrite
+    * only replaces partitions PRESENT in the staged data, so a bucket
+    * whose every row belongs to erased users stages no files and the swap
+    * would silently leave its old files (and the erased data) on disk —
+    * any affected bucket absent from the staging output is deleted
+    * explicitly after the swap. Local-FS listing/delete here matches the
+    * gate's staging substrate; on HDFS/S3 the same two calls route
+    * through Hadoop FileSystem. Returns the affected bucket ids. */
+  private[queries] def eraseBuckets(s: SparkSession, root: String,
+      staging: String, reqDf: DataFrame,
+      bucketOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : Array[Int] = {
+    import s.implicits._
+    // affected buckets from the REQUEST LIST alone — no table scan
+    val affected = reqDf.select(bucketOf(col("user_id")).as("b"))
+      .distinct().as[Int].collect().sorted
+    s.read.parquet(root)
+      .filter(col("_bucket").isin(affected.map(Integer.valueOf): _*))
+      .join(broadcast(reqDf), Seq("user_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("_bucket").parquet(staging)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prevV = s.conf.getOption(key)
+    s.conf.set(key, "dynamic")
+    try s.read.parquet(staging).write.mode("overwrite")
+      .partitionBy("_bucket").parquet(root)
+    finally prevV match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+    // full-bucket erasure: buckets that staged nothing keep their old
+    // files through the dynamic swap — remove them outright
+    val stagedBuckets = Option(new java.io.File(staging).listFiles())
+      .getOrElse(Array.empty)
+      .flatMap(f => f.getName match {
+        case s"_bucket=$b" => b.toIntOption
+        case _ => None
+      }).toSet
+    affected.filterNot(stagedBuckets.contains).foreach { b =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(s"$root/_bucket=$b"))
+    }
+    affected
+  }
+
   def gdprErasure(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.PortableHash
     val root = graft.GateCache.tempDir("graft_gdpr").toString + "/t"
@@ -1899,6 +1950,8 @@ object PipelineOps {
       .select(col("user_id")).distinct().as[Long].collect().sorted
     val reqDf = requests.toSeq.toDF("user_id")
     // affected buckets from the REQUEST LIST alone — no table scan
+    // (same derivation eraseBuckets uses; needed here first to snapshot
+    // the untouched buckets' file state before the mutation)
     val affected = reqDf.select(bucketOf(col("user_id")).as("b"))
       .distinct().as[Int].collect().sorted
     def fileState(b: Int) =
@@ -1907,19 +1960,8 @@ object PipelineOps {
         .map(f => (f.getName, f.length, f.lastModified)).toSet
     val untouchedBefore = (0 until nBuckets).filterNot(affected.contains)
       .map(b => b -> fileState(b)).toMap
-    // mutation: pruned read → staging parts → dynamic-overwrite swap
-    target.filter(col("_bucket").isin(affected.map(Integer.valueOf): _*))
-      .join(broadcast(reqDf), Seq("user_id"), "left_anti")
-      .write.mode("overwrite").partitionBy("_bucket").parquet(staging)
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prevV = s.conf.getOption(key)
-    s.conf.set(key, "dynamic")
-    try s.read.parquet(staging).write.mode("overwrite")
-      .partitionBy("_bucket").parquet(root)
-    finally prevV match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
+    // mutation: pruned read → staging → swap → full-bucket cleanup
+    eraseBuckets(s, root, staging, reqDf, bucketOf)
     val after = s.read.parquet(root)
     val nAfter = after.count()
     val erasedRemaining =
@@ -2628,7 +2670,7 @@ object PipelineOps {
 
     // Healed target ≡ source truth: the latest event per user (constant
     // v1 stamp → tie broken by event_id) survives unless it's a delete;
-    // the loss (%17) / duplication (%13) predicates are functions of that
+    // the loss (%5) / duplication (%13) predicates are functions of that
     // surviving event id, so the flags restate relationally.
     "o16_full_resync" ->
       """WITH latest AS (

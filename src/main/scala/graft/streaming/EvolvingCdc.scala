@@ -40,10 +40,17 @@ import graft.operators.CdcTransform
   *      footers (`mergeSchema`), which is exactly the "old rows backfill
   *      as NULL" contract.
   *
-  * The final result is batch-split-invariant: the survivor per key is
-  * chosen by binlog position, widening is monotone (a field set union),
-  * and inferred types depend on the JSON values, not on which batch
-  * carried them.
+  * The final result is batch-split-invariant in its ROWS: the survivor
+  * per key is chosen by binlog position and widening is monotone (a
+  * field-set union). A new column's TYPE, however, is first-batch-wins:
+  * it freezes from the first drifting batch's values (a batch carrying
+  * only nulls infers STRING; only-integral values for a DOUBLE column
+  * infer LONG), and later batches do not re-widen it. That is this
+  * model's documented limit — the production fix is type-from-DDL: the
+  * binlog's ALTER TABLE event carries the authoritative column type
+  * (exercised by the t24_schema_evolution DDL-replication path), so
+  * value-based inference is only ever a fallback for sources that strip
+  * DDL events.
   *
   * Scale: steps 1 and 3 ride the batch scan (no shuffle, no UDF); step 2
   * runs only on the (rare) drifting batch and costs one extra scan of

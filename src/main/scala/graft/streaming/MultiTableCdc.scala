@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   * lock. Per-batch cost is O(delta); per-read cost is O(committed
   * deltas ≤ v) — at 100 TB the same compaction o6 applies to any
   * append-log applies here.
+  *
+  * Substrate note: the marker write and the commit listing here (and the
+  * analogous dir listings in [[SinkRetry.landed]] / [[StreamScd2]]) use
+  * local-FS `java.io.File`, whose create-after-write ordering the local
+  * filesystem guarantees. On HDFS the same protocol holds through Hadoop
+  * `FileSystem.create`; on an eventually-consistent object store the
+  * marker alone is NOT a visibility barrier — production there uses the
+  * real delta-log implementations this models (Delta/Iceberg commit
+  * protocols), which add atomic-rename/conditional-put semantics.
   */
 object MultiTableCdc {
 

@@ -37,6 +37,32 @@ class GdprErasureSpec extends AnyFunSuite with graft.GateCacheHygiene {
       out.getAs[Long]("buckets_total"))
   }
 
+  test("full-bucket erasure removes the bucket's files (r10 ADVICE edge: " +
+      "dynamic overwrite alone would leave them)") {
+    val root = graft.GateCache.tempDir("graft_gdpr_full").toString + "/t"
+    val staging = graft.GateCache.tempDir("graft_gdpr_full_stage").toString
+    // bucket = user_id % 4; bucket 1 = {1,5,9,...} will be erased WHOLE,
+    // bucket 2 loses only user 2, buckets 0/3 are untouched
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      (c % 4).cast("int")
+    (0L until 40L).map(i => (i, i * 10))
+      .toDF("user_id", "v")
+      .withColumn("_bucket", bucketOf(col("user_id")))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(root)
+    val reqDf = ((1L until 40L by 4) ++ Seq(2L)).toDF("user_id")
+    val affected = PipelineOps.eraseBuckets(spark, root, staging, reqDf,
+      bucketOf)
+    assert(affected.toSeq == Seq(1, 2))
+    // the fully-erased bucket's directory is GONE, not silently stale
+    assert(!new java.io.File(s"$root/_bucket=1").exists())
+    val after = spark.read.parquet(root)
+    assert(after.filter(col("user_id") % 4 === 1).count() == 0)
+    assert(after.filter(col("user_id") === 2).count() == 0)
+    // everything not requested survived: 40 − 10 (bucket 1) − 1 (user 2)
+    assert(after.count() == 29)
+    assert(after.join(reqDf, Seq("user_id"), "left_semi").count() == 0)
+  }
+
   test("the mutation's read is partition-pruned to the affected buckets") {
     val root = graft.GateCache.tempDir("graft_gdpr_prune").toString + "/t"
     (0L until 64L).map(i => (i, i * 10))
