@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Curation, Embeddings, EventOps, GraphOps, PipelineOps, Procurement, ReferenceOps, SqlSurface, TrainingData, Warehouse}
+import graft.queries.{Analytics, Curation, Embeddings, EventOps, GraphOps, PipelineE2e, PipelineOps, Procurement, ReferenceOps, SqlSurface, TrainingData, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,7 +29,8 @@ object SparkEntry {
     PipelineOps.queries,
     Warehouse.queries,
     SqlSurface.queries,
-    Procurement.queries)
+    Procurement.queries,
+    PipelineE2e.queries)
 
   def oracleGroups: Seq[Map[String, String]] = Seq(
     ReferenceOps.oracle,
@@ -42,7 +43,8 @@ object SparkEntry {
     PipelineOps.oracle,
     Warehouse.oracle,
     SqlSurface.oracle,
-    Procurement.oracle)
+    Procurement.oracle,
+    PipelineE2e.oracle)
 
   /** One entry per implemented operator from SURVEY.md §2. Every result
     * passes through [[graft.queries.OracleSafe.canon]] so the verify

@@ -80,7 +80,7 @@ object Curation {
   /** Project tokens/bigrams to attributes FIRST: both are referenced from
     * inside higher-order-function lambdas below, where an inlined
     * expression would re-evaluate per array element. */
-  private def withRepetitionCols(d: DataFrame): DataFrame =
+  private[queries] def withRepetitionCols(d: DataFrame): DataFrame =
     d.select(col("*"),
         split(Text.normalize(col("text")), " ").as("_toks"),
         ShingleExprs.wordShinglesNative(col("text"), 2).as("_bgs"))
@@ -99,7 +99,7 @@ object Curation {
             .cast("double") / size(col("_bgs"))).as("_topbgf"))
 
   /** Shared DuckDB CTE mirroring [[withRepetitionCols]]. */
-  private def repetitionCte: String = {
+  private[queries] def repetitionCte: String = {
     val norm = Text.normalizeDuck("text")
     val bgs = Text.wordShinglesDuck("text", 2)
     s"""rep AS (SELECT *,
