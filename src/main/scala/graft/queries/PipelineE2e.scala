@@ -77,13 +77,15 @@ object PipelineE2e {
       !(col("_dupf") > Curation.MaxDupTokenFrac) &&
       !(col("_topbgf") > Curation.MaxTopBigramFrac) &&
       !(col("_stop") < 1)
+    // the fingerprint rides out of the gopher scan so the cached survivor
+    // frame carries 32 hex chars per doc instead of the full text column
     val s2 = cache(g.filter(pass)
-      .select(col("doc_id"), col("lang"), col("text"), col("_tok")))
+      .select(col("doc_id"), col("lang"), col("_tok"),
+        Text.fingerprint(col("text")).as("_fp")))
 
     // 3: exact dedup among survivors (min-id representative)
-    val d2 = s2.withColumn("_fp", Text.fingerprint(col("text")))
-    val keep = d2.groupBy(col("_fp")).agg(min(col("doc_id")).as("doc_id"))
-    val s3 = cache(d2.join(keep, Seq("_fp", "doc_id"), "left_semi")
+    val keep = s2.groupBy(col("_fp")).agg(min(col("doc_id")).as("doc_id"))
+    val s3 = cache(s2.join(keep, Seq("_fp", "doc_id"), "left_semi")
       .select(col("doc_id"), col("lang"), col("_tok")))
 
     // 4: LSH near-dup — global candidate index, both endpoints restricted
@@ -140,23 +142,29 @@ object PipelineE2e {
       .groupBy(col("_shard"), col("_chunk"))
       .agg(sum(col("_tok")).as("_ctok"))
 
-    def row(idx: Int, name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(col("_tok")), lit(0L)).cast("long").as("n_tokens"))
-        .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
-          col("n_docs"), col("n_tokens"))
-    val packRow = packed
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("_ctok")), lit(0L)).cast("long").as("n_tokens"))
-      .select(lit(7).as("stage_idx"), lit("pack").as("stage"),
-        col("n_docs"), col("n_tokens"))
-
-    Seq(
-      row(0, "raw", s0), row(1, "langid", s1), row(2, "gopher", s2),
-      row(3, "exact_dedup", s3), row(4, "lsh_neardup", s4),
-      row(5, "decontam", s5), row(6, "temperature", s6))
-      .reduce(_ unionByName _)
-      .unionByName(packRow)
+    // Ledger rows are COLLECTED one stage at a time (the t28/x_gdpr
+    // ledger pattern): a union-of-aggregates plan would evaluate all
+    // eight branches inside one action, racing the stage caches before
+    // they populate and recomputing the expensive prefixes (measured
+    // 8–11 s at sf0.1 vs ~4 s this way). Sequential per-stage actions
+    // materialize each cache exactly once; every later stage and its
+    // ledger row then read it. 8 collected longs — driver-bounded.
+    def measure(df: DataFrame, tokCol: String): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(sum(col(tokCol)), lit(0L))
+        .cast("long")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val ledger = Seq(
+      (0, "raw", measure(s0, "_tok")), (1, "langid", measure(s1, "_tok")),
+      (2, "gopher", measure(s2, "_tok")),
+      (3, "exact_dedup", measure(s3, "_tok")),
+      (4, "lsh_neardup", measure(s4, "_tok")),
+      (5, "decontam", measure(s5, "_tok")),
+      (6, "temperature", measure(s6, "_tok")),
+      (7, "pack", measure(packed, "_ctok")))
+    import s.implicits._
+    ledger.map { case (i, n, (d, tk)) => (i, n, d, tk) }
+      .toDF("stage_idx", "stage", "n_docs", "n_tokens")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
