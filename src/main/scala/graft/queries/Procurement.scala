@@ -3,10 +3,11 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The four TPC-H shapes that need a `partsupp` table — Q9 (product-type
-  * profit), Q2 (min-cost supplier), Q11 (important stock), Q20 (excess
-  * availability) — closed by STAGING a deterministic partsupp inside the
-  * gate (the harness testdata ships none: TESTDATA.md). The reference
+/** The five TPC-H shapes that need columns/tables the harness testdata
+  * doesn't ship — Q9 (product-type profit), Q2 (min-cost supplier), Q11
+  * (important stock), Q20 (excess availability) over a STAGED
+  * deterministic partsupp, and Q12 (shipmode vs priority) over DERIVED
+  * shipmode/commitdate/receiptdate columns (TESTDATA.md ships neither). The reference
   * replicates whatever tables exist upstream
   * (/root/reference/src/snapshot_replicator.py — table list is
   * config-driven, not schema-fixed), so a user pointing it at a real TPC-H
@@ -168,6 +169,43 @@ object Procurement {
         .select(col("ps_partkey"), col("stock_value"))
     }),
 
+    // TPC-H Q12: shipping-mode vs priority — the LAST TPC-H shape the
+    // harness schema left unexercised (lineitem ships no shipmode/
+    // commitdate/receiptdate). The three columns are DERIVED inline by
+    // key arithmetic both engines reproduce verbatim (the partsupp
+    // pattern, minus the staging — these are per-row projections, not a
+    // relation). Late-commit semantics preserved: receipt-year window,
+    // commit < receipt, ship < commit; counts split by priority class.
+    // One orderkey shuffle join; the derivation rides the scan.
+    "q12_shipmode_priority" -> ((s, dir) => {
+      val modes = array(lit("MAIL"), lit("SHIP"), lit("RAIL"),
+        lit("TRUCK"), lit("AIR"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        element_at(modes,
+          ((col("l_orderkey") * 7 + col("l_linenumber")) % 5 + 1)
+            .cast("int")).as("l_shipmode"),
+        to_date(col("l_shipdate")).as("_ship"),
+        date_add(to_date(col("l_shipdate")),
+          ((col("l_orderkey") * 3 + col("l_linenumber") * 5) % 60 - 30)
+            .cast("int")).as("_commit"),
+        date_add(to_date(col("l_shipdate")),
+          ((col("l_orderkey") * 11 + col("l_linenumber") * 13) % 45 + 1)
+            .cast("int")).as("_receipt"))
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.filter(col("l_shipmode").isin("MAIL", "SHIP") &&
+          col("_commit") < col("_receipt") &&
+          col("_ship") < col("_commit") &&
+          col("_receipt") >= lit("1996-01-01").cast("date") &&
+          col("_receipt") < lit("1997-01-01").cast("date"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_shipmode"))
+        .agg(sum(when(high, 1L).otherwise(0L)).cast("long")
+            .as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).cast("long")
+            .as("low_line_count"))
+    }),
+
     // TPC-H Q20: suppliers holding excess stock of a part family — avail
     // qty more than half the quantity they actually shipped in 1996.
     // shipped is a partial-agg'd groupBy on the SAME composite key the
@@ -247,6 +285,30 @@ object Procurement {
          |FROM scoped, tot
          |GROUP BY ps_partkey, total_value, n_parts
          |HAVING CAST(sum(value) AS BIGINT) * n_parts > total_value * 2""".stripMargin,
+
+    "q12_shipmode_priority" ->
+      """WITH d AS (SELECT l_orderkey,
+        |    (['MAIL', 'SHIP', 'RAIL', 'TRUCK', 'AIR'])[
+        |      CAST((l_orderkey * 7 + l_linenumber) % 5 + 1 AS INTEGER)]
+        |      AS l_shipmode,
+        |    CAST(l_shipdate AS DATE) AS ship,
+        |    CAST(l_shipdate AS DATE)
+        |      + CAST((l_orderkey * 3 + l_linenumber * 5) % 60 - 30
+        |             AS INTEGER) AS commit_d,
+        |    CAST(l_shipdate AS DATE)
+        |      + CAST((l_orderkey * 11 + l_linenumber * 13) % 45 + 1
+        |             AS INTEGER) AS receipt
+        |  FROM lineitem)
+        |SELECT l_shipmode,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM d JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipmode IN ('MAIL', 'SHIP')
+        |  AND commit_d < receipt AND ship < commit_d
+        |  AND receipt >= DATE '1996-01-01' AND receipt < DATE '1997-01-01'
+        |GROUP BY l_shipmode""".stripMargin,
 
     "q20_excess_suppliers" ->
       s"""$PartsuppCte,

@@ -7,11 +7,10 @@ import graft.model.SchemaModel.{DeletedCol, SeqCol, VersionCol}
 import graft.operators.LiveView
 
 /** Warehouse-analytics extensions: the remaining TPC-H shapes expressible
-  * over the harness star schema (Q2/Q9/Q11/Q20 live in [[Procurement]]
-  * over a staged deterministic `partsupp`; Q21 is
-  * `q21_sole_late_supplier` in [[Analytics]]; only Q12's
-  * commit/receipt-date columns have no harness analog), plus four
-  * data-management operators a
+  * over the harness star schema (Q2/Q9/Q11/Q12/Q20 live in
+  * [[Procurement]] over staged/derived deterministic columns; Q21 is
+  * `q21_sole_late_supplier` in [[Analytics]] — every TPC-H shape now has
+  * a gate), plus four data-management operators a
   * user of the reference's sync tool needs around the replicated tables:
   * SCD2 history from the change stream, snapshot diff, column profiling,
   * and exact distributed quantiles/correlation.

@@ -88,6 +88,32 @@ class ProcurementSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(res.map(_.getAs[Long]("s_suppkey")).forall(n3.contains))
   }
 
+  test("q12 ledger: only MAIL/SHIP rows, and every counted line is a " +
+      "genuine late-commit receipt in the window") {
+    val res = Procurement.queries("q12_shipmode_priority")(s, dir).collect()
+    assert(res.nonEmpty)
+    assert(res.map(_.getAs[String]("l_shipmode")).toSet
+      .subsetOf(Set("MAIL", "SHIP")))
+    // total counted lines = independent recount from raw keys
+    val total = res.map(r => r.getAs[Long]("high_line_count") +
+      r.getAs[Long]("low_line_count")).sum
+    val li = Tables.read(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      to_date(col("l_shipdate")).as("ship"))
+      .withColumn("mode", (col("l_orderkey") * 7 + col("l_linenumber")) % 5)
+      .withColumn("cd", date_add(col("ship"),
+        ((col("l_orderkey") * 3 + col("l_linenumber") * 5) % 60 - 30)
+          .cast("int")))
+      .withColumn("rd", date_add(col("ship"),
+        ((col("l_orderkey") * 11 + col("l_linenumber") * 13) % 45 + 1)
+          .cast("int")))
+    val expect = li.filter(col("mode").isin(0, 1) &&
+      col("cd") < col("rd") && col("ship") < col("cd") &&
+      col("rd") >= lit("1996-01-01").cast("date") &&
+      col("rd") < lit("1997-01-01").cast("date")).count()
+    assert(total == expect)
+  }
+
   test("q9 profit reconciles against a row-level recomputation") {
     val res = Procurement.queries("q9_product_profit")(s, dir)
     val totalProfit =
