@@ -49,12 +49,20 @@ final class CdcPipeline(
     * batch-stamped upsert rows appended to the target. `versionOf` maps a
     * micro-batch id to its version stamp (injectable for deterministic
     * tests; production passes µs wall clock like the reference's
-    * `int(now()*1e6)`, `src/cdc_replicator.py:147-148`). */
+    * `int(now()*1e6)`, `src/cdc_replicator.py:147-148`).
+    *
+    * `beforeImage = Some((keyCol, beforeKeyCol))` routes the batch through
+    * [[CdcTransform.stampWithBeforeImage]] so a PK-changing update also
+    * tombstones its old key when `fixPkUpdateOrphans` is on
+    * (`ReplicationConfig.fixPkUpdateOrphans`; default preserves the
+    * reference's orphaning behavior — T28). */
   def start(changeStream: DataFrame, table: String, opCol: String,
             seqCol: String, tables: Seq[String] = Nil,
             tableCol: Option[String] = None,
             versionOf: Long => Long = _ => System.currentTimeMillis() * 1000L,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            beforeImage: Option[(String, String)] = None,
+            fixPkUpdateOrphans: Boolean = false): StreamingQuery = {
     // P5: client-side table-set re-check (`src/cdc_replicator.py:330-333`)
     val filtered = (tableCol, tables) match {
       case (Some(tc), ts) if ts.nonEmpty => changeStream.filter(col(tc).isin(ts: _*))
@@ -67,8 +75,16 @@ final class CdcPipeline(
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         // drop bookkeeping columns after stamping so applied rows share
         // the initial-sync schema (source cols + meta cols)
-        CdcTransform.stampBatch(batch.toDF(), opCol, seqCol, versionOf(batchId))
-          .drop((Seq(opCol, seqCol) ++ tableCol.toSeq): _*)
+        val stamped = beforeImage match {
+          case Some((keyCol, beforeKeyCol)) =>
+            CdcTransform.stampWithBeforeImage(batch.toDF(), opCol, seqCol,
+              lit(versionOf(batchId)), keyCol, beforeKeyCol,
+              fixPkUpdateOrphans)
+          case None =>
+            CdcTransform.stampBatch(batch.toDF(), opCol, seqCol,
+              versionOf(batchId))
+        }
+        stamped.drop((Seq(opCol, seqCol) ++ tableCol.toSeq): _*)
           .write.mode("append").parquet(s"$targetDir/$table.parquet")
         ()
       }
