@@ -114,6 +114,46 @@ class ProcurementSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(total == expect)
   }
 
+  test("q9 plan shape: pruned fact scan, broadcast dims, no nested-loop " +
+      "or cartesian join anywhere in the family") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def flat(p: SparkPlan): Seq[SparkPlan] =
+      Seq(p) ++ p.children.flatMap(flat) ++
+        (p match { case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+                   case _ => p.subqueries.flatMap(flat) })
+    for (g <- Seq("q9_product_profit", "q2_min_cost_supplier",
+        "q11_important_stock", "q20_excess_suppliers",
+        "q12_shipmode_priority")) {
+      val df = Procurement.queries(g)(s, dir)
+      df.count() // let AQE finalize
+      val nodes = flat(df.queryExecution.executedPlan).map(_.nodeName)
+      assert(!nodes.exists(_.contains("CartesianProduct")),
+        s"$g has a cartesian product: ${nodes.distinct}")
+      // q11's one BroadcastNestedLoopJoin is the deliberate scalar attach:
+      // crossJoin(broadcast(1-row totals)) — bounded by construction.
+      // Everywhere else a BNLJ means an equi-join degraded.
+      if (g != "q11_important_stock")
+        assert(!nodes.exists(_.contains("BroadcastNestedLoopJoin")),
+          s"$g has a nested-loop join: ${nodes.distinct}")
+      else
+        assert(nodes.count(_.contains("BroadcastNestedLoopJoin")) == 1)
+    }
+    val q9 = Procurement.queries("q9_product_profit")(s, dir)
+    q9.count()
+    val plan = q9.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "q9 dims did not broadcast")
+    // the fact scan reads exactly the six needed lineitem columns
+    val scans = flat(q9.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString
+          .contains("lineitem")) => f.requiredSchema.fieldNames.toSet
+    }
+    assert(scans.nonEmpty && scans.head == Set("l_orderkey", "l_partkey",
+      "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"),
+      s"lineitem scan not pruned: $scans")
+  }
+
   test("q9 profit reconciles against a row-level recomputation") {
     val res = Procurement.queries("q9_product_profit")(s, dir)
     val totalProfit =
