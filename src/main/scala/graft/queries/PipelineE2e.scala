@@ -59,8 +59,10 @@ object PipelineE2e {
     val s0 = t(s, dir, "documents").select(col("doc_id"), col("lang"),
       col("text"), Text.tokenCount(col("text")).cast("long").as("_tok"))
 
-    // 1: language-ID agreement screen
-    val s1 = s0.filter(Text.langId(col("text")) === col("lang"))
+    // 1: language-ID agreement screen — cached: the 15-marker argmax
+    // expression is the most expensive per-row scan in the pipeline and
+    // both the ledger row and the gopher stage read the result
+    val s1 = cache(s0.filter(Text.langId(col("text")) === col("lang")))
 
     // 2: Gopher rules (exactly x_gopher_filter_apply's predicates)
     val g = Curation.withRepetitionCols(s1).select(col("*"),
