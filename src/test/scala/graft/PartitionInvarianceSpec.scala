@@ -42,7 +42,15 @@ class PartitionInvarianceSpec extends AnyFunSuite with GateCacheHygiene {
     "t25_stream_scd2", "x_top_paths", "x_gdpr_erasure",
     "x_event_transitions", "t26_sink_retry", "o17_multidb",
     "o18_filtered_replication", "x_redact_apply", "x_dedup_keep_best",
-    "x_mmr_rerank", "t27_multitable_cdc")
+    "x_mmr_rerank", "t27_multitable_cdc",
+    // r11 wave: the staged-partsupp joins (composite-key shuffle + min
+    // decorrelation + decimal profit sums), the derived-column Q12, the
+    // dual-mode orphan ledger, and the 7-stage pipeline ledger
+    // (q11_important_stock is exercised at sf0.01 by its oracle — its
+    // 2×-average cut is empty at sf0.001 and this matrix requires
+    // non-empty results)
+    "q9_product_profit", "q2_min_cost_supplier", "q20_excess_suppliers",
+    "q12_shipmode_priority", "t28_pk_update_orphan", "x_pipeline_e2e")
 
   private def run(name: String): Seq[String] = {
     val rows = SparkEntry.queries(name)(spark, TestSpark.Sf0001)
