@@ -2034,6 +2034,66 @@ object PipelineOps {
     all
   }
 
+  /** O19: watermark-polling incremental capture over a LIVE JDBC source
+    * ([[graft.sources.JdbcIncremental]] against embedded Derby — the one
+    * relational engine the zero-egress sandbox can actually serve): the
+    * Kafka-Connect-JDBC "incrementing" pattern as the binlog alternative.
+    * The event log is split into three arrival waves by event_id
+    * thresholds (max/3, 2·max/3 — arithmetic the oracle reproduces);
+    * after each wave one poll captures EXACTLY the delta (the watermark
+    * predicate runs inside Derby, not client-side), wave 2 is polled
+    * twice before its commit (the crash-between-land-and-commit replay),
+    * everything lands append-only with the poll index as `_version`, and
+    * the live view collapses the replay duplicates — the same T3
+    * at-least-once + dedup-on-read contract every other ingest surface
+    * here honors. Ledger: per-wave capture counts, the replay count, the
+    * raw landed total (with duplicates), the deduplicated live count,
+    * and the drained flag (a poll after the final commit is empty). */
+  def jdbcIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{JdbcIncremental, JdbcSink}
+    val dbName = "graftinc" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val dbUrl = s"jdbc:derby:memory:$dbName;create=true"
+    val wmDir = graft.GateCache.tempDir("graft_o19_wm").toString
+    val land = graft.GateCache.tempDir("graft_o19_land").toString + "/t"
+    val sink = new JdbcSink(graft.model.TargetConfig(user = "app"),
+      urlOverride = Some(dbUrl))
+    val inc = new JdbcIncremental(s, dbUrl, "app", wmDir)
+    val ev = Tables.events(s, dir).select(
+      col("event_id").as("EVENT_ID"), col("user_id").as("USER_ID"),
+      round(col("value") * 1000000).cast("long").as("VMICRO"))
+    val maxId = ev.agg(max(col("EVENT_ID"))).collect()(0).getLong(0)
+    val (c1, c2) = (maxId / 3, 2 * maxId / 3)
+    def landPoll(version: Long): Long = {
+      val d = inc.poll("EVENTS_SRC", "EVENT_ID")
+        .withColumn(VersionCol, lit(version))
+        .withColumn(SeqCol, col("EVENT_ID"))
+        .withColumn(DeletedCol, lit(0))
+      d.write.mode("append").parquet(land)
+      d.count()
+    }
+    sink.write(ev.filter(col("EVENT_ID") <= c1), "EVENTS_SRC")
+    val n1 = landPoll(0); inc.commit("EVENTS_SRC", c1)
+    sink.write(ev.filter(col("EVENT_ID") > c1 && col("EVENT_ID") <= c2),
+      "EVENTS_SRC")
+    val n2 = landPoll(1)
+    val nReplay = landPoll(2) // crash before commit: same delta again
+    inc.commit("EVENTS_SRC", c2)
+    sink.write(ev.filter(col("EVENT_ID") > c2), "EVENTS_SRC")
+    val n3 = landPoll(3); inc.commit("EVENTS_SRC", maxId)
+    val drained = inc.poll("EVENTS_SRC", "EVENT_ID").count() == 0
+    val landed = s.read.parquet(land)
+    val nLanded = landed.count()
+    val nLive = graft.operators.LiveView.live(
+      landed.select(col("USER_ID"), col("VMICRO"), col(VersionCol),
+        col(SeqCol), col(DeletedCol)),
+      pks = Seq("USER_ID"), tieBreak = Some(SeqCol)).count()
+    require(nReplay == n2, "replay did not reproduce the uncommitted delta")
+    import s.implicits._
+    Seq((n1, n2, n3, nReplay, nLanded, nLive, drained))
+      .toDF("n_wave1", "n_wave2", "n_wave3", "n_replay", "n_landed",
+        "n_live", "drained")
+  }
+
   /** O17: multi-database replication from ONE engine instance — closes
     * the reference's "Single database: only one MySQL database per
     * instance / run multiple replicator instances" limitation
@@ -2541,6 +2601,10 @@ object PipelineOps {
     "x_gdpr_erasure" -> ((s, dir) => gdprErasure(s, dir)),
     "t26_sink_retry" -> ((s, dir) => sinkRetry(s, dir)),
     "o17_multidb" -> ((s, dir) => multiDbReplication(s, dir)),
+
+    // O19: live-JDBC watermark polling capture (Derby), at-least-once
+    // replay resolved by the live view — see jdbcIncremental.
+    "o19_jdbc_incremental" -> ((s, dir) => jdbcIncremental(s, dir)),
     "t27_multitable_cdc" -> ((s, dir) => multiTableCdc(s, dir)),
     "o18_filtered_replication" -> ((s, dir) => filteredReplication(s, dir)),
     "t20_live_projection" -> ((s, dir) => liveProjection(s, dir)),
@@ -3009,6 +3073,24 @@ object PipelineOps {
         |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 <= 1),
         |  (SELECT count(*) FROM lineitem),
         |  (SELECT count(*) FROM lineitem WHERE l_orderkey % 3 = 2)""".stripMargin,
+
+    // wave cuts are pure event_id arithmetic; the replay duplicates wave
+    // 2 once, and the live view dedups to the distinct-user count
+    "o19_jdbc_incremental" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |c AS (SELECT mx // 3 AS c1, 2 * mx // 3 AS c2 FROM m)
+        |SELECT
+        |  (SELECT count(*) FROM events, c WHERE event_id <= c1) AS n_wave1,
+        |  (SELECT count(*) FROM events, c
+        |     WHERE event_id > c1 AND event_id <= c2) AS n_wave2,
+        |  (SELECT count(*) FROM events, c WHERE event_id > c2) AS n_wave3,
+        |  (SELECT count(*) FROM events, c
+        |     WHERE event_id > c1 AND event_id <= c2) AS n_replay,
+        |  (SELECT count(*) FROM events)
+        |    + (SELECT count(*) FROM events, c
+        |         WHERE event_id > c1 AND event_id <= c2) AS n_landed,
+        |  (SELECT count(DISTINCT user_id) FROM events) AS n_live,
+        |  TRUE AS drained""".stripMargin,
 
     "o18_filtered_replication" ->
       """SELECT count(*) AS n_replicated,

@@ -1,0 +1,68 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.model.Identifiers
+
+/** Watermark-polling incremental capture over any JDBC source — the
+  * industry-standard binlog ALTERNATIVE (the Kafka-Connect-JDBC
+  * "incrementing" mode): each poll reads only rows whose monotone
+  * watermark column exceeds the last committed watermark, so capture cost
+  * is O(delta) per poll at the SOURCE (the predicate ships inside the
+  * remote SQL, not a client-side filter), and the reference's full-scan
+  * re-sync becomes a tail read. This is the live-testable half of the
+  * connector story the sandbox can actually exercise (no MySQL socket;
+  * Derby stands in — `JdbcIncrementalSpec`), complementing the Debezium
+  * envelope path (`streaming/DebeziumEnvelope`) that covers the
+  * binlog-wire format downstream of the socket.
+  *
+  * Delivery contract = the engine's own T3: commit AFTER a successful
+  * land (write-ahead nothing), so a crash between land and commit replays
+  * the whole delta — at-least-once, duplicates resolved by the
+  * [[graft.operators.LiveView]] read path exactly like every other ingest
+  * surface here. The watermark itself is one long per table in a file
+  * (local-FS for the harness; route through Hadoop FileSystem for
+  * HDFS/S3 — the MultiTableCdc substrate note applies).
+  *
+  * Limits (the standard ones for polling capture, documented not hidden):
+  * DELETEs are invisible (no row left to poll — pair with the o16
+  * reconciling re-sync), and an UPDATE is only captured if it advances
+  * the watermark column (use a last-modified timestamp or a version
+  * counter, not an insert-only id, when updates matter).
+  */
+final class JdbcIncremental(spark: SparkSession, url: String, user: String,
+                            watermarkDir: String, fetchSize: Int = 50000) {
+
+  private def wmFile(table: String) =
+    new java.io.File(watermarkDir, s"$table.wm")
+
+  /** Last committed watermark; Long.MinValue before the first commit
+    * (first poll = initial snapshot). */
+  def watermark(table: String): Long = {
+    val f = wmFile(table)
+    if (f.isFile) Files.readString(f.toPath).trim.toLong else Long.MinValue
+  }
+
+  /** One poll: the rows past the committed watermark, fetched by a
+    * remote-side predicate (`query` pushes the WHERE into the source
+    * engine). Idempotent until [[commit]] moves the watermark. */
+  def poll(table: String, wmCol: String): DataFrame = {
+    Identifiers.validate(table, "table name")
+    Identifiers.validate(wmCol, "column name")
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("user", user)
+      .option("fetchsize", fetchSize)
+      .option("query",
+        s"SELECT * FROM $table WHERE $wmCol > ${watermark(table)}")
+      .load()
+  }
+
+  /** Advance the watermark — call ONLY after the polled delta landed
+    * durably (the at-least-once boundary). */
+  def commit(table: String, newWatermark: Long): Unit = {
+    new java.io.File(watermarkDir).mkdirs()
+    Files.writeString(wmFile(table).toPath, newWatermark.toString)
+    ()
+  }
+}

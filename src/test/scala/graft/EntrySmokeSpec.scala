@@ -16,7 +16,9 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     // gate, the driver's correctness JSON just gets smaller, and 31 red
     // gates read as "fewer queries". A silent shrink (or an unregistered
     // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
-    val pinned = 257 // r11: +q12_shipmode_priority (derived
+    val pinned = 258 // r11: +o19_jdbc_incremental (live-Derby
+    // watermark-polling capture with at-least-once replay).
+    // Earlier r11: +q12_shipmode_priority (derived
     // shipmode/commit/receipt columns — the last TPC-H shape).
     // Earlier r11: +x_pipeline_e2e (the 7-stage curation
     // pipeline composed end-to-end with a per-stage ledger).
