@@ -65,4 +65,50 @@ final class JdbcIncremental(spark: SparkSession, url: String, user: String,
     Files.writeString(wmFile(table).toPath, newWatermark.toString)
     ()
   }
+
+  // ---- compound (timestamp + incrementing) mode --------------------
+  // The production-default Kafka-Connect-JDBC mode: a last-modified
+  // column captures UPDATEs (which an insert-only id never advances),
+  // and the id breaks ties so two rows sharing one timestamp are never
+  // half-captured — poll p strictly follows the committed (ts, id) pair
+  // in lexicographic order. Same at-least-once commit protocol.
+
+  private def wm2File(table: String) =
+    new java.io.File(watermarkDir, s"$table.wm2")
+
+  /** Last committed (timestampMicros, id) pair; (MinValue, MinValue)
+    * before the first commit. */
+  def watermark2(table: String): (Long, Long) = {
+    val f = wm2File(table)
+    if (f.isFile) {
+      val Array(a, b) = Files.readString(f.toPath).trim.split(',')
+      (a.toLong, b.toLong)
+    } else (Long.MinValue, Long.MinValue)
+  }
+
+  /** One compound poll: rows past the committed (tsCol, idCol) pair in
+    * lexicographic order — `ts > T OR (ts = T AND id > I)`, evaluated at
+    * the source. `tsCol` must be a monotone-on-update numeric column
+    * (epoch micros); wall-clock skew between writers bounds how late a
+    * row may arrive and is the standard operational caveat of this mode. */
+  def pollCompound(table: String, tsCol: String, idCol: String): DataFrame = {
+    Identifiers.validate(table, "table name")
+    Identifiers.validate(tsCol, "column name")
+    Identifiers.validate(idCol, "column name")
+    val (t, i) = watermark2(table)
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("user", user)
+      .option("fetchsize", fetchSize)
+      .option("query",
+        s"SELECT * FROM $table WHERE $tsCol > $t OR ($tsCol = $t AND $idCol > $i)")
+      .load()
+  }
+
+  /** Advance the compound watermark after a durable land. */
+  def commitCompound(table: String, ts: Long, id: Long): Unit = {
+    new java.io.File(watermarkDir).mkdirs()
+    Files.writeString(wm2File(table).toPath, s"$ts,$id")
+    ()
+  }
 }

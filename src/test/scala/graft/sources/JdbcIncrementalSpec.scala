@@ -59,4 +59,37 @@ class JdbcIncrementalSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(live.filter(col("K") === 200L).select("V").as[Double]
       .head() == 21.0)
   }
+
+  test("compound (timestamp + incrementing) mode captures UPDATEs and " +
+      "splits same-timestamp rows exactly at the id tie-break") {
+    val wmDir = graft.GateCache.tempDir("graft_jdbc_wm2").toString
+    val sink = new JdbcSink(sinkCfg, urlOverride = Some(dbUrl))
+    val inc = new JdbcIncremental(spark, dbUrl, "app", wmDir)
+
+    // (TS, ID, V): two rows share TS=100 — the id must split them
+    sink.write(Seq((100L, 1L, 10.0), (100L, 2L, 20.0), (200L, 3L, 30.0))
+      .toDF("TS", "ID", "V"), "INC_C")
+    val p1 = inc.pollCompound("INC_C", "TS", "ID")
+    assert(p1.count() == 3)
+    // commit MID-timestamp: (100, 1) — as if the land stopped after row 1
+    inc.commitCompound("INC_C", 100L, 1L)
+    // the re-poll resumes exactly after the tie-break: (100,2) and (200,3)
+    assert(inc.pollCompound("INC_C", "TS", "ID")
+      .select("ID").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    inc.commitCompound("INC_C", 200L, 3L)
+    assert(inc.pollCompound("INC_C", "TS", "ID").count() == 0)
+
+    // an UPDATE advances TS (the mode's contract) and IS captured —
+    // the thing plain incrementing-id polling can never see
+    new JdbcSink(sinkCfg, urlOverride = Some(dbUrl)) // keep user scope
+    val conn = java.sql.DriverManager.getConnection(dbUrl, "app", "")
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("UPDATE INC_C SET TS = 300, V = 11.0 WHERE ID = 1")
+      st.close()
+    } finally conn.close()
+    val upd = inc.pollCompound("INC_C", "TS", "ID")
+    assert(upd.select("ID").as[Long].collect().toSeq == Seq(1L))
+    assert(upd.select("V").as[Double].head() == 11.0)
+  }
 }
