@@ -26,7 +26,15 @@ object Bucketing {
     * the warehouse directory survives — a stale dir would otherwise make
     * the CTAS fail or read mixed generations). */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit = {
+                    buckets: Int): Unit =
+    writeBucketedMulti(df, table, Seq(key), buckets)
+
+  /** Composite-key form: bucket AND per-bucket sort on the full key list
+    * (a multi-column join is only exchange-free when the bucket spec is
+    * exactly the join key set — a prefix is not enough). */
+  def writeBucketedMulti(df: DataFrame, table: String, keys: Seq[String],
+                         buckets: Int): Unit = {
+    require(keys.nonEmpty, "bucketed write needs at least one key column")
     val spark = df.sparkSession
     graft.model.Identifiers.validate(table, "table")
     if (!spark.catalog.tableExists(table)) {
@@ -36,7 +44,8 @@ object Bucketing {
       if (fs.exists(wh)) fs.delete(wh, true)
     }
     df.write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
   }
 

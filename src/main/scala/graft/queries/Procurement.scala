@@ -169,6 +169,60 @@ object Procurement {
         .select(col("ps_partkey"), col("stock_value"))
     }),
 
+    // The PLANS.md claim for q9, substantiated: at 100 TB you bucket
+    // lineitem and partsupp on the composite (partkey, suppkey) and the
+    // fact-side exchange disappears. Both sides are written bucketed on
+    // exactly the join key set (a prefix is not enough), broadcast is
+    // disabled so the harness-scale AQE can't hide the effect, and the
+    // gate REQUIREs the executed plan to contain zero shuffle exchanges
+    // below the join — the only exchange left is the final single-row
+    // aggregate's. Layout cost is paid once at write time and amortizes
+    // over every (partkey, suppkey) join after it.
+    "b3_bucketed_partsupp_join" -> ((s, dir) => {
+      import graft.operators.Bucketing
+      val li = t(s, dir, "lineitem").select(col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      Bucketing.writeBucketedMulti(li, "b3_li",
+        Seq("l_partkey", "l_suppkey"), 8)
+      Bucketing.writeBucketedMulti(partsupp(s, dir), "b3_ps",
+        Seq("ps_partkey", "ps_suppkey"), 8)
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      val key2 = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+      val prev = Seq(key, key2).map(k => k -> s.conf.getOption(k))
+      s.conf.set(key, "-1"); s.conf.set(key2, "-1")
+      try {
+        val j = s.table("b3_li").join(s.table("b3_ps"),
+          col("l_partkey") === col("ps_partkey") &&
+            col("l_suppkey") === col("ps_suppkey"))
+          .agg(count(lit(1)).as("n_joined"),
+            sum((col("ps_supplycost") * col("l_quantity")
+              .cast("decimal(18,2)")).cast("decimal(22,6)"))
+              .cast("decimal(38,6)").cast("double").as("cost_total"))
+        val row = j.collect()(0)
+        // AQE query stages hide their subtrees from a children-walk; the
+        // rendered final plan shows every node, so the audit greps it
+        // (the RuntimeFilterSpec protocol): a sort-merge join must be
+        // present, no broadcast join may have leaked through, and the
+        // ONLY repartitioning exchange allowed is none — the final
+        // single-row agg exchanges to SinglePartition, never
+        // hashpartitioning, so any `Exchange hashpartitioning` means a
+        // join side shuffled despite the co-bucketed layout.
+        val planStr = j.queryExecution.executedPlan.toString
+        require(planStr.contains("SortMergeJoin"),
+          s"no sort-merge join in the executed plan:\n$planStr")
+        require(!planStr.contains("BroadcastHashJoin"),
+          "broadcast leaked through the disabled thresholds")
+        require(!planStr.contains("Exchange hashpartitioning"),
+          s"co-bucketed join still shuffles:\n$planStr")
+        import s.implicits._
+        Seq((row.getLong(0), row.getDouble(1), true))
+          .toDF("n_joined", "cost_total", "exchange_free_join")
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // TPC-H Q12: shipping-mode vs priority — the LAST TPC-H shape the
     // harness schema left unexercised (lineitem ships no shipmode/
     // commitdate/receiptdate). The three columns are DERIVED inline by
@@ -285,6 +339,18 @@ object Procurement {
          |FROM scoped, tot
          |GROUP BY ps_partkey, total_value, n_parts
          |HAVING CAST(sum(value) AS BIGINT) * n_parts > total_value * 2""".stripMargin,
+
+    // the joined multiset is pure relational arithmetic; the
+    // exchange-free property is REQUIREd in-gate (plan-level, not
+    // SQL-expressible) and surfaced as the pinned boolean
+    "b3_bucketed_partsupp_join" ->
+      s"""$PartsuppCte
+         |SELECT count(*) AS n_joined,
+         |  CAST(sum(CAST(ps_supplycost * CAST(l_quantity AS DECIMAL(18,2))
+         |    AS DECIMAL(22,6))) AS DOUBLE) AS cost_total,
+         |  TRUE AS exchange_free_join
+         |FROM lineitem
+         |JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey""".stripMargin,
 
     "q12_shipmode_priority" ->
       """WITH d AS (SELECT l_orderkey,

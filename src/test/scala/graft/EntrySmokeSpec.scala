@@ -16,7 +16,9 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     // gate, the driver's correctness JSON just gets smaller, and 31 red
     // gates read as "fewer queries". A silent shrink (or an unregistered
     // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
-    val pinned = 258 // r11: +o19_jdbc_incremental (live-Derby
+    val pinned = 259 // r11: +b3_bucketed_partsupp_join (co-bucketed
+    // composite-key join pinned exchange-free in-gate).
+    // Earlier r11: +o19_jdbc_incremental (live-Derby
     // watermark-polling capture with at-least-once replay).
     // Earlier r11: +q12_shipmode_priority (derived
     // shipmode/commit/receipt columns — the last TPC-H shape).
