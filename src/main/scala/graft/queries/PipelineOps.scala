@@ -1902,23 +1902,30 @@ object PipelineOps {
       .filter(col("_bucket").isin(affected.map(Integer.valueOf): _*))
       .join(broadcast(reqDf), Seq("user_id"), "left_anti")
       .write.mode("overwrite").partitionBy("_bucket").parquet(staging)
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prevV = s.conf.getOption(key)
-    s.conf.set(key, "dynamic")
-    try s.read.parquet(staging).write.mode("overwrite")
-      .partitionBy("_bucket").parquet(root)
-    finally prevV match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
-    // full-bucket erasure: buckets that staged nothing keep their old
-    // files through the dynamic swap — remove them outright
+    // survivors per bucket, from the staging LISTING (no extra scan).
+    // Empty set = every affected bucket fully erased: skip the swap
+    // entirely (reading an all-empty staged frame would throw "unable to
+    // infer schema" — the extreme case of the edge this helper closes)
+    // and fall through to the full-bucket cleanup, which deletes them all.
     val stagedBuckets = Option(new java.io.File(staging).listFiles())
       .getOrElse(Array.empty)
       .flatMap(f => f.getName match {
         case s"_bucket=$b" => b.toIntOption
         case _ => None
       }).toSet
+    if (stagedBuckets.nonEmpty) {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prevV = s.conf.getOption(key)
+      s.conf.set(key, "dynamic")
+      try s.read.parquet(staging).write.mode("overwrite")
+        .partitionBy("_bucket").parquet(root)
+      finally prevV match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+    // full-bucket erasure: buckets that staged nothing keep their old
+    // files through the dynamic swap — remove them outright
     affected.filterNot(stagedBuckets.contains).foreach { b =>
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory)

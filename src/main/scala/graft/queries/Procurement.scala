@@ -186,41 +186,105 @@ object Procurement {
         Seq("l_partkey", "l_suppkey"), 8)
       Bucketing.writeBucketedMulti(partsupp(s, dir), "b3_ps",
         Seq("ps_partkey", "ps_suppkey"), 8)
-      val key = "spark.sql.autoBroadcastJoinThreshold"
-      val key2 = "spark.sql.adaptive.autoBroadcastJoinThreshold"
-      val prev = Seq(key, key2).map(k => k -> s.conf.getOption(k))
-      s.conf.set(key, "-1"); s.conf.set(key2, "-1")
-      try {
-        val j = s.table("b3_li").join(s.table("b3_ps"),
+      // broadcast thresholds are disabled on an ISOLATED newSession — it
+      // shares the SparkContext and the catalog (so the bucketed tables
+      // resolve) but owns its conf, so concurrently running gates whose
+      // plan-shape assertions require BroadcastHashJoin (e.g. q9) never
+      // observe the -1 thresholds (r11 ADVICE).
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      iso.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val j = iso.table("b3_li").join(iso.table("b3_ps"),
+        col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+        .agg(count(lit(1)).as("n_joined"),
+          sum((col("ps_supplycost") * col("l_quantity")
+            .cast("decimal(18,2)")).cast("decimal(22,6)"))
+            .cast("decimal(38,6)").cast("double").as("cost_total"))
+      val row = j.collect()(0)
+      // AQE query stages hide their subtrees from a children-walk; the
+      // rendered final plan shows every node, so the audit greps it
+      // (the RuntimeFilterSpec protocol): a sort-merge join must be
+      // present, no broadcast join may have leaked through, and the
+      // ONLY repartitioning exchange allowed is none — the final
+      // single-row agg exchanges to SinglePartition, never
+      // hashpartitioning, so any `Exchange hashpartitioning` means a
+      // join side shuffled despite the co-bucketed layout.
+      val planStr = j.queryExecution.executedPlan.toString
+      require(planStr.contains("SortMergeJoin"),
+        s"no sort-merge join in the executed plan:\n$planStr")
+      require(!planStr.contains("BroadcastHashJoin"),
+        "broadcast leaked through the disabled thresholds")
+      require(!planStr.contains("Exchange hashpartitioning"),
+        s"co-bucketed join still shuffles:\n$planStr")
+      import s.implicits._
+      Seq((row.getLong(0), row.getDouble(1), true))
+        .toDF("n_joined", "cost_total", "exchange_free_join")
+    }),
+
+    // The b3 claim carried to the FULL 6-way Q9 — the definitive 100 TB
+    // plan: lineitem and partsupp co-bucketed on the composite join key,
+    // part/supplier/nation broadcast-hinted (hints survive the disabled
+    // thresholds, so harness-scale AQE can't quietly broadcast the FACT
+    // side and void the audit), orders joined on orderkey (the one
+    // genuinely different key), then the nation×year rollup. The audit
+    // walks every `Exchange hashpartitioning` in the executed plan and
+    // REQUIREs none of them repartitions on partkey/suppkey — i.e. the
+    // lineitem⋈partsupp edge, the query's dominant data movement at
+    // 100 TB, moved ZERO bytes through a shuffle; the only exchanges
+    // left are the orderkey join's and the final rollup's, which no
+    // layout can delete (different keys). Result = q9's, byte-for-byte:
+    // the bucketed roundtrip is also a correctness check.
+    "b4_bucketed_q9_profit" -> ((s, dir) => {
+      import graft.operators.Bucketing
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      Bucketing.writeBucketedMulti(li, "b4_li",
+        Seq("l_partkey", "l_suppkey"), 8)
+      Bucketing.writeBucketedMulti(partsupp(s, dir), "b4_ps",
+        Seq("ps_partkey", "ps_suppkey"), 8)
+      val iso = s.newSession() // conf isolation, as b3
+      iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      iso.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val part = t(iso, dir, "part").filter(col("p_name").like("%widget%"))
+        .select(col("p_partkey"))
+      val sup = t(iso, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nat = t(iso, dir, "nation")
+      val ord = t(iso, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val j = iso.table("b4_li").join(iso.table("b4_ps"),
           col("l_partkey") === col("ps_partkey") &&
             col("l_suppkey") === col("ps_suppkey"))
-          .agg(count(lit(1)).as("n_joined"),
-            sum((col("ps_supplycost") * col("l_quantity")
-              .cast("decimal(18,2)")).cast("decimal(22,6)"))
-              .cast("decimal(38,6)").cast("double").as("cost_total"))
-        val row = j.collect()(0)
-        // AQE query stages hide their subtrees from a children-walk; the
-        // rendered final plan shows every node, so the audit greps it
-        // (the RuntimeFilterSpec protocol): a sort-merge join must be
-        // present, no broadcast join may have leaked through, and the
-        // ONLY repartitioning exchange allowed is none — the final
-        // single-row agg exchanges to SinglePartition, never
-        // hashpartitioning, so any `Exchange hashpartitioning` means a
-        // join side shuffled despite the co-bucketed layout.
-        val planStr = j.queryExecution.executedPlan.toString
-        require(planStr.contains("SortMergeJoin"),
-          s"no sort-merge join in the executed plan:\n$planStr")
-        require(!planStr.contains("BroadcastHashJoin"),
-          "broadcast leaked through the disabled thresholds")
-        require(!planStr.contains("Exchange hashpartitioning"),
-          s"co-bucketed join still shuffles:\n$planStr")
-        import s.implicits._
-        Seq((row.getLong(0), row.getDouble(1), true))
-          .toDF("n_joined", "cost_total", "exchange_free_join")
-      } finally prev.foreach {
-        case (k, Some(v)) => s.conf.set(k, v)
-        case (k, None) => s.conf.unset(k)
-      }
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(sum(
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(22,6)")
+            - (col("ps_supplycost") * col("l_quantity").cast("decimal(18,2)"))
+              .cast("decimal(22,6)"))
+          .cast("decimal(38,6)").as("profit"))
+      val out = j.collect() // materialize so AQE finalizes the plan
+      val planStr = j.queryExecution.executedPlan.toString
+      val factJoinIsSmj = planStr.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && l.contains("ps_partkey"))
+      require(factJoinIsSmj,
+        s"lineitem⋈partsupp is not a sort-merge join:\n$planStr")
+      val badExchanges = planStr.linesIterator.filter(l =>
+        l.contains("Exchange hashpartitioning") &&
+          (l.contains("partkey") || l.contains("suppkey"))).toSeq
+      require(badExchanges.isEmpty,
+        s"fact edge shuffled despite the co-bucketed layout: " +
+          s"${badExchanges.mkString("; ")}\n$planStr")
+      require(planStr.contains("BroadcastHashJoin"),
+        s"dimension joins lost their broadcast hints:\n$planStr")
+      s.createDataFrame(s.sparkContext.parallelize(out.toIndexedSeq),
+        j.schema)
     }),
 
     // TPC-H Q12: shipping-mode vs priority — the LAST TPC-H shape the
@@ -288,21 +352,27 @@ object Procurement {
         .select(col("s_suppkey"), col("s_name"))
     }))
 
+  /** Q9's oracle — shared verbatim by `b4_bucketed_q9_profit` (same
+    * relational result; the bucketed layout and the exchange-free plan
+    * are REQUIREd in-gate, not SQL-expressible). */
+  private val Q9Sql: String =
+    s"""$PartsuppCte
+       |SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))
+       |    - CAST(ps_supplycost * CAST(l_quantity AS DECIMAL(18,2))
+       |        AS DECIMAL(22,6))) AS DOUBLE) AS profit
+       |FROM lineitem
+       |JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |WHERE p_name LIKE '%widget%'
+       |GROUP BY n_name, year(o_orderdate)""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "q9_product_profit" ->
-      s"""$PartsuppCte
-         |SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))
-         |    - CAST(ps_supplycost * CAST(l_quantity AS DECIMAL(18,2))
-         |        AS DECIMAL(22,6))) AS DOUBLE) AS profit
-         |FROM lineitem
-         |JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
-         |JOIN part ON l_partkey = p_partkey
-         |JOIN supplier ON l_suppkey = s_suppkey
-         |JOIN nation ON s_nationkey = n_nationkey
-         |JOIN orders ON l_orderkey = o_orderkey
-         |WHERE p_name LIKE '%widget%'
-         |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+    "q9_product_profit" -> Q9Sql,
+    "b4_bucketed_q9_profit" -> Q9Sql,
 
     "q2_min_cost_supplier" ->
       s"""$PartsuppCte,

@@ -36,11 +36,32 @@ final class JdbcIncremental(spark: SparkSession, url: String, user: String,
   private def wmFile(table: String) =
     new java.io.File(watermarkDir, s"$table.wm")
 
+  /** Crash-atomic watermark persist: write a temp file, then move it over
+    * the committed name with ATOMIC_MOVE — a crash mid-commit leaves
+    * either the previous watermark or the new one, never a truncated
+    * file. (A plain Files.writeString truncates-then-writes, so a crash
+    * between the two would break the module's own recovery contract.) */
+  private def atomicWrite(target: java.io.File, content: String): Unit = {
+    new java.io.File(watermarkDir).mkdirs()
+    val tmp = Files.createTempFile(target.toPath.getParent, target.getName,
+      ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, target.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
   /** Last committed watermark; Long.MinValue before the first commit
-    * (first poll = initial snapshot). */
+    * (first poll = initial snapshot). An unparseable/corrupt file also
+    * reads as Long.MinValue: a full re-snapshot is still at-least-once
+    * and the live view dedups it downstream — strictly safer than
+    * failing the poll loop on a NumberFormatException. */
   def watermark(table: String): Long = {
     val f = wmFile(table)
-    if (f.isFile) Files.readString(f.toPath).trim.toLong else Long.MinValue
+    if (f.isFile)
+      Files.readString(f.toPath).trim.toLongOption.getOrElse(Long.MinValue)
+    else Long.MinValue
   }
 
   /** One poll: the rows past the committed watermark, fetched by a
@@ -60,11 +81,8 @@ final class JdbcIncremental(spark: SparkSession, url: String, user: String,
 
   /** Advance the watermark — call ONLY after the polled delta landed
     * durably (the at-least-once boundary). */
-  def commit(table: String, newWatermark: Long): Unit = {
-    new java.io.File(watermarkDir).mkdirs()
-    Files.writeString(wmFile(table).toPath, newWatermark.toString)
-    ()
-  }
+  def commit(table: String, newWatermark: Long): Unit =
+    atomicWrite(wmFile(table), newWatermark.toString)
 
   // ---- compound (timestamp + incrementing) mode --------------------
   // The production-default Kafka-Connect-JDBC mode: a last-modified
@@ -77,13 +95,18 @@ final class JdbcIncremental(spark: SparkSession, url: String, user: String,
     new java.io.File(watermarkDir, s"$table.wm2")
 
   /** Last committed (timestampMicros, id) pair; (MinValue, MinValue)
-    * before the first commit. */
+    * before the first commit — and also for a malformed/corrupt file
+    * (same rationale as [[watermark]]: replay-from-origin is safe under
+    * at-least-once; an opaque MatchError mid-poll-loop is not). */
   def watermark2(table: String): (Long, Long) = {
     val f = wm2File(table)
-    if (f.isFile) {
-      val Array(a, b) = Files.readString(f.toPath).trim.split(',')
-      (a.toLong, b.toLong)
-    } else (Long.MinValue, Long.MinValue)
+    val parsed =
+      if (f.isFile) Files.readString(f.toPath).trim.split(',') match {
+        case Array(a, b) => for (x <- a.toLongOption; y <- b.toLongOption)
+          yield (x, y)
+        case _ => None
+      } else None
+    parsed.getOrElse((Long.MinValue, Long.MinValue))
   }
 
   /** One compound poll: rows past the committed (tsCol, idCol) pair in
@@ -105,10 +128,8 @@ final class JdbcIncremental(spark: SparkSession, url: String, user: String,
       .load()
   }
 
-  /** Advance the compound watermark after a durable land. */
-  def commitCompound(table: String, ts: Long, id: Long): Unit = {
-    new java.io.File(watermarkDir).mkdirs()
-    Files.writeString(wm2File(table).toPath, s"$ts,$id")
-    ()
-  }
+  /** Advance the compound watermark after a durable land (crash-atomic,
+    * see [[atomicWrite]]). */
+  def commitCompound(table: String, ts: Long, id: Long): Unit =
+    atomicWrite(wm2File(table), s"$ts,$id")
 }

