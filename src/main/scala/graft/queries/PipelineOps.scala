@@ -2101,6 +2101,78 @@ object PipelineOps {
         "n_live", "drained")
   }
 
+  /** O20: the COMPOUND (timestamp + incrementing) watermark, live against
+    * Derby — production Kafka-Connect-JDBC's default mode, and the polled
+    * analog of the reference's (file, pos) compound binlog offset
+    * (/root/reference/src/cdc_replicator.py:24-35): a timestamp column
+    * alone half-captures a tie (two rows sharing one ts, commit lands
+    * between them), so polls resume strictly after the committed (ts, id)
+    * PAIR in lexicographic order. The fixture forces the tie: ts =
+    * event_id div 4 (four ids per tick), and BOTH wave cuts land
+    * MID-TICK — (t1, t1·4+1) splits tick t1 so its remaining ids must
+    * arrive in wave 2 via the `ts = t1 AND id > i1` disjunct (REQUIREd
+    * non-empty in-gate: a plain `ts > t1` predicate would either lose
+    * them or re-capture the whole tick). Wave 2 is polled twice before
+    * its commit (crash replay), everything lands append-only, the live
+    * view collapses the duplicates — the o19 T3 contract, upgraded to
+    * the compound cursor. All cut arithmetic is integer math on
+    * max(event_id), rebuilt verbatim by the oracle. */
+  def jdbcCompoundWatermark(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{JdbcIncremental, JdbcSink}
+    val dbName = "graftcw" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val dbUrl = s"jdbc:derby:memory:$dbName;create=true"
+    val wmDir = graft.GateCache.tempDir("graft_o20_wm").toString
+    val land = graft.GateCache.tempDir("graft_o20_land").toString + "/t"
+    val sink = new JdbcSink(graft.model.TargetConfig(user = "app"),
+      urlOverride = Some(dbUrl))
+    val inc = new JdbcIncremental(s, dbUrl, "app", wmDir)
+    val ev = Tables.events(s, dir).select(
+      col("event_id").as("EVENT_ID"), col("user_id").as("USER_ID"),
+      expr("event_id div 4").as("TSM"),
+      round(col("value") * 1000000).cast("long").as("VMICRO"))
+    val mx = ev.agg(max(col("EVENT_ID"))).collect()(0).getLong(0)
+    val (t1, t2) = ((mx / 4) / 3, (2 * (mx / 4)) / 3)
+    val (i1, i2) = (t1 * 4 + 1, t2 * 4 + 2) // both cuts split a tick
+    def le(ts: Long, id: Long) = // (TSM, EVENT_ID) ≤ (ts, id), lex order
+      col("TSM") < ts || (col("TSM") === ts && col("EVENT_ID") <= id)
+    def landPoll(version: Long): DataFrame = {
+      val d = inc.pollCompound("EVENTS_CW", "TSM", "EVENT_ID")
+        .withColumn(VersionCol, lit(version))
+        .withColumn(SeqCol, col("EVENT_ID"))
+        .withColumn(DeletedCol, lit(0))
+      d.write.mode("append").parquet(land)
+      d
+    }
+    sink.write(ev.filter(le(t1, i1)), "EVENTS_CW")
+    val n1 = landPoll(0).count(); inc.commitCompound("EVENTS_CW", t1, i1)
+    sink.write(ev.filter(!le(t1, i1) && le(t2, i2)), "EVENTS_CW")
+    val w2 = landPoll(1)
+    val n2 = w2.count()
+    // the tie rows: same tick as the committed ts, larger id — the rows
+    // a timestamp-only watermark cannot capture exactly-once
+    val nTieSplit = w2.filter(col("TSM") === t1).count()
+    require(nTieSplit > 0, "fixture failed to exercise the ts tie")
+    require(w2.filter(le(t1, i1)).count() == 0,
+      "a pre-cut row leaked into the compound poll")
+    val nReplay = landPoll(2).count() // crash before commit
+    inc.commitCompound("EVENTS_CW", t2, i2)
+    sink.write(ev.filter(!le(t2, i2)), "EVENTS_CW")
+    val n3 = landPoll(3).count()
+    inc.commitCompound("EVENTS_CW", mx / 4, mx)
+    val drained = inc.pollCompound("EVENTS_CW", "TSM", "EVENT_ID").count() == 0
+    require(nReplay == n2, "replay did not reproduce the uncommitted delta")
+    val landed = s.read.parquet(land)
+    val nLanded = landed.count()
+    val nLive = graft.operators.LiveView.live(
+      landed.select(col("USER_ID"), col("VMICRO"), col(VersionCol),
+        col(SeqCol), col(DeletedCol)),
+      pks = Seq("USER_ID"), tieBreak = Some(SeqCol)).count()
+    import s.implicits._
+    Seq((n1, n2, n3, nTieSplit, nReplay, nLanded, nLive, drained))
+      .toDF("n_wave1", "n_wave2", "n_wave3", "n_tie_split", "n_replay",
+        "n_landed", "n_live", "drained")
+  }
+
   /** O17: multi-database replication from ONE engine instance — closes
     * the reference's "Single database: only one MySQL database per
     * instance / run multiple replicator instances" limitation
@@ -2612,6 +2684,8 @@ object PipelineOps {
     // O19: live-JDBC watermark polling capture (Derby), at-least-once
     // replay resolved by the live view — see jdbcIncremental.
     "o19_jdbc_incremental" -> ((s, dir) => jdbcIncremental(s, dir)),
+    "o20_jdbc_compound_watermark" ->
+      ((s, dir) => jdbcCompoundWatermark(s, dir)),
     "t27_multitable_cdc" -> ((s, dir) => multiTableCdc(s, dir)),
     "o18_filtered_replication" -> ((s, dir) => filteredReplication(s, dir)),
     "t20_live_projection" -> ((s, dir) => liveProjection(s, dir)),
@@ -3096,6 +3170,34 @@ object PipelineOps {
         |  (SELECT count(*) FROM events)
         |    + (SELECT count(*) FROM events, c
         |         WHERE event_id > c1 AND event_id <= c2) AS n_landed,
+        |  (SELECT count(DISTINCT user_id) FROM events) AS n_live,
+        |  TRUE AS drained""".stripMargin,
+
+    // the compound cuts are integer arithmetic on max(event_id): ts =
+    // id div 4 (four ids per tick), both cuts mid-tick, wave membership
+    // by lexicographic (ts, id) order — rebuilt verbatim here; the
+    // replay duplicates wave 2 once and the live view dedups to the
+    // distinct-user count
+    "o20_jdbc_compound_watermark" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |c AS (SELECT (mx // 4) // 3 AS t1, ((mx // 4) // 3) * 4 + 1 AS i1,
+        |             (2 * (mx // 4)) // 3 AS t2,
+        |             ((2 * (mx // 4)) // 3) * 4 + 2 AS i2 FROM m),
+        |e AS (SELECT event_id, user_id, event_id // 4 AS ts FROM events),
+        |w AS (SELECT e.*, CASE
+        |        WHEN ts < t1 OR (ts = t1 AND event_id <= i1) THEN 1
+        |        WHEN ts < t2 OR (ts = t2 AND event_id <= i2) THEN 2
+        |        ELSE 3 END AS wave, t1, i1
+        |      FROM e, c)
+        |SELECT
+        |  (SELECT count(*) FROM w WHERE wave = 1) AS n_wave1,
+        |  (SELECT count(*) FROM w WHERE wave = 2) AS n_wave2,
+        |  (SELECT count(*) FROM w WHERE wave = 3) AS n_wave3,
+        |  (SELECT count(*) FROM w WHERE wave = 2 AND ts = t1)
+        |    AS n_tie_split,
+        |  (SELECT count(*) FROM w WHERE wave = 2) AS n_replay,
+        |  (SELECT count(*) FROM w)
+        |    + (SELECT count(*) FROM w WHERE wave = 2) AS n_landed,
         |  (SELECT count(DISTINCT user_id) FROM events) AS n_live,
         |  TRUE AS drained""".stripMargin,
 
