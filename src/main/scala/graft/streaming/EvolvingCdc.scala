@@ -1,9 +1,10 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{MapType, StringType, StructType}
+import org.apache.spark.sql.types._
 import graft.operators.CdcTransform
 
 /** Schema-evolving CDC ingestion — the reference's FIRST documented
@@ -22,17 +23,32 @@ import graft.operators.CdcTransform
   *      `after` images via `from_json(…, MAP<STRING,STRING>)` +
   *      `map_keys`: one codegen'd scan of the batch, collecting ≤ table
   *      width key names (bounded by schema size, never by rows).
-  *   2. '''Typed inference, only on drift''' — when unknown keys appear,
-  *      `spark.read.json` over the batch's after-images infers their
-  *      types distributed (LONG/DOUBLE/STRING by JSON shape); known
-  *      columns keep their registered types, and the new fields are
-  *      appended in name order (a deterministic registry regardless of
-  *      which batch first sees them). A production deployment would
-  *      instead map the types straight off Debezium's DDL `HistoryRecord`
-  *      (which carries the MySQL column type) through
-  *      [[graft.model.TypeMapper]]; shape-inference is the fallback that
-  *      needs nothing but the data.
-  *   3. '''Parse + stamp + append''' with the CURRENT schema —
+  *   2. '''Cheap conflict probe''' (evolved columns only) — one codegen'd
+  *      aggregate over the same string map: a value that is non-null but
+  *      fails the registered type's cast (`"3.7"` under LONG), or any
+  *      non-null under a column whose type is still provisional (every
+  *      value seen so far was null), flags a shape conflict. Base-schema
+  *      columns never participate: their types are authoritative
+  *      (registry/DDL), only value-inferred columns can have guessed
+  *      wrong.
+  *   3. '''Typed re-inference, only on drift OR conflict''' — one
+  *      `spark.read.json` pass over the batch's after-images. New fields
+  *      register at their observed type (appended in name order — a
+  *      deterministic registry regardless of which batch first sees
+  *      them); conflicting fields WIDEN along the lattice
+  *      NULL < LONG < DOUBLE < STRING (never narrow — a later all-int
+  *      batch cannot demote a DOUBLE), and a widened column triggers a
+  *      one-time REWRITE of the landed files so the table never holds
+  *      two physical types for one column (parquet footer merge rejects
+  *      LONG vs DOUBLE). The rewrite is a linear cast-and-swap through
+  *      Hadoop FileSystem rename; widening events are bounded by
+  *      #evolved-columns × lattice height (≤ 3 each) over the table's
+  *      LIFETIME, so at 100 TB the amortized cost is nil — and a
+  *      production deployment maps types straight off Debezium's DDL
+  *      `HistoryRecord` through [[graft.model.TypeMapper]] anyway
+  *      (exercised by the t24 DDL-replication path); value-based
+  *      inference is the fallback for sources that strip DDL events.
+  *   4. '''Parse + stamp + append''' with the CURRENT schema —
   *      [[DebeziumEnvelope.parse]] reads missing fields as NULL, so a
   *      batch mixing pre- and post-DDL envelopes (or a late pre-DDL file
   *      arriving after the widening) is handled by construction. Parquet
@@ -40,33 +56,76 @@ import graft.operators.CdcTransform
   *      footers (`mergeSchema`), which is exactly the "old rows backfill
   *      as NULL" contract.
   *
-  * The final result is batch-split-invariant in its ROWS: the survivor
-  * per key is chosen by binlog position and widening is monotone (a
-  * field-set union). A new column's TYPE, however, is first-batch-wins:
-  * it freezes from the first drifting batch's values (a batch carrying
-  * only nulls infers STRING; only-integral values for a DOUBLE column
-  * infer LONG), and later batches do not re-widen it. That is this
-  * model's documented limit — the production fix is type-from-DDL: the
-  * binlog's ALTER TABLE event carries the authoritative column type
-  * (exercised by the t24_schema_evolution DDL-replication path), so
-  * value-based inference is only ever a fallback for sources that strip
-  * DDL events.
+  * The final result is batch-split-invariant in rows AND in evolved
+  * column types: the survivor per key is chosen by binlog position,
+  * field-set widening is a union, and the type per evolved column is the
+  * lattice-lub of every observed shape — a null→int→double arrival order
+  * ends at DOUBLE exactly like double-first (the r11 first-batch-wins
+  * limit, removed). Known residual: a JSON '''string''' that happens to
+  * spell a number (`"q":"123"`) is indistinguishable from the number at
+  * conflict-probe level but is typed by `spark.read.json` at
+  * re-inference, which preserves the distinction — so it still registers
+  * STRING.
   *
-  * Scale: steps 1 and 3 ride the batch scan (no shuffle, no UDF); step 2
-  * runs only on the (rare) drifting batch and costs one extra scan of
-  * that batch. The landed table is the same append-only layout as
-  * [[CdcPipeline]]'s.
+  * Scale: steps 1, 2 and 4 ride the batch scan (no shuffle, no UDF);
+  * step 3 runs only on the (rare) drifting/conflicting batch and costs
+  * one extra scan of that batch plus, on an actual widen, one linear
+  * rewrite of the landed table. The landed table is the same append-only
+  * layout as [[CdcPipeline]]'s.
   */
 object EvolvingCdc {
 
+  /** NULL < LONG < DOUBLE < STRING; everything non-scalar observed by
+    * inference keeps its observed type on first registration and never
+    * participates in widening. */
+  private def rank(dt: DataType): Int = dt match {
+    case NullType => 0
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType => 1
+    case _: FloatType | _: DoubleType | _: DecimalType => 2
+    case _ => 3
+  }
+  private def ofRank(r: Int): DataType = r match {
+    case 0 | 3 => StringType
+    case 1 => LongType
+    case 2 => DoubleType
+  }
+
+  /** Cast-and-swap the landed files to `schema`'s types (columns absent
+    * from the landed files — not yet appended — are untouched). Linear,
+    * one-time per widening event. */
+  private def rewriteLanded(s: SparkSession, tgt: String,
+      schema: StructType): Unit = {
+    val path = new Path(tgt)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    val old = s.read.option("mergeSchema", "true").parquet(tgt)
+    val casted = old.select(old.columns.toIndexedSeq.map { c =>
+      schema.find(_.name == c) match {
+        case Some(f) => col(c).cast(f.dataType).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    val tmp = new Path(tgt + "_widen_tmp")
+    casted.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    require(fs.rename(tmp, path), s"widen-rewrite rename failed for $tgt")
+    ()
+  }
+
   /** Ingest every Debezium JSON line under `landing` for `table`,
     * evolving the row schema from `base` as new after-image fields
-    * appear. Returns the final evolved schema; the landed rows are at
-    * `tgt` (read with `mergeSchema=true`). */
+    * appear — and re-widening an already-inferred field's type when a
+    * later batch's values conflict with it. Returns the final evolved
+    * schema; the landed rows are at `tgt` (read with
+    * `mergeSchema=true`). */
   def run(s: SparkSession, landing: String, tgt: String, ckp: String,
           base: StructType, table: String,
           maxFilesPerTrigger: Int = 1): StructType = {
+    val baseNames = base.fieldNames.toSet
     var current = base
+    // evolved columns whose every value so far was null: their STRING
+    // registration is a placeholder, re-typed by the first non-null
+    var provisional = Set.empty[String]
     val q = s.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(landing)
@@ -75,16 +134,71 @@ object EvolvingCdc {
         val afters = batch
           .select(get_json_object(col("value"), "$.after").as("a"))
           .filter(col("a").isNotNull)
+        val m = from_json(col("a"), MapType(StringType, StringType))
         val keys = afters
-          .select(explode(map_keys(
-            from_json(col("a"), MapType(StringType, StringType)))).as("k"))
+          .select(explode(map_keys(m)).as("k"))
           .distinct().collect().map(_.getString(0)).toSet
         val unknown = keys -- current.fieldNames.toSet
-        if (unknown.nonEmpty) {
+        // conflict probe: non-null under a provisional column, or a
+        // non-null value the registered LONG/DOUBLE cast rejects; plus,
+        // for each UNKNOWN key, whether it carries any non-null at all
+        // (a null-only new column registers provisionally — JSON
+        // inference can't represent "no shape seen yet")
+        val evolvedProbes = current.fields.toIndexedSeq
+          .filter(f => !baseNames(f.name) && keys(f.name))
+          .flatMap { f =>
+            val v = m.getItem(f.name)
+            // shape tests by JSON number grammar, not cast (ANSI casts
+            // throw on malformed input; these are pure predicates)
+            val intShape = "^-?\\d+$"
+            val numShape = "^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$"
+            val bad = f.dataType match {
+              case _ if provisional(f.name) => Some(v.isNotNull)
+              case LongType => Some(v.isNotNull && !v.rlike(intShape))
+              case DoubleType => Some(v.isNotNull && !v.rlike(numShape))
+              case _ => None // settled STRING (or nested): never narrows
+            }
+            bad.map(b => max(when(b, 1).otherwise(0)).as(f.name))
+          }
+        val unknownProbes = unknown.toSeq.sorted.map(n =>
+          max(when(m.getItem(n).isNotNull, 1).otherwise(0)).as(n))
+        val probes = evolvedProbes ++ unknownProbes
+        val hot: Set[String] =
+          if (probes.isEmpty) Set.empty
+          else {
+            val row = afters.agg(probes.head, probes.tail: _*).collect()(0)
+            probes.indices.filter(i => row.getInt(i) == 1)
+              .map(i => row.schema.fieldNames(i)).toSet
+          }
+        val conflicted = hot -- unknown
+        if (unknown.nonEmpty || conflicted.nonEmpty) {
           import s.implicits._
-          val inferred = s.read.json(afters.select(col("a")).as[String]).schema
-          inferred.fields.filter(f => unknown(f.name)).sortBy(f => f.name)
-            .foreach(f => current = current.add(f.name, f.dataType))
+          val inferred = s.read.json(afters.select(col("a")).as[String])
+            .schema.fields.map(f => f.name -> f.dataType).toMap
+          // widen conflicted columns along the lattice; a provisional
+          // column takes its first observed shape outright
+          var mustRewrite = false
+          current = StructType(current.fields.map { f =>
+            if (conflicted(f.name)) {
+              val obs = inferred.getOrElse(f.name, NullType)
+              val widened =
+                if (provisional(f.name)) ofRank(math.max(rank(obs), 0))
+                else ofRank(math.max(rank(f.dataType), rank(obs)))
+              if (rank(obs) > 0) provisional -= f.name
+              if (widened != f.dataType) mustRewrite = true
+              f.copy(dataType = widened)
+            } else f
+          })
+          if (mustRewrite) rewriteLanded(s, tgt, current)
+          // register new fields at their observed types, in name order
+          unknown.toSeq.sorted.foreach { n =>
+            val obs = inferred.getOrElse(n, NullType)
+            if (!hot(n) || rank(obs) == 0) { // null-only: provisional
+              provisional += n
+              current = current.add(n, StringType)
+            } else current = current.add(n,
+              if (rank(obs) == 3) obs else ofRank(rank(obs)))
+          }
         }
         val parsed = DebeziumEnvelope.parse(batch, "value", current)
         CdcTransform.stamp(parsed, "op", "_seq", lit(1L))

@@ -80,6 +80,57 @@ class EvolvingCdcSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(live(4L) == (("d", Some("ap"), Some(2.5))))
   }
 
+  test("conflict-driven re-widening: null→int→double batches end at " +
+      "DOUBLE, landed values intact (r11 verdict: first-batch-wins removed)") {
+    val base = StructType.fromDDL("id BIGINT, name STRING")
+    val landing = graft.GateCache.tempDir("evo_spec3_src")
+    val tgt = graft.GateCache.tempDir("evo_spec3_tgt").toString
+    val ckp = graft.GateCache.tempDir("evo_spec3_ckp").toString
+    // worst-case arrival order for first-batch-wins inference: the new
+    // column q is first seen all-NULL (would freeze STRING), then
+    // all-integral (would freeze LONG), then fractional
+    val batches = Seq(
+      Seq(env("c", 1, """{"id":1,"name":"a","q":null}""")),
+      Seq(env("c", 2, """{"id":2,"name":"b","q":7}""")),
+      Seq(env("c", 3, """{"id":3,"name":"c","q":2.5}""")))
+    batches.zipWithIndex.foreach { case (lines, i) =>
+      val p = landing.resolve(s"f$i.txt")
+      java.nio.file.Files.write(p, lines.mkString("\n").getBytes)
+      assert(p.toFile.setLastModified(1000000L * (i + 1)))
+    }
+    val evolved = EvolvingCdc.run(spark, landing.toString, tgt, ckp,
+      base, "t", maxFilesPerTrigger = 1)
+    assert(evolved("q").dataType == DoubleType,
+      s"q froze at ${evolved("q").dataType} instead of re-widening")
+    // the widen rewrote earlier files: one physical type, values exact
+    val landed = EvolvingCdc.landed(spark, tgt)
+      .select("id", "q").as[(Long, Option[Double])].collect().toSet
+    assert(landed == Set((1L, None), (2L, Some(7.0)), (3L, Some(2.5))))
+  }
+
+  test("re-widening never narrows: a double column later fed all-integral " +
+      "values stays DOUBLE; a quoted numeric string stays STRING") {
+    val base = StructType.fromDDL("id BIGINT")
+    val landing = graft.GateCache.tempDir("evo_spec4_src")
+    val tgt = graft.GateCache.tempDir("evo_spec4_tgt").toString
+    val ckp = graft.GateCache.tempDir("evo_spec4_ckp").toString
+    val batches = Seq(
+      Seq(env("c", 1, """{"id":1,"d":1.5,"s":"00123"}""")),
+      Seq(env("c", 2, """{"id":2,"d":3,"s":"00456"}""")))
+    batches.zipWithIndex.foreach { case (lines, i) =>
+      val p = landing.resolve(s"f$i.txt")
+      java.nio.file.Files.write(p, lines.mkString("\n").getBytes)
+      assert(p.toFile.setLastModified(1000000L * (i + 1)))
+    }
+    val evolved = EvolvingCdc.run(spark, landing.toString, tgt, ckp,
+      base, "t", maxFilesPerTrigger = 1)
+    assert(evolved("d").dataType == DoubleType)
+    assert(evolved("s").dataType == StringType)
+    val landed = EvolvingCdc.landed(spark, tgt)
+      .select("id", "d", "s").as[(Long, Double, String)].collect().toSet
+    assert(landed == Set((1L, 1.5, "00123"), (2L, 3.0, "00456")))
+  }
+
   test("drift in the FIRST batch and late pre-DDL arrivals both land") {
     // the wide file arrives first (out-of-order delivery): widening
     // happens at batch 1, and the late base-shape file must still parse
