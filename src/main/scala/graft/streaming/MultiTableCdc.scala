@@ -1,9 +1,8 @@
 package graft.streaming
 
-import java.io.File
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.sources.HadoopFs
 
 /** Transactionally consistent MULTI-TABLE CDC apply — the cross-table
   * guarantee the reference cannot give (it replicates table-by-table in
@@ -24,13 +23,14 @@ import org.apache.spark.sql.functions._
   * append-log applies here.
   *
   * Substrate note: the marker write and the commit listing here (and the
-  * analogous dir listings in [[SinkRetry.landed]] / [[StreamScd2]]) use
-  * local-FS `java.io.File`, whose create-after-write ordering the local
-  * filesystem guarantees. On HDFS the same protocol holds through Hadoop
-  * `FileSystem.create`; on an eventually-consistent object store the
-  * marker alone is NOT a visibility barrier — production there uses the
-  * real delta-log implementations this models (Delta/Iceberg commit
-  * protocols), which add atomic-rename/conditional-put semantics.
+  * analogous dir listings in [[SinkRetry.landed]] / [[StreamScd2]]) go
+  * through Hadoop `FileSystem` ([[graft.sources.HadoopFs]]), so the
+  * protocol runs unchanged on `file:` and `hdfs:` — marker create is
+  * atomic on both, and create-after-write ordering holds. On an
+  * eventually-consistent object store the marker alone is NOT a
+  * visibility barrier — production there uses the real delta-log
+  * implementations this models (Delta/Iceberg commit protocols), which
+  * add atomic-rename/conditional-put semantics.
   */
 object MultiTableCdc {
 
@@ -41,19 +41,14 @@ object MultiTableCdc {
       batch.filter(col("tbl") === tbl).drop("tbl")
         .write.mode("overwrite").parquet(s"$root/$tbl/d$batchId")
     }
-    if (commit) {
-      val dir = new File(s"$root/commits")
-      dir.mkdirs()
-      new File(dir, s"c$batchId").createNewFile()
-      ()
-    }
+    if (commit) HadoopFs.touch(s"$root/commits/c$batchId")
   }
 
   /** Committed batch ids, ascending. */
   def committed(root: String): Seq[Long] =
-    Option(new File(s"$root/commits").listFiles()).getOrElse(Array.empty)
-      .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption)
-      .sorted.toSeq
+    HadoopFs.list(s"$root/commits")
+      .flatMap(f => scala.util.Try(f.getPath.getName.drop(1).toLong).toOption)
+      .sorted
 
   /** Table contents AT version `v`: every delta whose id is committed
     * and ≤ v. An uncommitted (torn) delta directory is never read. */

@@ -72,13 +72,13 @@ object SinkRetry {
     }
   }
 
-  /** All landed rows (union of the per-batch directories). */
+  /** All landed rows (union of the per-batch directories; listing via
+    * Hadoop FileSystem so the store may be local, HDFS or object). */
   def landed(s: SparkSession, storeDir: String): DataFrame = {
-    val dirs = Option(new java.io.File(storeDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("b"))
-      .map(_.getAbsolutePath)
+    val dirs = graft.sources.HadoopFs.list(storeDir)
+      .filter(f => f.isDirectory && f.getPath.getName.startsWith("b"))
+      .map(_.getPath.toString)
     require(dirs.nonEmpty, s"no batches landed under $storeDir")
-    s.read.parquet(dirs.toIndexedSeq: _*)
+    s.read.parquet(dirs: _*)
   }
 }

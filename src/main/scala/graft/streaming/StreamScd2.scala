@@ -1,10 +1,9 @@
 package graft.streaming
 
-import java.io.File
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.sources.HadoopFs
 
 /** Incremental SCD2 (slowly-changing-dimension type 2) maintenance over a
   * CDC stream — the history table a warehouse keeps NEXT TO the
@@ -82,10 +81,9 @@ object StreamScd2 {
     * newest frontier, `is_current` on open non-tombstone rows — the
     * column contract of the batch `x_scd2_history` gate. */
   def history(s: SparkSession, storeDir: String): DataFrame = {
-    val closedDirs = Option(new File(closedDir(storeDir)).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("b"))
-      .map(_.getAbsolutePath)
+    val closedDirs = HadoopFs.list(closedDir(storeDir))
+      .filter(f => f.isDirectory && f.getPath.getName.startsWith("b"))
+      .map(_.getPath.toString)
     val v = latestVersion(frontierDir(storeDir)).getOrElse(
       sys.error(s"no frontier under $storeDir — stream never ran"))
     val open = s.read.parquet(s"${frontierDir(storeDir)}/v$v")
@@ -102,9 +100,10 @@ object StreamScd2 {
 
   private[graft] def latestVersion(
       dir: String, below: Option[Long] = None): Option[Long] = {
-    val vs = Option(new File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v"))
-      .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption)
+    val vs = HadoopFs.list(dir)
+      .filter(f => f.isDirectory && f.getPath.getName.startsWith("v"))
+      .flatMap(f =>
+        scala.util.Try(f.getPath.getName.drop(1).toLong).toOption)
       .filter(v => below.forall(v < _))
     if (vs.isEmpty) None else Some(vs.max)
   }
