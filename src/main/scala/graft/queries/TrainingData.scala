@@ -220,6 +220,35 @@ object TrainingData {
           .as("n_sampled"))
   }
 
+  /** The x_user_features partition fold: rows pre-sorted by
+    * (user_id, ts_us, event_id); emits (uid, n_events, span_us,
+    * max_gap_us) per user with O(1) state — first/prev timestamp, a
+    * count and a running max; the group is never buffered, and output
+    * is produced lazily as each group's rows drain (spec-pinned: the
+    * first group's row is available before the iterator advances past
+    * it). Sorted input makes span = last−first and max-gap a
+    * consecutive-difference max. */
+  private[graft] def foldUserFeatures(
+      rows: Iterator[(Long, Long, Long)]): Iterator[(Long, Long, Long, Long)] =
+    new Iterator[(Long, Long, Long, Long)] {
+      private val it = rows.buffered
+      def hasNext: Boolean = it.hasNext
+      def next(): (Long, Long, Long, Long) = {
+        val uid = it.head._1
+        val first = it.head._2
+        var prev = first
+        var n = 0L
+        var maxGap = 0L
+        while (it.hasNext && it.head._1 == uid) {
+          val ts = it.next()._2
+          if (n > 0L) maxGap = math.max(maxGap, ts - prev)
+          prev = ts
+          n += 1L
+        }
+        (uid, n, prev - first, maxGap)
+      }
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---------------------------------------------------------- dedup
@@ -976,26 +1005,25 @@ object TrainingData {
           countDistinct(col("_grp")).as("n_groups"))
     }),
 
-    // Typed per-group feature extraction via mapGroups — the Scala
-    // analog of a grouped-map Pandas UDF, and the one API shape the
-    // relational gates can't express: arbitrary imperative logic over a
-    // group's sorted rows (here: event-sequence features per user). ONE
-    // shuffle on the group key, then closure per group; the oracle
-    // restates the sequence math with lag windows.
+    // Typed per-group feature extraction — the Scala analog of a
+    // grouped-map Pandas UDF, and the one API shape the relational gates
+    // can't express: arbitrary imperative logic over a group's sorted
+    // rows (here: event-sequence features per user). The SCALABLE form
+    // of that shape (r11 verdict): ONE shuffle on the group key +
+    // sortWithinPartitions (secondary sort), then a one-pass streaming
+    // fold over the partition iterator holding O(1) state per group —
+    // count/span/max-gap never buffer the group, so a hot key (a bot
+    // user with 10^9 events at 100 TB) costs time, not task memory. The
+    // mapGroups+toArray formulation this replaces ballooned one task per
+    // hot key. Oracle restates the sequence math with lag windows.
     "x_user_features" -> ((s, dir) => {
       import s.implicits._
       Tables.events(s, dir)
         .select(col("user_id"), col("ts_us"), col("event_id"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
         .as[(Long, Long, Long)]
-        .groupByKey(_._1)
-        .mapGroups { (uid, it) =>
-          val ts = it.map(r => (r._2, r._3)).toArray.sorted
-          val span = ts.last._1 - ts.head._1
-          val maxGap =
-            if (ts.length == 1) 0L
-            else ts.sliding(2).map(p => p(1)._1 - p(0)._1).max
-          (uid, ts.length.toLong, span, maxGap)
-        }
+        .mapPartitions(TrainingData.foldUserFeatures)
         .toDF("user_id", "n_events", "span_us", "max_gap_us")
     }),
 

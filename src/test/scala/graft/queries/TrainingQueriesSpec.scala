@@ -638,4 +638,44 @@ class TrainingQueriesSpec extends AnyFunSuite with graft.GateCacheHygiene {
       "MMR ≡ relevance top-3 everywhere — diversity penalty vacuous")
     graft.GateCache.releaseAll()
   }
+
+  test("foldUserFeatures: one-pass over sorted rows — singletons, ties, " +
+      "multi-group; agrees with the buffered formulation") {
+    // (uid, ts, event_id) pre-sorted by (uid, ts, event_id)
+    val rows = Seq(
+      (1L, 10L, 1L), (1L, 10L, 2L), (1L, 25L, 3L), (1L, 100L, 4L),
+      (2L, 7L, 5L),
+      (3L, 0L, 6L), (3L, 1L, 7L))
+    val got = TrainingData.foldUserFeatures(rows.iterator).toSeq
+    assert(got == Seq(
+      (1L, 4L, 90L, 75L), // gaps 0,15,75; span 100-10
+      (2L, 1L, 0L, 0L),
+      (3L, 2L, 1L, 1L)))
+    // agreement with the buffered per-group math on the same input
+    val buffered = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (uid, rs) =>
+        val ts = rs.map(r => (r._2, r._3)).sorted
+        val span = ts.last._1 - ts.head._1
+        val maxGap = if (ts.length == 1) 0L
+          else ts.sliding(2).map(p => p(1)._1 - p(0)._1).max
+        (uid, ts.length.toLong, span, maxGap)
+    }
+    assert(got == buffered)
+  }
+
+  test("foldUserFeatures streams: the first group's row is emitted " +
+      "before the input advances past it (O(1) state, no group buffer)") {
+    var consumed = 0
+    val src = Iterator.tabulate(1000) { i =>
+      consumed += 1
+      val uid = if (i < 10) 1L else 2L // group 1 = first 10 rows
+      (uid, i.toLong, i.toLong)
+    }
+    val out = TrainingData.foldUserFeatures(src)
+    val first = out.next()
+    assert(first == ((1L, 10L, 9L, 1L)))
+    // a buffered implementation (toArray per partition/group-key map)
+    // would have drained all 1000 rows before emitting anything
+    assert(consumed <= 11, s"fold buffered $consumed rows to emit group 1")
+  }
 }
