@@ -82,6 +82,52 @@ object PipelineOps {
       pks = Seq("user_id"), tieBreak = Some(SeqCol))
   }
 
+  /** W2/K5: the registered `<table>_live` SQL surface — closes the K5
+    * deviation note (the reference documents-but-never-calls its
+    * `generate_cdc_view`; [[graft.streaming.CdcPipeline.registerLiveView]]
+    * actually wires it into the session catalog). The stream is drained
+    * in TWO waves split at the half-max event id; the view is registered
+    * after wave 1 and queried BY NAME both times — the wave-1 count must
+    * differ from the final count (REQUIREd), proving the view is
+    * late-bound over the append-only table (fresh file listing per
+    * query) rather than a frozen DataFrame. Final result = t1's live
+    * state, queried through `spark.sql` over the registered name. */
+  def registeredLiveViewSql(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tgt = graft.GateCache.tempDir("graft_w2_tgt").toString
+    val ckp = graft.GateCache.tempDir("graft_w2_ckp").toString
+    val srcDir = graft.GateCache.tempDir("graft_w2_src").toString
+    val pipe = new CdcPipeline(s, tgt, ckp)
+    val schema = StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, props STRING")
+    val ev = s.read.schema(schema).parquet(s"$dir/events.parquet")
+    val mid = ev.agg(expr("max(event_id) div 2")).head().getLong(0)
+    def drainWave(pred: org.apache.spark.sql.Column): Unit = {
+      ev.filter(pred).write.mode("append").parquet(srcDir)
+      val stream = s.readStream.schema(schema).parquet(srcDir)
+        .withColumn("op",
+          when(col("event_type") === "signup", "I")
+            .when(col("event_type") === "error", "D")
+            .otherwise("U"))
+      val q = pipe.start(stream, "events_reg", opCol = "op",
+        seqCol = "event_id", versionOf = _ => 1L)
+      q.awaitTermination()
+    }
+    drainWave(col("event_id") < mid)
+    val name = pipe.registerLiveView("events_reg", Seq("user_id"))
+    require(s.catalog.tableExists(name), s"$name not in the catalog")
+    val sql = s"SELECT user_id, event_type, value, props FROM $name"
+    // bounded collect: the live view is O(distinct users) — the gate's
+    // own output size
+    val liveAfterWave1 = s.sql(sql).collect().toSet
+    drainWave(col("event_id") >= mid) // NO re-registration
+    val result = s.sql(sql)
+    require(result.collect().toSet != liveAfterWave1,
+      "view did not observe post-registration appends — not late-bound")
+    result
+  }
+
   /** T12: the full Debezium-fronted CDC path — the wire format a real
     * MySQL deployment feeds the pipeline ([[graft.streaming.DebeziumEnvelope]]).
     * Each `events` row becomes a standard Debezium JSON envelope
@@ -2711,6 +2757,7 @@ object PipelineOps {
     "t11_complete_mode" -> ((s, dir) => completeModeAgg(s, dir)),
     "t6_stateful_live_view" -> ((s, dir) => statefulLiveView(s, dir)),
     "t1_cdc_stream_live" -> ((s, dir) => cdcStreamLive(s, dir)),
+    "w2_live_view_sql" -> ((s, dir) => registeredLiveViewSql(s, dir)),
     "t12_debezium_cdc" -> ((s, dir) => debeziumCdcLive(s, dir)),
     "t24_schema_evolution" -> ((s, dir) => evolvingCdcLive(s, dir)),
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
@@ -3284,6 +3331,18 @@ object PipelineOps {
 
     // constant version ⇒ order by ingest seq (event_id) alone
     "t1_cdc_stream_live" ->
+      """SELECT user_id, event_type, value, props FROM (
+        |  SELECT user_id, event_type, value, props,
+        |         CASE WHEN event_type='error' THEN 1 ELSE 0 END AS _deleted,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND _deleted = 0""".stripMargin,
+
+    // same final state as t1: the registered `<table>_live` name resolves
+    // to the same window-dedup body; late binding is REQUIREd in-gate
+    // (the wave-1 read differs from the final read through one
+    // registration)
+    "w2_live_view_sql" ->
       """SELECT user_id, event_type, value, props FROM (
         |  SELECT user_id, event_type, value, props,
         |         CASE WHEN event_type='error' THEN 1 ELSE 0 END AS _deleted,

@@ -94,4 +94,43 @@ final class CdcPipeline(
   /** Read the applied (versioned, append-only) table. */
   def applied(table: String): DataFrame =
     spark.read.parquet(s"$targetDir/$table.parquet")
+
+  /** K5 `generate_cdc_view`, wired into the session catalog — the
+    * reference documents (and unit-tests) a `<table>_live` ClickHouse
+    * view with `argMax(…, _version) … WHERE _deleted = 0` but never
+    * invokes it (`src/schema_converter.py:124-138`; SURVEY §3.3 gap).
+    * Here the view is registered as SQL TEXT over the parquet path, so
+    * it is LATE-BOUND: every query against the name re-analyzes the
+    * plan and re-lists the directory — micro-batches appended AFTER
+    * registration are visible with no re-registration, exactly the
+    * semantics a DDL view has over a live table (a DataFrame-backed
+    * temp view would freeze the file listing at registration time).
+    * Survivor order matches [[graft.operators.LiveView.dedupLatest]]:
+    * `_version DESC` with the `_ingest_seq` tie-break, tombstones
+    * filtered, meta columns projected away. Returns the view name. */
+  def registerLiveView(table: String, pks: Seq[String],
+      tieBreak: Option[String] = None): String = {
+    import graft.model.{Identifiers, SchemaModel}
+    import SchemaModel.{DeletedCol, SeqCol, VersionCol}
+    Identifiers.validate(table, "table name")
+    pks.foreach(Identifiers.validate(_, "pk column"))
+    tieBreak.foreach(Identifiers.validate(_, "tie-break column"))
+    val cols = applied(table).columns
+    require(pks.forall(cols.contains), s"pk missing from $table: $pks")
+    val meta = Set(VersionCol, SeqCol, DeletedCol)
+    val payload = cols.filterNot(meta.contains)
+    val tie = tieBreak.orElse(Option(SeqCol).filter(cols.contains))
+    val ord = (VersionCol +: tie.toSeq).map(c => s"`$c` DESC")
+      .mkString(", ")
+    val name = s"${table}_live"
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW `$name` AS
+         |SELECT ${payload.map(c => s"`$c`").mkString(", ")}
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY ${pks.map(c => s"`$c`").mkString(", ")}
+         |        ORDER BY $ord) AS _rn
+         |      FROM parquet.`$targetDir/$table.parquet`)
+         |WHERE _rn = 1 AND `$DeletedCol` = 0""".stripMargin)
+    name
+  }
 }
