@@ -49,6 +49,25 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Append a new generation into an EXISTING bucketed table, preserving
+    * the layout: rows hash into the same bucket files' directory, so every
+    * bucket now holds one file per generation and the join-side
+    * partitioning guarantee is unchanged (Spark drops only the per-bucket
+    * SORTED-scan claim when a bucket has >1 file — an extra Sort node,
+    * never an Exchange). This is the 100 TB maintenance path: ingest
+    * appends generations, the layout investment keeps paying, and
+    * compaction (operators/Compaction) folds generations back to one file
+    * per bucket when the sort claim is worth reclaiming. Spark enforces
+    * that the bucket spec matches the existing table's. */
+  def appendBucketedMulti(df: DataFrame, table: String, keys: Seq[String],
+                          buckets: Int): Unit = {
+    require(keys.nonEmpty, "bucketed append needs at least one key column")
+    df.write.mode("append").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
+
   /** Equi-join two bucketed tables on their bucket keys. With equal bucket
     * counts this plans with zero Exchange nodes: each task reads bucket i
     * of both sides. (If one side is still small enough to broadcast, AQE

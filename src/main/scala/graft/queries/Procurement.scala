@@ -222,6 +222,68 @@ object Procurement {
         .toDF("n_joined", "cost_total", "exchange_free_join")
     }),
 
+    // The OPERATIONAL half of the layout story: b3/b4 price the bucketed
+    // write once, but a 100 TB table is not written once — it ingests.
+    // Here lineitem lands in TWO generations (split on orderkey parity)
+    // into the SAME bucketed table via append, and the gate REQUIREs
+    // (a) every bucket holds more than one file (the append really
+    // created a second generation per bucket, not a new layout),
+    // (b) the composite-key join is STILL a sort-merge with zero
+    // hashpartitioning exchanges — Spark drops only the per-bucket
+    // sorted-scan claim on multi-file buckets (an extra Sort, never an
+    // Exchange), and (c) the joined totals equal the single-write b3
+    // numbers (shared oracle): generational layout is invisible to
+    // results. Compaction folds generations back when the sort claim is
+    // worth reclaiming.
+    "b5_bucketed_append_maintenance" -> ((s, dir) => {
+      import graft.operators.Bucketing
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      Bucketing.writeBucketedMulti(li.filter(col("l_orderkey") % 2 === 0),
+        "b5_li", Seq("l_partkey", "l_suppkey"), 8)
+      Bucketing.appendBucketedMulti(li.filter(col("l_orderkey") % 2 === 1),
+        "b5_li", Seq("l_partkey", "l_suppkey"), 8)
+      Bucketing.writeBucketedMulti(partsupp(s, dir), "b5_ps",
+        Seq("ps_partkey", "ps_suppkey"), 8)
+      // (a) multi-generation check via the table's file listing: bucketed
+      // part files are `part-<task>-<jobUUID>_<bucketId>.c000...` — one
+      // job UUID per write, so two distinct UUIDs = two generations, and
+      // a bucket id appearing under both proves generations COEXIST in
+      // one bucket (the case that would break a naive sorted-merge)
+      val loc = s.sql("DESCRIBE TABLE EXTENDED b5_li").filter(
+        col("col_name") === "Location").select("data_type").head().getString(0)
+      val PartFile = """part-\d+-([0-9a-f\-]+)_(\d+)\.c000.*""".r
+      val genBucket = graft.sources.HadoopFs.list(loc)
+        .map(_.getPath.getName).collect {
+          case PartFile(gen, bucket) => (gen, bucket.toInt)
+        }
+      val gens = genBucket.map(_._1).distinct
+      val sharedBuckets = genBucket.groupBy(_._2)
+        .filter(_._2.map(_._1).distinct.length >= 2)
+      require(gens.length >= 2 && sharedBuckets.nonEmpty,
+        s"append did not create a coexisting second generation: " +
+          s"${gens.length} generations, ${sharedBuckets.size} shared buckets")
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      iso.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val j = iso.table("b5_li").join(iso.table("b5_ps"),
+        col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+        .agg(count(lit(1)).as("n_joined"),
+          sum((col("ps_supplycost") * col("l_quantity")
+            .cast("decimal(18,2)")).cast("decimal(22,6)"))
+            .cast("decimal(38,6)").cast("double").as("cost_total"))
+      val row = j.collect()(0)
+      val planStr = j.queryExecution.executedPlan.toString
+      require(planStr.contains("SortMergeJoin"),
+        s"no sort-merge join in the executed plan:\n$planStr")
+      require(!planStr.contains("Exchange hashpartitioning"),
+        s"appended generations broke the co-bucketed layout:\n$planStr")
+      import s.implicits._
+      Seq((row.getLong(0), row.getDouble(1), true))
+        .toDF("n_joined", "cost_total", "exchange_free_after_append")
+    }),
+
     // The b3 claim carried to the FULL 6-way Q9 — the definitive 100 TB
     // plan: lineitem and partsupp co-bucketed on the composite join key,
     // part/supplier/nation broadcast-hinted (hints survive the disabled
@@ -409,6 +471,18 @@ object Procurement {
          |FROM scoped, tot
          |GROUP BY ps_partkey, total_value, n_parts
          |HAVING CAST(sum(value) AS BIGINT) * n_parts > total_value * 2""".stripMargin,
+
+    // b3's relational result over the two-generation layout: the append
+    // must be invisible to the join's values; the coexisting-generation
+    // and exchange-free properties are REQUIREd in-gate
+    "b5_bucketed_append_maintenance" ->
+      s"""$PartsuppCte
+         |SELECT count(*) AS n_joined,
+         |  CAST(sum(CAST(ps_supplycost * CAST(l_quantity AS DECIMAL(18,2))
+         |    AS DECIMAL(22,6))) AS DOUBLE) AS cost_total,
+         |  TRUE AS exchange_free_after_append
+         |FROM lineitem
+         |JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey""".stripMargin,
 
     // the joined multiset is pure relational arithmetic; the
     // exchange-free property is REQUIREd in-gate (plan-level, not

@@ -62,6 +62,28 @@ class BucketingSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(joined.exceptAll(unbucketed).isEmpty)
   }
 
+  test("appended generation keeps the join exchange-free and the union " +
+      "of both writes' rows") {
+    val cust = spark.read.parquet(s"${TestSpark.Sf0001}/customer.parquet")
+      .select(col("c_custkey"), col("c_acctbal"))
+    Bucketing.writeBucketedMulti(cust.filter(col("c_custkey") % 2 === 0),
+      "graft_spec_cust_gen", Seq("c_custkey"), 8)
+    Bucketing.appendBucketedMulti(cust.filter(col("c_custkey") % 2 === 1),
+      "graft_spec_cust_gen", Seq("c_custkey"), 8)
+    Bucketing.writeBucketedMulti(cust.select(col("c_custkey").as("k")),
+      "graft_spec_cust_probe", Seq("k"), 8)
+    // no row lost or duplicated across generations
+    assert(spark.table("graft_spec_cust_gen").count() == cust.count())
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val j = spark.table("graft_spec_cust_gen")
+        .join(spark.table("graft_spec_cust_probe"),
+          col("c_custkey") === col("k"))
+      assert(j.count() == cust.count())
+      // multi-file buckets may add a Sort, never an Exchange
+      assert(shuffleCount(j) == 0, "append broke the co-located layout")
+    }
+  }
+
   test("point lookup on the bucket key reads one bucket of eight") {
     val cust = spark.read.parquet(s"${TestSpark.Sf0001}/customer.parquet")
     Bucketing.writeBucketed(cust, "graft_spec_cust_b", "c_custkey", 8)
