@@ -45,4 +45,35 @@ object HadoopFs {
   }
 
   def exists(path: String): Boolean = fs(path).exists(new Path(path))
+
+  /** Whole-file read as UTF-8 (watermarks/markers are tiny by design). */
+  def readString(path: String): String = {
+    val in = fs(path).open(new Path(path))
+    try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Create-or-overwrite a small UTF-8 file (parents included). */
+  def writeString(path: String, content: String): Unit = {
+    val p = new Path(path)
+    val f = fs(path)
+    f.mkdirs(p.getParent)
+    val out = f.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Publish `tmp` as `dst` via delete-then-rename. Rename is atomic on
+    * local FS and HDFS; the delete→rename window leaves NO dst, never a
+    * partial one — callers must treat a missing file as their safe
+    * initial state (the watermark contract: missing = replay from
+    * origin, still at-least-once). */
+  def publish(tmp: String, dst: String): Unit = {
+    val f = fs(dst)
+    val d = new Path(dst)
+    if (f.exists(d)) f.delete(d, false)
+    require(f.rename(new Path(tmp), d), s"rename $tmp -> $dst failed")
+    ()
+  }
 }

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.model.Identifiers
 
@@ -20,9 +19,10 @@ import graft.model.Identifiers
   * land (write-ahead nothing), so a crash between land and commit replays
   * the whole delta — at-least-once, duplicates resolved by the
   * [[graft.operators.LiveView]] read path exactly like every other ingest
-  * surface here. The watermark itself is one long per table in a file
-  * (local-FS for the harness; route through Hadoop FileSystem for
-  * HDFS/S3 — the MultiTableCdc substrate note applies).
+  * surface here. The watermark itself is one long per table in a tiny
+  * file, persisted through Hadoop FileSystem ([[HadoopFs]]) so the store
+  * may be local, HDFS or object storage — the same substrate as the
+  * commit markers (MultiTableCdc note).
   *
   * Limits (the standard ones for polling capture, documented not hidden):
   * DELETEs are invisible (no row left to poll — pair with the o16
@@ -33,23 +33,20 @@ import graft.model.Identifiers
 final class JdbcIncremental(spark: SparkSession, url: String, user: String,
                             watermarkDir: String, fetchSize: Int = 50000) {
 
-  private def wmFile(table: String) =
-    new java.io.File(watermarkDir, s"$table.wm")
+  private def wmPath(table: String) = s"$watermarkDir/$table.wm"
 
-  /** Crash-atomic watermark persist: write a temp file, then move it over
-    * the committed name with ATOMIC_MOVE — a crash mid-commit leaves
-    * either the previous watermark or the new one, never a truncated
-    * file. (A plain Files.writeString truncates-then-writes, so a crash
-    * between the two would break the module's own recovery contract.) */
-  private def atomicWrite(target: java.io.File, content: String): Unit = {
-    new java.io.File(watermarkDir).mkdirs()
-    val tmp = Files.createTempFile(target.toPath.getParent, target.getName,
-      ".tmp")
-    Files.writeString(tmp, content)
-    Files.move(tmp, target.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    ()
+  /** Crash-atomic watermark persist: write a temp file, then publish it
+    * over the committed name via delete+rename (rename is atomic on
+    * local FS and HDFS). A crash leaves the previous watermark, the new
+    * one, or — inside the delete→rename window — NO file, which
+    * [[watermark]] reads as MinValue: a full re-snapshot, still
+    * at-least-once, deduped downstream. Never a truncated file (a plain
+    * truncate-then-write would break the module's own recovery
+    * contract). */
+  private def atomicWrite(target: String, content: String): Unit = {
+    val tmp = s"$target.${java.util.UUID.randomUUID}.tmp"
+    HadoopFs.writeString(tmp, content)
+    HadoopFs.publish(tmp, target)
   }
 
   /** Last committed watermark; Long.MinValue before the first commit
@@ -58,9 +55,9 @@ final class JdbcIncremental(spark: SparkSession, url: String, user: String,
     * and the live view dedups it downstream — strictly safer than
     * failing the poll loop on a NumberFormatException. */
   def watermark(table: String): Long = {
-    val f = wmFile(table)
-    if (f.isFile)
-      Files.readString(f.toPath).trim.toLongOption.getOrElse(Long.MinValue)
+    val f = wmPath(table)
+    if (HadoopFs.exists(f))
+      HadoopFs.readString(f).trim.toLongOption.getOrElse(Long.MinValue)
     else Long.MinValue
   }
 
@@ -82,7 +79,7 @@ final class JdbcIncremental(spark: SparkSession, url: String, user: String,
   /** Advance the watermark — call ONLY after the polled delta landed
     * durably (the at-least-once boundary). */
   def commit(table: String, newWatermark: Long): Unit =
-    atomicWrite(wmFile(table), newWatermark.toString)
+    atomicWrite(wmPath(table), newWatermark.toString)
 
   // ---- compound (timestamp + incrementing) mode --------------------
   // The production-default Kafka-Connect-JDBC mode: a last-modified
@@ -91,17 +88,16 @@ final class JdbcIncremental(spark: SparkSession, url: String, user: String,
   // half-captured — poll p strictly follows the committed (ts, id) pair
   // in lexicographic order. Same at-least-once commit protocol.
 
-  private def wm2File(table: String) =
-    new java.io.File(watermarkDir, s"$table.wm2")
+  private def wm2Path(table: String) = s"$watermarkDir/$table.wm2"
 
   /** Last committed (timestampMicros, id) pair; (MinValue, MinValue)
     * before the first commit — and also for a malformed/corrupt file
     * (same rationale as [[watermark]]: replay-from-origin is safe under
     * at-least-once; an opaque MatchError mid-poll-loop is not). */
   def watermark2(table: String): (Long, Long) = {
-    val f = wm2File(table)
+    val f = wm2Path(table)
     val parsed =
-      if (f.isFile) Files.readString(f.toPath).trim.split(',') match {
+      if (HadoopFs.exists(f)) HadoopFs.readString(f).trim.split(',') match {
         case Array(a, b) => for (x <- a.toLongOption; y <- b.toLongOption)
           yield (x, y)
         case _ => None
@@ -131,5 +127,5 @@ final class JdbcIncremental(spark: SparkSession, url: String, user: String,
   /** Advance the compound watermark after a durable land (crash-atomic,
     * see [[atomicWrite]]). */
   def commitCompound(table: String, ts: Long, id: Long): Unit =
-    atomicWrite(wm2File(table), s"$ts,$id")
+    atomicWrite(wm2Path(table), s"$ts,$id")
 }
