@@ -68,6 +68,42 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Fold a bucketed table's accumulated generations back to ONE file per
+    * bucket, restoring the per-bucket sorted-scan claim: Spark only
+    * advertises a bucketed table's sort order when every bucket holds at
+    * most one file, so each appended generation costs a Sort node at
+    * every downstream merge join until compaction. The rewrite
+    * repartitions on exactly the bucket keys with the bucket count —
+    * Spark's repartition hash (pmod(murmur3, n)) IS the bucket-id
+    * function, so each task owns one whole bucket and writes one sorted
+    * file. In place via CTAS-tmp → DROP → RENAME (the catalog rename
+    * moves the managed location); cost is one linear rewrite, amortized
+    * over every join after it — the bucketed analog of [[Compaction]]. */
+  def compactBucketed(spark: SparkSession, table: String, keys: Seq[String],
+                      buckets: Int): Unit = {
+    graft.model.Identifiers.validate(table, "table")
+    val tmp = s"${table}_compact_tmp"
+    // Read by PATH, not by table: the catalog read advertises the bucket
+    // partitioning, which lets the planner drop the repartition as
+    // redundant — and then DisableUnnecessaryBucketedScan reverts the
+    // scan to plain splits (nothing downstream "requires" the
+    // distribution in a V1 write), leaving the write unpartitioned and
+    // every task spraying files into every bucket. The path read carries
+    // no bucket metadata, so the repartition genuinely shuffles into
+    // exactly `buckets` tasks = one sorted file per bucket.
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location.toString
+    writeBucketedMulti(
+      spark.read.parquet(loc).repartition(buckets, keys.map(col): _*),
+      tmp, keys, buckets)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    // drop the cached pre-compaction file listing (the rename swapped
+    // the files under the same name); other sessions must refresh too
+    spark.catalog.refreshTable(table)
+  }
+
   /** Equi-join two bucketed tables on their bucket keys. With equal bucket
     * counts this plans with zero Exchange nodes: each task reads bucket i
     * of both sides. (If one side is still small enough to broadcast, AQE

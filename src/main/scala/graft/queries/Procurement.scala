@@ -284,6 +284,76 @@ object Procurement {
         .toDF("n_joined", "cost_total", "exchange_free_after_append")
     }),
 
+    // The THIRD leg of the layout lifecycle (b3 = write it, b5 = ingest
+    // into it, b6 = maintain it): appended generations keep the join
+    // exchange-free but cost a SORT on every merge join, because Spark
+    // only advertises a bucket's sort order when it holds one file.
+    // Compaction (Bucketing.compactBucketed: repartition-on-bucket-id →
+    // one sorted file per bucket → CTAS/DROP/RENAME) deletes that sort.
+    // The gate REQUIREs the full arc in the executed plans: the
+    // two-generation join carries Sort nodes; the compacted join — same
+    // tables, same names — carries NONE (and still zero exchanges); the
+    // totals are identical before and after. At 100 TB the Sort is a
+    // per-query spill risk on every fat bucket; compaction converts it
+    // into one amortized rewrite.
+    "b6_bucketed_compaction" -> ((s, dir) => {
+      import graft.operators.Bucketing
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      val keysLi = Seq("l_partkey", "l_suppkey")
+      val keysPs = Seq("ps_partkey", "ps_suppkey")
+      Bucketing.writeBucketedMulti(li.filter(col("l_orderkey") % 2 === 0),
+        "b6_li", keysLi, 8)
+      Bucketing.appendBucketedMulti(li.filter(col("l_orderkey") % 2 === 1),
+        "b6_li", keysLi, 8)
+      Bucketing.writeBucketedMulti(partsupp(s, dir), "b6_ps", keysPs, 8)
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      iso.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // let the scan ADVERTISE per-bucket sort order — Spark guards the
+      // claim itself (only made when every bucket holds ≤ 1 file, i.e.
+      // exactly the compacted state; multi-file buckets still sort)
+      iso.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+        "true")
+      def joined() = iso.table("b6_li").join(iso.table("b6_ps"),
+        col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+        .agg(count(lit(1)).as("n_joined"),
+          sum((col("ps_supplycost") * col("l_quantity")
+            .cast("decimal(18,2)")).cast("decimal(22,6)"))
+            .cast("decimal(38,6)").cast("double").as("cost_total"))
+      def runAudited(): (org.apache.spark.sql.Row, Int, String) = {
+        val j = joined()
+        val row = j.collect()(0)
+        val planStr = j.queryExecution.executedPlan.toString
+        require(planStr.contains("SortMergeJoin"),
+          s"not a sort-merge join:\n$planStr")
+        require(!planStr.contains("Exchange hashpartitioning"),
+          s"co-bucketed join shuffled:\n$planStr")
+        // "Sort [" matches the Sort node, never SortMergeJoin/SortAggregate
+        (row, planStr.linesIterator.count(_.contains("Sort [")), planStr)
+      }
+      val (pre, sortsPre, planPre) = runAudited()
+      require(sortsPre > 0,
+        "two-generation buckets planned sort-free — the compaction gate " +
+          s"has nothing to price:\n$planPre")
+      Bucketing.compactBucketed(s, "b6_li", keysLi, 8)
+      Bucketing.compactBucketed(s, "b6_ps", keysPs, 8)
+      // the iso session caches its own relation file listings
+      iso.catalog.refreshTable("b6_li")
+      iso.catalog.refreshTable("b6_ps")
+      val (post, sortsPost, planPost) = runAudited()
+      require(sortsPost == 0,
+        s"compaction did not restore the sorted-scan claim " +
+          s"($sortsPost sorts):\n$planPost")
+      require(pre.getLong(0) == post.getLong(0) &&
+        pre.getDouble(1) == post.getDouble(1),
+        s"compaction changed the results: $pre vs $post")
+      import s.implicits._
+      Seq((post.getLong(0), post.getDouble(1), sortsPre > 0, true))
+        .toDF("n_joined", "cost_total", "sort_paid_before", "sort_elided")
+    }),
+
     // The b3 claim carried to the FULL 6-way Q9 — the definitive 100 TB
     // plan: lineitem and partsupp co-bucketed on the composite join key,
     // part/supplier/nation broadcast-hinted (hints survive the disabled
@@ -471,6 +541,17 @@ object Procurement {
          |FROM scoped, tot
          |GROUP BY ps_partkey, total_value, n_parts
          |HAVING CAST(sum(value) AS BIGINT) * n_parts > total_value * 2""".stripMargin,
+
+    // b3's relational result; the sort-paid/sort-elided arc is REQUIREd
+    // in-gate (plan-level) and surfaced as the two pinned booleans
+    "b6_bucketed_compaction" ->
+      s"""$PartsuppCte
+         |SELECT count(*) AS n_joined,
+         |  CAST(sum(CAST(ps_supplycost * CAST(l_quantity AS DECIMAL(18,2))
+         |    AS DECIMAL(22,6))) AS DOUBLE) AS cost_total,
+         |  TRUE AS sort_paid_before, TRUE AS sort_elided
+         |FROM lineitem
+         |JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey""".stripMargin,
 
     // b3's relational result over the two-generation layout: the append
     // must be invisible to the join's values; the coexisting-generation

@@ -84,6 +84,31 @@ class BucketingSpec extends AnyFunSuite with graft.GateCacheHygiene {
     }
   }
 
+  test("compactBucketed folds generations to exactly one sorted file per " +
+      "bucket, preserving rows under the same table name") {
+    val cust = spark.read.parquet(s"${TestSpark.Sf0001}/customer.parquet")
+      .select(col("c_custkey"), col("c_acctbal"))
+    Bucketing.writeBucketedMulti(cust.filter(col("c_custkey") % 2 === 0),
+      "graft_spec_cust_cmp", Seq("c_custkey"), 8)
+    Bucketing.appendBucketedMulti(cust.filter(col("c_custkey") % 2 === 1),
+      "graft_spec_cust_cmp", Seq("c_custkey"), 8)
+    def bucketFiles(): Seq[String] = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("graft_spec_cust_cmp"))
+        .location.toString
+      graft.sources.HadoopFs.list(loc).map(_.getPath.getName)
+        .filter(_.startsWith("part-"))
+    }
+    assert(bucketFiles().length > 8, "fixture has no generations to fold")
+    Bucketing.compactBucketed(spark, "graft_spec_cust_cmp",
+      Seq("c_custkey"), 8)
+    val files = bucketFiles()
+    assert(files.length == 8, s"expected 8 files, got: $files")
+    // one file per DISTINCT bucket id — none merged, none split
+    assert(files.map(_.split("_").last).distinct.length == 8)
+    assert(spark.table("graft_spec_cust_cmp").count() == cust.count())
+  }
+
   test("point lookup on the bucket key reads one bucket of eight") {
     val cust = spark.read.parquet(s"${TestSpark.Sf0001}/customer.parquet")
     Bucketing.writeBucketed(cust, "graft_spec_cust_b", "c_custkey", 8)
