@@ -76,13 +76,24 @@ object Bucketing {
     * repartitions on exactly the bucket keys with the bucket count —
     * Spark's repartition hash (pmod(murmur3, n)) IS the bucket-id
     * function, so each task owns one whole bucket and writes one sorted
-    * file. In place via CTAS-tmp → DROP → RENAME (the catalog rename
-    * moves the managed location); cost is one linear rewrite, amortized
+    * file. In place via a RENAME SWAP (table→_compact_old, tmp→table,
+    * drop _compact_old): unlike drop-then-rename, a crash at any point
+    * leaves the data reachable under either the live or the _compact_old
+    * name, and re-invoking recovers — the entry check restores a
+    * stranded _compact_old before starting ([[Compaction.compact]]'s
+    * crash-recovery protocol). Cost is one linear rewrite, amortized
     * over every join after it — the bucketed analog of [[Compaction]]. */
   def compactBucketed(spark: SparkSession, table: String, keys: Seq[String],
                       buckets: Int): Unit = {
     graft.model.Identifiers.validate(table, "table")
     val tmp = s"${table}_compact_tmp"
+    val old = s"${table}_compact_old"
+    // crash recovery: a previous compact that died between its two
+    // renames left the data under _compact_old with no live table
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(old))
+      spark.sql(s"ALTER TABLE `$old` RENAME TO `$table`")
+    require(spark.catalog.tableExists(table), s"no table `$table`")
+    spark.sql(s"DROP TABLE IF EXISTS `$old`") // completed-swap debris
     // Read by PATH, not by table: the catalog read advertises the bucket
     // partitioning, which lets the planner drop the repartition as
     // redundant — and then DisableUnnecessaryBucketedScan reverts the
@@ -97,10 +108,11 @@ object Bucketing {
     writeBucketedMulti(
       spark.read.parquet(loc).repartition(buckets, keys.map(col): _*),
       tmp, keys, buckets)
-    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$table` RENAME TO `$old`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
-    // drop the cached pre-compaction file listing (the rename swapped
-    // the files under the same name); other sessions must refresh too
+    spark.sql(s"DROP TABLE `$old`")
+    // drop the cached pre-compaction file listing (the swap changed the
+    // files under the same name); other sessions must refresh too
     spark.catalog.refreshTable(table)
   }
 

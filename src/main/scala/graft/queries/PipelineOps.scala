@@ -118,14 +118,19 @@ object PipelineOps {
     val name = pipe.registerLiveView("events_reg", Seq("user_id"))
     require(s.catalog.tableExists(name), s"$name not in the catalog")
     val sql = s"SELECT user_id, event_type, value, props FROM $name"
-    // bounded collect: the live view is O(distinct users) — the gate's
+    // bounded collects: the live view is O(distinct users) — the gate's
     // own output size
     val liveAfterWave1 = s.sql(sql).collect().toSet
     drainWave(col("event_id") >= mid) // NO re-registration
     val result = s.sql(sql)
-    require(result.collect().toSet != liveAfterWave1,
+    val finalRows = result.collect()
+    require(finalRows.toSet != liveAfterWave1,
       "view did not observe post-registration appends — not late-bound")
-    result
+    // return the rows PINNED at require time (the view is late-bound by
+    // design, so a lazy return would re-derive at materialization and
+    // re-run the window dedup a second time)
+    s.createDataFrame(s.sparkContext.parallelize(finalRows.toIndexedSeq),
+      result.schema)
   }
 
   /** T12: the full Debezium-fronted CDC path — the wire format a real

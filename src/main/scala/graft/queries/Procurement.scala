@@ -78,6 +78,48 @@ object Procurement {
       |      AS ps_supplycost
       |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))""".stripMargin
 
+  /** Isolated broadcast-disabled session for the plan-audit gates (b3/
+    * b5/b6): shares the SparkContext and catalog, owns its conf, so
+    * concurrently running gates never observe the -1 thresholds. */
+  private def isoSession(s: SparkSession): SparkSession = {
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    iso
+  }
+
+  /** The b-family composite-key join + exact-decimal rollup shared by
+    * b3/b5/b6: COUNT plus Σ(supplycost·qty) kept in DECIMAL end-to-end,
+    * one DOUBLE cast at the output. */
+  private def costAgg(li: DataFrame, ps: DataFrame): DataFrame =
+    li.join(ps, col("l_partkey") === col("ps_partkey") &&
+        col("l_suppkey") === col("ps_suppkey"))
+      .agg(count(lit(1)).as("n_joined"),
+        sum((col("ps_supplycost") * col("l_quantity")
+          .cast("decimal(18,2)")).cast("decimal(22,6)"))
+          .cast("decimal(38,6)").cast("double").as("cost_total"))
+
+  /** Execute `j` and audit the AQE-final rendered plan (the
+    * RuntimeFilterSpec grep protocol — query stages hide subtrees from a
+    * children-walk): a sort-merge join must be present, no broadcast may
+    * leak through the disabled thresholds, and zero `Exchange
+    * hashpartitioning` — the single-row agg exchanges to SinglePartition
+    * only, so any hashpartitioning means a join side shuffled despite
+    * the co-bucketed layout. Returns (result row, Sort-node count, plan
+    * string); "Sort [" matches the Sort node, never SortMergeJoin. */
+  private def auditedExchangeFree(
+      j: DataFrame): (org.apache.spark.sql.Row, Int, String) = {
+    val row = j.collect()(0)
+    val planStr = j.queryExecution.executedPlan.toString
+    require(planStr.contains("SortMergeJoin"),
+      s"no sort-merge join in the executed plan:\n$planStr")
+    require(!planStr.contains("BroadcastHashJoin"),
+      "broadcast leaked through the disabled thresholds")
+    require(!planStr.contains("Exchange hashpartitioning"),
+      s"co-bucketed join still shuffles:\n$planStr")
+    (row, planStr.linesIterator.count(_.contains("Sort [")), planStr)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q9: product-type profit by nation and year — the classic
     // 100 TB stressor: a 6-way join where the two big tables (lineitem,
@@ -186,37 +228,14 @@ object Procurement {
         Seq("l_partkey", "l_suppkey"), 8)
       Bucketing.writeBucketedMulti(partsupp(s, dir), "b3_ps",
         Seq("ps_partkey", "ps_suppkey"), 8)
-      // broadcast thresholds are disabled on an ISOLATED newSession — it
-      // shares the SparkContext and the catalog (so the bucketed tables
-      // resolve) but owns its conf, so concurrently running gates whose
-      // plan-shape assertions require BroadcastHashJoin (e.g. q9) never
-      // observe the -1 thresholds (r11 ADVICE).
-      val iso = s.newSession()
-      iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      iso.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-      val j = iso.table("b3_li").join(iso.table("b3_ps"),
-        col("l_partkey") === col("ps_partkey") &&
-          col("l_suppkey") === col("ps_suppkey"))
-        .agg(count(lit(1)).as("n_joined"),
-          sum((col("ps_supplycost") * col("l_quantity")
-            .cast("decimal(18,2)")).cast("decimal(22,6)"))
-            .cast("decimal(38,6)").cast("double").as("cost_total"))
-      val row = j.collect()(0)
-      // AQE query stages hide their subtrees from a children-walk; the
-      // rendered final plan shows every node, so the audit greps it
-      // (the RuntimeFilterSpec protocol): a sort-merge join must be
-      // present, no broadcast join may have leaked through, and the
-      // ONLY repartitioning exchange allowed is none — the final
-      // single-row agg exchanges to SinglePartition, never
-      // hashpartitioning, so any `Exchange hashpartitioning` means a
-      // join side shuffled despite the co-bucketed layout.
-      val planStr = j.queryExecution.executedPlan.toString
-      require(planStr.contains("SortMergeJoin"),
-        s"no sort-merge join in the executed plan:\n$planStr")
-      require(!planStr.contains("BroadcastHashJoin"),
-        "broadcast leaked through the disabled thresholds")
-      require(!planStr.contains("Exchange hashpartitioning"),
-        s"co-bucketed join still shuffles:\n$planStr")
+      // broadcast thresholds are disabled on an ISOLATED newSession
+      // ([[isoSession]]) so concurrently running gates whose plan-shape
+      // assertions require BroadcastHashJoin (e.g. q9) never observe the
+      // -1 thresholds (r11 ADVICE); audit protocol in
+      // [[auditedExchangeFree]].
+      val iso = isoSession(s)
+      val (row, _, _) =
+        auditedExchangeFree(costAgg(iso.table("b3_li"), iso.table("b3_ps")))
       import s.implicits._
       Seq((row.getLong(0), row.getDouble(1), true))
         .toDF("n_joined", "cost_total", "exchange_free_join")
@@ -263,22 +282,9 @@ object Procurement {
       require(gens.length >= 2 && sharedBuckets.nonEmpty,
         s"append did not create a coexisting second generation: " +
           s"${gens.length} generations, ${sharedBuckets.size} shared buckets")
-      val iso = s.newSession()
-      iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      iso.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-      val j = iso.table("b5_li").join(iso.table("b5_ps"),
-        col("l_partkey") === col("ps_partkey") &&
-          col("l_suppkey") === col("ps_suppkey"))
-        .agg(count(lit(1)).as("n_joined"),
-          sum((col("ps_supplycost") * col("l_quantity")
-            .cast("decimal(18,2)")).cast("decimal(22,6)"))
-            .cast("decimal(38,6)").cast("double").as("cost_total"))
-      val row = j.collect()(0)
-      val planStr = j.queryExecution.executedPlan.toString
-      require(planStr.contains("SortMergeJoin"),
-        s"no sort-merge join in the executed plan:\n$planStr")
-      require(!planStr.contains("Exchange hashpartitioning"),
-        s"appended generations broke the co-bucketed layout:\n$planStr")
+      val iso = isoSession(s)
+      val (row, _, _) =
+        auditedExchangeFree(costAgg(iso.table("b5_li"), iso.table("b5_ps")))
       import s.implicits._
       Seq((row.getLong(0), row.getDouble(1), true))
         .toDF("n_joined", "cost_total", "exchange_free_after_append")
@@ -307,32 +313,14 @@ object Procurement {
       Bucketing.appendBucketedMulti(li.filter(col("l_orderkey") % 2 === 1),
         "b6_li", keysLi, 8)
       Bucketing.writeBucketedMulti(partsupp(s, dir), "b6_ps", keysPs, 8)
-      val iso = s.newSession()
-      iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      iso.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val iso = isoSession(s)
       // let the scan ADVERTISE per-bucket sort order — Spark guards the
       // claim itself (only made when every bucket holds ≤ 1 file, i.e.
       // exactly the compacted state; multi-file buckets still sort)
       iso.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
         "true")
-      def joined() = iso.table("b6_li").join(iso.table("b6_ps"),
-        col("l_partkey") === col("ps_partkey") &&
-          col("l_suppkey") === col("ps_suppkey"))
-        .agg(count(lit(1)).as("n_joined"),
-          sum((col("ps_supplycost") * col("l_quantity")
-            .cast("decimal(18,2)")).cast("decimal(22,6)"))
-            .cast("decimal(38,6)").cast("double").as("cost_total"))
-      def runAudited(): (org.apache.spark.sql.Row, Int, String) = {
-        val j = joined()
-        val row = j.collect()(0)
-        val planStr = j.queryExecution.executedPlan.toString
-        require(planStr.contains("SortMergeJoin"),
-          s"not a sort-merge join:\n$planStr")
-        require(!planStr.contains("Exchange hashpartitioning"),
-          s"co-bucketed join shuffled:\n$planStr")
-        // "Sort [" matches the Sort node, never SortMergeJoin/SortAggregate
-        (row, planStr.linesIterator.count(_.contains("Sort [")), planStr)
-      }
+      def runAudited() =
+        auditedExchangeFree(costAgg(iso.table("b6_li"), iso.table("b6_ps")))
       val (pre, sortsPre, planPre) = runAudited()
       require(sortsPre > 0,
         "two-generation buckets planned sort-free — the compaction gate " +
@@ -376,9 +364,9 @@ object Procurement {
         Seq("l_partkey", "l_suppkey"), 8)
       Bucketing.writeBucketedMulti(partsupp(s, dir), "b4_ps",
         Seq("ps_partkey", "ps_suppkey"), 8)
-      val iso = s.newSession() // conf isolation, as b3
-      iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      iso.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val iso = isoSession(s) // conf isolation, as b3; here the explicit
+      // broadcast() hints below still force the dim joins — only the
+      // AUTO path is disabled, so AQE can't broadcast the fact side
       val part = t(iso, dir, "part").filter(col("p_name").like("%widget%"))
         .select(col("p_partkey"))
       val sup = t(iso, dir, "supplier")

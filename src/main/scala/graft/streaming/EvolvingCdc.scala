@@ -91,16 +91,21 @@ object EvolvingCdc {
   }
 
   /** Cast-and-swap the landed files to `schema`'s types (columns absent
-    * from the landed files — not yet appended — are untouched). Linear,
-    * one-time per widening event. */
+    * from the landed files — not yet appended — are untouched).
+    * `nullOverride` columns are replaced by a typed null instead of cast:
+    * they were provisional, so every landed value is null and the cast
+    * may not even exist (STRING→STRUCT). Linear, one-time per widening
+    * event. */
   private def rewriteLanded(s: SparkSession, tgt: String,
-      schema: StructType): Unit = {
+      schema: StructType, nullOverride: Set[String] = Set.empty): Unit = {
     val path = new Path(tgt)
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return
     val old = s.read.option("mergeSchema", "true").parquet(tgt)
     val casted = old.select(old.columns.toIndexedSeq.map { c =>
       schema.find(_.name == c) match {
+        case Some(f) if nullOverride(c) =>
+          lit(null).cast(f.dataType).as(c)
         case Some(f) => col(c).cast(f.dataType).as(c)
         case None => col(c)
       }
@@ -149,8 +154,14 @@ object EvolvingCdc {
           .flatMap { f =>
             val v = m.getItem(f.name)
             // shape tests by JSON number grammar, not cast (ANSI casts
-            // throw on malformed input; these are pure predicates)
-            val intShape = "^-?\\d+$"
+            // throw on malformed input; these are pure predicates). The
+            // integral shape is capped at 18 digits: a 19+-digit literal
+            // may overflow LONG (and would null the whole row in the
+            // PERMISSIVE parse), so it routes through re-inference —
+            // which types it DECIMAL/DOUBLE and widens — instead of
+            // slipping past the probe. In-range 19-digit longs cost one
+            // spurious inference scan and widen to nothing.
+            val intShape = "^-?\\d{1,18}$"
             val numShape = "^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$"
             val bad = f.dataType match {
               case _ if provisional(f.name) => Some(v.isNotNull)
@@ -176,20 +187,36 @@ object EvolvingCdc {
           val inferred = s.read.json(afters.select(col("a")).as[String])
             .schema.fields.map(f => f.name -> f.dataType).toMap
           // widen conflicted columns along the lattice; a provisional
-          // column takes its first observed shape outright
+          // column takes its first observed shape OUTRIGHT (including
+          // boolean/nested — its landed values are all null, so the
+          // rewrite sets a typed null instead of casting, and the final
+          // type matches what a single-batch arrival would register:
+          // batch-split-invariance holds for rank-3 shapes too)
           var mustRewrite = false
+          var nullOverride = Set.empty[String]
           current = StructType(current.fields.map { f =>
             if (conflicted(f.name)) {
+              val wasProvisional = provisional(f.name)
               val obs = inferred.getOrElse(f.name, NullType)
               val widened =
-                if (provisional(f.name)) ofRank(math.max(rank(obs), 0))
-                else ofRank(math.max(rank(f.dataType), rank(obs)))
+                if (wasProvisional) {
+                  // first observed shape, outright — a null-first
+                  // boolean/struct settles at the same type a
+                  // single-batch arrival registers
+                  if (rank(obs) == 3) obs else ofRank(math.max(rank(obs), 0))
+                } else ofRank(math.max(rank(f.dataType), rank(obs)))
               if (rank(obs) > 0) provisional -= f.name
-              if (widened != f.dataType) mustRewrite = true
+              if (widened != f.dataType) {
+                mustRewrite = true
+                // a provisional column's landed values are ALL null:
+                // replace with a typed null instead of casting (a
+                // STRING→STRUCT/BOOLEAN cast would be invalid)
+                if (wasProvisional) nullOverride += f.name
+              }
               f.copy(dataType = widened)
             } else f
           })
-          if (mustRewrite) rewriteLanded(s, tgt, current)
+          if (mustRewrite) rewriteLanded(s, tgt, current, nullOverride)
           // register new fields at their observed types, in name order
           unknown.toSeq.sorted.foreach { n =>
             val obs = inferred.getOrElse(n, NullType)

@@ -109,6 +109,22 @@ class BucketingSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(spark.table("graft_spec_cust_cmp").count() == cust.count())
   }
 
+  test("compactBucketed crash recovery: a stranded _compact_old table is " +
+      "restored and the compaction completes") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, i * 3)).toDF("k", "v")
+    Bucketing.writeBucketedMulti(df, "graft_spec_crash", Seq("k"), 4)
+    // simulate a crash between the two swap renames: the live name is
+    // gone, the data survives under _compact_old
+    spark.sql(
+      "ALTER TABLE graft_spec_crash RENAME TO graft_spec_crash_compact_old")
+    assert(!spark.catalog.tableExists("graft_spec_crash"))
+    Bucketing.compactBucketed(spark, "graft_spec_crash", Seq("k"), 4)
+    assert(spark.table("graft_spec_crash").count() == 100)
+    assert(!spark.catalog.tableExists("graft_spec_crash_compact_old"))
+    assert(!spark.catalog.tableExists("graft_spec_crash_compact_tmp"))
+  }
+
   test("point lookup on the bucket key reads one bucket of eight") {
     val cust = spark.read.parquet(s"${TestSpark.Sf0001}/customer.parquet")
     Bucketing.writeBucketed(cust, "graft_spec_cust_b", "c_custkey", 8)

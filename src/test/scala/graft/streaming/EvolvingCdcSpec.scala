@@ -131,6 +131,41 @@ class EvolvingCdcSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(landed == Set((1L, 1.5, "00123"), (2L, 3.0, "00456")))
   }
 
+  test("null-first boolean settles at BOOLEAN (typed-null rewrite), and " +
+      "an overflowing integer literal widens LONG→DOUBLE instead of " +
+      "nulling the row (r12 review findings)") {
+    val base = StructType.fromDDL("id BIGINT")
+    val landing = graft.GateCache.tempDir("evo_spec5_src")
+    val tgt = graft.GateCache.tempDir("evo_spec5_tgt").toString
+    val ckp = graft.GateCache.tempDir("evo_spec5_ckp").toString
+    val batches = Seq(
+      Seq(env("c", 1, """{"id":1,"flag":null,"n":1}""")),
+      Seq(env("c", 2, """{"id":2,"flag":true,"n":2}""")),
+      // 99999999999999999999 > Long.MaxValue: must re-infer and widen,
+      // not slip the probe and null the whole row in PERMISSIVE parse
+      Seq(env("c", 3, """{"id":3,"flag":false,"n":99999999999999999999}""")))
+    batches.zipWithIndex.foreach { case (lines, i) =>
+      val p = landing.resolve(s"f$i.txt")
+      java.nio.file.Files.write(p, lines.mkString("\n").getBytes)
+      assert(p.toFile.setLastModified(1000000L * (i + 1)))
+    }
+    val evolved = EvolvingCdc.run(spark, landing.toString, tgt, ckp,
+      base, "t", maxFilesPerTrigger = 1)
+    // same type a single-batch arrival would have registered
+    assert(evolved("flag").dataType ==
+      org.apache.spark.sql.types.BooleanType,
+      s"null-first boolean settled at ${evolved("flag").dataType}")
+    assert(evolved("n").dataType == DoubleType,
+      s"overflowing literal settled at ${evolved("n").dataType}")
+    val landed = EvolvingCdc.landed(spark, tgt)
+      .select("id", "flag", "n")
+      .as[(Long, Option[Boolean], Option[Double])].collect().toSet
+    assert(landed == Set(
+      (1L, None, Some(1.0)),
+      (2L, Some(true), Some(2.0)),
+      (3L, Some(false), Some(1.0e20))), s"landed=$landed")
+  }
+
   test("drift in the FIRST batch and late pre-DDL arrivals both land") {
     // the wide file arrives first (out-of-order delivery): widening
     // happens at batch 1, and the late base-shape file must still parse
