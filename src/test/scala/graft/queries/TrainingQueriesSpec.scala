@@ -663,6 +663,34 @@ class TrainingQueriesSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(got == buffered)
   }
 
+  test("property: foldUserFeatures ≡ buffered per-group math on random " +
+      "sorted inputs (no driver Spark needed — pure iterator fold)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genRows: Gen[List[(Long, Long, Long)]] = for {
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, for {
+        uid <- Gen.choose(1L, 5L) // few keys → multi-row groups
+        ts <- Gen.choose(0L, 50L) // small domain → timestamp ties
+      } yield (uid, ts))
+    } yield rows.zipWithIndex
+      .map { case ((u, t), i) => (u, t, i.toLong) }
+      .sortBy(r => (r._1, r._2, r._3)) // the gate's secondary sort
+    val prop = Prop.forAll(genRows) { rows =>
+      val got = TrainingData.foldUserFeatures(rows.iterator).toList
+      val want = rows.groupBy(_._1).toList.sortBy(_._1).map {
+        case (uid, rs) =>
+          val ts = rs.map(r => (r._2, r._3)).sorted
+          val maxGap = if (ts.length == 1) 0L
+            else ts.sliding(2).map(p => p(1)._1 - p(0)._1).max
+          (uid, ts.length.toLong, ts.last._1 - ts.head._1, maxGap)
+      }
+      got == want
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("foldUserFeatures streams: the first group's row is emitted " +
       "before the input advances past it (O(1) state, no group buffer)") {
     var consumed = 0
