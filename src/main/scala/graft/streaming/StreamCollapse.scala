@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.io.File
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -100,9 +99,10 @@ object StreamCollapse {
     * id — the replay-idempotency read point), if any batch has landed. */
   private def latestVersion(
       storeDir: String, below: Option[Long] = None): Option[Long] = {
-    val vs = Option(new File(storeDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v"))
-      .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption)
+    val vs = graft.sources.HadoopFs.list(storeDir)
+      .filter(f => f.isDirectory && f.getPath.getName.startsWith("v"))
+      .flatMap(f =>
+        scala.util.Try(f.getPath.getName.drop(1).toLong).toOption)
       .filter(v => below.forall(v < _))
     if (vs.isEmpty) None else Some(vs.max)
   }

@@ -59,7 +59,7 @@ object StreamNearDup {
           DedupOps.minhashSignature(batch, idCol, textCol, shingleWidth, k),
           idCol, bands, rowsPerBand).persist()
         val crossDup =
-          if (new java.io.File(indexDir).isDirectory)
+          if (graft.sources.HadoopFs.exists(indexDir))
             bnd.join(s.read.parquet(indexDir), Seq("band", "band_key"),
               "left_semi").select(col(idCol))
           else bnd.select(col(idCol)).limit(0)
