@@ -2121,13 +2121,16 @@ object PipelineOps {
       round(col("value") * 1000000).cast("long").as("VMICRO"))
     val maxId = ev.agg(max(col("EVENT_ID"))).collect()(0).getLong(0)
     val (c1, c2) = (maxId / 3, 2 * maxId / 3)
+    // count what LANDED (the durable fact the ledger reports), not a
+    // re-poll: counting the lazy poll frame would execute the JDBC
+    // query a second time per wave
     def landPoll(version: Long): Long = {
-      val d = inc.poll("EVENTS_SRC", "EVENT_ID")
+      inc.poll("EVENTS_SRC", "EVENT_ID")
         .withColumn(VersionCol, lit(version))
         .withColumn(SeqCol, col("EVENT_ID"))
         .withColumn(DeletedCol, lit(0))
-      d.write.mode("append").parquet(land)
-      d.count()
+        .write.mode("append").parquet(land)
+      s.read.parquet(land).filter(col(VersionCol) === version).count()
     }
     sink.write(ev.filter(col("EVENT_ID") <= c1), "EVENTS_SRC")
     val n1 = landPoll(0); inc.commit("EVENTS_SRC", c1)
@@ -2186,13 +2189,16 @@ object PipelineOps {
     val (i1, i2) = (t1 * 4 + 1, t2 * 4 + 2) // both cuts split a tick
     def le(ts: Long, id: Long) = // (TSM, EVENT_ID) ≤ (ts, id), lex order
       col("TSM") < ts || (col("TSM") === ts && col("EVENT_ID") <= id)
+    // each poll lands once, then every count reads the LANDED rows for
+    // its version — the lazy poll frame would re-execute the JDBC query
+    // on every count/filter action
     def landPoll(version: Long): DataFrame = {
-      val d = inc.pollCompound("EVENTS_CW", "TSM", "EVENT_ID")
+      inc.pollCompound("EVENTS_CW", "TSM", "EVENT_ID")
         .withColumn(VersionCol, lit(version))
         .withColumn(SeqCol, col("EVENT_ID"))
         .withColumn(DeletedCol, lit(0))
-      d.write.mode("append").parquet(land)
-      d
+        .write.mode("append").parquet(land)
+      s.read.parquet(land).filter(col(VersionCol) === version)
     }
     sink.write(ev.filter(le(t1, i1)), "EVENTS_CW")
     val n1 = landPoll(0).count(); inc.commitCompound("EVENTS_CW", t1, i1)
