@@ -342,6 +342,49 @@ object Procurement {
         .toDF("n_joined", "cost_total", "sort_paid_before", "sort_elided")
     }),
 
+    // The AGGREGATION half of the layout story: bucketing doesn't just
+    // delete join exchanges — a groupBy on exactly the bucket key set
+    // aggregates with ZERO exchange too (the scan's hash partitioning
+    // satisfies the aggregate's required distribution, so partial and
+    // final agg fuse into one stage). The gate runs the same per-pair
+    // rollup both ways and REQUIREs the asymmetry in the executed
+    // plans: over the bucketed table no partkey/suppkey exchange
+    // exists; over the raw parquet the SAME query must shuffle — the
+    // priced difference. At 100 TB this is the difference between a
+    // full-fact shuffle and a scan-local rollup for every aggregation
+    // keyed on the layout. Output is a bounded histogram (pair-sum mod
+    // 10) so the oracle stays exact: quantities are integral, sums fit
+    // BIGINT.
+    "b7_bucketed_agg_no_exchange" -> ((s, dir) => {
+      import graft.operators.Bucketing
+      val li = t(s, dir, "lineitem").select(col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      Bucketing.writeBucketedMulti(li, "b7_li",
+        Seq("l_partkey", "l_suppkey"), 8)
+      def rollup(src: DataFrame): DataFrame = src
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("pair_qty"))
+        .groupBy((col("pair_qty") % 10).as("qty_mod"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("pair_qty")).cast("long").as("total_qty"))
+      val bucketed = rollup(s.table("b7_li"))
+      val rows = bucketed.collect()
+      val planB = bucketed.queryExecution.executedPlan.toString
+      val keyExchange = (p: String) => p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") &&
+          (l.contains("partkey") || l.contains("suppkey")))
+      require(!keyExchange(planB),
+        s"bucketed rollup shuffled on the layout key:\n$planB")
+      require(planB.contains("HashAggregate"), s"no hash agg:\n$planB")
+      val raw = rollup(li)
+      raw.collect()
+      val planR = raw.queryExecution.executedPlan.toString
+      require(keyExchange(planR),
+        s"raw rollup planned exchange-free — the gate prices nothing:\n$planR")
+      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq),
+        bucketed.schema)
+    }),
+
     // The b3 claim carried to the FULL 6-way Q9 — the definitive 100 TB
     // plan: lineitem and partsupp co-bucketed on the composite join key,
     // part/supplier/nation broadcast-hinted (hints survive the disabled
@@ -529,6 +572,18 @@ object Procurement {
          |FROM scoped, tot
          |GROUP BY ps_partkey, total_value, n_parts
          |HAVING CAST(sum(value) AS BIGINT) * n_parts > total_value * 2""".stripMargin,
+
+    // the per-pair rollup then its mod-10 histogram — pure integer
+    // arithmetic (quantities are integral doubles; sums < 2^53); the
+    // bucketed-vs-raw plan asymmetry is REQUIREd in-gate
+    "b7_bucketed_agg_no_exchange" ->
+      """WITH pair AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(l_quantity) AS BIGINT) AS pair_qty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT pair_qty % 10 AS qty_mod, count(*) AS n_pairs,
+        |  CAST(sum(pair_qty) AS BIGINT) AS total_qty
+        |FROM pair GROUP BY 1""".stripMargin,
 
     // b3's relational result; the sort-paid/sort-elided arc is REQUIREd
     // in-gate (plan-level) and surfaced as the two pinned booleans

@@ -16,7 +16,10 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     // gate, the driver's correctness JSON just gets smaller, and 31 red
     // gates read as "fewer queries". A silent shrink (or an unregistered
     // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
-    val pinned = 264 // r12: +b6_bucketed_compaction (generation folding
+    val pinned = 265 // r12: +b7_bucketed_agg_no_exchange (groupBy on the
+    // bucket key set aggregates with zero exchange; raw-vs-bucketed plan
+    // asymmetry REQUIREd in-gate).
+    // r12: +b6_bucketed_compaction (generation folding
     // restores the per-bucket sorted-scan claim: the merge-join Sort is
     // paid before and REQUIREd gone after).
     // r12: +b5_bucketed_append_maintenance (two
