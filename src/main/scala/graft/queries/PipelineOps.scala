@@ -683,7 +683,7 @@ object PipelineOps {
         bands = TrainingData.Bands, rowsPerBand = TrainingData.RowsPerBand,
         trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    s.read.parquet(outDir)
+    graft.streaming.StreamNearDup.landed(s, outDir)
   }
 
   def streamNearDupCounts(s: SparkSession, dir: String): DataFrame =
@@ -745,7 +745,7 @@ object PipelineOps {
         ratio = TrainingData.DecontamRatio,
         trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    s.read.parquet(outDir)
+    graft.streaming.StreamContamination.landed(s, outDir)
   }
 
   /** T23: streaming IVF index maintenance

@@ -31,7 +31,19 @@ import graft.model.Identifiers
   * counter, not an insert-only id, when updates matter).
   */
 final class JdbcIncremental(spark: SparkSession, url: String, user: String,
-                            watermarkDir: String, fetchSize: Int = 50000) {
+                            watermarkDir: String, fetchSize: Int = 50000,
+                            password: String = "") {
+
+  /** Shared JDBC reader base: every poll variant carries the full
+    * credential set (an authenticated source is the production default;
+    * the embedded-Derby test path just leaves `password` empty). */
+  private def reader = {
+    val r = spark.read.format("jdbc")
+      .option("url", url)
+      .option("user", user)
+      .option("fetchsize", fetchSize)
+    if (password.nonEmpty) r.option("password", password) else r
+  }
 
   private def wmPath(table: String) = s"$watermarkDir/$table.wm"
 
@@ -67,10 +79,7 @@ final class JdbcIncremental(spark: SparkSession, url: String, user: String,
   def poll(table: String, wmCol: String): DataFrame = {
     Identifiers.validate(table, "table name")
     Identifiers.validate(wmCol, "column name")
-    spark.read.format("jdbc")
-      .option("url", url)
-      .option("user", user)
-      .option("fetchsize", fetchSize)
+    reader
       .option("query",
         s"SELECT * FROM $table WHERE $wmCol > ${watermark(table)}")
       .load()
@@ -115,10 +124,7 @@ final class JdbcIncremental(spark: SparkSession, url: String, user: String,
     Identifiers.validate(tsCol, "column name")
     Identifiers.validate(idCol, "column name")
     val (t, i) = watermark2(table)
-    spark.read.format("jdbc")
-      .option("url", url)
-      .option("user", user)
-      .option("fetchsize", fetchSize)
+    reader
       .option("query",
         s"SELECT * FROM $table WHERE $tsCol > $t OR ($tsCol = $t AND $idCol > $i)")
       .load()

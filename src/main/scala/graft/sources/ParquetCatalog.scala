@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.File
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.model.{Identifiers, SchemaModel, TableSchema}
 
@@ -29,16 +28,19 @@ final class ParquetCatalog(spark: SparkSession, dir: String) {
     * key metadata; mirrors the reference reading COLUMN_KEY='PRI'). */
   val primaryKeys: Map[String, Seq[String]] = ParquetCatalog.HarnessPks
 
-  /** S1: enumerate tables (`SHOW TABLES` analog). */
+  /** S1: enumerate tables (`SHOW TABLES` analog). Listed through Hadoop
+    * FileSystem so a non-local catalog dir (hdfs:, s3a:) enumerates the
+    * same way the local harness layout does. */
   def listTables(): Seq[String] =
-    Option(new File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.endsWith(".parquet"))
-      .map(_.getName.stripSuffix(".parquet"))
-      .sorted.toSeq
+    HadoopFs.list(dir)
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet"))
+      .sorted
 
   def tableExists(table: String): Boolean = {
     Identifiers.validate(table, "table name")
-    new File(s"$dir/$table.parquet").exists()
+    HadoopFs.exists(s"$dir/$table.parquet")
   }
 
   /** Full-table scan. Projection/filters composed on the returned frame are

@@ -96,8 +96,21 @@ object EvolvingCdc {
     * they were provisional, so every landed value is null and the cast
     * may not even exist (STRING→STRUCT). Linear, one-time per widening
     * event. */
+  /** Crash recovery for the [[rewriteLanded]] swap: a run that died
+    * between its two renames leaves the data under `<tgt>_widen_old`
+    * with no live dir — restore it before reading or rewriting. */
+  private def recoverSwap(s: SparkSession, tgt: String): Unit = {
+    val path = new Path(tgt)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val old = new Path(tgt + "_widen_old")
+    if (!fs.exists(path) && fs.exists(old))
+      require(fs.rename(old, path), s"widen crash-recovery failed: $tgt")
+    ()
+  }
+
   private def rewriteLanded(s: SparkSession, tgt: String,
       schema: StructType, nullOverride: Set[String] = Set.empty): Unit = {
+    recoverSwap(s, tgt)
     val path = new Path(tgt)
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return
@@ -112,8 +125,16 @@ object EvolvingCdc {
     }: _*)
     val tmp = new Path(tgt + "_widen_tmp")
     casted.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
+    // move-aside swap (the Compaction.compact protocol), NOT
+    // delete-then-rename: a crash at any point leaves every committed
+    // batch reachable under either the live or the _widen_old name —
+    // delete-first would destroy all previously committed batches in
+    // the delete→rename window (the checkpoint would NOT replay them)
+    val aside = new Path(tgt + "_widen_old")
+    if (fs.exists(aside)) fs.delete(aside, true) // debris of a crashed swap
+    require(fs.rename(path, aside), s"widen-rewrite move-aside failed: $tgt")
     require(fs.rename(tmp, path), s"widen-rewrite rename failed for $tgt")
+    fs.delete(aside, true)
     ()
   }
 
@@ -136,7 +157,13 @@ object EvolvingCdc {
       .text(landing)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        recoverSwap(s, tgt) // a crashed widen swap must not strand tgt
+        // probe ONLY the target table's envelopes: a multiplexed landing
+        // (the `_tbl` filter's whole purpose) must not let table B's
+        // fields register as evolved columns of A, or a same-named
+        // B-column with a different shape trigger a spurious widen
         val afters = batch
+          .filter(get_json_object(col("value"), "$.source.table") === table)
           .select(get_json_object(col("value"), "$.after").as("a"))
           .filter(col("a").isNotNull)
         val m = from_json(col("a"), MapType(StringType, StringType))
@@ -241,7 +268,10 @@ object EvolvingCdc {
   }
 
   /** The evolved landed table: parquet footers merged so pre-DDL files
-    * surface the post-DDL columns as NULL. */
-  def landed(s: SparkSession, tgt: String): DataFrame =
+    * surface the post-DDL columns as NULL (restores a swap stranded by
+    * a crash first). */
+  def landed(s: SparkSession, tgt: String): DataFrame = {
+    recoverSwap(s, tgt)
     s.read.option("mergeSchema", "true").parquet(tgt)
+  }
 }

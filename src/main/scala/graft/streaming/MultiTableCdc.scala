@@ -34,13 +34,17 @@ import graft.sources.HadoopFs
   */
 object MultiTableCdc {
 
-  /** One micro-batch: per-table delta dirs, then the commit marker. */
+  /** One micro-batch: per-table delta dirs, then the commit marker. The
+    * batch is persisted for the duration of the N per-table writes — each
+    * write is its own action, and without the persist every table's
+    * filter would recompute the whole batch input (N scans per trigger). */
   private[graft] def foldBatch(batch: DataFrame, tables: Seq[String],
       root: String, batchId: Long, commit: Boolean = true): Unit = {
-    tables.foreach { tbl =>
+    batch.persist()
+    try tables.foreach { tbl =>
       batch.filter(col("tbl") === tbl).drop("tbl")
         .write.mode("overwrite").parquet(s"$root/$tbl/d$batchId")
-    }
+    } finally { batch.unpersist(); () }
     if (commit) HadoopFs.touch(s"$root/commits/c$batchId")
   }
 

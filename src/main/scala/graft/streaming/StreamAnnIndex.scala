@@ -83,7 +83,16 @@ object StreamAnnIndex {
   /** Top-k from the index for a query frame: the probe cell set is
     * BOUNDED (|queries|·nprobe — the query router always knows its
     * cells), so it prunes the index scan as a pushed `In(_cell, …)`
-    * filter before the broadcast-probe scoring join. */
+    * filter before the broadcast-probe scoring join.
+    *
+    * Replay semantics: the index appends are at-least-once (a batch that
+    * crashed after its append but before the checkpoint commit lands its
+    * vectors twice), so the probe DEDUPS the already-pruned slice
+    * (replayed rows are byte-identical — same vector, same cell) —
+    * the engine's standard dedup-on-read contract (T3), paid
+    * only over the probed cells, never the whole index. Without it a
+    * replayed vector would occupy two top-k slots and displace a
+    * genuinely distinct neighbor. */
   def probeTopK(s: org.apache.spark.sql.SparkSession, indexDir: String,
                 queries: DataFrame, idCol: String, vecCol: String,
                 cent: DataFrame, k: Int, nprobe: Int): DataFrame = {
@@ -92,7 +101,8 @@ object StreamAnnIndex {
       .collect().map(_.getLong(0)) // bounded: ≤ |queries| · nprobe
     SimilarityOps.ivfScoreTopK(
       readIndex(s, indexDir)
-        .filter(col("_cell").isin(probedCells.map(Long.box): _*)),
+        .filter(col("_cell").isin(probedCells.map(Long.box): _*))
+        .dropDuplicates(), // replayed rows are byte-identical
       probes, k)
   }
 }

@@ -48,7 +48,7 @@ object StreamContamination {
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val fps = batch.select(col(idCol),
             explode(array_distinct(graft.functions.WinnowExprs
@@ -62,14 +62,24 @@ object StreamContamination {
           .filter(coalesce(col("_hit"), lit(0L)).cast("double") /
             col("_nf") > ratio)
           .select(col(idCol), lit(1L).as("_c"))
+        // per-batch-owned overwrite dir (the SinkRetry pattern): an
+        // at-least-once replay rewrites its own output wholesale instead
+        // of appending a second copy
         batch.join(flagged, Seq(idCol), "left")
           .select((keepCols.map(col) :+
             coalesce(col("_c"), lit(0L)).as("is_contaminated")): _*)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite")
+          .parquet(BatchDirs.dir(outDir, batchId))
         fps.unpersist()
         ()
       }
       .start()
     q.awaitTermination()
   }
+
+  /** All landed flagged rows (union of the per-batch directories). */
+  def landed(s: org.apache.spark.sql.SparkSession, outDir: String)
+      : DataFrame =
+    BatchDirs.read(s, outDir).getOrElse(
+      sys.error(s"no batches landed under $outDir"))
 }

@@ -53,16 +53,21 @@ object StreamNearDup {
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val bnd = DedupOps.lshBands(
           DedupOps.minhashSignature(batch, idCol, textCol, shingleWidth, k),
           idCol, bands, rowsPerBand).persist()
-        val crossDup =
-          if (graft.sources.HadoopFs.exists(indexDir))
-            bnd.join(s.read.parquet(indexDir), Seq("band", "band_key"),
-              "left_semi").select(col(idCol))
-          else bnd.select(col(idCol)).limit(0)
+        // cross-batch probe against STRICTLY EARLIER batches' band keys
+        // only: under an at-least-once replay the crashed attempt's own
+        // b<batchId> dir is excluded, so the batch never collides with
+        // itself and first occurrences stay novel (replay-idempotent)
+        val crossDup = BatchDirs.read(s, indexDir,
+            excludeAtOrAbove = Some(batchId)) match {
+          case Some(idx) => bnd.join(idx, Seq("band", "band_key"),
+            "left_semi").select(col(idCol))
+          case None => bnd.select(col(idCol)).limit(0)
+        }
         val intraDup = bnd.select(col(idCol).as("_pid"), col("band"),
             col("band_key"))
           .join(bnd, Seq("band", "band_key"))
@@ -70,17 +75,32 @@ object StreamNearDup {
           .select(col(idCol))
         val dupIds = crossDup.union(intraDup).distinct()
           .withColumn("_dup", lit(1L))
+        // per-batch-owned overwrite dirs (the SinkRetry pattern): a
+        // replay rewrites its own output and index delta wholesale
         batch.join(dupIds, Seq(idCol), "left")
           .select((keepCols.map(col) :+
             coalesce(col("_dup"), lit(0L)).as("is_dup")): _*)
-          .write.mode("append").parquet(outDir)
-        // band-partitioned so a future probe can prune; appended AFTER the
-        // flag pass so a batch never collides with itself twice
-        bnd.write.mode("append").partitionBy("band").parquet(indexDir)
+          .write.mode("overwrite")
+          .parquet(BatchDirs.dir(outDir, batchId))
+        // band-partitioned so a future probe can prune within each delta
+        bnd.write.mode("overwrite").partitionBy("band")
+          .parquet(BatchDirs.dir(indexDir, batchId))
         bnd.unpersist()
         ()
       }
       .start()
     q.awaitTermination()
   }
+
+  /** All landed flagged rows (union of the per-batch directories). */
+  def landed(s: org.apache.spark.sql.SparkSession, outDir: String)
+      : DataFrame =
+    BatchDirs.read(s, outDir).getOrElse(
+      sys.error(s"no batches landed under $outDir"))
+
+  /** The accrued band index (union of the per-batch deltas). */
+  def index(s: org.apache.spark.sql.SparkSession, indexDir: String)
+      : DataFrame =
+    BatchDirs.read(s, indexDir).getOrElse(
+      sys.error(s"no index deltas under $indexDir"))
 }

@@ -49,17 +49,24 @@ object StreamScd2 {
       batch: DataFrame, storeDir: String, batchId: Long): Unit = {
     val s = batch.sparkSession
     val seqC = graft.model.SchemaModel.SeqCol
-    // in-batch chaining: each version closes at the next (vf, seq) row
+    // in-batch chaining: each version closes at the next (vf, seq) row.
+    // `chained` feeds BOTH the closed write and the frontier write (two
+    // actions); persist it so the window sort, the joins and the
+    // previous-frontier read run once per batch, not twice — the
+    // module's own O(delta)-per-batch budget
     val w = Window.partitionBy(col(Key)).orderBy(col(Vf).asc, col(seqC).asc)
-    val chained = batch.withColumn(Vt, lead(col(Vf), 1).over(w))
+    val chained = batch.withColumn(Vt, lead(col(Vf), 1).over(w)).persist()
     val closedInBatch = chained.filter(col(Vt).isNotNull)
     val newOpen = chained.filter(col(Vt).isNull).drop(Vt)
     // previous frontier rows for keys in this batch close at the key's
     // FIRST new valid_from; untouched keys carry over unchanged
+    var prevCached: Option[DataFrame] = None
     val (closed, frontier) = latestVersion(frontierDir(storeDir),
         below = Some(batchId)) match {
       case Some(v) =>
-        val prev = s.read.parquet(s"${frontierDir(storeDir)}/v$v")
+        val prev = s.read
+          .parquet(s"${frontierDir(storeDir)}/v$v").persist()
+        prevCached = Some(prev)
         val firstNew = batch.groupBy(col(Key))
           .agg(min(col(Vf)).as("_first_vf"))
         val closedFromFrontier = prev.join(firstNew, Key)
@@ -70,11 +77,16 @@ object StreamScd2 {
           carried.unionByName(newOpen))
       case None => (closedInBatch, newOpen)
     }
-    closed.write.mode("overwrite")
-      .parquet(s"${closedDir(storeDir)}/b$batchId")
-    frontier.write.mode("overwrite")
-      .parquet(s"${frontierDir(storeDir)}/v$batchId")
-    ()
+    try {
+      closed.write.mode("overwrite")
+        .parquet(s"${closedDir(storeDir)}/b$batchId")
+      frontier.write.mode("overwrite")
+        .parquet(s"${frontierDir(storeDir)}/v$batchId")
+    } finally {
+      chained.unpersist()
+      prevCached.foreach(_.unpersist())
+      ()
+    }
   }
 
   /** The assembled SCD2 view: every closed interval ever written plus the

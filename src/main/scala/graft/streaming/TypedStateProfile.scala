@@ -57,11 +57,17 @@ object TypedStateProfile {
       val counts = KnownTypes.map { t =>
         if (byType.containsKey(t)) byType.getValue(t) else 0L
       }
+      // n_total sums EVERY map entry, not just the five projected
+      // columns: an unrecognized event_type still counts toward the
+      // all-type total (and keeps n_total consistent with n_cents,
+      // which logs every row)
+      var total = 0L
+      byType.iterator().foreach { kv => total += kv._2 }
       var n = 0L
       var sum = 0L
       centsLog.get().foreach { c => n += 1; sum += c }
       Iterator.single(Profile(key, counts(0), counts(1), counts(2),
-        counts(3), counts(4), counts.sum, n, sum))
+        counts(3), counts(4), total, n, sum))
     }
   }
 

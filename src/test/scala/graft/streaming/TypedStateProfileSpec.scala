@@ -66,4 +66,49 @@ class TypedStateProfileSpec extends AnyFunSuite with graft.GateCacheHygiene {
       }
     }
   }
+
+  test("an UNRECOGNIZED event type still counts toward n_total (and keeps " +
+      "n_total ≡ n_cents) — r12 review finding") {
+    val src = java.nio.file.Files.createTempDirectory("tsp2_src").toString
+    val out = java.nio.file.Files.createTempDirectory("tsp2_out").toString
+    val ckp = java.nio.file.Files.createTempDirectory("tsp2_ckp").toString
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      graft.queries.PipelineOps.stageReplayFile(src)(
+        Seq((9L, "click", 10L), (9L, "refund", 25L), (9L, "refund", 5L))
+          .toDF("user_id", "event_type", "cents"),
+        "b0.parquet", 1600000000000L)
+      val schema = spark.read.parquet(src).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = TypedStateProfile.profileStream(stream).toDF()
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .option("checkpointLocation", ckp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val p = spark.read.parquet(out)
+        .select(col("n_click"), col("n_total"), col("n_cents"),
+          col("total_cents"))
+        .as[(Long, Long, Long, Long)].head()
+      // 1 click + 2 refunds: the projected column sees only the click,
+      // the all-type total sees all three — consistent with the log
+      assert(p == ((1L, 3L, 3L, 40L)),
+        s"unknown type dropped from n_total: $p")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
 }
