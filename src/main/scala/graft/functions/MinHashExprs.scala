@@ -93,6 +93,9 @@ case class MinHashSig(child: Expression, w: Int, k: Int)
     else if (k < 1 || k > MinHashKernel.MaxK)
       TypeCheckResult.TypeCheckFailure(
         s"minhash_sig supports 1 <= k <= ${MinHashKernel.MaxK}, got $k")
+    else if (w < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig requires shingle width w >= 1, got $w")
     else TypeCheckResult.TypeCheckSuccess
 
   override def nullSafeEval(v: Any): Any =

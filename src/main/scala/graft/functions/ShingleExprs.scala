@@ -69,10 +69,15 @@ case class WordShingles(child: Expression, width: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"graft_shingles requires a string argument, got ${child.dataType.sql}")
+    if (child.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_shingles requires a string argument, got ${child.dataType.sql}")
+    else if (width < 1)
+      // plan-time rejection: the kernel loop would AIOOBE per-row on the
+      // executor for width < 1
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_shingles requires width >= 1, got $width")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
 
   override def nullSafeEval(v: Any): Any =
     ShingleKernel.shingles(v.asInstanceOf[UTF8String], width)

@@ -29,7 +29,9 @@ class TopKAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
   override def reduce(b: Array[Long], a: Long): Array[Long] =
     if (b.length == k && a <= b(k - 1)) b // below the bar — O(1) reject
     else {
-      val out = (b :+ a).sortBy(-_)
+      // sortWith, NOT sortBy(-_): -Long.MinValue overflows back to
+      // MinValue, which would rank the smallest long as the largest
+      val out = (b :+ a).sortWith(_ > _)
       if (out.length > k) out.take(k) else out
     }
 

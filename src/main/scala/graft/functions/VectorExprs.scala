@@ -38,9 +38,10 @@ case class DotProduct(left: Expression, right: Expression)
         s"(${left.dataType.sql}, ${right.dataType.sql})")
   }
 
-  // Mismatched lengths → NULL, matching the zip_with/aggregate reference
-  // (whose padded nulls poison the fold) — a truncated dot would be a
-  // plausible-but-wrong similarity.
+  // Mismatched lengths → NULL, and so is ANY null element — matching the
+  // zip_with/aggregate reference exactly (a padded or genuine null
+  // poisons its product and the fold). A truncated dot, or one that read
+  // a null slot as 0.0, would be a plausible-but-wrong similarity.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -49,6 +50,7 @@ case class DotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -67,9 +69,13 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
          |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })
@@ -106,6 +112,14 @@ object HyperplaneKernel {
       // ANSI — an out-of-range bucket key would silently mis-bucket
       throw new ArrayIndexOutOfBoundsException(
         s"hyperplane_key: vector has ${vec.numElements()} elements, needs $dim")
+    // a null element nulls EVERY plane's projection in the composed form
+    // (each plane sums over all dims; `null > 0` → bit unset), so the
+    // whole key is 0 — mirror that exactly rather than reading 0.0
+    var d0 = 0
+    while (d0 < dim) {
+      if (vec.isNullAt(d0)) return 0L
+      d0 += 1
+    }
     val w = weights(planes, dim)
     var key = 0L
     var p = 0

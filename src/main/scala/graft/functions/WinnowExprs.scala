@@ -96,9 +96,13 @@ case class WinnowMins(child: Expression, k: Int, w: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"winnow_mins requires a string argument, got ${child.dataType.sql}")
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"winnow_mins requires a string argument, got ${child.dataType.sql}")
+    else if (k < 1 || w < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"winnow_mins requires k >= 1 and w >= 1, got k=$k w=$w")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def nullSafeEval(v: Any): Any =
     WinnowKernel.winnowMins(v.asInstanceOf[UTF8String], k, w)

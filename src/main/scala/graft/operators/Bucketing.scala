@@ -62,10 +62,35 @@ object Bucketing {
   def appendBucketedMulti(df: DataFrame, table: String, keys: Seq[String],
                           buckets: Int): Unit = {
     require(keys.nonEmpty, "bucketed append needs at least one key column")
+    graft.model.Identifiers.validate(table, "table")
+    // append REQUIRES the catalog entry: after a session restart the
+    // in-memory catalog forgot the table but its warehouse dir survived,
+    // and a create-on-append over those files could not verify the
+    // bucket spec matches the previous generation's — recreate with
+    // writeBucketedMulti (which clears the stale dir) instead
+    require(df.sparkSession.catalog.tableExists(table),
+      s"bucketed append target `$table` is not in the catalog — " +
+        "write the initial generation with writeBucketedMulti first")
+    requireBucketSpec(df.sparkSession, table, keys, buckets, "append")
     df.write.mode("append").format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+  }
+
+  /** The caller's (keys, buckets) must equal the table's registered
+    * bucket spec — a mismatched append or compaction would silently
+    * rewrite the table into a different layout and every co-bucketed
+    * join relying on the old spec would regain its Exchange. */
+  private def requireBucketSpec(spark: SparkSession, table: String,
+      keys: Seq[String], buckets: Int, op: String): Unit = {
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec
+    require(spec.exists(s => s.numBuckets == buckets &&
+        s.bucketColumnNames == keys),
+      s"bucketed $op on `$table` with (${keys.mkString(",")}, $buckets) " +
+        s"does not match the table's bucket spec $spec")
   }
 
   /** Fold a bucketed table's accumulated generations back to ONE file per
@@ -93,6 +118,7 @@ object Bucketing {
     if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(old))
       spark.sql(s"ALTER TABLE `$old` RENAME TO `$table`")
     require(spark.catalog.tableExists(table), s"no table `$table`")
+    requireBucketSpec(spark, table, keys, buckets, "compaction")
     spark.sql(s"DROP TABLE IF EXISTS `$old`") // completed-swap debris
     // Read by PATH, not by table: the catalog read advertises the bucket
     // partitioning, which lets the planner drop the repartition as
@@ -121,7 +147,11 @@ object Bucketing {
     * of both sides. (If one side is still small enough to broadcast, AQE
     * will do that instead — also exchange-free.) */
   def bucketedJoin(spark: SparkSession, left: String, leftKey: String,
-                   right: String, rightKey: String): DataFrame =
-    spark.table(left).join(spark.table(right),
-      col(leftKey) === col(rightKey))
+                   right: String, rightKey: String): DataFrame = {
+    val l = spark.table(left)
+    val r = spark.table(right)
+    // frame-qualified keys: co-bucketed tables usually share the key
+    // NAME, and a bare col(...) === col(...) would be AMBIGUOUS_REFERENCE
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 }

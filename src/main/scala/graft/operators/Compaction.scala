@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.io.File
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{SaveMode, SparkSession}
 
 /** Small-file compaction — the lake-maintenance operator every append-only
@@ -20,9 +20,12 @@ object Compaction {
       path: String, filesBefore: Int, filesAfter: Int,
       bytesBefore: Long, rows: Long)
 
-  private def parquetFiles(dir: File): Array[File] =
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+  private def parquetFiles(fs: FileSystem, dir: Path)
+      : Array[org.apache.hadoop.fs.FileStatus] =
+    if (fs.exists(dir))
+      fs.listStatus(dir)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    else Array.empty
 
   /** Compact one parquet table directory in place (write-new-then-swap via
     * a sibling temp dir — readers of the old files are unaffected until
@@ -38,21 +41,25 @@ object Compaction {
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
               cluster: Seq[String] = Nil): CompactionResult = {
-    val dir = new File(path)
+    // all filesystem IO through Hadoop FileSystem: the table dir may be
+    // local, HDFS or object storage (rename is atomic on the first two;
+    // the object-store caveat is the same one the commit markers carry)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // crash recovery: a previous compact that died between its two renames
     // leaves the data intact in `<dir>._compact_old` with no live dir —
     // restore it before proceeding instead of requiring manual repair
-    val oldLeftover = new File(dir.getParentFile, dir.getName + "._compact_old")
-    if (!dir.exists() && oldLeftover.exists())
-      require(oldLeftover.renameTo(dir),
+    val oldLeftover = new Path(path + "._compact_old")
+    if (!fs.exists(dir) && fs.exists(oldLeftover))
+      require(fs.rename(oldLeftover, dir),
         s"crash-recovery rename failed: $oldLeftover -> $dir")
-    val before = parquetFiles(dir)
+    val before = parquetFiles(fs, dir)
     // refuse layouts this flat compactor doesn't understand (partitioned /
     // nested tables) rather than silently rewriting them into one file
     require(before.nonEmpty,
       s"$path has no top-level .parquet files — not a flat table dir " +
         "(partitioned layouts need per-partition compaction)")
-    val bytes = before.map(_.length()).sum
+    val bytes = before.map(_.getLen).sum
     val targetFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(path)
     val out =
@@ -63,27 +70,23 @@ object Compaction {
       }
       else if (targetFiles < before.length) df.coalesce(targetFiles)
       else df.repartition(targetFiles)
-    val tmp = new File(dir.getParentFile, dir.getName + "._compact_tmp")
-    out.write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
-    val rows = spark.read.parquet(tmp.getAbsolutePath).count()
+    val tmp = new Path(path + "._compact_tmp")
+    out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val rows = spark.read.parquet(tmp.toString).count()
     // swap: old dir is moved ASIDE first (not deleted) so a crash or
     // failed rename never leaves the table missing; it is removed only
     // after the new layout is in place. Concurrent appends during the
     // compact window are still the caller's responsibility to pause.
-    def rmRec(f: File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRec)
-      f.delete(); ()
-    }
-    val old = new File(dir.getParentFile, dir.getName + "._compact_old")
-    if (old.exists()) rmRec(old)
-    require(dir.renameTo(old), s"rename failed: $dir -> $old")
-    if (!tmp.renameTo(dir)) {
-      val restored = old.renameTo(dir) // roll back
+    val old = new Path(path + "._compact_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(dir, old), s"rename failed: $dir -> $old")
+    if (!fs.rename(tmp, dir)) {
+      val restored = fs.rename(old, dir) // roll back
       throw new IllegalStateException(
         s"rename failed: $tmp -> $dir (original ${if (restored) "restored" else s"left at $old"})")
     }
-    rmRec(old)
+    fs.delete(old, true)
     CompactionResult(path, before.length,
-      parquetFiles(dir).length, bytes, rows)
+      parquetFiles(fs, dir).length, bytes, rows)
   }
 }

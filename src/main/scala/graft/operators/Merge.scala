@@ -29,7 +29,11 @@ object Merge {
     require(changes.columns.contains(deletedCol),
       s"changes must carry $deletedCol")
     val keep = target.join(changes.select(col(pk)), Seq(pk), "left_anti")
-    val applied = changes.filter(col(deletedCol) === 0).drop(deletedCol)
+    // a NULL deletedCol (an un-stamped source) reads as NOT deleted:
+    // without the coalesce the filter drops the row while the anti join
+    // already removed its pk — a silent delete instead of a replace
+    val applied = changes
+      .filter(coalesce(col(deletedCol), lit(0)) === 0).drop(deletedCol)
     keep.unionByName(applied.select(target.columns.map(col).toSeq: _*))
   }
 
@@ -67,7 +71,10 @@ object Merge {
       struct(tCols.map(col): _*).as("_after"))
     val joined = chg.join(tgt, col("_c_pk") === col("_t_pk"), "left")
     val matched = col("_t_pk").isNotNull
-    val isDel = col("_del") === 1
+    // NULL-safe: a NULL _del row is a replace (upsert's coalesce
+    // contract) — a bare === would null every _keep flag and emit
+    // NOTHING for a row upsert applied, breaking feed ≡ merge
+    val isDel = coalesce(col("_del"), lit(0)) === 1
     val entries = array(
       struct(lit("delete").as("_op"), col("_before").as("_row"),
         (isDel && matched).as("_keep")),

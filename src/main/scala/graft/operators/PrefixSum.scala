@@ -40,6 +40,13 @@ object PrefixSum {
     * branch and the output must see the SAME sampled range bounds. */
   def inclusive(df: DataFrame, order: Seq[Column], value: Column,
                 nRanges: Int, cumName: String): DataFrame = {
+    // reserved internals (the AsOfJoin/RangeJoin convention): a caller
+    // column with one of these names would be silently overwritten or
+    // duplicated into an ambiguous reference
+    val reserved = Seq("_ps_v", "_ps_pid", "_ps_lcum", "_ps_lmin", "_ps_off")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"input columns clash with PrefixSum internals: ${clash.mkString(",")}")
     val withV = df.withColumn("_ps_v", value.cast("long"))
     val ranged = withV.repartitionByRange(math.max(1, nRanges), order: _*)
       .sortWithinPartitions(order: _*)

@@ -197,9 +197,14 @@ final class SnapshotReplicator(
     else {
       import scala.collection.parallel.CollectionConverters._
       val par = tables.par
-      par.tasksupport = new scala.collection.parallel.ExecutionContextTaskSupport(
-        scala.concurrent.ExecutionContext.global)
-      par.map(replicateTable(_)).toList
+      // a pool sized to the REQUESTED level: ExecutionContext.global
+      // would run availableProcessors tables at once regardless of the
+      // parameter — the throttle exists to bound concurrent source reads
+      val pool = new java.util.concurrent.ForkJoinPool(parallelism)
+      par.tasksupport =
+        new scala.collection.parallel.ForkJoinTaskSupport(pool)
+      try par.map(replicateTable(_)).toList
+      finally pool.shutdown()
     }
   }
 }

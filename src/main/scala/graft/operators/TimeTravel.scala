@@ -1,7 +1,7 @@
 package graft.operators
 
-import java.io.File
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.HadoopFs
 
 /** Versioned table directory: each write lands in an immutable `v{n}`
   * subdirectory, so any historical version stays readable (snapshot
@@ -27,15 +27,14 @@ object TimeTravel {
     v
   }
 
-  /** All committed versions, ascending. */
-  def versions(root: String): Seq[Long] = {
-    val d = new File(root)
-    if (!d.exists()) return Seq.empty
-    d.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("v"))
-      .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption)
+  /** All committed versions, ascending (listed through Hadoop
+    * FileSystem — the versioned root may be local, HDFS or object). */
+  def versions(root: String): Seq[Long] =
+    HadoopFs.list(root)
+      .filter(f => f.isDirectory && f.getPath.getName.startsWith("v"))
+      .flatMap(f =>
+        scala.util.Try(f.getPath.getName.drop(1).toLong).toOption)
       .sorted
-  }
 
   def readAt(spark: SparkSession, root: String, v: Long): DataFrame =
     spark.read.parquet(versionDir(root, v))
@@ -50,11 +49,8 @@ object TimeTravel {
     require(keep >= 1, "must keep at least the latest version")
     val doomed = versions(root).dropRight(keep)
     doomed.foreach { v =>
-      def rm(f: File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new File(versionDir(root, v)))
+      val d = versionDir(root, v)
+      HadoopFs.fs(d).delete(new org.apache.hadoop.fs.Path(d), true)
     }
     doomed
   }

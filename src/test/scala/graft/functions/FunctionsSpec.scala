@@ -291,6 +291,32 @@ class SimilarityOpsSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(diff == 0)
   }
 
+  test("NULL array elements poison the native dot/hyperplane exactly like " +
+      "the composed forms (r12 review finding: no silent 0.0 read)") {
+    val withNull = Seq(
+      (Seq[java.lang.Float](1.0f, null), Seq[java.lang.Float](1.0f, 1.0f)),
+      (Seq[java.lang.Float](1.0f, 2.0f), Seq[java.lang.Float](1.0f, 1.0f)))
+      .toDF("v1", "v2")
+    val r = withNull.select(
+      SimilarityOps.dot($"v1", $"v2").as("nat"),
+      SimilarityOps.dotHof($"v1", $"v2").as("hof")).collect()
+    // row 1: null element → BOTH forms NULL (not 1.0); row 2: both 3.0
+    assert(r(0).isNullAt(0) && r(0).isNullAt(1),
+      s"null element not poisoned: ${r(0)}")
+    assert(r(1).getDouble(0) == 3.0 && r(1).getDouble(1) == 3.0)
+    // hyperplane: a null element nulls every plane's projection in the
+    // composed form → key 0; the kernel must agree, not read 0.0f
+    val planes = 4
+    val dim = 2
+    val keys = withNull.select(
+      SimilarityOps.hyperplaneKey($"v1", planes, dim).as("nat"),
+      SimilarityOps.hyperplaneKeyComposed($"v1", planes, dim).as("cmp"))
+      .collect()
+    assert(keys(0).getLong(0) == keys(0).getLong(1),
+      s"null-element hyperplane keys diverge: ${keys(0)}")
+    assert(keys(1).getLong(0) == keys(1).getLong(1))
+  }
+
   test("native HyperplaneKey kernel ≡ composed literal-tree form, bit-exact") {
     val planes = graft.queries.TrainingData.LshPlanes
     val dim = graft.queries.TrainingData.EmbeddingDim

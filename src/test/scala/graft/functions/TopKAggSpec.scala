@@ -35,6 +35,18 @@ class TopKAggSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(Seq(7L, 9L).foldLeft(agg.zero)(agg.reduce).toSeq == Seq(9L, 7L))
   }
 
+  test("Long.MinValue ranks smallest, not largest (sortBy(-_) negation " +
+      "overflow — r12 review finding)") {
+    val agg = new TopKAgg(1)
+    assert(Seq(Long.MinValue, 5L).foldLeft(agg.zero)(agg.reduce).toSeq
+      == Seq(5L))
+    assert(Seq(5L, Long.MinValue).foldLeft(agg.zero)(agg.reduce).toSeq
+      == Seq(5L))
+    val agg2 = new TopKAgg(2)
+    assert(Seq(Long.MinValue, Long.MaxValue, 0L)
+      .foldLeft(agg2.zero)(agg2.reduce).toSeq == Seq(Long.MaxValue, 0L))
+  }
+
   test("x_topk_udaf gate equals the collect_list formulation on real data") {
     val dir = TestSpark.Sf0001
     val gate = graft.queries.Warehouse.queries("x_topk_udaf")(spark, dir)

@@ -24,6 +24,27 @@ class MergeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(merged == Seq((1L, "a", 10.0), (2L, "b2", 99.0), (4L, "d", 40.0)))
   }
 
+  test("a NULL _deleted change row is a REPLACE, not a silent delete, " +
+      "and the change feed reports it (r12 review finding)") {
+    import spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val changes = Seq((1L, "a2", Option.empty[Int]), (3L, "c", Some(0)))
+      .toDF("k", "v", "_deleted")
+    val merged = Merge.upsert(target, changes, "k")
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(merged == Seq((1L, "a2"), (2L, "b"), (3L, "c")),
+      s"NULL _deleted mishandled: $merged")
+    // the feed must describe exactly what upsert did: a pre/post pair
+    // for key 1 and an insert for key 3 — a bare === null would emit
+    // NOTHING for key 1 while upsert replaced it
+    val feed = Merge.changeFeed(target, changes, "k")
+      .select("_op", "k", "v").as[(String, Long, String)]
+      .collect().toSet
+    assert(feed == Set(
+      ("update_preimage", 1L, "a"), ("update_postimage", 1L, "a2"),
+      ("insert", 3L, "c")), s"feed=$feed")
+  }
+
   test("pk uniqueness is preserved when a change row targets an existing key") {
     import spark.implicits._
     val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
