@@ -184,6 +184,82 @@ object PipelineOps {
       pks = Seq("user_id"), tieBreak = Some(SeqCol))
   }
 
+  /** T29: the reference's actual wire — MySQL binlog v4 BYTES → change
+    * rows → stamped apply → live view. t12 certifies the CDC path from
+    * the published Debezium ENVELOPE down; this gate starts one layer
+    * lower, at the binary event stream `BinLogStreamReader` decodes for
+    * the reference (`/root/reference/src/cdc_replicator.py:326-368`),
+    * decoded by [[graft.sources.BinlogFormat]] with CRC32 verification
+    * on. Each `events` row becomes a row-event in event_id order
+    * (signup → WRITE, error → DELETE carrying its before-image, else
+    * UPDATE whose synthetic before-image MUST be discarded by the apply
+    * path — reference parity), encoded into THREE rotated files (XID
+    * every 250 rows, ROTATE chain linking the names) plus one
+    * never-committed trailing UPDATE that would crown a 'poison'
+    * survivor for one user if a torn transaction tail ever leaked.
+    *
+    * Staging is driver-side by necessity (a binlog is ONE server's
+    * sequential log; the encoder plays the server — bounded: the events
+    * table is the harness's smallest fact stream). The operator under
+    * test — decode → change rows — runs distributed, one task per file
+    * ([[graft.sources.BinlogSource]]). Deterministic: constant batch
+    * version ⇒ survivor per user = max (file ordinal, pos) = max
+    * event_id, so the oracle is t1's derivation. */
+  def binlogWireCdcLive(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{BinlogFixture, BinlogFormat, BinlogSource}
+    import BinlogFixture.Change
+    import graft.operators.CdcTransform
+    val landing = graft.GateCache.tempDir("graft_binlog_src").toString
+    val cols = IndexedSeq(
+      BinlogFormat.ColumnDef(BinlogFormat.TypeLongLong, 0),    // user_id
+      BinlogFormat.ColumnDef(BinlogFormat.TypeVarchar, 64),    // event_type (1-byte len)
+      BinlogFormat.ColumnDef(BinlogFormat.TypeDouble, 8),      // value
+      BinlogFormat.ColumnDef(BinlogFormat.TypeVarchar, 65000)) // props (2-byte len)
+    val evs = s.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "user_id", "event_type", "value", "props")
+      .orderBy("event_id").collect()
+    require(evs.nonEmpty, "events table is empty")
+    def img(r: org.apache.spark.sql.Row): IndexedSeq[Any] =
+      IndexedSeq(r.get(1), r.get(2), r.get(3), r.get(4))
+    def change(r: org.apache.spark.sql.Row): Change =
+      r.getString(2) match {
+        case "signup" => Change.insert(img(r))
+        case "error"  => Change.delete(img(r))
+        case et       => Change.update( // before-image differs on purpose:
+          // if the apply path ever surfaced it, event_type/value flip
+          IndexedSeq(r.get(1), s"stale:$et",
+            Option(r.get(3)).map(_.asInstanceOf[Double] - 1).orNull, null),
+          img(r))
+      }
+    val changes = evs.map(change).toIndexedSeq
+    // a torn tail: an uncommitted update outranking every committed event
+    val u0 = evs.head.get(1)
+    val poison = Change.update(IndexedSeq(u0, "view", 0.0, null),
+      IndexedSeq(u0, "poison", 9.9, "{}"))
+    val names = (1 to 3).map(i => f"events-bin.$i%06d")
+    val third = (changes.size + 2) / 3
+    names.zipWithIndex.foreach { case (name, i) =>
+      val slice = changes.slice(i * third, math.min((i + 1) * third, changes.size))
+      val bytes = BinlogFixture.encode("graft", "events", cols,
+        txns = slice.grouped(250).toSeq, checksum = true,
+        rotateTo = if (i < 2) Some(names(i + 1)) else None,
+        uncommittedTail = if (i == 2) Seq(poison) else Nil)
+      Files.write(java.nio.file.Paths.get(landing, name), bytes)
+    }
+    // the ROTATE chain must agree with the name order _seq relies on
+    val chain = BinlogSource.rotateChain(s, landing)
+    require(chain.map(_._1) == names, s"unexpected files: $chain")
+    require(chain.map(_._2) == Seq(Some(names(1)), Some(names(2)), None),
+      s"broken rotate chain: $chain")
+    val rowSchema = StructType.fromDDL(
+      "user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    val decoded = BinlogSource.changes(s, landing, "events", rowSchema)
+    val stamped = CdcTransform.stampBatch(decoded, opCol = "op",
+      seqCol = "_seq", batchVersionMicros = 1L)
+    LiveView.live(stamped, pks = Seq("user_id"), tieBreak = Some(SeqCol))
+      .select(col("user_id"), col("event_type"), col("value"), col("props"))
+  }
+
   /** T24: mid-stream `ALTER TABLE … ADD COLUMN` replication — the
     * reference's first documented limitation
     * (`/root/reference/README.md:585` "No DDL replication"), closed by
@@ -2770,6 +2846,7 @@ object PipelineOps {
     "t1_cdc_stream_live" -> ((s, dir) => cdcStreamLive(s, dir)),
     "w2_live_view_sql" -> ((s, dir) => registeredLiveViewSql(s, dir)),
     "t12_debezium_cdc" -> ((s, dir) => debeziumCdcLive(s, dir)),
+    "t29_binlog_wire_cdc" -> ((s, dir) => binlogWireCdcLive(s, dir)),
     "t24_schema_evolution" -> ((s, dir) => evolvingCdcLive(s, dir)),
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
     "t13_stream_neardup" -> ((s, dir) => streamNearDupCounts(s, dir)),
@@ -3365,6 +3442,19 @@ object PipelineOps {
     // onto c/d/u and binlog pos = event_id): survivor per user = max pos,
     // deleted when the survivor is the d-image
     "t12_debezium_cdc" ->
+      """SELECT user_id, event_type, value, props FROM (
+        |  SELECT user_id, event_type, value, props,
+        |         CASE WHEN event_type='error' THEN 1 ELSE 0 END AS _deleted,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND _deleted = 0""".stripMargin,
+
+    // same final state as t1/t12 (binlog row events map signup/error/else
+    // onto WRITE/DELETE/UPDATE and _seq restores event order): survivor
+    // per user = last event, deleted when the survivor is the tombstone.
+    // The uncommitted 'poison' tail and every update before-image must
+    // be invisible here — any leak flips a survivor and the hash.
+    "t29_binlog_wire_cdc" ->
       """SELECT user_id, event_type, value, props FROM (
         |  SELECT user_id, event_type, value, props,
         |         CASE WHEN event_type='error' THEN 1 ELSE 0 END AS _deleted,

@@ -1,0 +1,220 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.CRC32
+
+/** Binlog v4 test-vector ENCODER — the sandbox's stand-in for the MySQL
+  * server side of the reference's replication link (no MySQL in the
+  * container; the t29 gate and `BinlogFormatSpec` stage bytes with this
+  * the way t12 stages Debezium JSON lines). Follows the same public
+  * layout [[BinlogFormat]] documents; the spec additionally pins
+  * HAND-WRITTEN golden byte vectors so an encoder/decoder bug pair
+  * cannot cancel out.
+  *
+  * Writes: magic, FORMAT_DESCRIPTION (alg byte + 4 reserved trailing
+  * bytes always, per the >= 5.6.1 layout), TABLE_MAP, WRITE/UPDATE/
+  * DELETE_ROWS v2 with all-columns-present bitmaps, XID commits, and an
+  * optional trailing ROTATE. `logPos` fields are true end-positions and
+  * CRC32 trailers are emitted when `checksum = true`.
+  */
+object BinlogFixture {
+  import BinlogFormat._
+
+  final case class Change(op: String, before: IndexedSeq[Any],
+                          after: IndexedSeq[Any])
+  object Change {
+    def insert(row: IndexedSeq[Any]): Change = Change("I", null, row)
+    def update(before: IndexedSeq[Any], after: IndexedSeq[Any]): Change =
+      Change("U", before, after)
+    def delete(row: IndexedSeq[Any]): Change = Change("D", row, null)
+  }
+
+  /** Encode one binlog file: each inner Seq of `txns` is one transaction
+    * (one rows-event per ≤ `rowsPerEvent` slice, then an XID);
+    * `uncommittedTail` rows are appended WITHOUT an XID (a mid-transaction
+    * crash image the parser must discard); `rotateTo` appends the chain
+    * link. All rows must match `cols` (type codes + metadata). */
+  def encode(db: String, table: String, cols: IndexedSeq[ColumnDef],
+             txns: Seq[Seq[Change]], checksum: Boolean = true,
+             rotateTo: Option[String] = None,
+             uncommittedTail: Seq[Change] = Nil,
+             serverId: Int = 1, tableId: Long = 23L,
+             rowsPerEvent: Int = 100): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(Magic)
+    var pos = 4L
+    def emit(tpe: Int, body: Array[Byte], reservedTail: Int = 0): Unit = {
+      val crcLen = if (checksum || reservedTail > 0) 4 else 0
+      val size = HeaderLen + body.length + crcLen
+      val ev = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+      ev.putInt(1700000000) // timestamp (fixed: fixtures are deterministic)
+      ev.put(tpe.toByte)
+      ev.putInt(serverId)
+      ev.putInt(size)
+      pos += size
+      ev.putInt(pos.toInt) // end-log-pos
+      ev.putShort(0) // flags
+      ev.put(body)
+      if (crcLen == 4) {
+        if (checksum) {
+          val crc = new CRC32(); crc.update(ev.array(), 0, size - 4)
+          ev.putInt(crc.getValue.toInt)
+        } else ev.putInt(0) // FDE reserved tail when alg = off
+      }
+      out.write(ev.array())
+    }
+
+    // FORMAT_DESCRIPTION: ver=4, server version, create ts, header len,
+    // one post-header len per known event type (index = type - 1), alg
+    val nTypes = 0x23 // through the RowsV2 block, like a 5.6 server
+    val fde = ByteBuffer.allocate(2 + 50 + 4 + 1 + nTypes + 1)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    fde.putShort(4)
+    val sv = "5.7.44-graft-fixture".getBytes(UTF_8)
+    fde.put(java.util.Arrays.copyOf(sv, 50))
+    fde.putInt(1700000000)
+    fde.put(HeaderLen.toByte)
+    val phl = new Array[Byte](nTypes)
+    phl(RotateEvent - 1) = 8
+    phl(FormatDescriptionEvent - 1) = (2 + 50 + 4 + 1 + nTypes).toByte
+    phl(XidEvent - 1) = 8
+    phl(TableMapEvent - 1) = 8
+    phl(WriteRowsV2 - 1) = 10
+    phl(UpdateRowsV2 - 1) = 10
+    phl(DeleteRowsV2 - 1) = 10
+    fde.put(phl)
+    fde.put((if (checksum) 1 else 0).toByte)
+    emit(FormatDescriptionEvent, fde.array(), reservedTail = 4)
+
+    // TABLE_MAP
+    emit(TableMapEvent, tableMapBody(db, table, cols, tableId))
+
+    // group CONSECUTIVE same-op runs into one rows-event (log order kept)
+    def rowsEvents(changes: Seq[Change]): Unit = {
+      var i = 0
+      val cs = changes.toIndexedSeq
+      while (i < cs.length) {
+        var j = i
+        while (j < cs.length && cs(j).op == cs(i).op &&
+          j - i < rowsPerEvent) j += 1
+        val slice = cs.slice(i, j)
+        val tpe = cs(i).op match {
+          case "I" => WriteRowsV2
+          case "U" => UpdateRowsV2
+          case "D" => DeleteRowsV2
+        }
+        emit(tpe, rowsBody(tpe, slice, cols, tableId))
+        i = j
+      }
+    }
+
+    txns.foreach { txn =>
+      rowsEvents(txn)
+      val xid = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      xid.putLong(pos) // any id; fixtures use the position
+      emit(XidEvent, xid.array())
+    }
+    if (uncommittedTail.nonEmpty) rowsEvents(uncommittedTail)
+    rotateTo.foreach { next =>
+      val name = next.getBytes(UTF_8)
+      val b = ByteBuffer.allocate(8 + name.length).order(ByteOrder.LITTLE_ENDIAN)
+      b.putLong(4L).put(name)
+      emit(RotateEvent, b.array())
+    }
+    out.toByteArray
+  }
+
+  private def tableMapBody(db: String, table: String,
+      cols: IndexedSeq[ColumnDef], tableId: Long): Array[Byte] = {
+    val dbB = db.getBytes(UTF_8); val tbB = table.getBytes(UTF_8)
+    val metaBytes = cols.flatMap { c => c.tpe match {
+      case TypeVarchar => Seq((c.meta & 0xff).toByte, ((c.meta >> 8) & 0xff).toByte)
+      case TypeDouble  => Seq(8.toByte)
+      case _           => Nil
+    }}
+    val n = cols.size
+    val b = ByteBuffer.allocate(6 + 2 + 1 + dbB.length + 1 + 1 + tbB.length +
+      1 + 1 + n + 1 + metaBytes.size + (n + 7) / 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    putUint48(b, tableId)
+    b.putShort(1) // flags
+    b.put(dbB.length.toByte).put(dbB).put(0.toByte)
+    b.put(tbB.length.toByte).put(tbB).put(0.toByte)
+    b.put(n.toByte) // lenenc, n < 0xfb in fixtures
+    cols.foreach(c => b.put(c.tpe.toByte))
+    b.put(metaBytes.size.toByte)
+    metaBytes.foreach(b.put)
+    b.put(new Array[Byte]((n + 7) / 8)) // nullability bitmap (all 0)
+    b.array()
+  }
+
+  private def rowsBody(tpe: Int, changes: Seq[Change],
+      cols: IndexedSeq[ColumnDef], tableId: Long): Array[Byte] = {
+    val n = cols.size
+    val present = Array.fill[Byte]((n + 7) / 8)(0)
+    (0 until n).foreach(i => present(i / 8) =
+      (present(i / 8) | (1 << (i % 8))).toByte)
+    val images = new ByteArrayOutputStream()
+    def writeImage(row: IndexedSeq[Any]): Unit = {
+      require(row.size == n, s"row arity ${row.size} != $n")
+      val nulls = Array.fill[Byte]((n + 7) / 8)(0)
+      row.zipWithIndex.foreach { case (v, i) =>
+        if (v == null) nulls(i / 8) = (nulls(i / 8) | (1 << (i % 8))).toByte
+      }
+      images.write(nulls)
+      row.zipWithIndex.foreach { case (v, i) =>
+        if (v != null) images.write(valueBytes(v, cols(i)))
+      }
+    }
+    changes.foreach { c =>
+      tpe match {
+        case WriteRowsV2  => writeImage(c.after)
+        case DeleteRowsV2 => writeImage(c.before)
+        case UpdateRowsV2 => writeImage(c.before); writeImage(c.after)
+      }
+    }
+    val img = images.toByteArray
+    val nBitmaps = if (tpe == UpdateRowsV2) 2 else 1
+    val b = ByteBuffer.allocate(6 + 2 + 2 + 1 + nBitmaps * present.length +
+      img.length).order(ByteOrder.LITTLE_ENDIAN)
+    putUint48(b, tableId)
+    b.putShort(0) // flags
+    b.putShort(2) // extra-data length (self-inclusive, no extra data)
+    b.put(n.toByte) // lenenc column count
+    b.put(present)
+    if (tpe == UpdateRowsV2) b.put(present)
+    b.put(img)
+    b.array()
+  }
+
+  private def valueBytes(v: Any, c: ColumnDef): Array[Byte] = {
+    def le(n: Int, x: Long) = {
+      val b = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+      n match {
+        case 1 => b.put(x.toByte); case 2 => b.putShort(x.toShort)
+        case 4 => b.putInt(x.toInt); case 8 => b.putLong(x)
+      }
+      b.array()
+    }
+    c.tpe match {
+      case TypeTiny     => le(1, v.asInstanceOf[Number].longValue())
+      case TypeShort    => le(2, v.asInstanceOf[Number].longValue())
+      case TypeLong     => le(4, v.asInstanceOf[Number].longValue())
+      case TypeLongLong => le(8, v.asInstanceOf[Number].longValue())
+      case TypeDouble   =>
+        val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        b.putDouble(v.asInstanceOf[Number].doubleValue()); b.array()
+      case TypeVarchar  =>
+        val s = v.asInstanceOf[String].getBytes(UTF_8)
+        require(s.length <= c.meta, s"varchar overflow: ${s.length} > ${c.meta}")
+        if (c.meta < 256) Array(s.length.toByte) ++ s
+        else Array((s.length & 0xff).toByte, ((s.length >> 8) & 0xff).toByte) ++ s
+      case t => throw new IllegalArgumentException(s"unsupported type $t")
+    }
+  }
+
+  private def putUint48(b: ByteBuffer, x: Long): Unit =
+    (0 until 6).foreach(i => b.put(((x >> (8 * i)) & 0xff).toByte))
+}

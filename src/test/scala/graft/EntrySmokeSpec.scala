@@ -16,7 +16,11 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     // gate, the driver's correctness JSON just gets smaller, and 31 red
     // gates read as "fewer queries". A silent shrink (or an unregistered
     // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
-    val pinned = 265 // r12: +b7_bucketed_agg_no_exchange (groupBy on the
+    val pinned = 266 // r12: +t29_binlog_wire_cdc (MySQL binlog v4 BYTES →
+    // change rows → live view: CRC32-verified row-event decode, XID
+    // commit boundaries, rotate chain — the reference's wire layer,
+    // sources/BinlogFormat.scala).
+    // r12: +b7_bucketed_agg_no_exchange (groupBy on the
     // bucket key set aggregates with zero exchange; raw-vs-bucketed plan
     // asymmetry REQUIREd in-gate).
     // r12: +b6_bucketed_compaction (generation folding

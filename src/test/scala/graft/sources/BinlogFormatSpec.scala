@@ -1,0 +1,170 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.BinlogFormat._
+import graft.sources.BinlogFixture.Change
+
+/** [[BinlogFormat]] against the public binlog v4 layout.
+  *
+  * The first test parses a HAND-WRITTEN golden byte vector (composed
+  * field-by-field from the format description, independent of
+  * [[BinlogFixture]]) so a mirrored encoder/decoder bug pair cannot
+  * cancel out; the t29 gate's DuckDB oracle is the second independent
+  * anchor (it recomputes the final state from the parquet, not from
+  * these bytes). The remaining tests cover the semantic surface through
+  * encoder roundtrips: images per op, nulls, 2-byte VARCHAR lengths,
+  * CRC32 verification, XID commit boundaries, rotation, and
+  * unknown-event skipping.
+  */
+class BinlogFormatSpec extends AnyFunSuite {
+
+  private def hex(s: String): Array[Byte] =
+    s.split("\\s+").filter(_.nonEmpty).map(Integer.parseInt(_, 16).toByte)
+
+  /** magic; FDE (alg=0, reserved 4-byte tail); TABLE_MAP d.t
+    * (id LONG, name VARCHAR(5)); WRITE_ROWS_V2 (id=7, name="ab"); XID.
+    * Every offset/length below is hand-computed from the layout:
+    * eventSizes 116/40/39/27, end-log-positions 120/160/199/226. */
+  private val golden: Array[Byte] = hex("""
+    FE 62 69 6E
+    00 00 00 00 0F 01 00 00 00 74 00 00 00 78 00 00 00 00 00
+    04 00
+    67 6F 6C 64 65 6E 00 00 00 00 00 00 00 00 00 00
+    00 00 00 00 00 00 00 00 00 00 00 00 00 00 00 00
+    00 00 00 00 00 00 00 00 00 00 00 00 00 00 00 00
+    00 00
+    00 00 00 00
+    13
+    00 00 00 08 00 00 00 00 00 00 00 00 00 00 5C 08
+    00 00 08 00 00 00 00 00 00 00 00 00 00 0A 0A 0A
+    00 00 00
+    00
+    00 00 00 00
+    00 00 00 00 13 01 00 00 00 28 00 00 00 A0 00 00 00 00 00
+    05 00 00 00 00 00 01 00
+    01 64 00 01 74 00 02 03 0F 02 05 00 00
+    00 00 00 00 1E 01 00 00 00 27 00 00 00 C7 00 00 00 00 00
+    05 00 00 00 00 00 00 00 02 00
+    02 03 00 07 00 00 00 02 61 62
+    00 00 00 00 10 01 00 00 00 1B 00 00 00 E2 00 00 00 00 00
+    2A 00 00 00 00 00 00 00
+  """)
+
+  test("golden hand-written vector: FDE + TABLE_MAP + WRITE_ROWS + XID") {
+    val p = parse(golden)
+    assert(p.nextFile.isEmpty)
+    assert(p.droppedUncommitted == 0)
+    assert(p.changes == Vector(RowChange("d", "t", "I",
+      None, Some(IndexedSeq(7L, "ab")), 199L)))
+  }
+
+  test("golden vector without its XID: the transaction never commits") {
+    val torn = golden.dropRight(27)
+    val p = parse(torn)
+    assert(p.changes.isEmpty)
+    assert(p.droppedUncommitted == 1)
+  }
+
+  private val cols = IndexedSeq(
+    ColumnDef(TypeLongLong, 0), ColumnDef(TypeVarchar, 64),
+    ColumnDef(TypeDouble, 8), ColumnDef(TypeVarchar, 400))
+
+  test("roundtrip: op images, nulls, 1- and 2-byte varchar lengths") {
+    val big = "x" * 300 // forces the meta>=256 2-byte length path
+    val bytes = BinlogFixture.encode("db1", "docs", cols, txns = Seq(Seq(
+      Change.insert(IndexedSeq(1L, "alpha", 1.5, big)),
+      Change.insert(IndexedSeq(2L, null, null, null)),
+      Change.update(IndexedSeq(1L, "alpha", 1.5, big),
+        IndexedSeq(1L, "beta", -2.25, "short")),
+      Change.delete(IndexedSeq(2L, null, null, null)))))
+    val p = parse(bytes)
+    assert(p.droppedUncommitted == 0)
+    assert(p.changes.map(_.op) == Vector("I", "I", "U", "D"))
+    assert(p.changes(0).after.get == IndexedSeq(1L, "alpha", 1.5, big))
+    assert(p.changes(1).after.get == IndexedSeq(2L, null, null, null))
+    assert(p.changes(2).before.get == IndexedSeq(1L, "alpha", 1.5, big))
+    assert(p.changes(2).after.get == IndexedSeq(1L, "beta", -2.25, "short"))
+    assert(p.changes(3).before.get == IndexedSeq(2L, null, null, null))
+    assert(p.changes(3).after.isEmpty)
+    // end-log-pos strictly monotone
+    assert(p.changes.map(_.pos) == p.changes.map(_.pos).sorted)
+  }
+
+  test("integer widths and signedness: TINY/SHORT/LONG/LONGLONG") {
+    val icols = IndexedSeq(ColumnDef(TypeTiny, 0), ColumnDef(TypeShort, 0),
+      ColumnDef(TypeLong, 0), ColumnDef(TypeLongLong, 0))
+    val row = IndexedSeq[Any](-5L, -1000L, -70000L, Long.MinValue + 1)
+    val p = parse(BinlogFixture.encode("d", "t", icols,
+      txns = Seq(Seq(Change.insert(row)))))
+    assert(p.changes.head.after.get == row)
+  }
+
+  test("CRC32 on: a corrupted row byte aborts the parse") {
+    val bytes = BinlogFixture.encode("d", "t", cols, txns = Seq(Seq(
+      Change.insert(IndexedSeq(1L, "a", 1.0, "p")))), checksum = true)
+    assert(parse(bytes).changes.size == 1)
+    val corrupt = bytes.clone()
+    corrupt(corrupt.length - 10) = (corrupt(corrupt.length - 10) ^ 0x40).toByte
+    val e = intercept[IllegalArgumentException](parse(corrupt))
+    assert(e.getMessage.contains("CRC32"))
+  }
+
+  test("checksum off: same content parses with no trailing CRCs") {
+    val p = parse(BinlogFixture.encode("d", "t", cols, txns = Seq(Seq(
+      Change.insert(IndexedSeq(9L, "z", 0.5, "q")))), checksum = false))
+    assert(p.changes.head.after.get == IndexedSeq(9L, "z", 0.5, "q"))
+  }
+
+  test("XID boundaries: only committed transactions surface") {
+    val t1 = Seq(Change.insert(IndexedSeq(1L, "a", 1.0, "p")))
+    val t2 = Seq(Change.insert(IndexedSeq(2L, "b", 2.0, "q")),
+      Change.delete(IndexedSeq(1L, "a", 1.0, "p")))
+    val tail = Seq(Change.insert(IndexedSeq(3L, "c", 3.0, "r")),
+      Change.update(IndexedSeq(2L, "b", 2.0, "q"),
+        IndexedSeq(2L, "poison", 0.0, null)))
+    val p = parse(BinlogFixture.encode("d", "t", cols,
+      txns = Seq(t1, t2), uncommittedTail = tail))
+    assert(p.changes.size == 3)
+    assert(p.droppedUncommitted == 2)
+    assert(!p.changes.exists(c => c.after.exists(_.contains("poison"))))
+  }
+
+  test("rotate chain: next file name surfaces; absent on the last file") {
+    val one = Seq(Seq(Change.insert(IndexedSeq(1L, "a", 1.0, "p"))))
+    assert(parse(BinlogFixture.encode("d", "t", cols, one,
+      rotateTo = Some("bin.000002"))).nextFile.contains("bin.000002"))
+    assert(parse(BinlogFixture.encode("d", "t", cols, one)).nextFile.isEmpty)
+  }
+
+  test("unknown event types are size-skipped (GTID/QUERY interleave)") {
+    val bytes = BinlogFixture.encode("d", "t", cols, txns = Seq(Seq(
+      Change.insert(IndexedSeq(4L, "k", 4.0, "v")))), checksum = false)
+    // splice a 25-byte unknown-type event (0x63) at the end
+    val unk = java.nio.ByteBuffer.allocate(25)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    unk.putInt(0); unk.put(0x63.toByte); unk.putInt(1)
+    unk.putInt(25); unk.putInt(0); unk.putShort(0)
+    unk.put(Array[Byte](1, 2, 3, 4, 5, 6))
+    val p = parse(bytes ++ unk.array())
+    assert(p.changes.size == 1)
+  }
+
+  test("malformed inputs fail loudly: bad magic, truncated event") {
+    intercept[IllegalArgumentException](parse("nope".getBytes))
+    val bytes = BinlogFixture.encode("d", "t", cols, txns = Seq(Seq(
+      Change.insert(IndexedSeq(1L, "a", 1.0, "p")))))
+    intercept[IllegalArgumentException](parse(bytes.dropRight(3)))
+  }
+
+  test("rows event before any FORMAT_DESCRIPTION is rejected") {
+    // second event first: slice the golden TABLE_MAP to the front
+    val noFde = Magic ++ golden.slice(4 + 116, golden.length)
+    intercept[IllegalArgumentException](parse(noFde))
+  }
+
+  test("fileOrdinal: standard rotated names order numerically") {
+    assert(BinlogSource.fileOrdinal("/a/b/mysql-bin.000042") == 42L)
+    assert(BinlogSource.fileOrdinal("events-bin.000001") == 1L)
+    intercept[IllegalArgumentException](BinlogSource.fileOrdinal("nodigits"))
+  }
+}
