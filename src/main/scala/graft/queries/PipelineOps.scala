@@ -206,10 +206,41 @@ object PipelineOps {
     * version ⇒ survivor per user = max (file ordinal, pos) = max
     * event_id, so the oracle is t1's derivation. */
   def binlogWireCdcLive(s: SparkSession, dir: String): DataFrame = {
-    import graft.sources.{BinlogFixture, BinlogFormat, BinlogSource}
-    import BinlogFixture.Change
+    import graft.sources.BinlogSource
     import graft.operators.CdcTransform
     val landing = graft.GateCache.tempDir("graft_binlog_src").toString
+    val staged = stageBinlogFiles(s, dir)
+    staged.names.indices.foreach(i => staged.write(landing, i))
+    // the ROTATE chain must agree with the name order _seq relies on
+    val chain = BinlogSource.rotateChain(s, landing)
+    require(chain.map(_._1) == staged.names, s"unexpected files: $chain")
+    require(chain.map(_._2) ==
+      Seq(Some(staged.names(1)), Some(staged.names(2)), None),
+      s"broken rotate chain: $chain")
+    val decoded = BinlogSource.changes(s, landing, "events", BinlogRowSchema)
+    val stamped = CdcTransform.stampBatch(decoded, opCol = "op",
+      seqCol = "_seq", batchVersionMicros = 1L)
+    LiveView.live(stamped, pks = Seq("user_id"), tieBreak = Some(SeqCol))
+      .select(col("user_id"), col("event_type"), col("value"), col("props"))
+  }
+
+  private val BinlogRowSchema = StructType.fromDDL(
+    "user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+
+  private case class StagedBinlogs(names: IndexedSeq[String],
+      bytes: IndexedSeq[Array[Byte]], nCommitted: Int) {
+    def write(landing: String, i: Int): Unit = {
+      Files.write(java.nio.file.Paths.get(landing, names(i)), bytes(i)); ()
+    }
+  }
+
+  /** Shared t29/t30 staging: the events table rendered as three rotated
+    * CRC32-checksummed binlog files (mapping documented on
+    * [[binlogWireCdcLive]]), the last ending in the uncommitted poison
+    * tail. Driver-side by necessity — the encoder plays the server. */
+  private def stageBinlogFiles(s: SparkSession, dir: String): StagedBinlogs = {
+    import graft.sources.{BinlogFixture, BinlogFormat}
+    import BinlogFixture.Change
     val cols = IndexedSeq(
       BinlogFormat.ColumnDef(BinlogFormat.TypeLongLong, 0),    // user_id
       BinlogFormat.ColumnDef(BinlogFormat.TypeVarchar, 64),    // event_type (1-byte len)
@@ -238,26 +269,57 @@ object PipelineOps {
       IndexedSeq(u0, "poison", 9.9, "{}"))
     val names = (1 to 3).map(i => f"events-bin.$i%06d")
     val third = (changes.size + 2) / 3
-    names.zipWithIndex.foreach { case (name, i) =>
+    val bytes = names.indices.map { i =>
       val slice = changes.slice(i * third, math.min((i + 1) * third, changes.size))
-      val bytes = BinlogFixture.encode("graft", "events", cols,
+      BinlogFixture.encode("graft", "events", cols,
         txns = slice.grouped(250).toSeq, checksum = true,
         rotateTo = if (i < 2) Some(names(i + 1)) else None,
         uncommittedTail = if (i == 2) Seq(poison) else Nil)
-      Files.write(java.nio.file.Paths.get(landing, name), bytes)
     }
-    // the ROTATE chain must agree with the name order _seq relies on
-    val chain = BinlogSource.rotateChain(s, landing)
-    require(chain.map(_._1) == names, s"unexpected files: $chain")
-    require(chain.map(_._2) == Seq(Some(names(1)), Some(names(2)), None),
-      s"broken rotate chain: $chain")
-    val rowSchema = StructType.fromDDL(
-      "user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-    val decoded = BinlogSource.changes(s, landing, "events", rowSchema)
-    val stamped = CdcTransform.stampBatch(decoded, opCol = "op",
-      seqCol = "_seq", batchVersionMicros = 1L)
-    LiveView.live(stamped, pks = Seq("user_id"), tieBreak = Some(SeqCol))
-      .select(col("user_id"), col("event_type"), col("value"), col("props"))
+    StagedBinlogs(names, bytes, changes.size)
+  }
+
+  /** T30: [[binlogWireCdcLive]]'s continuous form — the reference's
+    * `run_continuous` loop as a file-shipped binlog TAIL through the
+    * full streaming pipeline. Wave 1 lands two completed rotated files
+    * and drains; wave 2 lands the third (with the uncommitted poison
+    * tail) and RESUMES on the same checkpoint — the file-stream offset
+    * log is the reference's position file (S5), so the first two files
+    * must not re-apply. Both proofs are REQUIREd in-gate: applied rows
+    * == committed changes exactly (a replay would double wave 1; a
+    * leaked torn tail would add one), and the wave-1 live state must
+    * differ from the final state (the tail really advanced). Constant
+    * version ⇒ same oracle as t1/t29. */
+  def binlogStreamCdcLive(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.BinlogSource
+    val landing = graft.GateCache.tempDir("graft_binlog_tail_src").toString
+    val tgt = graft.GateCache.tempDir("graft_binlog_tail_tgt").toString
+    val ckp = graft.GateCache.tempDir("graft_binlog_tail_ckp").toString
+    val staged = stageBinlogFiles(s, dir)
+    val pipe = new CdcPipeline(s, tgt, ckp)
+    def drain(): Unit = {
+      val q = pipe.start(
+        BinlogSource.changesStream(s, landing, "events", BinlogRowSchema),
+        "events_binlog", opCol = "op", seqCol = "_seq",
+        tables = Seq("events"), tableCol = Some("_tbl"),
+        versionOf = _ => 1L)
+      q.awaitTermination()
+    }
+    staged.write(landing, 0); staged.write(landing, 1)
+    drain()
+    val appliedWave1 = pipe.applied("events_binlog").count()
+    staged.write(landing, 2)
+    drain() // resume: only the new file may apply
+    val applied = pipe.applied("events_binlog")
+    require(applied.count() == staged.nCommitted,
+      s"applied ${applied.count()} != committed ${staged.nCommitted} — " +
+        "offset capture replayed a file or leaked the torn tail")
+    require(appliedWave1 < staged.nCommitted,
+      "wave 1 already held every change — the tail never advanced")
+    LiveView.live(
+      applied.select(col("user_id"), col("event_type"), col("value"),
+        col("props"), col(VersionCol), col(SeqCol), col(DeletedCol)),
+      pks = Seq("user_id"), tieBreak = Some(SeqCol))
   }
 
   /** T24: mid-stream `ALTER TABLE … ADD COLUMN` replication — the
@@ -2847,6 +2909,7 @@ object PipelineOps {
     "w2_live_view_sql" -> ((s, dir) => registeredLiveViewSql(s, dir)),
     "t12_debezium_cdc" -> ((s, dir) => debeziumCdcLive(s, dir)),
     "t29_binlog_wire_cdc" -> ((s, dir) => binlogWireCdcLive(s, dir)),
+    "t30_binlog_stream_cdc" -> ((s, dir) => binlogStreamCdcLive(s, dir)),
     "t24_schema_evolution" -> ((s, dir) => evolvingCdcLive(s, dir)),
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
     "t13_stream_neardup" -> ((s, dir) => streamNearDupCounts(s, dir)),
@@ -3455,6 +3518,16 @@ object PipelineOps {
     // The uncommitted 'poison' tail and every update before-image must
     // be invisible here — any leak flips a survivor and the hash.
     "t29_binlog_wire_cdc" ->
+      """SELECT user_id, event_type, value, props FROM (
+        |  SELECT user_id, event_type, value, props,
+        |         CASE WHEN event_type='error' THEN 1 ELSE 0 END AS _deleted,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND _deleted = 0""".stripMargin,
+
+    // t29's continuous form: the same final state through the streaming
+    // tail (two checkpointed waves; exactly-once REQUIREd in-gate)
+    "t30_binlog_stream_cdc" ->
       """SELECT user_id, event_type, value, props FROM (
         |  SELECT user_id, event_type, value, props,
         |         CASE WHEN event_type='error' THEN 1 ELSE 0 END AS _deleted,

@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
-import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructType, TimestampType}
 
 /** Distributed bridge: directory of rotated binlog files →
   * [[graft.streaming.CdcPipeline]]-shaped change rows (row-image columns
@@ -51,35 +51,62 @@ object BinlogSource {
     digits.toLong
   }
 
-  /** Change rows for `table` from every binlog file under `dir`.
-    * `rowSchema` = the row-image columns in TABLE_MAP order (LongType /
-    * DoubleType / StringType per the decoded type surface). */
-  def changes(s: SparkSession, dir: String, table: String,
-              rowSchema: StructType): DataFrame = {
+  /** The fixed schema of the `binaryFile` format (streaming reads must
+    * state it explicitly — file-stream schema inference is off by
+    * default and the format's schema is not inferred for streams). */
+  val BinaryFileSchema: StructType = new StructType()
+    .add("path", StringType).add("modificationTime", TimestampType)
+    .add("length", LongType).add("content", BinaryType)
+
+  private def decode(files: Dataset[(String, Array[Byte])], table: String,
+                     rowSchema: StructType): DataFrame = {
     val out = rowSchema
       .add("op", StringType).add("_seq", LongType).add("_tbl", StringType)
     val n = rowSchema.size
     implicit val enc = Encoders.row(out)
-    s.read.format("binaryFile").load(dir)
-      .select("path", "content")
+    files.flatMap { case (path, bytes) =>
+      val ord = fileOrdinal(path)
+      BinlogFormat.parse(bytes).changes.iterator
+        .zipWithIndex // per-file change ordinal: see ordering scaladoc
+        .filter(_._1.table == table)
+        .map { case (ch, i) =>
+          val img = (if (ch.op == "D") ch.before else ch.after)
+            .getOrElse(throw new IllegalStateException(
+              s"${ch.op} row without its image at pos ${ch.pos}"))
+          require(img.size == n,
+            s"row arity ${img.size} != schema arity $n for $table")
+          Row.fromSeq(img ++ Seq(ch.op, (ord << 40) | i.toLong, ch.table))
+        }
+    }.toDF()
+  }
+
+  private def asFiles(df: DataFrame): Dataset[(String, Array[Byte])] =
+    df.select("path", "content")
       .as[(String, Array[Byte])](
         Encoders.tuple(Encoders.STRING, Encoders.BINARY))
-      .flatMap { case (path, bytes) =>
-        val ord = fileOrdinal(path)
-        BinlogFormat.parse(bytes).changes.iterator
-          .zipWithIndex // per-file change ordinal: see ordering scaladoc
-          .filter(_._1.table == table)
-          .map { case (ch, i) =>
-            val img = (if (ch.op == "D") ch.before else ch.after)
-              .getOrElse(throw new IllegalStateException(
-                s"${ch.op} row without its image at pos ${ch.pos}"))
-            require(img.size == n,
-              s"row arity ${img.size} != schema arity $n for $table")
-            Row.fromSeq(img ++ Seq(ch.op, (ord << 40) | i.toLong, ch.table))
-          }
-      }
-      .toDF()
-  }
+
+  /** Change rows for `table` from every binlog file under `dir`.
+    * `rowSchema` = the row-image columns in TABLE_MAP order (LongType /
+    * DoubleType / StringType per the decoded type surface). */
+  def changes(s: SparkSession, dir: String, table: String,
+              rowSchema: StructType): DataFrame =
+    decode(asFiles(s.read.format("binaryFile").load(dir)), table, rowSchema)
+
+  /** Streaming form — the reference's continuous mode
+    * (`CDCReplicator.run_continuous`, `src/cdc_replicator.py:296-326`)
+    * as a file-shipped tail: the landing dir is watched and each NEW
+    * binlog file is decoded exactly once, with the file-stream
+    * checkpoint playing the reference's position file (S5 offset
+    * capture at whole-file granularity). Deployment caveat, documented
+    * rather than hidden: file-stream sources treat files as immutable,
+    * so a file must land COMPLETE — i.e. the server's ACTIVE binlog is
+    * consumed only once rotated (standard relay/backup shipping); a
+    * live socket tail would need the wire handshake the sandbox cannot
+    * host (COVERAGE.md, environment-blocked). */
+  def changesStream(s: SparkSession, dir: String, table: String,
+                    rowSchema: StructType): DataFrame =
+    decode(asFiles(s.readStream.format("binaryFile")
+      .schema(BinaryFileSchema).load(dir)), table, rowSchema)
 
   /** (file name, rotate target) per binlog under `dir`, name-ordered —
     * lets callers REQUIRE the ROTATE chain matches the suffix order.
