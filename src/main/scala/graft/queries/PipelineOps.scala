@@ -234,11 +234,22 @@ object PipelineOps {
     }
   }
 
+  /** Memoized [[stageBinlogFiles]] result per sf dir (t29 and t30 stage
+    * the identical fixture; Procurement.partsupp pattern — computeIfAbsent
+    * keeps the encode-once atomic under concurrent gates). The bytes live
+    * on the heap (~events-table size), not in a temp dir, because the two
+    * gates land them in DIFFERENT dirs at different times (t30's waves). */
+  private val stagedBinlogs =
+    new java.util.concurrent.ConcurrentHashMap[String, StagedBinlogs]()
+
   /** Shared t29/t30 staging: the events table rendered as three rotated
     * CRC32-checksummed binlog files (mapping documented on
     * [[binlogWireCdcLive]]), the last ending in the uncommitted poison
     * tail. Driver-side by necessity — the encoder plays the server. */
-  private def stageBinlogFiles(s: SparkSession, dir: String): StagedBinlogs = {
+  private def stageBinlogFiles(s: SparkSession, dir: String): StagedBinlogs =
+    stagedBinlogs.computeIfAbsent(dir, _ => buildBinlogFiles(s, dir))
+
+  private def buildBinlogFiles(s: SparkSession, dir: String): StagedBinlogs = {
     import graft.sources.{BinlogFixture, BinlogFormat}
     import BinlogFixture.Change
     val cols = IndexedSeq(
