@@ -280,12 +280,20 @@ object PipelineOps {
       IndexedSeq(u0, "poison", 9.9, "{}"))
     val names = (1 to 3).map(i => f"events-bin.$i%06d")
     val third = (changes.size + 2) / 3
+    // GTID mode on: each transaction carries its gno and each file opens
+    // with the PREVIOUS_GTIDS set of everything before it — the 5.7+
+    // file shape, so the gates decode interleaved GTID events for real
+    var gno = 1L
     val bytes = names.indices.map { i =>
       val slice = changes.slice(i * third, math.min((i + 1) * third, changes.size))
+      val txns = slice.grouped(250).toSeq
+      val from = gno
+      gno += txns.size
       BinlogFixture.encode("graft", "events", cols,
-        txns = slice.grouped(250).toSeq, checksum = true,
+        txns = txns, checksum = true,
         rotateTo = if (i < 2) Some(names(i + 1)) else None,
-        uncommittedTail = if (i == 2) Seq(poison) else Nil)
+        uncommittedTail = if (i == 2) Seq(poison) else Nil,
+        gtidFrom = Some(from))
     }
     StagedBinlogs(names, bytes, changes.size)
   }
@@ -1216,22 +1224,16 @@ object PipelineOps {
       Tables.read(s, dir, "customer"), "graft_gate_cust_b", "c_custkey", 8)
     // DisableUnnecessaryBucketedScan only credits bucketing for
     // distribution requirements, not filter pruning — turn it off so the
-    // point predicate actually prunes to one bucket; plan eagerly inside
-    // the guard (cf. x_bloom_join)
-    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prevV = s.conf.getOption(key)
-    s.conf.set(key, "false")
-    try {
-      val df = s.table("graft_gate_cust_b")
-        .filter(col("c_custkey") === 42L)
-        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
-          col("c_acctbal"))
-      df.queryExecution.executedPlan
-      df
-    } finally prevV match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
+    // point predicate actually prunes to one bucket. The conf lives on an
+    // ISOLATED child session (shared context + catalog, own conf — the
+    // b3/b4 pattern) so concurrent gates never observe it.
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false")
+    iso.table("graft_gate_cust_b")
+      .filter(col("c_custkey") === 42L)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal"))
   }
 
   /** Stream-stream inner join with an event-time range condition — the

@@ -100,34 +100,24 @@ object Warehouse {
     // is every dim. RuntimeFilterSpec pins
     // `bloom_filter_might_contain` on the executed plan.
     "x_bloom_join" -> ((s, dir) => {
-      val conf = s.conf
-      val keys = Seq(
+      // tuned confs live on an ISOLATED child session (shared context +
+      // catalog, own conf — the b3/b4 pattern) so gates running
+      // concurrently never observe the -1 broadcast thresholds; the
+      // previous set/restore window could flip their plan-shape asserts
+      val iso = s.newSession()
+      iso.conf.set(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-        "spark.sql.autoBroadcastJoinThreshold",
-        "spark.sql.adaptive.autoBroadcastJoinThreshold",
-        "spark.sql.optimizer.runtime.bloomFilter.enabled")
-      val prev = keys.map(k => k -> conf.getOption(k))
-      conf.set(keys(0), "0")
-      conf.set(keys(1), "-1")
-      conf.set(keys(2), "-1")
-      conf.set(keys(3), "true")
-      try {
-        val dim = t(s, dir, "orders")
-          .filter(col("o_orderpriority") === "1-URGENT")
-          .select(col("o_orderkey"))
-        val df = t(s, dir, "lineitem")
-          .join(dim, col("l_orderkey") === col("o_orderkey"))
-          .agg(count(lit(1)).as("n_items"),
-            sum(discPrice).cast("decimal(38,6)").cast("double").as("revenue"))
-        // force optimization NOW, while the tuned confs are active —
-        // the returned frame's (cached) physical plan carries the bloom
-        // filter; a lazy caller would otherwise plan after the finally
-        df.queryExecution.executedPlan
-        df
-      } finally prev.foreach {
-        case (k, Some(v)) => conf.set(k, v)
-        case (k, None) => conf.unset(k)
-      }
+        "0")
+      iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      iso.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      iso.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      val dim = t(iso, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      t(iso, dir, "lineitem")
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(discPrice).cast("decimal(38,6)").cast("double").as("revenue"))
     }),
 
     // Deterministic PII pseudonymization: names replaced by a salted

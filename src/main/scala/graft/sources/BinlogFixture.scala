@@ -31,17 +31,24 @@ object BinlogFixture {
     def delete(row: IndexedSeq[Any]): Change = Change("D", row, null)
   }
 
+  /** The fixed source-UUID fixtures stamp GTIDs with. */
+  val FixtureSid: Array[Byte] = Array.tabulate(16)(i => (i + 1).toByte)
+
   /** Encode one binlog file: each inner Seq of `txns` is one transaction
     * (one rows-event per ≤ `rowsPerEvent` slice, then an XID);
     * `uncommittedTail` rows are appended WITHOUT an XID (a mid-transaction
     * crash image the parser must discard); `rotateTo` appends the chain
-    * link. All rows must match `cols` (type codes + metadata). */
+    * link. All rows must match `cols` (type codes + metadata).
+    * `gtidFrom = Some(n)` writes a PREVIOUS_GTIDS set covering
+    * `FixtureSid:1..n-1` after the FDE and a GTID event (gno = n, n+1, …)
+    * before each transaction — the 5.7+ GTID-mode file shape. */
   def encode(db: String, table: String, cols: IndexedSeq[ColumnDef],
              txns: Seq[Seq[Change]], checksum: Boolean = true,
              rotateTo: Option[String] = None,
              uncommittedTail: Seq[Change] = Nil,
              serverId: Int = 1, tableId: Long = 23L,
-             rowsPerEvent: Int = 100): Array[Byte] = {
+             rowsPerEvent: Int = 100,
+             gtidFrom: Option[Long] = None): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     out.write(Magic)
     var pos = 4L
@@ -88,6 +95,14 @@ object BinlogFixture {
     fde.put((if (checksum) 1 else 0).toByte)
     emit(FormatDescriptionEvent, fde.array(), reservedTail = 4)
 
+    // PREVIOUS_GTIDS: one sid, one interval [1, gtidFrom) applied before
+    gtidFrom.foreach { from =>
+      val b = ByteBuffer.allocate(8 + 16 + 8 + 16).order(ByteOrder.LITTLE_ENDIAN)
+      b.putLong(1L).put(FixtureSid).putLong(1L)
+      b.putLong(1L).putLong(from) // interval end is EXCLUSIVE on the wire
+      emit(PreviousGtidsEvent, b.array())
+    }
+
     // TABLE_MAP
     emit(TableMapEvent, tableMapBody(db, table, cols, tableId))
 
@@ -110,7 +125,16 @@ object BinlogFixture {
       }
     }
 
-    txns.foreach { txn =>
+    txns.zipWithIndex.foreach { case (txn, ti) =>
+      gtidFrom.foreach { from =>
+        // flags1, sid16, gno8, then the 5.7 logical-clock tail
+        // (lt_type1, last_committed8, sequence_number8) the parser skips
+        val b = ByteBuffer.allocate(1 + 16 + 8 + 1 + 8 + 8)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        b.put(1.toByte).put(FixtureSid).putLong(from + ti)
+        b.put(2.toByte).putLong(ti.toLong).putLong(ti.toLong + 1)
+        emit(GtidEvent, b.array())
+      }
       rowsEvents(txn)
       val xid = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
       xid.putLong(pos) // any id; fixtures use the position

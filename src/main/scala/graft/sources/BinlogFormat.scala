@@ -35,10 +35,16 @@ import java.util.zip.CRC32
   *     null bitmap over PRESENT columns, then one value per present
   *     non-null column. UPDATE rows come as (before, after) pairs;
   *   - XID (16): xid8 — the transaction commit marker;
+  *   - GTID (33): flags1, sid16, gno8 (the 5.7+ logical-clock tail is
+  *     skipped) — stamped onto every row change of the transaction it
+  *     opens, so a consumer can track applied GTIDs and resume on ANY
+  *     replica (a (file, pos) offset is server-specific);
+  *   - PREVIOUS_GTIDS (35): the GTID set already applied before this
+  *     file, decoded to the canonical `uuid:start-end` display form;
   *   - ROTATE (4): nextPos8, next file name to the end — the inter-file
   *     ordering chain;
   *   - any other event type is skipped via its header's eventSize (real
-  *     binlogs interleave GTID/PREVIOUS_GTIDS/QUERY events a row-image
+  *     binlogs interleave QUERY/STOP/ROWS_QUERY events a row-image
   *     consumer does not need).
   *
   * Column types supported (the engine's CDC type surface, matching
@@ -75,6 +81,8 @@ object BinlogFormat {
   val WriteRowsV2 = 0x1e
   val UpdateRowsV2 = 0x1f
   val DeleteRowsV2 = 0x20
+  val GtidEvent = 0x21
+  val PreviousGtidsEvent = 0x23
 
   // column type codes (MYSQL_TYPE_*)
   val TypeTiny = 1
@@ -103,14 +111,20 @@ object BinlogFormat {
   final case class RowChange(db: String, table: String, op: String,
                              before: Option[IndexedSeq[Any]],
                              after: Option[IndexedSeq[Any]],
-                             pos: Long)
+                             pos: Long,
+                             gtid: Option[String] = None)
 
   /** Parse result for one file: committed changes in log order, the
-    * ROTATE target (next file in the chain) when present, and how many
-    * row changes sat in a never-committed trailing transaction. */
+    * ROTATE target (next file in the chain) when present, how many row
+    * changes sat in a never-committed trailing transaction, and the
+    * PREVIOUS_GTIDS set (the GTIDs already applied before this file —
+    * modern MySQL's resume token; a consumer that tracks the gtids it
+    * applied can resume on any replica, where a (file, pos) offset is
+    * server-specific). */
   final case class ParsedBinlog(changes: Vector[RowChange],
                                 nextFile: Option[String],
-                                droppedUncommitted: Int)
+                                droppedUncommitted: Int,
+                                previousGtids: Option[String] = None)
 
   import CdcTransformOps.{InsertOp, UpdateOp, DeleteOp}
 
@@ -124,6 +138,8 @@ object BinlogFormat {
     val committed = Vector.newBuilder[RowChange]
     var pending = Vector.empty[RowChange]
     var nextFile: Option[String] = None
+    var currentGtid: Option[String] = None
+    var previousGtids: Option[String] = None
 
     while (off < bytes.length) {
       require(bytes.length - off >= HeaderLen, s"truncated event header at $off")
@@ -179,10 +195,23 @@ object BinlogFormat {
 
         case WriteRowsV2 | UpdateRowsV2 | DeleteRowsV2 =>
           pending ++= parseRowsEvent(body, tpe, logPos, tableMaps)
+            .map(_.copy(gtid = currentGtid))
 
         case XidEvent =>
           committed ++= pending
           pending = Vector.empty
+          currentGtid = None
+
+        case GtidEvent =>
+          // flags1, sid16, gno8 — the logical-clock tail (5.7+) is
+          // version-dependent and skipped
+          body.get()
+          val sid = new Array[Byte](16); body.get(sid)
+          val gno = body.getLong()
+          currentGtid = Some(s"${uuidStr(sid)}:$gno")
+
+        case PreviousGtidsEvent =>
+          previousGtids = Some(parseGtidSet(body))
 
         case RotateEvent =>
           body.getLong() // next position (always 4 post-magic)
@@ -194,7 +223,29 @@ object BinlogFormat {
       }
       off += eventSize
     }
-    ParsedBinlog(committed.result(), nextFile, pending.size)
+    ParsedBinlog(committed.result(), nextFile, pending.size, previousGtids)
+  }
+
+  /** GTID-set wire encoding (PREVIOUS_GTIDS body): n_sids8, then per sid
+    * sid16 + n_intervals8 + (start8, endExclusive8)*. Rendered in the
+    * canonical `uuid:start[-endInclusive]` display form, comma-joined. */
+  private def parseGtidSet(b: ByteBuffer): String = {
+    val nSids = b.getLong()
+    (0L until nSids).map { _ =>
+      val sid = new Array[Byte](16); b.get(sid)
+      val nIv = b.getLong()
+      val ivs = (0L until nIv).map { _ =>
+        val start = b.getLong(); val endEx = b.getLong()
+        if (endEx - 1 == start) s"$start" else s"$start-${endEx - 1}"
+      }
+      s"${uuidStr(sid)}:${ivs.mkString(":")}"
+    }.mkString(",")
+  }
+
+  private def uuidStr(sid: Array[Byte]): String = {
+    val h = sid.map(x => f"${x & 0xff}%02x").mkString
+    s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
+      s"${h.substring(16, 20)}-${h.substring(20)}"
   }
 
   private def parseTableMap(b: ByteBuffer): TableMap = {

@@ -129,6 +129,24 @@ class BinlogFormatSpec extends AnyFunSuite {
     assert(!p.changes.exists(c => c.after.exists(_.contains("poison"))))
   }
 
+  test("GTID mode: transactions stamped, previous-set decoded, tail bare") {
+    val uuid = "01020304-0506-0708-090a-0b0c0d0e0f10" // FixtureSid rendered
+    val t1 = Seq(Change.insert(IndexedSeq(1L, "a", 1.0, "p")))
+    val t2 = Seq(Change.insert(IndexedSeq(2L, "b", 2.0, "q")),
+      Change.delete(IndexedSeq(1L, "a", 1.0, "p")))
+    val tail = Seq(Change.insert(IndexedSeq(3L, "c", 3.0, "r")))
+    val p = parse(BinlogFixture.encode("d", "t", cols,
+      txns = Seq(t1, t2), uncommittedTail = tail, gtidFrom = Some(8L)))
+    assert(p.previousGtids.contains(s"$uuid:1-7"))
+    assert(p.changes.map(_.gtid) ==
+      Vector(Some(s"$uuid:8"), Some(s"$uuid:9"), Some(s"$uuid:9")))
+    assert(p.droppedUncommitted == 1)
+    // non-GTID files carry no stamps at all
+    val bare = parse(BinlogFixture.encode("d", "t", cols, txns = Seq(t1)))
+    assert(bare.previousGtids.isEmpty &&
+      bare.changes.forall(_.gtid.isEmpty))
+  }
+
   test("rotate chain: next file name surfaces; absent on the last file") {
     val one = Seq(Seq(Change.insert(IndexedSeq(1L, "a", 1.0, "p"))))
     assert(parse(BinlogFixture.encode("d", "t", cols, one,
@@ -147,6 +165,27 @@ class BinlogFormatSpec extends AnyFunSuite {
     unk.put(Array[Byte](1, 2, 3, 4, 5, 6))
     val p = parse(bytes ++ unk.array())
     assert(p.changes.size == 1)
+  }
+
+  test("MINIMAL row image: absent columns decode as null") {
+    // hand-built WRITE_ROWS over the golden table (id LONG, name
+    // VARCHAR(5)) with columns-present = 0x01: only id ships. Replaces
+    // the golden vector's rows event; sizes recomputed by hand
+    // (eventSize 36, post-header 10 + body 7).
+    val b = java.nio.ByteBuffer.allocate(36)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(0); b.put(WriteRowsV2.toByte); b.putInt(1)
+    b.putInt(36); b.putInt(196); b.putShort(0) // header
+    b.put(Array[Byte](5, 0, 0, 0, 0, 0)) // tableId 5
+    b.putShort(0); b.putShort(2) // flags, extraLen (self only)
+    b.put(2.toByte) // column count
+    b.put(1.toByte) // present bitmap: id only
+    b.put(0.toByte) // null bitmap over the ONE present column
+    b.putInt(9) // id = 9
+    val xid = golden.takeRight(27)
+    val p = parse(golden.take(4 + 116 + 40) ++ b.array() ++ xid)
+    assert(p.changes.map(c => (c.op, c.after.get)) ==
+      Vector(("I", IndexedSeq(9L, null))))
   }
 
   test("malformed inputs fail loudly: bad magic, truncated event") {
