@@ -341,6 +341,102 @@ object PipelineOps {
       pks = Seq("user_id"), tieBreak = Some(SeqCol))
   }
 
+  /** T31: transactional MULTI-TABLE CDC from the wire itself. t27 proved
+    * consistent cross-table cuts with transaction boundaries the HARNESS
+    * staged; here the boundaries arrive from the binlog — a real
+    * database's log interleaves several tables' rows-events inside one
+    * XID-committed transaction (order header + its lines per commit,
+    * exactly the shape `MultiTableCdc` protects downstream). A 10%
+    * order sample (o_orderkey % 10 = 0, mirrored in the oracle) becomes
+    * one transaction per order across TWO mapped tables, split over two
+    * rotated GTID-mode files; the second file ends in an UNCOMMITTED
+    * cross-table transaction (a poison order header plus two of its
+    * lines). Atomic discard is REQUIREd in-gate on both sides: header
+    * count exact and zero line orphans — a parser that committed row
+    * events as they stream (the reference applies per-event) would leak
+    * a half-order. Output: per-priority order/line/quantity rollup the
+    * oracle recomputes from orders⋈lineitem. */
+  def binlogMultiTableCdcLive(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{BinlogFixture, BinlogFormat, BinlogSource}
+    import BinlogFixture.{Change, TableDef}
+    import graft.operators.CdcTransform
+    val landing = graft.GateCache.tempDir("graft_binlog_mt_src").toString
+    val hdrCols = IndexedSeq(
+      BinlogFormat.ColumnDef(BinlogFormat.TypeLongLong, 0),
+      BinlogFormat.ColumnDef(BinlogFormat.TypeVarchar, 32))
+    val lnCols = IndexedSeq(
+      BinlogFormat.ColumnDef(BinlogFormat.TypeLongLong, 0),
+      BinlogFormat.ColumnDef(BinlogFormat.TypeLongLong, 0),
+      BinlogFormat.ColumnDef(BinlogFormat.TypeDouble, 8))
+    val tables = Seq(TableDef("graft", "orders_hdr", 31L, hdrCols),
+      TableDef("graft", "orders_ln", 32L, lnCols))
+    val hdr = s.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") % 10 === 0)
+      .select("o_orderkey", "o_orderpriority")
+      .orderBy("o_orderkey").collect()
+    val lns = s.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey") % 10 === 0)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber").collect()
+    require(hdr.nonEmpty && lns.nonEmpty, "empty order sample")
+    val lnByOrder = lns.groupBy(_.getLong(0))
+    // one REAL transaction per order: header insert + its line inserts.
+    // The PK is (orderkey, per-order line SEQUENCE): the harness
+    // lineitem carries duplicate (orderkey, linenumber) pairs, which a
+    // real MySQL PK can't — re-keying keeps every raw line alive through
+    // the live view, so the oracle's raw-row counts hold.
+    val txns: IndexedSeq[Seq[(String, Change)]] = hdr.toIndexedSeq.map { h =>
+      val k = h.getLong(0)
+      ("orders_hdr" -> Change.insert(IndexedSeq(k, h.getString(1)))) +:
+        lnByOrder.getOrElse(k, Array.empty).toIndexedSeq.zipWithIndex.map {
+          case (l, i) => "orders_ln" -> Change.insert(
+            IndexedSeq(l.getLong(0), (i + 1).toLong, l.get(2)))
+        }
+    }
+    require(txns.exists(_.size > 2),
+      "no multi-line order — transactions would not span rows-events")
+    val poisonKey = hdr.last.getLong(0) + 10
+    val poisonTxn = Seq(
+      "orders_hdr" -> Change.insert(IndexedSeq(poisonKey, "POISON")),
+      "orders_ln" -> Change.insert(IndexedSeq(poisonKey, 1L, 99.0)),
+      "orders_ln" -> Change.insert(IndexedSeq(poisonKey, 2L, 98.0)))
+    val names = Seq("orders-bin.000001", "orders-bin.000002")
+    val half = (txns.size + 1) / 2
+    Files.write(java.nio.file.Paths.get(landing, names(0)),
+      BinlogFixture.encodeMulti(tables, txns.take(half),
+        rotateTo = Some(names(1)), gtidFrom = Some(1L)))
+    Files.write(java.nio.file.Paths.get(landing, names(1)),
+      BinlogFixture.encodeMulti(tables, txns.drop(half),
+        uncommittedTail = poisonTxn, gtidFrom = Some(1L + half)))
+    val hdrSchema = StructType.fromDDL(
+      "o_orderkey BIGINT, o_orderpriority STRING")
+    val lnSchema = StructType.fromDDL(
+      "l_orderkey BIGINT, l_linenumber BIGINT, l_quantity DOUBLE")
+    def applyLive(table: String, schema: StructType,
+                  pks: Seq[String]): DataFrame = {
+      val stamped = CdcTransform.stampBatch(
+        BinlogSource.changes(s, landing, table, schema),
+        opCol = "op", seqCol = "_seq", batchVersionMicros = 1L)
+      LiveView.live(stamped, pks, tieBreak = Some(SeqCol))
+        .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    }
+    val hdrLive = applyLive("orders_hdr", hdrSchema, Seq("o_orderkey"))
+    val lnLive = applyLive("orders_ln", lnSchema,
+      Seq("l_orderkey", "l_linenumber"))
+    // atomic torn-tail discard, both tables (bounded count actions)
+    require(hdrLive.count() == hdr.length,
+      "header count off — torn tail leaked or a transaction was lost")
+    val orphans = lnLive.join(hdrLive,
+      lnLive("l_orderkey") === hdrLive("o_orderkey"), "left_anti").count()
+    require(orphans == 0,
+      s"$orphans orphaned lines — cross-table atomicity broken")
+    hdrLive.join(lnLive, hdrLive("o_orderkey") === lnLive("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+  }
+
   /** T24: mid-stream `ALTER TABLE … ADD COLUMN` replication — the
     * reference's first documented limitation
     * (`/root/reference/README.md:585` "No DDL replication"), closed by
@@ -2923,6 +3019,7 @@ object PipelineOps {
     "t12_debezium_cdc" -> ((s, dir) => debeziumCdcLive(s, dir)),
     "t29_binlog_wire_cdc" -> ((s, dir) => binlogWireCdcLive(s, dir)),
     "t30_binlog_stream_cdc" -> ((s, dir) => binlogStreamCdcLive(s, dir)),
+    "t31_binlog_multitable_cdc" -> ((s, dir) => binlogMultiTableCdcLive(s, dir)),
     "t24_schema_evolution" -> ((s, dir) => evolvingCdcLive(s, dir)),
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
     "t13_stream_neardup" -> ((s, dir) => streamNearDupCounts(s, dir)),
@@ -3547,6 +3644,18 @@ object PipelineOps {
         |         row_number() OVER (PARTITION BY user_id
         |           ORDER BY event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 AND _deleted = 0""".stripMargin,
+
+    // both live tables rebuilt relationally: the 10% order sample joined
+    // to its lines (the uncommitted poison order appears in NEITHER, so
+    // any atomicity leak flips a count and the hash)
+    "t31_binlog_multitable_cdc" ->
+      """SELECT o.o_orderpriority,
+        |  CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey % 10 = 0
+        |GROUP BY 1""".stripMargin,
 
     // t12's derivation plus the two ALTER-added columns: present exactly
     // when the survivor post-dates the half-max-event-id DDL cutoff

@@ -34,12 +34,16 @@ object BinlogFixture {
   /** The fixed source-UUID fixtures stamp GTIDs with. */
   val FixtureSid: Array[Byte] = Array.tabulate(16)(i => (i + 1).toByte)
 
-  /** Encode one binlog file: each inner Seq of `txns` is one transaction
-    * (one rows-event per ≤ `rowsPerEvent` slice, then an XID);
-    * `uncommittedTail` rows are appended WITHOUT an XID (a mid-transaction
-    * crash image the parser must discard); `rotateTo` appends the chain
-    * link. All rows must match `cols` (type codes + metadata).
-    * `gtidFrom = Some(n)` writes a PREVIOUS_GTIDS set covering
+  /** One replicated table in a multi-table file. */
+  final case class TableDef(db: String, table: String, tableId: Long,
+                            cols: IndexedSeq[ColumnDef])
+
+  /** Single-table [[encodeMulti]]: each inner Seq of `txns` is one
+    * transaction (one rows-event per ≤ `rowsPerEvent` slice, then an
+    * XID); `uncommittedTail` rows are appended WITHOUT an XID (a
+    * mid-transaction crash image the parser must discard); `rotateTo`
+    * appends the chain link. All rows must match `cols` (type codes +
+    * metadata). `gtidFrom = Some(n)` writes a PREVIOUS_GTIDS set covering
     * `FixtureSid:1..n-1` after the FDE and a GTID event (gno = n, n+1, …)
     * before each transaction — the 5.7+ GTID-mode file shape. */
   def encode(db: String, table: String, cols: IndexedSeq[ColumnDef],
@@ -48,7 +52,28 @@ object BinlogFixture {
              uncommittedTail: Seq[Change] = Nil,
              serverId: Int = 1, tableId: Long = 23L,
              rowsPerEvent: Int = 100,
-             gtidFrom: Option[Long] = None): Array[Byte] = {
+             gtidFrom: Option[Long] = None): Array[Byte] =
+    encodeMulti(Seq(TableDef(db, table, tableId, cols)),
+      txns.map(_.map(table -> _)), checksum, rotateTo,
+      uncommittedTail.map(table -> _), serverId, rowsPerEvent, gtidFrom)
+
+  /** Multi-table form — a database's binlog, not a table's: transactions
+    * interleave rows-events of several mapped tables and an XID commits
+    * them ATOMICALLY (the property the reference's per-table threads
+    * destroy and `MultiTableCdc` restores; here it arrives from the wire
+    * itself). Each txn entry is (table name, change); table maps are
+    * announced once up front (parsers keep them per tableId — real
+    * servers re-announce per transaction, both are valid reads of the
+    * format). */
+  def encodeMulti(tables: Seq[TableDef],
+                  txns: Seq[Seq[(String, Change)]],
+                  checksum: Boolean = true,
+                  rotateTo: Option[String] = None,
+                  uncommittedTail: Seq[(String, Change)] = Nil,
+                  serverId: Int = 1,
+                  rowsPerEvent: Int = 100,
+                  gtidFrom: Option[Long] = None): Array[Byte] = {
+    val byName = tables.map(t => t.table -> t).toMap
     val out = new ByteArrayOutputStream()
     out.write(Magic)
     var pos = 4L
@@ -103,24 +128,28 @@ object BinlogFixture {
       emit(PreviousGtidsEvent, b.array())
     }
 
-    // TABLE_MAP
-    emit(TableMapEvent, tableMapBody(db, table, cols, tableId))
+    // TABLE_MAP per replicated table
+    tables.foreach(t =>
+      emit(TableMapEvent, tableMapBody(t.db, t.table, t.cols, t.tableId)))
 
-    // group CONSECUTIVE same-op runs into one rows-event (log order kept)
-    def rowsEvents(changes: Seq[Change]): Unit = {
+    // group CONSECUTIVE same-(table, op) runs into one rows-event
+    // (log order kept; a rows-event addresses exactly one table map)
+    def rowsEvents(changes: Seq[(String, Change)]): Unit = {
       var i = 0
       val cs = changes.toIndexedSeq
       while (i < cs.length) {
         var j = i
-        while (j < cs.length && cs(j).op == cs(i).op &&
-          j - i < rowsPerEvent) j += 1
-        val slice = cs.slice(i, j)
-        val tpe = cs(i).op match {
+        while (j < cs.length && cs(j)._2.op == cs(i)._2.op &&
+          cs(j)._1 == cs(i)._1 && j - i < rowsPerEvent) j += 1
+        val slice = cs.slice(i, j).map(_._2)
+        val tdef = byName.getOrElse(cs(i)._1,
+          throw new IllegalArgumentException(s"unmapped table ${cs(i)._1}"))
+        val tpe = cs(i)._2.op match {
           case "I" => WriteRowsV2
           case "U" => UpdateRowsV2
           case "D" => DeleteRowsV2
         }
-        emit(tpe, rowsBody(tpe, slice, cols, tableId))
+        emit(tpe, rowsBody(tpe, slice, tdef.cols, tdef.tableId))
         i = j
       }
     }

@@ -16,7 +16,10 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     // gate, the driver's correctness JSON just gets smaller, and 31 red
     // gates read as "fewer queries". A silent shrink (or an unregistered
     // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
-    val pinned = 267 // r12: +t30_binlog_stream_cdc (the binlog tail as a
+    val pinned = 268 // r12: +t31_binlog_multitable_cdc (two tables' rows
+    // interleaved inside XID-committed transactions on the wire; the
+    // uncommitted cross-table tail must vanish atomically — REQUIREd).
+    // r12: +t30_binlog_stream_cdc (the binlog tail as a
     // checkpointed file stream: two waves, resume must not re-apply —
     // exactly-once REQUIREd in-gate).
     // r12: +t29_binlog_wire_cdc (MySQL binlog v4 BYTES →
