@@ -255,9 +255,14 @@ object BinlogFormat {
     val db = str(b, dbLen); b.get() // NUL
     val tblLen = b.get() & 0xff
     val tbl = str(b, tblLen); b.get() // NUL
+    // bound counts by the bytes actually present BEFORE allocating —
+    // a corrupted non-checksummed file must fail, not balloon memory
     val n = lenenc(b).toInt
+    require(n >= 0 && n <= b.remaining(), s"column count $n overruns event")
     val types = Array.fill(n)(b.get() & 0xff)
     val metaLen = lenenc(b).toInt
+    require(metaLen >= 0 && metaLen <= b.remaining(),
+      s"metadata length $metaLen overruns event")
     val metaEnd = b.position() + metaLen
     val cols = types.map { t =>
       val meta = t match {
@@ -361,6 +366,8 @@ object BinlogFormat {
 
   /** LSB-first bitmap over `n` bits (the binlog's bit order). */
   private def bitmap(b: ByteBuffer, n: Int): IndexedSeq[Boolean] = {
+    require(n >= 0 && (n + 7) / 8 <= b.remaining(),
+      s"bitmap over $n bits overruns event")
     val bytes = new Array[Byte]((n + 7) / 8)
     b.get(bytes)
     (0 until n).map(i => (bytes(i / 8) & (1 << (i % 8))) != 0)

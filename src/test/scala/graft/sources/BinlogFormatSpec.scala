@@ -201,6 +201,52 @@ class BinlogFormatSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](parse(noFde))
   }
 
+  test("robustness property: truncation/corruption fails cleanly, never hangs") {
+    // A CDC source swallows whatever a crashed server left on disk: for
+    // ANY truncation point and ANY single-byte corruption the parser
+    // must either return a consistent prefix or throw a diagnosable
+    // IllegalArgument/IllegalState — never loop, never emit rows from a
+    // transaction whose XID it did not see.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val full = BinlogFixture.encode("d", "t", cols, txns = Seq(
+      Seq(Change.insert(IndexedSeq(1L, "a", 1.0, "p"))),
+      Seq(Change.update(IndexedSeq(1L, "a", 1.0, "p"),
+        IndexedSeq(1L, "b", 2.0, "q")),
+        Change.delete(IndexedSeq(1L, "b", 2.0, "q")))),
+      gtidFrom = Some(3L))
+    val total = parse(full).changes.size
+    // corruption may legitimately re-frame row boundaries (garbage in);
+    // the invariants are termination + only diagnosable exceptions
+    def outcome(bytes: Array[Byte]): Either[Throwable, Int] =
+      try Right(parse(bytes).changes.size) catch {
+        case e @ (_: IllegalArgumentException | _: IllegalStateException |
+                  _: java.nio.BufferUnderflowException) => Left(e)
+      }
+    val truncate = Prop.forAll(Gen.choose(0, full.length - 1)) { k =>
+      // a prefix of a valid file can never yield MORE committed rows
+      outcome(full.take(k)).forall(_ <= total)
+    }
+    val corrupt = Prop.forAll(Gen.choose(4, full.length - 1),
+      Gen.choose(1, 255)) { (i, x) =>
+      val c = full.clone(); c(i) = (c(i) ^ x).toByte
+      outcome(c); true
+    }
+    // the non-checksummed shape has no CRC to catch flips first — the
+    // parser's own bounds guards must hold on their own
+    val bare = BinlogFixture.encode("d", "t", cols, txns = Seq(
+      Seq(Change.insert(IndexedSeq(1L, "a", 1.0, "p")))), checksum = false)
+    val corruptBare = Prop.forAll(Gen.choose(4, bare.length - 1),
+      Gen.choose(1, 255)) { (i, x) =>
+      val c = bare.clone(); c(i) = (c(i) ^ x).toByte
+      outcome(c); true
+    }
+    Seq(truncate, corrupt, corruptBare).foreach { p =>
+      val r = SCTest.check(SCTest.Parameters.default
+        .withMinSuccessfulTests(200), p)
+      assert(r.passed, r.status.toString)
+    }
+  }
+
   test("fileOrdinal: standard rotated names order numerically") {
     assert(BinlogSource.fileOrdinal("/a/b/mysql-bin.000042") == 42L)
     assert(BinlogSource.fileOrdinal("events-bin.000001") == 1L)
