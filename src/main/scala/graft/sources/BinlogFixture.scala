@@ -120,11 +120,17 @@ object BinlogFixture {
     fde.put((if (checksum) 1 else 0).toByte)
     emit(FormatDescriptionEvent, fde.array(), reservedTail = 4)
 
-    // PREVIOUS_GTIDS: one sid, one interval [1, gtidFrom) applied before
+    // PREVIOUS_GTIDS: one sid, one interval [1, gtidFrom) applied before;
+    // nothing applied yet (from <= 1) is the EMPTY set — zero sids, the
+    // shape a fresh server writes (never a degenerate [1, 1) interval)
     gtidFrom.foreach { from =>
-      val b = ByteBuffer.allocate(8 + 16 + 8 + 16).order(ByteOrder.LITTLE_ENDIAN)
-      b.putLong(1L).put(FixtureSid).putLong(1L)
-      b.putLong(1L).putLong(from) // interval end is EXCLUSIVE on the wire
+      val b =
+        if (from <= 1L) ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+          .putLong(0L)
+        else ByteBuffer.allocate(8 + 16 + 8 + 16)
+          .order(ByteOrder.LITTLE_ENDIAN)
+          .putLong(1L).put(FixtureSid).putLong(1L)
+          .putLong(1L).putLong(from) // interval end is EXCLUSIVE on the wire
       emit(PreviousGtidsEvent, b.array())
     }
 

@@ -150,7 +150,9 @@ object BinlogFormat {
       val eventSize = b.getInt()
       val logPos = b.getInt().toLong & 0xffffffffL
       b.getShort() // flags
-      require(eventSize >= HeaderLen && off + eventSize <= bytes.length,
+      // overflow-safe form: eventSize can be any corrupt Int, so compare
+      // against the REMAINING length, never `off + eventSize`
+      require(eventSize >= HeaderLen && eventSize <= bytes.length - off,
         s"event at $off overruns file (size=$eventSize)")
       require(sawFde || tpe == FormatDescriptionEvent,
         s"first event must be FORMAT_DESCRIPTION, got type $tpe")
@@ -160,12 +162,17 @@ object BinlogFormat {
       // eventSize-5 unconditionally, log_event.cc get_checksum_alg).
       // Later events carry the 4 CRC bytes only when alg = CRC32.
       val fdeAlg =
-        if (tpe == FormatDescriptionEvent) bytes(off + eventSize - 5) & 0xff
-        else -1
+        if (tpe == FormatDescriptionEvent) {
+          // header + fixed part (2+50+4+1) + alg + crc = the v4 minimum
+          require(eventSize >= HeaderLen + 62, s"FDE too short: $eventSize")
+          bytes(off + eventSize - 5) & 0xff
+        } else -1
       val crcLen =
         if (tpe == FormatDescriptionEvent) 4
         else if (checksummed) 4
         else 0
+      require(eventSize >= HeaderLen + crcLen,
+        s"event at $off too short for its checksum (size=$eventSize)")
       if (crcLen == 4 && (fdeAlg == 1 || (fdeAlg == -1 && checksummed))) {
         val crc = new CRC32()
         crc.update(bytes, off, eventSize - 4)
@@ -226,19 +233,62 @@ object BinlogFormat {
     ParsedBinlog(committed.result(), nextFile, pending.size, previousGtids)
   }
 
+  /** Header-only walk returning the trailing ROTATE target — the chain
+    * link at O(events) header reads, no row decode, no CRC pass (the
+    * full [[parse]] is the integrity authority; this exists so chain
+    * validation doesn't decode every row image a second time). */
+  def scanRotate(bytes: Array[Byte]): Option[String] = {
+    require(bytes.length >= 4 && Magic.indices.forall(i => bytes(i) == Magic(i)),
+      "not a binlog: bad magic")
+    var off = 4
+    var checksummed = false
+    var nextFile: Option[String] = None
+    while (off < bytes.length) {
+      require(bytes.length - off >= HeaderLen, s"truncated event header at $off")
+      val b = buf(bytes, off, HeaderLen)
+      b.getInt()
+      val tpe = b.get() & 0xff
+      b.getInt()
+      val eventSize = b.getInt()
+      require(eventSize >= HeaderLen && eventSize <= bytes.length - off,
+        s"event at $off overruns file (size=$eventSize)")
+      if (tpe == FormatDescriptionEvent) {
+        require(eventSize >= HeaderLen + 62, s"FDE too short: $eventSize")
+        checksummed = (bytes(off + eventSize - 5) & 0xff) == 1
+      } else if (tpe == RotateEvent) {
+        val crcLen = if (checksummed) 4 else 0
+        require(eventSize >= HeaderLen + 8 + crcLen, "rotate body too short")
+        val body = buf(bytes, off + HeaderLen, eventSize - HeaderLen - crcLen)
+        body.getLong()
+        val name = new Array[Byte](body.remaining())
+        body.get(name)
+        nextFile = Some(new String(name, UTF_8))
+      }
+      off += eventSize
+    }
+    nextFile
+  }
+
   /** GTID-set wire encoding (PREVIOUS_GTIDS body): n_sids8, then per sid
     * sid16 + n_intervals8 + (start8, endExclusive8)*. Rendered in the
-    * canonical `uuid:start[-endInclusive]` display form, comma-joined. */
+    * canonical `uuid:start[-endInclusive]` display form, comma-joined;
+    * an empty set renders as "". Empty/inverted intervals (endEx <=
+    * start) and sids left with no intervals are dropped defensively —
+    * real servers never write them, but a consumer resuming "from the
+    * set" must not see a malformed `uuid:1-0`. */
   private def parseGtidSet(b: ByteBuffer): String = {
     val nSids = b.getLong()
-    (0L until nSids).map { _ =>
+    (0L until nSids).flatMap { _ =>
       val sid = new Array[Byte](16); b.get(sid)
       val nIv = b.getLong()
-      val ivs = (0L until nIv).map { _ =>
+      val ivs = (0L until nIv).flatMap { _ =>
         val start = b.getLong(); val endEx = b.getLong()
-        if (endEx - 1 == start) s"$start" else s"$start-${endEx - 1}"
+        if (endEx <= start) None
+        else if (endEx - 1 == start) Some(s"$start")
+        else Some(s"$start-${endEx - 1}")
       }
-      s"${uuidStr(sid)}:${ivs.mkString(":")}"
+      if (ivs.isEmpty) None
+      else Some(s"${uuidStr(sid)}:${ivs.mkString(":")}")
     }.mkString(",")
   }
 
@@ -293,6 +343,10 @@ object BinlogFormat {
     val present2 = if (tpe == UpdateRowsV2) bitmap(b, n) else present1
     val out = Vector.newBuilder[RowChange]
     while (b.hasRemaining) {
+      // zero-progress guard: a corrupt all-zeros present bitmap would
+      // otherwise make image() consume 0 bytes per iteration and this
+      // loop emit empty rows until OOM (only reachable without CRCs)
+      val p0 = b.position()
       tpe match {
         case WriteRowsV2 =>
           out += RowChange(tm.db, tm.table, InsertOp,
@@ -306,6 +360,8 @@ object BinlogFormat {
           out += RowChange(tm.db, tm.table, UpdateOp,
             Some(before), Some(after), pos)
       }
+      require(b.position() > p0,
+        "zero-progress row image — corrupt columns-present bitmap")
     }
     out.result()
   }

@@ -110,7 +110,9 @@ object BinlogSource {
 
   /** (file name, rotate target) per binlog under `dir`, name-ordered —
     * lets callers REQUIRE the ROTATE chain matches the suffix order.
-    * Bounded collect: one row per FILE (a fleet's file count, not rows). */
+    * Uses [[BinlogFormat.scanRotate]]'s header-only walk, so chain
+    * validation never decodes row images a second time. Bounded collect:
+    * one row per FILE (a fleet's file count, not rows). */
   def rotateChain(s: SparkSession, dir: String): Seq[(String, Option[String])] =
     s.read.format("binaryFile").load(dir)
       .select("path", "content")
@@ -118,7 +120,7 @@ object BinlogSource {
         Encoders.tuple(Encoders.STRING, Encoders.BINARY))
       .map { case (path, bytes) =>
         (path.substring(path.lastIndexOf('/') + 1),
-          BinlogFormat.parse(bytes).nextFile.getOrElse(""))
+          BinlogFormat.scanRotate(bytes).getOrElse(""))
       }(Encoders.tuple(Encoders.STRING, Encoders.STRING))
       .collect().toSeq.sortBy(x => fileOrdinal(x._1))
       .map { case (f, nx) => (f, Option(nx).filter(_.nonEmpty)) }

@@ -145,13 +145,24 @@ class BinlogFormatSpec extends AnyFunSuite {
     val bare = parse(BinlogFixture.encode("d", "t", cols, txns = Seq(t1)))
     assert(bare.previousGtids.isEmpty &&
       bare.changes.forall(_.gtid.isEmpty))
+    // nothing applied before the first file: the EMPTY set (zero sids),
+    // never a malformed degenerate interval like "uuid:1-0"
+    val fresh = parse(BinlogFixture.encode("d", "t", cols, txns = Seq(t1),
+      gtidFrom = Some(1L)))
+    assert(fresh.previousGtids.contains(""))
+    assert(fresh.changes.head.gtid.contains(s"$uuid:1"))
   }
 
   test("rotate chain: next file name surfaces; absent on the last file") {
     val one = Seq(Seq(Change.insert(IndexedSeq(1L, "a", 1.0, "p"))))
-    assert(parse(BinlogFixture.encode("d", "t", cols, one,
-      rotateTo = Some("bin.000002"))).nextFile.contains("bin.000002"))
-    assert(parse(BinlogFixture.encode("d", "t", cols, one)).nextFile.isEmpty)
+    val withRot = BinlogFixture.encode("d", "t", cols, one,
+      rotateTo = Some("bin.000002"))
+    val noRot = BinlogFixture.encode("d", "t", cols, one)
+    assert(parse(withRot).nextFile.contains("bin.000002"))
+    assert(parse(noRot).nextFile.isEmpty)
+    // the header-only walk agrees with the full decode on both shapes
+    assert(scanRotate(withRot) == parse(withRot).nextFile)
+    assert(scanRotate(noRot) == parse(noRot).nextFile)
   }
 
   test("unknown event types are size-skipped (GTID/QUERY interleave)") {
