@@ -68,15 +68,20 @@ object GateCache {
     p
   }
 
+  /** Best-effort recursive delete — the ONE implementation the gates,
+    * the verify dump and the temp-dir hook share (`File.delete` returns
+    * false rather than throwing, so failures are silently skipped). */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   /** Delete every registered temp dir now (what the shutdown hook runs;
     * callable directly so specs can pin the behavior). Deletion failures
     * are ignored — `File.delete` returns false rather than throwing. */
   def cleanupTempDirs(): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
+    val rm = deleteRecursively _
     var p = tempDirs.poll()
     while (p != null) {
       try rm(p.toFile) catch { case _: Throwable => () }

@@ -43,11 +43,8 @@ object Verify {
     // is exactly the query map passed in
     val out = new java.io.File(outDir)
     if (out.isDirectory) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      Option(out.listFiles()).getOrElse(Array.empty).foreach(rm)
+      Option(out.listFiles()).getOrElse(Array.empty)
+        .foreach(GateCache.deleteRecursively)
     }
     out.mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

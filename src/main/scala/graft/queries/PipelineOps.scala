@@ -35,6 +35,67 @@ object PipelineOps {
     ()
   }
 
+  /** The staged Debezium envelope t12 and t24 both render (signup → c,
+    * error → d with the image in `before`, else u; binlog pos =
+    * event_id) — one builder, previously two inlined copies (review
+    * find). */
+  private def stagedEnvelope(row: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val isDel = col("event_type") === "error"
+    to_json(struct(
+      when(isDel, row).as("before"),
+      when(!isDel, row).as("after"),
+      struct(expr("ts div 1000000").as("ts_ms"),
+        lit("graft").as("db"), lit("events").as("table"),
+        lit("binlog.000001").as("file"), col("event_id").as("pos"))
+        .as("source"),
+      when(isDel, "d").when(col("event_type") === "signup", "c")
+        .otherwise("u").as("op"),
+      expr("ts div 1000000").as("ts_ms")))
+  }
+
+  /** The events fixture's schema as read with nanosAsLong (ts: LONG ns) —
+    * one definition for the five gates that previously inlined it
+    * verbatim (review find: a fixture schema change had five edit sites). */
+  private val EventsNanosDdl: StructType = StructType.fromDDL(
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING")
+
+  /** Run `body` with `kvs` set on the session conf, restoring previous
+    * values (unsetting ones that were absent) afterwards — the scoped
+    * conf plumbing the streaming gates previously re-pasted per gate
+    * (review find: one drifting copy silently leaks session state into
+    * later serial gates). NOT for plan-shape confs a concurrent gate
+    * could observe — those use `newSession()` isolation (b2/b3/bloom). */
+  private def withConfs[A](s: SparkSession, kvs: (String, String)*)
+      (body: => A): A = {
+    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** The spillable state-store provider the stateful gates pin
+    * (off-heap keys + disk spill — the 100 TB state-cardinality choice;
+    * read at the stream's FIRST checkpoint, so a conf scoped around
+    * stream start pins just that stream). */
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** (lo, mid1, mid2, hi) of `c` over `df` — the staged-replay gates'
+    * three wave boundaries, shared so the empty-frame guard exists ONCE
+    * (review find: four of five hand-rolled copies read getLong on a
+    * NULL min and threw an opaque NPE on an empty fixture). */
+  private def terciles(df: DataFrame, c: org.apache.spark.sql.Column,
+      what: String): (Long, Long, Long, Long) = {
+    val b = df.agg(min(c).as("lo"), max(c).as("hi")).head()
+    require(!b.isNullAt(0), s"$what is empty — nothing to stage")
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    (lo, lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3, hi)
+  }
+
   /** O3/A4: replicate three tables into a fresh warehouse and report the
     * reference's result-dict shape (`src/replicator.py:74-85`). */
   def snapshotRoundtrip(s: SparkSession, dir: String): DataFrame = {
@@ -57,9 +118,7 @@ object PipelineOps {
     val pipe = new CdcPipeline(s, tgt, ckp)
 
     // schema as read with nanosAsLong (ts: LONG ns)
-    val schema = StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
-        "value DOUBLE, props STRING")
+    val schema = EventsNanosDdl
     // the file stream source requires a directory: stage the single
     // events.parquet file behind a temp-dir symlink (no data copy)
     val srcDir = graft.GateCache.tempDir("graft_cdc_src")
@@ -98,9 +157,7 @@ object PipelineOps {
     val ckp = graft.GateCache.tempDir("graft_w2_ckp").toString
     val srcDir = graft.GateCache.tempDir("graft_w2_src").toString
     val pipe = new CdcPipeline(s, tgt, ckp)
-    val schema = StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
-        "value DOUBLE, props STRING")
+    val schema = EventsNanosDdl
     val ev = s.read.schema(schema).parquet(s"$dir/events.parquet")
     val mid = ev.agg(expr("max(event_id) div 2")).head().getLong(0)
     def drainWave(pred: org.apache.spark.sql.Column): Unit = {
@@ -147,24 +204,12 @@ object PipelineOps {
     val tgt = graft.GateCache.tempDir("graft_dbz_tgt").toString
     val ckp = graft.GateCache.tempDir("graft_dbz_ckp").toString
     val landing = graft.GateCache.tempDir("graft_dbz_src").toString
-    val rowSchema = StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
-        "value DOUBLE, props STRING")
+    val rowSchema = EventsNanosDdl
     // stage: events → Debezium envelopes (distributed JSON render, no
     // driver loop); the d-envelope carries its image in `before` only
     val row = struct(rowSchema.fieldNames.toIndexedSeq.map(col): _*)
-    val isDel = col("event_type") === "error"
     s.read.schema(rowSchema).parquet(s"$dir/events.parquet")
-      .select(to_json(struct(
-        when(isDel, row).as("before"),
-        when(!isDel, row).as("after"),
-        struct(expr("ts div 1000000").as("ts_ms"),
-          lit("graft").as("db"), lit("events").as("table"),
-          lit("binlog.000001").as("file"), col("event_id").as("pos"))
-          .as("source"),
-        when(isDel, "d").when(col("event_type") === "signup", "c")
-          .otherwise("u").as("op"),
-        expr("ts div 1000000").as("ts_ms"))).as("value"))
+      .select(stagedEnvelope(row).as("value"))
       .write.mode("overwrite").text(landing)
     // Kafka-ism the adapter must survive: a post-delete tombstone (no op,
     // no image) and a non-JSON line — both are dropped, not applied
@@ -458,23 +503,11 @@ object PipelineOps {
     val tgt = graft.GateCache.tempDir("graft_evo_tgt").toString
     val ckp = graft.GateCache.tempDir("graft_evo_ckp").toString
     val landing = graft.GateCache.tempDir("graft_evo_src").toString
-    val rowSchema = StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
-        "value DOUBLE, props STRING")
+    val rowSchema = EventsNanosDdl
     val events = s.read.schema(rowSchema).parquet(s"$dir/events.parquet")
     // the DDL's binlog position: half the max event id (1-row collect)
     val cutoff = events.agg(expr("max(event_id) div 2")).head().getLong(0)
-    val isDel = col("event_type") === "error"
-    def envelope(row: org.apache.spark.sql.Column) = to_json(struct(
-      when(isDel, row).as("before"),
-      when(!isDel, row).as("after"),
-      struct(expr("ts div 1000000").as("ts_ms"),
-        lit("graft").as("db"), lit("events").as("table"),
-        lit("binlog.000001").as("file"), col("event_id").as("pos"))
-        .as("source"),
-      when(isDel, "d").when(col("event_type") === "signup", "c")
-        .otherwise("u").as("op"),
-      expr("ts div 1000000").as("ts_ms")))
+    def envelope(row: org.apache.spark.sql.Column) = stagedEnvelope(row)
     val baseRow = struct(rowSchema.fieldNames.toIndexedSeq.map(col): _*)
     // post-DDL row: the two ALTER-added columns, deterministic per row
     val wideRow = struct(rowSchema.fieldNames.toIndexedSeq.map(col) ++ Seq(
@@ -533,34 +566,18 @@ object PipelineOps {
     // multi-batch dedup semantics at an order of magnitude less fixed
     // cost. Production streams size this to their key cardinality —
     // it's a per-checkpoint knob, not engine semantics.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    // This gate runs on the RocksDB state store — the spillable provider
-    // a 100 TB-key-cardinality dedup needs (the default HDFS-backed store
-    // keeps every key on the executor HEAP; RocksDB keeps them off-heap
-    // with disk spill). providerClass is read at the stream's FIRST
-    // checkpoint, so scoping it here pins this stream to RocksDB without
-    // touching the session's other streams; production sets the same one
-    // conf. Dedup semantics are provider-independent — the same oracle
-    // pins the result, which is the point: swapping the state backend is
-    // a deployment knob, not a semantics change.
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProv = s.conf.getOption(provKey)
-    s.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    // This gate runs on the RocksDB state store ([[RocksDbProvider]]).
+    // Dedup semantics are provider-independent — the same oracle pins
+    // the result, which is the point: swapping the state backend is a
+    // deployment knob, not a semantics change.
+    withConfs(s, "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider) {
       val q = deduped.drop("_ts").writeStream
         .outputMode("append").format("parquet")
         .option("path", outDir).option("checkpointLocation", ckp)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevProv match {
-        case Some(v) => s.conf.set(provKey, v)
-        case None => s.conf.unset(provKey)
-      }
     }
     s.read.parquet(outDir)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
@@ -588,13 +605,8 @@ object PipelineOps {
     val schema = s.read.parquet(srcDir).schema
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProv = s.conf.getOption(provKey)
-    s.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withConfs(s, "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider) {
       // file sinks are append-only — land the update-mode emissions via
       // foreachBatch (each batch's touched-key rows appended)
       val q = graft.streaming.RunningTotals.totalsStream(stream)
@@ -607,12 +619,6 @@ object PipelineOps {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevProv match {
-        case Some(v) => s.conf.set(provKey, v)
-        case None => s.conf.unset(provKey)
-      }
     }
     s.read.parquet(outDir)
       .groupBy(col("user_id"))
@@ -641,13 +647,8 @@ object PipelineOps {
     val schema = s.read.parquet(srcDir).schema
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProv = s.conf.getOption(provKey)
-    s.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withConfs(s, "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider) {
       val q = graft.streaming.TypedStateProfile.profileStream(stream)
         .toDF()
         .writeStream.outputMode("update")
@@ -658,12 +659,6 @@ object PipelineOps {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevProv match {
-        case Some(v) => s.conf.set(provKey, v)
-        case None => s.conf.unset(provKey)
-      }
     }
     val fields = Seq("n_click", "n_error", "n_purchase", "n_signup",
       "n_view", "n_total", "n_cents", "total_cents")
@@ -696,9 +691,7 @@ object PipelineOps {
     val schema = s.read.parquet(srcDir).schema
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
       val q = stream.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
         .writeStream.outputMode("update")
@@ -713,7 +706,7 @@ object PipelineOps {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     // provenance first: one aggregation operator, store "default",
     // state present from batch 0 — only then read its bytes
     val md = s.read.format("state-metadata").load(ckp).collect()
@@ -758,13 +751,8 @@ object PipelineOps {
     val schema = s.read.parquet(srcDir).schema
     def stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProv = s.conf.getOption(provKey)
-    s.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withConfs(s, "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider) {
       def drain(d: DataFrame, ckp: String): Unit = {
         val q = d.writeStream.outputMode("update")
           .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -780,12 +768,6 @@ object PipelineOps {
         stream.select(col("user_id"), col("cents"))).toDF(), ckpV)
       drain(graft.streaming.TypedStateProfile.profileStream(stream).toDF(),
         ckpT)
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevProv match {
-        case Some(v) => s.conf.set(provKey, v)
-        case None => s.conf.unset(provKey)
-      }
     }
     // provenance: one transformWithState operator per checkpoint, state
     // from batch 0, and the DECLARED state variables — only then read.
@@ -851,12 +833,8 @@ object PipelineOps {
     val srcDir = graft.GateCache.tempDir("graft_tss_src").toString
     val d = Tables.events(s, dir)
       .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts_ev"))
-    val b = d.agg(min(unix_micros(col("ts_ev"))).as("lo"),
-      max(unix_micros(col("ts_ev"))).as("hi")).head()
-    require(!b.isNullAt(0), s"events table in $dir is empty — nothing to sessionize")
-    val (lo, hi) = (b.getLong(0), b.getLong(1))
-    val mid1 = lo + (hi - lo) / 3
-    val mid2 = lo + 2 * (hi - lo) / 3
+    val (lo, mid1, mid2, hi) =
+      terciles(d, unix_micros(col("ts_ev")), s"events table in $dir")
     val stage = stageReplayFile(srcDir) _
     def flush(atUs: Long): DataFrame = s.range(1).select(
       lit(-1L).as("user_id"), timestamp_micros(lit(atUs)).as("ts_ev"))
@@ -886,15 +864,13 @@ object PipelineOps {
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     val sess = graft.streaming.EventAnalytics.sessionCounts(stream,
       tsCol = "ts_ev", gap = "30 minutes", watermark = Some("0 seconds"))
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
       val q = sess.writeStream.outputMode("append").format("parquet")
         .option("path", outDir).option("checkpointLocation", ckp)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     s.read.parquet(outDir).filter(col("user_id") >= 0)
       .select(col("user_id"),
         unix_micros(col("session_start")).as("start_us"),
@@ -925,9 +901,7 @@ object PipelineOps {
     stage(d.filter(col("doc_id") * 3 > 2 * m), "b2.parquet", base + 1200000L)
     val stream = s.readStream.schema(d.schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
       graft.streaming.StreamNearDup.run(stream,
         idCol = "doc_id", textCol = "text",
         keepCols = Seq("doc_id", "lang"),
@@ -935,7 +909,7 @@ object PipelineOps {
         shingleWidth = TrainingData.ShingleW, k = TrainingData.MinhashK,
         bands = TrainingData.Bands, rowsPerBand = TrainingData.RowsPerBand,
         trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     graft.streaming.StreamNearDup.landed(s, outDir)
   }
 
@@ -987,9 +961,7 @@ object PipelineOps {
     stage(d.filter(col("doc_id") * 3 > 2 * m), "b2.parquet", base + 1200000L)
     val stream = s.readStream.schema(d.schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
       graft.streaming.StreamContamination.run(stream,
         idCol = "doc_id", textCol = "text",
         keepCols = Seq("doc_id", "lang", "n_chars"),
@@ -997,7 +969,7 @@ object PipelineOps {
         k = TrainingData.WinnowK, w = TrainingData.WinnowW,
         ratio = TrainingData.DecontamRatio,
         trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     graft.streaming.StreamContamination.landed(s, outDir)
   }
 
@@ -1032,14 +1004,12 @@ object PipelineOps {
     stage(e.filter(col("vec_id") * 3 > 2 * m), "b2.parquet", base + 1200000L)
     val stream = s.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
       graft.streaming.StreamAnnIndex.run(stream,
         idCol = "vec_id", vecCol = "embedding",
         centDir = centDir, indexDir = idxDir, checkpointDir = ckp,
         trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     graft.streaming.StreamAnnIndex.probeTopK(s, idxDir,
       e.filter(col("vec_id") < TrainingData.AnnQueryIds),
       "vec_id", "embedding", s.read.parquet(centDir),
@@ -1081,15 +1051,13 @@ object PipelineOps {
       .withWatermark("ts_ev", "30 minutes")
       .groupBy(window(col("ts_ev"), "1 hour"))
       .agg(count(lit(1)).as("n_events"))
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
       val q = agg.writeStream.outputMode("append").format("parquet")
         .option("path", outDir).option("checkpointLocation", ckp)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     s.read.parquet(outDir)
       .select(unix_micros(col("window.start")).as("ws_us"), col("n_events"))
   }
@@ -1135,9 +1103,7 @@ object PipelineOps {
     val tgt = graft.GateCache.tempDir("graft_lc_tgt").toString
     val ckp = graft.GateCache.tempDir("graft_lc_ckp").toString
     val pipe = new CdcPipeline(s, tgt, ckp)
-    val schema = StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
-        "value DOUBLE, props STRING")
+    val schema = EventsNanosDdl
     val srcDir = graft.GateCache.tempDir("graft_lc_src")
     Files.createSymbolicLink(srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
@@ -1186,9 +1152,7 @@ object PipelineOps {
       stamped, pks = Seq("user_id"), versionCol = VersionCol,
       seqCol = SeqCol, deletedCol = DeletedCol, tombstoneRetention = None)
     // state-store partitioning knob, same rationale as streamDedupCounts
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
       val q = live.writeStream.outputMode("update")
         .option("checkpointLocation", ckp)
         .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -1199,7 +1163,7 @@ object PipelineOps {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("_batch").desc)
     s.read.parquet(outDir)
@@ -1256,17 +1220,21 @@ object PipelineOps {
         .agg(count(lit(1)).as("n"), expr("bit_xor(_rh)").as("h"))
     }
     val tgt = s.read.parquet(rep.targetPath("customer"))
-    val mismatch = sums(src)
+    // the detect join's result is ≤ nb rows — collect it ONCE and route
+    // the repair through isin literals, instead of re-running the
+    // src+tgt checksum join for each of the repair/metric branches
+    // (review find: the detect scan previously executed three times)
+    val badBuckets = sums(src)
       .join(sums(tgt).withColumnRenamed("n", "n2").withColumnRenamed("h", "h2"),
         Seq("bucket"), "left")
       .filter(col("n2").isNull || col("n") =!= col("n2") ||
         col("h") =!= col("h2"))
       .select(col("bucket"))
+      .collect().map(_.getInt(0)).sorted
+    val bad = badBuckets.map(Integer.valueOf)
     val repaired = tgt
-      .join(broadcast(mismatch),
-        bucketOf(col("c_custkey")) === col("bucket"), "left_anti")
-      .unionByName(src.join(broadcast(mismatch),
-        bucketOf(col("c_custkey")) === col("bucket"), "left_semi"))
+      .filter(!bucketOf(col("c_custkey")).isin(bad: _*))
+      .unionByName(src.filter(bucketOf(col("c_custkey")).isin(bad: _*)))
     repaired.write.parquet(rep.targetPath("customer_repaired"))
     val back = s.read.parquet(rep.targetPath("customer_repaired"))
     val cmp = sums(back)
@@ -1275,8 +1243,7 @@ object PipelineOps {
     cmp.agg(count(lit(1)).cast("int").as("n_buckets"),
         sum(when(col("n") === col("n2") && col("h") === col("h2"), 1L)
           .otherwise(0L)).cast("long").as("n_buckets_match"))
-      .crossJoin(mismatch.agg(count(lit(1)).cast("int")
-        .as("n_buckets_repaired")))
+      .withColumn("n_buckets_repaired", lit(badBuckets.length))
       .crossJoin(back.agg(count(lit(1)).as("n_rows_final")))
       .select(col("n_buckets"), col("n_buckets_match"),
         col("n_buckets_repaired"), col("n_rows_final"))
@@ -1382,15 +1349,13 @@ object PipelineOps {
         col("p_ts") >= col("v_ts") &&
         col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
     // state-store partitioning knob, same rationale as streamDedupCounts
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
       val q = joined.writeStream.outputMode("append").format("parquet")
         .option("path", outDir).option("checkpointLocation", ckp)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     s.read.parquet(outDir)
   }
 
@@ -1416,11 +1381,8 @@ object PipelineOps {
       .filter(col("event_type").isin("view", "purchase"))
       .select(col("user_id"), col("event_id"), col("event_type"),
         timestamp_micros(col("ts_us")).as("ts_ev"))
-    val b = d.agg(min(unix_micros(col("ts_ev"))).as("lo"),
-      max(unix_micros(col("ts_ev"))).as("hi")).head()
-    val (lo, hi) = (b.getLong(0), b.getLong(1))
-    val mid1 = lo + (hi - lo) / 3
-    val mid2 = lo + 2 * (hi - lo) / 3
+    val (lo, mid1, mid2, hi) =
+      terciles(d, unix_micros(col("ts_ev")), s"events table in $dir")
     val stage = stageReplayFile(srcDir) _
     def flush(atUs: Long): DataFrame = s.range(1).select(
       lit(-1L).as("user_id"), lit(-1L).as("event_id"),
@@ -1467,15 +1429,13 @@ object PipelineOps {
         col("p_ts") >= col("v_ts") &&
         col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
       "left_outer")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
       val q = joined.writeStream.outputMode("append").format("parquet")
         .option("path", outDir).option("checkpointLocation", ckp)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     s.read.parquet(outDir)
   }
 
@@ -1541,9 +1501,19 @@ object PipelineOps {
           (cutoffUs * 1000L, _ / 1000L)
         case _ => (cutoffUs, identity[Long] _)
       }
-    Tables.tsUs(events)
-      .filter(col("ts_us") <= cutoffUs).drop("ts_us")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    // Seed in the SAME native unit the delta predicate uses: seeding on
+    // truncated µs (ts_us <= cutoffUs) while the delta runs ts >
+    // cutoffNative leaves a 999 ns overlap where a sub-µs-aligned row
+    // lands twice (review find; masked only because the fixture's nanos
+    // are whole-µs multiples). seed ≤ cutoffNative ∪ delta > cutoffNative
+    // partitions the domain exactly.
+    val seed = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        events.filter(col("ts") <= cutoffNative)
+      case _ => // TIMESTAMP is µs-precision: unix_micros is exact
+        events.filter(unix_micros(col("ts")) <= cutoffUs)
+    }
+    seed.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(rep.targetPath("events"))
     val (res, newMark0) = rep.replicateIncremental("events", "ts", cutoffNative)
     val newMark = markToUs(newMark0)
@@ -1772,17 +1742,11 @@ object PipelineOps {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("event_date"))
     ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prevV = s.conf.getOption(key)
-    s.conf.set(key, "dynamic")
-    try {
+    withConfs(s, "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
       // rewrite Jan 10 only, re-typing every event to 'rewritten'
       ev.filter(col("event_date") === "2024-01-10")
         .withColumn("event_type", lit("rewritten"))
         .write.mode("overwrite").partitionBy("event_date").parquet(out)
-    } finally prevV match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
     }
     s.read.parquet(out)
       .groupBy(col("event_type"))
@@ -1928,13 +1892,10 @@ object PipelineOps {
     * value-equality with the v1 full-scan aggregate. */
   def footerAggPushdown(s: SparkSession, dir: String): DataFrame = {
     val listKey = "spark.sql.sources.useV1SourceList"
-    val pushKey = "spark.sql.parquet.aggregatePushdown"
-    val prevList = s.conf.get(listKey)
-    val prevPush = s.conf.get(pushKey)
-    s.conf.set(listKey, prevList.split(",").map(_.trim)
-      .filterNot(_ == "parquet").mkString(","))
-    s.conf.set(pushKey, "true")
-    try {
+    val v2List = s.conf.get(listKey).split(",").map(_.trim)
+      .filterNot(_ == "parquet").mkString(",")
+    withConfs(s, listKey -> v2List,
+      "spark.sql.parquet.aggregatePushdown" -> "true") {
       val r = s.read.parquet(s"$dir/lineitem.parquet")
         .agg(expr("count(*)").as("n_rows"),
           min(col("l_quantity")).as("min_qty"),
@@ -1946,8 +1907,6 @@ object PipelineOps {
       Seq((r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
         r.getDouble(4)))
         .toDF("n_rows", "min_qty", "max_qty", "min_price", "max_price")
-    } finally {
-      s.conf.set(listKey, prevList); s.conf.set(pushKey, prevPush)
     }
   }
 
@@ -2190,12 +2149,16 @@ object PipelineOps {
     * through Hadoop FileSystem. Returns the affected bucket ids. */
   private[queries] def eraseBuckets(s: SparkSession, root: String,
       staging: String, reqDf: DataFrame,
-      bucketOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      bucketOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      affectedOpt: Option[Array[Int]] = None)
       : Array[Int] = {
     import s.implicits._
-    // affected buckets from the REQUEST LIST alone — no table scan
-    val affected = reqDf.select(bucketOf(col("user_id")).as("b"))
-      .distinct().as[Int].collect().sorted
+    // affected buckets from the REQUEST LIST alone — no table scan;
+    // callers that already derived the set pass it in (one source of
+    // truth, one fewer driver job — review find)
+    val affected = affectedOpt.getOrElse(
+      reqDf.select(bucketOf(col("user_id")).as("b"))
+        .distinct().as[Int].collect().sorted)
     s.read.parquet(root)
       .filter(col("_bucket").isin(affected.map(Integer.valueOf): _*))
       .join(broadcast(reqDf), Seq("user_id"), "left_anti")
@@ -2211,26 +2174,15 @@ object PipelineOps {
         case s"_bucket=$b" => b.toIntOption
         case _ => None
       }).toSet
-    if (stagedBuckets.nonEmpty) {
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prevV = s.conf.getOption(key)
-      s.conf.set(key, "dynamic")
-      try s.read.parquet(staging).write.mode("overwrite")
-        .partitionBy("_bucket").parquet(root)
-      finally prevV match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
+    if (stagedBuckets.nonEmpty)
+      withConfs(s, "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+        s.read.parquet(staging).write.mode("overwrite")
+          .partitionBy("_bucket").parquet(root)
       }
-    }
     // full-bucket erasure: buckets that staged nothing keep their old
     // files through the dynamic swap — remove them outright
     affected.filterNot(stagedBuckets.contains).foreach { b =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(s"$root/_bucket=$b"))
+      graft.GateCache.deleteRecursively(new java.io.File(s"$root/_bucket=$b"))
     }
     affected
   }
@@ -2266,7 +2218,8 @@ object PipelineOps {
     val untouchedBefore = (0 until nBuckets).filterNot(affected.contains)
       .map(b => b -> fileState(b)).toMap
     // mutation: pruned read → staging → swap → full-bucket cleanup
-    eraseBuckets(s, root, staging, reqDf, bucketOf)
+    // (affected passed through — derived once above for the snapshot)
+    eraseBuckets(s, root, staging, reqDf, bucketOf, Some(affected))
     val after = s.read.parquet(root)
     val nAfter = after.count()
     val erasedRemaining =
@@ -2314,10 +2267,9 @@ object PipelineOps {
     }
     val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try MultiTableCdc.run(stream, Seq("orders", "lineitem"), root, ckp)
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
+      MultiTableCdc.run(stream, Seq("orders", "lineitem"), root, ckp)
+    }
     def cut(name: String, vO: Long, vL: Long): DataFrame = {
       val ord = MultiTableCdc.readAt(s, root, "orders", vO)
         .select(col("k0").as("_ok"))
@@ -2555,10 +2507,8 @@ object PipelineOps {
     val rows = ReferenceOps.stamped(s, dir)
       .select(col("user_id"), col("event_type"), col("value"), col("props"),
         col(VersionCol), col(SeqCol), col(DeletedCol))
-    val b = rows.agg(min(col(VersionCol)).as("lo"),
-      max(col(VersionCol)).as("hi")).head()
-    val (lo, hi) = (b.getLong(0), b.getLong(1))
-    val (mid1, mid2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val (lo, mid1, mid2, hi) =
+      terciles(rows, col(VersionCol), s"stamped events in $dir")
     val stage = stageReplayFile(srcDir) _
     val base = 1600000000000L
     stage(rows.filter(col(VersionCol) <= mid1), "b0.parquet", base)
@@ -2568,12 +2518,10 @@ object PipelineOps {
       base + 1200000L)
     val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    val attempts =
-      try graft.streaming.SinkRetry.runWithTransientFailure(
+    val attempts = withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
+      graft.streaming.SinkRetry.runWithTransientFailure(
         stream, storeDir, ckp)
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     require(attempts == 2, s"fault must fire exactly once, took $attempts")
     LiveView.live(graft.streaming.SinkRetry.landed(s, storeDir),
       pks = Seq("user_id"), tieBreak = Some(SeqCol))
@@ -2597,10 +2545,8 @@ object PipelineOps {
       .select(col("user_id"), col("event_type"), col("value"),
         col(DeletedCol).as("deleted"), col(VersionCol).as("valid_from"),
         col(SeqCol))
-    val b = rows.agg(min(col("valid_from")).as("lo"),
-      max(col("valid_from")).as("hi")).head()
-    val (lo, hi) = (b.getLong(0), b.getLong(1))
-    val (mid1, mid2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val (lo, mid1, mid2, hi) =
+      terciles(rows, col("valid_from"), s"stamped events in $dir")
     val stage = stageReplayFile(srcDir) _
     val base = 1600000000000L
     stage(rows.filter(col("valid_from") <= mid1), "b0.parquet", base)
@@ -2610,10 +2556,9 @@ object PipelineOps {
       base + 1200000L)
     val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try graft.streaming.StreamScd2.run(stream, storeDir, ckp)
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
+      graft.streaming.StreamScd2.run(stream, storeDir, ckp)
+    }
   }
 
   /** T19: incremental CollapsingMergeTree FINAL under streaming
@@ -2634,9 +2579,8 @@ object PipelineOps {
       ReferenceOps.stamped(s, dir).select("user_id", "event_type", "value",
         "props", VersionCol, SeqCol, DeletedCol),
       pks = Seq("user_id"), payload = payload)
-    val b = cl.agg(min(col(VersionCol)).as("lo"), max(col(VersionCol)).as("hi")).head()
-    val (lo, hi) = (b.getLong(0), b.getLong(1))
-    val (mid1, mid2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val (lo, mid1, mid2, hi) =
+      terciles(cl, col(VersionCol), s"collapsing rows in $dir")
     val stage = stageReplayFile(srcDir) _
     val base = 1600000000000L
     stage(cl.filter(col(VersionCol) <= mid1), "b0.parquet", base)
@@ -2645,11 +2589,10 @@ object PipelineOps {
     stage(cl.filter(col(VersionCol) > mid2), "b2.parquet", base + 1200000L)
     val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try graft.streaming.StreamCollapse.run(stream, pks = Seq("user_id"),
-      payload = payload, storeDir = storeDir, checkpointDir = ckp)
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
+      graft.streaming.StreamCollapse.run(stream, pks = Seq("user_id"),
+        payload = payload, storeDir = storeDir, checkpointDir = ckp)
+    }
   }
 
   /** T20 plumbing: replay events as three micro-batches; each batch BOTH
@@ -2681,9 +2624,7 @@ object PipelineOps {
         max(col("value_micro")).as("_max_value_micro"))
     val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
       val q = stream.writeStream.outputMode("append")
         .option("checkpointLocation", ckp)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -2707,7 +2648,7 @@ object PipelineOps {
         }
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     val last = new java.io.File(mvDir).listFiles()
       .filter(_.getName.startsWith("v")).map(_.getName.drop(1).toLong).max
     (baseDir, s"$mvDir/v$last")
