@@ -38,6 +38,9 @@ object TrainingData {
   val MmrLambda10 = 7L // MMR λ=0.7 as integer weights: 7·rel − 3·penalty
   val MmrPool = 8 // MMR candidate pool per query (the re-rank window)
   val MmrK = 3 // MMR selections per query (greedy steps unrolled)
+  val Bm25K1 = 1.2 // BM25 tf saturation (Robertson k1)
+  val Bm25B = 0.75 // BM25 length normalization
+  val StratumCap = 50 // x_exact_stratified per-stratum cap
   val LshPlanes = 8
   // Pair stage probes only 1-bit flips: the probe side of this self-join
   // IS the corpus, so the explode factor (1+planes = 9 vs 37 at Hamming-2)
@@ -133,18 +136,49 @@ object TrainingData {
     * 1-based token positions covered by a non-first occurrence of some
     * repeated k-gram span (Lee et al. 2021 §4.1 ExactSubstr semantics;
     * see the x_substring_dedup gate comment for the scale analysis). */
-  def subdupCoverage(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val k = SubdupK
-    val base = graft.GateCache.cache(docs(s, dir)
+  /** (tf, df): per-(doc, token) counts and per-token document
+    * frequencies — ONE tokenize→tf→df pipeline for both IR scorers
+    * (review find: tf-idf and BM25 previously inlined it separately; a
+    * tokenization change in one would silently diverge their term
+    * statistics). tf is GateCache'd: it feeds both the score join and
+    * the df derivation, and Catalyst shares no subplan across
+    * references. Empty docs tokenize to [""] — dropped on both sides. */
+  private def termStats(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val tf = graft.GateCache.cache(docs(s, dir)
+      .select(col("doc_id"),
+        explode(split(Text.normalize(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf")))
+    (tf, tf.groupBy(col("token")).agg(count(lit(1)).as("df")))
+  }
+
+  /** Tokenized corpus (doc_id, _arr, n_tokens) — the shared base under
+    * the substring-dedup family and the spectrum. */
+  private def subdupTokens(s: SparkSession, dir: String): DataFrame =
+    graft.GateCache.cache(docs(s, dir)
       .select(col("doc_id"),
         split(Text.normalize(col("text")), " ").as("_raw"))
       .select(col("doc_id"), expr("filter(_raw, w -> w <> '')").as("_arr"))
       .withColumn("n_tokens", size(col("_arr"))))
-    val g = graft.GateCache.cache(base.filter(col("n_tokens") >= k)
+
+  /** (doc_id, i, h): every k-gram span hash with its 1-based start — ONE
+    * recipe for coverage AND spectrum (review find: the spectrum gate
+    * previously re-inlined this verbatim, a silent-desync hazard). */
+  private def subdupSpans(base: DataFrame): DataFrame = {
+    val k = SubdupK
+    graft.GateCache.cache(base.filter(col("n_tokens") >= k)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, n_tokens - ${k - 1}), " +
           s"i -> md5(concat_ws(' ', slice(_arr, i, $k))))")))
       .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h")))
+  }
+
+  def subdupCoverage(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val k = SubdupK
+    val base = subdupTokens(s, dir)
+    val g = subdupSpans(base)
     val firsts = g.groupBy(col("h")).agg(min(col("doc_id")).as("fd"))
     val firstp = g.join(firsts, "h").filter(col("doc_id") === col("fd"))
       .groupBy(col("h")).agg(min(col("i")).as("fp"))
@@ -411,19 +445,11 @@ object TrainingData {
     // |distinct spans| rows and the output is the tiny spectrum itself.
     // The corpus-size-invariant tail shape is what tells an operator how
     // much boilerplate a dedup pass will find before running it.
-    "x_dup_spectrum" -> ((s, dir) => {
-      val k = SubdupK
-      docs(s, dir)
-        .select(split(Text.normalize(col("text")), " ").as("_raw"))
-        .select(expr("filter(_raw, w -> w <> '')").as("_arr"))
-        .filter(size(col("_arr")) >= k)
-        .select(explode(expr(
-          s"transform(sequence(1, size(_arr) - ${k - 1}), " +
-            s"i -> md5(concat_ws(' ', slice(_arr, i, $k))))")).as("h"))
+    "x_dup_spectrum" -> ((s, dir) =>
+      subdupSpans(subdupTokens(s, dir)) // the family's one span recipe
         .groupBy(col("h")).agg(count(lit(1)).as("_c"))
         .groupBy(col("_c").as("n_occurrences"))
-        .agg(count(lit(1)).as("n_spans"))
-    }),
+        .agg(count(lit(1)).as("n_spans"))),
 
     // Join-consistent ENTITY sampling (the user-level holdout): a
     // 1-in-10 customer universe selected by portable hash of the
@@ -468,13 +494,13 @@ object TrainingData {
     // the corpus. The sum of chosen doc_ids binds the exact selected
     // set in the hash compare, not just its size.
     "x_exact_stratified" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
+      val w = Window
         .partitionBy(col("lang"))
         .orderBy(PortableHash.hash32(col("doc_id").cast("string"), "xs|").asc,
           col("doc_id").asc)
       docs(s, dir)
         .withColumn("_rk", row_number().over(w))
-        .filter(col("_rk") <= 50)
+        .filter(col("_rk") <= StratumCap)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_taken"),
           sum(col("n_chars")).cast("long").as("sampled_chars"),
@@ -559,7 +585,7 @@ object TrainingData {
           .distinct())
       val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("f"))
-      val wDoc = org.apache.spark.sql.expressions.Window
+      val wDoc = Window
         .partitionBy(col("doc_id"))
         .orderBy(col("f").asc, col("shingle").asc)
       val prefix = sh.join(freq, "shingle")
@@ -836,7 +862,11 @@ object TrainingData {
         .select(col("query_id"),
           col("n_rel_at_k").cast("long").as("n_rel_at_k"),
           (col("n_rel_at_k").cast("double") / AnnK).as("p_at_k"),
-          (col("n_rel_at_k").cast("double") / (col("_nlab") - 1))
+          // a label unique in the corpus has zero other relevants: recall
+          // is undefined — NULL on both sides (ANSI Spark would otherwise
+          // throw DIVIDE_BY_ZERO where DuckDB returns NULL; review find)
+          when(col("_nlab") > 1,
+            col("n_rel_at_k").cast("double") / (col("_nlab") - 1))
             .as("r_at_k"),
           coalesce(lit(1.0) / col("_first"), lit(0.0)).as("mrr"))
     }),
@@ -879,21 +909,15 @@ object TrainingData {
     // exact integer counts (no cross-row FP accumulation); ln() is the
     // same libm call the tf-idf gate already pins cross-engine.
     "x_bm25_topk" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val toks = d.select(col("doc_id"),
-        explode(split(Text.normalize(col("text")), " ")).as("token"))
-      val tf = graft.GateCache.cache(
-        toks.groupBy(col("doc_id"), col("token"))
-          .agg(count(lit(1)).as("tf")))
-      val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val (tf, dfq) = termStats(s, dir)
       val lens = tf.groupBy(col("doc_id"))
         .agg(sum(col("tf")).cast("long").as("len"))
       val stats = lens.agg(count(lit(1)).as("_n"),
         sum(col("len")).cast("long").as("_tot"))
       val qterms = dfq.orderBy(col("df").desc, col("token").asc)
         .limit(3).select(col("token"))
-      val k1 = 1.2
-      val b = 0.75
+      val k1 = Bm25K1
+      val b = Bm25B
       val scored = tf.join(broadcast(qterms), Seq("token"))
         .join(dfq, Seq("token")).join(lens, Seq("doc_id"))
         .crossJoin(broadcast(stats))
@@ -905,7 +929,7 @@ object TrainingData {
             (col("_tot").cast("double") / col("_n")))))
         .withColumn("_s",
           col("_idf") * (col("tf") * lit(k1 + 1.0)) / col("_den"))
-      val w = org.apache.spark.sql.expressions.Window
+      val w = Window
         .partitionBy(col("token"))
         .orderBy(round(col("_s"), 6).desc, col("doc_id").asc)
       scored.withColumn("rk", row_number().over(w))
@@ -935,7 +959,7 @@ object TrainingData {
           ShingleExprs.wordShinglesNative(col("text"), 2))).as("bg"))
       val qbg = bg.filter(col("doc_id") < AnnQueryIds)
         .select(col("doc_id").as("query_id"), col("bg"))
-      val wl = org.apache.spark.sql.expressions.Window
+      val wl = Window
         .partitionBy(col("query_id"))
         .orderBy(col("shared").desc, col("doc_id").asc)
       val lex = bg.join(broadcast(qbg), Seq("bg"))
@@ -951,7 +975,7 @@ object TrainingData {
           FuseArmK)
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
           col("rk").as("rk_vec"))
-      val wf = org.apache.spark.sql.expressions.Window
+      val wf = Window
         .partitionBy(col("query_id"))
         .orderBy(round(col("_rrf"), 6).desc, col("doc_id").asc)
       lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
@@ -1039,7 +1063,7 @@ object TrainingData {
     // small rational rendered at 6 places (identical doubles in both
     // engines).
     "x_langid_confusion" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
+      val w = Window
         .partitionBy(col("actual"))
       docs(s, dir)
         .select(col("lang").as("actual"),
@@ -1115,7 +1139,11 @@ object TrainingData {
         .filter(col("_hit").cast("double") / col("_nf") > DecontamRatio)
         .select(col("doc_id"))
       d.filter(col("doc_id") % EvalMod =!= 0)
-        .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+        // dropped is O(contaminated docs) — data-dependent, so NO
+        // broadcast hint: a heavily contaminated crawl at 100 TB would
+        // OOM the driver; AQE picks broadcast when it actually fits
+        // (the x_dedup_cluster_apply rule — review find)
+        .join(dropped, Seq("doc_id"), "left_anti")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("total_chars"))
@@ -1170,6 +1198,7 @@ object TrainingData {
     "x_vocab_topk" -> ((s, dir) =>
       docs(s, dir)
         .select(explode(split(Text.normalize(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "") // empty doc -> [""]; drop it (both sides)
         .groupBy(col("token"))
         .agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("token").asc)
@@ -1183,21 +1212,12 @@ object TrainingData {
     // arithmetic (no cross-row FP accumulation); ranking and output use
     // round(·,6) with a token tie-break.
     "x_tfidf_topk" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val toks = d.select(col("doc_id"),
-        explode(split(Text.normalize(col("text")), " ")).as("token"))
-      // tf feeds BOTH the score join and the df derivation; without a
-      // persist, Catalyst plans two full scan+tokenize+aggregate branches
-      // (no subplan sharing across references)
-      val tf = graft.GateCache.cache(
-        toks.groupBy(col("doc_id"), col("token"))
-          .agg(count(lit(1)).as("tf")))
-      val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val nn = d.agg(count(lit(1)).as("_n"))
+      val (tf, dfq) = termStats(s, dir)
+      val nn = docs(s, dir).agg(count(lit(1)).as("_n"))
       val scored = tf.join(dfq, "token").crossJoin(broadcast(nn))
         .select(col("doc_id"), col("token"),
           (col("tf").cast("double") * log(col("_n") / col("df"))).as("_s"))
-      val w = org.apache.spark.sql.expressions.Window
+      val w = Window
         .partitionBy(col("doc_id"))
         .orderBy(round(col("_s"), 6).desc, col("token").asc)
       scored.withColumn("rk", row_number().over(w))
@@ -1218,10 +1238,10 @@ object TrainingData {
       val d = docs(s, dir).select(col("doc_id"),
         (col("doc_id") % PackShards).as("shard"),
         Text.tokenCount(col("text")).cast("long").as("_tok"))
-      val w = org.apache.spark.sql.expressions.Window
+      val w = Window
         .partitionBy(col("shard")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
+        .rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
       d.withColumn("_cum", sum(col("_tok")).over(w))
         .withColumn("chunk_id",
           expr(s"(_cum - _tok) div $SeqLen").cast("long"))
@@ -1456,6 +1476,40 @@ object TrainingData {
     * [[DedupOps.minhashSignature]]'s universal-hash family: identical
     * (a,b,M) constants, identical base hash). Package-visible: the
     * incremental-dedup oracle ([[Curation]]) reuses the `bands` CTE. */
+  /** The CC closure over the LSH pair set (symmetric edges → recursive
+    * walk → min-reachable label) — shared by the three cluster-consuming
+    * oracles (review find: previously three inlined copies, a
+    * desync-prone triple). Requires `pairs` in scope ([[minhashCtes]]). */
+  private[queries] def ccWalkCtes: String =
+    """e AS (SELECT id1, id2 FROM pairs UNION SELECT id2, id1 FROM pairs),
+      |walk(id, r) AS (
+      |  SELECT id1, id2 FROM e
+      |  UNION
+      |  SELECT w.id, e.id2 FROM walk w JOIN e ON e.id1 = w.r),
+      |lab AS (SELECT id, least(id, min(r)) AS label FROM walk GROUP BY id)""".stripMargin
+
+  /** The substring-dedup coverage chain (tokenize → k-gram hash → first
+    * occurrence → covered positions) — shared by x_substring_dedup and
+    * its apply (review find: two inlined copies). */
+  private[queries] def subdupCovCtes: String =
+    s"""a AS MATERIALIZED (SELECT doc_id,
+       |    list_filter(string_split($normDoc, ' '), x -> x <> '') AS arr
+       |  FROM documents),
+       |g AS MATERIALIZED (SELECT doc_id, i,
+       |    md5(array_to_string(list_slice(arr, i, i + $SubdupK - 1), ' ')) AS h
+       |  FROM (SELECT doc_id, arr,
+       |      unnest(range(1, len(arr) - $SubdupK + 2)) AS i
+       |    FROM a WHERE len(arr) >= $SubdupK)),
+       |firsts AS (SELECT h, min(doc_id) AS fd FROM g GROUP BY h),
+       |firstp AS (SELECT g.h, min(g.i) AS fp FROM g
+       |  JOIN firsts ON g.h = firsts.h AND g.doc_id = firsts.fd
+       |  GROUP BY g.h),
+       |dup AS (SELECT g.doc_id, g.i FROM g
+       |  JOIN firsts ON g.h = firsts.h JOIN firstp ON g.h = firstp.h
+       |  WHERE NOT (g.doc_id = firsts.fd AND g.i = firstp.fp)),
+       |cov AS (SELECT DISTINCT doc_id, p FROM (
+       |  SELECT doc_id, i + unnest(range(0, $SubdupK)) AS p FROM dup))""".stripMargin
+
   private[queries] def minhashCtes: String = {
     val minExprs = (0 until MinhashK).map { i =>
       val (a, b) = DedupOps.hashParams(i)
@@ -1633,23 +1687,7 @@ object TrainingData {
     // Mirrors the Spark two-step first-occurrence resolution exactly;
     // a/g materialized (each referenced by multiple downstream CTEs).
     "x_substring_dedup" ->
-      s"""WITH a AS MATERIALIZED (SELECT doc_id,
-         |    list_filter(string_split($normDoc, ' '), x -> x <> '') AS arr
-         |  FROM documents),
-         |g AS MATERIALIZED (SELECT doc_id, i,
-         |    md5(array_to_string(list_slice(arr, i, i + $SubdupK - 1), ' ')) AS h
-         |  FROM (SELECT doc_id, arr,
-         |      unnest(range(1, len(arr) - $SubdupK + 2)) AS i
-         |    FROM a WHERE len(arr) >= $SubdupK)),
-         |firsts AS (SELECT h, min(doc_id) AS fd FROM g GROUP BY h),
-         |firstp AS (SELECT g.h, min(g.i) AS fp FROM g
-         |  JOIN firsts ON g.h = firsts.h AND g.doc_id = firsts.fd
-         |  GROUP BY g.h),
-         |dup AS (SELECT g.doc_id, g.i FROM g
-         |  JOIN firsts ON g.h = firsts.h JOIN firstp ON g.h = firstp.h
-         |  WHERE NOT (g.doc_id = firsts.fd AND g.i = firstp.fp)),
-         |cov AS (SELECT DISTINCT doc_id, p FROM (
-         |  SELECT doc_id, i + unnest(range(0, $SubdupK)) AS p FROM dup)),
+      s"""WITH $subdupCovCtes,
          |cnt AS (SELECT doc_id, count(*) AS nd FROM cov GROUP BY doc_id)
          |SELECT a.doc_id, CAST(len(arr) AS BIGINT) AS n_tokens,
          |  CAST(coalesce(cnt.nd, 0) AS BIGINT) AS n_dup_positions,
@@ -1721,23 +1759,7 @@ object TrainingData {
     // exploded tokens against the coverage set, reassemble in position
     // order (string_agg ORDER BY p), md5-certify.
     "x_substring_dedup_apply" ->
-      s"""WITH a AS MATERIALIZED (SELECT doc_id,
-         |    list_filter(string_split($normDoc, ' '), x -> x <> '') AS arr
-         |  FROM documents),
-         |g AS MATERIALIZED (SELECT doc_id, i,
-         |    md5(array_to_string(list_slice(arr, i, i + $SubdupK - 1), ' ')) AS h
-         |  FROM (SELECT doc_id, arr,
-         |      unnest(range(1, len(arr) - $SubdupK + 2)) AS i
-         |    FROM a WHERE len(arr) >= $SubdupK)),
-         |firsts AS (SELECT h, min(doc_id) AS fd FROM g GROUP BY h),
-         |firstp AS (SELECT g.h, min(g.i) AS fp FROM g
-         |  JOIN firsts ON g.h = firsts.h AND g.doc_id = firsts.fd
-         |  GROUP BY g.h),
-         |dup AS (SELECT g.doc_id, g.i FROM g
-         |  JOIN firsts ON g.h = firsts.h JOIN firstp ON g.h = firstp.h
-         |  WHERE NOT (g.doc_id = firsts.fd AND g.i = firstp.fp)),
-         |cov AS (SELECT DISTINCT doc_id, p FROM (
-         |  SELECT doc_id, i + unnest(range(0, $SubdupK)) AS p FROM dup)),
+      s"""WITH $subdupCovCtes,
          |toks AS (SELECT doc_id, i AS p, arr[i] AS w FROM (
          |  SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i FROM a)),
          |kept AS (SELECT t.doc_id,
@@ -1782,7 +1804,7 @@ object TrainingData {
          |SELECT lang, count(*) AS n_taken,
          |  CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum
-         |FROM r WHERE rk <= 50 GROUP BY lang""".stripMargin,
+         |FROM r WHERE rk <= $StratumCap GROUP BY lang""".stripMargin,
 
     // the same key-hash predicate per table; atomicity restated as the
     // orders-without-their-customer anti count
@@ -1889,12 +1911,7 @@ object TrainingData {
     // (ties min id), restated as an ordered array_agg prefix
     "x_dedup_keep_best" ->
       s"""WITH RECURSIVE $minhashCtes,
-         |e AS (SELECT id1, id2 FROM pairs UNION SELECT id2, id1 FROM pairs),
-         |walk(id, r) AS (
-         |  SELECT id1, id2 FROM e
-         |  UNION
-         |  SELECT w.id, e.id2 FROM walk w JOIN e ON e.id1 = w.r),
-         |lab AS (SELECT id, least(id, min(r)) AS label FROM walk GROUP BY id),
+         |$ccWalkCtes,
          |members AS (SELECT l.id, l.label, d.n_chars
          |  FROM lab l JOIN documents d ON d.doc_id = l.id),
          |best AS (SELECT label,
@@ -1918,12 +1935,7 @@ object TrainingData {
     // the same fixpoint the Spark label propagation converges to
     "x_dedup_cluster_apply" ->
       s"""WITH RECURSIVE $minhashCtes,
-         |e AS (SELECT id1, id2 FROM pairs UNION SELECT id2, id1 FROM pairs),
-         |walk(id, r) AS (
-         |  SELECT id1, id2 FROM e
-         |  UNION
-         |  SELECT w.id, e.id2 FROM walk w JOIN e ON e.id1 = w.r),
-         |lab AS (SELECT id, least(id, min(r)) AS label FROM walk GROUP BY id),
+         |$ccWalkCtes,
          |dropped AS (SELECT id FROM lab WHERE label < id)
          |SELECT lang, count(*) AS n_survivors
          |FROM documents d
@@ -2048,7 +2060,8 @@ object TrainingData {
          |  FROM rel GROUP BY 1, 2)
          |SELECT query_id, CAST(nrel AS BIGINT) AS n_rel_at_k,
          |  CAST(nrel AS DOUBLE) / $AnnK AS p_at_k,
-         |  CAST(nrel AS DOUBLE) / (nlab - 1) AS r_at_k,
+         |  CASE WHEN nlab > 1
+         |    THEN CAST(nrel AS DOUBLE) / (nlab - 1) END AS r_at_k,
          |  coalesce(CAST(1 AS DOUBLE) / first_rel, CAST(0 AS DOUBLE)) AS mrr
          |FROM agg JOIN nl ON nl.label = agg.qlab""".stripMargin,
 
@@ -2061,8 +2074,9 @@ object TrainingData {
         AnnQueryIds, PqShortlist),
 
     "x_bm25_topk" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(string_split($normDoc, ' ')) AS token
-         |              FROM documents),
+      s"""WITH toks0 AS (SELECT doc_id, unnest(string_split($normDoc, ' ')) AS token
+         |               FROM documents),
+         |toks AS (SELECT * FROM toks0 WHERE token <> ''),
          |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
          |       GROUP BY doc_id, token),
          |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
@@ -2074,8 +2088,8 @@ object TrainingData {
          |sc AS (SELECT tf.token, tf.doc_id,
          |    ln(((CAST((SELECT n FROM stats) AS DOUBLE) - dfq.df + 0.5)
          |        / (dfq.df + 0.5)) + 1.0)
-         |    * (tf.tf * 2.2)
-         |    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (lens.len /
+         |    * (tf.tf * ${Bm25K1 + 1.0})
+         |    / (tf.tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * (lens.len /
          |        (CAST((SELECT tot FROM stats) AS DOUBLE)
          |         / (SELECT n FROM stats))))) AS s
          |  FROM tf JOIN q USING (token) JOIN dfq USING (token)
@@ -2127,12 +2141,7 @@ object TrainingData {
 
     "x_leakage_safe_split" ->
       s"""WITH RECURSIVE $minhashCtes,
-         |e AS (SELECT id1, id2 FROM pairs UNION SELECT id2, id1 FROM pairs),
-         |walk(id, r) AS (
-         |  SELECT id1, id2 FROM e
-         |  UNION
-         |  SELECT w.id, e.id2 FROM walk w JOIN e ON e.id1 = w.r),
-         |lab AS (SELECT id, least(id, min(r)) AS label FROM walk GROUP BY id),
+         |$ccWalkCtes,
          |g AS (SELECT d.doc_id,
          |        COALESCE(lab.label, d.doc_id) AS grp
          |      FROM documents d LEFT JOIN lab ON lab.id = d.doc_id),
@@ -2276,11 +2285,13 @@ object TrainingData {
       s"""SELECT token, count(*) AS freq FROM (
          |  SELECT unnest(string_split(${Text.normalizeDuck("text")}, ' ')) AS token
          |  FROM documents)
+         |WHERE token <> ''
          |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
 
     "x_tfidf_topk" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(string_split($normDoc, ' ')) AS token
-         |              FROM documents),
+      s"""WITH toks0 AS (SELECT doc_id, unnest(string_split($normDoc, ' ')) AS token
+         |               FROM documents),
+         |toks AS (SELECT * FROM toks0 WHERE token <> ''),
          |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
          |       GROUP BY doc_id, token),
          |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
