@@ -762,23 +762,17 @@ object Warehouse {
     }),
 
     "x_corr_qty_price" -> ((s, dir) => {
-      val x = col("l_quantity").cast("decimal(9,2)")
-      val y = col("l_extendedprice").cast("decimal(18,2)")
       def d(c: String): Column = col(c).cast("double")
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
-          sum(x).cast("decimal(38,2)").as("sx"),
-          sum(y).cast("decimal(38,2)").as("sy"),
-          sum((x * y).cast("decimal(30,4)")).cast("decimal(38,4)").as("sxy"),
-          sum((x * x).cast("decimal(20,4)")).cast("decimal(38,4)").as("sxx"),
-          sum((y * y).cast("decimal(38,4)")).cast("decimal(38,4)").as("syy"))
-        .select(col("l_returnflag"),
-          round(
-            (d("n") * d("sxy") - d("sx") * d("sy")) /
-              (sqrt(d("n") * d("sxx") - d("sx") * d("sx")) *
-                sqrt(d("n") * d("syy") - d("sy") * d("sy"))), 6)
-            .as("corr_qty_price"))
+      sufficientStats(s, dir)
+        .select(col("l_returnflag"), {
+          // zero-variance group ⇒ correlation undefined: NULL on both
+          // sides (engines disagree at /0 — inf/NaN vs error; review find)
+          val den = sqrt(d("n") * d("sxx") - d("sx") * d("sx")) *
+            sqrt(d("n") * d("syy") - d("sy") * d("sy"))
+          when(den =!= 0.0, round(
+            (d("n") * d("sxy") - d("sx") * d("sy")) / den, 6))
+            .as("corr_qty_price")
+        })
     }),
 
     // Closed-form distributed OLS (normal equations): slope/intercept/R²
@@ -791,27 +785,57 @@ object Warehouse {
     // 6 for the hash). At 100 TB this is the same single shuffle as any
     // grouped aggregate; model quality math costs O(groups).
     "x_linreg_price" -> ((s, dir) => {
-      val x = col("l_quantity").cast("decimal(9,2)")
-      val y = col("l_extendedprice").cast("decimal(18,2)")
       def d(c: String): Column = col(c).cast("double")
       def num: Column = d("n") * d("sxy") - d("sx") * d("sy")
       def denx: Column = d("n") * d("sxx") - d("sx") * d("sx")
       def deny: Column = d("n") * d("syy") - d("sy") * d("sy")
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
-          sum(x).cast("decimal(38,2)").as("sx"),
-          sum(y).cast("decimal(38,2)").as("sy"),
-          sum((x * y).cast("decimal(30,4)")).cast("decimal(38,4)").as("sxy"),
-          sum((x * x).cast("decimal(20,4)")).cast("decimal(38,4)").as("sxx"),
-          sum((y * y).cast("decimal(38,4)")).cast("decimal(38,4)").as("syy"))
+      sufficientStats(s, dir)
         .select(col("l_returnflag"), col("n"),
-          round(num / denx, 6).as("slope"),
-          round((d("sy") - (num / denx) * d("sx")) / d("n"), 6)
+          // zero-variance x ⇒ the fit is undefined: NULL on both sides
+          // (engines disagree at /0 — inf/NaN vs error; review find)
+          when(denx =!= 0.0, round(num / denx, 6)).as("slope"),
+          when(denx =!= 0.0,
+            round((d("sy") - (num / denx) * d("sx")) / d("n"), 6))
             .as("intercept"),
-          round((num * num) / (denx * deny), 6).as("r2"))
+          when(denx =!= 0.0 && deny =!= 0.0,
+            round((num * num) / (denx * deny), 6)).as("r2"))
     })
   )
+
+  /** Exact-decimal sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) of
+    * (quantity, extendedprice) per return flag — ONE aggregation for
+    * both second-moment gates (correlation and OLS; review find:
+    * previously inlined in each, on both engines). Decimal bounds: x ≤
+    * 10^7 (9,2), y ≤ 10^16 (18,2); the products stay inside (30,4)/
+    * (38,4) and the sums inside 38 digits at any SF. */
+  private def sufficientStats(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(9,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("decimal(38,2)").as("sx"),
+        sum(y).cast("decimal(38,2)").as("sy"),
+        sum((x * y).cast("decimal(30,4)")).cast("decimal(38,4)").as("sxy"),
+        sum((x * x).cast("decimal(20,4)")).cast("decimal(38,4)").as("sxx"),
+        sum((y * y).cast("decimal(38,4)")).cast("decimal(38,4)").as("syy"))
+  }
+
+  /** [[sufficientStats]]' oracle-side rebuild — shared CTE text. */
+  private val SuffStatsCte: String =
+    """s AS (SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(9,2))) AS DECIMAL(38,2)) AS sx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sy,
+      |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(9,2))
+      |      * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4)))
+      |      AS DECIMAL(38,4)) AS sxy,
+      |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(9,2))
+      |      * CAST(l_quantity AS DECIMAL(9,2)) AS DECIMAL(20,4)))
+      |      AS DECIMAL(38,4)) AS sxx,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+      |      AS DECIMAL(38,4)) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // the top-3 multiset per priority, tie-safe: row_number may cut ties
@@ -1088,7 +1112,7 @@ object Warehouse {
     "x_weighted_quantiles" ->
       """WITH c AS (SELECT l_returnflag,
         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
-        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |    CAST(sum(CAST(trunc(l_quantity) AS BIGINT) /* truncate like Spark long-cast */) AS BIGINT) AS w
         |  FROM lineitem GROUP BY 1, 2),
         |cw AS (SELECT l_returnflag, price_cents, w,
         |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY price_cents
@@ -1191,54 +1215,41 @@ object Warehouse {
     },
 
     "x_corr_qty_price" ->
-      """WITH s AS (SELECT l_returnflag, count(*) AS n,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(9,2))) AS DECIMAL(38,2)) AS sx,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sy,
-        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(9,2))
-        |      * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4)))
-        |      AS DECIMAL(38,4)) AS sxy,
-        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(9,2))
-        |      * CAST(l_quantity AS DECIMAL(9,2)) AS DECIMAL(20,4)))
-        |      AS DECIMAL(38,4)) AS sxx,
-        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-        |      * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
-        |      AS DECIMAL(38,4)) AS syy
-        |  FROM lineitem GROUP BY l_returnflag)
+      s"""WITH $SuffStatsCte
         |SELECT l_returnflag,
-        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |  CASE WHEN (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) <> 0.0
+        |  THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_qty_price
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  END AS corr_qty_price
         |FROM s""".stripMargin,
 
     "x_linreg_price" ->
-      """WITH s AS (SELECT l_returnflag, count(*) AS n,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(9,2))) AS DECIMAL(38,2)) AS sx,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sy,
-        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(9,2))
-        |      * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4)))
-        |      AS DECIMAL(38,4)) AS sxy,
-        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(9,2))
-        |      * CAST(l_quantity AS DECIMAL(9,2)) AS DECIMAL(20,4)))
-        |      AS DECIMAL(38,4)) AS sxx,
-        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-        |      * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
-        |      AS DECIMAL(38,4)) AS syy
-        |  FROM lineitem GROUP BY l_returnflag),
+      s"""WITH $SuffStatsCte,
         |d AS (SELECT l_returnflag, n,
         |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
         |    CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
         |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
         |  FROM s)
         |SELECT l_returnflag, n,
-        |  round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
-        |    AS slope,
-        |  round((syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd))
-        |    * sxd) / nd, 6) AS intercept,
-        |  round(((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))
-        |    / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6) AS r2
+        |  CASE WHEN (nd * sxxd - sxd * sxd) <> 0.0 THEN
+        |    round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
+        |  END AS slope,
+        |  CASE WHEN (nd * sxxd - sxd * sxd) <> 0.0 THEN
+        |    round((syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd))
+        |      * sxd) / nd, 6)
+        |  END AS intercept,
+        |  CASE WHEN (nd * sxxd - sxd * sxd) <> 0.0
+        |        AND (nd * syyd - syd * syd) <> 0.0 THEN
+        |    round(((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))
+        |      / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
+        |  END AS r2
         |FROM d""".stripMargin,
 
     // Same exclusive-prefix-min formulation as the Spark side, expressed
@@ -1246,7 +1257,7 @@ object Warehouse {
     // the running min of price over all strictly-earlier points in
     // (qty asc, price asc) order is absent or strictly larger.
     "x_pareto_front" ->
-      """WITH pts AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+      """WITH pts AS (SELECT CAST(trunc(l_quantity) AS BIGINT) /* truncate like Spark long-cast */ AS qty,
         |    CAST(l_extendedprice AS DOUBLE) AS price, count(*) AS n_items
         |  FROM lineitem GROUP BY 1, 2),
         |m AS (SELECT qty, price, n_items,
