@@ -115,6 +115,15 @@ object Curation {
        |        FROM documents))""".stripMargin
   }
 
+  /** Range count for the distributed prefix sums — follows the session
+    * (cluster width), overridable via `graft.vocab.cumsum.partitions`:
+    * ONE knob for the whole cumsum family (review find: the shard/bin
+    * gates previously hardcoded defaultParallelism while vocab-coverage
+    * documented exactly why the width must be tunable). */
+  private def cumsumRanges(s: SparkSession): Int =
+    s.conf.getOption("graft.vocab.cumsum.partitions").map(_.toInt)
+      .getOrElse(s.sparkContext.defaultParallelism)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Gopher-style repetition measurements per document: the two standard
@@ -188,14 +197,19 @@ object Curation {
     // small); one final per-doc agg. Docs with no bigrams have no score
     // (no evidence), mirrored in the oracle.
     "x_ngram_lm_score" -> ((s, dir) => {
-      val bg = docs(s, dir).select(col("doc_id"),
-        explode(ShingleExprs.wordShinglesNative(col("text"), 2)).as("bigram"))
-      val c2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+      // bg feeds the model AND the scoring join; c2 feeds c1 AND the
+      // join — cache both or the corpus shingle-explodes 3-4x (review
+      // find, the x_cooccur_lift convention)
+      val bg = graft.GateCache.cache(docs(s, dir).select(col("doc_id"),
+        explode(ShingleExprs.wordShinglesNative(col("text"), 2)).as("bigram")))
+      val c2 = graft.GateCache.cache(
+        bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2")))
       val c1 = c2.select(split(col("bigram"), " ").getItem(0).as("w1"),
           col("c2"))
         .groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
       val v = docs(s, dir)
         .select(explode(split(Text.normalize(col("text")), " ")).as("t"))
+        .filter(col("t") =!= "") // the vocab-size V excludes the phantom ""
         .agg(countDistinct(col("t")).as("_v"))
       bg.join(c2, "bigram")
         .withColumn("w1", split(col("bigram"), " ").getItem(0))
@@ -220,11 +234,10 @@ object Curation {
     // counts (partial-agg'd shuffle on the composite key), per-doc
     // totals ride the same frame, final reduce shuffles on doc_id.
     "x_token_entropy" -> ((s, dir) => {
-      val tf = docs(s, dir)
-        .select(col("doc_id"),
-          explode(split(Text.normalize(col("text")), " ")).as("w"))
-        .filter(col("w") =!= "")
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("_c"))
+      // ONE tokenize→tf recipe with the IR scorers (review find) —
+      // termStats caches tf, which feeds both lens and the join below
+      val tf = TrainingData.termStats(s, dir)._1
+        .select(col("doc_id"), col("token").as("w"), col("tf").as("_c"))
       val lens = tf.groupBy(col("doc_id"))
         .agg(sum(col("_c")).cast("long").as("_n"),
           count(lit(1)).as("n_distinct"))
@@ -258,8 +271,9 @@ object Curation {
         graft.functions.PortableHash.hash32(col("doc_id").cast("string"), "mix|")
           % 1000000)
       val n = d.groupBy(col("source")).agg(count(lit(1)).as("_ns"))
-        .withColumn("_w",
-          when(substring(col("source"), 4, 10).cast("long") % 2 === 1, 3.0)
+        .withColumn("_w", // unbounded suffix like the oracle's substr
+          // (a 10-char cap read different digits past 10; review find)
+          when(expr("substring(source, 4)").cast("long") % 2 === 1, 3.0)
             .otherwise(1.0))
         .withColumn("_ratio", col("_w") / col("_ns"))
       val m = n.agg(max(col("_ratio")).as("_mx"))
@@ -290,8 +304,11 @@ object Curation {
         .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("x"))
       val med = d.groupBy(col("lang"))
         .agg(percentile(col("x"), lit(0.5)).as("med"))
-      val dev = d.join(broadcast(med), "lang")
-        .withColumn("adev", abs(col("x") - col("med")))
+      // dev feeds the MAD aggregate AND the outlier filter — cache it
+      // or the corpus scans a third time (review find: the scaladoc's
+      // "scanned twice" is the cached cost)
+      val dev = graft.GateCache.cache(d.join(broadcast(med), "lang")
+        .withColumn("adev", abs(col("x") - col("med"))))
       val mad = dev.groupBy(col("lang"))
         .agg(percentile(col("adev"), lit(0.5)).as("mad"))
       dev.join(broadcast(mad), "lang")
@@ -341,14 +358,13 @@ object Curation {
       val freq = graft.GateCache.cache(
         docs(s, dir)
           .select(explode(split(Text.normalize(col("text")), " ")).as("token"))
+          .filter(col("token") =!= "") // same vocabulary as x_vocab_topk
           .groupBy(col("token")).agg(count(lit(1)).as("freq")))
       // range count follows the session (not a hardcoded 8): at a
       // billion-token vocabulary the prefix-sum width must scale with the
       // cluster; the offsets window below stays numPartitions rows either
       // way. Overridable via graft.vocab.cumsum.partitions.
-      val nRanges = s.conf.getOption("graft.vocab.cumsum.partitions")
-        .map(_.toInt)
-        .getOrElse(s.sparkContext.defaultParallelism)
+      val nRanges = cumsumRanges(s)
       graft.operators.PrefixSum.inclusive(freq,
           Seq(col("freq").desc, col("token").asc), col("freq"), nRanges,
           "_cum")
@@ -381,9 +397,9 @@ object Curation {
         PortableHash.hash32(col("doc_id").cast("string"), "shard|")
           .as("_h"),
         Text.tokenCount(col("text")).as("_nt"))
-      val nRanges = s.sparkContext.defaultParallelism
       graft.operators.PrefixSum.inclusive(t,
-          Seq(col("_h").asc, col("doc_id").asc), col("_nt"), nRanges, "_cum")
+          Seq(col("_h").asc, col("doc_id").asc), col("_nt"),
+          cumsumRanges(s), "_cum")
         .withColumn("shard_id",
           expr(s"(_cum - _nt) div $ShardTokenBudget"))
         .groupBy(col("shard_id"))
@@ -405,7 +421,7 @@ object Curation {
       val n = t.agg(count(lit(1)).as("_n"))
       graft.operators.PrefixSum.inclusive(t,
           Seq(col("n_chars").asc, col("doc_id").asc), lit(1L),
-          s.sparkContext.defaultParallelism, "_rk")
+          cumsumRanges(s), "_rk")
         .crossJoin(broadcast(n)) // scalar aggregate (1 row)
         .withColumn("bin", expr(s"((_rk - 1) * $EquiDepthBins) div _n"))
         .groupBy(col("bin"))
@@ -462,9 +478,11 @@ object Curation {
     // off the full corpus). Identical unit-cost edit distance in both
     // engines; similarity = 1 − d/max(len) exactly.
     "x_edit_distance_verify" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"),
+      // d feeds BOTH sides of the pair join — cache it or the corpus
+      // normalizes twice (review find)
+      val d = graft.GateCache.cache(docs(s, dir).select(col("doc_id"),
         Text.normalize(col("text")).as("_nt"),
-        length(Text.normalize(col("text"))).as("_len"))
+        length(Text.normalize(col("text"))).as("_len")))
       val pairs = TrainingData.minhashPairs(TrainingData.minhashSig(s, dir))
       pairs
         .join(d.select(col("doc_id").as("id1"), col("_nt").as("_t1"),
@@ -485,12 +503,17 @@ object Curation {
     "x_length_outliers" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("lang"),
         col("n_chars").cast("long").as("x"))
+      // moments as exact DECIMAL sums (int64 Σx² overflows at corpus
+      // scale — ANSI throws, DuckDB silently promotes to HUGEINT; review
+      // find), then ONE double expression mirrored in the oracle
       val m = d.groupBy(col("lang")).agg(
-        count(lit(1)).as("_n"), sum(col("x")).as("_s"),
-        sum(col("x") * col("x")).as("_s2"))
+        count(lit(1)).as("_n"),
+        sum(col("x").cast("decimal(18,0)")).cast("decimal(38,0)").as("_s"),
+        sum((col("x") * col("x")).cast("decimal(20,0)"))
+          .cast("decimal(38,0)").as("_s2"))
       val mu = col("_s").cast("double") / col("_n")
-      val sigma = sqrt((col("_n") * col("_s2") - col("_s") * col("_s"))
-        .cast("double")) / col("_n")
+      val sigma = sqrt(col("_n").cast("double") * col("_s2").cast("double")
+        - col("_s").cast("double") * col("_s").cast("double")) / col("_n")
       d.join(broadcast(m), "lang")
         .filter(abs(col("x").cast("double") - mu) > lit(1.5) * sigma)
         .groupBy(col("lang"))
@@ -515,7 +538,9 @@ object Curation {
         .join(corpusIdx, Seq("band", "band_key"), "left_semi")
         .select(col("doc_id")).distinct()
       docs(s, dir).filter(col("doc_id") % DeltaMod === DeltaMod - 1)
-        .join(broadcast(dupIds.withColumn("_dup", lit(1L))), Seq("doc_id"), "left")
+        // dupIds is O(delta) — data-dependent, no broadcast hint (AQE
+        // broadcasts when it actually fits; review find)
+        .join(dupIds.withColumn("_dup", lit(1L)), Seq("doc_id"), "left")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_new"),
           sum(coalesce(col("_dup"), lit(0L))).cast("long")
@@ -788,7 +813,8 @@ object Curation {
            |c1 AS (SELECT string_split(bigram, ' ')[1] AS w1,
            |         sum(c2) AS c1 FROM c2 GROUP BY 1),
            |v AS (SELECT count(DISTINCT t) AS v FROM (
-           |  SELECT unnest(string_split($norm, ' ')) AS t FROM documents))
+           |  SELECT unnest(string_split($norm, ' ')) AS t FROM documents)
+           |  WHERE t <> '')
            |SELECT doc_id, count(*) AS n_bigrams,
            |  CAST(sum(CAST(round(ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v))
            |    * 1000000000, 0) AS BIGINT)) AS BIGINT) AS lm_score_nano
@@ -850,7 +876,7 @@ object Curation {
       "x_vocab_coverage" ->
         s"""WITH freq AS (SELECT token, count(*) AS freq FROM (
            |    SELECT unnest(string_split($norm, ' ')) AS token
-           |    FROM documents) GROUP BY token),
+           |    FROM documents) WHERE token <> '' GROUP BY token),
            |c AS (SELECT freq, sum(freq) OVER (ORDER BY freq DESC, token ASC
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
            |  FROM freq),
@@ -951,7 +977,8 @@ object Curation {
           |  min(x) AS min_len, max(x) AS max_len
           |FROM d JOIN m USING (lang)
           |WHERE abs(CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / n)
-          |      > 1.5 * (sqrt(CAST(n * s2 - s * s AS DOUBLE)) / n)
+          |      > 1.5 * (sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+          |                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n)
           |GROUP BY lang""".stripMargin,
 
       "x_dedup_incremental" ->

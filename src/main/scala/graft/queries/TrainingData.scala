@@ -143,7 +143,7 @@ object TrainingData {
     * statistics). tf is GateCache'd: it feeds both the score join and
     * the df derivation, and Catalyst shares no subplan across
     * references. Empty docs tokenize to [""] — dropped on both sides. */
-  private def termStats(s: SparkSession, dir: String)
+  private[queries] def termStats(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val tf = graft.GateCache.cache(docs(s, dir)
       .select(col("doc_id"),
