@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Beyond-reference analytics surface over the harness star schema
@@ -28,6 +29,16 @@ object Analytics {
     * within r falls in adjacent cells — recall 1.0 by construction). */
   val GeoRadiusMicroDeg = 10000L
 
+  /** The file's exact-money doctrine (header) as named idioms: per-row
+    * cast to an exact DECIMAL, accumulate in DECIMAL(38) — one
+    * definition instead of 13 hand-repeated cast chains (review find). */
+  private def decSum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("decimal(38,2)")
+  /** Σ extendedprice·(1−discount), the TPC-H discounted revenue. */
+  private def discRevenueSum: Column =
+    sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(22,6)")).cast("decimal(38,6)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: single scan + hash agg on low-cardinality keys.
     // Partial aggregation makes the shuffle tiny at any scale.
@@ -36,10 +47,9 @@ object Analytics {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(22,6)")).cast("decimal(38,6)").as("sum_disc_price"),
+          decSum(col("l_quantity")).as("sum_qty"),
+          decSum(col("l_extendedprice")).as("sum_base_price"),
+          discRevenueSum.as("sum_disc_price"),
           count(lit(1)).as("count_order"))),
 
     // TPC-H Q3 shape: 3-way join; `customer` is small → broadcast hint
@@ -53,8 +63,7 @@ object Analytics {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(22,6)")).cast("decimal(38,6)").as("revenue"))
+        .agg(discRevenueSum.as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }),
@@ -72,8 +81,7 @@ object Analytics {
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(22,6)")).cast("decimal(38,6)").as("revenue"))
+        .agg(discRevenueSum.as("revenue"))
     }),
 
     // TPC-H Q7 shape: date-range join + year extraction, volume by
@@ -87,8 +95,7 @@ object Analytics {
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"), year(col("l_shipdate")).as("ship_year"))
-        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(22,6)")).cast("decimal(38,6)").as("volume"))
+        .agg(discRevenueSum.as("volume"))
     }),
 
     // TPC-H Q17 shape: correlated aggregate (per-part average) consumed by
@@ -99,12 +106,12 @@ object Analytics {
       // (2·qty·n < Σqty) — exact decimal arithmetic, no division, so both
       // engines agree at boundaries.
       val perPart = li.groupBy(col("l_partkey").as("ap_partkey"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+        .agg(decSum(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("n_part_items"))
       li.join(perPart, col("l_partkey") === col("ap_partkey"))
         .filter(col("l_quantity").cast("decimal(18,2)") * 2 * col("n_part_items")
           < col("sum_qty"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("revenue"),
+        .agg(decSum(col("l_extendedprice")).as("revenue"),
           count(lit(1)).as("n_items"))
     }),
 
@@ -137,8 +144,7 @@ object Analytics {
         .filter(branch("Brand#1", 15, 1, 11) ||
           branch("Brand#2", 25, 10, 20) ||
           branch("Brand#3", 35, 20, 30))
-        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(22,6)")).cast("decimal(38,6)").as("revenue"),
+        .agg(discRevenueSum.as("revenue"),
           count(lit(1)).as("n_items"))
     }),
 
@@ -150,7 +156,7 @@ object Analytics {
     "q22_idle_customers" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
       val stats = cust.filter(col("c_acctbal") > 0)
-        .agg(sum(col("c_acctbal").cast("decimal(18,2)")).cast("decimal(38,2)").as("_sum"),
+        .agg(decSum(col("c_acctbal")).as("_sum"),
           count(lit(1)).as("_n"))
       cust.crossJoin(broadcast(stats))
         .filter(col("c_acctbal").cast("decimal(18,2)") * col("_n") > col("_sum"))
@@ -160,7 +166,7 @@ object Analytics {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_customers"),
-          sum(col("c_acctbal").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_bal"))
+          decSum(col("c_acctbal")).as("total_bal"))
     }),
 
     // TPC-H Q21 shape: the double-correlated-subquery pattern — EXISTS
@@ -190,7 +196,7 @@ object Analytics {
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(sum(when(col("_late"), 1L).otherwise(0L)).as("_n_late_lines"),
           max(col("_late")).as("_any_late"))
-      val wOrd = org.apache.spark.sql.expressions.Window
+      val wOrd = Window
         .partitionBy(col("l_orderkey"))
       perOrdSupp
         .withColumn("_n_supp", count(lit(1)).over(wOrd))
@@ -214,7 +220,7 @@ object Analytics {
     // first/last/nth_value positional family over a full-partition frame.
     // Single hash exchange on o_custkey; per-partition sort only.
     "window_range_frame" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
+      val w = Window
         .partitionBy(col("o_custkey"))
       val wRange = w.orderBy(col("day_no").asc).rangeBetween(-30, 0)
       val wFull = w.orderBy(col("day_no").asc, col("o_orderkey").asc)
@@ -247,7 +253,7 @@ object Analytics {
     "q18_large_orders" -> ((s, dir) => {
       val big = t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_qty"))
+        .agg(decSum(col("l_quantity")).as("total_qty"))
         .filter(col("total_qty") > 300)
       big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(t(s, dir, "customer")),
@@ -363,7 +369,7 @@ object Analytics {
     "window_order_rank" -> ((s, dir) =>
       t(s, dir, "orders")
         .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
+          Window
             .partitionBy(col("o_custkey"))
             .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
         .filter(col("rk") <= 3)
@@ -373,7 +379,7 @@ object Analytics {
     // Window frames: running total + 3-row moving average per customer —
     // same single hash exchange + per-partition sort as the ranking form.
     "window_running_sum" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
+      val w = Window
         .partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
       t(s, dir, "orders").select(
@@ -390,7 +396,7 @@ object Analytics {
     // sort as the ranking window; the ratios are exact small rationals
     // (identical doubles in both engines), rounded for the oracle.
     "window_ntile" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
+      val w = Window
         .partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       t(s, dir, "orders").select(
@@ -423,7 +429,7 @@ object Analytics {
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("total"),
+        .agg(decSum(col("o_totalprice")).as("total"),
           count(lit(1)).as("n_orders"))
     }),
 
@@ -438,7 +444,7 @@ object Analytics {
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .cube(col("n_name"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("total"))
+          decSum(col("o_totalprice")).as("total"))
     }),
 
     // As-of join (union + carry-forward window — no range-join blowup):
@@ -503,7 +509,7 @@ object Analytics {
       SkewOps.saltedJoin(ev, dim, keys = Seq("event_type"), saltBuckets = 8)
         .groupBy(col("type_len"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)")
+          decSum(col("value"))
             .as("sum_value"))
     }),
 
@@ -917,7 +923,9 @@ object Analytics {
       """WITH li AS (SELECT
         |    (CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS ls,
         |    (CAST(l_shipdate AS DATE) - DATE '1970-01-01')
-        |      + (CAST(l_quantity AS BIGINT) % 14) AS le
+        |      -- trunc like Spark's long-cast (DuckDB CAST rounds); the
+        |      -- value is positive so % matches pmod (review find)
+        |      + (CAST(trunc(l_quantity) AS BIGINT) % 14) AS le
         |  FROM lineitem),
         |mo AS (SELECT DISTINCT date_trunc('month', CAST(o_orderdate AS DATE)) AS ms
         |       FROM orders),
