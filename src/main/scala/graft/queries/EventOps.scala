@@ -16,10 +16,32 @@ object EventOps {
   val ClickWindowUs = 12L * 3600 * 1000000 // funnel: click ≤ 12h after view
   val BuyWindowUs = 2L * 86400 * 1000000 // funnel: purchase ≤ 2d after click
   val RetentionMinValue = 90.0 // retention: high-value purchases only
+  val PathMaxSteps = 8 // path truncation: first k steps of each session
+  val TopPathsK = 20 // paths reported (hoisted with the other knobs —
+  // object vals initialize in declaration order; review find)
   // (unwindowed funnel stages and all-events retention are degenerate on
   // this corpus — every user does everything every week; the windows and
   // the value floor make the stages discriminative: 150 → 37 → 20 users
   // and a triangular cohort matrix at sf0.01)
+
+  /** Per-user day densification shared by x_gap_fill and
+    * x_interpolate_linear (review find: previously inlined twice):
+    * (days, daily) = the exploded per-user calendar over each user's
+    * event span, and the exact-decimal daily purchase totals. */
+  private def densifiedDays(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val ev = Tables.events(s, dir).filter(col("user_id") < GapFillUsers)
+      .withColumn("day", to_date(timestamp_micros(col("ts_us"))))
+    val span = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+    val days = span.select(col("user_id"),
+      explode(sequence(col("_d0"), col("_d1"))).as("day"))
+    val daily = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)")
+        .as("_dv"))
+    (days, daily)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -31,16 +53,7 @@ object EventOps {
     // window partitions per user — parallel across users; row volume =
     // Σ per-user day spans, bounded here by the user_id < 50 slice.
     "x_gap_fill" -> ((s, dir) => {
-      val ev = Tables.events(s, dir).filter(col("user_id") < GapFillUsers)
-        .withColumn("day", to_date(timestamp_micros(col("ts_us"))))
-      val span = ev.groupBy(col("user_id"))
-        .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
-      val days = span.select(col("user_id"),
-        explode(sequence(col("_d0"), col("_d1"))).as("day"))
-      val daily = ev.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("day"))
-        .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)")
-          .as("_dv"))
+      val (days, daily) = densifiedDays(s, dir)
       val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       days.join(daily, Seq("user_id", "day"), "left")
@@ -63,16 +76,8 @@ object EventOps {
     // (pv + (nv − pv) · (Δprev / Δspan)) mirrored verbatim in the oracle,
     // so both engines round identically at every step.
     "x_interpolate_linear" -> ((s, dir) => {
-      val ev = Tables.events(s, dir).filter(col("user_id") < GapFillUsers)
-        .withColumn("day", to_date(timestamp_micros(col("ts_us"))))
-      val span = ev.groupBy(col("user_id"))
-        .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
-      val days = span.select(col("user_id"),
-        explode(sequence(col("_d0"), col("_d1"))).as("day"))
-      val daily = ev.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("day"))
-        .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)")
-          .cast("double").as("_dv"))
+      val (days, daily0) = densifiedDays(s, dir)
+      val daily = daily0.withColumn("_dv", col("_dv").cast("double"))
       val wPrev = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wNext = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
@@ -139,10 +144,11 @@ object EventOps {
     // stream.
     "x_funnel_stages" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val perUser = ev.groupBy(col("user_id")).agg(
-        min(when(col("event_type") === "view", col("ts_us"))).as("t_view"),
-        min(when(col("event_type") === "click", col("ts_us"))).as("t_click_any"),
-        min(when(col("event_type") === "purchase", col("ts_us"))).as("t_buy_any"))
+      // cached: the three stage counts are three separate actions and
+      // each re-executes its inputs otherwise (review find; the dead
+      // t_click_any/t_buy_any aggregates are gone — no consumer)
+      val perUser = graft.GateCache.cache(ev.groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", col("ts_us"))).as("t_view")))
       // stage 2/3 re-derived with the ordering constraint: min event AT
       // OR AFTER the previous stage — needs the event list again, but
       // only for users who passed the previous stage (semi-join-pruned).
@@ -150,12 +156,13 @@ object EventOps {
         .select(col("user_id"), col("ts_us").as("_tc"))
       val buys = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts_us").as("_tb"))
-      val afterView = perUser.filter(col("t_view").isNotNull)
-        .join(clicks, "user_id")
-        .filter(col("_tc") >= col("t_view") &&
-          col("_tc") <= col("t_view") + ClickWindowUs)
-        .groupBy(col("user_id"), col("t_view"))
-        .agg(min(col("_tc")).as("t_click"))
+      val afterView = graft.GateCache.cache(
+        perUser.filter(col("t_view").isNotNull)
+          .join(clicks, "user_id")
+          .filter(col("_tc") >= col("t_view") &&
+            col("_tc") <= col("t_view") + ClickWindowUs)
+          .groupBy(col("user_id"), col("t_view"))
+          .agg(min(col("_tc")).as("t_click")))
       val afterClick = afterView.join(buys, "user_id")
         .filter(col("_tb") >= col("t_click") &&
           col("_tb") <= col("t_click") + BuyWindowUs)
@@ -321,7 +328,7 @@ object EventOps {
     // delta sum) — O(types) rows. Complements x_ttl_rollup as the other
     // half of the Graphite/monitoring rollup pair.
     "x_delta_sum" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
+      val w = Window
         .partitionBy(col("user_id"), col("event_type"))
         .orderBy(col("ts_us").asc, col("event_id").asc)
       Tables.events(s, dir)
@@ -349,10 +356,10 @@ object EventOps {
     // O(distinct counts) rows at any scale. Total order (ts, event_id)
     // makes every prefix engine-exact.
     "x_sequence_count" -> ((s, dir) => {
-      val wi = org.apache.spark.sql.expressions.Window
+      val wi = Window
         .partitionBy(col("user_id"))
         .orderBy(col("ts_us").asc, col("event_id").asc)
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        .rowsBetween(Window.unboundedPreceding, 0)
       Tables.events(s, dir)
         .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
         .filter(col("event_type").isin("view", "purchase"))
@@ -508,9 +515,6 @@ object EventOps {
             .cast("double"), 6).as("p"))
     })
   )
-
-  val PathMaxSteps = 8 // path truncation: first k steps of each session
-  val TopPathsK = 20 // paths reported
 
   val oracle: Map[String, String] = Map(
     "x_event_transitions" ->
