@@ -60,18 +60,28 @@ object Embeddings {
 
   /** Argmax-cosine assignment of each corpus vector to a (broadcast)
     * centroid set. Both sides' vector math is left-to-right index order;
-    * ties broken by rounded score then centroid id — the IVF pattern. */
+    * ties broken by rounded score then LOWEST centroid id — the IVF
+    * pattern. Physical form: partial-aggregable `max_by` argmax, so the
+    * exchange carries ~one (cid, embedding) candidate per vector — the
+    * map-side assignment the clustering gates advertise (review find:
+    * the previous window form shuffled the full K·d-wide crossJoin
+    * output through a sort). Norms are precomputed per row (N + K dots,
+    * not N·K — the bruteForceTopK pattern). Data precondition shared
+    * with every cosine gate: non-zero-norm embeddings (a zero vector
+    * makes the cosine NaN, where the engines' NaN orderings differ). */
   private[queries] def assign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val dotc = SimilarityOps.dotHof(col("embedding"), col("cvec"))
-    val cnorm = sqrt(SimilarityOps.dotHof(col("cvec"), col("cvec")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(round(col("_cos"), 6).desc, col("cid").asc)
-    e.crossJoin(broadcast(cents))
+    val withCn = cents.withColumn("_cn",
+      sqrt(SimilarityOps.dotHof(col("cvec"), col("cvec"))))
+    e.withColumn("_en", SimilarityOps.norm(col("embedding")))
+      .crossJoin(broadcast(withCn))
       .withColumn("_cos",
-        dotc / (SimilarityOps.norm(col("embedding")) * cnorm))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+        SimilarityOps.dotHof(col("embedding"), col("cvec")) /
+          (col("_en") * col("_cn")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("embedding")),
+        struct(round(col("_cos"), 6), -col("cid"))).as("_w"))
+      .select(col("vec_id"), col("_w.embedding").as("embedding"),
+        col("_w.cid").as("cid"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -104,9 +114,11 @@ object Embeddings {
           max(col("_eq")).cast("long").as("max_abs_err_nano"))
     }),
 
-    // Lloyd's k-means, two exact iterations: deterministic init (first K
-    // vectors by id), argmax-cosine assignment, quantized-integer-mean
-    // centroid update, re-assignment. Every step is reproducible
+    // Lloyd's k-means, ONE exact iteration (init → assign → one
+    // quantized-integer-mean update → re-assign — lloydAssignment's
+    // wording; review find: this comment said "two iterations"):
+    // deterministic init (first K vectors by id), argmax-cosine
+    // assignment, centroid update, re-assignment. Every step is reproducible
     // arithmetic, so the oracle replays the algorithm — not a fixture.
     // Scale shape per iteration: centroids broadcast (assignment is
     // map-side over the streaming corpus; K·d doubles), update is one
@@ -140,8 +152,11 @@ object Embeddings {
       // cached: consumed by the member counts and both pair-join sides
       val withN = graft.GateCache.cache(lloydAssignment(e)
         .withColumn("_n", SimilarityOps.norm(col("embedding"))))
-      val ok = withN.groupBy(col("cid")).agg(count(lit(1)).as("_cn"))
-        .filter(col("_cn") <= SemMaxCluster).select(col("cid"))
+      // ONE per-cid count frame (≤ K rows, cached) feeds the cap filter
+      // AND the member counts (review find: previously two aggregations)
+      val counts = graft.GateCache.cache(
+        withN.groupBy(col("cid")).agg(count(lit(1)).as("_cn")))
+      val ok = counts.filter(col("_cn") <= SemMaxCluster).select(col("cid"))
       val f = withN.join(broadcast(ok), Seq("cid")) // ok is ≤ K rows
       val aSide = f.select(col("cid"), col("vec_id").as("id1"),
         col("embedding").as("_va"), col("_n").as("_na"))
@@ -152,8 +167,7 @@ object Embeddings {
         .filter(SimilarityOps.dot(col("_va"), col("_vb")) /
           (col("_na") * col("_nb")) > TrainingData.CosDupThreshold)
         .select(col("cid"), col("id2").as("vec_id")).distinct()
-      val members = withN.groupBy(col("cid"))
-        .agg(count(lit(1)).as("n_members"))
+      val members = counts.select(col("cid"), col("_cn").as("n_members"))
       val drops = drop.groupBy(col("cid")).agg(count(lit(1)).as("n_dropped"))
       members.join(drops, Seq("cid"), "left")
         .select(col("cid").as("cluster_id"), col("n_members"),
