@@ -70,9 +70,12 @@ object GateCache {
 
   /** Best-effort recursive delete — the ONE implementation the gates,
     * the verify dump and the temp-dir hook share (`File.delete` returns
-    * false rather than throwing, so failures are silently skipped). */
+    * false rather than throwing, so failures are silently skipped).
+    * Symlinks are deleted WITHOUT recursing: gates stage links into
+    * read-only testdata inside their temp dirs, and `isDirectory`
+    * follows links — recursing would walk into the shared tree. */
   def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
+    if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
       Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(); ()
   }

@@ -185,28 +185,91 @@ object BinlogFixture {
     out.toByteArray
   }
 
+  /** The wire TYPE byte a column is announced with (ENUM/SET hide behind
+    * STRING, per the format). */
+  private def wireType(c: ColumnDef): Int = c.tpe match {
+    case TypeEnum | TypeSet => TypeString
+    case t => t
+  }
+
   private def tableMapBody(db: String, table: String,
       cols: IndexedSeq[ColumnDef], tableId: Long): Array[Byte] = {
     val dbB = db.getBytes(UTF_8); val tbB = table.getBytes(UTF_8)
     val metaBytes = cols.flatMap { c => c.tpe match {
-      case TypeVarchar => Seq((c.meta & 0xff).toByte, ((c.meta >> 8) & 0xff).toByte)
-      case TypeDouble  => Seq(8.toByte)
-      case _           => Nil
+      case TypeVarchar | TypeVarString =>
+        Seq((c.meta & 0xff).toByte, ((c.meta >> 8) & 0xff).toByte)
+      case TypeDouble => Seq(8.toByte)
+      case TypeFloat  => Seq(4.toByte)
+      case TypeNewDecimal =>
+        Seq(((c.meta >> 8) & 0xff).toByte, (c.meta & 0xff).toByte) // p, s
+      case TypeTimestamp2 | TypeDatetime2 | TypeTime2 =>
+        Seq((c.meta & 0xff).toByte) // fsp
+      case TypeBit => Seq((c.meta % 8).toByte, (c.meta / 8).toByte)
+      case TypeBlob => Seq((c.meta & 0xff).toByte) // length-prefix bytes
+      case TypeEnum | TypeSet =>
+        Seq(c.tpe.toByte, (c.meta & 0xff).toByte) // real type + pack length
+      case TypeString =>
+        require(c.meta < 256, "fixture CHAR limited to length < 256")
+        Seq(TypeString.toByte, (c.meta & 0xff).toByte)
+      case _ => Nil
     }}
+    // optional metadata TLVs (8.0 binlog_row_metadata): SIGNEDNESS over
+    // the numeric columns whenever any exists; ENUM/SET_STR_VALUE
+    // whenever a column carries its label dictionary
+    val opt = new ByteArrayOutputStream()
+    def lenencW(o: ByteArrayOutputStream, x: Int): Unit = {
+      if (x < 0xfb) o.write(x)
+      else { require(x < 0x10000, "fixture lenenc limited to 2 bytes")
+        o.write(0xfc); o.write(x & 0xff); o.write((x >> 8) & 0xff) }
+    }
+    def tlv(t: Int, v: Array[Byte]): Unit = {
+      opt.write(t); lenencW(opt, v.length); opt.write(v)
+    }
+    val numeric = cols.filter(c => isNumericFixture(c.tpe))
+    if (numeric.nonEmpty) {
+      val bits = new Array[Byte]((numeric.size + 7) / 8)
+      numeric.zipWithIndex.foreach { case (c, i) =>
+        if (c.unsigned) bits(i / 8) = (bits(i / 8) | (0x80 >> (i % 8))).toByte
+      }
+      tlv(MetaSignedness, bits)
+    }
+    def strValues(target: Int, metaType: Int): Unit = {
+      val withLabels = cols.filter(_.tpe == target)
+      if (withLabels.nonEmpty && withLabels.exists(_.labels.nonEmpty)) {
+        val v = new ByteArrayOutputStream()
+        withLabels.foreach { c =>
+          lenencW(v, c.labels.size)
+          c.labels.foreach { l =>
+            val lb = l.getBytes(UTF_8); lenencW(v, lb.length); v.write(lb)
+          }
+        }
+        tlv(metaType, v.toByteArray)
+      }
+    }
+    strValues(TypeEnum, MetaEnumStrValue)
+    strValues(TypeSet, MetaSetStrValue)
+    val optBytes = opt.toByteArray
     val n = cols.size
     val b = ByteBuffer.allocate(6 + 2 + 1 + dbB.length + 1 + 1 + tbB.length +
-      1 + 1 + n + 1 + metaBytes.size + (n + 7) / 8)
+      1 + 1 + n + 1 + metaBytes.size + (n + 7) / 8 + optBytes.length)
       .order(ByteOrder.LITTLE_ENDIAN)
     putUint48(b, tableId)
     b.putShort(1) // flags
     b.put(dbB.length.toByte).put(dbB).put(0.toByte)
     b.put(tbB.length.toByte).put(tbB).put(0.toByte)
     b.put(n.toByte) // lenenc, n < 0xfb in fixtures
-    cols.foreach(c => b.put(c.tpe.toByte))
+    cols.foreach(c => b.put(wireType(c).toByte))
     b.put(metaBytes.size.toByte)
     metaBytes.foreach(b.put)
     b.put(new Array[Byte]((n + 7) / 8)) // nullability bitmap (all 0)
+    b.put(optBytes)
     b.array()
+  }
+
+  private def isNumericFixture(t: Int): Boolean = t match {
+    case TypeTiny | TypeShort | TypeInt24 | TypeLong | TypeLongLong |
+         TypeFloat | TypeDouble | TypeNewDecimal => true
+    case _ => false
   }
 
   private def rowsBody(tpe: Int, changes: Seq[Change],
@@ -257,21 +320,141 @@ object BinlogFixture {
       }
       b.array()
     }
+    def be(n: Int, x: Long): Array[Byte] =
+      Array.tabulate(n)(i => ((x >> (8 * (n - 1 - i))) & 0xff).toByte)
+    def frac(us: Long, fsp: Int): Array[Byte] = {
+      val nB = (fsp + 1) / 2
+      if (nB == 0) Array.empty
+      else be(nB, us / math.pow(10, 6 - 2 * nB).toLong)
+    }
+    def lenPrefixed(s: Array[Byte]): Array[Byte] = {
+      require(s.length <= c.meta, s"string overflow: ${s.length} > ${c.meta}")
+      if (c.meta < 256) Array(s.length.toByte) ++ s
+      else Array((s.length & 0xff).toByte, ((s.length >> 8) & 0xff).toByte) ++ s
+    }
     c.tpe match {
       case TypeTiny     => le(1, v.asInstanceOf[Number].longValue())
       case TypeShort    => le(2, v.asInstanceOf[Number].longValue())
+      case TypeInt24    =>
+        val x = v.asInstanceOf[Number].longValue()
+        Array((x & 0xff).toByte, ((x >> 8) & 0xff).toByte, ((x >> 16) & 0xff).toByte)
       case TypeLong     => le(4, v.asInstanceOf[Number].longValue())
-      case TypeLongLong => le(8, v.asInstanceOf[Number].longValue())
+      case TypeLongLong => v match {
+        case bd: java.math.BigDecimal => le(8, bd.toBigInteger.longValue()) // u64: wraps
+        case n: Number                => le(8, n.longValue())
+      }
+      case TypeFloat    =>
+        val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        b.putFloat(v.asInstanceOf[Number].floatValue()); b.array()
       case TypeDouble   =>
         val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
         b.putDouble(v.asInstanceOf[Number].doubleValue()); b.array()
-      case TypeVarchar  =>
-        val s = v.asInstanceOf[String].getBytes(UTF_8)
-        require(s.length <= c.meta, s"varchar overflow: ${s.length} > ${c.meta}")
-        if (c.meta < 256) Array(s.length.toByte) ++ s
-        else Array((s.length & 0xff).toByte, ((s.length >> 8) & 0xff).toByte) ++ s
+      case TypeNewDecimal =>
+        decimalBytes(v.asInstanceOf[java.math.BigDecimal], c.meta >> 8, c.meta & 0xff)
+      case TypeDate =>
+        val d = v.asInstanceOf[java.time.LocalDate]
+        val x = (d.getYear << 9) | (d.getMonthValue << 5) | d.getDayOfMonth
+        Array((x & 0xff).toByte, ((x >> 8) & 0xff).toByte, ((x >> 16) & 0xff).toByte)
+      case TypeYear =>
+        val y = v.asInstanceOf[Number].intValue()
+        Array((if (y == 0) 0 else y - 1900).toByte)
+      case TypeDatetime2 =>
+        val dt = v.asInstanceOf[java.time.LocalDateTime]
+        val packed = 0x8000000000L |
+          ((dt.getYear * 13L + dt.getMonthValue) << 22) |
+          (dt.getDayOfMonth.toLong << 17) | (dt.getHour.toLong << 12) |
+          (dt.getMinute.toLong << 6) | dt.getSecond.toLong
+        be(5, packed) ++ frac(dt.getNano / 1000L, c.meta)
+      case TypeTimestamp2 =>
+        val t = v.asInstanceOf[java.time.Instant]
+        be(4, t.getEpochSecond) ++ frac(t.getNano / 1000L, c.meta)
+      case TypeTime2 =>
+        // accepts the decoder's own rendering: [-]HH:MM:SS[.ffffff];
+        // my_time_packed_to_binary layout (signed packed value, frac
+        // stored signed for fsp 1-4, one int6 for fsp 5-6)
+        val s = v.asInstanceOf[String]
+        val neg = s.startsWith("-")
+        val body = if (neg) s.tail else s
+        val (hms, us) = body.split("\\.") match {
+          case Array(x)    => (x, 0L)
+          case Array(x, f) => (x, (f + "0" * (6 - f.length)).toLong)
+        }
+        val Array(h, m, sec) = hms.split(":").map(_.toLong)
+        val mag = (((h << 12) | (m << 6) | sec) << 24) + us
+        val nr = if (neg) -mag else mag
+        c.meta match {
+          case fsp if fsp >= 5 => be(6, 0x800000000000L + nr)
+          case 0               => be(3, 0x800000L + (nr >> 24))
+          case 1 | 2 =>
+            be(3, 0x800000L + (nr >> 24)) ++
+              Array(((nr % (1 << 24)) / 10000).toByte)
+          case _ =>
+            be(3, 0x800000L + (nr >> 24)) ++
+              be(2, ((nr % (1 << 24)) / 100) & 0xffffL)
+        }
+      case TypeBit =>
+        be((c.meta + 7) / 8, v.asInstanceOf[Number].longValue())
+      case TypeEnum =>
+        val idx = v match {
+          case s: String => c.labels.indexOf(s) + 1
+          case n: Number => n.intValue()
+        }
+        require(idx >= 0, s"enum label $v not in ${c.labels}")
+        if (c.meta == 1) Array(idx.toByte)
+        else Array((idx & 0xff).toByte, ((idx >> 8) & 0xff).toByte)
+      case TypeSet =>
+        val mask = v match {
+          case s: String =>
+            s.split(",").filter(_.nonEmpty).foldLeft(0L) { (m, l) =>
+              val i = c.labels.indexOf(l)
+              require(i >= 0, s"set label $l not in ${c.labels}"); m | (1L << i)
+            }
+          case n: Number => n.longValue()
+        }
+        Array.tabulate(c.meta)(i => ((mask >> (8 * i)) & 0xff).toByte)
+      case TypeBlob =>
+        val data = v match {
+          case a: Array[Byte] => a
+          case s: String      => s.getBytes(UTF_8)
+        }
+        Array.tabulate(c.meta)(i => ((data.length >> (8 * i)) & 0xff).toByte) ++ data
+      case TypeVarchar | TypeVarString | TypeString =>
+        lenPrefixed(v.asInstanceOf[String].getBytes(UTF_8))
       case t => throw new IllegalArgumentException(s"unsupported type $t")
     }
+  }
+
+  /** MySQL decimal2bin: see [[BinlogFormat.decodeDecimal]]'s layout doc. */
+  private def decimalBytes(v: java.math.BigDecimal, precision: Int,
+                           scale: Int): Array[Byte] = {
+    val neg = v.signum() < 0
+    val abs = v.abs().setScale(scale) // throws on rounding: fixtures must be exact
+    val plain = abs.toPlainString
+    val (ip, fp) = plain.indexOf('.') match {
+      case -1 => (plain, "")
+      case i  => (plain.substring(0, i), plain.substring(i + 1))
+    }
+    val intg = precision - scale
+    require(ip.length <= intg && fp.length <= scale,
+      s"$v does not fit DECIMAL($precision,$scale)")
+    val ipad = "0" * (intg - ip.length) + ip
+    val fpad = fp + "0" * (scale - fp.length)
+    def bytesFor(d: Int) = (4 * d + 8) / 9 // == myisampack dig2bytes
+    val out = new ByteArrayOutputStream()
+    def group(digits: String): Unit = {
+      val nB = bytesFor(digits.length)
+      val x = if (digits.isEmpty) 0L else digits.toLong
+      (0 until nB).foreach(i =>
+        out.write(((x >> (8 * (nB - 1 - i))) & 0xff).toInt))
+    }
+    if (intg % 9 > 0) group(ipad.take(intg % 9))
+    ipad.drop(intg % 9).grouped(9).foreach(group)
+    fpad.dropRight(scale % 9).grouped(9).foreach(group)
+    if (scale % 9 > 0) group(fpad.takeRight(scale % 9))
+    val raw = out.toByteArray
+    raw(0) = (raw(0) | 0x80).toByte // sign bit: non-negative
+    if (neg) raw.indices.foreach(i => raw(i) = (~raw(i)).toByte)
+    raw
   }
 
   private def putUint48(b: ByteBuffer, x: Long): Unit =

@@ -47,13 +47,23 @@ import java.util.zip.CRC32
   *     binlogs interleave QUERY/STOP/ROWS_QUERY events a row-image
   *     consumer does not need).
   *
-  * Column types supported (the engine's CDC type surface, matching
-  * `model/TypeMapper`'s integer/float/varchar core): TINY(1), SHORT(2),
-  * LONG(3), DOUBLE(5), LONGLONG(8), VARCHAR(15). Integers are decoded
-  * signed — signedness is not recorded in the binlog (it lives in the
-  * table DDL), the same caveat the reference documents for
-  * unsigned/`bit` columns. VARCHAR length is 1 byte when the column's
-  * max byte length < 256, else 2 (the documented metadata rule).
+  * Column types supported — the full surface behind the reference's
+  * 33-entry MySQL→ClickHouse map (`src/schema_converter.py:3-37`), i.e.
+  * everything its `pymysqlreplication` client decodes: TINY/SHORT/
+  * INT24/LONG/LONGLONG, FLOAT/DOUBLE, NEWDECIMAL (packed 9-digit-group
+  * BCD), DATE/NEWDATE, YEAR, DATETIME2/TIMESTAMP2/TIME2 (fsp-aware,
+  * the ≥5.6.4 small-time formats), BIT, ENUM/SET (via the STRING
+  * metadata packing), BLOB/TEXT (shared wire code 252), CHAR (STRING),
+  * VARCHAR/VAR_STRING. VARCHAR/CHAR length prefixes are 1 byte when the
+  * column's max byte length < 256, else 2 (the documented metadata
+  * rule). Integers decode signed unless the TABLE_MAP carries the
+  * 8.0 SIGNEDNESS optional metadata (binlog_row_metadata), in which
+  * case unsigned columns decode to their full positive range — the
+  * in-band form of the DDL lookup the reference does over its client
+  * connection; without the TLV the signed read matches the caveat the
+  * reference documents for unsigned/`bit`. ENUM/SET likewise surface
+  * their label strings when ENUM/SET_STR_VALUE metadata is present,
+  * else the raw index/bitmask.
   *
   * Transactional semantics: row events buffer as PENDING and only an XID
   * commits them — a file that ends mid-transaction (server crash) yields
@@ -88,19 +98,58 @@ object BinlogFormat {
   val TypeTiny = 1
   val TypeShort = 2
   val TypeLong = 3
+  val TypeFloat = 4
   val TypeDouble = 5
   val TypeLongLong = 8
+  val TypeInt24 = 9
+  val TypeDate = 10
+  val TypeYear = 13
+  val TypeNewDate = 14 // DATE's storage alias — same 3-byte wire value
   val TypeVarchar = 15
+  val TypeBit = 16
+  val TypeTimestamp2 = 17
+  val TypeDatetime2 = 18
+  val TypeTime2 = 19
+  val TypeNewDecimal = 246
+  val TypeEnum = 247 // never in TABLE_MAP directly: arrives packed in STRING meta
+  val TypeSet = 248  //   "
+  val TypeBlob = 252 // TINY/MEDIUM/LONG BLOB and all TEXTs share this wire code
+  val TypeVarString = 253
+  val TypeString = 254 // CHAR; meta byte0 may carry a REAL type (ENUM/SET)
+
+  // TABLE_MAP optional-metadata TLV type codes (WL#4618, binlog_row_metadata)
+  val MetaSignedness = 1
+  val MetaColumnName = 4
+  val MetaSetStrValue = 5
+  val MetaEnumStrValue = 6
 
   val Magic: Array[Byte] = Array(0xfe.toByte, 'b'.toByte, 'i'.toByte, 'n'.toByte)
   val HeaderLen = 19
 
-  /** One column of a TABLE_MAP: type code + decoded metadata (VARCHAR →
-    * max byte length; DOUBLE → pack length; integers → 0). */
-  final case class ColumnDef(tpe: Int, meta: Int)
+  /** One column of a TABLE_MAP: type code + decoded metadata, plus what
+    * the optional-metadata TLVs contribute (MySQL 8.0's
+    * binlog_row_metadata; absent on older servers).
+    *
+    * `meta` per type: VARCHAR/VAR_STRING/STRING → max byte length;
+    * FLOAT/DOUBLE → pack length; NEWDECIMAL → (precision << 8) | scale;
+    * TIMESTAMP2/DATETIME2/TIME2 → fractional-seconds precision (fsp);
+    * BIT → total bit count; BLOB → number of length-prefix bytes;
+    * ENUM/SET → value pack length; integer/DATE/YEAR → 0.
+    *
+    * `unsigned` comes from the SIGNEDNESS TLV (the binlog itself does
+    * not record signedness in the column type — without the TLV,
+    * integers decode signed, the reference's own documented caveat).
+    * `labels` comes from ENUM_STR_VALUE / SET_STR_VALUE: the dictionary
+    * that turns a stored ENUM index / SET bitmask into its strings. */
+  final case class ColumnDef(tpe: Int, meta: Int,
+                             unsigned: Boolean = false,
+                             labels: IndexedSeq[String] = IndexedSeq.empty)
 
+  /** `colNames` is non-empty only when the file carries the COLUMN_NAME
+    * optional metadata (binlog_row_metadata=FULL). */
   final case class TableMap(tableId: Long, db: String, table: String,
-                            cols: IndexedSeq[ColumnDef])
+                            cols: IndexedSeq[ColumnDef],
+                            colNames: IndexedSeq[String] = IndexedSeq.empty)
 
   /** A committed row change. `pos` = the event's end-log-pos (the offset
     * the reference persists as its resume position,
@@ -314,18 +363,99 @@ object BinlogFormat {
     require(metaLen >= 0 && metaLen <= b.remaining(),
       s"metadata length $metaLen overruns event")
     val metaEnd = b.position() + metaLen
-    val cols = types.map { t =>
-      val meta = t match {
-        case TypeVarchar => (b.get() & 0xff) | ((b.get() & 0xff) << 8)
-        case TypeDouble  => b.get() & 0xff // pack length (8)
-        case _           => 0
+    var cols = types.map { t =>
+      t match {
+        case TypeVarchar | TypeVarString =>
+          ColumnDef(t, (b.get() & 0xff) | ((b.get() & 0xff) << 8))
+        case TypeFloat | TypeDouble =>
+          ColumnDef(t, b.get() & 0xff) // pack length (4 / 8)
+        case TypeNewDecimal =>
+          val precision = b.get() & 0xff; val scale = b.get() & 0xff
+          ColumnDef(t, (precision << 8) | scale)
+        case TypeTimestamp2 | TypeDatetime2 | TypeTime2 =>
+          ColumnDef(t, b.get() & 0xff) // fsp
+        case TypeBit =>
+          // meta byte0 = bits % 8, byte1 = bits / 8 (save_field_metadata)
+          val rem = b.get() & 0xff; val whole = b.get() & 0xff
+          ColumnDef(t, whole * 8 + rem)
+        case TypeBlob =>
+          ColumnDef(t, b.get() & 0xff) // length-prefix byte count (1..4)
+        case TypeString =>
+          // CHAR packs a REAL type into meta byte0: plain CHAR keeps
+          // 254 (0xfe & 0x30 == 0x30, the "short field" form for
+          // lengths <= 255 — the only lengths the fsp-era charsets
+          // produce per column byte length here); ENUM/SET columns
+          // arrive as STRING with byte0 = 0xf7 / 0xf8 and byte1 = the
+          // value pack length (log_event.cc, Field_enum::pack_length)
+          val b0 = b.get() & 0xff; val b1 = b.get() & 0xff
+          b0 match {
+            case TypeEnum | TypeSet => ColumnDef(b0, b1)
+            case _ if (b0 & 0x30) != 0x30 =>
+              // long CHAR: length's high bits hide in the type byte
+              ColumnDef(b0 | 0x30, b1 | (((b0 & 0x30) ^ 0x30) << 4))
+            case _ => ColumnDef(b0, b1)
+          }
+        case _ => ColumnDef(t, 0) // integers, DATE/NEWDATE, YEAR
       }
-      ColumnDef(t, meta)
     }.toIndexedSeq
     require(b.position() == metaEnd,
       s"table-map metadata length mismatch: ${b.position()} vs $metaEnd")
-    // nullability bitmap follows; row decoding uses per-row bitmaps instead
-    TableMap(tableId, db, tbl, cols)
+    // nullability bitmap (row decoding uses per-row bitmaps instead)
+    skip(b, (n + 7) / 8)
+    // ---- optional metadata TLVs (MySQL 8.0 binlog_row_metadata) ----
+    var colNames = IndexedSeq.empty[String]
+    while (b.hasRemaining) {
+      val t = b.get() & 0xff
+      val len = lenenc(b).toInt
+      require(len >= 0 && len <= b.remaining(),
+        s"optional metadata field $t overruns event (len=$len)")
+      val end = b.position() + len
+      t match {
+        case MetaSignedness =>
+          // one bit per NUMERIC column in column order, MSB-first bytes,
+          // 1 = unsigned (libbinlogevents Optional_metadata signedness)
+          val bits = new Array[Byte](len); b.get(bits)
+          var ni = 0
+          cols = cols.map { c =>
+            if (!isNumeric(c.tpe)) c
+            else {
+              val u = ni / 8 < bits.length &&
+                (bits(ni / 8) & (0x80 >> (ni % 8))) != 0
+              ni += 1
+              c.copy(unsigned = u)
+            }
+          }
+        case MetaColumnName =>
+          val names = Vector.newBuilder[String]
+          while (b.position() < end) names += str(b, lenenc(b).toInt)
+          colNames = names.result()
+        case MetaEnumStrValue | MetaSetStrValue =>
+          // per ENUM (resp. SET) column in column order:
+          //   count(lenenc), then count strings each lenenc-prefixed
+          val target = if (t == MetaEnumStrValue) TypeEnum else TypeSet
+          var labelSets = Vector.empty[IndexedSeq[String]]
+          while (b.position() < end) {
+            val cnt = lenenc(b).toInt
+            labelSets :+= IndexedSeq.fill(cnt)(str(b, lenenc(b).toInt))
+          }
+          var li = 0
+          cols = cols.map { c =>
+            if (c.tpe != target || li >= labelSets.size) c
+            else { val ls = labelSets(li); li += 1; c.copy(labels = ls) }
+          }
+        case _ => // charsets, PK hints, visibility — not needed to decode
+      }
+      b.position(end)
+    }
+    TableMap(tableId, db, tbl, cols, colNames)
+  }
+
+  /** The SIGNEDNESS bitmap covers exactly these (rows_event.cc
+    * is_numeric_type). */
+  private def isNumeric(t: Int): Boolean = t match {
+    case TypeTiny | TypeShort | TypeInt24 | TypeLong | TypeLongLong |
+         TypeFloat | TypeDouble | TypeNewDecimal => true
+    case _ => false
   }
 
   private def parseRowsEvent(b: ByteBuffer, tpe: Int, pos: Long,
@@ -383,17 +513,174 @@ object BinlogFormat {
     }
   }
 
+  /** Decode one non-null value. JVM result types, chosen so
+    * [[BinlogSource]] can hand them to Spark's `Row` encoder against the
+    * [[graft.model.TypeMapper]] mapping of the same MySQL type:
+    * integers → Long (masked when the SIGNEDNESS TLV says unsigned;
+    * unsigned BIGINT → BigDecimal, the one case a Long cannot hold),
+    * FLOAT → Float, DOUBLE → Double, NEWDECIMAL → java.math.BigDecimal,
+    * DATE → LocalDate, DATETIME2 → LocalDateTime (no zone on the wire),
+    * TIMESTAMP2 → Instant (UTC seconds on the wire), TIME2 → "HH:MM:SS
+    * [.ffffff]" String (Spark has no TIME type; TypeMapper maps time →
+    * String), YEAR → Short, ENUM/SET → label String when the TABLE_MAP
+    * carried ENUM/SET_STR_VALUE metadata else the raw index/bitmask as
+    * Long, BIT → Long, BLOB/TEXT → Array[Byte] (the source coerces to
+    * String where the target schema says so), CHAR/VARCHAR → String. */
   private def value(b: ByteBuffer, c: ColumnDef): Any = c.tpe match {
-    case TypeTiny     => b.get().toLong
-    case TypeShort    => b.getShort().toLong
-    case TypeLong     => b.getInt().toLong
-    case TypeLongLong => b.getLong()
-    case TypeDouble   => b.getDouble()
-    case TypeVarchar  =>
+    case TypeTiny =>
+      val v = b.get().toLong; if (c.unsigned) v & 0xffL else v
+    case TypeShort =>
+      val v = b.getShort().toLong; if (c.unsigned) v & 0xffffL else v
+    case TypeInt24 =>
+      val u = (b.get() & 0xff) | ((b.get() & 0xff) << 8) |
+        ((b.get() & 0xff) << 16)
+      if (c.unsigned) u.toLong & 0xffffffL
+      else ((u << 8) >> 8).toLong // sign-extend 24 bits
+    case TypeLong =>
+      val v = b.getInt(); if (c.unsigned) v.toLong & 0xffffffffL else v.toLong
+    case TypeLongLong =>
+      val v = b.getLong()
+      if (c.unsigned) new java.math.BigDecimal(java.lang.Long.toUnsignedString(v))
+      else v
+    case TypeFloat  => b.getFloat()
+    case TypeDouble => b.getDouble()
+    case TypeNewDecimal => decodeDecimal(b, c.meta >> 8, c.meta & 0xff)
+    case TypeDate | TypeNewDate =>
+      // 3 bytes LE: day 5 bits, month 4, year the rest
+      val v = (b.get() & 0xff) | ((b.get() & 0xff) << 8) | ((b.get() & 0xff) << 16)
+      val (y, m, d) = (v >> 9, (v >> 5) & 0x0f, v & 0x1f)
+      if (y == 0 || m == 0 || d == 0) null // the zero-date sentinel
+      else java.time.LocalDate.of(y, m, d)
+    case TypeYear =>
+      val v = b.get() & 0xff
+      (if (v == 0) 0 else 1900 + v).toShort
+    case TypeDatetime2 =>
+      // 5 bytes BE, offset 1<<39: sign1 | (year*13+month)17 | day5 |
+      // hour5 | minute6 | second6 — then the fsp fraction
+      val raw = readBE(b, 5) - 0x8000000000L
+      val us = readFrac(b, c.meta)
+      val ym = ((raw >> 22) & 0x1ffff).toInt
+      java.time.LocalDateTime.of(ym / 13, ym % 13, ((raw >> 17) & 0x1f).toInt,
+        ((raw >> 12) & 0x1f).toInt, ((raw >> 6) & 0x3f).toInt,
+        (raw & 0x3f).toInt, us.toInt * 1000)
+    case TypeTimestamp2 =>
+      val sec = readBE(b, 4)
+      val us = readFrac(b, c.meta)
+      java.time.Instant.ofEpochSecond(sec, us * 1000L)
+    case TypeTime2 =>
+      // my_time_packed_to_binary: the packed value is SIGNED
+      // (hour10|minute6|second6) << 24 | microseconds, negated for
+      // negative times. fsp 0–4 store int3(0x800000 + (nr >> 24)) plus
+      // the SIGNED fraction scaled into 0–2 trailing bytes; fsp 5–6
+      // store the whole thing as int6(0x800000000000 + nr).
+      val nr =
+        if (c.meta >= 5) readBE(b, 6) - 0x800000000000L
+        else {
+          var intPart = readBE(b, 3) - 0x800000L // nr >> 24, sign included
+          val fb = (c.meta + 1) / 2 // 0, 1 or 2 fraction bytes
+          var f = if (fb == 0) 0L else readBE(b, fb) // stored unsigned
+          // binary_to_my_time_packed: a negative intpart with a nonzero
+          // fraction means the fraction wrapped — shift it back
+          if (intPart < 0 && f > 0) { intPart += 1; f -= (1L << (8 * fb)) }
+          val scale = if (fb == 1) 10000L else 100L
+          (intPart << 24) + f * (if (fb == 0) 0L else scale)
+        }
+      val neg = nr < 0
+      val mag = math.abs(nr)
+      val us = mag & 0xffffffL
+      val p = mag >> 24
+      val base = f"${(p >> 12) & 0x3ff}%02d:${(p >> 6) & 0x3f}%02d:${p & 0x3f}%02d"
+      val frac = if (c.meta > 0) "." + f"$us%06d".take(c.meta) else ""
+      (if (neg) "-" else "") + base + frac
+    case TypeBit => readBE(b, (c.meta + 7) / 8) // big-endian, unlike ints
+    case TypeEnum =>
+      val idx = (if (c.meta == 1) (b.get() & 0xff)
+                 else (b.get() & 0xff) | ((b.get() & 0xff) << 8)).toLong
+      if (c.labels.isEmpty) idx
+      else if (idx == 0) null // the invalid-value sentinel index
+      else c.labels((idx - 1).toInt)
+    case TypeSet =>
+      var mask = 0L
+      (0 until c.meta).foreach(i => mask |= (b.get().toLong & 0xff) << (8 * i))
+      if (c.labels.isEmpty) mask
+      else c.labels.zipWithIndex
+        .collect { case (l, i) if (mask & (1L << i)) != 0 => l }
+        .mkString(",")
+    case TypeBlob =>
+      var len = 0L
+      (0 until c.meta).foreach(i => len |= (b.get().toLong & 0xff) << (8 * i))
+      require(len >= 0 && len <= b.remaining(), s"blob length $len overruns event")
+      val a = new Array[Byte](len.toInt); b.get(a); a
+    case TypeVarchar | TypeVarString | TypeString =>
       val len = if (c.meta < 256) b.get() & 0xff
                 else (b.get() & 0xff) | ((b.get() & 0xff) << 8)
       str(b, len)
     case t => throw new IllegalStateException(s"unsupported column type $t")
+  }
+
+  /** Digit-count → byte-count for one decimal group (myisampack
+    * dig2bytes). */
+  private val Dig2Bytes = Array(0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
+
+  /** How many bytes a NEWDECIMAL(precision, scale) occupies on the wire. */
+  def decimalBinSize(precision: Int, scale: Int): Int = {
+    val intg = precision - scale
+    intg / 9 * 4 + Dig2Bytes(intg % 9) + scale / 9 * 4 + Dig2Bytes(scale % 9)
+  }
+
+  /** MySQL's packed decimal (decimal2bin): the integer and fractional
+    * digit strings split into 9-digit groups of 4 big-endian bytes each,
+    * leftover digits packed into [[Dig2Bytes]] bytes at the FRONT of the
+    * integer part and the END of the fraction; the first byte's MSB is
+    * the sign (1 = non-negative) and a negative number is the positive
+    * encoding with every byte inverted. */
+  private def decodeDecimal(b: ByteBuffer, precision: Int, scale: Int): java.math.BigDecimal = {
+    val size = decimalBinSize(precision, scale)
+    require(size > 0 && size <= b.remaining(),
+      s"decimal($precision,$scale) overruns event")
+    val raw = new Array[Byte](size); b.get(raw)
+    val positive = (raw(0) & 0x80) != 0
+    if (!positive) raw.indices.foreach(i => raw(i) = (~raw(i)).toByte)
+    raw(0) = (raw(0) ^ 0x80).toByte
+    val intg = precision - scale
+    val sb = new java.lang.StringBuilder(precision + 2)
+    var off = 0
+    def group(nBytes: Int, digits: Int): Unit = {
+      var v = 0L
+      (0 until nBytes).foreach { i => v = (v << 8) | (raw(off + i) & 0xff) }
+      off += nBytes
+      val s = v.toString
+      require(s.length <= digits, s"decimal group $v exceeds $digits digits")
+      (s.length until digits).foreach(_ => sb.append('0'))
+      sb.append(s); ()
+    }
+    if (intg % 9 > 0) group(Dig2Bytes(intg % 9), intg % 9)
+    (0 until intg / 9).foreach(_ => group(4, 9))
+    if (sb.length() == 0) sb.append('0')
+    if (scale > 0) {
+      sb.append('.')
+      (0 until scale / 9).foreach(_ => group(4, 9))
+      if (scale % 9 > 0) group(Dig2Bytes(scale % 9), scale % 9)
+    }
+    val mag = new java.math.BigDecimal(sb.toString)
+    if (positive) mag else mag.negate()
+  }
+
+  /** Fractional-seconds trailer: ceil(fsp/2) big-endian bytes holding the
+    * fraction at 2·bytes digits; returns microseconds. */
+  private def readFrac(b: ByteBuffer, fsp: Int): Long = {
+    val n = (fsp + 1) / 2
+    if (n == 0) 0L
+    else {
+      val stored = readBE(b, n)
+      stored * math.pow(10, 6 - 2 * n).toLong
+    }
+  }
+
+  private def readBE(b: ByteBuffer, n: Int): Long = {
+    var v = 0L
+    (0 until n).foreach(_ => v = (v << 8) | (b.get() & 0xff))
+    v
   }
 
   // --- little-endian primitives ---
@@ -427,6 +714,88 @@ object BinlogFormat {
     val bytes = new Array[Byte]((n + 7) / 8)
     b.get(bytes)
     (0 until n).map(i => (bytes(i / 8) & (1 << (i % 8))) != 0)
+  }
+}
+
+/** A GTID set in the canonical `uuid:a[-b][:c-d],uuid2:e` display form —
+  * the resume token modern MySQL replication uses instead of the
+  * server-specific (file, pos) offset the reference persists
+  * (`/root/reference/src/cdc_replicator.py:24-35`). A consumer that
+  * tracks the set of transactions it has APPLIED can resume against ANY
+  * replica: transactions whose GTID is already in the set are skipped,
+  * so the overlap a failover replay produces (the same transactions
+  * present at the tail of the old server's log and the head of the new
+  * one's) applies exactly once. Interval arithmetic over (sid →
+  * inclusive ranges); membership is a binary search, O(log intervals).
+  */
+final case class GtidSet(intervals: Map[String, IndexedSeq[(Long, Long)]])
+    extends Serializable {
+  /** Is `gtid` ("uuid:gno") already in the set? Unstamped changes (None)
+    * are never "already applied". */
+  def contains(gtid: String): Boolean = {
+    val i = gtid.lastIndexOf(':')
+    require(i > 0, s"malformed GTID $gtid")
+    val gno = gtid.substring(i + 1).toLong
+    intervals.get(gtid.substring(0, i).toLowerCase).exists { ivs =>
+      // ivs sorted by lo: find the last interval starting <= gno
+      var lo = 0; var hi = ivs.size - 1; var hit = false
+      while (lo <= hi && !hit) {
+        val mid = (lo + hi) / 2
+        if (ivs(mid)._1 > gno) hi = mid - 1
+        else if (ivs(mid)._2 < gno) lo = mid + 1
+        else hit = true
+      }
+      hit
+    }
+  }
+  def isEmpty: Boolean = intervals.isEmpty
+  /** Canonical display form (sids sorted, intervals ascending). */
+  def render: String = intervals.toSeq.sortBy(_._1).map { case (sid, ivs) =>
+    sid + ":" + ivs.map { case (a, b) => if (a == b) s"$a" else s"$a-$b" }
+      .mkString(":")
+  }.mkString(",")
+}
+
+object GtidSet {
+  val Empty: GtidSet = GtidSet(Map.empty)
+
+  /** Parse the canonical display form ([[BinlogFormat.parseGtidSet]]'s
+    * output shape and MySQL's own `gtid_executed` rendering). */
+  def parse(s: String): GtidSet =
+    if (s.trim.isEmpty) Empty
+    else GtidSet(s.split(',').map(_.trim).filter(_.nonEmpty).map { part =>
+      val xs = part.split(':')
+      require(xs.length >= 2, s"malformed GTID set entry $part")
+      val ivs = xs.tail.map { r =>
+        r.split('-') match {
+          case Array(a)    => (a.toLong, a.toLong)
+          case Array(a, b) => (a.toLong, b.toLong)
+          case _ => throw new IllegalArgumentException(s"bad interval $r")
+        }
+      }.toIndexedSeq.sortBy(_._1)
+      ivs.foreach { case (a, b) => require(a <= b, s"inverted interval in $part") }
+      xs.head.toLowerCase -> ivs
+    }.toMap)
+
+  /** The set covering exactly the given GTIDs (what a consumer builds
+    * from the transactions it applied), intervals coalesced. */
+  def fromGtids(gtids: IterableOnce[String]): GtidSet = {
+    val bySid = gtids.iterator.toSeq.map { g =>
+      val i = g.lastIndexOf(':')
+      require(i > 0, s"malformed GTID $g")
+      (g.substring(0, i).toLowerCase, g.substring(i + 1).toLong)
+    }.groupMap(_._1)(_._2)
+    GtidSet(bySid.map { case (sid, gnos) =>
+      val sorted = gnos.distinct.sorted
+      val ivs = IndexedSeq.newBuilder[(Long, Long)]
+      var start = sorted.head; var prev = sorted.head
+      sorted.tail.foreach { g =>
+        if (g == prev + 1) prev = g
+        else { ivs += ((start, prev)); start = g; prev = g }
+      }
+      ivs += ((start, prev))
+      sid -> ivs.result()
+    })
   }
 }
 

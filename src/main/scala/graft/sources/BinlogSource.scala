@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
-import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types._
 
 /** Distributed bridge: directory of rotated binlog files →
   * [[graft.streaming.CdcPipeline]]-shaped change rows (row-image columns
@@ -58,24 +58,80 @@ object BinlogSource {
     .add("path", StringType).add("modificationTime", TimestampType)
     .add("length", LongType).add("content", BinaryType)
 
+  /** Bridge the parser's JVM values onto the caller's declared field
+    * type — the small set of representation gaps between what the WIRE
+    * can say and what the Row encoder wants: BLOB/TEXT share one wire
+    * code so bytes become String exactly when the schema says so;
+    * integer wire values are Long and narrow to the schema's
+    * Byte/Short/Int (the TypeMapper widths); LocalDate/Instant/
+    * LocalDateTime land as-is for DATE/TIMESTAMP/TIMESTAMP_NTZ fields
+    * (the Row encoder takes the java.time forms); unsigned BIGINT's
+    * BigDecimal widens onto any DecimalType field. Everything else
+    * passes through and mismatches fail loudly in the encoder. */
+  private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _)                       => null
+    case (l: java.lang.Long, ShortType)   => l.shortValue()
+    case (l: java.lang.Long, IntegerType) => l.intValue()
+    case (l: java.lang.Long, ByteType)    => l.byteValue()
+    case (l: java.lang.Long, _: DecimalType) => new java.math.BigDecimal(l)
+    case (s: java.lang.Short, IntegerType) => s.intValue()
+    case (s: java.lang.Short, LongType)    => s.longValue()
+    case (b: Array[Byte], StringType)    => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    case (d: java.time.LocalDate, DateType) => java.sql.Date.valueOf(d)
+    case (t: java.time.Instant, TimestampType) => java.sql.Timestamp.from(t)
+    case (dt2: java.time.LocalDateTime, TimestampType) =>
+      java.sql.Timestamp.valueOf(dt2)
+    case _ => v
+  }
+
   private def decode(files: Dataset[(String, Array[Byte])], table: String,
-                     rowSchema: StructType): DataFrame = {
-    val out = rowSchema
+                     rowSchema: StructType,
+                     skipGtids: GtidSet = GtidSet.Empty,
+                     beforeKey: Option[String] = None,
+                     chainCols: Boolean = false): DataFrame = {
+    val base = rowSchema
       .add("op", StringType).add("_seq", LongType).add("_tbl", StringType)
+    val withBk = beforeKey.fold(base)(f =>
+      base.add(s"_before_$f", rowSchema(f).dataType))
+    val out = if (chainCols) withBk.add("_file", StringType)
+                                   .add("_next", StringType)
+              else withBk
     val n = rowSchema.size
+    val fieldTypes = rowSchema.fields.map(_.dataType).toIndexedSeq
+    val bkIdx = beforeKey.map(rowSchema.fieldIndex)
     implicit val enc = Encoders.row(out)
     files.flatMap { case (path, bytes) =>
       val ord = fileOrdinal(path)
-      BinlogFormat.parse(bytes).changes.iterator
+      val parsed = BinlogFormat.parse(bytes)
+      val chainTail: Seq[Any] =
+        if (!chainCols) Nil
+        else Seq(path.substring(path.lastIndexOf('/') + 1),
+          parsed.nextFile.orNull)
+      parsed.changes.iterator
         .zipWithIndex // per-file change ordinal: see ordering scaladoc
         .filter(_._1.table == table)
+        // GTID resume: skip transactions already in the applied set
+        // (unstamped changes are never "already applied")
+        .filter(!_._1.gtid.exists(skipGtids.contains))
         .map { case (ch, i) =>
           val img = (if (ch.op == "D") ch.before else ch.after)
             .getOrElse(throw new IllegalStateException(
               s"${ch.op} row without its image at pos ${ch.pos}"))
           require(img.size == n,
             s"row arity ${img.size} != schema arity $n for $table")
-          Row.fromSeq(img ++ Seq(ch.op, (ord << 40) | i.toLong, ch.table))
+          val coerced = img.lazyZip(fieldTypes).map(coerce)
+          // before-image key: for updates the OLD key (the one the
+          // reference discards — the t28 orphan repair's input); for
+          // inserts/deletes it equals the image's own key
+          val bkTail: Seq[Any] = bkIdx.toSeq.map { k =>
+            val src = if (ch.op == "U")
+              ch.before.getOrElse(throw new IllegalStateException(
+                s"update without before-image at pos ${ch.pos}"))
+            else img
+            coerce(src(k), fieldTypes(k))
+          }
+          Row.fromSeq(coerced ++ Seq(ch.op, (ord << 40) | i.toLong, ch.table)
+            ++ bkTail ++ chainTail)
         }
     }.toDF()
   }
@@ -86,11 +142,26 @@ object BinlogSource {
         Encoders.tuple(Encoders.STRING, Encoders.BINARY))
 
   /** Change rows for `table` from every binlog file under `dir`.
-    * `rowSchema` = the row-image columns in TABLE_MAP order (LongType /
-    * DoubleType / StringType per the decoded type surface). */
+    * `rowSchema` = the row-image columns in TABLE_MAP order, with Spark
+    * types per the decoded type surface ([[BinlogFormat.value]]'s doc).
+    *
+    * `skipGtids`: the GTID-set resume filter — transactions whose GTID
+    * is in the set are dropped before they reach the apply path (see
+    * [[GtidSet]]); pass the set of transactions already applied to read
+    * an OVERLAPPING rotated chain (e.g. after a replica failover)
+    * exactly once.
+    *
+    * `beforeKey = Some(field)` appends a `_before_<field>` column
+    * carrying the UPDATE before-image's value of that field (equal to
+    * the image's own value for inserts/deletes) — the input
+    * [[graft.operators.CdcTransform.stampWithBeforeImage]] needs to
+    * tombstone PK-updates' old keys from the wire. */
   def changes(s: SparkSession, dir: String, table: String,
-              rowSchema: StructType): DataFrame =
-    decode(asFiles(s.read.format("binaryFile").load(dir)), table, rowSchema)
+              rowSchema: StructType,
+              skipGtids: GtidSet = GtidSet.Empty,
+              beforeKey: Option[String] = None): DataFrame =
+    decode(asFiles(s.read.format("binaryFile").load(dir)), table, rowSchema,
+      skipGtids, beforeKey)
 
   /** Streaming form — the reference's continuous mode
     * (`CDCReplicator.run_continuous`, `src/cdc_replicator.py:296-326`)
@@ -104,9 +175,47 @@ object BinlogSource {
     * live socket tail would need the wire handshake the sandbox cannot
     * host (COVERAGE.md, environment-blocked). */
   def changesStream(s: SparkSession, dir: String, table: String,
-                    rowSchema: StructType): DataFrame =
+                    rowSchema: StructType,
+                    chainCols: Boolean = false): DataFrame =
     decode(asFiles(s.readStream.format("binaryFile")
-      .schema(BinaryFileSchema).load(dir)), table, rowSchema)
+      .schema(BinaryFileSchema).load(dir)), table, rowSchema,
+      chainCols = chainCols)
+
+  /** Driver-side ROTATE-chain validator for the STREAMING path — the
+    * batch path REQUIREs the chain up front via [[rotateChain]], but a
+    * stream sees files one micro-batch at a time and until now trusted
+    * the name ordinal alone. A consumer feeds every newly-seen file's
+    * (name, rotate target) — the `_file`/`_next` columns
+    * `changesStream(chainCols = true)` emits, collected per batch on
+    * the driver (bounded: one row per FILE per batch) — and the guard
+    * REQUIREs, over everything seen so far, that each file's declared
+    * successor IS the next file by ordinal. Out-of-order landings are
+    * legal (file N+1 may arrive before N; the pair is checked once both
+    * are present); a file whose ROTATE disagrees with the name order,
+    * or a non-final file with no ROTATE once its successor landed,
+    * fails the stream loudly instead of silently misordering `_seq`. */
+  final class RotateChainGuard extends Serializable {
+    private val seen =
+      scala.collection.concurrent.TrieMap.empty[Long, (String, Option[String])]
+
+    def observe(name: String, rotateTarget: Option[String]): Unit = {
+      seen.put(fileOrdinal(name), (name, rotateTarget))
+      seen.foreach { case (ord, (f, target)) =>
+        seen.get(ord + 1).foreach { case (successor, _) =>
+          target match {
+            case Some(t) => require(t == successor,
+              s"rotate chain mismatch: $f declares next=$t but the " +
+                s"successor file is $successor")
+            case None => throw new IllegalStateException(
+              s"rotate chain broken: $f carries no ROTATE but $successor follows it")
+          }
+        }
+      }
+    }
+
+    /** Files validated so far (for in-gate completeness REQUIREs). */
+    def seenCount: Int = seen.size
+  }
 
   /** (file name, rotate target) per binlog under `dir`, name-ordered —
     * lets callers REQUIRE the ROTATE chain matches the suffix order.

@@ -55,14 +55,23 @@ final class CdcPipeline(
     * [[CdcTransform.stampWithBeforeImage]] so a PK-changing update also
     * tombstones its old key when `fixPkUpdateOrphans` is on
     * (`ReplicationConfig.fixPkUpdateOrphans`; default preserves the
-    * reference's orphaning behavior — T28). */
+    * reference's orphaning behavior — T28).
+    *
+    * `onBatch` runs on the DRIVER against each raw micro-batch before the
+    * stamp — the hook stream-side validators plug into (e.g.
+    * [[graft.sources.BinlogSource.RotateChainGuard]] consuming the
+    * per-file chain columns); a throw fails the stream. `dropCols` names
+    * extra bookkeeping columns (beyond op/seq/table) to strip before the
+    * append. */
   def start(changeStream: DataFrame, table: String, opCol: String,
             seqCol: String, tables: Seq[String] = Nil,
             tableCol: Option[String] = None,
             versionOf: Long => Long = _ => System.currentTimeMillis() * 1000L,
             trigger: Trigger = Trigger.AvailableNow(),
             beforeImage: Option[(String, String)] = None,
-            fixPkUpdateOrphans: Boolean = false): StreamingQuery = {
+            fixPkUpdateOrphans: Boolean = false,
+            onBatch: DataFrame => Unit = _ => (),
+            dropCols: Seq[String] = Nil): StreamingQuery = {
     // P5: client-side table-set re-check (`src/cdc_replicator.py:330-333`)
     val filtered = (tableCol, tables) match {
       case (Some(tc), ts) if ts.nonEmpty => changeStream.filter(col(tc).isin(ts: _*))
@@ -73,6 +82,7 @@ final class CdcPipeline(
       .option("checkpointLocation", s"$checkpointDir/$table")
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        onBatch(batch.toDF())
         // drop bookkeeping columns after stamping so applied rows share
         // the initial-sync schema (source cols + meta cols)
         val stamped = beforeImage match {
@@ -84,7 +94,7 @@ final class CdcPipeline(
             CdcTransform.stampBatch(batch.toDF(), opCol, seqCol,
               versionOf(batchId))
         }
-        stamped.drop((Seq(opCol, seqCol) ++ tableCol.toSeq): _*)
+        stamped.drop((Seq(opCol, seqCol) ++ tableCol.toSeq ++ dropCols): _*)
           .write.mode("append").parquet(s"$targetDir/$table.parquet")
         ()
       }

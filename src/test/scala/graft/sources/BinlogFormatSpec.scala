@@ -258,9 +258,197 @@ class BinlogFormatSpec extends AnyFunSuite {
     }
   }
 
+  /** Second hand-written golden vector: the widened type surface.
+    * TABLE_MAP d.t over (dec DECIMAL(14,4), d DATE, dt DATETIME2(3),
+    * tm TIME2(0), y YEAR, en ENUM('lo','hi'), b BIT(12), bl BLOB) with
+    * 8.0 optional metadata (SIGNEDNESS over the one numeric column,
+    * ENUM_STR_VALUE carrying the labels); WRITE_ROWS_V2 with one row.
+    * Every byte composed field-by-field from the MySQL Internals layout
+    * (the DECIMAL bytes are the manual's own documented example for
+    * 1234567890.1234 as DECIMAL(14,4)); eventSizes 65/60, end positions
+    * 185/245, FDE reused from the first golden file (alg=0). */
+  private val goldenTyped: Array[Byte] =
+    golden.take(4 + 116) ++ hex("""
+      00 00 00 00 13 01 00 00 00 41 00 00 00 B9 00 00 00 00 00
+      06 00 00 00 00 00 01 00
+      01 64 00 01 74 00
+      08
+      F6 0A 12 13 0D FE 10 FC
+      09
+      0E 04 03 00 F7 01 04 01 02
+      00
+      01 01 00
+      06 07 02 02 6C 6F 02 68 69
+      00 00 00 00 1E 01 00 00 00 3C 00 00 00 F5 00 00 00 00 00
+      06 00 00 00 00 00 00 00 02 00
+      08 FF 00
+      81 0D FB 38 D2 04 D2
+      67 D0 0F
+      99 B2 CE DB 5E 09 C4
+      80 51 87
+      79
+      02
+      0A BC
+      02 00 78 79
+    """) ++ golden.takeRight(27)
+
+  test("golden typed vector: decimal/date/datetime2/time2/year/enum/bit/blob") {
+    val p = parse(goldenTyped)
+    assert(p.changes.size == 1)
+    val img = p.changes.head.after.get
+    assert(img(0) == new java.math.BigDecimal("1234567890.1234"))
+    assert(img(1) == java.time.LocalDate.of(2024, 3, 7))
+    assert(img(2) == java.time.LocalDateTime.of(2024, 3, 7, 13, 45, 30, 250000000))
+    assert(img(3) == "05:06:07")
+    assert(img(4) == 2021.toShort)
+    assert(img(5) == "hi") // ENUM index 2 through the in-band labels
+    assert(img(6) == 0xABCL)
+    assert(img(7).asInstanceOf[Array[Byte]].sameElements("xy".getBytes))
+    assert(p.changes.head.pos == 245L)
+  }
+
+  test("typed roundtrip: every wire type through encoder and parser") {
+    val tcols = IndexedSeq(
+      ColumnDef(TypeTiny, 0, unsigned = true),
+      ColumnDef(TypeShort, 0, unsigned = true),
+      ColumnDef(TypeInt24, 0),
+      ColumnDef(TypeInt24, 0, unsigned = true),
+      ColumnDef(TypeLong, 0, unsigned = true),
+      ColumnDef(TypeLongLong, 0, unsigned = true),
+      ColumnDef(TypeFloat, 4),
+      ColumnDef(TypeNewDecimal, (20 << 8) | 6),
+      ColumnDef(TypeDate, 0),
+      ColumnDef(TypeYear, 0),
+      ColumnDef(TypeDatetime2, 6),
+      ColumnDef(TypeTimestamp2, 2),
+      ColumnDef(TypeTime2, 0),
+      ColumnDef(TypeBit, 31),
+      ColumnDef(TypeEnum, 2, labels = (1 to 300).map(i => s"e$i")),
+      ColumnDef(TypeSet, 1, labels = IndexedSeq("a", "b", "c")),
+      ColumnDef(TypeString, 10),
+      ColumnDef(TypeBlob, 4),
+      ColumnDef(TypeVarString, 20))
+    val row = IndexedSeq[Any](
+      200L, 65000L, -5000000L, 16000000L, 4000000000L,
+      new java.math.BigDecimal("18446744073709551615"), // u64 max
+      1.5f,
+      new java.math.BigDecimal("-12345678901234.567890"),
+      java.time.LocalDate.of(1991, 12, 31),
+      2155.toShort,
+      java.time.LocalDateTime.of(2026, 8, 16, 23, 59, 59, 999999000),
+      java.time.Instant.ofEpochSecond(1723804800L, 990000000L),
+      "-812:34:56",
+      0x7fffffffL,
+      "e299", // 2-byte enum index 299
+      "a,c",  // set bitmask 0b101
+      "charpad",
+      "blobby".getBytes,
+      "varstring")
+    val p = parse(BinlogFixture.encode("d", "t", tcols,
+      txns = Seq(Seq(Change.insert(row)))))
+    val img = p.changes.head.after.get
+    row.indices.foreach { i =>
+      (img(i), row(i)) match {
+        case (a: Array[Byte], e: Array[Byte]) => assert(a.sameElements(e), s"col $i")
+        case (a, e) => assert(a == e, s"col $i: $a != $e")
+      }
+    }
+  }
+
+  test("time2: fractional and negative-fractional storage (signed wrap)") {
+    // the fsp 1-4 layouts store int3 + a SIGNED scaled fraction; negative
+    // times with fraction wrap through intpart++ (binary_to_my_time_packed)
+    Seq(1, 2, 3, 4, 6).foreach { fsp =>
+      val c = IndexedSeq(ColumnDef(TypeTime2, fsp))
+      def rt(s: String): Any = parse(BinlogFixture.encode("d", "t", c,
+        txns = Seq(Seq(Change.insert(IndexedSeq(s)))))).changes.head.after.get.head
+      val digits = "998877".take(fsp)
+      assert(rt(s"11:22:33.$digits") == s"11:22:33.$digits", s"fsp $fsp")
+      assert(rt(s"-00:00:00.$digits") == s"-00:00:00.$digits", s"neg fsp $fsp")
+      assert(rt("-838:59:59." + "0" * fsp) == "-838:59:59." + "0" * fsp)
+    }
+  }
+
+  test("decimal: sign, leading-zero groups, scale-only and intg-only shapes") {
+    def rt(s: String, p: Int, sc: Int): Any = {
+      val c = IndexedSeq(ColumnDef(TypeNewDecimal, (p << 8) | sc))
+      parse(BinlogFixture.encode("d", "t", c, txns = Seq(Seq(
+        Change.insert(IndexedSeq(new java.math.BigDecimal(s)))))))
+        .changes.head.after.get.head
+    }
+    assert(rt("0.0001", 10, 4) == new java.math.BigDecimal("0.0001"))
+    assert(rt("-0.0001", 10, 4) == new java.math.BigDecimal("-0.0001"))
+    assert(rt("99999999999999999999999999999999999998", 38, 0) ==
+      new java.math.BigDecimal("99999999999999999999999999999999999998"))
+    assert(rt("-123456789123456789.123456789123456789", 36, 18) ==
+      new java.math.BigDecimal("-123456789123456789.123456789123456789"))
+    assert(rt("0", 5, 0) == new java.math.BigDecimal("0"))
+    assert(rt("0.00", 4, 2) == new java.math.BigDecimal("0.00"))
+  }
+
+  test("date/year zero sentinels and unsigned-less integers stay signed") {
+    // a zero-date (year 0) decodes as null — the 0000-00-00 sentinel;
+    // YEAR byte 0 decodes as year 0
+    val dc = IndexedSeq(ColumnDef(TypeDate, 0), ColumnDef(TypeYear, 0))
+    val p = parse(BinlogFixture.encode("d", "t", dc, txns = Seq(Seq(
+      Change.insert(IndexedSeq(java.time.LocalDate.of(0, 1, 1), 0.toShort))))))
+    assert(p.changes.head.after.get(0) == null)
+    assert(p.changes.head.after.get(1) == 0.toShort)
+    // without a SIGNEDNESS TLV match, integers decode signed (the
+    // documented pre-8.0 caveat): -1 as unsigned-undeclared LONGLONG
+    val ic = IndexedSeq(ColumnDef(TypeLongLong, 0))
+    val q = parse(BinlogFixture.encode("d", "t", ic, txns = Seq(Seq(
+      Change.insert(IndexedSeq(-1L))))))
+    assert(q.changes.head.after.get.head == -1L)
+  }
+
   test("fileOrdinal: standard rotated names order numerically") {
     assert(BinlogSource.fileOrdinal("/a/b/mysql-bin.000042") == 42L)
     assert(BinlogSource.fileOrdinal("events-bin.000001") == 1L)
     intercept[IllegalArgumentException](BinlogSource.fileOrdinal("nodigits"))
+  }
+
+  test("GtidSet: parse/contains/render/fromGtids interval arithmetic") {
+    val u1 = "01020304-0506-0708-090a-0b0c0d0e0f10"
+    val u2 = "ffeeddcc-bbaa-9988-7766-554433221100"
+    val set = GtidSet.parse(s"$u1:1-5:9:12-20,$u2:3")
+    assert(Seq(1L, 5L, 9L, 12L, 20L).forall(g => set.contains(s"$u1:$g")))
+    assert(Seq(6L, 8L, 10L, 11L, 21L).forall(g => !set.contains(s"$u1:$g")))
+    assert(set.contains(s"$u2:3") && !set.contains(s"$u2:4"))
+    assert(!set.contains(s"aaaaaaaa-0000-0000-0000-000000000000:1"))
+    assert(GtidSet.parse("").isEmpty && !GtidSet.Empty.contains(s"$u1:1"))
+    // fromGtids coalesces runs and renders canonically
+    val built = GtidSet.fromGtids(Seq(s"$u1:3", s"$u1:1", s"$u1:2",
+      s"$u1:7", s"$u1:2"))
+    assert(built.render == s"$u1:1-3:7")
+    assert(GtidSet.parse(built.render).contains(s"$u1:2"))
+    intercept[IllegalArgumentException](GtidSet.parse(s"$u1"))
+    intercept[IllegalArgumentException](GtidSet.parse(s"$u1:5-1"))
+  }
+
+  test("RotateChainGuard: out-of-order landing validates; mismatch fails") {
+    // in-order
+    val g = new BinlogSource.RotateChainGuard
+    g.observe("b.000001", Some("b.000002"))
+    g.observe("b.000002", Some("b.000003"))
+    g.observe("b.000003", None)
+    assert(g.seenCount == 3)
+    // out of order: 3 lands before 2 — the (2,3) pair is checked once
+    // both are present, and passes
+    val g2 = new BinlogSource.RotateChainGuard
+    g2.observe("b.000003", None)
+    g2.observe("b.000001", Some("b.000002"))
+    g2.observe("b.000002", Some("b.000003"))
+    assert(g2.seenCount == 3)
+    // a ROTATE disagreeing with the name order fails as soon as the
+    // successor is visible — regardless of landing order
+    val g3 = new BinlogSource.RotateChainGuard
+    g3.observe("b.000001", Some("b.000009"))
+    val e = intercept[IllegalArgumentException](g3.observe("b.000002", None))
+    assert(e.getMessage.contains("rotate chain mismatch"))
+    // a non-final file with NO rotate fails once its successor lands
+    val g4 = new BinlogSource.RotateChainGuard
+    g4.observe("b.000002", Some("b.000003"))
+    intercept[IllegalStateException](g4.observe("b.000001", None))
   }
 }
