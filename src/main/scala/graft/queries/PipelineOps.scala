@@ -412,10 +412,40 @@ object PipelineOps {
     * events as they stream (the reference applies per-event) would leak
     * a half-order. Output: per-priority order/line/quantity rollup the
     * oracle recomputes from orders⋈lineitem. */
-  def binlogMultiTableCdcLive(s: SparkSession, dir: String): DataFrame = {
-    import graft.sources.{BinlogFixture, BinlogFormat, BinlogSource}
+  private val MtHdrSchema = StructType.fromDDL(
+    "o_orderkey BIGINT, o_orderpriority STRING")
+  private val MtLnSchema = StructType.fromDDL(
+    "l_orderkey BIGINT, l_linenumber BIGINT, l_quantity DOUBLE")
+
+  private case class StagedMultiBinlogs(landing: String, nHdr: Int)
+
+  /** Shared by t31 (live-view apply) and b8 (co-bucketed sink): the 10%
+    * order sample joined to its lines — the uncommitted poison order
+    * appears in NEITHER, so any atomicity leak flips a count and the
+    * hash. */
+  private val MultiTableRollupOracle =
+    """SELECT o.o_orderpriority,
+      |  CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(trunc(l.l_quantity) AS BIGINT) /* truncate like Spark long-cast */) AS BIGINT) AS sum_qty
+      |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderkey % 10 = 0
+      |GROUP BY 1""".stripMargin
+
+  private val stagedMulti =
+    new java.util.concurrent.ConcurrentHashMap[String, StagedMultiBinlogs]()
+
+  /** t31/b8 shared staging: the 10% order sample rendered as TWO rotated
+    * multi-table binlog files (one XID-committed transaction per order
+    * across orders_hdr + orders_ln; the second file ends in an
+    * uncommitted cross-table poison transaction). Memoized per sf dir —
+    * the encode is the expensive part and the files are immutable. */
+  private def stageMultiBinlogs(s: SparkSession, dir: String): StagedMultiBinlogs =
+    stagedMulti.computeIfAbsent(dir, _ => buildMultiBinlogs(s, dir))
+
+  private def buildMultiBinlogs(s: SparkSession, dir: String): StagedMultiBinlogs = {
+    import graft.sources.{BinlogFixture, BinlogFormat}
     import BinlogFixture.{Change, TableDef}
-    import graft.operators.CdcTransform
     val landing = graft.GateCache.tempDir("graft_binlog_mt_src").toString
     val hdrCols = IndexedSeq(
       BinlogFormat.ColumnDef(BinlogFormat.TypeLongLong, 0),
@@ -464,10 +494,16 @@ object PipelineOps {
     Files.write(java.nio.file.Paths.get(landing, names(1)),
       BinlogFixture.encodeMulti(tables, txns.drop(half),
         uncommittedTail = poisonTxn, gtidFrom = Some(1L + half)))
-    val hdrSchema = StructType.fromDDL(
-      "o_orderkey BIGINT, o_orderpriority STRING")
-    val lnSchema = StructType.fromDDL(
-      "l_orderkey BIGINT, l_linenumber BIGINT, l_quantity DOUBLE")
+    StagedMultiBinlogs(landing, hdr.length)
+  }
+
+  def binlogMultiTableCdcLive(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.BinlogSource
+    import graft.operators.CdcTransform
+    val staged = stageMultiBinlogs(s, dir)
+    val landing = staged.landing
+    val hdrSchema = MtHdrSchema
+    val lnSchema = MtLnSchema
     def applyLive(table: String, schema: StructType,
                   pks: Seq[String]): DataFrame = {
       val stamped = CdcTransform.stampBatch(
@@ -480,7 +516,7 @@ object PipelineOps {
     val lnLive = applyLive("orders_ln", lnSchema,
       Seq("l_orderkey", "l_linenumber"))
     // atomic torn-tail discard, both tables (bounded count actions)
-    require(hdrLive.count() == hdr.length,
+    require(hdrLive.count() == staged.nHdr,
       "header count off — torn tail leaked or a transaction was lost")
     val orphans = lnLive.join(hdrLive,
       lnLive("l_orderkey") === hdrLive("o_orderkey"), "left_anti").count()
@@ -765,6 +801,73 @@ object PipelineOps {
         parityOrphans, fixedOrphans))
       .toDF("n_keys", "n_moved", "parity_live", "fixed_live",
         "parity_orphans", "fixed_orphans")
+  }
+
+  /** B8: the two r12 families JOINED — t31's multi-table CDC apply
+    * landing in CO-BUCKETED sinks. t31's own plan note conceded its
+    * final orders⋈lines join "shuffles both sides unless the sinks are
+    * co-bucketed, which is exactly the b3/b5 layout"; this gate lands
+    * the binlog-decoded change rows of BOTH tables into orderkey-
+    * bucketed tables (file 1 = the initial generation via CTAS, file 2 =
+    * the next micro-batch generation via the b5 append path — the
+    * streaming maintenance shape) and REQUIREs, with the b4 audit
+    * protocol on the AQE-final executed plan, that the cross-table
+    * rollup is EXCHANGE-FREE on the bucket key: the orders⋈lines
+    * sort-merge join reads matching buckets of both sinks, the
+    * per-order aggregate rides the same scan partitioning (partial and
+    * final fuse — hashpartitioning(orderkey) satisfies the
+    * (orderkey, priority) clustering), and the only shuffle left is the
+    * tiny per-priority rollup no layout can delete. Broadcast is
+    * disabled in an isolated session so harness-scale AQE can't void
+    * the audit. At 100 TB this is the CDC-sink endgame: every
+    * replicated fact lands pre-partitioned on its join key and the
+    * hourly rollups never shuffle the fact tables again. Output =
+    * t31's per-priority ledger (same oracle), via the two-step
+    * aggregate — bucket-local per-order, then priority. */
+  def bucketedCdcSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.BinlogSource
+    import graft.operators.{Bucketing, CdcTransform}
+    val staged = stageMultiBinlogs(s, dir)
+    def stamped(table: String, schema: StructType): DataFrame =
+      CdcTransform.stampBatch(
+        BinlogSource.changes(s, staged.landing, table, schema),
+        opCol = "op", seqCol = "_seq", batchVersionMicros = 1L)
+        .drop("op", "_tbl")
+    // the two rotated files are the two sink generations (the file
+    // ordinal rides the top bits of _seq)
+    def gen(df: DataFrame, ord: Int): DataFrame =
+      df.filter(shiftright(col(SeqCol), 40) === ord)
+    val hdrAll = graft.GateCache.cache(stamped("orders_hdr", MtHdrSchema))
+    val lnAll = graft.GateCache.cache(stamped("orders_ln", MtLnSchema))
+    Bucketing.writeBucketedMulti(gen(hdrAll, 1), "b8_hdr", Seq("o_orderkey"), 8)
+    Bucketing.appendBucketedMulti(gen(hdrAll, 2), "b8_hdr", Seq("o_orderkey"), 8)
+    Bucketing.writeBucketedMulti(gen(lnAll, 1), "b8_ln", Seq("l_orderkey"), 8)
+    Bucketing.appendBucketedMulti(gen(lnAll, 2), "b8_ln", Seq("l_orderkey"), 8)
+    require(s.table("b8_hdr").count() == staged.nHdr,
+      "bucketed sink header count off — torn tail leaked into the layout")
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val hdrB = iso.table("b8_hdr")
+    val lnB = iso.table("b8_ln")
+    val perOrder = hdrB.join(lnB, hdrB("o_orderkey") === lnB("l_orderkey"))
+      .groupBy(hdrB("o_orderkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_ln"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+    val rollup = perOrder.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("n_ln")).cast("long").as("n_lines"),
+        sum(col("qty")).cast("long").as("sum_qty"))
+    val rows = rollup.collect() // materialize so AQE finalizes the plan
+    val plan = rollup.queryExecution.executedPlan.toString
+    require(plan.contains("SortMergeJoin"),
+      s"sink join is not a bucket-wise sort-merge join:\n$plan")
+    val bad = plan.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("orderkey")).toSeq
+    require(bad.isEmpty,
+      s"CDC sink rollup shuffled on the bucket key: ${bad.mkString("; ")}\n$plan")
+    s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq),
+      rollup.schema)
   }
 
   /** T24: mid-stream `ALTER TABLE … ADD COLUMN` replication — the
@@ -3249,6 +3352,7 @@ object PipelineOps {
     "t32_binlog_typed_cdc" -> ((s, dir) => binlogTypedCdcLive(s, dir)),
     "t33_binlog_gtid_resume" -> ((s, dir) => binlogGtidResume(s, dir)),
     "t34_binlog_pk_update" -> ((s, dir) => binlogPkUpdateWire(s, dir)),
+    "b8_bucketed_cdc_sink" -> ((s, dir) => bucketedCdcSink(s, dir)),
     "t24_schema_evolution" -> ((s, dir) => evolvingCdcLive(s, dir)),
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
     "t13_stream_neardup" -> ((s, dir) => streamNearDupCounts(s, dir)),
@@ -3877,14 +3981,12 @@ object PipelineOps {
     // both live tables rebuilt relationally: the 10% order sample joined
     // to its lines (the uncommitted poison order appears in NEITHER, so
     // any atomicity leak flips a count and the hash)
-    "t31_binlog_multitable_cdc" ->
-      """SELECT o.o_orderpriority,
-        |  CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
-        |  CAST(count(*) AS BIGINT) AS n_lines,
-        |  CAST(sum(CAST(trunc(l.l_quantity) AS BIGINT) /* truncate like Spark long-cast */) AS BIGINT) AS sum_qty
-        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        |WHERE o.o_orderkey % 10 = 0
-        |GROUP BY 1""".stripMargin,
+    "t31_binlog_multitable_cdc" -> MultiTableRollupOracle,
+
+    // b8 lands the SAME staged transactions into co-bucketed sinks and
+    // rolls up through the exchange-free two-step aggregate — the final
+    // state must be byte-identical to t31's
+    "b8_bucketed_cdc_sink" -> MultiTableRollupOracle,
 
     // every value a pure function of k = o_orderkey (1/7 sample): the
     // typed wire round-trip recomputed relationally. Survivors exclude
