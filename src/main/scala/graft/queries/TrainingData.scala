@@ -143,14 +143,30 @@ object TrainingData {
     * statistics). tf is GateCache'd: it feeds both the score join and
     * the df derivation, and Catalyst shares no subplan across
     * references. Empty docs tokenize to [""] — dropped on both sides. */
+  /** Staged tokenize→tf parquet per (JVM, sf dir) — the binlog-fixture
+    * memoization pattern. `GateCache.releaseAll` drops persisted frames
+    * after every gate, so a `GateCache.cache` here was recomputed by
+    * each of the three consumer gates (x_token_entropy / x_tfidf_topk /
+    * x_vocab_coverage — r12 ADVICE priced the recompute at ~2× on the
+    * entropy gate); the parquet staging survives the release and turns
+    * every later use into a column-pruned scan of a small file. */
+  private val stagedTf =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private[queries] def termStats(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val tf = graft.GateCache.cache(docs(s, dir)
-      .select(col("doc_id"),
-        explode(split(Text.normalize(col("text")), " ")).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf")))
+    val path = stagedTf.computeIfAbsent(dir, _ => {
+      val p = graft.GateCache.tempDir("graft_tf_stage").toString
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(split(Text.normalize(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    val tf = s.read.parquet(path)
     (tf, tf.groupBy(col("token")).agg(count(lit(1)).as("df")))
   }
 
