@@ -338,7 +338,9 @@ object PipelineOps {
         txns = txns, checksum = true,
         rotateTo = if (i < 2) Some(names(i + 1)) else None,
         uncommittedTail = if (i == 2) Seq(poison) else Nil,
-        gtidFrom = Some(from))
+        gtidFrom = Some(from),
+        // binlog_row_metadata=FULL: the log is self-describing (t35)
+        colNames = IndexedSeq("user_id", "event_type", "value", "props"))
     }
     StagedBinlogs(names, bytes, changes.size)
   }
@@ -665,6 +667,35 @@ object PipelineOps {
       col("y").cast("int").as("y"),
       col("en"), col("st"), col("bits"), col("payload"), col("ch"),
       col("note"))
+  }
+
+  /** T35: SELF-DESCRIBING decode — the schema comes from the LOG, not
+    * the caller. t29/t32 hand the source a Spark schema the way the
+    * reference hands its replicator an `information_schema` snapshot
+    * (`src/mysql_client.py` + `schema_converter.py`); with 8.0
+    * binlog_row_metadata the TABLE_MAP itself carries wire types,
+    * signedness, enum/set dictionaries and column NAMES, so
+    * [[graft.sources.BinlogSource.inferSchema]] derives the StructType
+    * from the bytes (TypeMapper's mapping keyed by wire code) and the
+    * decode needs NO out-of-band catalog. The gate REQUIREs the
+    * inferred schema equals t29's hand-written one, then rides it
+    * through the same apply → live view, so the oracle is t29's: a
+    * wrong inferred type or name order flips the frame and the hash. */
+  def binlogSchemalessCdcLive(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.BinlogSource
+    import graft.operators.CdcTransform
+    val landing = graft.GateCache.tempDir("graft_binlog_infer_src").toString
+    val staged = stageBinlogFiles(s, dir)
+    staged.names.indices.foreach(i => staged.write(landing, i))
+    val inferred = BinlogSource.inferSchema(s, landing, "events")
+    require(inferred == BinlogRowSchema,
+      s"inferred schema differs from the declared one:\n" +
+        s"${inferred.treeString} vs ${BinlogRowSchema.treeString}")
+    val decoded = BinlogSource.changes(s, landing, "events", inferred)
+    val stamped = CdcTransform.stampBatch(decoded, opCol = "op",
+      seqCol = "_seq", batchVersionMicros = 1L)
+    LiveView.live(stamped, pks = Seq("user_id"), tieBreak = Some(SeqCol))
+      .select(col("user_id"), col("event_type"), col("value"), col("props"))
   }
 
   /** T33: GTID-SET RESUME over an overlapping rotated chain — the
@@ -3353,6 +3384,7 @@ object PipelineOps {
     "t33_binlog_gtid_resume" -> ((s, dir) => binlogGtidResume(s, dir)),
     "t34_binlog_pk_update" -> ((s, dir) => binlogPkUpdateWire(s, dir)),
     "b8_bucketed_cdc_sink" -> ((s, dir) => bucketedCdcSink(s, dir)),
+    "t35_binlog_schemaless_cdc" -> ((s, dir) => binlogSchemalessCdcLive(s, dir)),
     "t24_schema_evolution" -> ((s, dir) => evolvingCdcLive(s, dir)),
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
     "t13_stream_neardup" -> ((s, dir) => streamNearDupCounts(s, dir)),
@@ -3987,6 +4019,16 @@ object PipelineOps {
     // rolls up through the exchange-free two-step aggregate — the final
     // state must be byte-identical to t31's
     "b8_bucketed_cdc_sink" -> MultiTableRollupOracle,
+
+    // t29's final state reached with the schema INFERRED from the log's
+    // own TABLE_MAP metadata — a wrong type or name order flips the hash
+    "t35_binlog_schemaless_cdc" ->
+      """SELECT user_id, event_type, value, props FROM (
+        |  SELECT user_id, event_type, value, props,
+        |         CASE WHEN event_type='error' THEN 1 ELSE 0 END AS _deleted,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND _deleted = 0""".stripMargin,
 
     // every value a pure function of k = o_orderkey (1/7 sample): the
     // typed wire round-trip recomputed relationally. Survivors exclude

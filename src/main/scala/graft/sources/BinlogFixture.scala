@@ -34,9 +34,12 @@ object BinlogFixture {
   /** The fixed source-UUID fixtures stamp GTIDs with. */
   val FixtureSid: Array[Byte] = Array.tabulate(16)(i => (i + 1).toByte)
 
-  /** One replicated table in a multi-table file. */
+  /** One replicated table in a multi-table file. `colNames` (when
+    * non-empty) is written as COLUMN_NAME optional metadata — the 8.0
+    * binlog_row_metadata=FULL shape that makes the log self-describing. */
   final case class TableDef(db: String, table: String, tableId: Long,
-                            cols: IndexedSeq[ColumnDef])
+                            cols: IndexedSeq[ColumnDef],
+                            colNames: IndexedSeq[String] = IndexedSeq.empty)
 
   /** Single-table [[encodeMulti]]: each inner Seq of `txns` is one
     * transaction (one rows-event per ≤ `rowsPerEvent` slice, then an
@@ -52,8 +55,9 @@ object BinlogFixture {
              uncommittedTail: Seq[Change] = Nil,
              serverId: Int = 1, tableId: Long = 23L,
              rowsPerEvent: Int = 100,
-             gtidFrom: Option[Long] = None): Array[Byte] =
-    encodeMulti(Seq(TableDef(db, table, tableId, cols)),
+             gtidFrom: Option[Long] = None,
+             colNames: IndexedSeq[String] = IndexedSeq.empty): Array[Byte] =
+    encodeMulti(Seq(TableDef(db, table, tableId, cols, colNames)),
       txns.map(_.map(table -> _)), checksum, rotateTo,
       uncommittedTail.map(table -> _), serverId, rowsPerEvent, gtidFrom)
 
@@ -136,7 +140,8 @@ object BinlogFixture {
 
     // TABLE_MAP per replicated table
     tables.foreach(t =>
-      emit(TableMapEvent, tableMapBody(t.db, t.table, t.cols, t.tableId)))
+      emit(TableMapEvent,
+        tableMapBody(t.db, t.table, t.cols, t.tableId, t.colNames)))
 
     // group CONSECUTIVE same-(table, op) runs into one rows-event
     // (log order kept; a rows-event addresses exactly one table map)
@@ -193,7 +198,8 @@ object BinlogFixture {
   }
 
   private def tableMapBody(db: String, table: String,
-      cols: IndexedSeq[ColumnDef], tableId: Long): Array[Byte] = {
+      cols: IndexedSeq[ColumnDef], tableId: Long,
+      colNames: IndexedSeq[String] = IndexedSeq.empty): Array[Byte] = {
     val dbB = db.getBytes(UTF_8); val tbB = table.getBytes(UTF_8)
     val metaBytes = cols.flatMap { c => c.tpe match {
       case TypeVarchar | TypeVarString =>
@@ -248,6 +254,15 @@ object BinlogFixture {
     }
     strValues(TypeEnum, MetaEnumStrValue)
     strValues(TypeSet, MetaSetStrValue)
+    if (colNames.nonEmpty) {
+      require(colNames.size == cols.size,
+        s"colNames arity ${colNames.size} != ${cols.size}")
+      val v = new ByteArrayOutputStream()
+      colNames.foreach { nm =>
+        val nb = nm.getBytes(UTF_8); lenencW(v, nb.length); v.write(nb)
+      }
+      tlv(MetaColumnName, v.toByteArray)
+    }
     val optBytes = opt.toByteArray
     val n = cols.size
     val b = ByteBuffer.allocate(6 + 2 + 1 + dbB.length + 1 + 1 + tbB.length +

@@ -318,6 +318,44 @@ object BinlogFormat {
     nextFile
   }
 
+  /** TABLE_MAP-only walk: the table definitions a file announces, by
+    * (db, table) — last definition wins, like the parser's per-tableId
+    * map. Skips row images and CRC verification (the full [[parse]] is
+    * the integrity authority); this is the schema-DISCOVERY path:
+    * together with the 8.0 COLUMN_NAME / SIGNEDNESS / ENUM_STR_VALUE
+    * optional metadata it lets a consumer derive the Spark schema from
+    * the log itself instead of a separate catalog query (the reference
+    * needs a live `information_schema` connection for the same job,
+    * `src/mysql_client.py`). */
+  def scanTableMaps(bytes: Array[Byte]): Map[(String, String), TableMap] = {
+    require(bytes.length >= 4 && Magic.indices.forall(i => bytes(i) == Magic(i)),
+      "not a binlog: bad magic")
+    var off = 4
+    var checksummed = false
+    val out = scala.collection.mutable.LinkedHashMap[(String, String), TableMap]()
+    while (off < bytes.length) {
+      require(bytes.length - off >= HeaderLen, s"truncated event header at $off")
+      val b = buf(bytes, off, HeaderLen)
+      b.getInt()
+      val tpe = b.get() & 0xff
+      b.getInt()
+      val eventSize = b.getInt()
+      require(eventSize >= HeaderLen && eventSize <= bytes.length - off,
+        s"event at $off overruns file (size=$eventSize)")
+      if (tpe == FormatDescriptionEvent) {
+        require(eventSize >= HeaderLen + 62, s"FDE too short: $eventSize")
+        checksummed = (bytes(off + eventSize - 5) & 0xff) == 1
+      } else if (tpe == TableMapEvent) {
+        val crcLen = if (checksummed) 4 else 0
+        val tm = parseTableMap(
+          buf(bytes, off + HeaderLen, eventSize - HeaderLen - crcLen))
+        out((tm.db, tm.table)) = tm
+      }
+      off += eventSize
+    }
+    out.toMap
+  }
+
   /** GTID-set wire encoding (PREVIOUS_GTIDS body): n_sids8, then per sid
     * sid16 + n_intervals8 + (start8, endExclusive8)*. Rendered in the
     * canonical `uuid:start[-endInclusive]` display form, comma-joined;

@@ -217,6 +217,74 @@ object BinlogSource {
     def seenCount: Int = seen.size
   }
 
+  /** Spark type for one TABLE_MAP column — [[graft.model.TypeMapper]]'s
+    * mapping keyed by WIRE type code instead of the DDL type string,
+    * with the same unsigned widenings (u8→Short … u64→Decimal(20,0))
+    * driven by the SIGNEDNESS optional metadata. BLOB/TEXT share wire
+    * code 252 and default to BinaryType (the strict reading; a TEXT
+    * column's caller overrides to StringType and the decode coerces);
+    * ENUM/SET surface labels (String) when the log carries their
+    * dictionaries, else the raw index/bitmask (Long). */
+  def sparkTypeOf(c: BinlogFormat.ColumnDef): DataType = {
+    import BinlogFormat._
+    c.tpe match {
+      case TypeTiny       => if (c.unsigned) ShortType else ByteType
+      case TypeShort      => if (c.unsigned) IntegerType else ShortType
+      case TypeInt24      => IntegerType // u24 max fits IntegerType
+      case TypeLong       => if (c.unsigned) LongType else IntegerType
+      case TypeLongLong   => if (c.unsigned) DecimalType(20, 0) else LongType
+      case TypeFloat      => FloatType
+      case TypeDouble     => DoubleType
+      case TypeNewDecimal => DecimalType(c.meta >> 8, c.meta & 0xff)
+      case TypeDate | TypeNewDate => DateType
+      case TypeDatetime2  => TimestampNTZType // no zone on the wire
+      case TypeTimestamp2 => TimestampType    // UTC seconds on the wire
+      case TypeTime2      => StringType       // Spark has no TIME type
+      case TypeYear       => ShortType
+      case TypeEnum | TypeSet =>
+        if (c.labels.nonEmpty) StringType else LongType
+      case TypeBit        => LongType
+      case TypeBlob       => BinaryType
+      case TypeVarchar | TypeVarString | TypeString => StringType
+      case t => throw new IllegalStateException(s"unsupported column type $t")
+    }
+  }
+
+  /** Derive `table`'s row schema from the binlog DIRECTORY itself — no
+    * catalog connection, no hand-written DDL: the TABLE_MAP events carry
+    * the wire types and (on 8.0 with binlog_row_metadata) the
+    * SIGNEDNESS/label/COLUMN_NAME metadata; [[sparkTypeOf]] maps them
+    * exactly like `model/TypeMapper` maps the DDL strings the reference
+    * fetches over a live `information_schema` query. Columns are named
+    * from COLUMN_NAME metadata when present, else positionally
+    * (`c1..cn`). Files may re-announce the table; all definitions must
+    * agree (a mid-log ALTER belongs to the EvolvingCdc path, not a
+    * silent schema pick). Bounded: one row per (file, table) — the
+    * table-map scan never decodes row images. */
+  def inferSchema(s: SparkSession, dir: String, table: String): StructType = {
+    val defs = s.read.format("binaryFile").load(dir)
+      .select("path", "content")
+      .as[(String, Array[Byte])](
+        Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .flatMap { case (_, bytes) =>
+        BinlogFormat.scanTableMaps(bytes).collect {
+          case ((_, t), tm) if t == table => (tm.cols, tm.colNames)
+        }
+      }(Encoders.kryo[(IndexedSeq[BinlogFormat.ColumnDef], IndexedSeq[String])])
+      .collect().distinct
+    require(defs.nonEmpty, s"no TABLE_MAP for `$table` under $dir")
+    require(defs.length == 1,
+      s"`$table` has ${defs.length} distinct definitions across $dir — " +
+        "schema drift mid-log; use streaming/EvolvingCdc for DDL replication")
+    val (cols, names) = defs.head
+    val fieldNames =
+      if (names.size == cols.size) names
+      else cols.indices.map(i => s"c${i + 1}")
+    StructType(cols.zip(fieldNames).map { case (c, n) =>
+      StructField(n, sparkTypeOf(c))
+    })
+  }
+
   /** (file name, rotate target) per binlog under `dir`, name-ordered —
     * lets callers REQUIRE the ROTATE chain matches the suffix order.
     * Uses [[BinlogFormat.scanRotate]]'s header-only walk, so chain

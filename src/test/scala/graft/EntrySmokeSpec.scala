@@ -16,7 +16,22 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     // gate, the driver's correctness JSON just gets smaller, and 31 red
     // gates read as "fewer queries". A silent shrink (or an unregistered
     // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
-    val pinned = 268 // r12: +t31_binlog_multitable_cdc (two tables' rows
+    val pinned = 273 // r13: +t32_binlog_typed_cdc (the FULL wire
+    // column-type surface round-tripped from raw bytes: decimal/date/
+    // datetime2/timestamp2/time2/year/enum/set/bit/blob/char/float/
+    // int24 + unsigned widening via SIGNEDNESS metadata).
+    // r13: +t33_binlog_gtid_resume (GTID-set skip filter applies an
+    // overlapping failover chain exactly once — REQUIREd and oracled on
+    // a raw-rows rollup a replay would inflate).
+    // r13: +t34_binlog_pk_update (t28's PK-update orphan reproduced and
+    // repaired from wire before-images).
+    // r13: +t35_binlog_schemaless_cdc (schema INFERRED from TABLE_MAP
+    // optional metadata — wire types + signedness + labels + column
+    // names; REQUIREd equal to the declared schema, t29's oracle).
+    // r13: +b8_bucketed_cdc_sink (t31's multi-table apply landing in
+    // co-bucketed sinks; cross-table rollup audited exchange-free on
+    // the bucket key).
+    // r12: +t31_binlog_multitable_cdc (two tables' rows
     // interleaved inside XID-committed transactions on the wire; the
     // uncommitted cross-table tail must vanish atomically — REQUIREd).
     // r12: +t30_binlog_stream_cdc (the binlog tail as a

@@ -408,6 +408,34 @@ class BinlogFormatSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](BinlogSource.fileOrdinal("nodigits"))
   }
 
+  test("scanTableMaps + sparkTypeOf: the log is self-describing") {
+    import org.apache.spark.sql.types._
+    val cols = IndexedSeq(
+      ColumnDef(TypeLongLong, 0, unsigned = true),
+      ColumnDef(TypeNewDecimal, (12 << 8) | 3),
+      ColumnDef(TypeDatetime2, 3),
+      ColumnDef(TypeEnum, 1, labels = IndexedSeq("a", "b")),
+      ColumnDef(TypeEnum, 1), // no dictionary → raw index
+      ColumnDef(TypeBlob, 2),
+      ColumnDef(TypeVarchar, 300))
+    val names = IndexedSeq("id", "bal", "at", "kind", "rawkind", "body", "note")
+    val bytes = BinlogFixture.encode("shop", "accts", cols,
+      txns = Seq(Seq(Change.insert(IndexedSeq(
+        1L, new java.math.BigDecimal("0.000"),
+        java.time.LocalDateTime.of(2020, 1, 1, 0, 0, 0),
+        "a", 1L, "x".getBytes, "n")))),
+      colNames = names)
+    val maps = scanTableMaps(bytes)
+    val tm = maps(("shop", "accts"))
+    assert(tm.colNames == names)
+    assert(tm.cols == cols) // signedness + labels round-trip the TLVs
+    assert(tm.cols.map(BinlogSource.sparkTypeOf) == IndexedSeq(
+      DecimalType(20, 0), DecimalType(12, 3), TimestampNTZType,
+      StringType, LongType, BinaryType, StringType))
+    // and the full parse agrees with the scan-only walk
+    assert(parse(bytes).changes.size == 1)
+  }
+
   test("GtidSet: parse/contains/render/fromGtids interval arithmetic") {
     val u1 = "01020304-0506-0708-090a-0b0c0d0e0f10"
     val u2 = "ffeeddcc-bbaa-9988-7766-554433221100"
