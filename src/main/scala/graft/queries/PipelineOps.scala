@@ -588,7 +588,8 @@ object PipelineOps {
       ColumnDef(TypeBit, 12),                      // bits
       ColumnDef(TypeBlob, 2),                      // payload (TEXT-ish)
       ColumnDef(TypeString, 12),                   // ch (CHAR)
-      ColumnDef(TypeVarchar, 400))                 // note (2-byte lengths)
+      ColumnDef(TypeVarchar, 400),                 // note (2-byte lengths)
+      ColumnDef(TypeJson, 4))                      // js (binary JSON doc)
     def img(k: Long, updated: Boolean): IndexedSeq[Any] = {
       val decCents = (if (k % 4 == 0) -1L else 1L) * (k * 100 + k % 97) +
         (if (updated) 1000L else 0L)
@@ -617,7 +618,12 @@ object PipelineOps {
         k % 4096,
         s"blob-$k".getBytes(java.nio.charset.StandardCharsets.UTF_8),
         s"c${k % 100}",
-        s"note-$k-${k % 13}")
+        s"note-$k-${k % 13}",
+        // binary JSON document; stored key order = (length, bytes)
+        graft.sources.JsonBinary.JObj(IndexedSeq(
+          "id" -> graft.sources.JsonBinary.JInt(k),
+          "flag" -> graft.sources.JsonBinary.JBool(k % 2 == 0),
+          "tag" -> graft.sources.JsonBinary.JStr(s"t${k % 7}"))))
     }
     val keys = s.read.parquet(s"$dir/orders.parquet")
       .filter(col("o_orderkey") % 7 === 0).select("o_orderkey")
@@ -631,7 +637,7 @@ object PipelineOps {
         Change.delete(img(k, updated = k % 3 == 0)))
     val k0 = keys.find(k => k % 11 != 0 && k % 3 != 0).get
     val poison = Change.update(img(k0, updated = false),
-      img(k0, updated = false).updated(16, "poison"))
+      img(k0, updated = false).updated(16, "poison")) // flips note
     val names = IndexedSeq("typed-bin.000001", "typed-bin.000002")
     val half = (changes.size + 1) / 2
     val txns1 = changes.take(half).grouped(200).toSeq
@@ -646,7 +652,7 @@ object PipelineOps {
       "id BIGINT, utiny BIGINT, i24 BIGINT, u64 DECIMAL(20,0), f32 FLOAT, " +
       "dec DECIMAL(14,2), d DATE, dt TIMESTAMP_NTZ, ts TIMESTAMP, " +
       "tm STRING, y SMALLINT, en STRING, st STRING, bits BIGINT, " +
-      "payload STRING, ch STRING, note STRING")
+      "payload STRING, ch STRING, note STRING, js STRING")
     val decoded = BinlogSource.changes(s, landing, "typed", typedSchema)
     val stamped = CdcTransform.stampBatch(decoded, opCol = "op",
       seqCol = "_seq", batchVersionMicros = 1L)
@@ -666,7 +672,7 @@ object PipelineOps {
       col("tm"),
       col("y").cast("int").as("y"),
       col("en"), col("st"), col("bits"), col("payload"), col("ch"),
-      col("note"))
+      col("note"), col("js"))
   }
 
   /** T35: SELF-DESCRIBING decode — the schema comes from the LOG, not
@@ -4062,7 +4068,10 @@ object PipelineOps {
         |  CAST(k % 4096 AS BIGINT) AS bits,
         |  'blob-' || CAST(k AS VARCHAR) AS payload,
         |  'c' || CAST(k % 100 AS VARCHAR) AS ch,
-        |  'note-' || CAST(k AS VARCHAR) || '-' || CAST(k % 13 AS VARCHAR) AS note
+        |  'note-' || CAST(k AS VARCHAR) || '-' || CAST(k % 13 AS VARCHAR) AS note,
+        |  '{"id":' || CAST(k AS VARCHAR) || ',"tag":"t' || CAST(k % 7 AS VARCHAR)
+        |    || '","flag":' || CASE WHEN k % 2 = 0 THEN 'true' ELSE 'false' END
+        |    || '}' AS js
         |FROM (SELECT o_orderkey AS k FROM orders
         |      WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0)""".stripMargin,
 

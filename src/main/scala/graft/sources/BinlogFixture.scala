@@ -211,7 +211,7 @@ object BinlogFixture {
       case TypeTimestamp2 | TypeDatetime2 | TypeTime2 =>
         Seq((c.meta & 0xff).toByte) // fsp
       case TypeBit => Seq((c.meta % 8).toByte, (c.meta / 8).toByte)
-      case TypeBlob => Seq((c.meta & 0xff).toByte) // length-prefix bytes
+      case TypeBlob | TypeJson => Seq((c.meta & 0xff).toByte) // length-prefix bytes
       case TypeEnum | TypeSet =>
         Seq(c.tpe.toByte, (c.meta & 0xff).toByte) // real type + pack length
       case TypeString =>
@@ -432,6 +432,9 @@ object BinlogFixture {
           case a: Array[Byte] => a
           case s: String      => s.getBytes(UTF_8)
         }
+        Array.tabulate(c.meta)(i => ((data.length >> (8 * i)) & 0xff).toByte) ++ data
+      case TypeJson =>
+        val data = JsonBinary.encode(v.asInstanceOf[JsonBinary.J])
         Array.tabulate(c.meta)(i => ((data.length >> (8 * i)) & 0xff).toByte) ++ data
       case TypeVarchar | TypeVarString | TypeString =>
         lenPrefixed(v.asInstanceOf[String].getBytes(UTF_8))

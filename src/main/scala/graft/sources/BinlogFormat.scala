@@ -110,6 +110,7 @@ object BinlogFormat {
   val TypeTimestamp2 = 17
   val TypeDatetime2 = 18
   val TypeTime2 = 19
+  val TypeJson = 245 // blob-framed binary JSON document (WL#8132)
   val TypeNewDecimal = 246
   val TypeEnum = 247 // never in TABLE_MAP directly: arrives packed in STRING meta
   val TypeSet = 248  //   "
@@ -416,7 +417,7 @@ object BinlogFormat {
           // meta byte0 = bits % 8, byte1 = bits / 8 (save_field_metadata)
           val rem = b.get() & 0xff; val whole = b.get() & 0xff
           ColumnDef(t, whole * 8 + rem)
-        case TypeBlob =>
+        case TypeBlob | TypeJson =>
           ColumnDef(t, b.get() & 0xff) // length-prefix byte count (1..4)
         case TypeString =>
           // CHAR packs a REAL type into meta byte0: plain CHAR keeps
@@ -636,7 +637,13 @@ object BinlogFormat {
                  else (b.get() & 0xff) | ((b.get() & 0xff) << 8)).toLong
       if (c.labels.isEmpty) idx
       else if (idx == 0) null // the invalid-value sentinel index
-      else c.labels((idx - 1).toInt)
+      else {
+        // diagnosable failure on corrupt non-checksummed bytes, not a
+        // bare IndexOutOfBounds
+        require(idx <= c.labels.size,
+          s"enum index $idx exceeds the ${c.labels.size}-label dictionary")
+        c.labels((idx - 1).toInt)
+      }
     case TypeSet =>
       var mask = 0L
       (0 until c.meta).foreach(i => mask |= (b.get().toLong & 0xff) << (8 * i))
@@ -644,11 +651,14 @@ object BinlogFormat {
       else c.labels.zipWithIndex
         .collect { case (l, i) if (mask & (1L << i)) != 0 => l }
         .mkString(",")
-    case TypeBlob =>
+    case TypeBlob | TypeJson =>
       var len = 0L
       (0 until c.meta).foreach(i => len |= (b.get().toLong & 0xff) << (8 * i))
       require(len >= 0 && len <= b.remaining(), s"blob length $len overruns event")
-      val a = new Array[Byte](len.toInt); b.get(a); a
+      val a = new Array[Byte](len.toInt); b.get(a)
+      // JSON ships as a blob-framed BINARY document; surface the text
+      // (the reference's json → String mapping, schema_converter.py:36)
+      if (c.tpe == TypeJson) JsonBinary.render(a) else a
     case TypeVarchar | TypeVarString | TypeString =>
       val len = if (c.meta < 256) b.get() & 0xff
                 else (b.get() & 0xff) | ((b.get() & 0xff) << 8)

@@ -245,6 +245,7 @@ object BinlogSource {
         if (c.labels.nonEmpty) StringType else LongType
       case TypeBit        => LongType
       case TypeBlob       => BinaryType
+      case TypeJson       => StringType // rendered JSON text
       case TypeVarchar | TypeVarString | TypeString => StringType
       case t => throw new IllegalStateException(s"unsupported column type $t")
     }

@@ -231,7 +231,10 @@ class BinlogFormatSpec extends AnyFunSuite {
     def outcome(bytes: Array[Byte]): Either[Throwable, Int] =
       try Right(parse(bytes).changes.size) catch {
         case e @ (_: IllegalArgumentException | _: IllegalStateException |
-                  _: java.nio.BufferUnderflowException) => Left(e)
+                  _: java.nio.BufferUnderflowException |
+                  // corrupt typed values: month 13, day 0 … — the field
+                  // decode throws the java.time diagnostic
+                  _: java.time.DateTimeException) => Left(e)
       }
     val truncate = Prop.forAll(Gen.choose(0, full.length - 1)) { k =>
       // a prefix of a valid file can never yield MORE committed rows
@@ -251,7 +254,28 @@ class BinlogFormatSpec extends AnyFunSuite {
       val c = bare.clone(); c(i) = (c(i) ^ x).toByte
       outcome(c); true
     }
-    Seq(truncate, corrupt, corruptBare).foreach { p =>
+    // and the TYPED surface: every r13 codec (decimal groups, date
+    // fields, fsp fractions, enum dictionary, bit/blob lengths) must
+    // fail diagnosably under any single-byte flip, CRCs off
+    val typedCols = IndexedSeq(
+      ColumnDef(TypeNewDecimal, (12 << 8) | 3), ColumnDef(TypeDate, 0),
+      ColumnDef(TypeDatetime2, 3), ColumnDef(TypeTime2, 0),
+      ColumnDef(TypeYear, 0),
+      ColumnDef(TypeEnum, 1, labels = IndexedSeq("x", "y")),
+      ColumnDef(TypeBit, 12), ColumnDef(TypeBlob, 2))
+    val typedBare = BinlogFixture.encode("d", "t", typedCols, txns = Seq(Seq(
+      Change.insert(IndexedSeq(new java.math.BigDecimal("123456789.125"),
+        java.time.LocalDate.of(2024, 3, 7),
+        java.time.LocalDateTime.of(2024, 3, 7, 13, 45, 30, 250000000),
+        "05:06:07", 2021.toShort, "y", 0xABCL, "xy".getBytes)))),
+      checksum = false)
+    assert(outcome(typedBare) == Right(1)) // the uncorrupted baseline
+    val corruptTyped = Prop.forAll(Gen.choose(4, typedBare.length - 1),
+      Gen.choose(1, 255)) { (i, x) =>
+      val c = typedBare.clone(); c(i) = (c(i) ^ x).toByte
+      outcome(c); true
+    }
+    Seq(truncate, corrupt, corruptBare, corruptTyped).foreach { p =>
       val r = SCTest.check(SCTest.Parameters.default
         .withMinSuccessfulTests(200), p)
       assert(r.passed, r.status.toString)

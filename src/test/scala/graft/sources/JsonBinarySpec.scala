@@ -1,0 +1,105 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.JsonBinary._
+
+/** [[JsonBinary]] against the public binary-JSON layout (WL#8132).
+  * The first test decodes a HAND-WRITTEN golden byte vector composed
+  * field-by-field from the format description — independent of the
+  * encoder, so a mirrored encode/decode bug pair cannot cancel out;
+  * the rest of the surface is pinned through encoder roundtrips and
+  * malformed-input properties. */
+class JsonBinarySpec extends AnyFunSuite {
+
+  private def hex(s: String): Array[Byte] =
+    s.split("\\s+").filter(_.nonEmpty).map(Integer.parseInt(_, 16).toByte)
+
+  test("golden hand-written vector: {\"a\":1,\"b\":[true,\"x\"]}") {
+    // small object: count=2, size=32; key entries (off 18 len 1,
+    // off 19 len 1); value entries (int16 inlined 1, small-array at 20);
+    // keys "a","b"; array: count=2, size=12, (literal true inlined,
+    // string at 10), varlen-1 "x". Every offset hand-computed.
+    val doc = hex("""
+      00
+      02 00 20 00
+      12 00 01 00
+      13 00 01 00
+      05 01 00
+      02 14 00
+      61 62
+      02 00 0C 00
+      04 01 00
+      0C 0A 00
+      01 78
+    """)
+    assert(render(doc) == """{"a":1,"b":[true,"x"]}""")
+  }
+
+  private def rt(j: J): String = render(encode(j))
+
+  test("scalar roundtrips: literals, integer widths, double, string") {
+    assert(rt(JNull) == "null")
+    assert(rt(JBool(true)) == "true")
+    assert(rt(JBool(false)) == "false")
+    assert(rt(JInt(0)) == "0")
+    assert(rt(JInt(-1)) == "-1")
+    assert(rt(JInt(32767)) == "32767")
+    assert(rt(JInt(-40000)) == "-40000")          // int32 path
+    assert(rt(JInt(5000000000L)) == "5000000000") // int64 path
+    assert(rt(JDouble(2.5)) == "2.5")
+    assert(rt(JDouble(3.0)) == "3.0")             // integral keeps .0
+    assert(rt(JStr("plain")) == "\"plain\"")
+    assert(rt(JStr("q\"b\\n\nué")) == "\"q\\\"b\\\\n\\nué\"")
+  }
+
+  test("containers: nesting, key sort by (length, bytes), empty shapes") {
+    assert(rt(JArr(IndexedSeq())) == "[]")
+    assert(rt(JObj(IndexedSeq())) == "{}")
+    assert(rt(JArr(IndexedSeq(JInt(1), JArr(IndexedSeq(JInt(2))),
+      JObj(IndexedSeq("k" -> JNull))))) == """[1,[2],{"k":null}]""")
+    // MySQL's stored key order: length first, then bytes — "id" < "tag"
+    // < "flag" regardless of insertion order
+    val o = JObj(IndexedSeq("flag" -> JBool(true), "tag" -> JStr("t"),
+      "id" -> JInt(7)))
+    assert(rt(o) == """{"id":7,"tag":"t","flag":true}""")
+  }
+
+  test("deep and wide: 3-level document with every type") {
+    val doc = JObj(IndexedSeq(
+      "arr" -> JArr(IndexedSeq(JInt(70000), JDouble(-0.25), JNull,
+        JStr(""), JBool(false))),
+      "o" -> JObj(IndexedSeq("x" -> JArr(IndexedSeq(JStr("y")))))))
+    assert(rt(doc) == """{"o":{"x":["y"]},"arr":[70000,-0.25,null,"",false]}""")
+  }
+
+  test("malformed bytes fail diagnosably, never hang") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val good = encode(JObj(IndexedSeq("a" -> JInt(1),
+      "b" -> JArr(IndexedSeq(JStr("xyz"), JBool(true))))))
+    def outcome(d: Array[Byte]): Unit =
+      try { render(d); () } catch {
+        case _: IllegalArgumentException | _: StringIndexOutOfBoundsException => ()
+      }
+    val p = Prop.forAll(Gen.choose(0, good.length - 1),
+      Gen.choose(1, 255)) { (i, x) =>
+      val c = good.clone(); c(i) = (c(i) ^ x).toByte
+      outcome(c); true
+    }
+    val r = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(300), p)
+    assert(r.passed, r.status.toString)
+    intercept[IllegalArgumentException](render(Array.empty[Byte]))
+  }
+
+  test("through the binlog: a JSON column decodes to its text") {
+    import BinlogFormat._
+    import BinlogFixture.Change
+    val cols = IndexedSeq(ColumnDef(TypeLongLong, 0), ColumnDef(TypeJson, 4))
+    val j = JObj(IndexedSeq("id" -> JInt(9),
+      "tags" -> JArr(IndexedSeq(JStr("a"), JStr("b")))))
+    val p = parse(BinlogFixture.encode("d", "t", cols,
+      txns = Seq(Seq(Change.insert(IndexedSeq(9L, j))))))
+    assert(p.changes.head.after.get ==
+      IndexedSeq(9L, """{"id":9,"tags":["a","b"]}"""))
+  }
+}
