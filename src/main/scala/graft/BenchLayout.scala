@@ -48,10 +48,17 @@ object BenchLayout {
       val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
     }
 
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
     // partsupp derivation mirrors queries.Procurement.partsupp's shape
-    // without its staging cache (we time raw recompute vs layout read)
+    // without its staging cache (we time raw recompute vs layout read).
+    // BOTH joins run in the broadcast-disabled iso session — the raw
+    // side must price the SHUFFLE the layout deletes, not a harness-
+    // scale broadcast that 100 TB would never plan
     def partsupp(dir: String): DataFrame =
-      spark.read.parquet(s"$dir/lineitem.parquet")
+      iso.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_partkey").as("ps_partkey"),
           col("l_suppkey").as("ps_suppkey"),
           col("l_extendedprice"), col("l_quantity"))
@@ -60,12 +67,8 @@ object BenchLayout {
           .cast("decimal(18,6)").as("ps_supplycost"))
 
     def li(dir: String): DataFrame =
-      spark.read.parquet(s"$dir/lineitem.parquet")
+      iso.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
-
-    val iso = spark.newSession()
-    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    iso.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
 
     def writeLayout(dir: String): Unit = {
       graft.operators.Bucketing.writeBucketedMulti(li(dir), "bl_li",

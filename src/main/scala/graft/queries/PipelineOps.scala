@@ -375,8 +375,8 @@ object PipelineOps {
         "events_binlog", opCol = "op", seqCol = "_seq",
         tables = Seq("events"), tableCol = Some("_tbl"),
         versionOf = _ => 1L,
-        onBatch = b => b.select("_file", "_next").distinct().collect()
-          .foreach(r => guard.observe(r.getString(0), Option(r.getString(1)))),
+        onBatch = Some(b => b.select("_file", "_next").distinct().collect()
+          .foreach(r => guard.observe(r.getString(0), Option(r.getString(1))))),
         dropCols = Seq("_file", "_next"))
       q.awaitTermination()
     }

@@ -231,7 +231,7 @@ object BinlogFixture {
     def tlv(t: Int, v: Array[Byte]): Unit = {
       opt.write(t); lenencW(opt, v.length); opt.write(v)
     }
-    val numeric = cols.filter(c => isNumericFixture(c.tpe))
+    val numeric = cols.filter(c => BinlogFormat.isNumeric(c.tpe))
     if (numeric.nonEmpty) {
       val bits = new Array[Byte]((numeric.size + 7) / 8)
       numeric.zipWithIndex.foreach { case (c, i) =>
@@ -281,11 +281,6 @@ object BinlogFixture {
     b.array()
   }
 
-  private def isNumericFixture(t: Int): Boolean = t match {
-    case TypeTiny | TypeShort | TypeInt24 | TypeLong | TypeLongLong |
-         TypeFloat | TypeDouble | TypeNewDecimal => true
-    case _ => false
-  }
 
   private def rowsBody(tpe: Int, changes: Seq[Change],
       cols: IndexedSeq[ColumnDef], tableId: Long): Array[Byte] = {
@@ -411,10 +406,13 @@ object BinlogFixture {
         be((c.meta + 7) / 8, v.asInstanceOf[Number].longValue())
       case TypeEnum =>
         val idx = v match {
-          case s: String => c.labels.indexOf(s) + 1
-          case n: Number => n.intValue()
+          case s: String =>
+            val i = c.labels.indexOf(s) + 1
+            require(i >= 1, s"enum label $v not in ${c.labels}")
+            i
+          case n: Number => n.intValue() // 0 = the invalid-value sentinel
         }
-        require(idx >= 0, s"enum label $v not in ${c.labels}")
+        require(idx >= 0, s"negative enum index $idx")
         if (c.meta == 1) Array(idx.toByte)
         else Array((idx & 0xff).toByte, ((idx >> 8) & 0xff).toByte)
       case TypeSet =>
@@ -453,9 +451,13 @@ object BinlogFixture {
       case i  => (plain.substring(0, i), plain.substring(i + 1))
     }
     val intg = precision - scale
-    require(ip.length <= intg && fp.length <= scale,
+    // a bare "0" integer part is vacuous — DECIMAL(s, s) has intg == 0
+    // and stores no integer bytes at all (the padding re-adds zeros
+    // whenever intg > 0, so the emitted bytes are unchanged there)
+    val ipEff = if (ip == "0") "" else ip
+    require(ipEff.length <= intg && fp.length <= scale,
       s"$v does not fit DECIMAL($precision,$scale)")
-    val ipad = "0" * (intg - ip.length) + ip
+    val ipad = "0" * (intg - ipEff.length) + ipEff
     val fpad = fp + "0" * (scale - fp.length)
     def bytesFor(d: Int) = (4 * d + 8) / 9 // == myisampack dig2bytes
     val out = new ByteArrayOutputStream()

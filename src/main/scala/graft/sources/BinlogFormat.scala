@@ -490,8 +490,10 @@ object BinlogFormat {
   }
 
   /** The SIGNEDNESS bitmap covers exactly these (rows_event.cc
-    * is_numeric_type). */
-  private def isNumeric(t: Int): Boolean = t match {
+    * is_numeric_type). Shared with [[BinlogFixture]] — the TLV is a
+    * POSITIONAL bitmap, so writer and reader must agree on the set or
+    * unsigned flags land on the wrong columns. */
+  private[sources] def isNumeric(t: Int): Boolean = t match {
     case TypeTiny | TypeShort | TypeInt24 | TypeLong | TypeLongLong |
          TypeFloat | TypeDouble | TypeNewDecimal => true
     case _ => false
@@ -599,9 +601,12 @@ object BinlogFormat {
       val raw = readBE(b, 5) - 0x8000000000L
       val us = readFrac(b, c.meta)
       val ym = ((raw >> 22) & 0x1ffff).toInt
-      java.time.LocalDateTime.of(ym / 13, ym % 13, ((raw >> 17) & 0x1f).toInt,
-        ((raw >> 12) & 0x1f).toInt, ((raw >> 6) & 0x3f).toInt,
-        (raw & 0x3f).toInt, us.toInt * 1000)
+      // the zero-datetime sentinel (0000-00-00 …, legal without
+      // NO_ZERO_DATE) decodes as null, like TypeDate's
+      if (ym % 13 == 0 || ((raw >> 17) & 0x1f) == 0) null
+      else java.time.LocalDateTime.of(ym / 13, ym % 13,
+        ((raw >> 17) & 0x1f).toInt, ((raw >> 12) & 0x1f).toInt,
+        ((raw >> 6) & 0x3f).toInt, (raw & 0x3f).toInt, us.toInt * 1000)
     case TypeTimestamp2 =>
       val sec = readBE(b, 4)
       val us = readFrac(b, c.meta)
@@ -683,6 +688,10 @@ object BinlogFormat {
     * the sign (1 = non-negative) and a negative number is the positive
     * encoding with every byte inverted. */
   private def decodeDecimal(b: ByteBuffer, precision: Int, scale: Int): java.math.BigDecimal = {
+    // corrupt TABLE_MAP metadata (scale > precision) would make the
+    // integer-digit count negative and index Dig2Bytes out of bounds
+    require(precision >= 1 && precision <= 65 && scale >= 0 &&
+      scale <= precision, s"invalid decimal($precision,$scale) metadata")
     val size = decimalBinSize(precision, scale)
     require(size > 0 && size <= b.remaining(),
       s"decimal($precision,$scale) overruns event")

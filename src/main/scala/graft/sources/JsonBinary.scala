@@ -59,11 +59,16 @@ object JsonBinary {
 
   // ================= decode: binary document -> JSON text ==============
 
+  /** JSON document nesting bound (MySQL's own MAX_JSON_DEPTH is 100) —
+    * also the cycle breaker: a malformed container whose value entry
+    * points back at itself would otherwise recurse to StackOverflow. */
+  private val MaxDepth = 100
+
   /** Render a binary JSON document (type byte + payload) as text. */
   def render(doc: Array[Byte]): String = {
     require(doc.length >= 1, "empty JSON document")
     val sb = new java.lang.StringBuilder(doc.length * 2)
-    renderValue(doc(0) & 0xff, doc, 1, sb)
+    renderValue(doc(0) & 0xff, doc, 1, sb, 0)
     sb.toString
   }
 
@@ -90,11 +95,11 @@ object JsonBinary {
   }
 
   private def renderValue(tpe: Int, d: Array[Byte], off: Int,
-                          sb: java.lang.StringBuilder): Unit = tpe match {
-    case SmallObj => renderContainer(d, off, sb, obj = true, small = true)
-    case LargeObj => renderContainer(d, off, sb, obj = true, small = false)
-    case SmallArr => renderContainer(d, off, sb, obj = false, small = true)
-    case LargeArr => renderContainer(d, off, sb, obj = false, small = false)
+                          sb: java.lang.StringBuilder, depth: Int): Unit = tpe match {
+    case SmallObj => renderContainer(d, off, sb, obj = true, small = true, depth)
+    case LargeObj => renderContainer(d, off, sb, obj = true, small = false, depth)
+    case SmallArr => renderContainer(d, off, sb, obj = false, small = true, depth)
+    case LargeArr => renderContainer(d, off, sb, obj = false, small = false, depth)
     case Lit => le(d, off, 1) match {
       case 0 => sb.append("null"); ()
       case 1 => sb.append("true"); ()
@@ -139,7 +144,10 @@ object JsonBinary {
   /** Containers: `off` points at the count field; entry offsets are
     * relative to exactly that position. */
   private def renderContainer(d: Array[Byte], off: Int,
-      sb: java.lang.StringBuilder, obj: Boolean, small: Boolean): Unit = {
+      sb: java.lang.StringBuilder, obj: Boolean, small: Boolean,
+      depth: Int): Unit = {
+    require(depth < MaxDepth,
+      s"JSON nesting exceeds $MaxDepth — malformed (cyclic?) document")
     val w = if (small) 2 else 4
     val count = le(d, off, w).toInt
     val size = le(d, off + w, w).toInt
@@ -161,8 +169,8 @@ object JsonBinary {
       val t = le(d, e, 1).toInt
       val inlined = t == Lit || t == I16 || t == U16 ||
         (!small && (t == I32 || t == U32))
-      if (inlined) renderValue(t, d, e + 1, sb)
-      else renderValue(t, d, off + le(d, e + 1, w).toInt, sb)
+      if (inlined) renderValue(t, d, e + 1, sb, depth + 1)
+      else renderValue(t, d, off + le(d, e + 1, w).toInt, sb, depth + 1)
     }
     sb.append(if (obj) '}' else ']'); ()
   }
@@ -200,10 +208,19 @@ object JsonBinary {
       (Str, Array(b.length.toByte) ++ b)
     case JArr(items) => encContainer(items.map(("", _)), obj = false)
     case JObj(fields) =>
-      // MySQL stores object keys sorted by (length, bytes)
-      val sorted = fields.sortBy { case (k, _) =>
-        (k.getBytes(UTF_8).length, k)
-      }
+      // MySQL stores object keys sorted by (length, bytes) — the byte
+      // comparison is UNSIGNED UTF-8 memcmp, which differs from String
+      // order for non-BMP/private-use keys, so compare the bytes
+      val sorted = fields
+        .map { case (k, v) => (k.getBytes(UTF_8), k, v) }
+        .sortWith { case ((a, _, _), (b, _, _)) =>
+          if (a.length != b.length) a.length < b.length
+          else {
+            val i = a.indices.find(j => a(j) != b(j))
+            i.exists(j => (a(j) & 0xff) < (b(j) & 0xff))
+          }
+        }
+        .map { case (_, k, v) => (k, v) }
       encContainer(sorted, obj = true)
   }
 

@@ -60,9 +60,12 @@ final class CdcPipeline(
     * `onBatch` runs on the DRIVER against each raw micro-batch before the
     * stamp — the hook stream-side validators plug into (e.g.
     * [[graft.sources.BinlogSource.RotateChainGuard]] consuming the
-    * per-file chain columns); a throw fails the stream. `dropCols` names
-    * extra bookkeeping columns (beyond op/seq/table) to strip before the
-    * append. */
+    * per-file chain columns); a throw fails the stream. When the hook is
+    * present the batch is persisted for the duration of the
+    * foreachBatch, so the validator's action and the apply's write
+    * compute the (possibly expensive — a binlog decode) batch ONCE.
+    * `dropCols` names extra bookkeeping columns (beyond op/seq/table) to
+    * strip before the append. */
   def start(changeStream: DataFrame, table: String, opCol: String,
             seqCol: String, tables: Seq[String] = Nil,
             tableCol: Option[String] = None,
@@ -70,7 +73,7 @@ final class CdcPipeline(
             trigger: Trigger = Trigger.AvailableNow(),
             beforeImage: Option[(String, String)] = None,
             fixPkUpdateOrphans: Boolean = false,
-            onBatch: DataFrame => Unit = _ => (),
+            onBatch: Option[DataFrame => Unit] = None,
             dropCols: Seq[String] = Nil): StreamingQuery = {
     // P5: client-side table-set re-check (`src/cdc_replicator.py:330-333`)
     val filtered = (tableCol, tables) match {
@@ -82,20 +85,23 @@ final class CdcPipeline(
       .option("checkpointLocation", s"$checkpointDir/$table")
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        onBatch(batch.toDF())
-        // drop bookkeeping columns after stamping so applied rows share
-        // the initial-sync schema (source cols + meta cols)
-        val stamped = beforeImage match {
-          case Some((keyCol, beforeKeyCol)) =>
-            CdcTransform.stampWithBeforeImage(batch.toDF(), opCol, seqCol,
-              lit(versionOf(batchId)), keyCol, beforeKeyCol,
-              fixPkUpdateOrphans)
-          case None =>
-            CdcTransform.stampBatch(batch.toDF(), opCol, seqCol,
-              versionOf(batchId))
-        }
-        stamped.drop((Seq(opCol, seqCol) ++ tableCol.toSeq ++ dropCols): _*)
-          .write.mode("append").parquet(s"$targetDir/$table.parquet")
+        val df = batch.toDF()
+        if (onBatch.isDefined) { df.persist(); () }
+        try {
+          onBatch.foreach(f => f(df))
+          // drop bookkeeping columns after stamping so applied rows share
+          // the initial-sync schema (source cols + meta cols)
+          val stamped = beforeImage match {
+            case Some((keyCol, beforeKeyCol)) =>
+              CdcTransform.stampWithBeforeImage(df, opCol, seqCol,
+                lit(versionOf(batchId)), keyCol, beforeKeyCol,
+                fixPkUpdateOrphans)
+            case None =>
+              CdcTransform.stampBatch(df, opCol, seqCol, versionOf(batchId))
+          }
+          stamped.drop((Seq(opCol, seqCol) ++ tableCol.toSeq ++ dropCols): _*)
+            .write.mode("append").parquet(s"$targetDir/$table.parquet")
+        } finally if (onBatch.isDefined) { df.unpersist(); () }
         ()
       }
       .start()

@@ -460,6 +460,48 @@ class BinlogFormatSpec extends AnyFunSuite {
     assert(parse(bytes).changes.size == 1)
   }
 
+  test("sparkTypeOf agrees with TypeMapper's DDL-string mapping") {
+    import graft.model.TypeMapper.toSparkType
+    // the same MySQL type reaches the engine two ways — as a DDL string
+    // (snapshot path, information_schema) and as a wire code (binlog
+    // path, TABLE_MAP); the two mappings must never drift
+    val pairs = Seq(
+      ColumnDef(TypeTiny, 0) -> "tinyint",
+      ColumnDef(TypeTiny, 0, unsigned = true) -> "tinyint unsigned",
+      ColumnDef(TypeShort, 0) -> "smallint",
+      ColumnDef(TypeShort, 0, unsigned = true) -> "smallint unsigned",
+      ColumnDef(TypeInt24, 0) -> "mediumint",
+      ColumnDef(TypeLong, 0) -> "int",
+      ColumnDef(TypeLong, 0, unsigned = true) -> "int unsigned",
+      ColumnDef(TypeLongLong, 0) -> "bigint",
+      ColumnDef(TypeLongLong, 0, unsigned = true) -> "bigint unsigned",
+      ColumnDef(TypeFloat, 4) -> "float",
+      ColumnDef(TypeDouble, 8) -> "double",
+      ColumnDef(TypeDate, 0) -> "date",
+      ColumnDef(TypeTimestamp2, 0) -> "timestamp",
+      ColumnDef(TypeTime2, 0) -> "time",
+      ColumnDef(TypeYear, 0) -> "year",
+      ColumnDef(TypeBit, 12) -> "bit",
+      ColumnDef(TypeBlob, 2) -> "blob",
+      ColumnDef(TypeJson, 4) -> "json",
+      ColumnDef(TypeVarchar, 64) -> "varchar(64)",
+      ColumnDef(TypeString, 10) -> "char(10)",
+      ColumnDef(TypeEnum, 1, labels = IndexedSeq("a")) -> "enum('a')",
+      ColumnDef(TypeSet, 1, labels = IndexedSeq("a")) -> "set('a')")
+    pairs.foreach { case (c, ddl) =>
+      assert(BinlogSource.sparkTypeOf(c) == toSparkType(ddl),
+        s"wire/DDL mapping drift for $ddl")
+    }
+    // decimal carries (p, s) in the wire metadata like the DDL suffix
+    assert(BinlogSource.sparkTypeOf(ColumnDef(TypeNewDecimal, (12 << 8) | 3))
+      == toSparkType("decimal", Some(12), Some(3)))
+    // documented divergences: DATETIME has no zone on the wire → NTZ
+    // (the DDL path returns TimestampType for both); BLOB's wire code is
+    // shared with TEXT, so the wire default is the strict BinaryType
+    assert(BinlogSource.sparkTypeOf(ColumnDef(TypeDatetime2, 0))
+      == org.apache.spark.sql.types.TimestampNTZType)
+  }
+
   test("GtidSet: parse/contains/render/fromGtids interval arithmetic") {
     val u1 = "01020304-0506-0708-090a-0b0c0d0e0f10"
     val u2 = "ffeeddcc-bbaa-9988-7766-554433221100"
