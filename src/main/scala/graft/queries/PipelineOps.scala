@@ -294,14 +294,24 @@ object PipelineOps {
   private def stageBinlogFiles(s: SparkSession, dir: String): StagedBinlogs =
     stagedBinlogs.computeIfAbsent(dir, _ => buildBinlogFiles(s, dir))
 
-  private def buildBinlogFiles(s: SparkSession, dir: String): StagedBinlogs = {
-    import graft.sources.{BinlogFixture, BinlogFormat}
-    import BinlogFixture.Change
-    val cols = IndexedSeq(
+  private val EventsBinlogCols = {
+    import graft.sources.BinlogFormat
+    IndexedSeq(
       BinlogFormat.ColumnDef(BinlogFormat.TypeLongLong, 0),    // user_id
       BinlogFormat.ColumnDef(BinlogFormat.TypeVarchar, 64),    // event_type (1-byte len)
       BinlogFormat.ColumnDef(BinlogFormat.TypeDouble, 8),      // value
       BinlogFormat.ColumnDef(BinlogFormat.TypeVarchar, 65000)) // props (2-byte len)
+  }
+
+  /** The events table rendered as the t29-family change stream (signup →
+    * WRITE, error → DELETE, else UPDATE with a must-be-discarded
+    * synthetic before-image) plus the torn-tail poison UPDATE — shared
+    * by the plain (t29/t30), self-describing (t35) and compressed (t36)
+    * stagings. */
+  private def eventsChanges(s: SparkSession, dir: String)
+      : (IndexedSeq[graft.sources.BinlogFixture.Change],
+         graft.sources.BinlogFixture.Change) = {
+    import graft.sources.BinlogFixture.Change
     val evs = s.read.parquet(s"$dir/events.parquet")
       .select("event_id", "user_id", "event_type", "value", "props")
       .orderBy("event_id").collect()
@@ -321,8 +331,14 @@ object PipelineOps {
     val changes = evs.map(change).toIndexedSeq
     // a torn tail: an uncommitted update outranking every committed event
     val u0 = evs.head.get(1)
-    val poison = Change.update(IndexedSeq(u0, "view", 0.0, null),
-      IndexedSeq(u0, "poison", 9.9, "{}"))
+    (changes, Change.update(IndexedSeq(u0, "view", 0.0, null),
+      IndexedSeq(u0, "poison", 9.9, "{}")))
+  }
+
+  private def buildBinlogFiles(s: SparkSession, dir: String): StagedBinlogs = {
+    import graft.sources.BinlogFixture
+    val cols = EventsBinlogCols
+    val (changes, poison) = eventsChanges(s, dir)
     val names = (1 to 3).map(i => f"events-bin.$i%06d")
     val third = (changes.size + 2) / 3
     // GTID mode on: each transaction carries its gno and each file opens
@@ -700,6 +716,49 @@ object PipelineOps {
     val decoded = BinlogSource.changes(s, landing, "events", inferred)
     val stamped = CdcTransform.stampBatch(decoded, opCol = "op",
       seqCol = "_seq", batchVersionMicros = 1L)
+    LiveView.live(stamped, pks = Seq("user_id"), tieBreak = Some(SeqCol))
+      .select(col("user_id"), col("event_type"), col("value"), col("props"))
+  }
+
+  /** T36: COMPRESSED transactions — the 8.0
+    * binlog_transaction_compression wire shape (each transaction's
+    * TABLE_MAP + rows events + XID zstd-compressed inside ONE
+    * TRANSACTION_PAYLOAD event). Production fleets enable it for the
+    * binlog-volume win, and the reference's client decodes it
+    * transparently, so the wire path must too: [[graft.sources
+    * .BinlogFormat]] reads the payload's (type, length, value) field
+    * stream, zstd-decompresses (the zstd codec ships with Spark), and
+    * re-enters the same event dispatch over the CRC-less inner stream —
+    * transaction atomicity now comes from the payload boundary itself.
+    * The poison tail rides UNCOMPRESSED after the payloads (a crashed
+    * server's half transaction) and must still vanish. Same final state
+    * as t29 ⇒ same oracle; the plan is t29's (one task per file, the
+    * decompression inside the sequential per-file pass). */
+  def binlogCompressedCdcLive(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{BinlogFixture, BinlogSource}
+    import graft.operators.CdcTransform
+    val landing = graft.GateCache.tempDir("graft_binlog_zstd_src").toString
+    val (changes, poison) = eventsChanges(s, dir)
+    val bytes = BinlogFixture.encode("graft", "events", EventsBinlogCols,
+      txns = changes.grouped(250).toSeq, checksum = true,
+      uncommittedTail = Seq(poison), gtidFrom = Some(1L),
+      compressTxns = true)
+    Files.write(java.nio.file.Paths.get(landing, "events-zst.000001"), bytes)
+    // the compression must actually be exercised: walk the event headers
+    // (type at +4, size at +9 LE) until a TRANSACTION_PAYLOAD appears
+    var off = 4; var sawPayload = false
+    while (off < bytes.length && !sawPayload) {
+      sawPayload = (bytes(off + 4) & 0xff) ==
+        graft.sources.BinlogFormat.TransactionPayloadEvent
+      off += java.nio.ByteBuffer.wrap(bytes, off + 9, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    }
+    require(sawPayload, "staged file contains no TRANSACTION_PAYLOAD event")
+    val decoded = BinlogSource.changes(s, landing, "events", BinlogRowSchema)
+    val stamped = CdcTransform.stampBatch(decoded, opCol = "op",
+      seqCol = "_seq", batchVersionMicros = 1L)
+    require(decoded.count() == changes.size,
+      "compressed decode row count off — a payload was lost or replayed")
     LiveView.live(stamped, pks = Seq("user_id"), tieBreak = Some(SeqCol))
       .select(col("user_id"), col("event_type"), col("value"), col("props"))
   }
@@ -3391,6 +3450,7 @@ object PipelineOps {
     "t34_binlog_pk_update" -> ((s, dir) => binlogPkUpdateWire(s, dir)),
     "b8_bucketed_cdc_sink" -> ((s, dir) => bucketedCdcSink(s, dir)),
     "t35_binlog_schemaless_cdc" -> ((s, dir) => binlogSchemalessCdcLive(s, dir)),
+    "t36_binlog_compressed_cdc" -> ((s, dir) => binlogCompressedCdcLive(s, dir)),
     "t24_schema_evolution" -> ((s, dir) => evolvingCdcLive(s, dir)),
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
     "t13_stream_neardup" -> ((s, dir) => streamNearDupCounts(s, dir)),
@@ -4025,6 +4085,16 @@ object PipelineOps {
     // rolls up through the exchange-free two-step aggregate — the final
     // state must be byte-identical to t31's
     "b8_bucketed_cdc_sink" -> MultiTableRollupOracle,
+
+    // t29's final state reached through zstd-compressed transaction
+    // payloads — a lost or replayed payload flips a survivor and the hash
+    "t36_binlog_compressed_cdc" ->
+      """SELECT user_id, event_type, value, props FROM (
+        |  SELECT user_id, event_type, value, props,
+        |         CASE WHEN event_type='error' THEN 1 ELSE 0 END AS _deleted,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND _deleted = 0""".stripMargin,
 
     // t29's final state reached with the schema INFERRED from the log's
     // own TABLE_MAP metadata — a wrong type or name order flips the hash

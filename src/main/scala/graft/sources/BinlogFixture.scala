@@ -56,10 +56,12 @@ object BinlogFixture {
              serverId: Int = 1, tableId: Long = 23L,
              rowsPerEvent: Int = 100,
              gtidFrom: Option[Long] = None,
-             colNames: IndexedSeq[String] = IndexedSeq.empty): Array[Byte] =
+             colNames: IndexedSeq[String] = IndexedSeq.empty,
+             compressTxns: Boolean = false): Array[Byte] =
     encodeMulti(Seq(TableDef(db, table, tableId, cols, colNames)),
       txns.map(_.map(table -> _)), checksum, rotateTo,
-      uncommittedTail.map(table -> _), serverId, rowsPerEvent, gtidFrom)
+      uncommittedTail.map(table -> _), serverId, rowsPerEvent, gtidFrom,
+      compressTxns)
 
   /** Multi-table form — a database's binlog, not a table's: transactions
     * interleave rows-events of several mapped tables and an XID commits
@@ -76,7 +78,8 @@ object BinlogFixture {
                   uncommittedTail: Seq[(String, Change)] = Nil,
                   serverId: Int = 1,
                   rowsPerEvent: Int = 100,
-                  gtidFrom: Option[Long] = None): Array[Byte] = {
+                  gtidFrom: Option[Long] = None,
+                  compressTxns: Boolean = false): Array[Byte] = {
     val byName = tables.map(t => t.table -> t).toMap
     val out = new ByteArrayOutputStream()
     out.write(Magic)
@@ -138,14 +141,19 @@ object BinlogFixture {
       emit(PreviousGtidsEvent, b.array())
     }
 
-    // TABLE_MAP per replicated table
-    tables.foreach(t =>
-      emit(TableMapEvent,
-        tableMapBody(t.db, t.table, t.cols, t.tableId, t.colNames)))
+    // TABLE_MAP per replicated table — announced up front in the plain
+    // form; compressed transactions carry their maps INSIDE the payload
+    // (the 8.0 binlog_transaction_compression shape), except the
+    // uncommitted tail still needs outer maps
+    if (!compressTxns || uncommittedTail.nonEmpty)
+      tables.foreach(t =>
+        emit(TableMapEvent,
+          tableMapBody(t.db, t.table, t.cols, t.tableId, t.colNames)))
 
     // group CONSECUTIVE same-(table, op) runs into one rows-event
     // (log order kept; a rows-event addresses exactly one table map)
-    def rowsEvents(changes: Seq[(String, Change)]): Unit = {
+    def rowsEvents(changes: Seq[(String, Change)],
+                   sink: (Int, Array[Byte]) => Unit): Unit = {
       var i = 0
       val cs = changes.toIndexedSeq
       while (i < cs.length) {
@@ -160,9 +168,51 @@ object BinlogFixture {
           case "U" => UpdateRowsV2
           case "D" => DeleteRowsV2
         }
-        emit(tpe, rowsBody(tpe, slice, tdef.cols, tdef.tableId))
+        sink(tpe, rowsBody(tpe, slice, tdef.cols, tdef.tableId))
         i = j
       }
+    }
+    def emitSink(tpe: Int, body: Array[Byte]): Unit = emit(tpe, body)
+
+    // one transaction's events rendered CRC-less into a buffer (the
+    // inner stream of a TRANSACTION_PAYLOAD), then zstd-compressed
+    def compressedTxn(txn: Seq[(String, Change)]): Array[Byte] = {
+      val innerOut = new ByteArrayOutputStream()
+      var ipos = 0L
+      def innerEmit(tpe: Int, body: Array[Byte]): Unit = {
+        val size = HeaderLen + body.length
+        val ev = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+        ev.putInt(1700000000); ev.put(tpe.toByte); ev.putInt(serverId)
+        ev.putInt(size)
+        ipos += size; ev.putInt(ipos.toInt)
+        ev.putShort(0); ev.put(body)
+        innerOut.write(ev.array())
+      }
+      txn.map(_._1).distinct.foreach { tn =>
+        val t = byName(tn)
+        innerEmit(TableMapEvent,
+          tableMapBody(t.db, t.table, t.cols, t.tableId, t.colNames))
+      }
+      rowsEvents(txn, innerEmit)
+      val xid = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      xid.putLong(ipos)
+      innerEmit(XidEvent, xid.array())
+      val inner = innerOut.toByteArray
+      val compressed = com.github.luben.zstd.Zstd.compress(inner)
+      // fields: (type lenenc, length lenenc, value lenenc) …, end mark,
+      // then the compressed payload bytes
+      val body = new ByteArrayOutputStream()
+      def lenencField(t: Int, v: Long): Unit = {
+        val tmp = new ByteArrayOutputStream()
+        lenencW(tmp, v.toInt)
+        body.write(t); lenencW(body, tmp.size()); body.write(tmp.toByteArray)
+      }
+      lenencField(2, 0L)                     // compression type: zstd
+      lenencField(3, inner.length.toLong)    // uncompressed size
+      lenencField(1, compressed.length.toLong) // payload size
+      body.write(0)                          // header end mark
+      body.write(compressed)
+      body.toByteArray
     }
 
     txns.zipWithIndex.foreach { case (txn, ti) =>
@@ -175,12 +225,15 @@ object BinlogFixture {
         b.put(2.toByte).putLong(ti.toLong).putLong(ti.toLong + 1)
         emit(GtidEvent, b.array())
       }
-      rowsEvents(txn)
-      val xid = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-      xid.putLong(pos) // any id; fixtures use the position
-      emit(XidEvent, xid.array())
+      if (compressTxns) emit(TransactionPayloadEvent, compressedTxn(txn))
+      else {
+        rowsEvents(txn, emitSink)
+        val xid = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        xid.putLong(pos) // any id; fixtures use the position
+        emit(XidEvent, xid.array())
+      }
     }
-    if (uncommittedTail.nonEmpty) rowsEvents(uncommittedTail)
+    if (uncommittedTail.nonEmpty) rowsEvents(uncommittedTail, emitSink)
     rotateTo.foreach { next =>
       val name = next.getBytes(UTF_8)
       val b = ByteBuffer.allocate(8 + name.length).order(ByteOrder.LITTLE_ENDIAN)
@@ -188,6 +241,13 @@ object BinlogFixture {
       emit(RotateEvent, b.array())
     }
     out.toByteArray
+  }
+
+  /** Length-encoded integer writer (net_store_length, fixture subset). */
+  private def lenencW(o: ByteArrayOutputStream, x: Int): Unit = {
+    if (x < 0xfb) o.write(x)
+    else { require(x < 0x10000, "fixture lenenc limited to 2 bytes")
+      o.write(0xfc); o.write(x & 0xff); o.write((x >> 8) & 0xff) }
   }
 
   /** The wire TYPE byte a column is announced with (ENUM/SET hide behind
@@ -223,11 +283,6 @@ object BinlogFixture {
     // the numeric columns whenever any exists; ENUM/SET_STR_VALUE
     // whenever a column carries its label dictionary
     val opt = new ByteArrayOutputStream()
-    def lenencW(o: ByteArrayOutputStream, x: Int): Unit = {
-      if (x < 0xfb) o.write(x)
-      else { require(x < 0x10000, "fixture lenenc limited to 2 bytes")
-        o.write(0xfc); o.write(x & 0xff); o.write((x >> 8) & 0xff) }
-    }
     def tlv(t: Int, v: Array[Byte]): Unit = {
       opt.write(t); lenencW(opt, v.length); opt.write(v)
     }

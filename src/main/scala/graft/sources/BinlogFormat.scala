@@ -93,6 +93,7 @@ object BinlogFormat {
   val DeleteRowsV2 = 0x20
   val GtidEvent = 0x21
   val PreviousGtidsEvent = 0x23
+  val TransactionPayloadEvent = 0x28 // 8.0.20+ compressed transactions
 
   // column type codes (MYSQL_TYPE_*)
   val TypeTiny = 1
@@ -191,6 +192,67 @@ object BinlogFormat {
     var currentGtid: Option[String] = None
     var previousGtids: Option[String] = None
 
+    /** One event's semantic action — shared by the file-level loop and
+      * the decompressed inner stream of a TRANSACTION_PAYLOAD (whose
+      * events carry NO checksums and may not nest further payloads). */
+    def dispatch(tpe: Int, body: ByteBuffer, logPos: Long,
+                 inPayload: Boolean): Unit = tpe match {
+      case TableMapEvent =>
+        val tm = parseTableMap(body)
+        tableMaps(tm.tableId) = tm
+
+      case WriteRowsV2 | UpdateRowsV2 | DeleteRowsV2 =>
+        pending ++= parseRowsEvent(body, tpe, logPos, tableMaps)
+          .map(_.copy(gtid = currentGtid))
+
+      case XidEvent =>
+        committed ++= pending
+        pending = Vector.empty
+        currentGtid = None
+
+      case GtidEvent =>
+        // flags1, sid16, gno8 — the logical-clock tail (5.7+) is
+        // version-dependent and skipped
+        body.get()
+        val sid = new Array[Byte](16); body.get(sid)
+        val gno = body.getLong()
+        currentGtid = Some(s"${uuidStr(sid)}:$gno")
+
+      case PreviousGtidsEvent =>
+        previousGtids = Some(parseGtidSet(body))
+
+      case RotateEvent =>
+        body.getLong() // next position (always 4 post-magic)
+        val name = new Array[Byte](body.remaining())
+        body.get(name)
+        nextFile = Some(new String(name, UTF_8))
+
+      case TransactionPayloadEvent =>
+        // 8.0 binlog_transaction_compression: the transaction's events
+        // travel zstd-compressed inside ONE payload event
+        require(!inPayload, "nested TRANSACTION_PAYLOAD — malformed")
+        val inner = payloadEvents(body)
+        var ioff = 0
+        while (ioff < inner.length) {
+          require(inner.length - ioff >= HeaderLen,
+            s"truncated inner event header at $ioff")
+          val hb = buf(inner, ioff, HeaderLen)
+          hb.getInt() // timestamp
+          val itpe = hb.get() & 0xff
+          hb.getInt() // server id
+          val isize = hb.getInt()
+          val ipos = hb.getInt().toLong & 0xffffffffL
+          require(isize >= HeaderLen && isize <= inner.length - ioff,
+            s"inner event at $ioff overruns payload (size=$isize)")
+          // inner events carry no CRC trailer regardless of the file alg
+          dispatch(itpe, buf(inner, ioff + HeaderLen, isize - HeaderLen),
+            ipos, inPayload = true)
+          ioff += isize
+        }
+
+      case _ => // QUERY/STOP/… — size-skipped, row consumers don't need them
+    }
+
     while (off < bytes.length) {
       require(bytes.length - off >= HeaderLen, s"truncated event header at $off")
       val b = buf(bytes, off, HeaderLen)
@@ -233,51 +295,18 @@ object BinlogFormat {
       }
       val body = buf(bytes, off + HeaderLen, eventSize - HeaderLen - crcLen)
 
-      tpe match {
-        case FormatDescriptionEvent =>
-          val ver = body.getShort().toInt
-          require(ver == 4, s"unsupported binlog version $ver")
-          skip(body, 50 + 4) // server version, create ts
-          val hdrLen = body.get() & 0xff
-          require(hdrLen == HeaderLen, s"unsupported common header len $hdrLen")
-          // remaining body = postHeaderLen array; alg already read at -5
-          require(fdeAlg == 0 || fdeAlg == 1,
-            s"unsupported checksum alg $fdeAlg")
-          checksummed = fdeAlg == 1
-          sawFde = true
-
-        case TableMapEvent =>
-          val tm = parseTableMap(body)
-          tableMaps(tm.tableId) = tm
-
-        case WriteRowsV2 | UpdateRowsV2 | DeleteRowsV2 =>
-          pending ++= parseRowsEvent(body, tpe, logPos, tableMaps)
-            .map(_.copy(gtid = currentGtid))
-
-        case XidEvent =>
-          committed ++= pending
-          pending = Vector.empty
-          currentGtid = None
-
-        case GtidEvent =>
-          // flags1, sid16, gno8 — the logical-clock tail (5.7+) is
-          // version-dependent and skipped
-          body.get()
-          val sid = new Array[Byte](16); body.get(sid)
-          val gno = body.getLong()
-          currentGtid = Some(s"${uuidStr(sid)}:$gno")
-
-        case PreviousGtidsEvent =>
-          previousGtids = Some(parseGtidSet(body))
-
-        case RotateEvent =>
-          body.getLong() // next position (always 4 post-magic)
-          val name = new Array[Byte](body.remaining())
-          body.get(name)
-          nextFile = Some(new String(name, UTF_8))
-
-        case _ => // QUERY/GTID/STOP/… — size-skipped, row consumers don't need them
-      }
+      if (tpe == FormatDescriptionEvent) {
+        val ver = body.getShort().toInt
+        require(ver == 4, s"unsupported binlog version $ver")
+        skip(body, 50 + 4) // server version, create ts
+        val hdrLen = body.get() & 0xff
+        require(hdrLen == HeaderLen, s"unsupported common header len $hdrLen")
+        // remaining body = postHeaderLen array; alg already read at -5
+        require(fdeAlg == 0 || fdeAlg == 1,
+          s"unsupported checksum alg $fdeAlg")
+        checksummed = fdeAlg == 1
+        sawFde = true
+      } else dispatch(tpe, body, logPos, inPayload = false)
       off += eventSize
     }
     ParsedBinlog(committed.result(), nextFile, pending.size, previousGtids)
@@ -319,6 +348,59 @@ object BinlogFormat {
     nextFile
   }
 
+  // TRANSACTION_PAYLOAD field type codes (libbinlogevents
+  // Transaction_payload_event, binlog_transaction_compression)
+  private val PayloadHeaderEndMark = 0
+  private val PayloadSizeField = 1
+  private val PayloadCompressionField = 2
+  private val PayloadUncompressedSizeField = 3
+  private val CompressionZstd = 0
+  private val CompressionNone = 255
+  private val MaxUncompressed = 1L << 28 // 256 MiB zip-bomb bound
+
+  /** TRANSACTION_PAYLOAD body → the inner event stream (decompressed).
+    * Field wire form: (type lenenc, length lenenc, value) repeated until
+    * the HEADER_END_MARK type, then the raw payload to the end; the
+    * known fields' values are themselves lenenc integers. Compression 0
+    * = zstd (the server default when the feature is on), 255 = none. */
+  private def payloadEvents(b: ByteBuffer): Array[Byte] = {
+    var compression = CompressionNone
+    var uncompressedSize = -1L
+    var payload: Array[Byte] = null
+    while (payload == null) {
+      require(b.hasRemaining, "TRANSACTION_PAYLOAD without end mark")
+      lenenc(b) match {
+        case PayloadHeaderEndMark =>
+          payload = new Array[Byte](b.remaining()); b.get(payload)
+        case t =>
+          val len = lenenc(b).toInt
+          require(len >= 0 && len <= b.remaining(),
+            s"payload field $t overruns event (len=$len)")
+          val end = b.position() + len
+          t match {
+            case PayloadCompressionField => compression = lenenc(b).toInt
+            case PayloadUncompressedSizeField => uncompressedSize = lenenc(b)
+            case PayloadSizeField => lenenc(b) // informational
+            case _ => // unknown field: skipped by length
+          }
+          b.position(end)
+      }
+    }
+    compression match {
+      case CompressionNone => payload
+      case CompressionZstd =>
+        require(uncompressedSize >= 0 && uncompressedSize <= MaxUncompressed,
+          s"unreasonable uncompressed size $uncompressedSize")
+        val out = com.github.luben.zstd.Zstd.decompress(
+          payload, uncompressedSize.toInt)
+        require(out.length == uncompressedSize,
+          s"zstd decompressed ${out.length} != declared $uncompressedSize")
+        out
+      case c => throw new IllegalStateException(
+        s"unsupported payload compression type $c")
+    }
+  }
+
   /** TABLE_MAP-only walk: the table definitions a file announces, by
     * (db, table) — last definition wins, like the parser's per-tableId
     * map. Skips row images and CRC verification (the full [[parse]] is
@@ -351,6 +433,28 @@ object BinlogFormat {
         val tm = parseTableMap(
           buf(bytes, off + HeaderLen, eventSize - HeaderLen - crcLen))
         out((tm.db, tm.table)) = tm
+      } else if (tpe == TransactionPayloadEvent) {
+        // compressed transactions carry their TABLE_MAPs INSIDE the
+        // payload — schema discovery must look through the compression
+        val crcLen = if (checksummed) 4 else 0
+        val inner = payloadEvents(
+          buf(bytes, off + HeaderLen, eventSize - HeaderLen - crcLen))
+        var ioff = 0
+        while (ioff < inner.length) {
+          require(inner.length - ioff >= HeaderLen,
+            s"truncated inner event header at $ioff")
+          val hb = buf(inner, ioff, HeaderLen)
+          hb.getInt(); val itpe = hb.get() & 0xff; hb.getInt()
+          val isize = hb.getInt()
+          require(isize >= HeaderLen && isize <= inner.length - ioff,
+            s"inner event at $ioff overruns payload (size=$isize)")
+          if (itpe == TableMapEvent) {
+            val tm = parseTableMap(
+              buf(inner, ioff + HeaderLen, isize - HeaderLen))
+            out((tm.db, tm.table)) = tm
+          }
+          ioff += isize
+        }
       }
       off += eventSize
     }

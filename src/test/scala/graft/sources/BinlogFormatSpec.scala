@@ -432,6 +432,39 @@ class BinlogFormatSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](BinlogSource.fileOrdinal("nodigits"))
   }
 
+  test("compressed transactions: zstd payload events decode like plain ones") {
+    // 8.0 binlog_transaction_compression: each transaction's TABLE_MAP +
+    // rows + XID travel zstd-compressed inside one TRANSACTION_PAYLOAD
+    val t1 = Seq(Change.insert(IndexedSeq(1L, "a", 1.0, "p")))
+    val t2 = Seq(Change.insert(IndexedSeq(2L, "b", 2.0, "q")),
+      Change.update(IndexedSeq(1L, "a", 1.0, "p"),
+        IndexedSeq(1L, "a2", 1.5, "p2")),
+      Change.delete(IndexedSeq(2L, "b", 2.0, "q")))
+    val plain = parse(BinlogFixture.encode("d", "t", cols,
+      txns = Seq(t1, t2), gtidFrom = Some(5L)))
+    val zipped = parse(BinlogFixture.encode("d", "t", cols,
+      txns = Seq(t1, t2), gtidFrom = Some(5L), compressTxns = true))
+    // identical semantic stream: ops, images, gtids (pos differs — inner
+    // events carry payload-relative positions)
+    assert(zipped.changes.map(c => (c.op, c.before, c.after, c.gtid)) ==
+      plain.changes.map(c => (c.op, c.before, c.after, c.gtid)))
+    assert(zipped.droppedUncommitted == 0)
+    // an uncompressed uncommitted tail after compressed txns still drops
+    val torn = parse(BinlogFixture.encode("d", "t", cols,
+      txns = Seq(t1), uncommittedTail = t2, compressTxns = true))
+    assert(torn.changes.size == 1 && torn.droppedUncommitted == 3)
+    // schema discovery sees THROUGH the compression (maps live inside)
+    val maps = scanTableMaps(BinlogFixture.encode("d", "t", cols,
+      txns = Seq(t1), compressTxns = true))
+    assert(maps.contains(("d", "t")))
+    // CRC corruption on the payload event aborts like any other event
+    val bytes = BinlogFixture.encode("d", "t", cols, txns = Seq(t1, t2),
+      compressTxns = true)
+    val corrupt = bytes.clone()
+    corrupt(corrupt.length - 40) = (corrupt(corrupt.length - 40) ^ 0x20).toByte
+    intercept[IllegalArgumentException](parse(corrupt))
+  }
+
   test("scanTableMaps + sparkTypeOf: the log is self-describing") {
     import org.apache.spark.sql.types._
     val cols = IndexedSeq(
