@@ -734,15 +734,23 @@ object PipelineOps {
     * server's half transaction) and must still vanish. Same final state
     * as t29 ⇒ same oracle; the plan is t29's (one task per file, the
     * decompression inside the sequential per-file pass). */
+  /** Memoized t36 staging (the stagedBinlogs pattern: encode + compress
+    * once per (JVM, sf dir); min-of-3 bench runs re-land, not re-encode).
+    * Second element = the committed change count for the in-gate REQUIRE. */
+  private val stagedZstdBinlog =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Byte], Int)]()
+
   def binlogCompressedCdcLive(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.{BinlogFixture, BinlogSource}
     import graft.operators.CdcTransform
     val landing = graft.GateCache.tempDir("graft_binlog_zstd_src").toString
-    val (changes, poison) = eventsChanges(s, dir)
-    val bytes = BinlogFixture.encode("graft", "events", EventsBinlogCols,
-      txns = changes.grouped(250).toSeq, checksum = true,
-      uncommittedTail = Seq(poison), gtidFrom = Some(1L),
-      compressTxns = true)
+    val (bytes, nCommitted) = stagedZstdBinlog.computeIfAbsent(dir, _ => {
+      val (changes, poison) = eventsChanges(s, dir)
+      (BinlogFixture.encode("graft", "events", EventsBinlogCols,
+        txns = changes.grouped(250).toSeq, checksum = true,
+        uncommittedTail = Seq(poison), gtidFrom = Some(1L),
+        compressTxns = true), changes.size)
+    })
     Files.write(java.nio.file.Paths.get(landing, "events-zst.000001"), bytes)
     // the compression must actually be exercised: walk the event headers
     // (type at +4, size at +9 LE) until a TRANSACTION_PAYLOAD appears
@@ -757,7 +765,7 @@ object PipelineOps {
     val decoded = BinlogSource.changes(s, landing, "events", BinlogRowSchema)
     val stamped = CdcTransform.stampBatch(decoded, opCol = "op",
       seqCol = "_seq", batchVersionMicros = 1L)
-    require(decoded.count() == changes.size,
+    require(decoded.count() == nCommitted,
       "compressed decode row count off — a payload was lost or replayed")
     LiveView.live(stamped, pks = Seq("user_id"), tieBreak = Some(SeqCol))
       .select(col("user_id"), col("event_type"), col("value"), col("props"))

@@ -243,11 +243,17 @@ object BinlogFixture {
     out.toByteArray
   }
 
-  /** Length-encoded integer writer (net_store_length, fixture subset). */
+  /** Length-encoded integer writer (net_store_length, fixture subset —
+    * payload-size fields can exceed 64 KiB, so the 3-byte form is real). */
   private def lenencW(o: ByteArrayOutputStream, x: Int): Unit = {
     if (x < 0xfb) o.write(x)
-    else { require(x < 0x10000, "fixture lenenc limited to 2 bytes")
-      o.write(0xfc); o.write(x & 0xff); o.write((x >> 8) & 0xff) }
+    else if (x < 0x10000) {
+      o.write(0xfc); o.write(x & 0xff); o.write((x >> 8) & 0xff)
+    } else {
+      require(x < 0x1000000, "fixture lenenc limited to 3 bytes")
+      o.write(0xfd); o.write(x & 0xff); o.write((x >> 8) & 0xff)
+      o.write((x >> 16) & 0xff)
+    }
   }
 
   /** The wire TYPE byte a column is announced with (ENUM/SET hide behind

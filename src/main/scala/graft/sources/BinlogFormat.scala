@@ -231,23 +231,8 @@ object BinlogFormat {
         // 8.0 binlog_transaction_compression: the transaction's events
         // travel zstd-compressed inside ONE payload event
         require(!inPayload, "nested TRANSACTION_PAYLOAD — malformed")
-        val inner = payloadEvents(body)
-        var ioff = 0
-        while (ioff < inner.length) {
-          require(inner.length - ioff >= HeaderLen,
-            s"truncated inner event header at $ioff")
-          val hb = buf(inner, ioff, HeaderLen)
-          hb.getInt() // timestamp
-          val itpe = hb.get() & 0xff
-          hb.getInt() // server id
-          val isize = hb.getInt()
-          val ipos = hb.getInt().toLong & 0xffffffffL
-          require(isize >= HeaderLen && isize <= inner.length - ioff,
-            s"inner event at $ioff overruns payload (size=$isize)")
-          // inner events carry no CRC trailer regardless of the file alg
-          dispatch(itpe, buf(inner, ioff + HeaderLen, isize - HeaderLen),
-            ipos, inPayload = true)
-          ioff += isize
+        foreachInnerEvent(payloadEvents(body)) { (itpe, ibody, ipos) =>
+          dispatch(itpe, ibody, ipos, inPayload = true)
         }
 
       case _ => // QUERY/STOP/… — size-skipped, row consumers don't need them
@@ -358,6 +343,29 @@ object BinlogFormat {
   private val CompressionNone = 255
   private val MaxUncompressed = 1L << 28 // 256 MiB zip-bomb bound
 
+  /** Walk a decompressed TRANSACTION_PAYLOAD's inner event stream —
+    * back-to-back v4 events with NO checksum trailers — shared by the
+    * full parse and the schema-discovery scan so the bounds contract
+    * lives once. */
+  private def foreachInnerEvent(inner: Array[Byte])(
+      f: (Int, ByteBuffer, Long) => Unit): Unit = {
+    var ioff = 0
+    while (ioff < inner.length) {
+      require(inner.length - ioff >= HeaderLen,
+        s"truncated inner event header at $ioff")
+      val hb = buf(inner, ioff, HeaderLen)
+      hb.getInt() // timestamp
+      val itpe = hb.get() & 0xff
+      hb.getInt() // server id
+      val isize = hb.getInt()
+      val ipos = hb.getInt().toLong & 0xffffffffL
+      require(isize >= HeaderLen && isize <= inner.length - ioff,
+        s"inner event at $ioff overruns payload (size=$isize)")
+      f(itpe, buf(inner, ioff + HeaderLen, isize - HeaderLen), ipos)
+      ioff += isize
+    }
+  }
+
   /** TRANSACTION_PAYLOAD body → the inner event stream (decompressed).
     * Field wire form: (type lenenc, length lenenc, value) repeated until
     * the HEADER_END_MARK type, then the raw payload to the end; the
@@ -437,23 +445,13 @@ object BinlogFormat {
         // compressed transactions carry their TABLE_MAPs INSIDE the
         // payload — schema discovery must look through the compression
         val crcLen = if (checksummed) 4 else 0
-        val inner = payloadEvents(
-          buf(bytes, off + HeaderLen, eventSize - HeaderLen - crcLen))
-        var ioff = 0
-        while (ioff < inner.length) {
-          require(inner.length - ioff >= HeaderLen,
-            s"truncated inner event header at $ioff")
-          val hb = buf(inner, ioff, HeaderLen)
-          hb.getInt(); val itpe = hb.get() & 0xff; hb.getInt()
-          val isize = hb.getInt()
-          require(isize >= HeaderLen && isize <= inner.length - ioff,
-            s"inner event at $ioff overruns payload (size=$isize)")
-          if (itpe == TableMapEvent) {
-            val tm = parseTableMap(
-              buf(inner, ioff + HeaderLen, isize - HeaderLen))
-            out((tm.db, tm.table)) = tm
-          }
-          ioff += isize
+        foreachInnerEvent(payloadEvents(
+          buf(bytes, off + HeaderLen, eventSize - HeaderLen - crcLen))) {
+          (itpe, ibody, _) =>
+            if (itpe == TableMapEvent) {
+              val tm = parseTableMap(ibody)
+              out((tm.db, tm.table)) = tm
+            }
         }
       }
       off += eventSize
@@ -706,15 +704,19 @@ object BinlogFormat {
       val us = readFrac(b, c.meta)
       val ym = ((raw >> 22) & 0x1ffff).toInt
       // the zero-datetime sentinel (0000-00-00 …, legal without
-      // NO_ZERO_DATE) decodes as null, like TypeDate's
-      if (ym % 13 == 0 || ((raw >> 17) & 0x1f) == 0) null
+      // NO_ZERO_DATE) decodes as null, like TypeDate's — any zero
+      // field of the DATE half (year, month, day) marks it
+      if (ym / 13 == 0 || ym % 13 == 0 || ((raw >> 17) & 0x1f) == 0) null
       else java.time.LocalDateTime.of(ym / 13, ym % 13,
         ((raw >> 17) & 0x1f).toInt, ((raw >> 12) & 0x1f).toInt,
         ((raw >> 6) & 0x3f).toInt, (raw & 0x3f).toInt, us.toInt * 1000)
     case TypeTimestamp2 =>
       val sec = readBE(b, 4)
       val us = readFrac(b, c.meta)
-      java.time.Instant.ofEpochSecond(sec, us * 1000L)
+      // the zero-timestamp sentinel: valid TIMESTAMP range starts at
+      // 1970-01-01 00:00:01, so stored 0 is unambiguously '0000-00-00'
+      if (sec == 0 && us == 0) null
+      else java.time.Instant.ofEpochSecond(sec, us * 1000L)
     case TypeTime2 =>
       // my_time_packed_to_binary: the packed value is SIGNED
       // (hour10|minute6|second6) << 24 | microseconds, negated for

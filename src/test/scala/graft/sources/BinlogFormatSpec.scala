@@ -465,6 +465,29 @@ class BinlogFormatSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](parse(corrupt))
   }
 
+  test("golden TRANSACTION_PAYLOAD vector: hand-written field layout") {
+    // The payload FIELD layout pinned independently of the fixture
+    // encoder (compression NONE so every byte is hand-writable):
+    // header (type 0x28, size 134, end-pos 254); fields = (type 02,
+    // len 03, value lenenc(255) = FC FF 00) compression NONE, (type 03,
+    // len 01, value 6A) uncompressed size 106, end mark 00; then the
+    // 106-byte inner stream = the first golden file's own TABLE_MAP +
+    // WRITE_ROWS + XID events (already CRC-less, alg=0). Expected
+    // decode = exactly the first golden test's single insert.
+    val inner = golden.slice(4 + 116, golden.length) // 40 + 39 + 27 bytes
+    assert(inner.length == 106)
+    val payloadEvent = hex("""
+      00 00 00 00 28 01 00 00 00 86 00 00 00 FE 00 00 00 00 00
+      02 03 FC FF 00
+      03 01 6A
+      00
+    """) ++ inner
+    val p = parse(golden.take(4 + 116) ++ payloadEvent)
+    assert(p.changes == Vector(RowChange("d", "t", "I",
+      None, Some(IndexedSeq(7L, "ab")), 199L)))
+    assert(p.droppedUncommitted == 0)
+  }
+
   test("scanTableMaps + sparkTypeOf: the log is self-describing") {
     import org.apache.spark.sql.types._
     val cols = IndexedSeq(
