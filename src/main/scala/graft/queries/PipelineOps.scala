@@ -771,6 +771,54 @@ object PipelineOps {
       .select(col("user_id"), col("event_type"), col("value"), col("props"))
   }
 
+  /** T37: PARTIAL JSON updates — 8.0's
+    * binlog_row_value_options=PARTIAL_JSON ships an UPDATE to a JSON
+    * column as a DIFF sequence (operation, JSON path, value) instead of
+    * re-logging the whole document; for big documents this is the
+    * difference between logging bytes-changed and bytes-stored, so
+    * real fleets enable it. The wire path decodes the
+    * PARTIAL_UPDATE_ROWS_EVENT, keeps the before-image's JSON as an
+    * AST, applies the diffs ([[graft.sources.JsonBinary.applyDiff]] —
+    * REPLACE/INSERT/REMOVE with MySQL's strict-apply semantics), and
+    * surfaces the reconstructed after document as text. Every document
+    * and diff is a pure function of o_orderkey, so the DuckDB oracle
+    * rebuilds the final text per key: k%12==0 profiles went through the
+    * diff path (score replaced, a tag spliced, a member inserted) and
+    * any mis-application flips the string and the hash. */
+  def binlogPartialJsonLive(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{BinlogFixture, BinlogSource, JsonBinary}
+    import graft.sources.BinlogFormat.{ColumnDef, TypeLongLong, TypeJson}
+    import BinlogFixture.{Change, Partial}
+    import JsonBinary._
+    import graft.operators.CdcTransform
+    val landing = graft.GateCache.tempDir("graft_binlog_pjson_src").toString
+    val cols = IndexedSeq(ColumnDef(TypeLongLong, 0), ColumnDef(TypeJson, 4))
+    val keys = s.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") % 6 === 0).select("o_orderkey")
+      .orderBy("o_orderkey").collect().map(_.getLong(0)).toIndexedSeq
+    require(keys.nonEmpty && keys.exists(_ % 12 == 0), "empty profile sample")
+    def doc(k: Long): J = JObj(IndexedSeq(
+      "id" -> JInt(k), "score" -> JInt(k % 100),
+      "tags" -> JArr(IndexedSeq(JStr("a")))))
+    val changes =
+      keys.map(k => Change.insert(IndexedSeq[Any](k, doc(k)))) ++
+      keys.filter(_ % 12 == 0).map(k => Change.partialUpdate(
+        IndexedSeq[Any](k, doc(k)),
+        IndexedSeq[Any](k, Partial(Seq(
+          Diff(DiffReplace, "$.score", Some(JInt(k % 100 + 50))),
+          Diff(DiffInsert, "$.tags[1]", Some(JStr("b"))),
+          Diff(DiffInsert, "$.vip", Some(JBool(true))))))))
+    Files.write(java.nio.file.Paths.get(landing, "profiles-bin.000001"),
+      BinlogFixture.encode("graft", "profiles", cols,
+        changes.grouped(200).toSeq, gtidFrom = Some(1L)))
+    val schema = StructType.fromDDL("user_id BIGINT, profile STRING")
+    val stamped = CdcTransform.stampBatch(
+      BinlogSource.changes(s, landing, "profiles", schema),
+      opCol = "op", seqCol = "_seq", batchVersionMicros = 1L)
+    LiveView.live(stamped, pks = Seq("user_id"), tieBreak = Some(SeqCol))
+      .select(col("user_id"), col("profile"))
+  }
+
   /** T33: GTID-SET RESUME over an overlapping rotated chain — the
     * replica-failover shape the reference's (file, pos) offset cannot
     * express (`/root/reference/src/cdc_replicator.py:24-35`: its resume
@@ -3459,6 +3507,7 @@ object PipelineOps {
     "b8_bucketed_cdc_sink" -> ((s, dir) => bucketedCdcSink(s, dir)),
     "t35_binlog_schemaless_cdc" -> ((s, dir) => binlogSchemalessCdcLive(s, dir)),
     "t36_binlog_compressed_cdc" -> ((s, dir) => binlogCompressedCdcLive(s, dir)),
+    "t37_binlog_partial_json" -> ((s, dir) => binlogPartialJsonLive(s, dir)),
     "t24_schema_evolution" -> ((s, dir) => evolvingCdcLive(s, dir)),
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
     "t13_stream_neardup" -> ((s, dir) => streamNearDupCounts(s, dir)),
@@ -4093,6 +4142,21 @@ object PipelineOps {
     // rolls up through the exchange-free two-step aggregate — the final
     // state must be byte-identical to t31's
     "b8_bucketed_cdc_sink" -> MultiTableRollupOracle,
+
+    // the diff-reconstructed JSON per key: k%12==0 went through the
+    // PARTIAL_JSON path (score replaced, tag spliced, member inserted;
+    // keys render in MySQL's (length, bytes) stored order) — any
+    // mis-applied diff flips the string and the hash
+    "t37_binlog_partial_json" ->
+      """SELECT o_orderkey AS user_id,
+        |  CASE WHEN o_orderkey % 12 = 0 THEN
+        |    '{"id":' || CAST(o_orderkey AS VARCHAR) || ',"vip":true,"tags":["a","b"],"score":'
+        |      || CAST(o_orderkey % 100 + 50 AS VARCHAR) || '}'
+        |  ELSE
+        |    '{"id":' || CAST(o_orderkey AS VARCHAR) || ',"tags":["a"],"score":'
+        |      || CAST(o_orderkey % 100 AS VARCHAR) || '}'
+        |  END AS profile
+        |FROM orders WHERE o_orderkey % 6 = 0""".stripMargin,
 
     // t29's final state reached through zstd-compressed transaction
     // payloads — a lost or replayed payload flips a survivor and the hash

@@ -24,10 +24,20 @@ object BinlogFixture {
 
   final case class Change(op: String, before: IndexedSeq[Any],
                           after: IndexedSeq[Any])
+
+  /** A JSON column's after-value shipped as DIFFS (PARTIAL_JSON) instead
+    * of a full document — place in a [[Change.partialUpdate]]'s after
+    * image at the JSON column's position. */
+  final case class Partial(diffs: Seq[JsonBinary.Diff])
+
   object Change {
     def insert(row: IndexedSeq[Any]): Change = Change("I", null, row)
     def update(before: IndexedSeq[Any], after: IndexedSeq[Any]): Change =
       Change("U", before, after)
+    /** PARTIAL_UPDATE_ROWS_EVENT: after-image entries may be [[Partial]]
+      * (diff-shipped JSON) at JSON columns; everything else is full. */
+    def partialUpdate(before: IndexedSeq[Any], after: IndexedSeq[Any]): Change =
+      Change("P", before, after)
     def delete(row: IndexedSeq[Any]): Change = Change("D", row, null)
   }
 
@@ -107,7 +117,7 @@ object BinlogFixture {
 
     // FORMAT_DESCRIPTION: ver=4, server version, create ts, header len,
     // one post-header len per known event type (index = type - 1), alg
-    val nTypes = 0x23 // through the RowsV2 block, like a 5.6 server
+    val nTypes = 0x29 // through TRANSACTION_PAYLOAD, like an 8.0 server
     val fde = ByteBuffer.allocate(2 + 50 + 4 + 1 + nTypes + 1)
       .order(ByteOrder.LITTLE_ENDIAN)
     fde.putShort(4)
@@ -123,6 +133,7 @@ object BinlogFixture {
     phl(WriteRowsV2 - 1) = 10
     phl(UpdateRowsV2 - 1) = 10
     phl(DeleteRowsV2 - 1) = 10
+    phl(PartialUpdateRowsV2 - 1) = 10
     fde.put(phl)
     fde.put((if (checksum) 1 else 0).toByte)
     emit(FormatDescriptionEvent, fde.array(), reservedTail = 4)
@@ -166,6 +177,7 @@ object BinlogFixture {
         val tpe = cs(i)._2.op match {
           case "I" => WriteRowsV2
           case "U" => UpdateRowsV2
+          case "P" => PartialUpdateRowsV2
           case "D" => DeleteRowsV2
         }
         sink(tpe, rowsBody(tpe, slice, tdef.cols, tdef.tableId))
@@ -361,15 +373,46 @@ object BinlogFixture {
         if (v != null) images.write(valueBytes(v, cols(i)))
       }
     }
+    // PARTIAL_UPDATE after-image: value_options (bit 0 = PARTIAL_JSON),
+    // one bit per JSON column of the table, then nulls + values where a
+    // flagged column carries framed diffs instead of a full document
+    def writePartialAfter(row: IndexedSeq[Any]): Unit = {
+      require(row.size == n, s"row arity ${row.size} != $n")
+      images.write(1) // value_options lenenc: PARTIAL_JSON on
+      val jsonIdx = cols.indices.filter(i => cols(i).tpe == TypeJson)
+      val bits = new Array[Byte]((jsonIdx.size + 7) / 8)
+      jsonIdx.zipWithIndex.foreach { case (colIdx, jIdx) =>
+        if (row(colIdx).isInstanceOf[Partial])
+          bits(jIdx / 8) = (bits(jIdx / 8) | (1 << (jIdx % 8))).toByte
+      }
+      images.write(bits)
+      val nulls = Array.fill[Byte]((n + 7) / 8)(0)
+      row.zipWithIndex.foreach { case (v, i) =>
+        if (v == null) nulls(i / 8) = (nulls(i / 8) | (1 << (i % 8))).toByte
+      }
+      images.write(nulls)
+      row.zipWithIndex.foreach {
+        case (Partial(diffs), i) =>
+          val d = JsonBinary.encodeDiffs(diffs)
+          images.write(Array.tabulate(cols(i).meta)(k =>
+            ((d.length >> (8 * k)) & 0xff).toByte))
+          images.write(d)
+        case (v, i) if v != null => images.write(valueBytes(v, cols(i)))
+        case _ => ()
+      }
+    }
     changes.foreach { c =>
       tpe match {
         case WriteRowsV2  => writeImage(c.after)
         case DeleteRowsV2 => writeImage(c.before)
         case UpdateRowsV2 => writeImage(c.before); writeImage(c.after)
+        case PartialUpdateRowsV2 =>
+          writeImage(c.before); writePartialAfter(c.after)
       }
     }
     val img = images.toByteArray
-    val nBitmaps = if (tpe == UpdateRowsV2) 2 else 1
+    val twoBitmaps = tpe == UpdateRowsV2 || tpe == PartialUpdateRowsV2
+    val nBitmaps = if (twoBitmaps) 2 else 1
     val b = ByteBuffer.allocate(6 + 2 + 2 + 1 + nBitmaps * present.length +
       img.length).order(ByteOrder.LITTLE_ENDIAN)
     putUint48(b, tableId)
@@ -377,7 +420,7 @@ object BinlogFixture {
     b.putShort(2) // extra-data length (self-inclusive, no extra data)
     b.put(n.toByte) // lenenc column count
     b.put(present)
-    if (tpe == UpdateRowsV2) b.put(present)
+    if (twoBitmaps) b.put(present)
     b.put(img)
     b.array()
   }

@@ -93,6 +93,7 @@ object BinlogFormat {
   val DeleteRowsV2 = 0x20
   val GtidEvent = 0x21
   val PreviousGtidsEvent = 0x23
+  val PartialUpdateRowsV2 = 0x27 // 8.0 binlog_row_value_options=PARTIAL_JSON
   val TransactionPayloadEvent = 0x28 // 8.0.20+ compressed transactions
 
   // column type codes (MYSQL_TYPE_*)
@@ -201,7 +202,7 @@ object BinlogFormat {
         val tm = parseTableMap(body)
         tableMaps(tm.tableId) = tm
 
-      case WriteRowsV2 | UpdateRowsV2 | DeleteRowsV2 =>
+      case WriteRowsV2 | UpdateRowsV2 | DeleteRowsV2 | PartialUpdateRowsV2 =>
         pending ++= parseRowsEvent(body, tpe, logPos, tableMaps)
           .map(_.copy(gtid = currentGtid))
 
@@ -613,7 +614,9 @@ object BinlogFormat {
     require(n == tm.cols.size,
       s"rows event column count $n != table map ${tm.cols.size}")
     val present1 = bitmap(b, n)
-    val present2 = if (tpe == UpdateRowsV2) bitmap(b, n) else present1
+    val present2 =
+      if (tpe == UpdateRowsV2 || tpe == PartialUpdateRowsV2) bitmap(b, n)
+      else present1
     val out = Vector.newBuilder[RowChange]
     while (b.hasRemaining) {
       // zero-progress guard: a corrupt all-zeros present bitmap would
@@ -632,6 +635,18 @@ object BinlogFormat {
           val after = image(b, tm, present2)
           out += RowChange(tm.db, tm.table, UpdateOp,
             Some(before), Some(after), pos)
+        case PartialUpdateRowsV2 =>
+          // PARTIAL_JSON: the after-image ships DIFFS for flagged JSON
+          // columns — decode the before with its JSON as AST, apply
+          // the diffs, surface both images as text
+          val beforeAst = image(b, tm, present1, jsonAst = true)
+          val after = partialImage(b, tm, present2, beforeAst)
+          val before = beforeAst.map {
+            case j: JsonBinary.J => JsonBinary.renderAst(j)
+            case x => x
+          }
+          out += RowChange(tm.db, tm.table, UpdateOp,
+            Some(before), Some(after), pos)
       }
       require(b.position() > p0,
         "zero-progress row image — corrupt columns-present bitmap")
@@ -639,11 +654,51 @@ object BinlogFormat {
     out.result()
   }
 
+  /** A partial after-image (WL#2955): value_options (lenenc; bit 0 =
+    * PARTIAL_JSON), then — when set — one bit per JSON column of the
+    * table (LSB-first), then the usual null bitmap and values, where a
+    * flagged non-null JSON column carries a framed DIFF sequence applied
+    * to the before-image's document instead of a full value. */
+  private def partialImage(b: ByteBuffer, tm: TableMap,
+      present: IndexedSeq[Boolean],
+      beforeAst: IndexedSeq[Any]): IndexedSeq[Any] = {
+    val opts = lenenc(b)
+    val jsonCols = tm.cols.count(_.tpe == TypeJson)
+    val partialBits =
+      if ((opts & 1L) != 0) bitmap(b, jsonCols)
+      else IndexedSeq.fill(jsonCols)(false)
+    val nPresent = present.count(identity)
+    val nulls = bitmap(b, nPresent)
+    var pi = 0; var ji = 0
+    tm.cols.indices.map { i =>
+      val c = tm.cols(i)
+      val jIdx = if (c.tpe == TypeJson) { val x = ji; ji += 1; x } else -1
+      if (!present(i)) null
+      else {
+        val isNull = nulls(pi); pi += 1
+        if (isNull) null
+        else if (jIdx >= 0 && partialBits(jIdx)) {
+          val diffs = JsonBinary.parseDiffs(framedBytes(b, c.meta))
+          val base = beforeAst(i) match {
+            case j: JsonBinary.J => j
+            case other => throw new IllegalStateException(
+              s"partial JSON diff over a non-JSON before-image at column $i: $other")
+          }
+          JsonBinary.renderAst(diffs.foldLeft(base)(JsonBinary.applyDiff))
+        }
+        else value(b, c)
+      }
+    }
+  }
+
   /** One row image: null bitmap over PRESENT columns, then values. Absent
     * columns (minimal row images) decode as null — the consumer treats a
-    * partial image like the reference treats its discarded before-values. */
+    * partial image like the reference treats its discarded before-values.
+    * `jsonAst = true` keeps JSON columns as [[JsonBinary.J]] ASTs instead
+    * of rendered text — the base a partial update's diffs apply to. */
   private def image(b: ByteBuffer, tm: TableMap,
-                    present: IndexedSeq[Boolean]): IndexedSeq[Any] = {
+                    present: IndexedSeq[Boolean],
+                    jsonAst: Boolean = false): IndexedSeq[Any] = {
     val nPresent = present.count(identity)
     val nulls = bitmap(b, nPresent)
     var pi = 0
@@ -651,7 +706,10 @@ object BinlogFormat {
       if (!present(i)) null
       else {
         val isNull = nulls(pi); pi += 1
-        if (isNull) null else value(b, tm.cols(i))
+        if (isNull) null
+        else if (jsonAst && tm.cols(i).tpe == TypeJson)
+          JsonBinary.toAst(framedBytes(b, tm.cols(i).meta))
+        else value(b, tm.cols(i))
       }
     }
   }
@@ -763,10 +821,7 @@ object BinlogFormat {
         .collect { case (l, i) if (mask & (1L << i)) != 0 => l }
         .mkString(",")
     case TypeBlob | TypeJson =>
-      var len = 0L
-      (0 until c.meta).foreach(i => len |= (b.get().toLong & 0xff) << (8 * i))
-      require(len >= 0 && len <= b.remaining(), s"blob length $len overruns event")
-      val a = new Array[Byte](len.toInt); b.get(a)
+      val a = framedBytes(b, c.meta)
       // JSON ships as a blob-framed BINARY document; surface the text
       // (the reference's json → String mapping, schema_converter.py:36)
       if (c.tpe == TypeJson) JsonBinary.render(a) else a
@@ -838,6 +893,15 @@ object BinlogFormat {
       val stored = readBE(b, n)
       stored * math.pow(10, 6 - 2 * n).toLong
     }
+  }
+
+  /** Little-endian length prefix of `lenBytes` bytes, then the bytes —
+    * the BLOB/TEXT/JSON framing (and a partial update's diff stream). */
+  private def framedBytes(b: ByteBuffer, lenBytes: Int): Array[Byte] = {
+    var len = 0L
+    (0 until lenBytes).foreach(i => len |= (b.get().toLong & 0xff) << (8 * i))
+    require(len >= 0 && len <= b.remaining(), s"framed length $len overruns event")
+    val a = new Array[Byte](len.toInt); b.get(a); a
   }
 
   private def readBE(b: ByteBuffer, n: Int): Long = {

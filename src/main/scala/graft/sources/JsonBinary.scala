@@ -38,11 +38,14 @@ import java.nio.charset.StandardCharsets.UTF_8
   * binlog parser's robustness contract. */
 object JsonBinary {
 
-  // ---- AST (the fixture-side input; the engine side only renders) ----
+  // ---- AST: the fixture-side input, AND the engine-side intermediate
+  // for partial-update diff application ----
   sealed trait J
   case object JNull extends J
   final case class JBool(b: Boolean) extends J
   final case class JInt(v: Long) extends J
+  /** Unsigned 64-bit — decode-only (values above Long.MaxValue). */
+  final case class JULong(v: Long) extends J
   final case class JDouble(v: Double) extends J
   final case class JStr(s: String) extends J
   final case class JArr(items: IndexedSeq[J]) extends J
@@ -65,12 +68,66 @@ object JsonBinary {
   private val MaxDepth = 100
 
   /** Render a binary JSON document (type byte + payload) as text. */
-  def render(doc: Array[Byte]): String = {
+  def render(doc: Array[Byte]): String = renderAst(toAst(doc))
+
+  /** Decode a binary document to the AST — the form partial-update
+    * diffs are applied to. */
+  def toAst(doc: Array[Byte]): J = {
     require(doc.length >= 1, "empty JSON document")
-    val sb = new java.lang.StringBuilder(doc.length * 2)
-    renderValue(doc(0) & 0xff, doc, 1, sb, 0)
+    astValue(doc(0) & 0xff, doc, 1, 0)
+  }
+
+  /** AST → compact canonical text. Object keys render in MySQL's stored
+    * (length, unsigned-UTF-8-bytes) order — a no-op for freshly decoded
+    * documents (the binary format stores them sorted) and the
+    * normalization a server applies when serializing a diff-modified
+    * in-memory document. */
+  def renderAst(j: J): String = {
+    val sb = new java.lang.StringBuilder(64)
+    def go(v: J): Unit = v match {
+      case JNull        => sb.append("null"); ()
+      case JBool(true)  => sb.append("true"); ()
+      case JBool(false) => sb.append("false"); ()
+      case JInt(x)      => sb.append(x); ()
+      case JULong(x)    => sb.append(java.lang.Long.toUnsignedString(x)); ()
+      case JDouble(x) =>
+        // integral doubles render with a trailing .0, like MySQL's text
+        if (x == x.floor && !x.isInfinite && math.abs(x) < 1e15 &&
+            x.toLong.toDouble == x) { sb.append(x.toLong).append(".0"); () }
+        else { sb.append(x); () }
+      case JStr(s) => appendEscaped(s, sb)
+      case JArr(items) =>
+        sb.append('[')
+        items.zipWithIndex.foreach { case (it, i) =>
+          if (i > 0) sb.append(',')
+          go(it)
+        }
+        sb.append(']'); ()
+      case JObj(fields) =>
+        sb.append('{')
+        sortFields(fields).zipWithIndex.foreach { case ((k, fv), i) =>
+          if (i > 0) sb.append(',')
+          appendEscaped(k, sb); sb.append(':'); go(fv)
+        }
+        sb.append('}'); ()
+    }
+    go(j)
     sb.toString
   }
+
+  /** MySQL's stored key order: length first, then unsigned UTF-8 bytes
+    * (memcmp) — shared by the encoder and the AST renderer. */
+  private def sortFields(fields: IndexedSeq[(String, J)]): IndexedSeq[(String, J)] =
+    fields
+      .map { case (k, v) => (k.getBytes(UTF_8), k, v) }
+      .sortWith { case ((a, _, _), (b, _, _)) =>
+        if (a.length != b.length) a.length < b.length
+        else {
+          val i = a.indices.find(j => a(j) != b(j))
+          i.exists(j => (a(j) & 0xff) < (b(j) & 0xff))
+        }
+      }
+      .map { case (_, k, v) => (k, v) }
 
   private def le(d: Array[Byte], off: Int, n: Int): Long = {
     require(off >= 0 && off + n <= d.length, s"JSON value at $off overruns doc")
@@ -94,36 +151,30 @@ object JsonBinary {
     (len.toInt, i)
   }
 
-  private def renderValue(tpe: Int, d: Array[Byte], off: Int,
-                          sb: java.lang.StringBuilder, depth: Int): Unit = tpe match {
-    case SmallObj => renderContainer(d, off, sb, obj = true, small = true, depth)
-    case LargeObj => renderContainer(d, off, sb, obj = true, small = false, depth)
-    case SmallArr => renderContainer(d, off, sb, obj = false, small = true, depth)
-    case LargeArr => renderContainer(d, off, sb, obj = false, small = false, depth)
+  private def astValue(tpe: Int, d: Array[Byte], off: Int, depth: Int): J = tpe match {
+    case SmallObj => astContainer(d, off, obj = true, small = true, depth)
+    case LargeObj => astContainer(d, off, obj = true, small = false, depth)
+    case SmallArr => astContainer(d, off, obj = false, small = true, depth)
+    case LargeArr => astContainer(d, off, obj = false, small = false, depth)
     case Lit => le(d, off, 1) match {
-      case 0 => sb.append("null"); ()
-      case 1 => sb.append("true"); ()
-      case 2 => sb.append("false"); ()
+      case 0 => JNull
+      case 1 => JBool(true)
+      case 2 => JBool(false)
       case x => throw new IllegalArgumentException(s"bad JSON literal $x")
     }
-    case I16 => sb.append(le(d, off, 2).toShort.toLong); ()
-    case U16 => sb.append(le(d, off, 2)); ()
-    case I32 => sb.append(le(d, off, 4).toInt.toLong); ()
-    case U32 => sb.append(le(d, off, 4)); ()
-    case I64 => sb.append(le(d, off, 8)); ()
+    case I16 => JInt(le(d, off, 2).toShort.toLong)
+    case U16 => JInt(le(d, off, 2))
+    case I32 => JInt(le(d, off, 4).toInt.toLong)
+    case U32 => JInt(le(d, off, 4))
+    case I64 => JInt(le(d, off, 8))
     case U64 =>
-      sb.append(java.lang.Long.toUnsignedString(le(d, off, 8))); ()
-    case Dbl =>
-      val v = java.lang.Double.longBitsToDouble(le(d, off, 8))
-      // integral doubles render with a trailing .0, like MySQL's own text
-      if (v == v.floor && !v.isInfinite && math.abs(v) < 1e15 &&
-          v.toLong.toDouble == v)
-        { sb.append(v.toLong).append(".0"); () }
-      else { sb.append(v); () }
+      val v = le(d, off, 8)
+      if (v >= 0) JInt(v) else JULong(v)
+    case Dbl => JDouble(java.lang.Double.longBitsToDouble(le(d, off, 8)))
     case Str =>
       val (len, start) = varlen(d, off)
       require(start + len <= d.length, s"string at $off overruns doc")
-      appendEscaped(new String(d, start, len, UTF_8), sb)
+      JStr(new String(d, start, len, UTF_8))
     case t => throw new IllegalArgumentException(s"unsupported JSON type $t")
   }
 
@@ -143,9 +194,8 @@ object JsonBinary {
 
   /** Containers: `off` points at the count field; entry offsets are
     * relative to exactly that position. */
-  private def renderContainer(d: Array[Byte], off: Int,
-      sb: java.lang.StringBuilder, obj: Boolean, small: Boolean,
-      depth: Int): Unit = {
+  private def astContainer(d: Array[Byte], off: Int, obj: Boolean,
+                           small: Boolean, depth: Int): J = {
     require(depth < MaxDepth,
       s"JSON nesting exceeds $MaxDepth — malformed (cyclic?) document")
     val w = if (small) 2 else 4
@@ -155,24 +205,179 @@ object JsonBinary {
       s"container at $off overruns doc (count=$count size=$size)")
     val keyEntries = off + 2 * w
     val valEntries = keyEntries + (if (obj) count * (w + 2) else 0)
-    sb.append(if (obj) '{' else '[')
-    (0 until count).foreach { i =>
-      if (i > 0) sb.append(',')
-      if (obj) {
-        val kOff = le(d, keyEntries + i * (w + 2), w).toInt
-        val kLen = le(d, keyEntries + i * (w + 2) + w, 2).toInt
-        require(off + kOff + kLen <= d.length, s"key $i overruns doc")
-        appendEscaped(new String(d, off + kOff, kLen, UTF_8), sb)
-        sb.append(':')
-      }
+    def valueAt(i: Int): J = {
       val e = valEntries + i * (1 + w)
       val t = le(d, e, 1).toInt
       val inlined = t == Lit || t == I16 || t == U16 ||
         (!small && (t == I32 || t == U32))
-      if (inlined) renderValue(t, d, e + 1, sb, depth + 1)
-      else renderValue(t, d, off + le(d, e + 1, w).toInt, sb, depth + 1)
+      if (inlined) astValue(t, d, e + 1, depth + 1)
+      else astValue(t, d, off + le(d, e + 1, w).toInt, depth + 1)
     }
-    sb.append(if (obj) '}' else ']'); ()
+    if (obj) JObj((0 until count).map { i =>
+      val kOff = le(d, keyEntries + i * (w + 2), w).toInt
+      val kLen = le(d, keyEntries + i * (w + 2) + w, 2).toInt
+      require(off + kOff + kLen <= d.length, s"key $i overruns doc")
+      (new String(d, off + kOff, kLen, UTF_8), valueAt(i))
+    })
+    else JArr((0 until count).map(valueAt))
+  }
+
+  // ============ partial updates: JSON paths and diffs ==================
+  // The wire side of binlog_row_value_options=PARTIAL_JSON (WL#2955):
+  // an UPDATE touching a JSON column ships a DIFF sequence instead of
+  // the full document; each diff = operation (0 REPLACE / 1 INSERT /
+  // 2 REMOVE), a JSON path into the BEFORE document, and (for non-
+  // REMOVE) a binary JSON value. Applying them to the before-image's
+  // AST reconstructs the after document.
+
+  val DiffReplace = 0
+  val DiffInsert = 1
+  val DiffRemove = 2
+
+  final case class Diff(op: Int, path: String, value: Option[J])
+
+  sealed trait Leg
+  final case class Key(k: String) extends Leg
+  final case class Idx(i: Int) extends Leg
+
+  /** Parse `$`, `$.key`, `$."quoted key"`, `$[3]`, and their nestings —
+    * the path grammar MySQL's json_path emits into diffs. */
+  def parsePath(p: String): Seq[Leg] = {
+    require(p.nonEmpty && p.head == '$', s"JSON path must start with $$: $p")
+    val legs = Seq.newBuilder[Leg]
+    var i = 1
+    while (i < p.length) {
+      p(i) match {
+        case '.' =>
+          i += 1
+          require(i < p.length, s"dangling '.' in path $p")
+          if (p(i) == '"') {
+            val end = p.indexOf('"', i + 1)
+            require(end > i, s"unterminated quoted key in $p")
+            legs += Key(p.substring(i + 1, end)); i = end + 1
+          } else {
+            val start = i
+            while (i < p.length && p(i) != '.' && p(i) != '[') i += 1
+            require(i > start, s"empty key in path $p")
+            legs += Key(p.substring(start, i))
+          }
+        case '[' =>
+          val end = p.indexOf(']', i)
+          require(end > i + 1, s"bad array leg in $p")
+          legs += Idx(p.substring(i + 1, end).trim.toInt); i = end + 1
+        case c => throw new IllegalArgumentException(s"bad path char $c in $p")
+      }
+    }
+    legs.result()
+  }
+
+  /** Apply one diff to a document AST (MySQL json_diff semantics:
+    * REPLACE sets an existing member/element, INSERT adds a new object
+    * member or splices an array element — appending when the index is
+    * past the end, like JSON_ARRAY_INSERT — REMOVE deletes; a path that
+    * does not resolve is an error, matching the server's strict apply
+    * mode used for binlog diffs). */
+  def applyDiff(doc: J, diff: Diff): J = {
+    def go(node: J, legs: Seq[Leg]): J = legs match {
+      case Seq(last) => edit(node, last)
+      case leg +: rest => (node, leg) match {
+        case (JObj(fields), Key(k)) =>
+          val i = fields.indexWhere(_._1 == k)
+          require(i >= 0, s"path ${diff.path}: no member '$k'")
+          JObj(fields.updated(i, (k, go(fields(i)._2, rest))))
+        case (JArr(items), Idx(ix)) =>
+          require(ix >= 0 && ix < items.size, s"path ${diff.path}: index $ix out of range")
+          JArr(items.updated(ix, go(items(ix), rest)))
+        case _ => throw new IllegalArgumentException(
+          s"path ${diff.path}: leg $leg does not match ${node.getClass.getSimpleName}")
+      }
+      case _ => throw new IllegalArgumentException(
+        s"diff path ${diff.path} addresses the whole document")
+    }
+    def edit(parent: J, leg: Leg): J = (parent, leg, diff.op) match {
+      case (JObj(fields), Key(k), DiffReplace) =>
+        val i = fields.indexWhere(_._1 == k)
+        require(i >= 0, s"REPLACE ${diff.path}: no member '$k'")
+        JObj(fields.updated(i, (k, diff.value.get)))
+      case (JObj(fields), Key(k), DiffInsert) =>
+        require(!fields.exists(_._1 == k), s"INSERT ${diff.path}: member exists")
+        JObj(fields :+ (k -> diff.value.get))
+      case (JObj(fields), Key(k), DiffRemove) =>
+        require(fields.exists(_._1 == k), s"REMOVE ${diff.path}: no member '$k'")
+        JObj(fields.filterNot(_._1 == k))
+      case (JArr(items), Idx(i), DiffReplace) =>
+        require(i >= 0 && i < items.size, s"REPLACE ${diff.path}: index out of range")
+        JArr(items.updated(i, diff.value.get))
+      case (JArr(items), Idx(i), DiffInsert) =>
+        require(i >= 0, s"INSERT ${diff.path}: negative index")
+        val at = math.min(i, items.size)
+        JArr((items.take(at) :+ diff.value.get) ++ items.drop(at))
+      case (JArr(items), Idx(i), DiffRemove) =>
+        require(i >= 0 && i < items.size, s"REMOVE ${diff.path}: index out of range")
+        JArr(items.patch(i, Nil, 1))
+      case (p, l, op) => throw new IllegalArgumentException(
+        s"diff op $op with leg $l cannot apply to ${p.getClass.getSimpleName}")
+    }
+    val legs = parsePath(diff.path)
+    require(legs.nonEmpty, s"diff path ${diff.path} addresses the whole document")
+    if (diff.op != DiffRemove) require(diff.value.isDefined,
+      s"diff op ${diff.op} needs a value")
+    go(doc, legs)
+  }
+
+  /** Decode a diff sequence (the partial JSON column's framed bytes):
+    * per diff, operation (1 byte), path (lenenc length + bytes), and
+    * for non-REMOVE a binary JSON document (lenenc length + bytes). */
+  def parseDiffs(bytes: Array[Byte]): Seq[Diff] = {
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val out = Seq.newBuilder[Diff]
+    while (b.hasRemaining) {
+      val op = b.get() & 0xff
+      require(op <= DiffRemove, s"unknown JSON diff operation $op")
+      val pLen = readLenenc(b).toInt
+      require(pLen >= 0 && pLen <= b.remaining(), s"diff path overruns ($pLen)")
+      val pBytes = new Array[Byte](pLen); b.get(pBytes)
+      val value =
+        if (op == DiffRemove) None
+        else {
+          val vLen = readLenenc(b).toInt
+          require(vLen >= 1 && vLen <= b.remaining(), s"diff value overruns ($vLen)")
+          val vBytes = new Array[Byte](vLen); b.get(vBytes)
+          Some(toAst(vBytes))
+        }
+      out += Diff(op, new String(pBytes, UTF_8), value)
+    }
+    out.result()
+  }
+
+  /** Encode a diff sequence (the fixture's server side). */
+  def encodeDiffs(diffs: Seq[Diff]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def lenenc(x: Int): Unit = {
+      if (x < 0xfb) out.write(x)
+      else { require(x < 0x10000, "diff lenenc limited to 2 bytes")
+        out.write(0xfc); out.write(x & 0xff); out.write((x >> 8) & 0xff) }
+    }
+    diffs.foreach { d =>
+      out.write(d.op)
+      val p = d.path.getBytes(UTF_8)
+      lenenc(p.length); out.write(p)
+      d.value.foreach { v =>
+        val enc = encode(v)
+        lenenc(enc.length); out.write(enc)
+      }
+    }
+    out.toByteArray
+  }
+
+  /** net_store_length reader (the diff stream's integer form). */
+  private def readLenenc(b: ByteBuffer): Long = (b.get() & 0xff) match {
+    case x if x < 0xfb => x.toLong
+    case 0xfc => ((b.get() & 0xff) | ((b.get() & 0xff) << 8)).toLong
+    case 0xfd => ((b.get() & 0xff) | ((b.get() & 0xff) << 8) |
+      ((b.get() & 0xff) << 16)).toLong
+    case 0xfe => b.getLong()
+    case x => throw new IllegalArgumentException(s"bad length-encoded int $x")
   }
 
   // ================= encode: AST -> binary document ====================
@@ -207,21 +412,12 @@ object JsonBinary {
       require(b.length < 128, "fixture strings limited to 1-byte varlen")
       (Str, Array(b.length.toByte) ++ b)
     case JArr(items) => encContainer(items.map(("", _)), obj = false)
+    case JULong(_) =>
+      throw new IllegalArgumentException("JULong is decode-only")
     case JObj(fields) =>
-      // MySQL stores object keys sorted by (length, bytes) — the byte
-      // comparison is UNSIGNED UTF-8 memcmp, which differs from String
-      // order for non-BMP/private-use keys, so compare the bytes
-      val sorted = fields
-        .map { case (k, v) => (k.getBytes(UTF_8), k, v) }
-        .sortWith { case ((a, _, _), (b, _, _)) =>
-          if (a.length != b.length) a.length < b.length
-          else {
-            val i = a.indices.find(j => a(j) != b(j))
-            i.exists(j => (a(j) & 0xff) < (b(j) & 0xff))
-          }
-        }
-        .map { case (_, k, v) => (k, v) }
-      encContainer(sorted, obj = true)
+      // MySQL stores object keys sorted by (length, unsigned UTF-8
+      // bytes) — [[sortFields]], shared with the AST renderer
+      encContainer(sortFields(fields), obj = true)
   }
 
   private def encContainer(fields: IndexedSeq[(String, J)],

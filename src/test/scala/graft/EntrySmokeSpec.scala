@@ -16,7 +16,9 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     // gate, the driver's correctness JSON just gets smaller, and 31 red
     // gates read as "fewer queries". A silent shrink (or an unregistered
     // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
-    val pinned = 274 // r13: +t36_binlog_compressed_cdc (8.0
+    val pinned = 275 // r13: +t37_binlog_partial_json (PARTIAL_JSON
+    // diff-shipped updates reconstructed against the before-image AST).
+    // r13: +t36_binlog_compressed_cdc (8.0
     // binlog_transaction_compression: zstd TRANSACTION_PAYLOAD events
     // decoded through the same dispatch, torn-tail semantics intact).
     // r13: +t32_binlog_typed_cdc (the FULL wire

@@ -91,6 +91,88 @@ class JsonBinarySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](render(Array.empty[Byte]))
   }
 
+  test("paths: parse grammar and error shapes") {
+    assert(parsePath("$.a") == Seq(Key("a")))
+    assert(parsePath("$.a.b[2].c") == Seq(Key("a"), Key("b"), Idx(2), Key("c")))
+    assert(parsePath("$[0][12]") == Seq(Idx(0), Idx(12)))
+    assert(parsePath("$.\"key with space\"[1]") ==
+      Seq(Key("key with space"), Idx(1)))
+    intercept[IllegalArgumentException](parsePath("a.b"))
+    intercept[IllegalArgumentException](parsePath("$."))
+    intercept[IllegalArgumentException](parsePath("$[]"))
+  }
+
+  test("diffs: replace/insert/remove on objects and arrays, nested") {
+    val doc = JObj(IndexedSeq(
+      "id" -> JInt(1),
+      "tags" -> JArr(IndexedSeq(JStr("a"), JStr("b"))),
+      "o" -> JObj(IndexedSeq("x" -> JInt(10)))))
+    def ap(d: J, diffs: Diff*): String =
+      renderAst(diffs.foldLeft(d)(applyDiff))
+    assert(ap(doc, Diff(DiffReplace, "$.id", Some(JInt(9)))) ==
+      """{"o":{"x":10},"id":9,"tags":["a","b"]}""")
+    assert(ap(doc, Diff(DiffReplace, "$.tags[1]", Some(JStr("z")))) ==
+      """{"o":{"x":10},"id":1,"tags":["a","z"]}""")
+    assert(ap(doc, Diff(DiffInsert, "$.tags[1]", Some(JStr("m")))) ==
+      """{"o":{"x":10},"id":1,"tags":["a","m","b"]}""")
+    assert(ap(doc, Diff(DiffInsert, "$.tags[99]", Some(JStr("e")))) ==
+      """{"o":{"x":10},"id":1,"tags":["a","b","e"]}""") // append past end
+    assert(ap(doc, Diff(DiffInsert, "$.vip", Some(JBool(true)))) ==
+      """{"o":{"x":10},"id":1,"vip":true,"tags":["a","b"]}""")
+    assert(ap(doc, Diff(DiffRemove, "$.tags[0]", None)) ==
+      """{"o":{"x":10},"id":1,"tags":["b"]}""")
+    assert(ap(doc, Diff(DiffRemove, "$.o.x", None)) ==
+      """{"o":{},"id":1,"tags":["a","b"]}""")
+    assert(ap(doc, Diff(DiffReplace, "$.o.x", Some(JArr(IndexedSeq(JNull))))) ==
+      """{"o":{"x":[null]},"id":1,"tags":["a","b"]}""")
+    // strict apply: unresolvable paths and wrong shapes fail loudly
+    intercept[IllegalArgumentException](
+      applyDiff(doc, Diff(DiffReplace, "$.nope", Some(JNull))))
+    intercept[IllegalArgumentException](
+      applyDiff(doc, Diff(DiffInsert, "$.id", Some(JNull))))
+    intercept[IllegalArgumentException](
+      applyDiff(doc, Diff(DiffRemove, "$.tags[7]", None)))
+    intercept[IllegalArgumentException](
+      applyDiff(doc, Diff(DiffReplace, "$", Some(JNull))))
+  }
+
+  test("diff wire roundtrip: encodeDiffs ≡ parseDiffs") {
+    val diffs = Seq(
+      Diff(DiffReplace, "$.score", Some(JInt(42))),
+      Diff(DiffInsert, "$.tags[0]", Some(JObj(IndexedSeq("k" -> JNull)))),
+      Diff(DiffRemove, "$.old", None))
+    assert(parseDiffs(encodeDiffs(diffs)) == diffs)
+    intercept[IllegalArgumentException](
+      parseDiffs(Array[Byte](9, 1, '$'.toByte))) // unknown op
+  }
+
+  test("partial update through the binlog: diffs apply to the before-image") {
+    import BinlogFormat._
+    import BinlogFixture.{Change, Partial}
+    val cols = IndexedSeq(ColumnDef(TypeLongLong, 0), ColumnDef(TypeJson, 4))
+    val before = JObj(IndexedSeq("id" -> JInt(9),
+      "tags" -> JArr(IndexedSeq(JStr("a"))), "score" -> JInt(5)))
+    val p = parse(BinlogFixture.encode("d", "t", cols, txns = Seq(Seq(
+      Change.insert(IndexedSeq(9L, before)),
+      Change.partialUpdate(
+        IndexedSeq(9L, before),
+        IndexedSeq(9L, Partial(Seq(
+          Diff(DiffReplace, "$.score", Some(JInt(55))),
+          Diff(DiffInsert, "$.tags[1]", Some(JStr("b"))),
+          Diff(DiffInsert, "$.vip", Some(JBool(true)))))))))))
+    assert(p.changes.map(_.op) == Vector("I", "U"))
+    val u = p.changes(1)
+    assert(u.before.get ==
+      IndexedSeq(9L, """{"id":9,"tags":["a"],"score":5}"""))
+    assert(u.after.get ==
+      IndexedSeq(9L, """{"id":9,"vip":true,"tags":["a","b"],"score":55}"""))
+    // a partial update with the bit OFF ships the full document instead
+    val full = parse(BinlogFixture.encode("d", "t", cols, txns = Seq(Seq(
+      Change.partialUpdate(IndexedSeq(9L, before),
+        IndexedSeq(9L, JObj(IndexedSeq("id" -> JInt(9)))))))))
+    assert(full.changes.head.after.get(1) == """{"id":9}""")
+  }
+
   test("through the binlog: a JSON column decodes to its text") {
     import BinlogFormat._
     import BinlogFixture.Change
