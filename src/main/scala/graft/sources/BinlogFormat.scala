@@ -656,9 +656,11 @@ object BinlogFormat {
 
   /** A partial after-image (WL#2955): value_options (lenenc; bit 0 =
     * PARTIAL_JSON), then — when set — one bit per JSON column of the
-    * table (LSB-first), then the usual null bitmap and values, where a
-    * flagged non-null JSON column carries a framed DIFF sequence applied
-    * to the before-image's document instead of a full value. */
+    * TABLE (LSB-first; the documented pack_row layout sizes the bitmap
+    * by the table's JSON columns, which is also how pymysqlreplication
+    * reads it), then the ordinary [[image]] walk where a flagged
+    * non-null JSON column carries a framed DIFF sequence applied to the
+    * before-image's document instead of a full value. */
   private def partialImage(b: ByteBuffer, tm: TableMap,
       present: IndexedSeq[Boolean],
       beforeAst: IndexedSeq[Any]): IndexedSeq[Any] = {
@@ -667,6 +669,22 @@ object BinlogFormat {
     val partialBits =
       if ((opts & 1L) != 0) bitmap(b, jsonCols)
       else IndexedSeq.fill(jsonCols)(false)
+    image(b, tm, present, partial = Some((partialBits, beforeAst)))
+  }
+
+  /** One row image: null bitmap over PRESENT columns, then values. Absent
+    * columns (minimal row images) decode as null — the consumer treats a
+    * partial image like the reference treats its discarded before-values.
+    * `jsonAst = true` keeps JSON columns as [[JsonBinary.J]] ASTs instead
+    * of rendered text — the base a partial update's diffs apply to.
+    * `partial` = (per-table-JSON-column diff bitmap, before-image) routes
+    * flagged JSON columns through the diff-apply path — ONE walk for
+    * plain and partial images, so null/present handling can't drift. */
+  private def image(b: ByteBuffer, tm: TableMap,
+                    present: IndexedSeq[Boolean],
+                    jsonAst: Boolean = false,
+                    partial: Option[(IndexedSeq[Boolean], IndexedSeq[Any])] = None)
+      : IndexedSeq[Any] = {
     val nPresent = present.count(identity)
     val nulls = bitmap(b, nPresent)
     var pi = 0; var ji = 0
@@ -677,39 +695,20 @@ object BinlogFormat {
       else {
         val isNull = nulls(pi); pi += 1
         if (isNull) null
-        else if (jIdx >= 0 && partialBits(jIdx)) {
-          val diffs = JsonBinary.parseDiffs(framedBytes(b, c.meta))
-          val base = beforeAst(i) match {
-            case j: JsonBinary.J => j
-            case other => throw new IllegalStateException(
-              s"partial JSON diff over a non-JSON before-image at column $i: $other")
-          }
-          JsonBinary.renderAst(diffs.foldLeft(base)(JsonBinary.applyDiff))
+        else partial match {
+          case Some((bits, beforeAst)) if jIdx >= 0 && bits(jIdx) =>
+            val diffs = JsonBinary.parseDiffs(framedBytes(b, c.meta))
+            val base = beforeAst(i) match {
+              case j: JsonBinary.J => j
+              case other => throw new IllegalStateException(
+                s"partial JSON diff over a non-JSON before-image at column $i: $other")
+            }
+            JsonBinary.renderAst(diffs.foldLeft(base)(JsonBinary.applyDiff))
+          case _ =>
+            if (jsonAst && c.tpe == TypeJson)
+              JsonBinary.toAst(framedBytes(b, c.meta))
+            else value(b, c)
         }
-        else value(b, c)
-      }
-    }
-  }
-
-  /** One row image: null bitmap over PRESENT columns, then values. Absent
-    * columns (minimal row images) decode as null — the consumer treats a
-    * partial image like the reference treats its discarded before-values.
-    * `jsonAst = true` keeps JSON columns as [[JsonBinary.J]] ASTs instead
-    * of rendered text — the base a partial update's diffs apply to. */
-  private def image(b: ByteBuffer, tm: TableMap,
-                    present: IndexedSeq[Boolean],
-                    jsonAst: Boolean = false): IndexedSeq[Any] = {
-    val nPresent = present.count(identity)
-    val nulls = bitmap(b, nPresent)
-    var pi = 0
-    tm.cols.indices.map { i =>
-      if (!present(i)) null
-      else {
-        val isNull = nulls(pi); pi += 1
-        if (isNull) null
-        else if (jsonAst && tm.cols(i).tpe == TypeJson)
-          JsonBinary.toAst(framedBytes(b, tm.cols(i).meta))
-        else value(b, tm.cols(i))
       }
     }
   }

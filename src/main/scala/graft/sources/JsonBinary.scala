@@ -105,7 +105,11 @@ object JsonBinary {
         sb.append(']'); ()
       case JObj(fields) =>
         sb.append('{')
-        sortFields(fields).zipWithIndex.foreach { case ((k, fv), i) =>
+        // freshly DECODED objects are already in stored order — the
+        // linear check keeps the hot full-document render allocation-
+        // free; only diff-modified objects pay the sort
+        val fs = if (isSorted(fields)) fields else sortFields(fields)
+        fs.zipWithIndex.foreach { case ((k, fv), i) =>
           if (i > 0) sb.append(',')
           appendEscaped(k, sb); sb.append(':'); go(fv)
         }
@@ -115,18 +119,24 @@ object JsonBinary {
     sb.toString
   }
 
+  private def keyLt(a: Array[Byte], b: Array[Byte]): Boolean =
+    if (a.length != b.length) a.length < b.length
+    else {
+      val i = a.indices.find(j => a(j) != b(j))
+      i.exists(j => (a(j) & 0xff) < (b(j) & 0xff))
+    }
+
+  private def isSorted(fields: IndexedSeq[(String, J)]): Boolean =
+    (1 until fields.size).forall { i =>
+      !keyLt(fields(i)._1.getBytes(UTF_8), fields(i - 1)._1.getBytes(UTF_8))
+    }
+
   /** MySQL's stored key order: length first, then unsigned UTF-8 bytes
     * (memcmp) — shared by the encoder and the AST renderer. */
   private def sortFields(fields: IndexedSeq[(String, J)]): IndexedSeq[(String, J)] =
     fields
       .map { case (k, v) => (k.getBytes(UTF_8), k, v) }
-      .sortWith { case ((a, _, _), (b, _, _)) =>
-        if (a.length != b.length) a.length < b.length
-        else {
-          val i = a.indices.find(j => a(j) != b(j))
-          i.exists(j => (a(j) & 0xff) < (b(j) & 0xff))
-        }
-      }
+      .sortWith { case ((a, _, _), (b, _, _)) => keyLt(a, b) }
       .map { case (_, k, v) => (k, v) }
 
   private def le(d: Array[Byte], off: Int, n: Int): Long = {
@@ -252,9 +262,21 @@ object JsonBinary {
           i += 1
           require(i < p.length, s"dangling '.' in path $p")
           if (p(i) == '"') {
-            val end = p.indexOf('"', i + 1)
-            require(end > i, s"unterminated quoted key in $p")
-            legs += Key(p.substring(i + 1, end)); i = end + 1
+            // quoted keys may contain backslash-escaped quotes and
+            // backslashes (Json_path_leg::to_string's emission)
+            val sb = new java.lang.StringBuilder
+            var j = i + 1; var closed = false
+            while (j < p.length && !closed) {
+              p(j) match {
+                case '\\' =>
+                  require(j + 1 < p.length, s"dangling escape in $p")
+                  sb.append(p(j + 1)); j += 2
+                case '"' => closed = true; j += 1
+                case c => sb.append(c); j += 1
+              }
+            }
+            require(closed, s"unterminated quoted key in $p")
+            legs += Key(sb.toString); i = j
           } else {
             val start = i
             while (i < p.length && p(i) != '.' && p(i) != '[') i += 1
@@ -334,15 +356,17 @@ object JsonBinary {
     while (b.hasRemaining) {
       val op = b.get() & 0xff
       require(op <= DiffRemove, s"unknown JSON diff operation $op")
-      val pLen = readLenenc(b).toInt
-      require(pLen >= 0 && pLen <= b.remaining(), s"diff path overruns ($pLen)")
-      val pBytes = new Array[Byte](pLen); b.get(pBytes)
+      // bounds-check the LONG before narrowing — a >32-bit declared
+      // length must fail loudly, not wrap past the guard
+      val pLenL = readLenenc(b)
+      require(pLenL >= 0 && pLenL <= b.remaining(), s"diff path overruns ($pLenL)")
+      val pBytes = new Array[Byte](pLenL.toInt); b.get(pBytes)
       val value =
         if (op == DiffRemove) None
         else {
-          val vLen = readLenenc(b).toInt
-          require(vLen >= 1 && vLen <= b.remaining(), s"diff value overruns ($vLen)")
-          val vBytes = new Array[Byte](vLen); b.get(vBytes)
+          val vLenL = readLenenc(b)
+          require(vLenL >= 1 && vLenL <= b.remaining(), s"diff value overruns ($vLenL)")
+          val vBytes = new Array[Byte](vLenL.toInt); b.get(vBytes)
           Some(toAst(vBytes))
         }
       out += Diff(op, new String(pBytes, UTF_8), value)

@@ -97,9 +97,14 @@ class JsonBinarySpec extends AnyFunSuite {
     assert(parsePath("$[0][12]") == Seq(Idx(0), Idx(12)))
     assert(parsePath("$.\"key with space\"[1]") ==
       Seq(Key("key with space"), Idx(1)))
+    // escaped quotes/backslashes inside quoted keys (the server's
+    // Json_path_leg::to_string emission for non-identifier keys)
+    assert(parsePath("$.\"a\\\"b\"") == Seq(Key("a\"b")))
+    assert(parsePath("$.\"a\\\\b\".c") == Seq(Key("a\\b"), Key("c")))
     intercept[IllegalArgumentException](parsePath("a.b"))
     intercept[IllegalArgumentException](parsePath("$."))
     intercept[IllegalArgumentException](parsePath("$[]"))
+    intercept[IllegalArgumentException](parsePath("$.\"unterminated"))
   }
 
   test("diffs: replace/insert/remove on objects and arrays, nested") {
