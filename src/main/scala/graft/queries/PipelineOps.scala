@@ -762,7 +762,11 @@ object PipelineOps {
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
     }
     require(sawPayload, "staged file contains no TRANSACTION_PAYLOAD event")
-    val decoded = BinlogSource.changes(s, landing, "events", BinlogRowSchema)
+    // cached: the in-gate count REQUIRE and the live view both consume
+    // this frame — without the cache each run parses and zstd-
+    // decompresses the file twice (t33/t34's own pattern)
+    val decoded = graft.GateCache.cache(
+      BinlogSource.changes(s, landing, "events", BinlogRowSchema))
     val stamped = CdcTransform.stampBatch(decoded, opCol = "op",
       seqCol = "_seq", batchVersionMicros = 1L)
     require(decoded.count() == nCommitted,

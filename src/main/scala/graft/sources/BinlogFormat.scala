@@ -552,6 +552,16 @@ object BinlogFormat {
       require(len >= 0 && len <= b.remaining(),
         s"optional metadata field $t overruns event (len=$len)")
       val end = b.position() + len
+      // inner lenenc reads must stay inside THIS TLV's value: a malformed
+      // length would otherwise read into the next TLV's bytes before
+      // position(end) resets, and a lenenc > Int.MaxValue would turn into
+      // a negative array size instead of a diagnosable failure
+      def innerLen(what: String): Int = {
+        val l = lenenc(b)
+        require(l >= 0 && l <= end - b.position(),
+          s"optional-metadata $what length $l overruns its TLV (type $t)")
+        l.toInt
+      }
       t match {
         case MetaSignedness =>
           // one bit per NUMERIC column in column order, MSB-first bytes,
@@ -569,7 +579,7 @@ object BinlogFormat {
           }
         case MetaColumnName =>
           val names = Vector.newBuilder[String]
-          while (b.position() < end) names += str(b, lenenc(b).toInt)
+          while (b.position() < end) names += str(b, innerLen("column name"))
           colNames = names.result()
         case MetaEnumStrValue | MetaSetStrValue =>
           // per ENUM (resp. SET) column in column order:
@@ -577,8 +587,8 @@ object BinlogFormat {
           val target = if (t == MetaEnumStrValue) TypeEnum else TypeSet
           var labelSets = Vector.empty[IndexedSeq[String]]
           while (b.position() < end) {
-            val cnt = lenenc(b).toInt
-            labelSets :+= IndexedSeq.fill(cnt)(str(b, lenenc(b).toInt))
+            val cnt = innerLen("label count")
+            labelSets :+= IndexedSeq.fill(cnt)(str(b, innerLen("label")))
           }
           var li = 0
           cols = cols.map { c =>
@@ -660,12 +670,30 @@ object BinlogFormat {
     * by the table's JSON columns, which is also how pymysqlreplication
     * reads it), then the ordinary [[image]] walk where a flagged
     * non-null JSON column carries a framed DIFF sequence applied to the
-    * before-image's document instead of a full value. */
+    * before-image's document instead of a full value.
+    *
+    * Supported row image: FULL (the server default). Under
+    * binlog_row_image=MINIMAL an 8.0 after-image may OMIT a JSON column,
+    * and whether the server then sizes partial_bits by the table's JSON
+    * columns or the included ones is not pinned by a capture we can run
+    * in this sandbox — rather than risk a silent bitmap misalignment,
+    * an image that excludes any JSON column while PARTIAL_JSON is on
+    * fails loudly here (the reference's own client has the same
+    * untested corner; real deployments running PARTIAL_JSON keep
+    * binlog_row_image=FULL). */
   private def partialImage(b: ByteBuffer, tm: TableMap,
       present: IndexedSeq[Boolean],
       beforeAst: IndexedSeq[Any]): IndexedSeq[Any] = {
     val opts = lenenc(b)
     val jsonCols = tm.cols.count(_.tpe == TypeJson)
+    if ((opts & 1L) != 0) {
+      val excluded = tm.cols.indices.count(i =>
+        tm.cols(i).tpe == TypeJson && !present(i))
+      require(excluded == 0,
+        s"PARTIAL_JSON after-image excludes $excluded JSON column(s) " +
+          "(binlog_row_image=MINIMAL?) — only FULL row images are " +
+          "supported with partial JSON updates")
+    }
     val partialBits =
       if ((opts & 1L) != 0) bitmap(b, jsonCols)
       else IndexedSeq.fill(jsonCols)(false)

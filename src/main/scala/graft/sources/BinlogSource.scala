@@ -68,11 +68,23 @@ object BinlogSource {
     * (the Row encoder takes the java.time forms); unsigned BIGINT's
     * BigDecimal widens onto any DecimalType field. Everything else
     * passes through and mismatches fail loudly in the encoder. */
+  private def checked(l: Long, lo: Long, hi: Long, dt: DataType): Long = {
+    // fail loudly like the parser's own diagnostics: a caller schema that
+    // understates the wire range (ByteType for an unsigned TINY of 200)
+    // must not silently wrap to -56
+    if (l < lo || l > hi) throw new IllegalStateException(
+      s"wire value $l does not fit the caller-declared $dt")
+    l
+  }
+
   private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _)                       => null
-    case (l: java.lang.Long, ShortType)   => l.shortValue()
-    case (l: java.lang.Long, IntegerType) => l.intValue()
-    case (l: java.lang.Long, ByteType)    => l.byteValue()
+    case (l: java.lang.Long, ShortType)   =>
+      checked(l, Short.MinValue, Short.MaxValue, dt).toShort
+    case (l: java.lang.Long, IntegerType) =>
+      checked(l, Int.MinValue, Int.MaxValue, dt).toInt
+    case (l: java.lang.Long, ByteType)    =>
+      checked(l, Byte.MinValue, Byte.MaxValue, dt).toByte
     case (l: java.lang.Long, _: DecimalType) => new java.math.BigDecimal(l)
     case (s: java.lang.Short, IntegerType) => s.intValue()
     case (s: java.lang.Short, LongType)    => s.longValue()

@@ -206,6 +206,23 @@ class BinlogFormatSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](parse(bytes.dropRight(3)))
   }
 
+  test("optional-metadata TLV: an inner length past the TLV fails diagnosably") {
+    // a malformed COLUMN_NAME inner lenenc must not read into the NEXT
+    // TLV's bytes (or allocate a negative-size array) — it fails with
+    // the documented diagnostic before any read happens
+    val names = IndexedSeq("user_id", "event_type", "value", "props")
+    val bytes = BinlogFixture.encode("d", "t", cols, txns = Seq(Seq(
+      Change.insert(IndexedSeq(1L, "a", 1.0, "p")))), checksum = false,
+      colNames = names)
+    // the TLV starts [type=4, total lenenc, 7, 'u', 's', ...]; bump the
+    // first inner name length beyond the TLV's remaining bytes
+    val i = bytes.indices.find(i => bytes(i) == 4 && i + 3 < bytes.length &&
+      (bytes(i + 2) & 0xff) == 7 && bytes(i + 3) == 'u').get
+    val c = bytes.clone(); c(i + 2) = 0xf0.toByte
+    val e = intercept[IllegalArgumentException](parse(c))
+    assert(e.getMessage.contains("overruns its TLV"))
+  }
+
   test("rows event before any FORMAT_DESCRIPTION is rejected") {
     // second event first: slice the golden TABLE_MAP to the front
     val noFde = Magic ++ golden.slice(4 + 116, golden.length)

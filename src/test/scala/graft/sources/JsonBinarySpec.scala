@@ -178,6 +178,33 @@ class JsonBinarySpec extends AnyFunSuite {
     assert(full.changes.head.after.get(1) == """{"id":9}""")
   }
 
+  test("doubles render MySQL-style: plain decimal, .0 marker, e-notation tail") {
+    // inside the %g window the text is PLAIN decimal (Java's own
+    // Double.toString would print 1.23E8), integral doubles keep the
+    // .0 marker, and beyond the window MySQL's e-notation applies
+    // (lowercase e, no +, no leading exponent zeros)
+    val cases = Seq(
+      1.23e8 -> "123000000.0",
+      0.5 -> "0.5",
+      123.456 -> "123.456",
+      -2.5 -> "-2.5",
+      0.0 -> "0.0",
+      1e-4 -> "0.0001",
+      1.5e-4 -> "0.00015",
+      999999999999999.0 -> "999999999999999.0", // decpt 15: last plain form
+      1e15 -> "1e15", // decpt 16: %g's switch point, like %.15g
+      1e20 -> "1e20",
+      1.5e20 -> "1.5e20",
+      1e-5 -> "1e-5",
+      -2.5e-7 -> "-2.5e-7")
+    cases.foreach { case (x, want) =>
+      assert(JsonBinary.renderDouble(x) == want, s"for $x")
+      // plain forms must round-trip (shortest-correct contract)
+      assert(java.lang.Double.parseDouble(JsonBinary.renderDouble(x)) == x)
+    }
+    assert(renderAst(JDouble(1.23e8)) == "123000000.0")
+  }
+
   test("through the binlog: a JSON column decodes to its text") {
     import BinlogFormat._
     import BinlogFixture.Change
