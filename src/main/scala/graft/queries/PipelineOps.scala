@@ -823,6 +823,76 @@ object PipelineOps {
       .select(col("user_id"), col("profile"))
   }
 
+  /** T38: the replication-protocol SOCKET half, live over loopback TCP —
+    * the last uncovered layer of the reference's S4 surface: where t29
+    * reads the binlog FILE format, this gate speaks the protocol its
+    * `BinLogStreamReader` connection speaks
+    * (`/root/reference/src/cdc_replicator.py:99-145`): handshake v10,
+    * `mysql_native_password` auth (verified server-side against the
+    * stored double hash), COM_REGISTER_SLAVE, COM_BINLOG_DUMP, then the
+    * OK-prefixed event packets feeding the SAME
+    * [[graft.sources.BinlogFormat.EventStreamDecoder]] the file path
+    * uses. The fixture server ([[graft.sources.BinlogFixtureServer]])
+    * serves the t29 staged files over a real socket and KILLS the first
+    * connection mid-stream after file 1 has committed — the client must
+    * back off, reconnect, and resume from its last-committed (file, pos)
+    * (the reference's T8 loop, `src/cdc_replicator.py:369-414`), with
+    * the torn transaction replaying in full and emitting once.
+    *
+    * In-gate REQUIREs: exactly one reconnect happened (two connections
+    * served); the tail emitted exactly the committed change count (a
+    * replay would inflate it, the poison tail would add one); a fresh
+    * tail from the final (file, pos) offset yields nothing; and a
+    * COM_BINLOG_DUMP_GTID tail carrying the applied GTID set yields
+    * nothing either — BOTH resume tokens proven live on the socket.
+    * Final state = t29's ⇒ same oracle. */
+  def binlogSocketCdcLive(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{BinlogFixtureServer, BinlogSocketClient, BinlogSource}
+    import graft.operators.CdcTransform
+    val staged = stageBinlogFiles(s, dir)
+    val files = staged.names.indices.map(i => staged.names(i) -> staged.bytes(i))
+    // kill the first connection 5 events into FILE 2: file 1's commits
+    // are already applied, so the reconnect resumes PAST them
+    def eventCount(bytes: Array[Byte]): Int = {
+      var off = 4; var nEv = 0
+      while (off < bytes.length) {
+        off += java.nio.ByteBuffer.wrap(bytes, off + 9, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        nEv += 1
+      }
+      nEv
+    }
+    val killAt = eventCount(staged.bytes(0)) + 5
+    val srv = new BinlogFixtureServer(files, "repl", "graft-secret",
+      dropAfterEvents = Map(0 -> killAt))
+    try {
+      val cli = new BinlogSocketClient("127.0.0.1", srv.port,
+        "repl", "graft-secret")
+      val r = cli.tail(staged.names.head)
+      require(r.reconnects == 1,
+        s"expected exactly one mid-stream reconnect, got ${r.reconnects}")
+      require(srv.connections == 2,
+        s"server saw ${srv.connections} connections, expected 2")
+      require(r.changes.size == staged.nCommitted,
+        s"socket tail emitted ${r.changes.size} != committed " +
+          s"${staged.nCommitted} — the reconnect replayed or lost a " +
+          "transaction, or the torn tail leaked")
+      // resume token 1: the final (file, pos) offset is exact
+      val again = cli.tail(r.file, r.pos)
+      require(again.changes.isEmpty,
+        s"(file, pos) resume replayed ${again.changes.size} changes")
+      // resume token 2: the applied GTID set makes the PRIMARY skip all
+      val viaGtid = cli.tailGtid(r.appliedGtids)
+      require(viaGtid.changes.isEmpty,
+        s"GTID resume replayed ${viaGtid.changes.size} changes")
+      val stamped = CdcTransform.stampBatch(
+        BinlogSource.collectedChanges(s, r.changes, "events", BinlogRowSchema),
+        opCol = "op", seqCol = "_seq", batchVersionMicros = 1L)
+      LiveView.live(stamped, pks = Seq("user_id"), tieBreak = Some(SeqCol))
+        .select(col("user_id"), col("event_type"), col("value"), col("props"))
+    } finally srv.close()
+  }
+
   /** T33: GTID-SET RESUME over an overlapping rotated chain — the
     * replica-failover shape the reference's (file, pos) offset cannot
     * express (`/root/reference/src/cdc_replicator.py:24-35`: its resume
@@ -889,6 +959,84 @@ object PipelineOps {
     val live = LiveView.live(applied, pks = Seq("id"), tieBreak = Some(SeqCol))
     require(live.count() == applied.count(),
       "duplicate rows applied — the GTID skip filter leaked a replay")
+    applied.groupBy((col("id") % 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("amt").cast("long")).as("sum_amt"))
+  }
+
+  /** T40: t33's GTID failover ON THE STREAMING PATH — the applied set
+    * persisted per micro-batch, the way a replica persists
+    * `gtid_executed`. Phase A tails server A's log through the full
+    * checkpointed pipeline with [[graft.sources.BinlogSource.GtidTracker]]
+    * riding `onBatch` (the RotateChainGuard seam): after every drained
+    * batch the applied [[graft.sources.GtidSet]] is atomically rewritten
+    * next to the checkpoint. Then A "crashes": phase B is a NEW stream —
+    * new landing dir, new checkpoint, because the promoted replica B's
+    * (file, pos) offsets share nothing with A's — whose only inheritance
+    * is the persisted set, passed as `changesStream(skipGtids)`. B's log
+    * re-carries A's last transactions (the failover overlap); the skip
+    * filter drops them inside the decode task and the RAW applied table
+    * comes out exact — REQUIREd (applied == total rows; a batch-side
+    * naive read of B pins that the overlap really was in the bytes).
+    * Output = t33's rollup over the raw applied rows, so one leaked
+    * replay inflates a bucket and flips the hash. */
+  def binlogGtidStreamResume(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{BinlogFixture, BinlogSource, GtidSet}
+    import graft.sources.BinlogFormat.{ColumnDef, TypeLongLong, TypeDouble}
+    import BinlogFixture.Change
+    val landingA = graft.GateCache.tempDir("graft_gtidstr_a").toString
+    val landingB = graft.GateCache.tempDir("graft_gtidstr_b").toString
+    val tgt = graft.GateCache.tempDir("graft_gtidstr_tgt").toString
+    val ckpA = graft.GateCache.tempDir("graft_gtidstr_ckpa").toString
+    val ckpB = graft.GateCache.tempDir("graft_gtidstr_ckpb").toString
+    val gtidFile = java.nio.file.Paths.get(ckpA, "gtid_executed")
+    val cols = IndexedSeq(ColumnDef(TypeLongLong, 0), ColumnDef(TypeDouble, 8))
+    val keys = s.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") % 9 === 0).select("o_orderkey")
+      .orderBy("o_orderkey").collect().map(_.getLong(0)).toIndexedSeq
+    require(keys.size >= 60, "sample too small for an overlapping chain")
+    val txns = keys.map(k =>
+      Seq(Change.insert(IndexedSeq[Any](k, (k % 1000).toDouble))))
+      .grouped(20).map(_.flatten).toIndexedSeq
+    val m = (txns.size * 3) / 5
+    val ov = math.min(5, m - 1)
+    require(ov >= 1 && txns.size > m, "degenerate overlap split")
+    Files.write(java.nio.file.Paths.get(landingA, "srvA-bin.000001"),
+      BinlogFixture.encode("graft", "ledger", cols, txns.take(m),
+        gtidFrom = Some(1L)))
+    Files.write(java.nio.file.Paths.get(landingB, "srvB-bin.000001"),
+      BinlogFixture.encode("graft", "ledger", cols,
+        txns.slice(m - ov, txns.size), gtidFrom = Some((m - ov + 1).toLong)))
+    val schema = StructType.fromDDL("id BIGINT, amt DOUBLE")
+    val tracker = new BinlogSource.GtidTracker(gtidFile)
+    def run(pipe: CdcPipeline, landing: String, skip: GtidSet): Unit =
+      pipe.start(
+        BinlogSource.changesStream(s, landing, "ledger", schema,
+          skipGtids = skip, gtidCol = true),
+        "ledger", opCol = "op", seqCol = "_seq", versionOf = _ => 1L,
+        onBatch = Some(b => tracker.observe(b.select("_gtid").distinct()
+          .collect().map(_.getString(0)))),
+        dropCols = Seq("_gtid"))
+        .awaitTermination()
+    // phase A: tail server A, applied set persisted per micro-batch
+    run(new CdcPipeline(s, tgt, ckpA), landingA, GtidSet.Empty)
+    val persisted = BinlogSource.GtidTracker.load(gtidFile)
+    require(persisted.render ==
+      s"01020304-0506-0708-090a-0b0c0d0e0f10:1-$m",
+      s"unexpected persisted set ${persisted.render}")
+    // failover: a NEW stream over B's log, inheriting ONLY the set
+    run(new CdcPipeline(s, tgt, ckpB), landingB, persisted)
+    // the overlap really was in B's bytes (batch-side naive read) …
+    val naiveB = BinlogSource.changes(s, landingB, "ledger", schema)
+    val overlapRows = txns.slice(m - ov, m).map(_.size).sum.toLong
+    val totalRows = txns.map(_.size).sum.toLong
+    require(naiveB.count() == totalRows - txns.take(m - ov).map(_.size).sum,
+      "staged overlap missing from server B's log")
+    // … and the RAW applied table replayed none of it
+    val applied = new CdcPipeline(s, tgt, ckpB).applied("ledger")
+    require(applied.count() == totalRows,
+      s"applied ${applied.count()} != $totalRows — the stream replayed " +
+        s"(or over-skipped) part of the $overlapRows-row failover overlap")
     applied.groupBy((col("id") % 10).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("amt").cast("long")).as("sum_amt"))
@@ -3512,6 +3660,8 @@ object PipelineOps {
     "t35_binlog_schemaless_cdc" -> ((s, dir) => binlogSchemalessCdcLive(s, dir)),
     "t36_binlog_compressed_cdc" -> ((s, dir) => binlogCompressedCdcLive(s, dir)),
     "t37_binlog_partial_json" -> ((s, dir) => binlogPartialJsonLive(s, dir)),
+    "t38_binlog_socket_cdc" -> ((s, dir) => binlogSocketCdcLive(s, dir)),
+    "t40_binlog_gtid_stream" -> ((s, dir) => binlogGtidStreamResume(s, dir)),
     "t24_schema_evolution" -> ((s, dir) => evolvingCdcLive(s, dir)),
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
     "t13_stream_neardup" -> ((s, dir) => streamNearDupCounts(s, dir)),
@@ -4162,6 +4312,17 @@ object PipelineOps {
         |  END AS profile
         |FROM orders WHERE o_orderkey % 6 = 0""".stripMargin,
 
+    // t29's final state reached over the live replication SOCKET (kill +
+    // reconnect + both resume tokens REQUIREd in-gate) — a replayed or
+    // lost transaction flips a survivor and the hash
+    "t38_binlog_socket_cdc" ->
+      """SELECT user_id, event_type, value, props FROM (
+        |  SELECT user_id, event_type, value, props,
+        |         CASE WHEN event_type='error' THEN 1 ELSE 0 END AS _deleted,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND _deleted = 0""".stripMargin,
+
     // t29's final state reached through zstd-compressed transaction
     // payloads — a lost or replayed payload flips a survivor and the hash
     "t36_binlog_compressed_cdc" ->
@@ -4225,6 +4386,17 @@ object PipelineOps {
     // inserted ONE row — a leaked replay of the overlapping transactions
     // inflates a bucket's count/sum and flips the hash
     "t33_binlog_gtid_resume" ->
+      """SELECT CAST(o_orderkey % 10 AS BIGINT) AS bucket,
+        |       count(*) AS n_rows,
+        |       CAST(sum(o_orderkey % 1000) AS BIGINT) AS sum_amt
+        |FROM orders WHERE o_orderkey % 9 = 0
+        |GROUP BY 1""".stripMargin,
+
+    // t33's failover union through the STREAMING path (the applied set
+    // persisted per micro-batch, inherited by the failover stream):
+    // same raw-rows rollup — a leaked replay inflates a bucket's
+    // count/sum and flips the hash
+    "t40_binlog_gtid_stream" ->
       """SELECT CAST(o_orderkey % 10 AS BIGINT) AS bucket,
         |       count(*) AS n_rows,
         |       CAST(sum(o_orderkey % 1000) AS BIGINT) AS sum_amt

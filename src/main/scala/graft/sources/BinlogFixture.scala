@@ -78,9 +78,8 @@ object BinlogFixture {
     * them ATOMICALLY (the property the reference's per-table threads
     * destroy and `MultiTableCdc` restores; here it arrives from the wire
     * itself). Each txn entry is (table name, change); table maps are
-    * announced once up front (parsers keep them per tableId — real
-    * servers re-announce per transaction, both are valid reads of the
-    * format). */
+    * announced per transaction like real servers write them — the
+    * placement a mid-file replication resume depends on. */
   def encodeMulti(tables: Seq[TableDef],
                   txns: Seq[Seq[(String, Change)]],
                   checksum: Boolean = true,
@@ -152,14 +151,19 @@ object BinlogFixture {
       emit(PreviousGtidsEvent, b.array())
     }
 
-    // TABLE_MAP per replicated table — announced up front in the plain
-    // form; compressed transactions carry their maps INSIDE the payload
-    // (the 8.0 binlog_transaction_compression shape), except the
-    // uncommitted tail still needs outer maps
-    if (!compressTxns || uncommittedTail.nonEmpty)
-      tables.foreach(t =>
-        emit(TableMapEvent,
-          tableMapBody(t.db, t.table, t.cols, t.tableId, t.colNames)))
+    // TABLE_MAP placement follows real servers: each transaction
+    // announces its tables immediately before its rows events (which is
+    // what makes a mid-file COM_BINLOG_DUMP resume work — the resumed
+    // stream starts at a transaction boundary and carries its own maps);
+    // compressed transactions carry theirs INSIDE the payload instead
+    def emitMaps(changes: Seq[(String, Change)],
+                 sink: (Int, Array[Byte]) => Unit): Unit =
+      changes.map(_._1).distinct.foreach { tn =>
+        val t = byName.getOrElse(tn,
+          throw new IllegalArgumentException(s"unmapped table $tn"))
+        sink(TableMapEvent,
+          tableMapBody(t.db, t.table, t.cols, t.tableId, t.colNames))
+      }
 
     // group CONSECUTIVE same-(table, op) runs into one rows-event
     // (log order kept; a rows-event addresses exactly one table map)
@@ -200,11 +204,7 @@ object BinlogFixture {
         ev.putShort(0); ev.put(body)
         innerOut.write(ev.array())
       }
-      txn.map(_._1).distinct.foreach { tn =>
-        val t = byName(tn)
-        innerEmit(TableMapEvent,
-          tableMapBody(t.db, t.table, t.cols, t.tableId, t.colNames))
-      }
+      emitMaps(txn, innerEmit)
       rowsEvents(txn, innerEmit)
       val xid = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
       xid.putLong(ipos)
@@ -239,13 +239,18 @@ object BinlogFixture {
       }
       if (compressTxns) emit(TransactionPayloadEvent, compressedTxn(txn))
       else {
+        emitMaps(txn, emitSink)
         rowsEvents(txn, emitSink)
         val xid = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
         xid.putLong(pos) // any id; fixtures use the position
         emit(XidEvent, xid.array())
       }
     }
-    if (uncommittedTail.nonEmpty) rowsEvents(uncommittedTail, emitSink)
+    if (uncommittedTail.nonEmpty) {
+      // a torn transaction carries its own maps too, like a real one
+      emitMaps(uncommittedTail, emitSink)
+      rowsEvents(uncommittedTail, emitSink)
+    }
     rotateTo.foreach { next =>
       val name = next.getBytes(UTF_8)
       val b = ByteBuffer.allocate(8 + name.length).order(ByteOrder.LITTLE_ENDIAN)

@@ -1,0 +1,189 @@
+package graft.sources
+
+import java.io.{DataInputStream, IOException, OutputStream}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** An in-process loopback MySQL PRIMARY for replication tests — the
+  * server half of the wire the reference's `BinLogStreamReader` connects
+  * to (`/root/reference/src/cdc_replicator.py:99-145`), serving
+  * [[BinlogFixture]]-encoded binlog files over a real TCP socket with
+  * the real protocol: handshake v10 with a per-connection scramble,
+  * `mysql_native_password` verification against the STORED double hash
+  * (never the plaintext), COM_REGISTER_SLAVE, COM_BINLOG_DUMP from a
+  * (file, byte-offset) position, and COM_BINLOG_DUMP_GTID with
+  * server-side transaction skipping — the primary's half of a GTID
+  * failover resume. Events stream one per packet behind the 0x00 OK
+  * byte, exactly the relationship between the file format and the
+  * stream format real servers have; at end-of-logs the NON_BLOCK flag
+  * yields an EOF packet (tests need a deterministic end; the
+  * reference's `blocking=True` tail is the same stream without it).
+  *
+  * `dropAfterEvents(connIdx)` force-closes that connection's socket
+  * after N event packets — the mid-stream kill t38 uses to prove the
+  * client's reconnect/backoff/resume loop (the reference's T8,
+  * `src/cdc_replicator.py:369-414`).
+  *
+  * Test infrastructure by design (the sandbox has no mysqld), but real
+  * protocol bytes end-to-end: the client under test cannot tell the
+  * difference at the layer being certified.
+  */
+final class BinlogFixtureServer(
+    files: IndexedSeq[(String, Array[Byte])],
+    user: String,
+    password: String,
+    dropAfterEvents: Map[Int, Int] = Map.empty) extends AutoCloseable {
+  import MysqlProtocol._
+
+  require(files.nonEmpty, "a primary with no binlogs serves nothing")
+
+  private val storedHash = doubleHash(password)
+  private val server =
+    new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+  @volatile private var closed = false
+  private val connCounter = new AtomicInteger(0)
+
+  /** The ephemeral port the fixture listens on. */
+  def port: Int = server.getLocalPort
+
+  /** Connections accepted so far (t38 REQUIREs the reconnect happened). */
+  def connections: Int = connCounter.get()
+
+  private val acceptor = new Thread(() => acceptLoop(), "binlog-fixture-server")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def acceptLoop(): Unit =
+    while (!closed) {
+      val sock =
+        try server.accept()
+        catch { case _: IOException => return } // closed
+      val idx = connCounter.getAndIncrement()
+      val t = new Thread(() => {
+        try serve(sock, idx)
+        catch { case _: IOException | _: IllegalArgumentException => () }
+        finally sock.close()
+      }, s"binlog-fixture-conn-$idx")
+      t.setDaemon(true)
+      t.start()
+    }
+
+  /** Deterministic per-connection scramble (tests replay byte-identically). */
+  private def scrambleFor(idx: Int): Array[Byte] =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s"graft-fixture-scramble-$idx".getBytes()).take(20)
+
+  private def serve(sock: Socket, idx: Int): Unit = {
+    val in = new DataInputStream(sock.getInputStream)
+    val out = sock.getOutputStream
+    val scramble = scrambleFor(idx)
+    writePacket(out, 0, encodeHandshake(Handshake(
+      "8.0.99-graft-fixture", idx.toLong + 1, scramble,
+      ClientCapabilities, NativePasswordPlugin)))
+    val resp = decodeHandshakeResponse(readPacket(in).payload)
+    if (resp.user != user || resp.authPlugin != NativePasswordPlugin ||
+        !verifyNativePassword(storedHash, scramble, resp.token)) {
+      writePacket(out, 2, errPacket(1045,
+        s"Access denied for user '${resp.user}'"))
+      return
+    }
+    writePacket(out, 2, okPacket)
+    // command phase: each command restarts the sequence at 0
+    var streaming = true
+    while (streaming) {
+      val cmd = readPacket(in).payload
+      require(cmd.nonEmpty, "empty command packet")
+      (cmd(0) & 0xff) match {
+        case ComRegisterSlave =>
+          decodeRegisterSlave(cmd) // validates the shape
+          writePacket(out, 1, okPacket)
+        case ComBinlogDump =>
+          val d = decodeBinlogDump(cmd)
+          stream(out, d.file, d.pos, GtidSet.Empty,
+            (d.flags & BinlogDumpNonBlock) != 0, idx, sock)
+          streaming = false // a dump owns the connection to its end
+        case ComBinlogDumpGtid =>
+          val d = decodeBinlogDumpGtid(cmd)
+          val file = if (d.file.isEmpty) files.head._1 else d.file
+          stream(out, file, math.max(d.pos, 4L), d.gtids,
+            (d.flags & BinlogDumpNonBlock) != 0, idx, sock)
+          streaming = false
+        case other =>
+          writePacket(out, 1, errPacket(1047, s"unknown command $other"))
+      }
+    }
+  }
+
+  /** Stream events from (file, byte offset) to the end of the last file,
+    * skipping transactions whose GTID is in `skip` (the primary-side
+    * half of a GTID resume). The requested file's FDE is always sent
+    * first — a resuming client needs the checksum algorithm before any
+    * later event, which is why real primaries re-send it too. */
+  private def stream(out: OutputStream, file: String, pos: Long,
+                     skip: GtidSet, nonBlock: Boolean, idx: Int,
+                     sock: Socket): Unit = {
+    val startIdx = files.indexWhere(_._1 == file)
+    if (startIdx < 0) {
+      writePacket(out, 1, errPacket(1236,
+        s"Could not find first log file name in binary log index file: $file"))
+      return
+    }
+    var seq = 1
+    var sent = 0
+    val budget = dropAfterEvents.getOrElse(idx, Int.MaxValue)
+    def send(bytes: Array[Byte], off: Int, size: Int): Unit = {
+      if (sent >= budget) {
+        // the mid-stream kill: simulate a crashing primary
+        sock.close()
+        throw new IOException("fixture kill")
+      }
+      val p = new Array[Byte](size + 1)
+      p(0) = 0 // OK byte prefixing every event packet
+      System.arraycopy(bytes, off, p, 1, size)
+      writePacket(out, seq, p)
+      seq = (seq + 1) & 0xff
+      sent += 1
+    }
+    (startIdx until files.size).foreach { fi =>
+      val bytes = files(fi)._2
+      require(bytes.length >= 4, s"fixture file ${files(fi)._1} too short")
+      var off = 4
+      var suppress = false
+      while (off < bytes.length) {
+        require(bytes.length - off >= BinlogFormat.HeaderLen,
+          s"truncated fixture event at $off")
+        val tpe = bytes(off + 4) & 0xff
+        val size = ByteBuffer.wrap(bytes, off + 9, 4)
+          .order(ByteOrder.LITTLE_ENDIAN).getInt
+        require(size >= BinlogFormat.HeaderLen && size <= bytes.length - off,
+          s"fixture event at $off overruns file (size=$size)")
+        val isFde = tpe == BinlogFormat.FormatDescriptionEvent
+        if (tpe == BinlogFormat.GtidEvent && !skip.isEmpty) {
+          // body: flags1, sid16, gno8 — enough to decide the skip
+          val b = ByteBuffer.wrap(bytes, off + BinlogFormat.HeaderLen + 1, 24)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          val sid = new Array[Byte](16); b.get(sid)
+          val gno = b.getLong()
+          val hex = sid.map(x => f"${x & 0xff}%02x").mkString
+          val gtid = s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-" +
+            s"${hex.substring(12, 16)}-${hex.substring(16, 20)}-" +
+            s"${hex.substring(20)}:$gno"
+          if (skip.contains(gtid)) suppress = true
+        }
+        val positional = fi > startIdx || isFde || off >= pos
+        if (positional && !suppress) send(bytes, off, size)
+        // a suppressed transaction ends WITH its XID (skipped too)
+        if (suppress && tpe == BinlogFormat.XidEvent) suppress = false
+        off += size
+      }
+    }
+    if (nonBlock) writePacket(out, seq, eofPacket)
+    // blocking mode would wait for more logs here; the fixture has none
+  }
+
+  override def close(): Unit = {
+    closed = true
+    server.close()
+  }
+}

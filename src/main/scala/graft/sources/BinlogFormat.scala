@@ -180,24 +180,60 @@ object BinlogFormat {
 
   import CdcTransformOps.{InsertOp, UpdateOp, DeleteOp}
 
-  def parse(bytes: Array[Byte]): ParsedBinlog = {
-    require(bytes.length >= 4 && Magic.indices.forall(i => bytes(i) == Magic(i)),
-      "not a binlog: bad magic")
-    var off = 4
-    var checksummed = false
-    var sawFde = false
-    val tableMaps = scala.collection.mutable.Map[Long, TableMap]()
-    val committed = Vector.newBuilder[RowChange]
-    var pending = Vector.empty[RowChange]
-    var nextFile: Option[String] = None
-    var currentGtid: Option[String] = None
-    var previousGtids: Option[String] = None
+  /** Incremental event decoder — the stateful core shared by the
+    * whole-file [[parse]] and the replication-SOCKET consumer
+    * ([[BinlogSocketClient]]), where events arrive one per stream packet
+    * instead of back-to-back in a file. Holds exactly the cross-event
+    * state the format requires: the FDE's checksum algorithm, the
+    * per-tableId TABLE_MAP registry, the pending (uncommitted)
+    * transaction, the current GTID stamp, and the trailing
+    * ROTATE/PREVIOUS_GTIDS markers.
+    *
+    * Contract: [[onEvent]] decodes ONE complete event (header + body
+    * [+ CRC]) and returns its size; committed row changes accumulate
+    * until [[drainCommitted]] (a socket consumer drains after each XID,
+    * a file consumer once at the end). [[resetConnection]] is the
+    * reconnect seam: the torn pending transaction is discarded and the
+    * next event must again be a FORMAT_DESCRIPTION (a new dump always
+    * re-sends it), so a resume from the last-committed offset replays
+    * the interrupted transaction in full — at-least-once on the wire,
+    * exactly-once at transaction granularity. */
+  final class EventStreamDecoder {
+    private var checksummed = false
+    private var sawFde = false
+    private val tableMaps = scala.collection.mutable.Map[Long, TableMap]()
+    private var committed = Vector.newBuilder[RowChange]
+    private var pending = Vector.empty[RowChange]
+    private var currentGtid: Option[String] = None
+    private var _nextFile: Option[String] = None
+    private var _previousGtids: Option[String] = None
 
-    /** One event's semantic action — shared by the file-level loop and
+    /** Target of the last ROTATE seen (the next file in the chain). */
+    def nextFile: Option[String] = _nextFile
+    /** The last PREVIOUS_GTIDS set seen (canonical display form). */
+    def previousGtids: Option[String] = _previousGtids
+    /** Rows sitting in a transaction whose XID has not arrived. */
+    def pendingCount: Int = pending.size
+
+    /** Committed changes since the last drain, in commit order. */
+    def drainCommitted(): Vector[RowChange] = {
+      val r = committed.result()
+      committed = Vector.newBuilder
+      r
+    }
+
+    /** Reconnect seam — see the class doc. */
+    def resetConnection(): Unit = {
+      pending = Vector.empty
+      currentGtid = None
+      sawFde = false // the new dump's FDE re-establishes the checksum alg
+    }
+
+    /** One event's semantic action — shared by the top-level stream and
       * the decompressed inner stream of a TRANSACTION_PAYLOAD (whose
       * events carry NO checksums and may not nest further payloads). */
-    def dispatch(tpe: Int, body: ByteBuffer, logPos: Long,
-                 inPayload: Boolean): Unit = tpe match {
+    private def dispatch(tpe: Int, body: ByteBuffer, logPos: Long,
+                         inPayload: Boolean): Unit = tpe match {
       case TableMapEvent =>
         val tm = parseTableMap(body)
         tableMaps(tm.tableId) = tm
@@ -220,13 +256,13 @@ object BinlogFormat {
         currentGtid = Some(s"${uuidStr(sid)}:$gno")
 
       case PreviousGtidsEvent =>
-        previousGtids = Some(parseGtidSet(body))
+        _previousGtids = Some(parseGtidSet(body))
 
       case RotateEvent =>
         body.getLong() // next position (always 4 post-magic)
         val name = new Array[Byte](body.remaining())
         body.get(name)
-        nextFile = Some(new String(name, UTF_8))
+        _nextFile = Some(new String(name, UTF_8))
 
       case TransactionPayloadEvent =>
         // 8.0 binlog_transaction_compression: the transaction's events
@@ -239,8 +275,11 @@ object BinlogFormat {
       case _ => // QUERY/STOP/… — size-skipped, row consumers don't need them
     }
 
-    while (off < bytes.length) {
-      require(bytes.length - off >= HeaderLen, s"truncated event header at $off")
+    /** Decode the ONE event starting at `bytes(off)`; `available` bounds
+      * the read (`bytes.length - off` for files, the packet length for a
+      * socket). Returns the event's size so a file walk can advance. */
+    def onEvent(bytes: Array[Byte], off: Int, available: Int): Int = {
+      require(available >= HeaderLen, s"truncated event header at $off")
       val b = buf(bytes, off, HeaderLen)
       b.getInt() // timestamp
       val tpe = b.get() & 0xff
@@ -250,7 +289,7 @@ object BinlogFormat {
       b.getShort() // flags
       // overflow-safe form: eventSize can be any corrupt Int, so compare
       // against the REMAINING length, never `off + eventSize`
-      require(eventSize >= HeaderLen && eventSize <= bytes.length - off,
+      require(eventSize >= HeaderLen && eventSize <= available,
         s"event at $off overruns file (size=$eventSize)")
       require(sawFde || tpe == FormatDescriptionEvent,
         s"first event must be FORMAT_DESCRIPTION, got type $tpe")
@@ -293,9 +332,19 @@ object BinlogFormat {
         checksummed = fdeAlg == 1
         sawFde = true
       } else dispatch(tpe, body, logPos, inPayload = false)
-      off += eventSize
+      eventSize
     }
-    ParsedBinlog(committed.result(), nextFile, pending.size, previousGtids)
+  }
+
+  def parse(bytes: Array[Byte]): ParsedBinlog = {
+    require(bytes.length >= 4 && Magic.indices.forall(i => bytes(i) == Magic(i)),
+      "not a binlog: bad magic")
+    val dec = new EventStreamDecoder
+    var off = 4
+    while (off < bytes.length)
+      off += dec.onEvent(bytes, off, bytes.length - off)
+    ParsedBinlog(dec.drainCommitted(), dec.nextFile, dec.pendingCount,
+      dec.previousGtids)
   }
 
   /** Header-only walk returning the trailing ROTATE target — the chain
@@ -1003,15 +1052,82 @@ final case class GtidSet(intervals: Map[String, IndexedSeq[(Long, Long)]])
     }
   }
   def isEmpty: Boolean = intervals.isEmpty
+
+  /** Set union with intervals coalesced — how a consumer's applied set
+    * grows as commits arrive (adjacent gnos merge into one range). */
+  def union(other: GtidSet): GtidSet = GtidSet(
+    (intervals.keySet ++ other.intervals.keySet).map { sid =>
+      val ivs = (intervals.getOrElse(sid, IndexedSeq.empty) ++
+        other.intervals.getOrElse(sid, IndexedSeq.empty)).sortBy(_._1)
+      sid -> ivs.foldLeft(IndexedSeq.empty[(Long, Long)]) { (acc, iv) =>
+        acc.lastOption match {
+          case Some((lo, hi)) if iv._1 <= hi + 1 =>
+            acc.init :+ (lo, math.max(hi, iv._2))
+          case _ => acc :+ iv
+        }
+      }
+    }.toMap)
+
   /** Canonical display form (sids sorted, intervals ascending). */
   def render: String = intervals.toSeq.sortBy(_._1).map { case (sid, ivs) =>
     sid + ":" + ivs.map { case (a, b) => if (a == b) s"$a" else s"$a-$b" }
       .mkString(":")
   }.mkString(",")
+
+  /** The wire encoding shared by PREVIOUS_GTIDS bodies and
+    * COM_BINLOG_DUMP_GTID's gtid-set payload: n_sids8 LE, then per sid
+    * the raw 16 bytes + n_intervals8 + (start8, endEXCLUSIVE8) pairs —
+    * the form a replica sends the primary to say "start after these". */
+  def wireBytes: Array[Byte] = {
+    val sids = intervals.toSeq.sortBy(_._1)
+    val size = 8 + sids.map { case (_, ivs) => 16 + 8 + 16 * ivs.size }.sum
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putLong(sids.size.toLong)
+    sids.foreach { case (sid, ivs) =>
+      b.put(GtidSet.sidBytes(sid))
+      b.putLong(ivs.size.toLong)
+      ivs.foreach { case (lo, hi) => b.putLong(lo); b.putLong(hi + 1) }
+    }
+    b.array()
+  }
 }
 
 object GtidSet {
   val Empty: GtidSet = GtidSet(Map.empty)
+
+  /** `aaaaaaaa-bbbb-…` display sid → the 16 raw bytes the wire carries. */
+  private[sources] def sidBytes(sid: String): Array[Byte] = {
+    val hex = sid.replace("-", "")
+    require(hex.length == 32, s"malformed sid $sid")
+    Array.tabulate(16)(i =>
+      Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte)
+  }
+
+  /** Decode [[GtidSet.wireBytes]]' layout (also a PREVIOUS_GTIDS body).
+    * Degenerate intervals are dropped like [[BinlogFormat]]'s display
+    * decode — a malformed set must not turn into a `1-0` skip range. */
+  def fromWire(bytes: Array[Byte]): GtidSet = {
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nSids = b.getLong()
+    require(nSids >= 0 && nSids <= bytes.length / 24,
+      s"gtid set sid count $nSids overruns its ${bytes.length} bytes")
+    GtidSet((0L until nSids).flatMap { _ =>
+      val sid = new Array[Byte](16); b.get(sid)
+      val nIv = b.getLong()
+      require(nIv >= 0 && nIv * 16 <= b.remaining(),
+        s"gtid interval count $nIv overruns the set")
+      val ivs = (0L until nIv).flatMap { _ =>
+        val lo = b.getLong(); val hiEx = b.getLong()
+        if (hiEx <= lo) None else Some((lo, hiEx - 1))
+      }.toIndexedSeq.sortBy(_._1)
+      if (ivs.isEmpty) None
+      else Some(sid.map(x => f"${x & 0xff}%02x").mkString
+        .patch(8, "-", 0).patch(13, "-", 0).patch(18, "-", 0).patch(23, "-", 0)
+        -> ivs)
+    }.toMap)
+  }
 
   /** Parse the canonical display form ([[BinlogFormat.parseGtidSet]]'s
     * output shape and MySQL's own `gtid_executed` rendering). */

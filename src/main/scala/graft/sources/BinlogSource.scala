@@ -100,14 +100,16 @@ object BinlogSource {
                      rowSchema: StructType,
                      skipGtids: GtidSet = GtidSet.Empty,
                      beforeKey: Option[String] = None,
-                     chainCols: Boolean = false): DataFrame = {
+                     chainCols: Boolean = false,
+                     gtidCol: Boolean = false): DataFrame = {
     val base = rowSchema
       .add("op", StringType).add("_seq", LongType).add("_tbl", StringType)
     val withBk = beforeKey.fold(base)(f =>
       base.add(s"_before_$f", rowSchema(f).dataType))
-    val out = if (chainCols) withBk.add("_file", StringType)
-                                   .add("_next", StringType)
-              else withBk
+    val withGtid = if (gtidCol) withBk.add("_gtid", StringType) else withBk
+    val out = if (chainCols) withGtid.add("_file", StringType)
+                                     .add("_next", StringType)
+              else withGtid
     val n = rowSchema.size
     val fieldTypes = rowSchema.fields.map(_.dataType).toIndexedSeq
     val bkIdx = beforeKey.map(rowSchema.fieldIndex)
@@ -142,8 +144,9 @@ object BinlogSource {
             else img
             coerce(src(k), fieldTypes(k))
           }
+          val gtidTail: Seq[Any] = if (gtidCol) Seq(ch.gtid.orNull) else Nil
           Row.fromSeq(coerced ++ Seq(ch.op, (ord << 40) | i.toLong, ch.table)
-            ++ bkTail ++ chainTail)
+            ++ bkTail ++ gtidTail ++ chainTail)
         }
     }.toDF()
   }
@@ -175,6 +178,35 @@ object BinlogSource {
     decode(asFiles(s.read.format("binaryFile").load(dir)), table, rowSchema,
       skipGtids, beforeKey)
 
+  /** A socket tail's collected changes ([[BinlogSocketClient.tail]])
+    * rendered as the same frame [[changes]] emits (row image + op +
+    * `_seq` + `_tbl`), parallelized for the distributed apply. `_seq` is
+    * the stream ordinal — one replication connection is a total order,
+    * so no file-ordinal bit-packing is needed. The collect-then-
+    * parallelize shape is inherent to the source (a replication stream
+    * IS a single ordered connection, the reference's own topology); the
+    * apply/dedup work downstream stays distributed. */
+  def collectedChanges(s: SparkSession,
+                       changes: Seq[BinlogFormat.RowChange],
+                       table: String, rowSchema: StructType): DataFrame = {
+    val base = rowSchema
+      .add("op", StringType).add("_seq", LongType).add("_tbl", StringType)
+    val n = rowSchema.size
+    val fieldTypes = rowSchema.fields.map(_.dataType).toIndexedSeq
+    val rows = changes.iterator.zipWithIndex
+      .filter(_._1.table == table)
+      .map { case (ch, i) =>
+        val img = (if (ch.op == "D") ch.before else ch.after)
+          .getOrElse(throw new IllegalStateException(
+            s"${ch.op} row without its image at pos ${ch.pos}"))
+        require(img.size == n,
+          s"row arity ${img.size} != schema arity $n for $table")
+        Row.fromSeq(img.lazyZip(fieldTypes).map(coerce)
+          ++ Seq(ch.op, i.toLong, ch.table))
+      }.toSeq
+    s.createDataFrame(s.sparkContext.parallelize(rows), base)
+  }
+
   /** Streaming form — the reference's continuous mode
     * (`CDCReplicator.run_continuous`, `src/cdc_replicator.py:296-326`)
     * as a file-shipped tail: the landing dir is watched and each NEW
@@ -183,15 +215,58 @@ object BinlogSource {
     * capture at whole-file granularity). Deployment caveat, documented
     * rather than hidden: file-stream sources treat files as immutable,
     * so a file must land COMPLETE — i.e. the server's ACTIVE binlog is
-    * consumed only once rotated (standard relay/backup shipping); a
-    * live socket tail would need the wire handshake the sandbox cannot
-    * host (COVERAGE.md, environment-blocked). */
+    * consumed only once rotated (standard relay/backup shipping); the
+    * live SOCKET tail of the active file is [[BinlogSocketClient]],
+    * which speaks the replication protocol itself (t38). */
   def changesStream(s: SparkSession, dir: String, table: String,
                     rowSchema: StructType,
-                    chainCols: Boolean = false): DataFrame =
+                    chainCols: Boolean = false,
+                    skipGtids: GtidSet = GtidSet.Empty,
+                    gtidCol: Boolean = false): DataFrame =
     decode(asFiles(s.readStream.format("binaryFile")
       .schema(BinaryFileSchema).load(dir)), table, rowSchema,
-      chainCols = chainCols)
+      skipGtids = skipGtids, chainCols = chainCols, gtidCol = gtidCol)
+
+  /** Driver-side applied-GTID tracker for the STREAMING path — the
+    * failover token, persisted alongside the checkpoint the way
+    * [[RotateChainGuard]] rides `onBatch`: a consumer feeds each
+    * micro-batch's distinct `_gtid` values (the `gtidCol = true`
+    * column; bounded — one value per TRANSACTION per batch, not per
+    * row) and the tracker unions them into the applied [[GtidSet]],
+    * atomically rewriting `path` (temp + move) after every batch. On a
+    * failover the NEXT stream — pointed at the promoted replica's logs,
+    * where the checkpoint's (file, pos) offsets mean nothing — passes
+    * [[load]]'s set as `changesStream(skipGtids)` and the overlap
+    * replays nothing. Constructing over an existing file resumes the
+    * set (a restart keeps everything already recorded). */
+  final class GtidTracker(path: java.nio.file.Path) extends Serializable {
+    @volatile private var applied: GtidSet =
+      if (java.nio.file.Files.exists(path))
+        GtidSet.parse(java.nio.file.Files.readString(path))
+      else GtidSet.Empty
+
+    def observe(gtids: IterableOnce[String]): Unit = synchronized {
+      applied = applied.union(GtidSet.fromGtids(
+        gtids.iterator.filter(_ != null)))
+      val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+      java.nio.file.Files.writeString(tmp, applied.render)
+      java.nio.file.Files.move(tmp, path,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
+
+    /** The applied set as of the last drained batch. */
+    def set: GtidSet = applied
+  }
+
+  object GtidTracker {
+    /** The persisted applied set (empty if nothing was ever tracked). */
+    def load(path: java.nio.file.Path): GtidSet =
+      if (java.nio.file.Files.exists(path))
+        GtidSet.parse(java.nio.file.Files.readString(path))
+      else GtidSet.Empty
+  }
 
   /** Driver-side ROTATE-chain validator for the STREAMING path — the
     * batch path REQUIREs the chain up front via [[rotateChain]], but a

@@ -16,7 +16,15 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     // gate, the driver's correctness JSON just gets smaller, and 31 red
     // gates read as "fewer queries". A silent shrink (or an unregistered
     // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
-    val pinned = 275 // r13: +t37_binlog_partial_json (PARTIAL_JSON
+    val pinned = 277 // r14: +t40_binlog_gtid_stream (the applied GTID
+    // set persisted per micro-batch and inherited by the failover
+    // stream — skipGtids live on changesStream, raw applied REQUIREd
+    // exact).
+    // r14: +t38_binlog_socket_cdc (the replication
+    // protocol socket half: handshake v10 + mysql_native_password +
+    // COM_BINLOG_DUMP over real loopback TCP, kill/reconnect/backoff,
+    // (file,pos) AND GTID resume REQUIREd live).
+    // r13: +t37_binlog_partial_json (PARTIAL_JSON
     // diff-shipped updates reconstructed against the before-image AST).
     // r13: +t36_binlog_compressed_cdc (8.0
     // binlog_transaction_compression: zstd TRANSACTION_PAYLOAD events

@@ -1,0 +1,240 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.UTF_8
+import graft.sources.BinlogFormat.ColumnDef
+import graft.sources.BinlogFixture.Change
+
+/** [[MysqlProtocol]] + [[BinlogFixtureServer]] + [[BinlogSocketClient]]:
+  * the replication socket half, tested over REAL loopback TCP.
+  *
+  * The auth golden vector is pinned against an independently computed
+  * value (hashlib outside the JVM), and the handshake golden packet is
+  * hand-composed from the protocol documentation — the same
+  * encoder/decoder-bug-pair discipline the binlog format specs use.
+  */
+class MysqlProtocolSpec extends AnyFunSuite {
+  import MysqlProtocol._
+
+  private def hex(s: String): Array[Byte] =
+    s.split("\\s+").filter(_.nonEmpty).map(Integer.parseInt(_, 16).toByte)
+
+  private val scramble20 = Array.tabulate[Byte](20)(i => (i + 1).toByte)
+
+  test("golden mysql_native_password token (independently computed)") {
+    // python hashlib: SHA1(pw)=5918...f1f9, token for scramble 01..14:
+    val tok = nativePasswordToken("graft-secret", scramble20)
+    assert(tok.map(b => f"${b & 0xff}%02x").mkString ==
+      "25dccbef0316e732327c49edde5e44bd28409217")
+    assert(verifyNativePassword(doubleHash("graft-secret"), scramble20, tok))
+    // a flipped token byte or the wrong password must fail the verify
+    val bad = tok.clone(); bad(3) = (bad(3) ^ 0x40).toByte
+    assert(!verifyNativePassword(doubleHash("graft-secret"), scramble20, bad))
+    assert(!verifyNativePassword(doubleHash("other"), scramble20, tok))
+    assert(nativePasswordToken("", scramble20).isEmpty)
+  }
+
+  test("golden handshake v10 packet decodes field by field") {
+    // hand-composed: proto 10, version "8.0.x" NUL, thread id 7,
+    // scramble part1 = 01..08, filler, caps low 0x8201, charset 0x21,
+    // status 2, caps high 0x0008, auth len 21, 10 reserved zeros,
+    // scramble part2 = 09..14 + NUL, plugin name NUL
+    val golden = hex("""
+      0A
+      38 2E 30 2E 78 00
+      07 00 00 00
+      01 02 03 04 05 06 07 08
+      00
+      01 82
+      21
+      02 00
+      08 00
+      15
+      00 00 00 00 00 00 00 00 00 00
+      09 0A 0B 0C 0D 0E 0F 10 11 12 13 14 00
+      6D 79 73 71 6C 5F 6E 61 74 69 76 65 5F 70 61 73 73 77 6F 72 64 00
+    """)
+    val h = decodeHandshake(golden)
+    assert(h.serverVersion == "8.0.x")
+    assert(h.threadId == 7L)
+    assert(h.scramble.toSeq == scramble20.toSeq)
+    assert(h.capabilities == ClientCapabilities)
+    assert(h.authPlugin == NativePasswordPlugin)
+    // and the encoder reproduces a decodable packet with the same fields
+    val h2 = decodeHandshake(encodeHandshake(h))
+    assert(h2 == h.copy(scramble = h2.scramble) &&
+      h2.scramble.toSeq == h.scramble.toSeq)
+  }
+
+  test("handshake response / dump commands / gtid set roundtrip the wire") {
+    val r = HandshakeResponse(ClientCapabilities, "repl",
+      nativePasswordToken("pw", scramble20), NativePasswordPlugin)
+    val r2 = decodeHandshakeResponse(encodeHandshakeResponse(r))
+    assert(r2.user == "repl" && r2.token.toSeq == r.token.toSeq &&
+      r2.authPlugin == NativePasswordPlugin)
+
+    val d = BinlogDump(1234L, BinlogDumpNonBlock, 100L, "events-bin.000002")
+    assert(decodeBinlogDump(encodeBinlogDump(d)) == d)
+
+    val g = GtidSet.parse("01020304-0506-0708-090a-0b0c0d0e0f10:1-7:9,aaaabbbb-0506-0708-090a-0b0c0d0e0f10:4")
+    assert(GtidSet.fromWire(g.wireBytes).render == g.render)
+    val dg = BinlogDumpGtid(0, 100L, "f.000001", 4L, g)
+    val dg2 = decodeBinlogDumpGtid(encodeBinlogDumpGtid(dg))
+    assert(dg2.copy(gtids = GtidSet.Empty) == dg.copy(gtids = GtidSet.Empty))
+    assert(dg2.gtids.render == g.render)
+
+    val rs = RegisterSlave(100L, 3306)
+    assert(decodeRegisterSlave(encodeRegisterSlave(rs)) == rs)
+  }
+
+  test("gtid set union coalesces adjacent and overlapping intervals") {
+    val a = GtidSet.parse("01020304-0506-0708-090a-0b0c0d0e0f10:1-5")
+    val b = GtidSet.parse("01020304-0506-0708-090a-0b0c0d0e0f10:6-8:12")
+    assert(a.union(b).render == "01020304-0506-0708-090a-0b0c0d0e0f10:1-8:12")
+    assert(a.union(GtidSet.Empty).render == a.render)
+    assert(GtidSet.Empty.union(b).render == b.render)
+  }
+
+  test("result packets classify: OK / ERR / EOF vs 0xfe-leading events") {
+    assert(isOk(okPacket) && !isErr(okPacket) && !isEof(okPacket))
+    val err = errPacket(1045, "Access denied for user 'x'")
+    assert(isErr(err) && errMessage(err) ==
+      "MySQL error 1045: Access denied for user 'x'")
+    assert(isEof(eofPacket))
+    // an event packet whose payload starts 0xfe but is >= 9 bytes is NOT EOF
+    assert(!isEof(Array.fill[Byte](19)(0xfe.toByte)))
+  }
+
+  test("packet framing roundtrips through a real stream") {
+    val buf = new java.io.ByteArrayOutputStream()
+    writePacket(buf, 3, "hello".getBytes(UTF_8))
+    writePacket(buf, 4, Array.empty[Byte])
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(buf.toByteArray))
+    val p1 = readPacket(in); val p2 = readPacket(in)
+    assert(p1.seq == 3 && new String(p1.payload, UTF_8) == "hello")
+    assert(p2.seq == 4 && p2.payload.isEmpty)
+  }
+
+  // ---- end-to-end over loopback TCP ----
+
+  private val cols = IndexedSeq(
+    ColumnDef(BinlogFormat.TypeLongLong, 0),
+    ColumnDef(BinlogFormat.TypeVarchar, 40))
+
+  private def insert(k: Long): Change = Change.insert(IndexedSeq(k, s"v$k"))
+
+  /** Two rotated GTID-mode files: txns 1..4 in file 1, 5..8 in file 2,
+    * plus an uncommitted tail the stream must never surface. */
+  private def twoFiles: IndexedSeq[(String, Array[Byte])] = IndexedSeq(
+    "sock-bin.000001" -> BinlogFixture.encode("d", "t", cols,
+      txns = (1L to 4L).map(k => Seq(insert(k))),
+      rotateTo = Some("sock-bin.000002"), gtidFrom = Some(1L)),
+    "sock-bin.000002" -> BinlogFixture.encode("d", "t", cols,
+      txns = (5L to 8L).map(k => Seq(insert(k))),
+      uncommittedTail = Seq(insert(99L)), gtidFrom = Some(5L)))
+
+  private def withServer[A](files: IndexedSeq[(String, Array[Byte])],
+                            drop: Map[Int, Int] = Map.empty)(
+      f: BinlogFixtureServer => A): A = {
+    val srv = new BinlogFixtureServer(files, "repl", "graft-secret", drop)
+    try f(srv) finally srv.close()
+  }
+
+  private def client(srv: BinlogFixtureServer) =
+    new BinlogSocketClient("127.0.0.1", srv.port, "repl", "graft-secret")
+
+  test("e2e: a clean tail yields exactly the files' committed changes") {
+    withServer(twoFiles) { srv =>
+      val r = client(srv).tail("sock-bin.000001")
+      assert(r.reconnects == 0)
+      assert(r.changes.map(_.after.get.head) == (1L to 8L).map(identity))
+      // the torn tail stayed pending and was never emitted
+      assert(!r.changes.exists(_.after.get.head == 99L))
+      assert(r.file == "sock-bin.000002")
+      assert(r.appliedGtids.render ==
+        "01020304-0506-0708-090a-0b0c0d0e0f10:1-8")
+      // the socket stream decodes IDENTICALLY to the file parser
+      val fromFiles = twoFiles.flatMap(f => BinlogFormat.parse(f._2).changes)
+      assert(r.changes == fromFiles)
+    }
+  }
+
+  test("e2e: resume from a (file, pos) offset skips everything before it") {
+    withServer(twoFiles) { srv =>
+      val full = client(srv).tail("sock-bin.000001")
+      // replay from the final offset: nothing new arrives
+      val again = client(srv).tail(full.file, full.pos)
+      assert(again.changes.isEmpty)
+      // resume exactly at the second file's start yields only its txns
+      val half = client(srv).tail("sock-bin.000002", 4L)
+      assert(half.changes.map(_.after.get.head) == (5L to 8L))
+    }
+  }
+
+  test("e2e: mid-stream kill reconnects with backoff and emits exactly once") {
+    // drop the FIRST connection after 9 event packets — inside the
+    // stream, past several commits (FDE + PREV_GTIDS + TABLE_MAP +
+    // (GTID, WRITE, XID) x2 = 10 packets for the first two txns)
+    withServer(twoFiles, drop = Map(0 -> 9)) { srv =>
+      val r = client(srv).tail("sock-bin.000001")
+      assert(r.reconnects == 1, s"expected exactly one reconnect, got ${r.reconnects}")
+      assert(srv.connections == 2)
+      assert(r.changes.map(_.after.get.head) == (1L to 8L),
+        "the kill replayed or lost a transaction")
+    }
+  }
+
+  test("e2e: COM_BINLOG_DUMP_GTID makes the SERVER skip applied transactions") {
+    withServer(twoFiles) { srv =>
+      val applied = client(srv).tail("sock-bin.000001").appliedGtids
+      // full applied set: the primary has nothing for us
+      assert(client(srv).tailGtid(applied).changes.isEmpty)
+      // a partial set (first 6 txns): only the missing two arrive
+      val partial = GtidSet.parse("01020304-0506-0708-090a-0b0c0d0e0f10:1-6")
+      val r = client(srv).tailGtid(partial)
+      assert(r.changes.map(_.after.get.head) == (7L to 8L))
+      assert(r.appliedGtids.render ==
+        "01020304-0506-0708-090a-0b0c0d0e0f10:1-8")
+    }
+  }
+
+  test("e2e: a wrong password is refused with the documented ERR") {
+    withServer(twoFiles) { srv =>
+      val bad = new BinlogSocketClient("127.0.0.1", srv.port, "repl", "wrong")
+      val e = intercept[IllegalStateException](bad.tail("sock-bin.000001"))
+      assert(e.getMessage.contains("Access denied"))
+    }
+  }
+
+  test("e2e: an unknown dump file is refused with error 1236") {
+    withServer(twoFiles) { srv =>
+      val e = intercept[IllegalStateException](
+        client(srv).tail("no-such-bin.000001"))
+      assert(e.getMessage.contains("1236"))
+    }
+  }
+
+  test("decoder reconnect seam: pending discarded, FDE required again") {
+    val bytes = twoFiles.head._2
+    val dec = new BinlogFormat.EventStreamDecoder
+    var off = 4
+    // feed up to (and including) the first GTID + WRITE, no XID
+    var stop = false
+    while (!stop && off < bytes.length) {
+      val tpe = bytes(off + 4) & 0xff
+      val size = java.nio.ByteBuffer.wrap(bytes, off + 9, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      if (tpe == BinlogFormat.XidEvent) stop = true
+      else { dec.onEvent(bytes, off, bytes.length - off); off += size }
+    }
+    assert(dec.pendingCount == 1)
+    dec.resetConnection()
+    assert(dec.pendingCount == 0)
+    // after the reset, a non-FDE event is rejected (a new dump's FDE
+    // must re-establish the checksum algorithm first)
+    val e = intercept[IllegalArgumentException](
+      dec.onEvent(bytes, off, bytes.length - off))
+    assert(e.getMessage.contains("FORMAT_DESCRIPTION"))
+  }
+}
