@@ -691,6 +691,86 @@ object PipelineOps {
       col("note"), col("js"))
   }
 
+  /** T41: the PRE-5.6.4 LEGACY wire shapes — a decade-old server's logs
+    * still carry MYSQL_TYPE_TIMESTAMP (7: 4-byte LE epoch seconds),
+    * TIME (11: 3-byte LE signed H*10000+M*100+S) and DATETIME (12:
+    * 8-byte LE packed YYYYMMDDHHMMSS) instead of the fsp-aware 5.6.4+
+    * codes t32 certified, plus GEOMETRY (255: blob-framed WKB), which
+    * the reference maps through its unknown-type → String fallback
+    * (`/root/reference/src/schema_converter.py:49`). Same gate shape as
+    * t32: every value a pure function of k = o_orderkey (the 1/13
+    * sample), CDC semantics riding along (k%3 updates bump ts and flip
+    * the note, k%11 deletes, an uncommitted poison tail), the DuckDB
+    * oracle recomputing the typed round-trip relationally. The caller
+    * schema maps geo to STRING — the decode's Binary→String coercion IS
+    * the reference's fallback, exercised from raw bytes. */
+  def binlogLegacyTypedCdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{BinlogFixture, BinlogSource}
+    import graft.sources.BinlogFormat._
+    import BinlogFixture.Change
+    import graft.operators.CdcTransform
+    val landing = graft.GateCache.tempDir("graft_binlog_legacy_src").toString
+    val cols = IndexedSeq(
+      ColumnDef(TypeLongLong, 0),  // id
+      ColumnDef(TypeTimestamp, 0), // ts (legacy)
+      ColumnDef(TypeTime, 0),      // tm (legacy)
+      ColumnDef(TypeDatetime, 0),  // dt (legacy)
+      ColumnDef(TypeGeometry, 2),  // geo (WKB bytes → String fallback)
+      ColumnDef(TypeVarchar, 64))  // note
+    def img(k: Long, updated: Boolean): IndexedSeq[Any] = {
+      val tm =
+        if (k % 5 == 0) { val n = k % 3599 + 1; f"-00:${n / 60}%02d:${n % 60}%02d" }
+        else { val p = k % 86400; f"${p / 3600}%02d:${p / 60 % 60}%02d:${p % 60}%02d" }
+      IndexedSeq(
+        k,
+        java.time.Instant.ofEpochSecond(
+          1400000000L + k + (if (updated) 1000L else 0L)),
+        tm,
+        java.time.LocalDateTime.ofEpochSecond(1000000000L + k, 0,
+          java.time.ZoneOffset.UTC),
+        s"wkb-$k",
+        (if (updated) "upd-" else "note-") + k)
+    }
+    val keys = s.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") % 13 === 0).select("o_orderkey")
+      .orderBy("o_orderkey").collect().map(_.getLong(0)).toIndexedSeq
+    require(keys.nonEmpty, "empty legacy sample")
+    val changes =
+      keys.map(k => Change.insert(img(k, updated = false))) ++
+      keys.filter(_ % 3 == 0).map(k =>
+        Change.update(img(k, updated = false), img(k, updated = true))) ++
+      keys.filter(_ % 11 == 0).map(k =>
+        Change.delete(img(k, updated = k % 3 == 0)))
+    val k0 = keys.find(k => k % 11 != 0 && k % 3 != 0).get
+    val poison = Change.update(img(k0, updated = false),
+      img(k0, updated = false).updated(5, "poison"))
+    val names = IndexedSeq("legacy-bin.000001", "legacy-bin.000002")
+    val half = (changes.size + 1) / 2
+    val txns1 = changes.take(half).grouped(200).toSeq
+    Files.write(java.nio.file.Paths.get(landing, names(0)),
+      BinlogFixture.encode("graft", "legacy", cols, txns1,
+        rotateTo = Some(names(1)), gtidFrom = Some(1L)))
+    Files.write(java.nio.file.Paths.get(landing, names(1)),
+      BinlogFixture.encode("graft", "legacy", cols,
+        changes.drop(half).grouped(200).toSeq,
+        uncommittedTail = Seq(poison), gtidFrom = Some(1L + txns1.size)))
+    val schema = StructType.fromDDL(
+      "id BIGINT, ts TIMESTAMP, tm STRING, dt TIMESTAMP_NTZ, " +
+      "geo STRING, note STRING")
+    val decoded = BinlogSource.changes(s, landing, "legacy", schema)
+    val stamped = CdcTransform.stampBatch(decoded, opCol = "op",
+      seqCol = "_seq", batchVersionMicros = 1L)
+    val live = LiveView.live(stamped, pks = Seq("id"), tieBreak = Some(SeqCol))
+    require(live.count() == keys.count(_ % 11 != 0),
+      "legacy live-view count off — torn tail leaked or a delete was lost")
+    live.select(
+      col("id"),
+      unix_micros(col("ts")).as("ts"),
+      col("tm"),
+      date_format(col("dt"), "yyyy-MM-dd HH:mm:ss").as("dt"),
+      col("geo"), col("note"))
+  }
+
   /** T35: SELF-DESCRIBING decode — the schema comes from the LOG, not
     * the caller. t29/t32 hand the source a Spark schema the way the
     * reference hands its replicator an `information_schema` snapshot
@@ -3662,6 +3742,7 @@ object PipelineOps {
     "t37_binlog_partial_json" -> ((s, dir) => binlogPartialJsonLive(s, dir)),
     "t38_binlog_socket_cdc" -> ((s, dir) => binlogSocketCdcLive(s, dir)),
     "t40_binlog_gtid_stream" -> ((s, dir) => binlogGtidStreamResume(s, dir)),
+    "t41_binlog_legacy_types" -> ((s, dir) => binlogLegacyTypedCdc(s, dir)),
     "t24_schema_evolution" -> ((s, dir) => evolvingCdcLive(s, dir)),
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
     "t13_stream_neardup" -> ((s, dir) => streamNearDupCounts(s, dir)),
@@ -4381,6 +4462,26 @@ object PipelineOps {
         |    || '}' AS js
         |FROM (SELECT o_orderkey AS k FROM orders
         |      WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0)""".stripMargin,
+
+    // the legacy wire round-trip recomputed relationally: survivors
+    // exclude the k%11 deletes, the k%3 updates bump ts by 1000 s and
+    // flip the note prefix, geometry rides the unknown→String fallback
+    "t41_binlog_legacy_types" ->
+      """SELECT
+        |  k AS id,
+        |  CAST((1400000000 + k
+        |     + CASE WHEN k % 3 = 0 THEN 1000 ELSE 0 END) * 1000000 AS BIGINT) AS ts,
+        |  CASE WHEN k % 5 = 0
+        |    THEN printf('-00:%02d:%02d', (k % 3599 + 1) // 60, (k % 3599 + 1) % 60)
+        |    ELSE printf('%02d:%02d:%02d', (k % 86400) // 3600,
+        |                ((k % 86400) // 60) % 60, k % 60) END AS tm,
+        |  strftime(make_timestamp((1000000000 + k) * 1000000),
+        |           '%Y-%m-%d %H:%M:%S') AS dt,
+        |  'wkb-' || CAST(k AS VARCHAR) AS geo,
+        |  (CASE WHEN k % 3 = 0 THEN 'upd-' ELSE 'note-' END)
+        |    || CAST(k AS VARCHAR) AS note
+        |FROM (SELECT o_orderkey AS k FROM orders
+        |      WHERE o_orderkey % 13 = 0 AND o_orderkey % 11 <> 0)""".stripMargin,
 
     // the failover union applied exactly once: every k%9==0 order key
     // inserted ONE row — a leaked replay of the overlapping transactions

@@ -294,7 +294,8 @@ object BinlogFixture {
       case TypeTimestamp2 | TypeDatetime2 | TypeTime2 =>
         Seq((c.meta & 0xff).toByte) // fsp
       case TypeBit => Seq((c.meta % 8).toByte, (c.meta / 8).toByte)
-      case TypeBlob | TypeJson => Seq((c.meta & 0xff).toByte) // length-prefix bytes
+      case TypeBlob | TypeJson | TypeGeometry =>
+        Seq((c.meta & 0xff).toByte) // length-prefix bytes
       case TypeEnum | TypeSet =>
         Seq(c.tpe.toByte, (c.meta & 0xff).toByte) // real type + pack length
       case TypeString =>
@@ -511,6 +512,27 @@ object BinlogFixture {
             be(3, 0x800000L + (nr >> 24)) ++
               be(2, ((nr % (1 << 24)) / 100) & 0xffffL)
         }
+      case TypeTimestamp =>
+        le(4, v.asInstanceOf[java.time.Instant].getEpochSecond)
+      case TypeTime =>
+        // [-]HH:MM:SS → 3-byte LE signed H*10000 + M*100 + S
+        val s = v.asInstanceOf[String]
+        val neg = s.startsWith("-")
+        val Array(h, m, sec) = (if (neg) s.tail else s).split(":").map(_.toLong)
+        val packed = (if (neg) -1L else 1L) * (h * 10000 + m * 100 + sec)
+        Array((packed & 0xff).toByte, ((packed >> 8) & 0xff).toByte,
+          ((packed >> 16) & 0xff).toByte)
+      case TypeDatetime =>
+        val dt = v.asInstanceOf[java.time.LocalDateTime]
+        le(8, ((dt.getYear * 10000L + dt.getMonthValue * 100L +
+          dt.getDayOfMonth) * 1000000L) + dt.getHour * 10000L +
+          dt.getMinute * 100L + dt.getSecond)
+      case TypeGeometry =>
+        val data = v match {
+          case a: Array[Byte] => a
+          case s: String      => s.getBytes(UTF_8)
+        }
+        Array.tabulate(c.meta)(i => ((data.length >> (8 * i)) & 0xff).toByte) ++ data
       case TypeBit =>
         be((c.meta + 7) / 8, v.asInstanceOf[Number].longValue())
       case TypeEnum =>

@@ -52,9 +52,14 @@ import java.util.zip.CRC32
   * everything its `pymysqlreplication` client decodes: TINY/SHORT/
   * INT24/LONG/LONGLONG, FLOAT/DOUBLE, NEWDECIMAL (packed 9-digit-group
   * BCD), DATE/NEWDATE, YEAR, DATETIME2/TIMESTAMP2/TIME2 (fsp-aware,
-  * the ≥5.6.4 small-time formats), BIT, ENUM/SET (via the STRING
-  * metadata packing), BLOB/TEXT (shared wire code 252), CHAR (STRING),
-  * VARCHAR/VAR_STRING. VARCHAR/CHAR length prefixes are 1 byte when the
+  * the ≥5.6.4 small-time formats), the pre-5.6.4 LEGACY temporals
+  * TIMESTAMP (4-byte LE epoch seconds) / TIME (3-byte LE signed
+  * H*10000+M*100+S) / DATETIME (8-byte LE packed YYYYMMDDHHMMSS — the
+  * shapes an old server's logs still carry), BIT, ENUM/SET (via the
+  * STRING metadata packing), BLOB/TEXT (shared wire code 252),
+  * GEOMETRY (blob-framed WKB bytes; the reference maps it through its
+  * unknown-type → String fallback, `src/schema_converter.py:49`),
+  * CHAR (STRING), VARCHAR/VAR_STRING. VARCHAR/CHAR length prefixes are 1 byte when the
   * column's max byte length < 256, else 2 (the documented metadata
   * rule). Integers decode signed unless the TABLE_MAP carries the
   * 8.0 SIGNEDNESS optional metadata (binlog_row_metadata), in which
@@ -102,9 +107,12 @@ object BinlogFormat {
   val TypeLong = 3
   val TypeFloat = 4
   val TypeDouble = 5
+  val TypeTimestamp = 7 // pre-5.6.4 legacy: 4-byte LE epoch seconds
   val TypeLongLong = 8
   val TypeInt24 = 9
   val TypeDate = 10
+  val TypeTime = 11     // pre-5.6.4 legacy: 3-byte LE H*10000+M*100+S
+  val TypeDatetime = 12 // pre-5.6.4 legacy: 8-byte LE YYYYMMDDHHMMSS
   val TypeYear = 13
   val TypeNewDate = 14 // DATE's storage alias — same 3-byte wire value
   val TypeVarchar = 15
@@ -119,6 +127,7 @@ object BinlogFormat {
   val TypeBlob = 252 // TINY/MEDIUM/LONG BLOB and all TEXTs share this wire code
   val TypeVarString = 253
   val TypeString = 254 // CHAR; meta byte0 may carry a REAL type (ENUM/SET)
+  val TypeGeometry = 255 // blob-framed WKB; the reference's unknown→String fallback
 
   // TABLE_MAP optional-metadata TLV type codes (WL#4618, binlog_row_metadata)
   val MetaSignedness = 1
@@ -569,7 +578,7 @@ object BinlogFormat {
           // meta byte0 = bits % 8, byte1 = bits / 8 (save_field_metadata)
           val rem = b.get() & 0xff; val whole = b.get() & 0xff
           ColumnDef(t, whole * 8 + rem)
-        case TypeBlob | TypeJson =>
+        case TypeBlob | TypeJson | TypeGeometry =>
           ColumnDef(t, b.get() & 0xff) // length-prefix byte count (1..4)
         case TypeString =>
           // CHAR packs a REAL type into meta byte0: plain CHAR keeps
@@ -831,6 +840,29 @@ object BinlogFormat {
     case TypeYear =>
       val v = b.get() & 0xff
       (if (v == 0) 0 else 1900 + v).toShort
+    case TypeTimestamp =>
+      // pre-5.6.4 storage: 4-byte LE epoch seconds, no fraction; the
+      // same zero sentinel as TIMESTAMP2 (valid range starts at :01)
+      val sec = b.getInt().toLong & 0xffffffffL
+      if (sec == 0) null else java.time.Instant.ofEpochSecond(sec)
+    case TypeTime =>
+      // pre-5.6.4 storage: 3-byte LE SIGNED H*10000 + M*100 + S
+      val u = (b.get() & 0xff) | ((b.get() & 0xff) << 8) |
+        ((b.get() & 0xff) << 16)
+      val v = (u << 8) >> 8 // sign-extend 24 bits
+      val mag = math.abs(v)
+      f"${if (v < 0) "-" else ""}${mag / 10000}%02d:${mag / 100 % 100}%02d:${mag % 100}%02d"
+    case TypeDatetime =>
+      // pre-5.6.4 storage: 8-byte LE packed decimal YYYYMMDDHHMMSS;
+      // the zero-date sentinel decodes as null like DATETIME2's
+      val v = b.getLong()
+      require(v >= 0, s"legacy DATETIME value $v out of range")
+      val (d, t) = (v / 1000000L, v % 1000000L)
+      val (y, mo, dd) = ((d / 10000L).toInt, (d / 100L % 100L).toInt,
+        (d % 100L).toInt)
+      if (y == 0 || mo == 0 || dd == 0) null
+      else java.time.LocalDateTime.of(y, mo, dd, (t / 10000L).toInt,
+        (t / 100L % 100L).toInt, (t % 100L).toInt)
     case TypeDatetime2 =>
       // 5 bytes BE, offset 1<<39: sign1 | (year*13+month)17 | day5 |
       // hour5 | minute6 | second6 — then the fsp fraction
@@ -896,10 +928,13 @@ object BinlogFormat {
       else c.labels.zipWithIndex
         .collect { case (l, i) if (mask & (1L << i)) != 0 => l }
         .mkString(",")
-    case TypeBlob | TypeJson =>
+    case TypeBlob | TypeJson | TypeGeometry =>
       val a = framedBytes(b, c.meta)
       // JSON ships as a blob-framed BINARY document; surface the text
-      // (the reference's json → String mapping, schema_converter.py:36)
+      // (the reference's json → String mapping, schema_converter.py:36).
+      // GEOMETRY is blob-framed WKB surfaced as raw bytes — the caller
+      // schema decides String vs Binary, mirroring the reference's
+      // unknown-type → String fallback (schema_converter.py:49)
       if (c.tpe == TypeJson) JsonBinary.render(a) else a
     case TypeVarchar | TypeVarString | TypeString =>
       val len = if (c.meta < 256) b.get() & 0xff

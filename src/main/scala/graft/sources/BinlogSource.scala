@@ -327,6 +327,10 @@ object BinlogSource {
       case TypeDatetime2  => TimestampNTZType // no zone on the wire
       case TypeTimestamp2 => TimestampType    // UTC seconds on the wire
       case TypeTime2      => StringType       // Spark has no TIME type
+      case TypeDatetime   => TimestampNTZType // legacy wire, same mapping
+      case TypeTimestamp  => TimestampType
+      case TypeTime       => StringType
+      case TypeGeometry   => BinaryType // WKB; ref's fallback coerces to String
       case TypeYear       => ShortType
       case TypeEnum | TypeSet =>
         if (c.labels.nonEmpty) StringType else LongType

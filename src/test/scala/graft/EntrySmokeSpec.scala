@@ -16,7 +16,10 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     // gate, the driver's correctness JSON just gets smaller, and 31 red
     // gates read as "fewer queries". A silent shrink (or an unregistered
     // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
-    val pinned = 277 // r14: +t40_binlog_gtid_stream (the applied GTID
+    val pinned = 278 // r14: +t41_binlog_legacy_types (pre-5.6.4
+    // TIMESTAMP/TIME/DATETIME wire codes + GEOMETRY through the
+    // unknown→String fallback, golden vectors + the t32 gate shape).
+    // r14: +t40_binlog_gtid_stream (the applied GTID
     // set persisted per micro-batch and inherited by the failover
     // stream — skipGtids live on changesStream, raw applied REQUIREd
     // exact).

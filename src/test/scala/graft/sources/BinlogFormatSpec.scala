@@ -443,6 +443,71 @@ class BinlogFormatSpec extends AnyFunSuite {
     assert(q.changes.head.after.get.head == -1L)
   }
 
+  /** Third hand-written golden vector: the PRE-5.6.4 legacy temporal
+    * codes + GEOMETRY. TABLE_MAP d.t over (ts TIMESTAMP(7), tm TIME(11),
+    * dt DATETIME(12), geo GEOMETRY(255, 2-byte length prefix));
+    * WRITE_ROWS with one row: ts = 1500000000 epoch s (4-byte LE),
+    * tm = -08:06:07 (3-byte LE signed −80607), dt = 2024-03-07 13:45:30
+    * (8-byte LE packed 20240307134530), geo = bytes 01..05 behind a
+    * 2-byte length. FDE (alg=0) and XID reused from the first golden. */
+  private val goldenLegacy: Array[Byte] =
+    golden.take(4 + 116) ++ hex("""
+      00 00 00 00 13 01 00 00 00 29 00 00 00 A1 00 00 00 00 00
+      01 00 00 00 00 00 01 00
+      01 64 00 01 74 00
+      04
+      07 0B 0C FF
+      01
+      02
+      00
+      00 00 00 00 1E 01 00 00 00 36 00 00 00 D7 00 00 00 00 00
+      01 00 00 00 00 00 00 00 02 00
+      04 0F 00
+      00 2F 68 59
+      21 C5 FE
+      42 20 51 90 68 12 00 00
+      05 00 01 02 03 04 05
+    """) ++ golden.takeRight(27)
+
+  test("golden legacy vector: TIMESTAMP/TIME/DATETIME wire codes + GEOMETRY") {
+    val p = parse(goldenLegacy)
+    assert(p.changes.size == 1)
+    val img = p.changes.head.after.get
+    assert(img(0) == java.time.Instant.ofEpochSecond(1500000000L))
+    assert(img(1) == "-08:06:07")
+    assert(img(2) == java.time.LocalDateTime.of(2024, 3, 7, 13, 45, 30))
+    assert(img(3).asInstanceOf[Array[Byte]].toSeq ==
+      Seq[Byte](1, 2, 3, 4, 5))
+  }
+
+  test("legacy temporals roundtrip: values, zero sentinels, sign") {
+    val legacyCols = IndexedSeq(
+      ColumnDef(TypeLongLong, 0), ColumnDef(TypeTimestamp, 0),
+      ColumnDef(TypeTime, 0), ColumnDef(TypeDatetime, 0),
+      ColumnDef(TypeGeometry, 2))
+    def row(k: Long, tm: String): IndexedSeq[Any] = IndexedSeq(
+      k, java.time.Instant.ofEpochSecond(1500000000L + k), tm,
+      java.time.LocalDateTime.of(2024, 3, 7, 13, 45, (k % 60).toInt),
+      s"wkb-$k".getBytes)
+    val p = parse(BinlogFixture.encode("d", "t", legacyCols, txns = Seq(Seq(
+      Change.insert(row(1L, "838:59:59")), // TIME's documented extremes
+      Change.insert(row(2L, "-00:00:01")),
+      Change.insert(IndexedSeq(3L, java.time.Instant.ofEpochSecond(0),
+        "00:00:00", java.time.LocalDateTime.of(2024, 3, 7, 0, 0, 0),
+        Array[Byte]()))))))
+    val imgs = p.changes.map(_.after.get)
+    assert(imgs(0)(1) == java.time.Instant.ofEpochSecond(1500000001L))
+    assert(imgs(0)(2) == "838:59:59")
+    assert(imgs(0)(3) == java.time.LocalDateTime.of(2024, 3, 7, 13, 45, 1))
+    assert(new String(imgs(0)(4).asInstanceOf[Array[Byte]]) == "wkb-1")
+    assert(imgs(1)(2) == "-00:00:01")
+    // the zero sentinels: epoch-0 TIMESTAMP decodes null (like t2's),
+    // midnight DATETIME is a real value, empty geometry is empty
+    assert(imgs(2)(1) == null)
+    assert(imgs(2)(3) == java.time.LocalDateTime.of(2024, 3, 7, 0, 0, 0))
+    assert(imgs(2)(4).asInstanceOf[Array[Byte]].isEmpty)
+  }
+
   test("fileOrdinal: standard rotated names order numerically") {
     assert(BinlogSource.fileOrdinal("/a/b/mysql-bin.000042") == 42L)
     assert(BinlogSource.fileOrdinal("events-bin.000001") == 1L)
