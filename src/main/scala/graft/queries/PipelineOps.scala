@@ -1254,6 +1254,78 @@ object PipelineOps {
       rollup.schema)
   }
 
+  /** T39: t24's mid-stream ALTER at the WIRE layer — the reference's
+    * "No DDL replication → inconsistency" limitation
+    * (`/root/reference/README.md:585`), closed for raw binlog bytes:
+    * file 1 announces the 4-column events table, file 2's TABLE_MAP
+    * carries the ALTER-appended `region`/`score` columns and its row
+    * images are 6 wide. [[graft.streaming.BinlogEvolvingCdc]] folds the
+    * per-file definitions (authoritative wire types + COLUMN_NAME
+    * metadata — no value inference, unlike the Debezium path), REQUIREs
+    * prefix-compatibility, widens mid-query without restart, and decodes
+    * pre-ALTER rows with the added columns NULL-backfilled. Same event
+    * split and derived columns as t24 (the half-max-event-id cutoff) ⇒
+    * same oracle; the NULL-backfill path itself is pinned by
+    * `BinlogEvolvingCdcSpec` on crafted keys. */
+  def binlogEvolvingCdcLive(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{BinlogFixture, BinlogFormat}
+    import BinlogFixture.Change
+    val landing = graft.GateCache.tempDir("graft_bevo_gate_src").toString
+    val tgt = graft.GateCache.tempDir("graft_bevo_gate_tgt").toString
+    val ckp = graft.GateCache.tempDir("graft_bevo_gate_ckp").toString
+    val evs = s.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "user_id", "event_type", "value", "props")
+      .orderBy("event_id").collect()
+    require(evs.nonEmpty, "events table is empty")
+    val cutoff = evs.map(_.getLong(0)).max / 2
+    def imgOf(r: org.apache.spark.sql.Row, wide: Boolean): IndexedSeq[Any] = {
+      val base = IndexedSeq(r.get(1), r.get(2), r.get(3), r.get(4))
+      if (!wide) base
+      else base ++ IndexedSeq(s"r${r.getLong(1) % 3}",
+        (r.getLong(1) % 100).toDouble / 10)
+    }
+    def change(r: org.apache.spark.sql.Row, wide: Boolean): Change =
+      r.getString(2) match {
+        case "signup" => Change.insert(imgOf(r, wide))
+        case "error"  => Change.delete(imgOf(r, wide))
+        case et       => Change.update(
+          imgOf(r, wide).updated(1, s"stale:$et"), imgOf(r, wide))
+      }
+    val narrow = evs.filter(_.getLong(0) < cutoff)
+      .map(change(_, wide = false)).toIndexedSeq
+    val wide = evs.filter(_.getLong(0) >= cutoff)
+      .map(change(_, wide = true)).toIndexedSeq
+    require(narrow.nonEmpty && wide.nonEmpty, "degenerate ALTER split")
+    val baseNames = IndexedSeq("user_id", "event_type", "value", "props")
+    val wideCols = EventsBinlogCols ++ IndexedSeq(
+      BinlogFormat.ColumnDef(BinlogFormat.TypeVarchar, 32),  // region
+      BinlogFormat.ColumnDef(BinlogFormat.TypeDouble, 8))    // score
+    val u0 = evs.head.get(1)
+    val poison = Change.update(
+      IndexedSeq(u0, "view", 0.0, null, "r0", 0.0),
+      IndexedSeq(u0, "poison", 9.9, "{}", "r9", 9.9))
+    Files.write(java.nio.file.Paths.get(landing, "events-evo.000001"),
+      BinlogFixture.encode("graft", "events", EventsBinlogCols,
+        narrow.grouped(250).toSeq, rotateTo = Some("events-evo.000002"),
+        gtidFrom = Some(1L), colNames = baseNames))
+    Files.write(java.nio.file.Paths.get(landing, "events-evo.000002"),
+      BinlogFixture.encode("graft", "events", wideCols,
+        wide.grouped(250).toSeq, uncommittedTail = Seq(poison),
+        gtidFrom = Some(1L + narrow.grouped(250).size),
+        colNames = baseNames ++ IndexedSeq("region", "score")))
+    val evolved = graft.streaming.BinlogEvolvingCdc.run(
+      s, landing, tgt, ckp, "events", maxFilesPerTrigger = 1)
+    require(evolved.fieldNames.toSeq ==
+      baseNames ++ Seq("region", "score"),
+      s"schema did not evolve from the wire: ${evolved.treeString}")
+    LiveView.live(
+      graft.streaming.BinlogEvolvingCdc.landed(s, tgt),
+      pks = Seq("user_id"), tieBreak = Some(SeqCol))
+      .select(col("user_id"), col("event_type"), col("value"), col("props"),
+        coalesce(col("region"), lit("")).as("region"),
+        coalesce(col("score"), lit(-1.0)).as("score"))
+  }
+
   /** T24: mid-stream `ALTER TABLE … ADD COLUMN` replication — the
     * reference's first documented limitation
     * (`/root/reference/README.md:585` "No DDL replication"), closed by
@@ -3743,6 +3815,7 @@ object PipelineOps {
     "t38_binlog_socket_cdc" -> ((s, dir) => binlogSocketCdcLive(s, dir)),
     "t40_binlog_gtid_stream" -> ((s, dir) => binlogGtidStreamResume(s, dir)),
     "t41_binlog_legacy_types" -> ((s, dir) => binlogLegacyTypedCdc(s, dir)),
+    "t39_binlog_evolving_cdc" -> ((s, dir) => binlogEvolvingCdcLive(s, dir)),
     "t24_schema_evolution" -> ((s, dir) => evolvingCdcLive(s, dir)),
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
     "t13_stream_neardup" -> ((s, dir) => streamNearDupCounts(s, dir)),
@@ -4518,6 +4591,22 @@ object PipelineOps {
         |  (SELECT count(*) FROM orders WHERE o_orderkey % 8 = 0) AS fixed_live,
         |  (SELECT count(*) FROM orders WHERE o_orderkey % 40 = 0) AS parity_orphans,
         |  CAST(0 AS BIGINT) AS fixed_orphans""".stripMargin,
+
+    // t24's derivation reached from RAW BINLOG BYTES: the ALTER arrives
+    // as file 2's wider TABLE_MAP, the widened columns present exactly
+    // when the survivor post-dates the half-max-event-id cutoff
+    "t39_binlog_evolving_cdc" ->
+      """SELECT user_id, event_type, value, props,
+        |  CASE WHEN event_id >= (SELECT max(event_id) // 2 FROM events)
+        |    THEN 'r' || CAST(user_id % 3 AS VARCHAR) ELSE '' END AS region,
+        |  CASE WHEN event_id >= (SELECT max(event_id) // 2 FROM events)
+        |    THEN CAST(user_id % 100 AS DOUBLE) / 10 ELSE -1.0 END AS score
+        |FROM (
+        |  SELECT user_id, event_type, value, props, event_id,
+        |         CASE WHEN event_type='error' THEN 1 ELSE 0 END AS _deleted,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND _deleted = 0""".stripMargin,
 
     // t12's derivation plus the two ALTER-added columns: present exactly
     // when the survivor post-dates the half-max-event-id DDL cutoff

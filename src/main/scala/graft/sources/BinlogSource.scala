@@ -101,7 +101,8 @@ object BinlogSource {
                      skipGtids: GtidSet = GtidSet.Empty,
                      beforeKey: Option[String] = None,
                      chainCols: Boolean = false,
-                     gtidCol: Boolean = false): DataFrame = {
+                     gtidCol: Boolean = false,
+                     padNarrower: Boolean = false): DataFrame = {
     val base = rowSchema
       .add("op", StringType).add("_seq", LongType).add("_tbl", StringType)
     val withBk = beforeKey.fold(base)(f =>
@@ -128,11 +129,15 @@ object BinlogSource {
         // (unstamped changes are never "already applied")
         .filter(!_._1.gtid.exists(skipGtids.contains))
         .map { case (ch, i) =>
-          val img = (if (ch.op == "D") ch.before else ch.after)
+          val img0 = (if (ch.op == "D") ch.before else ch.after)
             .getOrElse(throw new IllegalStateException(
               s"${ch.op} row without its image at pos ${ch.pos}"))
-          require(img.size == n,
-            s"row arity ${img.size} != schema arity $n for $table")
+          require(img0.size == n || (padNarrower && img0.size < n),
+            s"row arity ${img0.size} != schema arity $n for $table")
+          // pre-ALTER rows under an evolved schema: the added trailing
+          // columns backfill as NULL, MySQL's own ADD COLUMN semantics
+          val img = if (img0.size < n)
+            img0 ++ IndexedSeq.fill(n - img0.size)(null) else img0
           val coerced = img.lazyZip(fieldTypes).map(coerce)
           // before-image key: for updates the OLD key (the one the
           // reference discards — the t28 orphan repair's input); for
@@ -177,6 +182,17 @@ object BinlogSource {
               beforeKey: Option[String] = None): DataFrame =
     decode(asFiles(s.read.format("binaryFile").load(dir)), table, rowSchema,
       skipGtids, beforeKey)
+
+  /** [[changes]] over an ALREADY-LOADED (path, content) frame — the form
+    * a `foreachBatch` consumer needs (the batch is the file set; loading
+    * by dir would re-read everything every micro-batch). `padNarrower`
+    * lets rows from files announcing FEWER columns than `rowSchema`
+    * (pre-ALTER files under an evolved schema) decode with the added
+    * trailing columns as NULL — [[graft.streaming.BinlogEvolvingCdc]]'s
+    * widen-and-continue contract. */
+  def changesFrom(files: DataFrame, table: String, rowSchema: StructType,
+                  padNarrower: Boolean = false): DataFrame =
+    decode(asFiles(files), table, rowSchema, padNarrower = padNarrower)
 
   /** A socket tail's collected changes ([[BinlogSocketClient.tail]])
     * rendered as the same frame [[changes]] emits (row image + op +
@@ -367,8 +383,17 @@ object BinlogSource {
     require(defs.nonEmpty, s"no TABLE_MAP for `$table` under $dir")
     require(defs.length == 1,
       s"`$table` has ${defs.length} distinct definitions across $dir — " +
-        "schema drift mid-log; use streaming/EvolvingCdc for DDL replication")
-    val (cols, names) = defs.head
+        "schema drift mid-log; use streaming/BinlogEvolvingCdc for DDL " +
+        "replication")
+    structOf(defs.head._1, defs.head._2)
+  }
+
+  /** One TABLE_MAP definition → its Spark schema: [[sparkTypeOf]] per
+    * column, named from COLUMN_NAME metadata when present, else
+    * positionally (`c1..cn`) — shared by [[inferSchema]] and the
+    * per-file drift walk in [[graft.streaming.BinlogEvolvingCdc]]. */
+  def structOf(cols: IndexedSeq[BinlogFormat.ColumnDef],
+               names: IndexedSeq[String]): StructType = {
     val fieldNames =
       if (names.size == cols.size) names
       else cols.indices.map(i => s"c${i + 1}")

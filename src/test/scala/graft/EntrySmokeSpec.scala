@@ -16,7 +16,10 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     // gate, the driver's correctness JSON just gets smaller, and 31 red
     // gates read as "fewer queries". A silent shrink (or an unregistered
     // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
-    val pinned = 278 // r14: +t41_binlog_legacy_types (pre-5.6.4
+    val pinned = 279 // r14: +t39_binlog_evolving_cdc (a mid-log ALTER's
+    // wider TABLE_MAP widens ingestion without restart, pre-ALTER rows
+    // NULL-backfilled — the wire-layer twin of t24).
+    // r14: +t41_binlog_legacy_types (pre-5.6.4
     // TIMESTAMP/TIME/DATETIME wire codes + GEOMETRY through the
     // unknown→String fallback, golden vectors + the t32 gate shape).
     // r14: +t40_binlog_gtid_stream (the applied GTID
