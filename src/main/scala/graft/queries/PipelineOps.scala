@@ -1254,6 +1254,103 @@ object PipelineOps {
       rollup.schema)
   }
 
+  /** T42: binlog_row_image=MINIMAL with a COALESCING apply — the row
+    * shape the reference corrupts: a MINIMAL update carries only PK +
+    * changed columns, its processors take the event dict as-is
+    * (`/root/reference/src/cdc_replicator.py:157-212`), so the
+    * ReplacingMergeTree survivor nulls every untouched column. Here
+    * [[graft.operators.MinimalImage.coalesce]] merges per (key, column)
+    * by the LAST change that INCLUDED the column — the `_present`
+    * bitmap the decode surfaces (`presentCol = true`), the only thing
+    * distinguishing "not included" from an explicit SQL NULL. The gate
+    * stages the same logical history TWICE: once as MINIMAL images
+    * (updates carry one changed column each, deletes carry the PK
+    * only), once as FULL images cumulating prior state — and REQUIREs
+    * the coalesced MINIMAL live view equals the FULL run's plain
+    * LiveView apply row-for-row (exceptAll both ways), plus the usual
+    * poison-tail discard. The null-vs-absent distinction itself is
+    * pinned by `MinimalImageSpec`. One hash aggregate on the PK — the
+    * 100 TB apply shape for MINIMAL fleets. */
+  def binlogMinimalImageCdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{BinlogFixture, BinlogSource}
+    import graft.sources.BinlogFormat.{ColumnDef, TypeLongLong, TypeVarchar, TypeDouble}
+    import BinlogFixture.{Absent, Change}
+    import graft.operators.{CdcTransform, MinimalImage}
+    val minDir = graft.GateCache.tempDir("graft_minimg_min_src").toString
+    val fullDir = graft.GateCache.tempDir("graft_minimg_full_src").toString
+    val cols = IndexedSeq(
+      ColumnDef(TypeLongLong, 0),  // id
+      ColumnDef(TypeVarchar, 40),  // name
+      ColumnDef(TypeDouble, 8),    // bal
+      ColumnDef(TypeLongLong, 0))  // cnt
+    val keys = s.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") % 6 === 0).select("o_orderkey")
+      .orderBy("o_orderkey").collect().map(_.getLong(0)).toIndexedSeq
+    require(keys.nonEmpty, "empty minimal-image sample")
+    def name0(k: Long) = s"acct-$k"
+    def bal0(k: Long) = (k % 500).toDouble
+    // the logical history: insert; +100 bal (k%2); rename (k%3);
+    // explicit-NULL name (k%35, AFTER the rename wave); delete (k%11)
+    def nameAt(k: Long): Any =
+      if (k % 35 == 0) null
+      else if (k % 3 == 0) s"acct-$k-u" else name0(k)
+    def balAt(k: Long): Double = bal0(k) + (if (k % 2 == 0) 100.0 else 0.0)
+    val minChanges =
+      keys.map(k => Change.insert(IndexedSeq(k, name0(k), bal0(k), k % 7))) ++
+      keys.filter(_ % 2 == 0).map(k => Change.update(
+        IndexedSeq(k, Absent, Absent, Absent),
+        IndexedSeq(k, Absent, bal0(k) + 100.0, Absent))) ++
+      keys.filter(_ % 3 == 0).map(k => Change.update(
+        IndexedSeq(k, Absent, Absent, Absent),
+        IndexedSeq(k, s"acct-$k-u", Absent, Absent))) ++
+      keys.filter(_ % 35 == 0).map(k => Change.update(
+        IndexedSeq(k, Absent, Absent, Absent),
+        IndexedSeq[Any](k, null, Absent, Absent))) ++
+      keys.filter(_ % 11 == 0).map(k =>
+        Change.delete(IndexedSeq(k, Absent, Absent, Absent)))
+    val fullChanges =
+      keys.map(k => Change.insert(IndexedSeq(k, name0(k), bal0(k), k % 7))) ++
+      keys.filter(_ % 2 == 0).map(k => Change.update(
+        IndexedSeq(k, name0(k), bal0(k), k % 7),
+        IndexedSeq(k, name0(k), bal0(k) + 100.0, k % 7))) ++
+      keys.filter(_ % 3 == 0).map(k => Change.update(
+        IndexedSeq(k, name0(k), balAt(k), k % 7),
+        IndexedSeq(k, s"acct-$k-u", balAt(k), k % 7))) ++
+      keys.filter(_ % 35 == 0).map(k => Change.update(
+        IndexedSeq(k, s"acct-$k-u", balAt(k), k % 7),
+        IndexedSeq[Any](k, null, balAt(k), k % 7))) ++
+      keys.filter(_ % 11 == 0).map(k =>
+        Change.delete(IndexedSeq(k, nameAt(k), balAt(k), k % 7)))
+    val k0 = keys.find(k => k % 11 != 0 && k % 35 != 0).get
+    val poison = Change.update(IndexedSeq(k0, Absent, Absent, Absent),
+      IndexedSeq(k0, "poison", Absent, Absent))
+    Files.write(java.nio.file.Paths.get(minDir, "accts-min.000001"),
+      BinlogFixture.encode("graft", "accts", cols,
+        minChanges.grouped(200).toSeq, uncommittedTail = Seq(poison),
+        gtidFrom = Some(1L)))
+    Files.write(java.nio.file.Paths.get(fullDir, "accts-full.000001"),
+      BinlogFixture.encode("graft", "accts", cols,
+        fullChanges.grouped(200).toSeq, gtidFrom = Some(1L)))
+    val schema = StructType.fromDDL(
+      "id BIGINT, name STRING, bal DOUBLE, cnt BIGINT")
+    val minimalLive = MinimalImage.coalesce(
+      BinlogSource.changes(s, minDir, "accts", schema, presentCol = true),
+      pks = Seq("id"))
+    val fullLive = LiveView.live(
+      CdcTransform.stampBatch(
+        BinlogSource.changes(s, fullDir, "accts", schema),
+        opCol = "op", seqCol = "_seq", batchVersionMicros = 1L),
+      pks = Seq("id"), tieBreak = Some(SeqCol))
+      .select(col("id"), col("name"), col("bal"), col("cnt"))
+    val minC = graft.GateCache.cache(minimalLive)
+    val fullC = graft.GateCache.cache(fullLive)
+    require(minC.exceptAll(fullC).count() == 0 &&
+      fullC.exceptAll(minC).count() == 0,
+      "MINIMAL coalesced live view diverges from the FULL-image run")
+    minC.select(col("id"),
+      coalesce(col("name"), lit("")).as("name"), col("bal"), col("cnt"))
+  }
+
   /** T39: t24's mid-stream ALTER at the WIRE layer — the reference's
     * "No DDL replication → inconsistency" limitation
     * (`/root/reference/README.md:585`), closed for raw binlog bytes:
@@ -3816,6 +3913,7 @@ object PipelineOps {
     "t40_binlog_gtid_stream" -> ((s, dir) => binlogGtidStreamResume(s, dir)),
     "t41_binlog_legacy_types" -> ((s, dir) => binlogLegacyTypedCdc(s, dir)),
     "t39_binlog_evolving_cdc" -> ((s, dir) => binlogEvolvingCdcLive(s, dir)),
+    "t42_binlog_minimal_image" -> ((s, dir) => binlogMinimalImageCdc(s, dir)),
     "t24_schema_evolution" -> ((s, dir) => evolvingCdcLive(s, dir)),
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
     "t13_stream_neardup" -> ((s, dir) => streamNearDupCounts(s, dir)),
@@ -4565,6 +4663,22 @@ object PipelineOps {
         |       CAST(sum(o_orderkey % 1000) AS BIGINT) AS sum_amt
         |FROM orders WHERE o_orderkey % 9 = 0
         |GROUP BY 1""".stripMargin,
+
+    // the coalesced MINIMAL history recomputed relationally: survivors
+    // exclude the k%11 deletes; bal carries the k%2 increment, name the
+    // k%3 rename unless the k%35 explicit-NULL wave cleared it ('' via
+    // the output coalesce); cnt was never re-sent after the insert and
+    // must SURVIVE (the reference's apply would null it)
+    "t42_binlog_minimal_image" ->
+      """SELECT k AS id,
+        |  CASE WHEN k % 35 = 0 THEN ''
+        |       WHEN k % 3 = 0 THEN 'acct-' || CAST(k AS VARCHAR) || '-u'
+        |       ELSE 'acct-' || CAST(k AS VARCHAR) END AS name,
+        |  CAST(k % 500 + CASE WHEN k % 2 = 0 THEN 100 ELSE 0 END
+        |       AS DOUBLE) AS bal,
+        |  CAST(k % 7 AS BIGINT) AS cnt
+        |FROM (SELECT o_orderkey AS k FROM orders
+        |      WHERE o_orderkey % 6 = 0 AND o_orderkey % 11 <> 0)""".stripMargin,
 
     // t33's failover union through the STREAMING path (the applied set
     // persisted per micro-batch, inherited by the failover stream):

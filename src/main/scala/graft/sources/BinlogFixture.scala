@@ -30,6 +30,13 @@ object BinlogFixture {
     * image at the JSON column's position. */
   final case class Partial(diffs: Seq[JsonBinary.Diff])
 
+  /** A column NOT INCLUDED in an image (binlog_row_image=MINIMAL): the
+    * columns-present bitmap clears its bit and the image carries no
+    * bytes for it — distinct from an explicit SQL NULL, whose bit is
+    * set and whose null-bitmap bit marks the value. Place in a
+    * [[Change]] image at the omitted column's position. */
+  case object Absent
+
   object Change {
     def insert(row: IndexedSeq[Any]): Change = Change("I", null, row)
     def update(before: IndexedSeq[Any], after: IndexedSeq[Any]): Change =
@@ -165,8 +172,14 @@ object BinlogFixture {
           tableMapBody(t.db, t.table, t.cols, t.tableId, t.colNames))
       }
 
-    // group CONSECUTIVE same-(table, op) runs into one rows-event
-    // (log order kept; a rows-event addresses exactly one table map)
+    // group CONSECUTIVE same-(table, op, image masks) runs into one
+    // rows-event (log order kept; a rows-event addresses exactly one
+    // table map and carries ONE columns-present bitmap per image side,
+    // so MINIMAL images with different included-column sets need
+    // separate events — like a real server's per-statement events)
+    def masks(c: Change): (Seq[Boolean], Seq[Boolean]) = (
+      Option(c.before).fold(Seq.empty[Boolean])(_.map(_ != Absent)),
+      Option(c.after).fold(Seq.empty[Boolean])(_.map(_ != Absent)))
     def rowsEvents(changes: Seq[(String, Change)],
                    sink: (Int, Array[Byte]) => Unit): Unit = {
       var i = 0
@@ -174,7 +187,8 @@ object BinlogFixture {
       while (i < cs.length) {
         var j = i
         while (j < cs.length && cs(j)._2.op == cs(i)._2.op &&
-          cs(j)._1 == cs(i)._1 && j - i < rowsPerEvent) j += 1
+          cs(j)._1 == cs(i)._1 && masks(cs(j)._2) == masks(cs(i)._2) &&
+          j - i < rowsPerEvent) j += 1
         val slice = cs.slice(i, j).map(_._2)
         val tdef = byName.getOrElse(cs(i)._1,
           throw new IllegalArgumentException(s"unmapped table ${cs(i)._1}"))
@@ -364,19 +378,34 @@ object BinlogFixture {
   private def rowsBody(tpe: Int, changes: Seq[Change],
       cols: IndexedSeq[ColumnDef], tableId: Long): Array[Byte] = {
     val n = cols.size
-    val present = Array.fill[Byte]((n + 7) / 8)(0)
-    (0 until n).foreach(i => present(i / 8) =
-      (present(i / 8) | (1 << (i % 8))).toByte)
+    // per-image-side columns-present bitmaps: cleared bits are MINIMAL
+    // row-image omissions ([[Absent]] placeholders); uniform across the
+    // event's rows by the caller's run grouping
+    def maskBits(img: IndexedSeq[Any]): Array[Byte] = {
+      val bits = Array.fill[Byte]((n + 7) / 8)(0)
+      (0 until n).foreach(i =>
+        if (img == null || img(i) != Absent)
+          bits(i / 8) = (bits(i / 8) | (1 << (i % 8))).toByte)
+      bits
+    }
+    val head = changes.head
+    val (present1, present2) = tpe match {
+      case WriteRowsV2  => (maskBits(head.after), null)
+      case DeleteRowsV2 => (maskBits(head.before), null)
+      case _            => (maskBits(head.before), maskBits(head.after))
+    }
     val images = new ByteArrayOutputStream()
     def writeImage(row: IndexedSeq[Any]): Unit = {
       require(row.size == n, s"row arity ${row.size} != $n")
-      val nulls = Array.fill[Byte]((n + 7) / 8)(0)
-      row.zipWithIndex.foreach { case (v, i) =>
+      // the null bitmap covers only the PRESENT columns, in order
+      val included = row.filter(_ != Absent)
+      val nulls = Array.fill[Byte]((included.size + 7) / 8)(0)
+      included.zipWithIndex.foreach { case (v, i) =>
         if (v == null) nulls(i / 8) = (nulls(i / 8) | (1 << (i % 8))).toByte
       }
       images.write(nulls)
       row.zipWithIndex.foreach { case (v, i) =>
-        if (v != null) images.write(valueBytes(v, cols(i)))
+        if (v != null && v != Absent) images.write(valueBytes(v, cols(i)))
       }
     }
     // PARTIAL_UPDATE after-image: value_options (bit 0 = PARTIAL_JSON),
@@ -419,14 +448,14 @@ object BinlogFixture {
     val img = images.toByteArray
     val twoBitmaps = tpe == UpdateRowsV2 || tpe == PartialUpdateRowsV2
     val nBitmaps = if (twoBitmaps) 2 else 1
-    val b = ByteBuffer.allocate(6 + 2 + 2 + 1 + nBitmaps * present.length +
+    val b = ByteBuffer.allocate(6 + 2 + 2 + 1 + nBitmaps * present1.length +
       img.length).order(ByteOrder.LITTLE_ENDIAN)
     putUint48(b, tableId)
     b.putShort(0) // flags
     b.putShort(2) // extra-data length (self-inclusive, no extra data)
     b.put(n.toByte) // lenenc column count
-    b.put(present)
-    if (twoBitmaps) b.put(present)
+    b.put(present1)
+    if (twoBitmaps) b.put(present2)
     b.put(img)
     b.array()
   }

@@ -168,12 +168,20 @@ object BinlogFormat {
     * `/root/reference/src/cdc_replicator.py:24-35`) — strictly monotone
     * within a file, so (file-ordinal, pos) totally orders a rotated
     * stream. Update rows carry both images; inserts only `after`;
-    * deletes only `before` (the documented row-image rules). */
+    * deletes only `before` (the documented row-image rules).
+    *
+    * `present` = the columns-present bitmap of the SURFACED image (the
+    * after image for I/U, the before image for D): under
+    * binlog_row_image=MINIMAL an absent column decodes as null in the
+    * image, and only this bitmap distinguishes "not included" from an
+    * explicit SQL NULL — the distinction the coalescing apply needs.
+    * Empty ⇔ every column present (the FULL default). */
   final case class RowChange(db: String, table: String, op: String,
                              before: Option[IndexedSeq[Any]],
                              after: Option[IndexedSeq[Any]],
                              pos: Long,
-                             gtid: Option[String] = None)
+                             gtid: Option[String] = None,
+                             present: IndexedSeq[Boolean] = IndexedSeq.empty)
 
   /** Parse result for one file: committed changes in log order, the
     * ROTATE target (next file in the chain) when present, how many row
@@ -694,15 +702,15 @@ object BinlogFormat {
       tpe match {
         case WriteRowsV2 =>
           out += RowChange(tm.db, tm.table, InsertOp,
-            None, Some(image(b, tm, present1)), pos)
+            None, Some(image(b, tm, present1)), pos, present = present1)
         case DeleteRowsV2 =>
           out += RowChange(tm.db, tm.table, DeleteOp,
-            Some(image(b, tm, present1)), None, pos)
+            Some(image(b, tm, present1)), None, pos, present = present1)
         case UpdateRowsV2 =>
           val before = image(b, tm, present1)
           val after = image(b, tm, present2)
           out += RowChange(tm.db, tm.table, UpdateOp,
-            Some(before), Some(after), pos)
+            Some(before), Some(after), pos, present = present2)
         case PartialUpdateRowsV2 =>
           // PARTIAL_JSON: the after-image ships DIFFS for flagged JSON
           // columns — decode the before with its JSON as AST, apply
@@ -714,7 +722,7 @@ object BinlogFormat {
             case x => x
           }
           out += RowChange(tm.db, tm.table, UpdateOp,
-            Some(before), Some(after), pos)
+            Some(before), Some(after), pos, present = present2)
       }
       require(b.position() > p0,
         "zero-progress row image — corrupt columns-present bitmap")

@@ -102,15 +102,19 @@ object BinlogSource {
                      beforeKey: Option[String] = None,
                      chainCols: Boolean = false,
                      gtidCol: Boolean = false,
-                     padNarrower: Boolean = false): DataFrame = {
+                     padNarrower: Boolean = false,
+                     presentCol: Boolean = false): DataFrame = {
     val base = rowSchema
       .add("op", StringType).add("_seq", LongType).add("_tbl", StringType)
     val withBk = beforeKey.fold(base)(f =>
       base.add(s"_before_$f", rowSchema(f).dataType))
     val withGtid = if (gtidCol) withBk.add("_gtid", StringType) else withBk
-    val out = if (chainCols) withGtid.add("_file", StringType)
-                                     .add("_next", StringType)
-              else withGtid
+    val withPresent =
+      if (presentCol) withGtid.add("_present", ArrayType(BooleanType, false))
+      else withGtid
+    val out = if (chainCols) withPresent.add("_file", StringType)
+                                        .add("_next", StringType)
+              else withPresent
     val n = rowSchema.size
     val fieldTypes = rowSchema.fields.map(_.dataType).toIndexedSeq
     val bkIdx = beforeKey.map(rowSchema.fieldIndex)
@@ -150,8 +154,15 @@ object BinlogSource {
             coerce(src(k), fieldTypes(k))
           }
           val gtidTail: Seq[Any] = if (gtidCol) Seq(ch.gtid.orNull) else Nil
+          // the surfaced image's columns-present bitmap, padded to the
+          // caller schema (an evolving decode's added columns read as
+          // absent for pre-ALTER rows — which they are)
+          val presentTail: Seq[Any] =
+            if (!presentCol) Nil
+            else Seq((if (ch.present.isEmpty) IndexedSeq.fill(img0.size)(true)
+                      else ch.present).padTo(n, false))
           Row.fromSeq(coerced ++ Seq(ch.op, (ord << 40) | i.toLong, ch.table)
-            ++ bkTail ++ gtidTail ++ chainTail)
+            ++ bkTail ++ gtidTail ++ presentTail ++ chainTail)
         }
     }.toDF()
   }
@@ -179,9 +190,10 @@ object BinlogSource {
   def changes(s: SparkSession, dir: String, table: String,
               rowSchema: StructType,
               skipGtids: GtidSet = GtidSet.Empty,
-              beforeKey: Option[String] = None): DataFrame =
+              beforeKey: Option[String] = None,
+              presentCol: Boolean = false): DataFrame =
     decode(asFiles(s.read.format("binaryFile").load(dir)), table, rowSchema,
-      skipGtids, beforeKey)
+      skipGtids, beforeKey, presentCol = presentCol)
 
   /** [[changes]] over an ALREADY-LOADED (path, content) frame — the form
     * a `foreachBatch` consumer needs (the batch is the file set; loading

@@ -16,7 +16,11 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     // gate, the driver's correctness JSON just gets smaller, and 31 red
     // gates read as "fewer queries". A silent shrink (or an unregistered
     // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
-    val pinned = 279 // r14: +t39_binlog_evolving_cdc (a mid-log ALTER's
+    val pinned = 280 // r14: +t42_binlog_minimal_image
+    // (binlog_row_image=MINIMAL coalescing apply: per-column merge by
+    // the last INCLUDING change via the _present bitmap; REQUIREd equal
+    // to the FULL-image run).
+    // r14: +t39_binlog_evolving_cdc (a mid-log ALTER's
     // wider TABLE_MAP widens ingestion without restart, pre-ALTER rows
     // NULL-backfilled — the wire-layer twin of t24).
     // r14: +t41_binlog_legacy_types (pre-5.6.4

@@ -55,7 +55,8 @@ class BinlogFormatSpec extends AnyFunSuite {
     assert(p.nextFile.isEmpty)
     assert(p.droppedUncommitted == 0)
     assert(p.changes == Vector(RowChange("d", "t", "I",
-      None, Some(IndexedSeq(7L, "ab")), 199L)))
+      None, Some(IndexedSeq(7L, "ab")), 199L,
+      present = IndexedSeq(true, true))))
   }
 
   test("golden vector without its XID: the transaction never commits") {
@@ -566,7 +567,8 @@ class BinlogFormatSpec extends AnyFunSuite {
     """) ++ inner
     val p = parse(golden.take(4 + 116) ++ payloadEvent)
     assert(p.changes == Vector(RowChange("d", "t", "I",
-      None, Some(IndexedSeq(7L, "ab")), 199L)))
+      None, Some(IndexedSeq(7L, "ab")), 199L,
+      present = IndexedSeq(true, true))))
     assert(p.droppedUncommitted == 0)
   }
 
