@@ -430,11 +430,6 @@ object PipelineOps {
     * events as they stream (the reference applies per-event) would leak
     * a half-order. Output: per-priority order/line/quantity rollup the
     * oracle recomputes from orders⋈lineitem. */
-  private val MtHdrSchema = StructType.fromDDL(
-    "o_orderkey BIGINT, o_orderpriority STRING")
-  private val MtLnSchema = StructType.fromDDL(
-    "l_orderkey BIGINT, l_linenumber BIGINT, l_quantity DOUBLE")
-
   private case class StagedMultiBinlogs(landing: String, nHdr: Int)
 
   /** Shared by t31 (live-view apply) and b8 (co-bucketed sink): the 10%
@@ -472,8 +467,15 @@ object PipelineOps {
       BinlogFormat.ColumnDef(BinlogFormat.TypeLongLong, 0),
       BinlogFormat.ColumnDef(BinlogFormat.TypeLongLong, 0),
       BinlogFormat.ColumnDef(BinlogFormat.TypeDouble, 8))
-    val tables = Seq(TableDef("graft", "orders_hdr", 31L, hdrCols),
-      TableDef("graft", "orders_ln", 32L, lnCols))
+    // binlog_row_metadata=FULL (COLUMN_NAME TLVs): the log is fully
+    // self-describing, so t31/b8 INFER both tables' schemas from the
+    // bytes (the t35 path on a second and third table shape) instead of
+    // hand-declaring them
+    val tables = Seq(
+      TableDef("graft", "orders_hdr", 31L, hdrCols,
+        colNames = IndexedSeq("o_orderkey", "o_orderpriority")),
+      TableDef("graft", "orders_ln", 32L, lnCols,
+        colNames = IndexedSeq("l_orderkey", "l_linenumber", "l_quantity")))
     val hdr = s.read.parquet(s"$dir/orders.parquet")
       .filter(col("o_orderkey") % 10 === 0)
       .select("o_orderkey", "o_orderpriority")
@@ -520,8 +522,10 @@ object PipelineOps {
     import graft.operators.CdcTransform
     val staged = stageMultiBinlogs(s, dir)
     val landing = staged.landing
-    val hdrSchema = MtHdrSchema
-    val lnSchema = MtLnSchema
+    // schemas INFERRED from the log's own TABLE_MAP metadata (t35's
+    // machinery on the multi-table file) — no hand declaration
+    val hdrSchema = BinlogSource.inferSchema(s, landing, "orders_hdr")
+    val lnSchema = BinlogSource.inferSchema(s, landing, "orders_ln")
     def applyLive(table: String, schema: StructType,
                   pks: Seq[String]): DataFrame = {
       val stamped = CdcTransform.stampBatch(
@@ -1221,8 +1225,10 @@ object PipelineOps {
     // ordinal rides the top bits of _seq)
     def gen(df: DataFrame, ord: Int): DataFrame =
       df.filter(shiftright(col(SeqCol), 40) === ord)
-    val hdrAll = graft.GateCache.cache(stamped("orders_hdr", MtHdrSchema))
-    val lnAll = graft.GateCache.cache(stamped("orders_ln", MtLnSchema))
+    val hdrAll = graft.GateCache.cache(stamped("orders_hdr",
+      BinlogSource.inferSchema(s, staged.landing, "orders_hdr")))
+    val lnAll = graft.GateCache.cache(stamped("orders_ln",
+      BinlogSource.inferSchema(s, staged.landing, "orders_ln")))
     Bucketing.writeBucketedMulti(gen(hdrAll, 1), "b8_hdr", Seq("o_orderkey"), 8)
     Bucketing.appendBucketedMulti(gen(hdrAll, 2), "b8_hdr", Seq("o_orderkey"), 8)
     Bucketing.writeBucketedMulti(gen(lnAll, 1), "b8_ln", Seq("l_orderkey"), 8)
@@ -1421,6 +1427,108 @@ object PipelineOps {
       .select(col("user_id"), col("event_type"), col("value"), col("props"),
         coalesce(col("region"), lit("")).as("region"),
         coalesce(col("score"), lit(-1.0)).as("score"))
+  }
+
+  /** B9: the b8 co-bucketed CDC sink maintained from a REAL STREAM with
+    * a kill+resume in the middle — b8 simulated the two sink generations
+    * as two batch calls; here each generation lands from a checkpointed
+    * `foreachBatch` over [[graft.sources.BinlogSource.changesStream]]:
+    * wave 1 ships file 1, the query drains (initial generation via the
+    * CTAS path) and TERMINATES (the "kill"); wave 2 ships file 2 and a
+    * NEW query on the SAME checkpoint resumes — the offset log must
+    * replay nothing (header count REQUIREd exact, so a re-applied file
+    * or the leaked torn tail flips it). After EACH drain the b4 audit
+    * protocol runs on the AQE-final plan: the orders⋈lines rollup must
+    * be exchange-free on the bucket key over whatever has landed so
+    * far — the 100 TB shape where replication appends co-bucketed
+    * generations forever and the hourly rollups never shuffle the fact
+    * tables. Schemas inferred from the log (t35); output = t31's
+    * ledger, same oracle. */
+  def bucketedStreamSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.BinlogSource
+    import graft.operators.{Bucketing, CdcTransform}
+    import org.apache.spark.sql.streaming.Trigger
+    val staged = stageMultiBinlogs(s, dir)
+    val landing = graft.GateCache.tempDir("graft_b9_src").toString
+    val ckp = graft.GateCache.tempDir("graft_b9_ckp").toString
+    val hdrSchema = BinlogSource.inferSchema(s, staged.landing, "orders_hdr")
+    val lnSchema = BinlogSource.inferSchema(s, staged.landing, "orders_ln")
+    val files = Seq("orders-bin.000001", "orders-bin.000002")
+    def land(i: Int): Unit = {
+      Files.copy(java.nio.file.Paths.get(staged.landing, files(i)),
+        java.nio.file.Paths.get(landing, files(i)))
+      ()
+    }
+    def drainOne(table: String, schema: StructType, sink: String,
+                 keys: Seq[String]): Unit = {
+      val q = BinlogSource.changesStream(s, landing, table, schema)
+        .writeStream
+        .queryName(s"b9_apply_$table")
+        .option("checkpointLocation", s"$ckp/$table")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val stamped = CdcTransform.stampBatch(batch.toDF(),
+            opCol = "op", seqCol = "_seq", batchVersionMicros = 1L)
+            .drop("op", "_tbl")
+          if (!s.catalog.tableExists(sink))
+            Bucketing.writeBucketedMulti(stamped, sink, keys, 8)
+          else Bucketing.appendBucketedMulti(stamped, sink, keys, 8)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def drain(): Unit = {
+      drainOne("orders_hdr", hdrSchema, "b9_hdr", Seq("o_orderkey"))
+      drainOne("orders_ln", lnSchema, "b9_ln", Seq("l_orderkey"))
+      // the appends ran on the micro-batch's CLONED session, whose
+      // refresh does not reach this session's relation cache — without
+      // the refresh, wave-1 file listings shadow the new generation
+      s.catalog.refreshTable("b9_hdr")
+      s.catalog.refreshTable("b9_ln")
+    }
+    // the b4 audit protocol over the CURRENT sink state: the cross-table
+    // rollup must be exchange-free on the bucket key (broadcast disabled
+    // in an isolated session so harness-scale AQE can't void the audit)
+    def auditedRollup(): (Array[org.apache.spark.sql.Row], StructType) = {
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      iso.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val hdrB = iso.table("b9_hdr")
+      val lnB = iso.table("b9_ln")
+      val perOrder = hdrB.join(lnB, hdrB("o_orderkey") === lnB("l_orderkey"))
+        .groupBy(hdrB("o_orderkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_ln"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+      val rollup = perOrder.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("n_ln")).cast("long").as("n_lines"),
+          sum(col("qty")).cast("long").as("sum_qty"))
+      val rows = rollup.collect() // AQE-final
+      val plan = rollup.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin"),
+        s"streamed sink join is not a bucket-wise sort-merge join:\n$plan")
+      val bad = plan.linesIterator.filter(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("orderkey")).toSeq
+      require(bad.isEmpty,
+        s"streamed CDC sink rollup shuffled on the bucket key: " +
+          s"${bad.mkString("; ")}\n$plan")
+      (rows, rollup.schema)
+    }
+    land(0); drain()
+    val (wave1, _) = auditedRollup() // exchange-free over generation 1
+    val hdrWave1 = s.table("b9_hdr").count()
+    land(1); drain() // RESUME on the same checkpoints: only file 2 applies
+    require(s.table("b9_hdr").count() == staged.nHdr,
+      s"streamed sink holds ${s.table("b9_hdr").count()} headers, " +
+        s"expected ${staged.nHdr} — the resume replayed a file or the " +
+        "torn tail leaked")
+    require(hdrWave1 < staged.nHdr,
+      "wave 1 already held every header — the tail never advanced")
+    val (rows, schema) = auditedRollup()
+    require(wave1.map(_.getLong(1)).sum < rows.map(_.getLong(1)).sum,
+      "the second generation added no orders to the rollup")
+    s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), schema)
   }
 
   /** T24: mid-stream `ALTER TABLE … ADD COLUMN` replication — the
@@ -3914,6 +4022,7 @@ object PipelineOps {
     "t41_binlog_legacy_types" -> ((s, dir) => binlogLegacyTypedCdc(s, dir)),
     "t39_binlog_evolving_cdc" -> ((s, dir) => binlogEvolvingCdcLive(s, dir)),
     "t42_binlog_minimal_image" -> ((s, dir) => binlogMinimalImageCdc(s, dir)),
+    "b9_bucketed_stream_sink" -> ((s, dir) => bucketedStreamSink(s, dir)),
     "t24_schema_evolution" -> ((s, dir) => evolvingCdcLive(s, dir)),
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
     "t13_stream_neardup" -> ((s, dir) => streamNearDupCounts(s, dir)),
@@ -4548,6 +4657,10 @@ object PipelineOps {
     // rolls up through the exchange-free two-step aggregate — the final
     // state must be byte-identical to t31's
     "b8_bucketed_cdc_sink" -> MultiTableRollupOracle,
+
+    // b9 reaches b8's final state from a checkpointed STREAM (two waves,
+    // kill+resume, per-wave exchange-free audit) — same oracle
+    "b9_bucketed_stream_sink" -> MultiTableRollupOracle,
 
     // the diff-reconstructed JSON per key: k%12==0 went through the
     // PARTIAL_JSON path (score replaced, tag spliced, member inserted;

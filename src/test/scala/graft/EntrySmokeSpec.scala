@@ -16,7 +16,10 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     // gate, the driver's correctness JSON just gets smaller, and 31 red
     // gates read as "fewer queries". A silent shrink (or an unregistered
     // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
-    val pinned = 280 // r14: +t42_binlog_minimal_image
+    val pinned = 281 // r14: +b9_bucketed_stream_sink (the co-bucketed
+    // CDC sink maintained from a checkpointed foreachBatch stream with
+    // kill+resume; exchange-free rollup REQUIREd after each drain).
+    // r14: +t42_binlog_minimal_image
     // (binlog_row_image=MINIMAL coalescing apply: per-column merge by
     // the last INCLUDING change via the _present bitmap; REQUIREd equal
     // to the FULL-image run).
