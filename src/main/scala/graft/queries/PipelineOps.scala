@@ -1098,8 +1098,11 @@ object PipelineOps {
         BinlogSource.changesStream(s, landing, "ledger", schema,
           skipGtids = skip, gtidCol = true),
         "ledger", opCol = "op", seqCol = "_seq", versionOf = _ => 1L,
-        onBatch = Some(b => tracker.observe(b.select("_gtid").distinct()
-          .collect().map(_.getString(0)))),
+        // the POST-write seam: the durable set must only ever claim
+        // transactions whose rows actually landed — a pre-write record
+        // could make a failover skip a crash-lost batch forever
+        onBatchApplied = Some(b => tracker.observe(b.select("_gtid")
+          .distinct().collect().map(_.getString(0)))),
         dropCols = Seq("_gtid"))
         .awaitTermination()
     // phase A: tail server A, applied set persisted per micro-batch

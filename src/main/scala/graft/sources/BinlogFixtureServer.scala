@@ -165,16 +165,16 @@ final class BinlogFixtureServer(
             .order(ByteOrder.LITTLE_ENDIAN)
           val sid = new Array[Byte](16); b.get(sid)
           val gno = b.getLong()
-          val hex = sid.map(x => f"${x & 0xff}%02x").mkString
-          val gtid = s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-" +
-            s"${hex.substring(12, 16)}-${hex.substring(16, 20)}-" +
-            s"${hex.substring(20)}:$gno"
-          if (skip.contains(gtid)) suppress = true
+          if (skip.contains(s"${BinlogFormat.uuidStr(sid)}:$gno"))
+            suppress = true
         }
         val positional = fi > startIdx || isFde || off >= pos
         if (positional && !suppress) send(bytes, off, size)
-        // a suppressed transaction ends WITH its XID (skipped too)
-        if (suppress && tpe == BinlogFormat.XidEvent) suppress = false
+        // a suppressed transaction ends WITH its XID — or with its
+        // TRANSACTION_PAYLOAD, which carries the whole compressed
+        // transaction including the inner XID
+        if (suppress && (tpe == BinlogFormat.XidEvent ||
+            tpe == BinlogFormat.TransactionPayloadEvent)) suppress = false
         off += size
       }
     }

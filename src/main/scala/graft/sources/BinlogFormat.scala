@@ -208,13 +208,14 @@ object BinlogFormat {
     *
     * Contract: [[onEvent]] decodes ONE complete event (header + body
     * [+ CRC]) and returns its size; committed row changes accumulate
-    * until [[drainCommitted]] (a socket consumer drains after each XID,
-    * a file consumer once at the end). [[resetConnection]] is the
-    * reconnect seam: the torn pending transaction is discarded and the
-    * next event must again be a FORMAT_DESCRIPTION (a new dump always
-    * re-sends it), so a resume from the last-committed offset replays
-    * the interrupted transaction in full — at-least-once on the wire,
-    * exactly-once at transaction granularity. */
+    * until [[drainCommitted]] (a socket consumer drains at each commit
+    * boundary, a file consumer once at the end). Reconnects get a FRESH
+    * decoder ([[BinlogSocketClient]]'s loop): the torn pending
+    * transaction dies with the old one, the new dump re-sends the FDE
+    * and each transaction its TABLE_MAPs, and a resume from the
+    * last-committed offset replays the interrupted transaction in
+    * full — at-least-once on the wire, exactly-once at transaction
+    * granularity. */
   final class EventStreamDecoder {
     private var checksummed = false
     private var sawFde = false
@@ -237,13 +238,6 @@ object BinlogFormat {
       val r = committed.result()
       committed = Vector.newBuilder
       r
-    }
-
-    /** Reconnect seam — see the class doc. */
-    def resetConnection(): Unit = {
-      pending = Vector.empty
-      currentGtid = None
-      sawFde = false // the new dump's FDE re-establishes the checksum alg
     }
 
     /** One event's semantic action — shared by the top-level stream and
@@ -549,7 +543,11 @@ object BinlogFormat {
     }.mkString(",")
   }
 
-  private def uuidStr(sid: Array[Byte]): String = {
+  /** 16 raw sid bytes → the display UUID — the ONE rendering GTID
+    * membership depends on (shared by the parser, [[GtidSet.fromWire]]
+    * and the fixture server's skip filter; divergent copies would break
+    * skip-set membership silently). */
+  private[sources] def uuidStr(sid: Array[Byte]): String = {
     val h = sid.map(x => f"${x & 0xff}%02x").mkString
     s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
       s"${h.substring(16, 20)}-${h.substring(20)}"
@@ -1166,9 +1164,7 @@ object GtidSet {
         if (hiEx <= lo) None else Some((lo, hiEx - 1))
       }.toIndexedSeq.sortBy(_._1)
       if (ivs.isEmpty) None
-      else Some(sid.map(x => f"${x & 0xff}%02x").mkString
-        .patch(8, "-", 0).patch(13, "-", 0).patch(18, "-", 0).patch(23, "-", 0)
-        -> ivs)
+      else Some(BinlogFormat.uuidStr(sid) -> ivs)
     }.toMap)
   }
 

@@ -69,7 +69,8 @@ final class BinlogSocketClient(
     var resumeFile = fromFile
     var resumePos = fromPos
     var currentFile = fromFile
-    var reconnects = 0
+    var reconnects = 0 // total, reported for observability
+    var failuresSinceProgress = 0 // the budget: consecutive, commit-reset
     var backoffMs = initialBackoffMs
     var done = false
     while (!done) {
@@ -98,15 +99,24 @@ final class BinlogSocketClient(
             val tpe = p(1 + 4) & 0xff
             if (tpe == BinlogFormat.RotateEvent)
               currentFile = dec.nextFile.getOrElse(currentFile)
-            else if (tpe == BinlogFormat.XidEvent) {
+            else if (tpe == BinlogFormat.XidEvent ||
+                tpe == BinlogFormat.TransactionPayloadEvent) {
+              // a transaction commits at its XID — which for a
+              // compressed transaction lives INSIDE the payload event,
+              // so the payload packet is itself the commit boundary
               val batch = dec.drainCommitted()
               out ++= batch
               appliedGtids =
                 appliedGtids.union(GtidSet.fromGtids(batch.flatMap(_.gtid)))
-              // resume offset: this XID's end-log-pos in the current file
+              // resume offset: the commit event's end-log-pos in the
+              // current file
               resumeFile = currentFile
               resumePos = ByteBuffer.wrap(p, 1 + 13, 4)
                 .order(ByteOrder.LITTLE_ENDIAN).getInt().toLong & 0xffffffffL
+              // forward progress re-arms the reconnect budget: the cap
+              // bounds CONSECUTIVE failures, not a long tail's lifetime
+              failuresSinceProgress = 0
+              backoffMs = initialBackoffMs
             }
           }
         }
@@ -114,10 +124,16 @@ final class BinlogSocketClient(
         case e: IOException =>
           // the reference's reconnect loop (cdc_replicator.py:369-414):
           // back off, double the delay, resume from the last committed
-          // offset — the torn transaction replays in full
+          // offset — the torn transaction replays in full. The budget
+          // caps CONSECUTIVE failures (reset on every commit), so a
+          // days-long tail surviving occasional blips never dies on a
+          // lifetime counter.
           reconnects += 1
-          if (reconnects > maxReconnects) throw new IllegalStateException(
-            s"binlog stream lost $reconnects times (last: ${e.getMessage})", e)
+          failuresSinceProgress += 1
+          if (failuresSinceProgress > maxReconnects)
+            throw new IllegalStateException(
+              s"binlog stream lost $failuresSinceProgress times in a row " +
+                s"(last: ${e.getMessage})", e)
           Thread.sleep(backoffMs)
           backoffMs = math.min(backoffMs * 2, maxBackoffMs)
       } finally sock.close()

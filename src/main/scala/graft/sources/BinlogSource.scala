@@ -256,8 +256,10 @@ object BinlogSource {
       skipGtids = skipGtids, chainCols = chainCols, gtidCol = gtidCol)
 
   /** Driver-side applied-GTID tracker for the STREAMING path — the
-    * failover token, persisted alongside the checkpoint the way
-    * [[RotateChainGuard]] rides `onBatch`: a consumer feeds each
+    * failover token, persisted alongside the checkpoint on
+    * [[graft.streaming.CdcPipeline]]'s POST-write `onBatchApplied` seam
+    * (never pre-write: the durable set must only claim transactions
+    * whose rows actually landed): a consumer feeds each applied
     * micro-batch's distinct `_gtid` values (the `gtidCol = true`
     * column; bounded — one value per TRANSACTION per batch, not per
     * row) and the tracker unions them into the applied [[GtidSet]],

@@ -65,7 +65,17 @@ final class CdcPipeline(
     * foreachBatch, so the validator's action and the apply's write
     * compute the (possibly expensive — a binlog decode) batch ONCE.
     * `dropCols` names extra bookkeeping columns (beyond op/seq/table) to
-    * strip before the append. */
+    * strip before the append.
+    *
+    * `onBatchApplied` runs AFTER the batch's append succeeds — the seam
+    * for durable progress records (e.g.
+    * [[graft.sources.BinlogSource.GtidTracker]] persisting the applied
+    * GTID set): a record written on the PRE-write seam could claim
+    * transactions a crash then loses (the rows never landed, the
+    * checkpoint never committed, but a failover trusting the record
+    * would skip them forever). Post-write the record is at-least-once —
+    * a crash before the checkpoint commit replays the batch, which the
+    * applied table's dedup semantics absorb, never data loss. */
   def start(changeStream: DataFrame, table: String, opCol: String,
             seqCol: String, tables: Seq[String] = Nil,
             tableCol: Option[String] = None,
@@ -74,7 +84,8 @@ final class CdcPipeline(
             beforeImage: Option[(String, String)] = None,
             fixPkUpdateOrphans: Boolean = false,
             onBatch: Option[DataFrame => Unit] = None,
-            dropCols: Seq[String] = Nil): StreamingQuery = {
+            dropCols: Seq[String] = Nil,
+            onBatchApplied: Option[DataFrame => Unit] = None): StreamingQuery = {
     // P5: client-side table-set re-check (`src/cdc_replicator.py:330-333`)
     val filtered = (tableCol, tables) match {
       case (Some(tc), ts) if ts.nonEmpty => changeStream.filter(col(tc).isin(ts: _*))
@@ -86,7 +97,7 @@ final class CdcPipeline(
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val df = batch.toDF()
-        if (onBatch.isDefined) { df.persist(); () }
+        if (onBatch.isDefined || onBatchApplied.isDefined) { df.persist(); () }
         try {
           onBatch.foreach(f => f(df))
           // drop bookkeeping columns after stamping so applied rows share
@@ -101,7 +112,10 @@ final class CdcPipeline(
           }
           stamped.drop((Seq(opCol, seqCol) ++ tableCol.toSeq ++ dropCols): _*)
             .write.mode("append").parquet(s"$targetDir/$table.parquet")
-        } finally if (onBatch.isDefined) { df.unpersist(); () }
+          onBatchApplied.foreach(f => f(df))
+        } finally if (onBatch.isDefined || onBatchApplied.isDefined) {
+          df.unpersist(); ()
+        }
         ()
       }
       .start()

@@ -215,11 +215,12 @@ class MysqlProtocolSpec extends AnyFunSuite {
     }
   }
 
-  test("decoder reconnect seam: pending discarded, FDE required again") {
+  test("decoder reconnect seam: a fresh decoder drops the torn txn and " +
+      "requires the new dump's FDE first") {
     val bytes = twoFiles.head._2
     val dec = new BinlogFormat.EventStreamDecoder
     var off = 4
-    // feed up to (and including) the first GTID + WRITE, no XID
+    // feed up to (but not including) the first XID: a torn transaction
     var stop = false
     while (!stop && off < bytes.length) {
       val tpe = bytes(off + 4) & 0xff
@@ -228,13 +229,38 @@ class MysqlProtocolSpec extends AnyFunSuite {
       if (tpe == BinlogFormat.XidEvent) stop = true
       else { dec.onEvent(bytes, off, bytes.length - off); off += size }
     }
-    assert(dec.pendingCount == 1)
-    dec.resetConnection()
-    assert(dec.pendingCount == 0)
-    // after the reset, a non-FDE event is rejected (a new dump's FDE
-    // must re-establish the checksum algorithm first)
+    assert(dec.pendingCount == 1 && dec.drainCommitted().isEmpty)
+    // the reconnect constructs a FRESH decoder (the client's loop): it
+    // holds nothing and rejects a non-FDE first event — the new dump's
+    // FDE must re-establish the checksum algorithm before anything else
+    val fresh = new BinlogFormat.EventStreamDecoder
+    assert(fresh.pendingCount == 0)
     val e = intercept[IllegalArgumentException](
-      dec.onEvent(bytes, off, bytes.length - off))
+      fresh.onEvent(bytes, off, bytes.length - off))
     assert(e.getMessage.contains("FORMAT_DESCRIPTION"))
+  }
+
+  test("e2e: compressed transactions commit at the payload packet") {
+    // the commit boundary of a zstd TRANSACTION_PAYLOAD is the payload
+    // event itself (its XID travels inside) — the tail must drain there,
+    // advance its resume offset, and the GTID skip must still work
+    val zFiles = IndexedSeq("zst-bin.000001" ->
+      BinlogFixture.encode("d", "t", cols,
+        txns = (1L to 6L).map(k => Seq(insert(k))),
+        uncommittedTail = Seq(insert(99L)), gtidFrom = Some(1L),
+        compressTxns = true))
+    withServer(zFiles) { srv =>
+      val r = client(srv).tail("zst-bin.000001")
+      assert(r.changes.map(_.after.get.head) == (1L to 6L))
+      assert(r.appliedGtids.render ==
+        "01020304-0506-0708-090a-0b0c0d0e0f10:1-6")
+      // the resume offset advanced past the last payload: nothing replays
+      assert(client(srv).tail(r.file, r.pos).changes.isEmpty)
+      // server-side GTID skip over compressed transactions: the
+      // suppressed payload ends its own transaction
+      val partial = GtidSet.parse("01020304-0506-0708-090a-0b0c0d0e0f10:1-4")
+      assert(client(srv).tailGtid(partial).changes
+        .map(_.after.get.head) == (5L to 6L))
+    }
   }
 }
