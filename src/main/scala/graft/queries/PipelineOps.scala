@@ -952,15 +952,21 @@ object PipelineOps {
     try {
       val cli = new BinlogSocketClient("127.0.0.1", srv.port,
         "repl", "graft-secret")
+      // the reference's startup: discover the primary's position first
+      // (`SHOW MASTER STATUS`, src/cdc_replicator.py:84-96)
+      val (msFile, msPos) = cli.masterStatus()
       val r = cli.tail(staged.names.head)
       require(r.reconnects == 1,
         s"expected exactly one mid-stream reconnect, got ${r.reconnects}")
-      require(srv.connections == 2,
-        s"server saw ${srv.connections} connections, expected 2")
+      require(srv.connections == 3, // status query + dump + its reconnect
+        s"server saw ${srv.connections} connections, expected 3")
       require(r.changes.size == staged.nCommitted,
         s"socket tail emitted ${r.changes.size} != committed " +
           s"${staged.nCommitted} — the reconnect replayed or lost a " +
           "transaction, or the torn tail leaked")
+      require(r.file == msFile && r.pos <= msPos,
+        s"tail ended at (${r.file}, ${r.pos}) but SHOW MASTER STATUS " +
+          s"said ($msFile, $msPos)")
       // resume token 1: the final (file, pos) offset is exact
       val again = cli.tail(r.file, r.pos)
       require(again.changes.isEmpty,

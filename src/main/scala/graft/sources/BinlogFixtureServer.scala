@@ -20,7 +20,8 @@ import java.util.concurrent.atomic.AtomicInteger
   * yields an EOF packet (tests need a deterministic end; the
   * reference's `blocking=True` tail is the same stream without it).
   *
-  * `dropAfterEvents(connIdx)` force-closes that connection's socket
+  * `dropAfterEvents(dumpIdx)` force-closes the (dumpIdx+1)-th DUMP
+  * connection's socket (session-query connections don't count)
   * after N event packets — the mid-stream kill t38 uses to prove the
   * client's reconnect/backoff/resume loop (the reference's T8,
   * `src/cdc_replicator.py:369-414`).
@@ -33,7 +34,8 @@ final class BinlogFixtureServer(
     files: IndexedSeq[(String, Array[Byte])],
     user: String,
     password: String,
-    dropAfterEvents: Map[Int, Int] = Map.empty) extends AutoCloseable {
+    dropAfterEvents: Map[Int, Int] = Map.empty,
+    heartbeatMs: Long = 25L) extends AutoCloseable {
   import MysqlProtocol._
 
   require(files.nonEmpty, "a primary with no binlogs serves nothing")
@@ -43,6 +45,7 @@ final class BinlogFixtureServer(
     new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
   @volatile private var closed = false
   private val connCounter = new AtomicInteger(0)
+  private val dumpCounter = new AtomicInteger(0)
 
   /** The ephemeral port the fixture listens on. */
   def port: Int = server.getLocalPort
@@ -95,19 +98,41 @@ final class BinlogFixtureServer(
       val cmd = readPacket(in).payload
       require(cmd.nonEmpty, "empty command packet")
       (cmd(0) & 0xff) match {
+        case ComQuery =>
+          // the session-query surface a replication client needs: the
+          // reference discovers its start position with SHOW MASTER
+          // STATUS (`src/cdc_replicator.py:84-96`)
+          val sql = new String(cmd, 1, cmd.length - 1,
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          if (sql.equalsIgnoreCase("SHOW MASTER STATUS")) {
+            val (lastName, lastBytes) = files.last
+            var seq = 1
+            def put(p: Array[Byte]): Unit = {
+              writePacket(out, seq, p); seq += 1
+            }
+            put(Array(2.toByte)) // column count
+            put(columnDefPacket("File"))
+            put(columnDefPacket("Position"))
+            put(eofPacket)
+            put(textRowPacket(Seq(lastName, lastBytes.length.toString)))
+            put(eofPacket)
+          } else writePacket(out, 1,
+            errPacket(1064, s"unsupported fixture query: $sql"))
         case ComRegisterSlave =>
           decodeRegisterSlave(cmd) // validates the shape
           writePacket(out, 1, okPacket)
         case ComBinlogDump =>
           val d = decodeBinlogDump(cmd)
           stream(out, d.file, d.pos, GtidSet.Empty,
-            (d.flags & BinlogDumpNonBlock) != 0, idx, sock)
+            (d.flags & BinlogDumpNonBlock) != 0,
+            dumpCounter.getAndIncrement(), sock)
           streaming = false // a dump owns the connection to its end
         case ComBinlogDumpGtid =>
           val d = decodeBinlogDumpGtid(cmd)
           val file = if (d.file.isEmpty) files.head._1 else d.file
           stream(out, file, math.max(d.pos, 4L), d.gtids,
-            (d.flags & BinlogDumpNonBlock) != 0, idx, sock)
+            (d.flags & BinlogDumpNonBlock) != 0,
+            dumpCounter.getAndIncrement(), sock)
           streaming = false
         case other =>
           writePacket(out, 1, errPacket(1047, s"unknown command $other"))
@@ -179,7 +204,42 @@ final class BinlogFixtureServer(
       }
     }
     if (nonBlock) writePacket(out, seq, eofPacket)
-    // blocking mode would wait for more logs here; the fixture has none
+    else {
+      // blocking mode: a real primary waits for more log to appear and
+      // keeps the connection alive with HEARTBEAT events (the
+      // reference's heartbeat_interval=5, cdc_replicator.py:120-123) —
+      // header-only events whose body names the current file; the loop
+      // ends when the client hangs up (T9 graceful stop) or the
+      // fixture closes
+      val name = files.last._1.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)
+      val lastPos = files.last._2.length
+      // the dump's FDE declared the checksum algorithm for the whole
+      // stream, so heartbeats carry the CRC32 trailer too (alg is byte
+      // eventSize-5 of the FDE, which in these fixtures is at offset 4)
+      val fdeSize = ByteBuffer.wrap(files.head._2, 4 + 9, 4)
+        .order(ByteOrder.LITTLE_ENDIAN).getInt
+      val checksummed = files.head._2(4 + fdeSize - 5) == 1
+      val crcLen = if (checksummed) 4 else 0
+      val size = BinlogFormat.HeaderLen + name.length + crcLen
+      while (!closed) {
+        Thread.sleep(heartbeatMs)
+        val ev = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+        ev.putInt(0) // heartbeats carry no timestamp
+        ev.put(BinlogFormat.HeartbeatEvent.toByte)
+        ev.putInt(0)
+        ev.putInt(size)
+        ev.putInt(lastPos)
+        ev.putShort(0)
+        ev.put(name)
+        if (checksummed) {
+          val crc = new java.util.zip.CRC32()
+          crc.update(ev.array(), 0, size - 4)
+          ev.putInt(crc.getValue.toInt)
+        }
+        send(ev.array(), 0, size) // IOException on hangup ends us
+      }
+    }
   }
 
   override def close(): Unit = {

@@ -96,6 +96,7 @@ object BinlogFormat {
   val WriteRowsV2 = 0x1e
   val UpdateRowsV2 = 0x1f
   val DeleteRowsV2 = 0x20
+  val HeartbeatEvent = 0x1b // keepalive at log end; body = current file name
   val GtidEvent = 0x21
   val PreviousGtidsEvent = 0x23
   val PartialUpdateRowsV2 = 0x27 // 8.0 binlog_row_value_options=PARTIAL_JSON

@@ -62,8 +62,63 @@ final class BinlogSocketClient(
   def tailGtid(applied: GtidSet): TailResult =
     run("", 4L, applied, gtidDump = true)
 
+  /** BLOCKING tail — the reference's own mode (`blocking=True` +
+    * `heartbeat_interval`, `src/cdc_replicator.py:113-123`): at log end
+    * the primary holds the connection open and sends HEARTBEAT events
+    * (T10); the client counts them and stops GRACEFULLY (T9: hang up,
+    * return what was committed) once `stopWhen(nChanges, nHeartbeats)`
+    * holds — the injectable form of the reference's KeyboardInterrupt/
+    * shutdown-flag loop exit. */
+  def tailBlocking(fromFile: String, fromPos: Long = 4L)(
+      stopWhen: (Long, Long) => Boolean): TailResult =
+    run(fromFile, fromPos, GtidSet.Empty, gtidDump = false,
+      blocking = true, stopWhen = stopWhen)
+
+  /** The primary's current (file, position) via `SHOW MASTER STATUS` —
+    * how the reference picks its start point when no saved position
+    * exists (`_get_current_binlog_position`,
+    * `src/cdc_replicator.py:84-96`). */
+  def masterStatus(): (String, Long) = {
+    val rows = query("SHOW MASTER STATUS")
+    require(rows.nonEmpty, "SHOW MASTER STATUS returned no row — " +
+      "is the binlog enabled?") // the reference's own error message shape
+    (rows.head(0), rows.head(1).toLong)
+  }
+
+  /** One text-protocol query over a fresh connection (the session-query
+    * surface; the replication dump owns ITS connection to the end). */
+  def query(sql: String): Seq[Seq[String]] = {
+    val sock = new Socket()
+    try {
+      sock.connect(new InetSocketAddress(host, port), 5000)
+      sock.setSoTimeout(30000)
+      val in = new DataInputStream(sock.getInputStream)
+      val os = sock.getOutputStream
+      handshake(in, os)
+      writePacket(os, 0,
+        Array(ComQuery.toByte) ++ sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val first = readPacket(in).payload
+      if (isErr(first)) throw new IllegalStateException(errMessage(first))
+      val nCols = first(0) & 0xff // lenenc; session queries stay < 251
+      // column definitions, then EOF
+      var p = readPacket(in).payload
+      while (!isEof(p)) p = readPacket(in).payload
+      // rows until the trailing EOF
+      val rows = Seq.newBuilder[Seq[String]]
+      p = readPacket(in).payload
+      while (!isEof(p)) {
+        if (isErr(p)) throw new IllegalStateException(errMessage(p))
+        rows += parseTextRow(p, nCols)
+        p = readPacket(in).payload
+      }
+      rows.result()
+    } finally sock.close()
+  }
+
   private def run(fromFile: String, fromPos: Long, applied0: GtidSet,
-                  gtidDump: Boolean): TailResult = {
+                  gtidDump: Boolean, blocking: Boolean = false,
+                  stopWhen: (Long, Long) => Boolean = (_, _) => false)
+      : TailResult = {
     val out = Vector.newBuilder[BinlogFormat.RowChange]
     var appliedGtids = applied0
     var resumeFile = fromFile
@@ -72,6 +127,8 @@ final class BinlogSocketClient(
     var reconnects = 0 // total, reported for observability
     var failuresSinceProgress = 0 // the budget: consecutive, commit-reset
     var backoffMs = initialBackoffMs
+    var heartbeats = 0L
+    var nChanges = 0L
     var done = false
     while (!done) {
       val sock = new Socket()
@@ -82,11 +139,12 @@ final class BinlogSocketClient(
         val os = sock.getOutputStream
         handshake(in, os)
         command(in, os, encodeRegisterSlave(RegisterSlave(serverId, 0)))
+        val dumpFlags = if (blocking) 0 else BinlogDumpNonBlock
         val dump =
           if (gtidDump) encodeBinlogDumpGtid(BinlogDumpGtid(
-            BinlogDumpNonBlock, serverId, resumeFile, resumePos, appliedGtids))
+            dumpFlags, serverId, resumeFile, resumePos, appliedGtids))
           else encodeBinlogDump(BinlogDump(
-            resumePos, BinlogDumpNonBlock, serverId, resumeFile))
+            resumePos, dumpFlags, serverId, resumeFile))
         writePacket(os, 0, dump)
         val dec = new BinlogFormat.EventStreamDecoder
         while (!done) {
@@ -97,7 +155,8 @@ final class BinlogSocketClient(
             require(isOk(p), s"unexpected stream packet ${p.headOption}")
             dec.onEvent(p, 1, p.length - 1)
             val tpe = p(1 + 4) & 0xff
-            if (tpe == BinlogFormat.RotateEvent)
+            if (tpe == BinlogFormat.HeartbeatEvent) heartbeats += 1
+            else if (tpe == BinlogFormat.RotateEvent)
               currentFile = dec.nextFile.getOrElse(currentFile)
             else if (tpe == BinlogFormat.XidEvent ||
                 tpe == BinlogFormat.TransactionPayloadEvent) {
@@ -106,6 +165,7 @@ final class BinlogSocketClient(
               // so the payload packet is itself the commit boundary
               val batch = dec.drainCommitted()
               out ++= batch
+              nChanges += batch.size
               appliedGtids =
                 appliedGtids.union(GtidSet.fromGtids(batch.flatMap(_.gtid)))
               // resume offset: the commit event's end-log-pos in the
@@ -118,6 +178,9 @@ final class BinlogSocketClient(
               failuresSinceProgress = 0
               backoffMs = initialBackoffMs
             }
+            // graceful stop (T9): in blocking mode the stream never
+            // EOFs — the caller's predicate ends it, commits intact
+            if (blocking && stopWhen(nChanges, heartbeats)) done = true
           }
         }
       } catch {

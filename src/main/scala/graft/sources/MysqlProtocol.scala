@@ -53,6 +53,7 @@ object MysqlProtocol {
       ClientPluginAuth
 
   // command bytes
+  val ComQuery = 0x03
   val ComRegisterSlave = 0x15
   val ComBinlogDump = 0x12
   val ComBinlogDumpGtid = 0x1e
@@ -333,6 +334,67 @@ object MysqlProtocol {
     val g = new Array[Byte](gLen); b.get(g)
     BinlogDumpGtid(flags, serverId, new String(f, UTF_8), pos,
       GtidSet.fromWire(g))
+  }
+
+  // ---- text resultsets (COM_QUERY) ----
+  // The classic EOF-terminated text protocol (CLIENT_DEPRECATE_EOF is
+  // not negotiated): column-count packet, one column-definition packet
+  // per column, EOF, one lenenc-string row packet per row (0xfb = NULL),
+  // EOF. Enough for the session queries a replication client issues —
+  // the reference's SHOW MASTER STATUS position discovery
+  // (`src/cdc_replicator.py:84-96`).
+
+  /** Column-definition packet (protocol 4.1 layout) for a VAR_STRING
+    * column — the one shape SHOW-style resultsets need. */
+  def columnDefPacket(name: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def lenencStr(v: String): Unit = {
+      val b = v.getBytes(UTF_8)
+      require(b.length < 251, s"lenenc string too long: $v")
+      out.write(b.length); out.write(b, 0, b.length)
+    }
+    lenencStr("def"); lenencStr(""); lenencStr(""); lenencStr("")
+    lenencStr(name); lenencStr(name)
+    out.write(0x0c) // fixed-length fields length
+    out.write(0x21); out.write(0) // charset utf8
+    Seq(0, 1, 0, 0).foreach(out.write) // column length 256
+    out.write(253) // type: VAR_STRING
+    out.write(0); out.write(0) // flags
+    out.write(0) // decimals
+    out.write(0); out.write(0) // filler
+    out.toByteArray
+  }
+
+  /** One text-protocol row: lenenc string per value, 0xfb for NULL. */
+  def textRowPacket(values: Seq[String]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    values.foreach { v =>
+      if (v == null) out.write(0xfb)
+      else {
+        val b = v.getBytes(UTF_8)
+        require(b.length < 251, "fixture rows stay under the 1-byte lenenc")
+        out.write(b.length); out.write(b, 0, b.length)
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Parse a text-protocol row against `nCols`. */
+  def parseTextRow(payload: Array[Byte], nCols: Int): Seq[String] = {
+    val b = ByteBuffer.wrap(payload)
+    (0 until nCols).map { _ =>
+      val first = b.get() & 0xff
+      if (first == 0xfb) null
+      else {
+        val len = first match {
+          case x if x < 0xfb => x
+          case 0xfc => (b.get() & 0xff) | ((b.get() & 0xff) << 8)
+          case x => throw new IllegalStateException(s"bad row length byte $x")
+        }
+        val a = new Array[Byte](len); b.get(a)
+        new String(a, UTF_8)
+      }
+    }
   }
 
   // ---- primitives ----

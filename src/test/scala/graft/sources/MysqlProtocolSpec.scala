@@ -199,6 +199,34 @@ class MysqlProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("e2e: SHOW MASTER STATUS returns the primary's current position") {
+    withServer(twoFiles) { srv =>
+      val (file, pos) = client(srv).masterStatus()
+      assert(file == "sock-bin.000002" && pos == twoFiles.last._2.length)
+      // and the dump's own final resume offset agrees with it
+      val r = client(srv).tail("sock-bin.000001")
+      assert(r.file == file)
+      // unsupported session queries are refused, not mis-answered
+      val e = intercept[IllegalStateException](
+        client(srv).query("SELECT 1"))
+      assert(e.getMessage.contains("1064"))
+    }
+  }
+
+  test("e2e: blocking tail heartbeats at log end; graceful stop keeps " +
+      "every commit") {
+    withServer(twoFiles) { srv =>
+      // stop once everything committed AND >= 2 heartbeats arrived (the
+      // heartbeats only start after the last real event)
+      val r = client(srv).tailBlocking("sock-bin.000001")(
+        (changes, beats) => changes == 8 && beats >= 2)
+      assert(r.reconnects == 0)
+      assert(r.changes.map(_.after.get.head) == (1L to 8L))
+      assert(r.appliedGtids.render ==
+        "01020304-0506-0708-090a-0b0c0d0e0f10:1-8")
+    }
+  }
+
   test("e2e: a wrong password is refused with the documented ERR") {
     withServer(twoFiles) { srv =>
       val bad = new BinlogSocketClient("127.0.0.1", srv.port, "repl", "wrong")
