@@ -214,29 +214,31 @@ final class BinlogFixtureServer(
       val name = files.last._1.getBytes(
         java.nio.charset.StandardCharsets.UTF_8)
       val lastPos = files.last._2.length
-      // the dump's FDE declared the checksum algorithm for the whole
-      // stream, so heartbeats carry the CRC32 trailer too (alg is byte
-      // eventSize-5 of the FDE, which in these fixtures is at offset 4)
-      val fdeSize = ByteBuffer.wrap(files.head._2, 4 + 9, 4)
+      // THIS dump's FDE (the start file's — the one stream() re-sent)
+      // declared the checksum algorithm, so heartbeats carry the CRC32
+      // trailer iff it did (alg = byte eventSize-5 of the FDE at
+      // offset 4). The event is loop-invariant: build it once.
+      val startBytes = files(startIdx)._2
+      val fdeSize = ByteBuffer.wrap(startBytes, 4 + 9, 4)
         .order(ByteOrder.LITTLE_ENDIAN).getInt
-      val checksummed = files.head._2(4 + fdeSize - 5) == 1
+      val checksummed = startBytes(4 + fdeSize - 5) == 1
       val crcLen = if (checksummed) 4 else 0
       val size = BinlogFormat.HeaderLen + name.length + crcLen
+      val ev = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+      ev.putInt(0) // heartbeats carry no timestamp
+      ev.put(BinlogFormat.HeartbeatEvent.toByte)
+      ev.putInt(0)
+      ev.putInt(size)
+      ev.putInt(lastPos)
+      ev.putShort(0)
+      ev.put(name)
+      if (checksummed) {
+        val crc = new java.util.zip.CRC32()
+        crc.update(ev.array(), 0, size - 4)
+        ev.putInt(crc.getValue.toInt)
+      }
       while (!closed) {
         Thread.sleep(heartbeatMs)
-        val ev = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
-        ev.putInt(0) // heartbeats carry no timestamp
-        ev.put(BinlogFormat.HeartbeatEvent.toByte)
-        ev.putInt(0)
-        ev.putInt(size)
-        ev.putInt(lastPos)
-        ev.putShort(0)
-        ev.put(name)
-        if (checksummed) {
-          val crc = new java.util.zip.CRC32()
-          crc.update(ev.array(), 0, size - 4)
-          ev.putInt(crc.getValue.toInt)
-        }
         send(ev.array(), 0, size) // IOException on hangup ends us
       }
     }

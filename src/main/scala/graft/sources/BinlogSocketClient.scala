@@ -85,21 +85,34 @@ final class BinlogSocketClient(
     (rows.head(0), rows.head(1).toLong)
   }
 
+  /** Connect + authenticate: the shared front half of every
+    * conversation (dump and session query alike). */
+  private def connect(): (Socket, DataInputStream, java.io.OutputStream) = {
+    val sock = new Socket()
+    sock.connect(new InetSocketAddress(host, port), 5000)
+    sock.setSoTimeout(30000)
+    val in = new DataInputStream(sock.getInputStream)
+    val os = sock.getOutputStream
+    handshake(in, os)
+    (sock, in, os)
+  }
+
   /** One text-protocol query over a fresh connection (the session-query
     * surface; the replication dump owns ITS connection to the end). */
   def query(sql: String): Seq[Seq[String]] = {
-    val sock = new Socket()
+    val (sock, in, os) = connect()
     try {
-      sock.connect(new InetSocketAddress(host, port), 5000)
-      sock.setSoTimeout(30000)
-      val in = new DataInputStream(sock.getInputStream)
-      val os = sock.getOutputStream
-      handshake(in, os)
       writePacket(os, 0,
         Array(ComQuery.toByte) ++ sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val first = readPacket(in).payload
       if (isErr(first)) throw new IllegalStateException(errMessage(first))
-      val nCols = first(0) & 0xff // lenenc; session queries stay < 251
+      // only resultset replies are supported: a 1-byte lenenc column
+      // count (1..250). An OK (statement without a resultset) or a
+      // multi-byte count must fail loudly, not hang misparsing.
+      require(first.length == 1 && (first(0) & 0xff) >= 1 &&
+        (first(0) & 0xff) < 0xfb,
+        s"not a small-resultset reply to `$sql`: ${first.toSeq.take(4)}")
+      val nCols = first(0) & 0xff
       // column definitions, then EOF
       var p = readPacket(in).payload
       while (!isEof(p)) p = readPacket(in).payload
@@ -131,13 +144,10 @@ final class BinlogSocketClient(
     var nChanges = 0L
     var done = false
     while (!done) {
-      val sock = new Socket()
+      var sock: Socket = null
       try {
-        sock.connect(new InetSocketAddress(host, port), 5000)
-        sock.setSoTimeout(30000)
-        val in = new DataInputStream(sock.getInputStream)
-        val os = sock.getOutputStream
-        handshake(in, os)
+        val (sk, in, os) = connect()
+        sock = sk
         command(in, os, encodeRegisterSlave(RegisterSlave(serverId, 0)))
         val dumpFlags = if (blocking) 0 else BinlogDumpNonBlock
         val dump =
@@ -155,7 +165,14 @@ final class BinlogSocketClient(
             require(isOk(p), s"unexpected stream packet ${p.headOption}")
             dec.onEvent(p, 1, p.length - 1)
             val tpe = p(1 + 4) & 0xff
-            if (tpe == BinlogFormat.HeartbeatEvent) heartbeats += 1
+            if (tpe == BinlogFormat.HeartbeatEvent) {
+              heartbeats += 1
+              // a live, heartbeating connection is forward progress
+              // too: the budget caps CONSECUTIVE failures, and an idle
+              // primary must not turn it into a lifetime counter
+              failuresSinceProgress = 0
+              backoffMs = initialBackoffMs
+            }
             else if (tpe == BinlogFormat.RotateEvent)
               currentFile = dec.nextFile.getOrElse(currentFile)
             else if (tpe == BinlogFormat.XidEvent ||
@@ -199,7 +216,7 @@ final class BinlogSocketClient(
                 s"(last: ${e.getMessage})", e)
           Thread.sleep(backoffMs)
           backoffMs = math.min(backoffMs * 2, maxBackoffMs)
-      } finally sock.close()
+      } finally if (sock != null) sock.close()
     }
     TailResult(out.result(), reconnects, resumeFile, resumePos, appliedGtids)
   }
