@@ -38,8 +38,11 @@ import org.apache.spark.sql.types._
   * `src/cdc_replicator.py:157-212`): updates surface the AFTER image
   * (before-images discarded), deletes their BEFORE image, inserts their
   * AFTER image. Partial images (binlog_row_image=MINIMAL) surface absent
-  * columns as null — callers needing full images should run the source
-  * with FULL row images, like the reference.
+  * columns as null; `presentCol = true` additionally surfaces the
+  * columns-present bitmap, which is what
+  * [[graft.operators.MinimalImage.coalesce]] needs to MERGE minimal
+  * updates onto prior state instead of nulling untouched columns (the
+  * reference has no such apply and requires FULL row images).
   */
 object BinlogSource {
 

@@ -293,11 +293,27 @@ class BinlogFormatSpec extends AnyFunSuite {
       val c = typedBare.clone(); c(i) = (c(i) ^ x).toByte
       outcome(c); true
     }
-    Seq(truncate, corrupt, corruptBare, corruptTyped).foreach { p =>
-      val r = SCTest.check(SCTest.Parameters.default
-        .withMinSuccessfulTests(200), p)
-      assert(r.passed, r.status.toString)
+    // and the MINIMAL-image shape: the per-image present bitmaps add a
+    // second bitmap layer whose corruption must fail diagnosably too
+    val minimalBare = BinlogFixture.encode("d", "t", cols, txns = Seq(Seq(
+      Change.insert(IndexedSeq(1L, "a", 1.0, "p")),
+      Change.update(
+        IndexedSeq(1L, BinlogFixture.Absent, BinlogFixture.Absent,
+          BinlogFixture.Absent),
+        IndexedSeq(1L, BinlogFixture.Absent, 2.0, BinlogFixture.Absent)))),
+      checksum = false)
+    assert(outcome(minimalBare) == Right(2))
+    val corruptMinimal = Prop.forAll(Gen.choose(4, minimalBare.length - 1),
+      Gen.choose(1, 255)) { (i, x) =>
+      val c = minimalBare.clone(); c(i) = (c(i) ^ x).toByte
+      outcome(c); true
     }
+    Seq(truncate, corrupt, corruptBare, corruptTyped, corruptMinimal)
+      .foreach { p =>
+        val r = SCTest.check(SCTest.Parameters.default
+          .withMinSuccessfulTests(200), p)
+        assert(r.passed, r.status.toString)
+      }
   }
 
   /** Second hand-written golden vector: the widened type surface.
