@@ -1475,11 +1475,15 @@ object PipelineOps {
         .queryName(s"b9_apply_$table")
         .option("checkpointLocation", s"$ckp/$table")
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           val stamped = CdcTransform.stampBatch(batch.toDF(),
             opCol = "op", seqCol = "_seq", batchVersionMicros = 1L)
             .drop("op", "_tbl")
-          if (!s.catalog.tableExists(sink))
+          // batch 0 = the initial generation (CTAS — also what makes a
+          // re-run against a leftover catalog table, or a replay of a
+          // crashed first batch, idempotent: overwrite, never append
+          // onto stale data); later batches append
+          if (batchId == 0L)
             Bucketing.writeBucketedMulti(stamped, sink, keys, 8)
           else Bucketing.appendBucketedMulti(stamped, sink, keys, 8)
           ()
