@@ -35,12 +35,17 @@ final class BinlogFixtureServer(
     user: String,
     password: String,
     dropAfterEvents: Map[Int, Int] = Map.empty,
-    heartbeatMs: Long = 25L) extends AutoCloseable {
+    heartbeatMs: Long = 25L,
+    authPlugin: String = MysqlProtocol.NativePasswordPlugin,
+    advertisePlugin: Option[String] = None) extends AutoCloseable {
   import MysqlProtocol._
 
   require(files.nonEmpty, "a primary with no binlogs serves nothing")
+  require(Seq(NativePasswordPlugin, CachingSha2Plugin).contains(authPlugin),
+    s"unsupported auth plugin $authPlugin")
 
-  private val storedHash = doubleHash(password)
+  private val storedHash = doubleHash(password) // mysql_native double hash
+  private val sha2Cache = cachingSha2CacheEntry(password)
   private val server =
     new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
   @volatile private var closed = false
@@ -81,17 +86,42 @@ final class BinlogFixtureServer(
     val in = new DataInputStream(sock.getInputStream)
     val out = sock.getOutputStream
     val scramble = scrambleFor(idx)
+    // the handshake may advertise a DIFFERENT plugin than the user's
+    // row demands (a real 8.0 shape: default_authentication_plugin vs
+    // the account's) — the mismatch forces an AuthSwitchRequest
+    val advertised = advertisePlugin.getOrElse(authPlugin)
     writePacket(out, 0, encodeHandshake(Handshake(
       "8.0.99-graft-fixture", idx.toLong + 1, scramble,
-      ClientCapabilities, NativePasswordPlugin)))
+      ClientCapabilities, advertised)))
     val resp = decodeHandshakeResponse(readPacket(in).payload)
-    if (resp.user != user || resp.authPlugin != NativePasswordPlugin ||
-        !verifyNativePassword(storedHash, scramble, resp.token)) {
-      writePacket(out, 2, errPacket(1045,
+    var token = resp.token
+    var nonce = scramble
+    var seq = 2
+    if (resp.authPlugin != authPlugin) {
+      val nonce2 = scrambleFor(idx + 0x10000)
+      writePacket(out, seq, authSwitchPacket(authPlugin, nonce2))
+      val sw = readPacket(in)
+      token = sw.payload
+      nonce = nonce2
+      seq = sw.seq + 1
+    }
+    val authOk = resp.user == user && (authPlugin match {
+      case NativePasswordPlugin =>
+        verifyNativePassword(storedHash, nonce, token)
+      case _ => verifyCachingSha2(sha2Cache, nonce, token)
+    })
+    if (!authOk) {
+      writePacket(out, seq, errPacket(1045,
         s"Access denied for user '${resp.user}'"))
       return
     }
-    writePacket(out, 2, okPacket)
+    if (authPlugin == CachingSha2Plugin) {
+      // fast path: the cache held the entry (as on any real primary
+      // after one prior login); a cold cache would answer 0x01 0x04
+      writePacket(out, seq, fastAuthSuccessPacket)
+      seq += 1
+    }
+    writePacket(out, seq, okPacket)
     // command phase: each command restarts the sequence at 0
     var streaming = true
     while (streaming) {

@@ -221,16 +221,37 @@ final class BinlogSocketClient(
     TailResult(out.result(), reconnects, resumeFile, resumePos, appliedGtids)
   }
 
+  /** Authenticate with whichever plugin the server runs:
+    * mysql_native_password or caching_sha2_password (the 8.0 default,
+    * fast path), following an AuthSwitchRequest when the user's plugin
+    * differs from the handshake's advertised one — the full 8.0 login
+    * state machine short of cold-cache full auth (which needs TLS/RSA
+    * and fails loudly here). */
   private def handshake(in: DataInputStream, os: java.io.OutputStream): Unit = {
     val hs = decodeHandshake(readPacket(in).payload)
-    require(hs.authPlugin == NativePasswordPlugin,
-      s"unsupported auth plugin ${hs.authPlugin}")
     writePacket(os, 1, encodeHandshakeResponse(HandshakeResponse(
       ClientCapabilities, user,
-      nativePasswordToken(password, hs.scramble), NativePasswordPlugin)))
-    val resp = readPacket(in).payload
-    if (isErr(resp)) throw new IllegalStateException(errMessage(resp))
-    require(isOk(resp), "handshake did not end in OK")
+      authToken(hs.authPlugin, password, hs.scramble), hs.authPlugin)))
+    var done = false
+    while (!done) {
+      val pkt = readPacket(in)
+      val p = pkt.payload
+      if (isErr(p)) throw new IllegalStateException(errMessage(p))
+      else if (isOk(p)) done = true
+      else if (isAuthSwitch(p)) {
+        // the user's plugin differs from the advertised one: recompute
+        // against the switch's plugin + fresh nonce, answer raw
+        val (plugin, nonce) = decodeAuthSwitch(p)
+        writePacket(os, pkt.seq + 1, authToken(plugin, password, nonce))
+      }
+      else if (isAuthMoreData(p))
+        require(isFastAuthSuccess(p),
+          "server demands full caching_sha2 auth (cold cache) — that " +
+            "path needs TLS or the server RSA key; warm the cache or " +
+            "use mysql_native_password")
+      else throw new IllegalStateException(
+        s"unexpected auth packet lead ${p.headOption}")
+    }
   }
 
   /** Send one command and require its OK (sequence restarts at 0). */

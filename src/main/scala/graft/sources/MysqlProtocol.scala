@@ -46,6 +46,7 @@ object MysqlProtocol {
   val ClientSecureConnection = 0x8000L
   val ClientPluginAuth = 0x80000L
   val NativePasswordPlugin = "mysql_native_password"
+  val CachingSha2Plugin = "caching_sha2_password" // the 8.0 default
 
   /** The flags our client sends and the fixture server requires. */
   val ClientCapabilities: Long =
@@ -121,6 +122,84 @@ object MysqlProtocol {
       val h1 = xor(token, sha1(scramble, storedDoubleHash))
       java.util.Arrays.equals(sha1(h1), storedDoubleHash)
     }
+
+  // ---- caching_sha2_password (the 8.0 default) ----
+  // Fast path only: the scramble exchange against the server's cache
+  // entry. The full-auth fallback (AuthMoreData 0x04) requires TLS or
+  // the server's RSA key and only fires on a cold cache — the fixture
+  // primary always holds the entry, like a real primary after any prior
+  // login; a cold-cache reply fails loudly rather than pretending.
+
+  private def sha256(parts: Array[Byte]*): Array[Byte] = {
+    val md = MessageDigest.getInstance("SHA-256")
+    parts.foreach(md.update)
+    md.digest()
+  }
+
+  /** The server's auth cache entry: SHA256(SHA256(password)). */
+  def cachingSha2CacheEntry(password: String): Array[Byte] =
+    sha256(sha256(password.getBytes(UTF_8)))
+
+  /** Client token: SHA256(pw) XOR SHA256(SHA256(SHA256(pw)) ++ nonce) —
+    * note the hash-of-hash comes FIRST in the concat, the reverse of
+    * mysql_native_password's order. */
+  def cachingSha2Token(password: String, nonce: Array[Byte]): Array[Byte] = {
+    require(nonce.length == 20, s"nonce must be 20 bytes, got ${nonce.length}")
+    if (password.isEmpty) Array.empty
+    else {
+      val h1 = sha256(password.getBytes(UTF_8))
+      xor(h1, sha256(sha256(h1), nonce))
+    }
+  }
+
+  /** Server-side fast-path check: token XOR SHA256(cache ++ nonce)
+    * recovers SHA256(pw), whose SHA256 must equal the cache entry. */
+  def verifyCachingSha2(cacheEntry: Array[Byte], nonce: Array[Byte],
+                        token: Array[Byte]): Boolean =
+    token.length == 32 && {
+      val h1 = xor(token, sha256(cacheEntry, nonce))
+      java.util.Arrays.equals(sha256(h1), cacheEntry)
+    }
+
+  /** The token for whichever plugin the server named. */
+  def authToken(plugin: String, password: String,
+                nonce: Array[Byte]): Array[Byte] = plugin match {
+    case NativePasswordPlugin => nativePasswordToken(password, nonce)
+    case CachingSha2Plugin    => cachingSha2Token(password, nonce)
+    case p => throw new IllegalStateException(s"unsupported auth plugin $p")
+  }
+
+  // ---- auth continuation packets ----
+
+  /** AuthSwitchRequest: 0xfe + plugin name NUL + new auth data. Shares
+    * its lead byte with EOF; disambiguated by length (EOF < 9 bytes). */
+  def authSwitchPacket(plugin: String, nonce: Array[Byte]): Array[Byte] = {
+    val p = plugin.getBytes(UTF_8)
+    val b = ByteBuffer.allocate(1 + p.length + 1 + nonce.length + 1)
+    b.put(0xfe.toByte).put(p).put(0.toByte).put(nonce).put(0.toByte)
+    b.array()
+  }
+
+  def isAuthSwitch(p: Array[Byte]): Boolean =
+    p.length >= 9 && (p(0) & 0xff) == 0xfe
+
+  /** (plugin name, auth data) of an AuthSwitchRequest; the trailing NUL
+    * on the data is stripped. */
+  def decodeAuthSwitch(payload: Array[Byte]): (String, Array[Byte]) = {
+    val b = ByteBuffer.wrap(payload)
+    b.get() // 0xfe
+    val plugin = nulStr(b)
+    val data = new Array[Byte](b.remaining()); b.get(data)
+    (plugin, if (data.nonEmpty && data.last == 0) data.dropRight(1) else data)
+  }
+
+  /** AuthMoreData (0x01 lead): caching_sha2's fast-auth verdict. */
+  def fastAuthSuccessPacket: Array[Byte] = Array[Byte](1, 3)
+  def fullAuthRequiredPacket: Array[Byte] = Array[Byte](1, 4)
+  def isAuthMoreData(p: Array[Byte]): Boolean =
+    p.length == 2 && p(0) == 1
+  def isFastAuthSuccess(p: Array[Byte]): Boolean =
+    isAuthMoreData(p) && p(1) == 3
 
   // ---- handshake ----
 

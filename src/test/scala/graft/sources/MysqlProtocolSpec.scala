@@ -34,6 +34,32 @@ class MysqlProtocolSpec extends AnyFunSuite {
     assert(nativePasswordToken("", scramble20).isEmpty)
   }
 
+  test("golden caching_sha2_password vectors (independently computed)") {
+    // python hashlib: SHA256(pw)=891c..., cache entry SHA256(SHA256(pw)),
+    // token = SHA256(pw) XOR SHA256(cache ++ nonce) for nonce 01..14
+    val tok = cachingSha2Token("graft-secret", scramble20)
+    assert(tok.map(b => f"${b & 0xff}%02x").mkString ==
+      "23a7949199ae281811ed8e3cfb6ed19632b0885239fcee31a7ef053433ff111a")
+    assert(cachingSha2CacheEntry("graft-secret")
+      .map(b => f"${b & 0xff}%02x").mkString ==
+      "00ed1a1e17ac259e84cf13a741c8004dcbb3d6350c735afddc75cdb1dba4a662")
+    assert(verifyCachingSha2(
+      cachingSha2CacheEntry("graft-secret"), scramble20, tok))
+    val bad = tok.clone(); bad(7) = (bad(7) ^ 1).toByte
+    assert(!verifyCachingSha2(
+      cachingSha2CacheEntry("graft-secret"), scramble20, bad))
+    assert(!verifyCachingSha2(
+      cachingSha2CacheEntry("other"), scramble20, tok))
+    // auth-continuation packet shapes
+    val sw = authSwitchPacket(CachingSha2Plugin, scramble20)
+    assert(isAuthSwitch(sw) && !isEof(sw)) // longer than an EOF packet
+    val (plugin, nonce) = decodeAuthSwitch(sw)
+    assert(plugin == CachingSha2Plugin && nonce.toSeq == scramble20.toSeq)
+    assert(isFastAuthSuccess(fastAuthSuccessPacket))
+    assert(isAuthMoreData(fullAuthRequiredPacket) &&
+      !isFastAuthSuccess(fullAuthRequiredPacket))
+  }
+
   test("golden handshake v10 packet decodes field by field") {
     // hand-composed: proto 10, version "8.0.x" NUL, thread id 7,
     // scramble part1 = 01..08, filler, caps low 0x8201, charset 0x21,
@@ -233,6 +259,34 @@ class MysqlProtocolSpec extends AnyFunSuite {
       val e = intercept[IllegalStateException](bad.tail("sock-bin.000001"))
       assert(e.getMessage.contains("Access denied"))
     }
+  }
+
+  test("e2e: caching_sha2_password fast path authenticates and tails") {
+    val srv = new BinlogFixtureServer(twoFiles, "repl", "graft-secret",
+      authPlugin = MysqlProtocol.CachingSha2Plugin)
+    try {
+      val r = client(srv).tail("sock-bin.000001")
+      assert(r.changes.map(_.after.get.head) == (1L to 8L))
+      val bad = new BinlogSocketClient("127.0.0.1", srv.port, "repl", "wrong")
+      val e = intercept[IllegalStateException](bad.tail("sock-bin.000001"))
+      assert(e.getMessage.contains("Access denied"))
+    } finally srv.close()
+  }
+
+  test("e2e: AuthSwitchRequest re-authenticates under the demanded plugin") {
+    // the handshake advertises mysql_native_password but the account
+    // runs caching_sha2: the server switches, the client recomputes
+    // against the switch's fresh nonce, and the tail proceeds
+    val srv = new BinlogFixtureServer(twoFiles, "repl", "graft-secret",
+      authPlugin = MysqlProtocol.CachingSha2Plugin,
+      advertisePlugin = Some(MysqlProtocol.NativePasswordPlugin))
+    try {
+      val r = client(srv).tail("sock-bin.000001")
+      assert(r.changes.map(_.after.get.head) == (1L to 8L))
+      val bad = new BinlogSocketClient("127.0.0.1", srv.port, "repl", "wrong")
+      val e = intercept[IllegalStateException](bad.tail("sock-bin.000001"))
+      assert(e.getMessage.contains("Access denied"))
+    } finally srv.close()
   }
 
   test("e2e: an unknown dump file is refused with error 1236") {
