@@ -12,8 +12,8 @@ import java.util.zip.CRC32
   * stream carries exactly the events of the binlog FILE format (each
   * stream packet is one file-format event behind a 1-byte OK header), so
   * parsing the file format IS the event-decode half of the reference's
-  * binlog client; only the socket/handshake half stays environment-blocked
-  * (no MySQL in the sandbox — see COVERAGE.md).
+  * binlog client; the socket/handshake half is [[BinlogSocketClient]] +
+  * [[MysqlProtocol]], feeding this decoder one event per packet (t38).
   *
   * Layout implemented from the PUBLIC format description (MySQL
   * Internals manual, "Binary log versions" / "Row Based Replication"):
