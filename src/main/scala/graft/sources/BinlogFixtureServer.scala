@@ -43,6 +43,10 @@ final class BinlogFixtureServer(
   require(files.nonEmpty, "a primary with no binlogs serves nothing")
   require(Seq(NativePasswordPlugin, CachingSha2Plugin).contains(authPlugin),
     s"unsupported auth plugin $authPlugin")
+  // the verifiers reject the protocol's empty-password empty token (a
+  // replication account without a password is a misconfiguration, not a
+  // test shape) — fail at construction, not with a confusing 1045
+  require(password.nonEmpty, "fixture accounts need a password")
 
   private val storedHash = doubleHash(password) // mysql_native double hash
   private val sha2Cache = cachingSha2CacheEntry(password)

@@ -233,6 +233,7 @@ final class BinlogSocketClient(
       ClientCapabilities, user,
       authToken(hs.authPlugin, password, hs.scramble), hs.authPlugin)))
     var done = false
+    var switched = false
     while (!done) {
       val pkt = readPacket(in)
       val p = pkt.payload
@@ -240,7 +241,11 @@ final class BinlogSocketClient(
       else if (isOk(p)) done = true
       else if (isAuthSwitch(p)) {
         // the user's plugin differs from the advertised one: recompute
-        // against the switch's plugin + fresh nonce, answer raw
+        // against the switch's plugin + fresh nonce, answer raw. The
+        // protocol allows at most ONE switch — a second is a broken
+        // (or hostile) server, not a loop to follow
+        require(!switched, "server requested a second auth switch")
+        switched = true
         val (plugin, nonce) = decodeAuthSwitch(p)
         writePacket(os, pkt.seq + 1, authToken(plugin, password, nonce))
       }

@@ -258,20 +258,18 @@ class BinlogFormatSpec extends AnyFunSuite {
       // a prefix of a valid file can never yield MORE committed rows
       outcome(full.take(k)).forall(_ <= total)
     }
-    val corrupt = Prop.forAll(Gen.choose(4, full.length - 1),
-      Gen.choose(1, 255)) { (i, x) =>
-      val c = full.clone(); c(i) = (c(i) ^ x).toByte
-      outcome(c); true
-    }
+    def flipProp(bytes: Array[Byte]): Prop =
+      Prop.forAll(Gen.choose(4, bytes.length - 1), Gen.choose(1, 255)) {
+        (i, x) =>
+          val c = bytes.clone(); c(i) = (c(i) ^ x).toByte
+          outcome(c); true
+      }
+    val corrupt = flipProp(full)
     // the non-checksummed shape has no CRC to catch flips first — the
     // parser's own bounds guards must hold on their own
     val bare = BinlogFixture.encode("d", "t", cols, txns = Seq(
       Seq(Change.insert(IndexedSeq(1L, "a", 1.0, "p")))), checksum = false)
-    val corruptBare = Prop.forAll(Gen.choose(4, bare.length - 1),
-      Gen.choose(1, 255)) { (i, x) =>
-      val c = bare.clone(); c(i) = (c(i) ^ x).toByte
-      outcome(c); true
-    }
+    val corruptBare = flipProp(bare)
     // and the TYPED surface: every r13 codec (decimal groups, date
     // fields, fsp fractions, enum dictionary, bit/blob lengths) must
     // fail diagnosably under any single-byte flip, CRCs off
@@ -288,11 +286,7 @@ class BinlogFormatSpec extends AnyFunSuite {
         "05:06:07", 2021.toShort, "y", 0xABCL, "xy".getBytes)))),
       checksum = false)
     assert(outcome(typedBare) == Right(1)) // the uncorrupted baseline
-    val corruptTyped = Prop.forAll(Gen.choose(4, typedBare.length - 1),
-      Gen.choose(1, 255)) { (i, x) =>
-      val c = typedBare.clone(); c(i) = (c(i) ^ x).toByte
-      outcome(c); true
-    }
+    val corruptTyped = flipProp(typedBare)
     // and the MINIMAL-image shape: the per-image present bitmaps add a
     // second bitmap layer whose corruption must fail diagnosably too
     val minimalBare = BinlogFixture.encode("d", "t", cols, txns = Seq(Seq(
@@ -303,11 +297,7 @@ class BinlogFormatSpec extends AnyFunSuite {
         IndexedSeq(1L, BinlogFixture.Absent, 2.0, BinlogFixture.Absent)))),
       checksum = false)
     assert(outcome(minimalBare) == Right(2))
-    val corruptMinimal = Prop.forAll(Gen.choose(4, minimalBare.length - 1),
-      Gen.choose(1, 255)) { (i, x) =>
-      val c = minimalBare.clone(); c(i) = (c(i) ^ x).toByte
-      outcome(c); true
-    }
+    val corruptMinimal = flipProp(minimalBare)
     Seq(truncate, corrupt, corruptBare, corruptTyped, corruptMinimal)
       .foreach { p =>
         val r = SCTest.check(SCTest.Parameters.default
