@@ -1058,9 +1058,11 @@ object PipelineOps {
     * persisted per micro-batch, the way a replica persists
     * `gtid_executed`. Phase A tails server A's log through the full
     * checkpointed pipeline with [[graft.sources.BinlogSource.GtidTracker]]
-    * riding `onBatch` (the RotateChainGuard seam): after every drained
-    * batch the applied [[graft.sources.GtidSet]] is atomically rewritten
-    * next to the checkpoint. Then A "crashes": phase B is a NEW stream —
+    * riding `onBatchApplied` (the POST-write seam — deliberately not the
+    * pre-write RotateChainGuard seam, where a crash between persist and
+    * write would durably claim transactions whose rows never landed):
+    * after every APPLIED batch the applied [[graft.sources.GtidSet]] is
+    * atomically rewritten next to the checkpoint. Then A "crashes": phase B is a NEW stream —
     * new landing dir, new checkpoint, because the promoted replica B's
     * (file, pos) offsets share nothing with A's — whose only inheritance
     * is the persisted set, passed as `changesStream(skipGtids)`. B's log

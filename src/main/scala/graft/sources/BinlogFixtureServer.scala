@@ -37,7 +37,20 @@ final class BinlogFixtureServer(
     dropAfterEvents: Map[Int, Int] = Map.empty,
     heartbeatMs: Long = 25L,
     authPlugin: String = MysqlProtocol.NativePasswordPlugin,
-    advertisePlugin: Option[String] = None) extends AutoCloseable {
+    advertisePlugin: Option[String] = None,
+    // cold cache: the caching_sha2 entry is EMPTY until one successful
+    // full auth (a fresh 8.0 primary after restart) — the first login
+    // must complete the RSA exchange; the success populates the cache
+    // and later logins take the fast path, exactly the real lifecycle
+    sha2ColdCache: Boolean = false,
+    // 8.4 removed `SHOW MASTER STATUS` (renamed `SHOW BINARY LOG
+    // STATUS`); a fixture constructed with the new spelling answers
+    // ONLY it, erroring on the old form like a real 8.4 server
+    masterStatusSpelling: String = "SHOW MASTER STATUS",
+    // real checksum-enabled primaries refuse a dump from a session that
+    // never issued `SET @master_binlog_checksum = …`; off reproduces
+    // old lenient servers for the pre-negotiation tests
+    demandChecksumNegotiation: Boolean = true) extends AutoCloseable {
   import MysqlProtocol._
 
   require(files.nonEmpty, "a primary with no binlogs serves nothing")
@@ -50,17 +63,53 @@ final class BinlogFixtureServer(
 
   private val storedHash = doubleHash(password) // mysql_native double hash
   private val sha2Cache = cachingSha2CacheEntry(password)
+  @volatile private var sha2CacheWarm = !sha2ColdCache
+  // the RSA pair a real server generates at startup (--sha256-password-
+  // auto-generate-rsa-keys); built lazily — only cold-cache runs pay it
+  private lazy val rsaKeys: java.security.KeyPair = {
+    val g = java.security.KeyPairGenerator.getInstance("RSA")
+    g.initialize(2048)
+    g.generateKeyPair()
+  }
   private val server =
     new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
   @volatile private var closed = false
   private val connCounter = new AtomicInteger(0)
   private val dumpCounter = new AtomicInteger(0)
+  private val fastAuthCounter = new AtomicInteger(0)
+  private val fullAuthCounter = new AtomicInteger(0)
+  // a binlog only ever GROWS: `visibleLen` is the byte length each file
+  // currently exposes to status queries and dumps, so a test can place
+  // a masterStatus() capture BETWEEN two write waves (truncate, capture,
+  // reveal = "writes landed after the capture") — the o21 topology shape
+  @volatile private var visibleLen: Map[String, Int] =
+    files.map { case (n, b) => n -> b.length }.toMap
 
   /** The ephemeral port the fixture listens on. */
   def port: Int = server.getLocalPort
 
   /** Connections accepted so far (t38 REQUIREs the reconnect happened). */
   def connections: Int = connCounter.get()
+
+  /** caching_sha2 fast-path logins served (cache hits). */
+  def fastAuths: Int = fastAuthCounter.get()
+
+  /** caching_sha2 FULL (RSA) logins served — cold-cache bootstraps. */
+  def fullAuths: Int = fullAuthCounter.get()
+
+  /** Expose only the first `len` bytes of `file` (must cut on an event
+    * boundary — callers derive it from an encode() prefix). */
+  def truncate(file: String, len: Int): Unit = {
+    val full = files.find(_._1 == file)
+      .getOrElse(throw new IllegalArgumentException(s"no such file $file"))._2
+    require(len >= 4 && len <= full.length, s"bad visible length $len")
+    visibleLen += file -> len
+  }
+
+  /** Restore `file`'s full length — the truncated tail "lands" as new
+    * writes; subsequent status queries and dumps see it. */
+  def reveal(file: String): Unit =
+    visibleLen += file -> files.find(_._1 == file).get._2.length
 
   private val acceptor = new Thread(() => acceptLoop(), "binlog-fixture-server")
   acceptor.setDaemon(true)
@@ -109,25 +158,54 @@ final class BinlogFixtureServer(
       nonce = nonce2
       seq = sw.seq + 1
     }
-    val authOk = resp.user == user && (authPlugin match {
+    val authOk = authPlugin match {
       case NativePasswordPlugin =>
-        verifyNativePassword(storedHash, nonce, token)
-      case _ => verifyCachingSha2(sha2Cache, nonce, token)
-    })
+        resp.user == user && verifyNativePassword(storedHash, nonce, token)
+      case _ if sha2CacheWarm =>
+        // fast path: the cache holds the entry (any primary after one
+        // prior successful login)
+        val ok = resp.user == user && verifyCachingSha2(sha2Cache, nonce, token)
+        if (ok) {
+          writePacket(out, seq, fastAuthSuccessPacket)
+          seq += 1
+          fastAuthCounter.getAndIncrement()
+          ()
+        }
+        ok
+      case _ =>
+        // COLD cache: the scramble token is unverifiable (the server
+        // holds only the mysql.user crypt hash, not the cache entry) —
+        // demand full authentication: 0x01 0x04, then the RSA exchange
+        writePacket(out, seq, fullAuthRequiredPacket)
+        val req = readPacket(in)
+        if (isPublicKeyRequest(req.payload)) {
+          writePacket(out, req.seq + 1,
+            publicKeyPacket(pemPublicKey(rsaKeys.getPublic)))
+          val enc = readPacket(in)
+          seq = enc.seq + 1
+          val ok = resp.user == user &&
+            (try rsaDecryptPassword(rsaKeys.getPrivate, enc.payload, nonce) ==
+              password
+            catch { case _: Exception => false })
+          if (ok) {
+            // the successful full auth POPULATES the cache — the next
+            // login takes the fast path, the real server lifecycle
+            sha2CacheWarm = true
+            fullAuthCounter.getAndIncrement()
+            ()
+          }
+          ok
+        } else { seq = req.seq + 1; false }
+    }
     if (!authOk) {
       writePacket(out, seq, errPacket(1045,
         s"Access denied for user '${resp.user}'"))
       return
     }
-    if (authPlugin == CachingSha2Plugin) {
-      // fast path: the cache held the entry (as on any real primary
-      // after one prior login); a cold cache would answer 0x01 0x04
-      writePacket(out, seq, fastAuthSuccessPacket)
-      seq += 1
-    }
     writePacket(out, seq, okPacket)
     // command phase: each command restarts the sequence at 0
     var streaming = true
+    var checksumNegotiated = false // per-SESSION, like the real variable
     while (streaming) {
       val cmd = readPacket(in).payload
       require(cmd.nonEmpty, "empty command packet")
@@ -135,21 +213,26 @@ final class BinlogFixtureServer(
         case ComQuery =>
           // the session-query surface a replication client needs: the
           // reference discovers its start position with SHOW MASTER
-          // STATUS (`src/cdc_replicator.py:84-96`)
+          // STATUS (`src/cdc_replicator.py:84-96`); 8.4 spells it SHOW
+          // BINARY LOG STATUS and errors on the old form
           val sql = new String(cmd, 1, cmd.length - 1,
             java.nio.charset.StandardCharsets.UTF_8).trim
-          if (sql.equalsIgnoreCase("SHOW MASTER STATUS")) {
-            val (lastName, lastBytes) = files.last
+          if (sql.equalsIgnoreCase(masterStatusSpelling)) {
+            val lastName = files.last._1
             var seq = 1
             def put(p: Array[Byte]): Unit = {
-              writePacket(out, seq, p); seq += 1
+              seq = writePacket(out, seq, p)
             }
             put(Array(2.toByte)) // column count
             put(columnDefPacket("File"))
             put(columnDefPacket("Position"))
             put(eofPacket)
-            put(textRowPacket(Seq(lastName, lastBytes.length.toString)))
+            put(textRowPacket(Seq(lastName, visibleLen(lastName).toString)))
             put(eofPacket)
+          } else if (sql.toUpperCase.startsWith("SET @MASTER_BINLOG_CHECKSUM")) {
+            // the replication client declaring it handles CRC32 trailers
+            checksumNegotiated = true
+            writePacket(out, 1, okPacket)
           } else writePacket(out, 1,
             errPacket(1064, s"unsupported fixture query: $sql"))
         case ComRegisterSlave =>
@@ -159,14 +242,14 @@ final class BinlogFixtureServer(
           val d = decodeBinlogDump(cmd)
           stream(out, d.file, d.pos, GtidSet.Empty,
             (d.flags & BinlogDumpNonBlock) != 0,
-            dumpCounter.getAndIncrement(), sock)
+            dumpCounter.getAndIncrement(), sock, checksumNegotiated)
           streaming = false // a dump owns the connection to its end
         case ComBinlogDumpGtid =>
           val d = decodeBinlogDumpGtid(cmd)
           val file = if (d.file.isEmpty) files.head._1 else d.file
           stream(out, file, math.max(d.pos, 4L), d.gtids,
             (d.flags & BinlogDumpNonBlock) != 0,
-            dumpCounter.getAndIncrement(), sock)
+            dumpCounter.getAndIncrement(), sock, checksumNegotiated)
           streaming = false
         case other =>
           writePacket(out, 1, errPacket(1047, s"unknown command $other"))
@@ -181,11 +264,24 @@ final class BinlogFixtureServer(
     * later event, which is why real primaries re-send it too. */
   private def stream(out: OutputStream, file: String, pos: Long,
                      skip: GtidSet, nonBlock: Boolean, idx: Int,
-                     sock: Socket): Unit = {
+                     sock: Socket, checksumNegotiated: Boolean): Unit = {
     val startIdx = files.indexWhere(_._1 == file)
     if (startIdx < 0) {
       writePacket(out, 1, errPacket(1236,
         s"Could not find first log file name in binary log index file: $file"))
+      return
+    }
+    // a checksummed log (FDE alg byte = 1) demands the session SET first
+    // — the real server's refusal, verbatim error text (8.0 spelling)
+    val startBytes0 = files(startIdx)._2
+    val fdeSize0 = ByteBuffer.wrap(startBytes0, 4 + 9, 4)
+      .order(ByteOrder.LITTLE_ENDIAN).getInt
+    if (demandChecksumNegotiation && startBytes0(4 + fdeSize0 - 5) == 1 &&
+        !checksumNegotiated) {
+      writePacket(out, 1, errPacket(1236,
+        "Replica can not handle replication events with the checksum " +
+          "that source is configured to log; the first event " +
+          s"'$file' at 4, the last event read from './$file'"))
       return
     }
     var seq = 1
@@ -200,23 +296,27 @@ final class BinlogFixtureServer(
       val p = new Array[Byte](size + 1)
       p(0) = 0 // OK byte prefixing every event packet
       System.arraycopy(bytes, off, p, 1, size)
-      writePacket(out, seq, p)
-      seq = (seq + 1) & 0xff
+      // an oversized event (16 MiB LONGBLOB row) spans continuation
+      // packets — writePacket chunks it and returns the next seq
+      seq = writePacket(out, seq, p)
       sent += 1
     }
     (startIdx until files.size).foreach { fi =>
       val bytes = files(fi)._2
+      // serve only the currently VISIBLE prefix — the log as of "now"
+      // (a truncated tail is writes that have not landed yet)
+      val visEnd = visibleLen(files(fi)._1)
       require(bytes.length >= 4, s"fixture file ${files(fi)._1} too short")
       var off = 4
       var suppress = false
-      while (off < bytes.length) {
-        require(bytes.length - off >= BinlogFormat.HeaderLen,
+      while (off < visEnd) {
+        require(visEnd - off >= BinlogFormat.HeaderLen,
           s"truncated fixture event at $off")
         val tpe = bytes(off + 4) & 0xff
         val size = ByteBuffer.wrap(bytes, off + 9, 4)
           .order(ByteOrder.LITTLE_ENDIAN).getInt
-        require(size >= BinlogFormat.HeaderLen && size <= bytes.length - off,
-          s"fixture event at $off overruns file (size=$size)")
+        require(size >= BinlogFormat.HeaderLen && size <= visEnd - off,
+          s"fixture event at $off overruns the visible log (size=$size)")
         val isFde = tpe == BinlogFormat.FormatDescriptionEvent
         if (tpe == BinlogFormat.GtidEvent && !skip.isEmpty) {
           // body: flags1, sid16, gno8 — enough to decide the skip
@@ -247,7 +347,7 @@ final class BinlogFixtureServer(
       // fixture closes
       val name = files.last._1.getBytes(
         java.nio.charset.StandardCharsets.UTF_8)
-      val lastPos = files.last._2.length
+      val lastPos = visibleLen(files.last._1)
       // THIS dump's FDE (the start file's — the one stream() re-sent)
       // declared the checksum algorithm, so heartbeats carry the CRC32
       // trailer iff it did (alg = byte eventSize-5 of the FDE at

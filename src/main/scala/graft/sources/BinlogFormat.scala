@@ -1155,18 +1155,21 @@ object GtidSet {
     val nSids = b.getLong()
     require(nSids >= 0 && nSids <= bytes.length / 24,
       s"gtid set sid count $nSids overruns its ${bytes.length} bytes")
-    GtidSet((0L until nSids).flatMap { _ =>
+    (0L until nSids).foldLeft(Empty) { (acc, _) =>
       val sid = new Array[Byte](16); b.get(sid)
       val nIv = b.getLong()
-      require(nIv >= 0 && nIv * 16 <= b.remaining(),
+      // divide, don't multiply: nIv * 16 can Long-overflow past the check
+      require(nIv >= 0 && nIv <= b.remaining() / 16,
         s"gtid interval count $nIv overruns the set")
       val ivs = (0L until nIv).flatMap { _ =>
         val lo = b.getLong(); val hiEx = b.getLong()
         if (hiEx <= lo) None else Some((lo, hiEx - 1))
       }.toIndexedSeq.sortBy(_._1)
-      if (ivs.isEmpty) None
-      else Some(BinlogFormat.uuidStr(sid) -> ivs)
-    }.toMap)
+      // union (not toMap) so a wire set repeating a sid MERGES its
+      // intervals instead of last-wins dropping the earlier ones
+      if (ivs.isEmpty) acc
+      else acc.union(GtidSet(Map(BinlogFormat.uuidStr(sid) -> ivs)))
+    }
   }
 
   /** Parse the canonical display form ([[BinlogFormat.parseGtidSet]]'s

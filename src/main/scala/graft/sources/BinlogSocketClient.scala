@@ -45,7 +45,12 @@ final class BinlogSocketClient(
     serverId: Long = 100L, // the reference's server_id (cdc_replicator.py:112)
     maxReconnects: Int = 5,
     initialBackoffMs: Long = 10L,
-    maxBackoffMs: Long = 500L) {
+    maxBackoffMs: Long = 500L,
+    // checksum negotiation: a checksum-enabled primary REFUSES a dump
+    // from a session that never declared it can handle CRC32 trailers.
+    // Off exists only to prove that refusal in tests — production tails
+    // always negotiate (pymysql-replication sends the same SET on connect)
+    negotiateChecksum: Boolean = true) {
   import MysqlProtocol._
 
   import BinlogSocketClient.TailResult
@@ -77,9 +82,18 @@ final class BinlogSocketClient(
   /** The primary's current (file, position) via `SHOW MASTER STATUS` —
     * how the reference picks its start point when no saved position
     * exists (`_get_current_binlog_position`,
-    * `src/cdc_replicator.py:84-96`). */
+    * `src/cdc_replicator.py:84-96`). 8.4 removed that spelling
+    * (renamed `SHOW BINARY LOG STATUS`), so a server error on the old
+    * form falls through to the new one — both return (File, Position)
+    * leading columns. */
   def masterStatus(): (String, Long) = {
-    val rows = query("SHOW MASTER STATUS")
+    val rows =
+      try query("SHOW MASTER STATUS")
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.startsWith("MySQL error") =>
+          query("SHOW BINARY LOG STATUS")
+      }
     require(rows.nonEmpty, "SHOW MASTER STATUS returned no row — " +
       "is the binlog enabled?") // the reference's own error message shape
     (rows.head(0), rows.head(1).toLong)
@@ -148,6 +162,12 @@ final class BinlogSocketClient(
       try {
         val (sk, in, os) = connect()
         sock = sk
+        // declare checksum capability BEFORE the dump — a
+        // checksum-enabled primary refuses/garbles the stream otherwise
+        // (the session SET every replication client issues on connect)
+        if (negotiateChecksum) command(in, os, Array(ComQuery.toByte) ++
+          "SET @master_binlog_checksum = @@global.binlog_checksum"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         command(in, os, encodeRegisterSlave(RegisterSlave(serverId, 0)))
         val dumpFlags = if (blocking) 0 else BinlogDumpNonBlock
         val dump =
@@ -222,16 +242,20 @@ final class BinlogSocketClient(
   }
 
   /** Authenticate with whichever plugin the server runs:
-    * mysql_native_password or caching_sha2_password (the 8.0 default,
-    * fast path), following an AuthSwitchRequest when the user's plugin
-    * differs from the handshake's advertised one — the full 8.0 login
-    * state machine short of cold-cache full auth (which needs TLS/RSA
-    * and fails loudly here). */
+    * mysql_native_password or caching_sha2_password (the 8.0 default),
+    * following an AuthSwitchRequest when the user's plugin differs from
+    * the handshake's advertised one, and completing caching_sha2's
+    * COLD-CACHE full auth — the RSA public-key exchange a replica's
+    * first-ever login after a primary restart hits (the cache is empty
+    * until one successful auth): request the key with 0x02, send the
+    * nonce-XOR'd password encrypted RSA-OAEP. The full 8.0 login state
+    * machine, no warm-cache precondition left. */
   private def handshake(in: DataInputStream, os: java.io.OutputStream): Unit = {
     val hs = decodeHandshake(readPacket(in).payload)
+    var nonce = hs.scramble
     writePacket(os, 1, encodeHandshakeResponse(HandshakeResponse(
       ClientCapabilities, user,
-      authToken(hs.authPlugin, password, hs.scramble), hs.authPlugin)))
+      authToken(hs.authPlugin, password, nonce), hs.authPlugin)))
     var done = false
     var switched = false
     while (!done) {
@@ -246,14 +270,29 @@ final class BinlogSocketClient(
         // (or hostile) server, not a loop to follow
         require(!switched, "server requested a second auth switch")
         switched = true
-        val (plugin, nonce) = decodeAuthSwitch(p)
+        val (plugin, n2) = decodeAuthSwitch(p)
+        nonce = n2
         writePacket(os, pkt.seq + 1, authToken(plugin, password, nonce))
       }
-      else if (isAuthMoreData(p))
-        require(isFastAuthSuccess(p),
-          "server demands full caching_sha2 auth (cold cache) — that " +
-            "path needs TLS or the server RSA key; warm the cache or " +
-            "use mysql_native_password")
+      else if (isAuthMoreData(p)) {
+        if (!isFastAuthSuccess(p)) {
+          // 0x01 0x04: perform full authentication — the cache is cold.
+          // Request the server's RSA public key, encrypt the nonce-XOR'd
+          // password under it (without TLS the key exchange is the only
+          // channel), and let the loop read the verdict
+          writePacket(os, pkt.seq + 1, PublicKeyRequest)
+          val pk = readPacket(in)
+          if (isErr(pk.payload))
+            throw new IllegalStateException(errMessage(pk.payload))
+          require(pk.payload.length > 1 && pk.payload(0) == 1,
+            s"expected the server public key, got lead ${pk.payload.headOption}")
+          val pem = new String(pk.payload, 1, pk.payload.length - 1,
+            java.nio.charset.StandardCharsets.UTF_8)
+          writePacket(os, pk.seq + 1,
+            rsaEncryptPassword(password, nonce, pem))
+        }
+        // fast-auth success: the OK follows; just keep reading
+      }
       else throw new IllegalStateException(
         s"unexpected auth packet lead ${p.headOption}")
     }

@@ -272,7 +272,9 @@ object BinlogSource {
     * [[load]]'s set as `changesStream(skipGtids)` and the overlap
     * replays nothing. Constructing over an existing file resumes the
     * set (a restart keeps everything already recorded). */
-  final class GtidTracker(path: java.nio.file.Path) extends Serializable {
+  // deliberately NOT Serializable: driver-only (holds a local
+  // java.nio.file.Path); the marker would falsely invite task-side capture
+  final class GtidTracker(path: java.nio.file.Path) {
     @volatile private var applied: GtidSet =
       if (java.nio.file.Files.exists(path))
         GtidSet.parse(java.nio.file.Files.readString(path))

@@ -12,9 +12,10 @@ import java.security.MessageDigest
   * protocol documentation (MySQL Internals "Client/Server Protocol"):
   *
   *   - packet framing: 3-byte little-endian payload length + 1-byte
-  *     sequence id, payload follows (one protocol message per packet at
-  *     replication scale — the 16 MiB continuation form is out of scope
-  *     and rejected loudly);
+  *     sequence id, payload follows; messages of 16 MiB - 1 bytes and up
+  *     travel as 0xffffff-length continuation packets spliced back
+  *     transparently (a single row event carrying a large `LONGBLOB`
+  *     legitimately crosses the boundary on a real primary);
   *   - initial handshake v10 (protocol version, server version,
   *     connection id, 20-byte auth scramble split 8 + 12, capability
   *     flags split low/high, auth plugin name);
@@ -66,23 +67,62 @@ object MysqlProtocol {
 
   final case class Packet(seq: Int, payload: Array[Byte])
 
+  /** Read one protocol MESSAGE, splicing the 16 MiB continuation form: a
+    * packet whose length is exactly 0xffffff is followed by more packets
+    * (sequence ids consecutive) whose payloads concatenate, until one
+    * shorter than the sentinel — possibly EMPTY, when the message length
+    * is an exact multiple — ends the message. A single row event
+    * carrying a ~16 MB `LONGBLOB` value legitimately crosses this on a
+    * real primary; `Packet.seq` is the LAST fragment's sequence id (the
+    * one a reply continues from). */
   def readPacket(in: DataInputStream): Packet = {
     val h = new Array[Byte](4); in.readFully(h)
-    val len = (h(0) & 0xff) | ((h(1) & 0xff) << 8) | ((h(2) & 0xff) << 16)
-    require(len < MaxPacket,
-      "16 MiB packet continuation unsupported (replication events at " +
-        "fixture scale never reach it)")
-    val p = new Array[Byte](len); in.readFully(p)
-    Packet(h(3) & 0xff, p)
+    var len = (h(0) & 0xff) | ((h(1) & 0xff) << 8) | ((h(2) & 0xff) << 16)
+    var seq = h(3) & 0xff
+    if (len < MaxPacket) {
+      val p = new Array[Byte](len); in.readFully(p)
+      Packet(seq, p)
+    } else {
+      val out = new java.io.ByteArrayOutputStream(MaxPacket * 2)
+      var more = true
+      while (more) {
+        val chunk = new Array[Byte](len); in.readFully(chunk)
+        out.write(chunk)
+        more = len == MaxPacket
+        if (more) {
+          val h2 = new Array[Byte](4); in.readFully(h2)
+          len = (h2(0) & 0xff) | ((h2(1) & 0xff) << 8) | ((h2(2) & 0xff) << 16)
+          val seq2 = h2(3) & 0xff
+          require(seq2 == ((seq + 1) & 0xff),
+            s"continuation packet out of sequence: $seq2 after $seq")
+          seq = seq2
+        }
+      }
+      Packet(seq, out.toByteArray)
+    }
   }
 
-  def writePacket(out: OutputStream, seq: Int, payload: Array[Byte]): Unit = {
-    require(payload.length < MaxPacket, "packet too large")
-    out.write(Array(
-      (payload.length & 0xff).toByte, ((payload.length >> 8) & 0xff).toByte,
-      ((payload.length >> 16) & 0xff).toByte, (seq & 0xff).toByte))
-    out.write(payload)
+  /** Write one protocol message, chunking payloads ≥ 16 MiB - 1 into the
+    * continuation form (each full chunk is exactly 0xffffff bytes; the
+    * terminator is the remainder, possibly a zero-length packet).
+    * Returns the NEXT sequence id — a multi-fragment message consumes
+    * several, and the conversation continues from the last one + 1. */
+  def writePacket(out: OutputStream, seq: Int, payload: Array[Byte]): Int = {
+    var off = 0
+    var s = seq & 0xff
+    def header(len: Int): Unit = out.write(Array(
+      (len & 0xff).toByte, ((len >> 8) & 0xff).toByte,
+      ((len >> 16) & 0xff).toByte, s.toByte))
+    while (payload.length - off >= MaxPacket) {
+      header(MaxPacket)
+      out.write(payload, off, MaxPacket)
+      off += MaxPacket
+      s = (s + 1) & 0xff
+    }
+    header(payload.length - off)
+    out.write(payload, off, payload.length - off)
     out.flush()
+    (s + 1) & 0xff
   }
 
   // ---- mysql_native_password ----
@@ -167,6 +207,72 @@ object MysqlProtocol {
     case NativePasswordPlugin => nativePasswordToken(password, nonce)
     case CachingSha2Plugin    => cachingSha2Token(password, nonce)
     case p => throw new IllegalStateException(s"unsupported auth plugin $p")
+  }
+
+  // ---- caching_sha2 FULL auth (cold cache, no TLS): RSA exchange ----
+  // The documented sequence a replica's FIRST-ever login after a primary
+  // restart hits (the cache is empty until one successful auth): server
+  // answers the scramble token with AuthMoreData 0x04 (perform full
+  // authentication); the client sends a single 0x02 byte (public key
+  // request); the server replies AuthMoreData carrying its RSA public
+  // key in PEM; the client XORs (password ++ NUL) with the scramble
+  // repeated and sends that encrypted RSA-OAEP(SHA-1) — the padding
+  // MySQL's sha256/caching_sha2 plugins use with RSA_PKCS1_OAEP_PADDING.
+
+  /** The client's public-key request inside full auth. */
+  val PublicKeyRequest: Array[Byte] = Array[Byte](2)
+
+  def isPublicKeyRequest(p: Array[Byte]): Boolean =
+    p.length == 1 && p(0) == 2
+
+  /** AuthMoreData carrying the server's RSA public key (PEM). */
+  def publicKeyPacket(pem: String): Array[Byte] =
+    1.toByte +: pem.getBytes(UTF_8)
+
+  /** (password ++ NUL) XOR the scramble repeated — the obfuscation that
+    * stops the server-side plaintext from being a replayable secret on
+    * its own (the nonce is per-connection). */
+  def xorPassword(password: String, nonce: Array[Byte]): Array[Byte] = {
+    require(nonce.nonEmpty, "empty nonce")
+    val pw = password.getBytes(UTF_8) :+ 0.toByte
+    Array.tabulate(pw.length)(i => (pw(i) ^ nonce(i % nonce.length)).toByte)
+  }
+
+  /** X.509 SubjectPublicKeyInfo → the PEM form the server sends. */
+  def pemPublicKey(pub: java.security.PublicKey): String =
+    "-----BEGIN PUBLIC KEY-----\n" +
+      java.util.Base64.getMimeEncoder(64, "\n".getBytes(UTF_8))
+        .encodeToString(pub.getEncoded) +
+      "\n-----END PUBLIC KEY-----\n"
+
+  def parsePublicKeyPem(pem: String): java.security.PublicKey = {
+    val b64 = pem.linesIterator
+      .filterNot(l => l.isEmpty || l.startsWith("-----")).mkString
+    java.security.KeyFactory.getInstance("RSA").generatePublic(
+      new java.security.spec.X509EncodedKeySpec(
+        java.util.Base64.getDecoder.decode(b64)))
+  }
+
+  private val RsaOaep = "RSA/ECB/OAEPWithSHA-1AndMGF1Padding"
+
+  /** Client side: the full-auth password blob for the server's key. */
+  def rsaEncryptPassword(password: String, nonce: Array[Byte],
+                         publicKeyPem: String): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance(RsaOaep)
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE, parsePublicKeyPem(publicKeyPem))
+    c.doFinal(xorPassword(password, nonce))
+  }
+
+  /** Server side: decrypt + un-XOR; the trailing NUL is stripped. */
+  def rsaDecryptPassword(priv: java.security.PrivateKey, blob: Array[Byte],
+                         nonce: Array[Byte]): String = {
+    val c = javax.crypto.Cipher.getInstance(RsaOaep)
+    c.init(javax.crypto.Cipher.DECRYPT_MODE, priv)
+    val xored = c.doFinal(blob)
+    val pw = Array.tabulate(xored.length)(i =>
+      (xored(i) ^ nonce(i % nonce.length)).toByte)
+    require(pw.nonEmpty && pw.last == 0, "full-auth blob lacks the NUL")
+    new String(pw, 0, pw.length - 1, UTF_8)
   }
 
   // ---- auth continuation packets ----

@@ -142,6 +142,64 @@ class MysqlProtocolSpec extends AnyFunSuite {
     assert(p2.seq == 4 && p2.payload.isEmpty)
   }
 
+  test("golden full-auth scramble-XOR vector (independently computed)") {
+    // python: (b'graft-secret'+b'\x00') XOR nonce 01..14 cycled
+    assert(xorPassword("graft-secret", scramble20)
+      .map(b => f"${b & 0xff}%02x").mkString ==
+      "66706262712b746d6a786e780d")
+    // un-XOR recovers the password + NUL
+    val back = xorPassword("graft-secret", scramble20)
+      .zipWithIndex.map { case (b, i) => (b ^ scramble20(i % 20)).toByte }
+    assert(new String(back.dropRight(1), UTF_8) == "graft-secret" &&
+      back.last == 0)
+  }
+
+  test("full-auth RSA exchange roundtrips: PEM → encrypt → decrypt") {
+    val g = java.security.KeyPairGenerator.getInstance("RSA")
+    g.initialize(2048)
+    val kp = g.generateKeyPair()
+    val pem = pemPublicKey(kp.getPublic)
+    assert(pem.startsWith("-----BEGIN PUBLIC KEY-----"))
+    val blob = rsaEncryptPassword("graft-secret", scramble20, pem)
+    assert(blob.length == 256) // 2048-bit RSA block
+    assert(rsaDecryptPassword(kp.getPrivate, blob, scramble20) ==
+      "graft-secret")
+    // OAEP is randomized: two encryptions differ, both decrypt
+    val blob2 = rsaEncryptPassword("graft-secret", scramble20, pem)
+    assert(!java.util.Arrays.equals(blob, blob2))
+    assert(rsaDecryptPassword(kp.getPrivate, blob2, scramble20) ==
+      "graft-secret")
+  }
+
+  test("packet framing splices the 16 MiB continuation form byte-exactly") {
+    // exactly the sentinel (whose message needs an EMPTY terminator
+    // packet), one past it, and a deterministic ~16.8 MB payload
+    for (n <- Seq(MaxPacket, MaxPacket + 1, MaxPacket + 12345)) {
+      val payload = Array.tabulate[Byte](n)(i => (i * 31 + (i >> 16)).toByte)
+      val buf = new java.io.ByteArrayOutputStream()
+      val next = writePacket(buf, 0, payload)
+      writePacket(buf, next, "tail".getBytes(UTF_8))
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(buf.toByteArray))
+      val p = readPacket(in)
+      assert(p.payload.length == n)
+      assert(java.util.Arrays.equals(p.payload, payload))
+      assert(p.seq == n / MaxPacket, // each fragment consumed one seq
+        s"message of $n bytes should end on seq ${n / MaxPacket}")
+      val t = readPacket(in)
+      assert(t.seq == next && new String(t.payload, UTF_8) == "tail")
+    }
+    // an out-of-sequence continuation is a torn stream, not data
+    val buf = new java.io.ByteArrayOutputStream()
+    buf.write(Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0))
+    buf.write(new Array[Byte](MaxPacket))
+    buf.write(Array[Byte](1, 0, 0, 7)) // seq 7, expected 1
+    buf.write(0)
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(buf.toByteArray))
+    assertThrows[IllegalArgumentException](readPacket(in))
+  }
+
   // ---- end-to-end over loopback TCP ----
 
   private val cols = IndexedSeq(
@@ -261,6 +319,75 @@ class MysqlProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("e2e: cold-cache caching_sha2 completes FULL auth (RSA), which " +
+      "warms the cache for the next login's fast path") {
+    val srv = new BinlogFixtureServer(twoFiles, "repl", "graft-secret",
+      authPlugin = MysqlProtocol.CachingSha2Plugin, sha2ColdCache = true)
+    try {
+      // FIRST-ever login against the empty cache: the 0x04 full-auth
+      // demand, public-key request, RSA-OAEP blob — and a working tail
+      val r = client(srv).tail("sock-bin.000001")
+      assert(r.changes.map(_.after.get.head) == (1L to 8L))
+      assert(srv.fullAuths == 1 && srv.fastAuths == 0,
+        s"first login should be the RSA path (full=${srv.fullAuths}, " +
+          s"fast=${srv.fastAuths})")
+      // SECOND login: the success populated the cache — fast path now
+      val again = client(srv).tail(r.file, r.pos)
+      assert(again.changes.isEmpty)
+      assert(srv.fullAuths == 1 && srv.fastAuths == 1,
+        s"second login should be the cache fast path (full=${srv.fullAuths}, " +
+          s"fast=${srv.fastAuths})")
+      // a wrong password fails the full path too (fresh cold fixture)
+      val cold2 = new BinlogFixtureServer(twoFiles, "repl", "graft-secret",
+        authPlugin = MysqlProtocol.CachingSha2Plugin, sha2ColdCache = true)
+      try {
+        val bad = new BinlogSocketClient("127.0.0.1", cold2.port, "repl", "wrong")
+        val e = intercept[IllegalStateException](bad.tail("sock-bin.000001"))
+        assert(e.getMessage.contains("Access denied"))
+        assert(cold2.fullAuths == 0, "a wrong password must not warm the cache")
+        // and the right password still bootstraps after the failure
+        val ok = new BinlogSocketClient("127.0.0.1", cold2.port, "repl",
+          "graft-secret").tail("sock-bin.000001")
+        assert(ok.changes.size == 8 && cold2.fullAuths == 1)
+      } finally cold2.close()
+    } finally srv.close()
+  }
+
+  test("e2e: a checksummed primary REFUSES a dump without the session " +
+      "SET; the negotiating client streams fine") {
+    withServer(twoFiles) { srv =>
+      // the default client negotiates (SET @master_binlog_checksum …)
+      assert(client(srv).tail("sock-bin.000001").changes.size == 8)
+      // a client that skips the SET gets the real server's 1236 refusal
+      val naive = new BinlogSocketClient("127.0.0.1", srv.port, "repl",
+        "graft-secret", negotiateChecksum = false)
+      val e = intercept[IllegalStateException](
+        naive.tail("sock-bin.000001"))
+      assert(e.getMessage.contains("1236") &&
+        e.getMessage.contains("checksum"), e.getMessage)
+      // an UNchecksummed log demands nothing — the naive client works
+      val plain = IndexedSeq("plain-bin.000001" ->
+        BinlogFixture.encode("d", "t", cols,
+          txns = (1L to 3L).map(k => Seq(insert(k))), checksum = false))
+      withServer(plain) { psrv =>
+        val naive2 = new BinlogSocketClient("127.0.0.1", psrv.port, "repl",
+          "graft-secret", negotiateChecksum = false)
+        assert(naive2.tail("plain-bin.000001").changes.size == 3)
+      }
+    }
+  }
+
+  test("e2e: masterStatus falls back to the 8.4 SHOW BINARY LOG STATUS " +
+      "spelling when the old form errors") {
+    val srv84 = new BinlogFixtureServer(twoFiles, "repl", "graft-secret",
+      masterStatusSpelling = "SHOW BINARY LOG STATUS")
+    try {
+      val (file, pos) = client(srv84).masterStatus()
+      assert(file == "sock-bin.000002")
+      assert(pos == twoFiles.last._2.length)
+    } finally srv84.close()
+  }
+
   test("e2e: caching_sha2_password fast path authenticates and tails") {
     val srv = new BinlogFixtureServer(twoFiles, "repl", "graft-secret",
       authPlugin = MysqlProtocol.CachingSha2Plugin)
@@ -294,6 +421,35 @@ class MysqlProtocolSpec extends AnyFunSuite {
       val e = intercept[IllegalStateException](
         client(srv).tail("no-such-bin.000001"))
       assert(e.getMessage.contains("1236"))
+    }
+  }
+
+  test("e2e: a >16 MiB LONGBLOB row event crosses continuation packets " +
+      "byte-exactly") {
+    // one row whose LONGBLOB value pushes the event packet past the
+    // 0xffffff sentinel: the fixture splits it into continuation
+    // fragments, the client splices them, and the decoded blob is
+    // byte-identical — the shape a real primary emits for a ~16 MB
+    // LONGBLOB/LONGTEXT column
+    val blobCols = IndexedSeq(
+      ColumnDef(BinlogFormat.TypeLongLong, 0),
+      ColumnDef(BinlogFormat.TypeBlob, 4)) // LONGBLOB: 4-byte length prefix
+    val big = Array.tabulate[Byte](MaxPacket + 70000)(i => (i * 131 + 7).toByte)
+    val file = BinlogFixture.encode("d", "t", blobCols,
+      txns = Seq(
+        Seq(Change.insert(IndexedSeq[Any](1L, big))),
+        Seq(Change.insert(IndexedSeq[Any](2L, "small".getBytes(UTF_8))))),
+      gtidFrom = Some(1L), rowsPerEvent = 1)
+    withServer(IndexedSeq("blob-bin.000001" -> file)) { srv =>
+      val r = client(srv).tail("blob-bin.000001")
+      assert(r.changes.size == 2)
+      val got = r.changes.head.after.get(1).asInstanceOf[Array[Byte]]
+      assert(got.length == big.length)
+      assert(java.util.Arrays.equals(got, big), "blob bytes corrupted in flight")
+      assert(r.changes(1).after.get.head == 2L)
+      // a fresh tail from the final offset is empty — the resume
+      // position survived the multi-fragment message too
+      assert(client(srv).tail(r.file, r.pos).changes.isEmpty)
     }
   }
 
