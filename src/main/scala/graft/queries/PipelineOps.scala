@@ -983,6 +983,126 @@ object PipelineOps {
     } finally srv.close()
   }
 
+  /** O21: the FULL REFERENCE TOPOLOGY as one gate, in its actual
+    * operating order (`/root/reference/src/main.py:65-97` dispatch →
+    * `src/cdc_replicator.py:238-261` `initial_sync`, whose
+    * capture-BEFORE-copy invariant at `:242-247` is the one reference
+    * behavior previously proven only piecewise):
+    *
+    *   1. capture the primary's position via `SHOW MASTER STATUS` over
+    *      the live socket (S5, `:242-247`);
+    *   2. writes LAND between the capture and the copy (the fixture's
+    *      log grows past the captured offset — the race the invariant
+    *      exists for);
+    *   3. snapshot-sync the table with ONE `_version` stamp
+    *      (`_sync_table_with_cdc_columns`, `:263-278`) — the copy reads
+    *      the source AFTER the overlap writes, so it contains them;
+    *   4. socket-tail from the CAPTURED offset through the stamped
+    *      apply ([[graft.streaming.CdcPipeline]] target) into the live
+    *      view.
+    *
+    * The overlap writes are therefore applied TWICE — once inside the
+    * copy, once from the tail — and the `_version` dedup absorbs the
+    * duplicate exactly like the reference's ReplacingMergeTree
+    * (at-least-once by design, `README.md:480-497`). In-gate REQUIREs:
+    * the captured offset really predates the overlap; the tail carried
+    * EVERY overlap row (a capture-after-copy bug would lose the writes
+    * landing in the window — REQUIREd by contrast with a tail from the
+    * post-write offset, which sees nothing); and the live view equals
+    * the final source state row-for-row. Output = the live view, its
+    * every value recomputable from orders. */
+  def referenceTopologyE2e(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{BinlogFixture, BinlogFixtureServer,
+      BinlogSocketClient, BinlogSource}
+    import graft.sources.BinlogFormat.{ColumnDef, TypeLongLong, TypeDouble}
+    import BinlogFixture.Change
+    import graft.operators.CdcTransform
+    import graft.streaming.CdcPipeline
+    val tgt = graft.GateCache.tempDir("graft_reftopo_tgt").toString
+    val ckp = graft.GateCache.tempDir("graft_reftopo_ckp").toString
+    val cols = IndexedSeq(ColumnDef(TypeLongLong, 0), ColumnDef(TypeDouble, 8))
+    val keys = s.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") % 5 === 0).select("o_orderkey")
+      .orderBy("o_orderkey").collect().map(_.getLong(0)).toIndexedSeq
+    require(keys.size >= 20, "accounts sample too small")
+    def bal0(k: Long): Double = (k % 100).toDouble
+    def balFinal(k: Long): Double = bal0(k) + (if (k % 3 == 0) 77.0 else 0.0)
+    // history: every account inserted (the state the capture points at)
+    val txnsT = keys.map(k => Change.insert(IndexedSeq[Any](k, bal0(k))))
+      .grouped(50).map(_.toSeq).toIndexedSeq
+    // the overlap: writes that land AFTER the capture, BEFORE the copy
+    val updatesW = keys.filter(_ % 3 == 0).map(k => Change.update(
+      IndexedSeq[Any](k, bal0(k)), IndexedSeq[Any](k, bal0(k) + 77.0)))
+    val deletesW = keys.filter(_ % 7 == 0).map(k =>
+      Change.delete(IndexedSeq[Any](k, balFinal(k))))
+    val txnsW = IndexedSeq(updatesW, deletesW)
+    val nOverlap = txnsW.map(_.size).sum
+    require(nOverlap > 0, "degenerate overlap")
+    // a binlog only grows: encode the FULL log once; the T-only prefix
+    // is byte-identical (positions are cumulative), so the truncated
+    // server IS the primary as of the capture
+    val file = "primary-bin.000001"
+    val tBytes = BinlogFixture.encode("graft", "accounts", cols, txnsT,
+      gtidFrom = Some(1L))
+    val fullBytes = BinlogFixture.encode("graft", "accounts", cols,
+      txnsT ++ txnsW, gtidFrom = Some(1L))
+    require(fullBytes.length > tBytes.length && java.util.Arrays.equals(
+      java.util.Arrays.copyOf(fullBytes, tBytes.length), tBytes),
+      "append-only encode prefix broke — the growing-log premise is off")
+    val srv = new BinlogFixtureServer(IndexedSeq(file -> fullBytes),
+      "repl", "graft-secret")
+    srv.truncate(file, tBytes.length)
+    try {
+      val cli = new BinlogSocketClient("127.0.0.1", srv.port,
+        "repl", "graft-secret")
+      // 1. capture BEFORE the copy — the invariant under test
+      val (msFile, msPos) = cli.masterStatus()
+      require(msFile == file && msPos == tBytes.length,
+        s"captured ($msFile, $msPos), expected ($file, ${tBytes.length})")
+      // 2. the overlap writes land
+      srv.reveal(file)
+      // 3. initial copy: the source's CURRENT state (post-overlap),
+      //    one _version stamp for the whole table (the reference's
+      //    batch-granular version, cdc_replicator.py:269-271)
+      val snapshot = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 5 === 0 && col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey").as("id"),
+          (col("o_orderkey") % 100 +
+            when(col("o_orderkey") % 3 === 0, 77.0).otherwise(0.0))
+            .cast("double").as("bal"))
+      val pipe = new CdcPipeline(s, tgt, ckp)
+      pipe.initialSync(snapshot.withColumn("s0", lit(0L)), "accounts",
+        versionMicros = 1L, seqCol = "s0")
+      // 4. tail from the CAPTURED offset: the overlap replays in full…
+      val r = cli.tail(msFile, msPos)
+      require(r.changes.size == nOverlap,
+        s"tail carried ${r.changes.size} changes, expected the " +
+          s"$nOverlap-row capture-copy overlap — rows written inside " +
+          "the window were lost")
+      // …whereas a capture taken AFTER the copy (the bug the order
+      // prevents) would see nothing of the window's writes
+      val (_, posAfter) = cli.masterStatus()
+      require(posAfter == fullBytes.length.toLong &&
+        cli.tail(file, posAfter).changes.isEmpty,
+        "post-copy offset unexpectedly replays the overlap")
+      val schema = StructType.fromDDL("id BIGINT, bal DOUBLE")
+      val stamped = CdcTransform.stampBatch(
+        BinlogSource.collectedChanges(s, r.changes, "accounts", schema),
+        opCol = "op", seqCol = "_seq", batchVersionMicros = 2L)
+      stamped.drop("op", "_seq", "_tbl")
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$tgt/accounts.parquet")
+      // the live view heals the double-apply: per key the max-version
+      // row wins; the overlap's duplicates collapse, deletes tombstone
+      val live = graft.GateCache.cache(LiveView.live(
+        pipe.applied("accounts"), pks = Seq("id"), tieBreak = Some(SeqCol)))
+      require(live.exceptAll(snapshot).count() == 0 &&
+        snapshot.exceptAll(live).count() == 0,
+        "live view diverges from the final source state")
+      live
+    } finally srv.close()
+  }
+
   /** T33: GTID-SET RESUME over an overlapping rotated chain — the
     * replica-failover shape the reference's (file, pos) offset cannot
     * express (`/root/reference/src/cdc_replicator.py:24-35`: its resume
@@ -4033,6 +4153,7 @@ object PipelineOps {
     "t36_binlog_compressed_cdc" -> ((s, dir) => binlogCompressedCdcLive(s, dir)),
     "t37_binlog_partial_json" -> ((s, dir) => binlogPartialJsonLive(s, dir)),
     "t38_binlog_socket_cdc" -> ((s, dir) => binlogSocketCdcLive(s, dir)),
+    "o21_reference_e2e" -> ((s, dir) => referenceTopologyE2e(s, dir)),
     "t40_binlog_gtid_stream" -> ((s, dir) => binlogGtidStreamResume(s, dir)),
     "t41_binlog_legacy_types" -> ((s, dir) => binlogLegacyTypedCdc(s, dir)),
     "t39_binlog_evolving_cdc" -> ((s, dir) => binlogEvolvingCdcLive(s, dir)),
@@ -4807,6 +4928,18 @@ object PipelineOps {
         |  CAST(k % 7 AS BIGINT) AS cnt
         |FROM (SELECT o_orderkey AS k FROM orders
         |      WHERE o_orderkey % 6 = 0 AND o_orderkey % 11 <> 0)""".stripMargin,
+
+    // the reference topology end-to-end: position captured BEFORE the
+    // copy, overlap writes in both the snapshot and the tail, dedup
+    // absorbing the double-apply — final live state recomputed from
+    // orders (bal carries the k%3 update; the k%7 deletes are gone)
+    "o21_reference_e2e" ->
+      """SELECT o_orderkey AS id,
+        |  CAST(o_orderkey % 100 +
+        |       CASE WHEN o_orderkey % 3 = 0 THEN 77 ELSE 0 END
+        |       AS DOUBLE) AS bal
+        |FROM orders
+        |WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0""".stripMargin,
 
     // t33's failover union through the STREAMING path (the applied set
     // persisted per micro-batch, inherited by the failover stream):

@@ -16,7 +16,12 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     // gate, the driver's correctness JSON just gets smaller, and 31 red
     // gates read as "fewer queries". A silent shrink (or an unregistered
     // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
-    val pinned = 281 // r14: +b9_bucketed_stream_sink (the co-bucketed
+    val pinned = 282 // r15: +o21_reference_e2e (the full reference
+    // topology in operating order: SHOW MASTER STATUS captured BEFORE
+    // the snapshot copy, overlap writes landing inside the window,
+    // socket tail from the captured offset, live-view dedup absorbing
+    // the at-least-once double-apply).
+    // r14: +b9_bucketed_stream_sink (the co-bucketed
     // CDC sink maintained from a checkpointed foreachBatch stream with
     // kill+resume; exchange-free rollup REQUIREd after each drain).
     // r14: +t42_binlog_minimal_image
