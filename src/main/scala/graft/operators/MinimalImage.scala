@@ -62,4 +62,62 @@ object MinimalImage {
       .filter(col("_last_op") =!= CdcTransform.Delete)
       .select(payload.map(col): _*)
   }
+
+  /** The STREAMING form's per-micro-batch state: for every value column
+    * the (value, seq) of the batch's LAST include-event — `c` carries
+    * the value, `_seq_c` its include seq (null when the batch never
+    * included `c` for the key) — plus the batch-last op. Partials MERGE
+    * associatively ([[merge]]'s `max_by(c, _seq_c)` picks the globally
+    * latest include across any batch split), so a consumer lands one
+    * partial frame per micro-batch (append-only, O(batch) rows) and
+    * re-reduces at read — history is NEVER re-shuffled per batch, which
+    * is the 100 TB point: the per-batch cost is one hash aggregation of
+    * the BATCH, the read cost one hash aggregation of the landed
+    * partials (≤ one row per touched key per batch, compacting like any
+    * append table). A batch carrying only a key's partial update lands
+    * null `_seq_` markers for the untouched columns, which the merge
+    * IGNORES — columns landed by earlier batches survive (pinned by
+    * `MinimalImageSpec`). */
+  def partial(changes: DataFrame, pks: Seq[String],
+              opCol: String = "op", seqCol: String = "_seq",
+              presentCol: String = "_present"): DataFrame = {
+    val meta = Set(opCol, seqCol, presentCol, "_tbl")
+    val payload = changes.columns.filterNot(meta.contains).toIndexedSeq
+    require(pks.forall(payload.contains), s"pks $pks missing from $payload")
+    val valueCols = payload.filterNot(pks.contains)
+    valueCols.foreach(c => require(!c.startsWith("_seq_") &&
+      c != "_last_op" && c != "_last_seq",
+      s"payload column $c collides with the partial-state columns"))
+    val aggs = valueCols.flatMap { c =>
+      val pos = changes.columns.indexOf(c) + 1
+      val includeSeq = when(element_at(col(presentCol), pos) &&
+        col(opCol) =!= CdcTransform.Delete, col(seqCol))
+      Seq(max_by(col(c), includeSeq).as(c), max(includeSeq).as(s"_seq_$c"))
+    } ++ Seq(max_by(col(opCol), col(seqCol)).as("_last_op"),
+      max(col(seqCol)).as("_last_seq"))
+    changes.groupBy(pks.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Reduce landed [[partial]] frames to the live table — the same math
+    * as [[coalesce]] over the original events, because per column the
+    * globally-last include is the max over the per-batch last includes
+    * (and seqs are a total order across batches). Delete fencing needs
+    * no extra care for the same reason as [[coalesce]]: a live key's
+    * last INSERT included every column. One hash aggregation on the PK,
+    * map-side partial `max_by` per column. Primary keys lead the
+    * output. */
+  def merge(partials: DataFrame, pks: Seq[String]): DataFrame = {
+    val valueCols = partials.columns.filterNot(c => pks.contains(c) ||
+      c.startsWith("_seq_") || c == "_last_op" || c == "_last_seq")
+      .toIndexedSeq
+    require(valueCols.forall(c => partials.columns.contains(s"_seq_$c")),
+      s"not a partial frame: per-column seq markers missing in " +
+        s"${partials.columns.mkString(",")}")
+    val aggs = valueCols.map(c => max_by(col(c), col(s"_seq_$c")).as(c)) :+
+      max_by(col("_last_op"), col("_last_seq")).as("_last_op")
+    partials.groupBy(pks.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("_last_op") =!= CdcTransform.Delete)
+      .select((pks ++ valueCols).map(col): _*)
+  }
 }

@@ -1391,6 +1391,36 @@ object PipelineOps {
       rollup.schema)
   }
 
+  /** The shared MINIMAL-image logical history (t42 batch / t43 stream):
+    * insert every key (a MySQL insert is always a FULL row, even under
+    * MINIMAL); then partial updates carrying ONLY the changed column —
+    * +100 bal (k%2), rename (k%3), explicit-NULL name (k%35, after the
+    * rename wave) — and PK-only deletes (k%11). Returns (inserts,
+    * follow-ups) so the stream gate can split them across files/batches
+    * — the cross-batch survival of never-resent columns is the point. */
+  private def minimalImageHistory(keys: IndexedSeq[Long])
+      : (IndexedSeq[graft.sources.BinlogFixture.Change],
+         IndexedSeq[graft.sources.BinlogFixture.Change]) = {
+    import graft.sources.BinlogFixture.{Absent, Change}
+    def name0(k: Long) = s"acct-$k"
+    def bal0(k: Long) = (k % 500).toDouble
+    val inserts =
+      keys.map(k => Change.insert(IndexedSeq(k, name0(k), bal0(k), k % 7)))
+    val followups =
+      keys.filter(_ % 2 == 0).map(k => Change.update(
+        IndexedSeq(k, Absent, Absent, Absent),
+        IndexedSeq(k, Absent, bal0(k) + 100.0, Absent))) ++
+      keys.filter(_ % 3 == 0).map(k => Change.update(
+        IndexedSeq(k, Absent, Absent, Absent),
+        IndexedSeq(k, s"acct-$k-u", Absent, Absent))) ++
+      keys.filter(_ % 35 == 0).map(k => Change.update(
+        IndexedSeq(k, Absent, Absent, Absent),
+        IndexedSeq[Any](k, null, Absent, Absent))) ++
+      keys.filter(_ % 11 == 0).map(k =>
+        Change.delete(IndexedSeq(k, Absent, Absent, Absent)))
+    (inserts, followups)
+  }
+
   /** T42: binlog_row_image=MINIMAL with a COALESCING apply — the row
     * shape the reference corrupts: a MINIMAL update carries only PK +
     * changed columns, its processors take the event dict as-is
@@ -1426,25 +1456,12 @@ object PipelineOps {
     require(keys.nonEmpty, "empty minimal-image sample")
     def name0(k: Long) = s"acct-$k"
     def bal0(k: Long) = (k % 500).toDouble
-    // the logical history: insert; +100 bal (k%2); rename (k%3);
-    // explicit-NULL name (k%35, AFTER the rename wave); delete (k%11)
     def nameAt(k: Long): Any =
       if (k % 35 == 0) null
       else if (k % 3 == 0) s"acct-$k-u" else name0(k)
     def balAt(k: Long): Double = bal0(k) + (if (k % 2 == 0) 100.0 else 0.0)
-    val minChanges =
-      keys.map(k => Change.insert(IndexedSeq(k, name0(k), bal0(k), k % 7))) ++
-      keys.filter(_ % 2 == 0).map(k => Change.update(
-        IndexedSeq(k, Absent, Absent, Absent),
-        IndexedSeq(k, Absent, bal0(k) + 100.0, Absent))) ++
-      keys.filter(_ % 3 == 0).map(k => Change.update(
-        IndexedSeq(k, Absent, Absent, Absent),
-        IndexedSeq(k, s"acct-$k-u", Absent, Absent))) ++
-      keys.filter(_ % 35 == 0).map(k => Change.update(
-        IndexedSeq(k, Absent, Absent, Absent),
-        IndexedSeq[Any](k, null, Absent, Absent))) ++
-      keys.filter(_ % 11 == 0).map(k =>
-        Change.delete(IndexedSeq(k, Absent, Absent, Absent)))
+    val (minInserts, minFollowups) = minimalImageHistory(keys)
+    val minChanges = minInserts ++ minFollowups
     val fullChanges =
       keys.map(k => Change.insert(IndexedSeq(k, name0(k), bal0(k), k % 7))) ++
       keys.filter(_ % 2 == 0).map(k => Change.update(
@@ -1485,6 +1502,106 @@ object PipelineOps {
       fullC.exceptAll(minC).count() == 0,
       "MINIMAL coalesced live view diverges from the FULL-image run")
     minC.select(col("id"),
+      coalesce(col("name"), lit("")).as("name"), col("bal"), col("cnt"))
+  }
+
+  /** T43: t42's MINIMAL-image apply ON THE STREAMING PATH — per
+    * micro-batch [[graft.operators.MinimalImage.partial]] lands the
+    * batch's per-(key, column) last-include states (value + include
+    * seq, one row per touched key) APPEND-ONLY, and the read-side
+    * [[graft.operators.MinimalImage.merge]] re-reduces them — the
+    * associative fold: history is never re-shuffled per batch, the
+    * per-batch cost is one hash aggregation of the BATCH. Two waves
+    * against the SAME checkpoint (file 1 = the inserts; file 2 = the
+    * partial follow-ups + the poison tail) play kill+resume: wave 2's
+    * fresh query must replay nothing (landed-partial row count
+    * REQUIREd exact), and the keys whose follow-up touches ONLY `bal`
+    * must keep the `name`/`cnt` their insert landed in wave 1 — the
+    * cross-batch no-erase property (also pinned key-level by
+    * `MinimalImageSpec`). Final REQUIRE: the merged stream result
+    * equals the BATCH coalesce over the full history row-for-row ⇒
+    * t42's oracle. */
+  def binlogMinimalStreamCdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{BinlogFixture, BinlogSource}
+    import graft.sources.BinlogFormat.{ColumnDef, TypeLongLong, TypeVarchar, TypeDouble}
+    import graft.operators.MinimalImage
+    import org.apache.spark.sql.streaming.Trigger
+    val landing = graft.GateCache.tempDir("graft_minstr_src").toString
+    val tgt = graft.GateCache.tempDir("graft_minstr_tgt").toString
+    val ckp = graft.GateCache.tempDir("graft_minstr_ckp").toString
+    val cols = IndexedSeq(
+      ColumnDef(TypeLongLong, 0),  // id
+      ColumnDef(TypeVarchar, 40),  // name
+      ColumnDef(TypeDouble, 8),    // bal
+      ColumnDef(TypeLongLong, 0))  // cnt
+    val keys = s.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") % 6 === 0).select("o_orderkey")
+      .orderBy("o_orderkey").collect().map(_.getLong(0)).toIndexedSeq
+    require(keys.nonEmpty, "empty minimal-stream sample")
+    val (inserts, followups) = minimalImageHistory(keys)
+    val k0 = keys.find(k => k % 11 != 0 && k % 35 != 0).get
+    val poison = BinlogFixture.Change.update(
+      IndexedSeq(k0, BinlogFixture.Absent, BinlogFixture.Absent,
+        BinlogFixture.Absent),
+      IndexedSeq(k0, "poison", BinlogFixture.Absent, BinlogFixture.Absent))
+    val schema = StructType.fromDDL(
+      "id BIGINT, name STRING, bal DOUBLE, cnt BIGINT")
+    def drain(): Unit =
+      BinlogSource.changesStream(s, landing, "accts", schema,
+          presentCol = true)
+        .writeStream
+        .option("checkpointLocation", ckp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            // the streamed MINIMAL apply: land the batch's PARTIAL
+            // coalesce states append-only; never touch history
+            MinimalImage.partial(b.toDF(), pks = Seq("id"))
+              .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(tgt)
+            ()
+        }
+        .start().awaitTermination()
+    // wave 1: the inserts land (every key touched once)
+    Files.write(java.nio.file.Paths.get(landing, "accts-min.000001"),
+      BinlogFixture.encode("graft", "accts", cols,
+        inserts.grouped(200).toSeq, gtidFrom = Some(1L)))
+    drain()
+    val afterWave1 = s.read.parquet(tgt).count()
+    require(afterWave1 == keys.size,
+      s"wave 1 landed $afterWave1 partials, expected one per key ${keys.size}")
+    // wave 2: the partial follow-ups — a FRESH query on the SAME
+    // checkpoint (kill+resume); the offset log must replay nothing
+    Files.write(java.nio.file.Paths.get(landing, "accts-min.000002"),
+      BinlogFixture.encode("graft", "accts", cols,
+        followups.grouped(200).toSeq, uncommittedTail = Seq(poison),
+        gtidFrom = Some((inserts.grouped(200).size + 1).toLong)))
+    drain()
+    val touchedWave2 = keys.count(k =>
+      k % 2 == 0 || k % 3 == 0 || k % 35 == 0 || k % 11 == 0).toLong
+    val landed = graft.GateCache.cache(s.read.parquet(tgt))
+    require(landed.count() == keys.size + touchedWave2,
+      s"landed ${landed.count()} partials != ${keys.size} + $touchedWave2 " +
+        "— the resume replayed (or lost) a wave")
+    val merged = graft.GateCache.cache(
+      MinimalImage.merge(landed, pks = Seq("id")))
+    // the cross-batch no-erase property, REQUIREd on the gate's own
+    // data: `cnt` is NEVER re-sent after the insert (no follow-up
+    // carries it), so every survivor's cnt can only come from wave 1's
+    // landed partial — wave 2's null `_seq_cnt` markers must not erase it
+    val nSurvivors = keys.count(_ % 11 != 0).toLong
+    val withCnt = merged.filter(col("cnt").isNotNull).count()
+    require(withCnt == nSurvivors,
+      s"only $withCnt of $nSurvivors survivors kept their wave-1 cnt — " +
+        "the stream partial erased columns landed earlier")
+    // the stream result IS the batch coalesce (the associative fold)
+    val batchLive = MinimalImage.coalesce(
+      BinlogSource.changes(s, landing, "accts", schema, presentCol = true),
+      pks = Seq("id"))
+    require(merged.exceptAll(batchLive).count() == 0 &&
+      batchLive.exceptAll(merged).count() == 0,
+      "streamed MINIMAL merge diverges from the batch coalesce")
+    merged.select(col("id"),
       coalesce(col("name"), lit("")).as("name"), col("bal"), col("cnt"))
   }
 
@@ -4158,6 +4275,7 @@ object PipelineOps {
     "t41_binlog_legacy_types" -> ((s, dir) => binlogLegacyTypedCdc(s, dir)),
     "t39_binlog_evolving_cdc" -> ((s, dir) => binlogEvolvingCdcLive(s, dir)),
     "t42_binlog_minimal_image" -> ((s, dir) => binlogMinimalImageCdc(s, dir)),
+    "t43_binlog_minimal_stream" -> ((s, dir) => binlogMinimalStreamCdc(s, dir)),
     "b9_bucketed_stream_sink" -> ((s, dir) => bucketedStreamSink(s, dir)),
     "t24_schema_evolution" -> ((s, dir) => evolvingCdcLive(s, dir)),
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
@@ -4940,6 +5058,21 @@ object PipelineOps {
         |       AS DOUBLE) AS bal
         |FROM orders
         |WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0""".stripMargin,
+
+    // t42's MINIMAL history reached through the streamed partial/merge
+    // fold (two checkpointed waves, partials landed append-only): same
+    // final state, so the same relational recomputation — a cross-batch
+    // erase nulls cnt (never re-sent after wave 1) and flips the hash
+    "t43_binlog_minimal_stream" ->
+      """SELECT k AS id,
+        |  CASE WHEN k % 35 = 0 THEN ''
+        |       WHEN k % 3 = 0 THEN 'acct-' || CAST(k AS VARCHAR) || '-u'
+        |       ELSE 'acct-' || CAST(k AS VARCHAR) END AS name,
+        |  CAST(k % 500 + CASE WHEN k % 2 = 0 THEN 100 ELSE 0 END
+        |       AS DOUBLE) AS bal,
+        |  CAST(k % 7 AS BIGINT) AS cnt
+        |FROM (SELECT o_orderkey AS k FROM orders
+        |      WHERE o_orderkey % 6 = 0 AND o_orderkey % 11 <> 0)""".stripMargin,
 
     // t33's failover union through the STREAMING path (the applied set
     // persisted per micro-batch, inherited by the failover stream):

@@ -253,10 +253,12 @@ object BinlogSource {
                     rowSchema: StructType,
                     chainCols: Boolean = false,
                     skipGtids: GtidSet = GtidSet.Empty,
-                    gtidCol: Boolean = false): DataFrame =
+                    gtidCol: Boolean = false,
+                    presentCol: Boolean = false): DataFrame =
     decode(asFiles(s.readStream.format("binaryFile")
       .schema(BinaryFileSchema).load(dir)), table, rowSchema,
-      skipGtids = skipGtids, chainCols = chainCols, gtidCol = gtidCol)
+      skipGtids = skipGtids, chainCols = chainCols, gtidCol = gtidCol,
+      presentCol = presentCol)
 
   /** Driver-side applied-GTID tracker for the STREAMING path — the
     * failover token, persisted alongside the checkpoint on

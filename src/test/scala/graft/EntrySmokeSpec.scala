@@ -16,7 +16,11 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     // gate, the driver's correctness JSON just gets smaller, and 31 red
     // gates read as "fewer queries". A silent shrink (or an unregistered
     // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
-    val pinned = 282 // r15: +o21_reference_e2e (the full reference
+    val pinned = 283 // r15: +t43_binlog_minimal_stream (t42's MINIMAL
+    // apply streamed: per-batch partial coalesce states landed
+    // append-only, merged at read — kill+resume across two waves,
+    // never-resent columns REQUIREd to survive the second batch).
+    // r15: +o21_reference_e2e (the full reference
     // topology in operating order: SHOW MASTER STATUS captured BEFORE
     // the snapshot copy, overlap writes landing inside the window,
     // socket tail from the captured offset, live-view dedup absorbing

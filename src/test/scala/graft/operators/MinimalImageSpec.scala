@@ -75,4 +75,78 @@ class MinimalImageSpec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(live(1).getLong(0) == 3L && live(1).getString(1) == "c3" &&
       live(1).getDouble(2) == 33.0, s"key 3: ${live(1)}")
   }
+
+  test("partial/merge: a batch carrying only a key's partial update " +
+      "does not erase columns landed earlier") {
+    // batch 1: the insert (full row). batch 2: bal-only update — its
+    // partial has null markers for name; the merge must keep batch 1's
+    val landing = graft.GateCache.tempDir("graft_minimg_pm").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(landing, "pm-bin.000001"),
+      BinlogFixture.encode("d", "t", cols, txns = Seq(Seq(
+        Change.insert(IndexedSeq(1L, "a", 10.0)),
+        Change.insert(IndexedSeq(2L, "b", 5.0))))))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(landing, "pm-bin.000002"),
+      BinlogFixture.encode("d", "t", cols, txns = Seq(Seq(
+        Change.update(IndexedSeq(1L, Absent, Absent),
+          IndexedSeq(1L, Absent, 20.0)),      // bal only
+        Change.update(IndexedSeq(2L, Absent, Absent),
+          IndexedSeq(2L, null, Absent))))))   // explicit-NULL name only
+    def fileChanges(name: String) = {
+      val one = graft.GateCache.tempDir(s"graft_minimg_pm_$name").toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(landing, name),
+        java.nio.file.Paths.get(one, name))
+      BinlogSource.changes(spark, one, "t", schema, presentCol = true)
+    }
+    val p1 = MinimalImage.partial(fileChanges("pm-bin.000001"), Seq("id"))
+    val p2 = MinimalImage.partial(fileChanges("pm-bin.000002"), Seq("id"))
+    // batch 2's partial really is blind to name for key 1…
+    val p2k1 = p2.filter(col("id") === 1L).collect().head
+    assert(p2k1.isNullAt(p2.columns.indexOf("_seq_name")),
+      "bal-only update must land a NULL name seq marker")
+    val merged = MinimalImage.merge(p1.unionByName(p2), Seq("id"))
+      .orderBy("id").collect()
+    // …and the merge keeps batch 1's name while taking batch 2's bal
+    assert(merged(0).getString(1) == "a" && merged(0).getDouble(2) == 20.0,
+      s"key 1: ${merged(0)} — the partial batch erased an earlier column")
+    // the explicit NULL (a real include) DOES overwrite across batches
+    assert(merged(1).isNullAt(1) && merged(1).getDouble(2) == 5.0,
+      s"key 2: ${merged(1)}")
+  }
+
+  test("partial/merge over any batch split equals the single-pass coalesce") {
+    // the associative-fold property the streaming apply rests on:
+    // split the change frame at arbitrary seq boundaries, partial each
+    // slice, merge the partials — identical to coalescing the whole
+    val landing = graft.GateCache.tempDir("graft_minimg_assoc").toString
+    val txn = (1L to 30L).flatMap { k =>
+      Seq(Change.insert(IndexedSeq(k, s"n$k", k.toDouble))) ++
+        (if (k % 2 == 0) Seq(Change.update(
+          IndexedSeq(k, Absent, Absent),
+          IndexedSeq(k, Absent, k.toDouble + 100))) else Nil) ++
+        (if (k % 3 == 0) Seq(Change.update(
+          IndexedSeq(k, Absent, Absent),
+          IndexedSeq[Any](k, null, Absent))) else Nil) ++
+        (if (k % 7 == 0) Seq(Change.delete(
+          IndexedSeq(k, Absent, Absent))) else Nil)
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(landing, "assoc-bin.000001"),
+      BinlogFixture.encode("d", "t", cols, txns = Seq(txn)))
+    val decoded = graft.GateCache.cache(
+      BinlogSource.changes(spark, landing, "t", schema, presentCol = true))
+    val whole = MinimalImage.coalesce(decoded, pks = Seq("id"))
+    for (cut <- Seq(1L, 17L, 43L)) {
+      val merged = MinimalImage.merge(
+        MinimalImage.partial(decoded.filter(col("_seq") < cut), Seq("id"))
+          .unionByName(MinimalImage.partial(
+            decoded.filter(col("_seq") >= cut), Seq("id"))),
+        Seq("id"))
+      assert(merged.exceptAll(whole).count() == 0 &&
+        whole.exceptAll(merged).count() == 0,
+        s"split at seq $cut diverges from the single-pass coalesce")
+    }
+  }
 }
