@@ -136,8 +136,12 @@ final class BinlogFixtureServer(
       .digest(s"graft-fixture-scramble-$idx".getBytes()).take(20)
 
   private def serve(sock: Socket, idx: Int): Unit = {
-    val in = new DataInputStream(sock.getInputStream)
-    val out = sock.getOutputStream
+    // same latency discipline as the client: no Nagle stalls on the
+    // header-then-payload write pairs, one coalesced segment per packet
+    sock.setTcpNoDelay(true)
+    val in = new DataInputStream(new java.io.BufferedInputStream(
+      sock.getInputStream, 1 << 16))
+    val out = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
     val scramble = scrambleFor(idx)
     // the handshake may advertise a DIFFERENT plugin than the user's
     // row demands (a real 8.0 shape: default_authentication_plugin vs

@@ -105,8 +105,14 @@ final class BinlogSocketClient(
     val sock = new Socket()
     sock.connect(new InetSocketAddress(host, port), 5000)
     sock.setSoTimeout(30000)
-    val in = new DataInputStream(sock.getInputStream)
-    val os = sock.getOutputStream
+    // the protocol is strict request-response with multi-write packets
+    // (header, then payload): Nagle + delayed-ACK turns every round
+    // trip into a ~40 ms stall — disable it, and coalesce each packet's
+    // writes into one segment with a buffer (flushed per packet)
+    sock.setTcpNoDelay(true)
+    val in = new DataInputStream(new java.io.BufferedInputStream(
+      sock.getInputStream, 1 << 16))
+    val os = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
     handshake(in, os)
     (sock, in, os)
   }
