@@ -84,6 +84,13 @@ object MinimalImage {
     val meta = Set(opCol, seqCol, presentCol, "_tbl")
     val payload = changes.columns.filterNot(meta.contains).toIndexedSeq
     require(pks.forall(payload.contains), s"pks $pks missing from $payload")
+    payload.foreach { c =>
+      // same positional guard as coalesce: the _present bitmap is
+      // indexed by column position, so payload must lead the frame
+      require(changes.columns.indexOf(c) < payload.size,
+        s"payload column $c does not precede the meta columns — " +
+          "the positional _present bitmap would misalign")
+    }
     val valueCols = payload.filterNot(pks.contains)
     valueCols.foreach(c => require(!c.startsWith("_seq_") &&
       c != "_last_op" && c != "_last_seq",

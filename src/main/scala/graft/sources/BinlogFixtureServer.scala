@@ -277,10 +277,7 @@ final class BinlogFixtureServer(
     }
     // a checksummed log (FDE alg byte = 1) demands the session SET first
     // — the real server's refusal, verbatim error text (8.0 spelling)
-    val startBytes0 = files(startIdx)._2
-    val fdeSize0 = ByteBuffer.wrap(startBytes0, 4 + 9, 4)
-      .order(ByteOrder.LITTLE_ENDIAN).getInt
-    if (demandChecksumNegotiation && startBytes0(4 + fdeSize0 - 5) == 1 &&
+    if (demandChecksumNegotiation && fdeChecksummed(files(startIdx)._2) &&
         !checksumNegotiated) {
       writePacket(out, 1, errPacket(1236,
         "Replica can not handle replication events with the checksum " +
@@ -305,14 +302,16 @@ final class BinlogFixtureServer(
       seq = writePacket(out, seq, p)
       sent += 1
     }
-    (startIdx until files.size).foreach { fi =>
+    // walk one file's events from `from` to its CURRENTLY visible end,
+    // sending what the dump rules allow; returns the offset reached and
+    // the GTID-suppress state (a suppressed transaction could in
+    // principle straddle a reveal boundary)
+    def walk(fi: Int, from: Int, suppress0: Boolean): (Int, Boolean) = {
       val bytes = files(fi)._2
-      // serve only the currently VISIBLE prefix — the log as of "now"
-      // (a truncated tail is writes that have not landed yet)
       val visEnd = visibleLen(files(fi)._1)
       require(bytes.length >= 4, s"fixture file ${files(fi)._1} too short")
-      var off = 4
-      var suppress = false
+      var off = from
+      var suppress = suppress0
       while (off < visEnd) {
         require(visEnd - off >= BinlogFormat.HeaderLen,
           s"truncated fixture event at $off")
@@ -340,46 +339,69 @@ final class BinlogFixtureServer(
             tpe == BinlogFormat.TransactionPayloadEvent)) suppress = false
         off += size
       }
+      (off, suppress)
+    }
+    var lastOff = 4
+    var suppressTail = false
+    (startIdx until files.size).foreach { fi =>
+      val (off, sup) = walk(fi, 4, suppress0 = false)
+      lastOff = off
+      suppressTail = sup
     }
     if (nonBlock) writePacket(out, seq, eofPacket)
     else {
-      // blocking mode: a real primary waits for more log to appear and
-      // keeps the connection alive with HEARTBEAT events (the
-      // reference's heartbeat_interval=5, cdc_replicator.py:120-123) —
-      // header-only events whose body names the current file; the loop
-      // ends when the client hangs up (T9 graceful stop) or the
-      // fixture closes
+      // blocking mode: a real primary waits for more log to appear —
+      // newly revealed bytes of the LAST file stream as they land —
+      // and keeps the connection alive with HEARTBEAT events (the
+      // reference's heartbeat_interval=5, cdc_replicator.py:120-123):
+      // header-only events naming the current file, end-log-pos = the
+      // position served so far. The loop ends when the client hangs up
+      // (T9 graceful stop) or the fixture closes.
       val name = files.last._1.getBytes(
         java.nio.charset.StandardCharsets.UTF_8)
-      val lastPos = visibleLen(files.last._1)
       // THIS dump's FDE (the start file's — the one stream() re-sent)
       // declared the checksum algorithm, so heartbeats carry the CRC32
-      // trailer iff it did (alg = byte eventSize-5 of the FDE at
-      // offset 4). The event is loop-invariant: build it once.
-      val startBytes = files(startIdx)._2
-      val fdeSize = ByteBuffer.wrap(startBytes, 4 + 9, 4)
-        .order(ByteOrder.LITTLE_ENDIAN).getInt
-      val checksummed = startBytes(4 + fdeSize - 5) == 1
+      // trailer iff it did
+      val checksummed = fdeChecksummed(files(startIdx)._2)
       val crcLen = if (checksummed) 4 else 0
       val size = BinlogFormat.HeaderLen + name.length + crcLen
-      val ev = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
-      ev.putInt(0) // heartbeats carry no timestamp
-      ev.put(BinlogFormat.HeartbeatEvent.toByte)
-      ev.putInt(0)
-      ev.putInt(size)
-      ev.putInt(lastPos)
-      ev.putShort(0)
-      ev.put(name)
-      if (checksummed) {
-        val crc = new java.util.zip.CRC32()
-        crc.update(ev.array(), 0, size - 4)
-        ev.putInt(crc.getValue.toInt)
+      def heartbeat(atPos: Int): Array[Byte] = {
+        val ev = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+        ev.putInt(0) // heartbeats carry no timestamp
+        ev.put(BinlogFormat.HeartbeatEvent.toByte)
+        ev.putInt(0)
+        ev.putInt(size)
+        ev.putInt(atPos)
+        ev.putShort(0)
+        ev.put(name)
+        if (checksummed) {
+          val crc = new java.util.zip.CRC32()
+          crc.update(ev.array(), 0, size - 4)
+          ev.putInt(crc.getValue.toInt)
+        }
+        ev.array()
       }
+      var hb = heartbeat(lastOff)
       while (!closed) {
         Thread.sleep(heartbeatMs)
-        send(ev.array(), 0, size) // IOException on hangup ends us
+        // writes that landed since the last pass (reveal() mid-dump)
+        if (visibleLen(files.last._1) > lastOff) {
+          val (off, sup) = walk(files.size - 1, lastOff, suppressTail)
+          lastOff = off
+          suppressTail = sup
+          hb = heartbeat(lastOff)
+        }
+        send(hb, 0, size) // IOException on hangup ends us
       }
     }
+  }
+
+  /** Does this file's FDE declare CRC32 checksums? (alg = the byte at
+    * eventSize-5 of the FDE, which starts at offset 4.) */
+  private def fdeChecksummed(bytes: Array[Byte]): Boolean = {
+    val fdeSize = ByteBuffer.wrap(bytes, 4 + 9, 4)
+      .order(ByteOrder.LITTLE_ENDIAN).getInt
+    bytes(4 + fdeSize - 5) == 1
   }
 
   override def close(): Unit = {

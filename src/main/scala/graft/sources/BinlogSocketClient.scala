@@ -73,7 +73,12 @@ final class BinlogSocketClient(
     * (T10); the client counts them and stops GRACEFULLY (T9: hang up,
     * return what was committed) once `stopWhen(nChanges, nHeartbeats)`
     * holds — the injectable form of the reference's KeyboardInterrupt/
-    * shutdown-flag loop exit. */
+    * shutdown-flag loop exit. The predicate is evaluated on PACKET
+    * arrival: against a silent primary (no events, no heartbeats) the
+    * stop waits for the 30 s read timeout — acceptable because
+    * heartbeats are the protocol's own liveness signal; a primary that
+    * stops sending them is down, and the timeout is the reconnect
+    * path's job. */
   def tailBlocking(fromFile: String, fromPos: Long = 4L)(
       stopWhen: (Long, Long) => Boolean): TailResult =
     run(fromFile, fromPos, GtidSet.Empty, gtidDump = false,
@@ -87,11 +92,16 @@ final class BinlogSocketClient(
     * form falls through to the new one — both return (File, Position)
     * leading columns. */
   def masterStatus(): (String, Long) = {
+    // fall back ONLY on the unknown-statement errors (1064 parse error,
+    // 1149 syntax) — any other failure (privileges, connection) must
+    // surface as-is, not be re-diagnosed as a version problem
     val rows =
       try query("SHOW MASTER STATUS")
       catch {
         case e: IllegalStateException
-            if e.getMessage != null && e.getMessage.startsWith("MySQL error") =>
+            if e.getMessage != null &&
+              (e.getMessage.startsWith("MySQL error 1064") ||
+               e.getMessage.startsWith("MySQL error 1149")) =>
           query("SHOW BINARY LOG STATUS")
       }
     require(rows.nonEmpty, "SHOW MASTER STATUS returned no row — " +
@@ -264,6 +274,7 @@ final class BinlogSocketClient(
       authToken(hs.authPlugin, password, nonce), hs.authPlugin)))
     var done = false
     var switched = false
+    var fullAuthDone = false
     while (!done) {
       val pkt = readPacket(in)
       val p = pkt.payload
@@ -285,7 +296,13 @@ final class BinlogSocketClient(
           // 0x01 0x04: perform full authentication — the cache is cold.
           // Request the server's RSA public key, encrypt the nonce-XOR'd
           // password under it (without TLS the key exchange is the only
-          // channel), and let the loop read the verdict
+          // channel), and let the loop read the verdict. ONE shot: a
+          // server that demands full auth AGAIN after receiving the
+          // blob is broken or hostile (each re-demand would re-disclose
+          // the password under an attacker-supplied key) — same
+          // discipline as the single-switch cap above
+          require(!fullAuthDone, "server demanded full auth twice")
+          fullAuthDone = true
           writePacket(os, pkt.seq + 1, PublicKeyRequest)
           val pk = readPacket(in)
           if (isErr(pk.payload))

@@ -65,6 +65,11 @@ object MysqlProtocol {
 
   val MaxPacket = 0xffffff // 3-byte length; the continuation sentinel
 
+  /** Spliced-message ceiling: MySQL's own max_allowed_packet maximum
+    * (1 GiB) — nothing legal exceeds it, so the splice loop treats it
+    * as a desync/abuse bound rather than buffering without limit. */
+  val MaxMessage: Int = 1 << 30
+
   final case class Packet(seq: Int, payload: Array[Byte])
 
   /** Read one protocol MESSAGE, splicing the 16 MiB continuation form: a
@@ -86,6 +91,12 @@ object MysqlProtocol {
       val out = new java.io.ByteArrayOutputStream(MaxPacket * 2)
       var more = true
       while (more) {
+        // bound the splice at the protocol's own ceiling — a desynced
+        // or hostile stream whose bytes keep parsing as 0xffffff
+        // headers must fail loudly, not accumulate to an OOM
+        require(out.size() < MaxMessage,
+          s"spliced message exceeds the ${MaxMessage >> 20} MiB " +
+            "max_allowed_packet ceiling — stream desync or oversized event")
         val chunk = new Array[Byte](len); in.readFully(chunk)
         out.write(chunk)
         more = len == MaxPacket

@@ -311,6 +311,33 @@ class MysqlProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("e2e: a blocking tail streams writes that land AFTER the dump " +
+      "started (reveal mid-dump)") {
+    // like a real primary: the dump reaches log end, heartbeats, and
+    // when new transactions land they stream on the SAME connection
+    val firstHalf = BinlogFixture.encode("d", "t", cols,
+      txns = (1L to 4L).map(k => Seq(insert(k))), gtidFrom = Some(1L))
+    val full = BinlogFixture.encode("d", "t", cols,
+      txns = (1L to 8L).map(k => Seq(insert(k))), gtidFrom = Some(1L))
+    assert(java.util.Arrays.equals(
+      java.util.Arrays.copyOf(full, firstHalf.length), firstHalf))
+    withServer(IndexedSeq("grow-bin.000001" -> full)) { srv =>
+      srv.truncate("grow-bin.000001", firstHalf.length)
+      val grower = new Thread(() => {
+        Thread.sleep(150)
+        srv.reveal("grow-bin.000001")
+      })
+      grower.start()
+      // stop once all 8 arrived — 5..8 exist only AFTER the reveal
+      val r = client(srv).tailBlocking("grow-bin.000001")(
+        (changes, _) => changes == 8)
+      grower.join()
+      assert(r.changes.map(_.after.get.head) == (1L to 8L),
+        "mid-dump reveal did not stream the landed writes")
+      assert(r.pos == full.length.toLong)
+    }
+  }
+
   test("e2e: a wrong password is refused with the documented ERR") {
     withServer(twoFiles) { srv =>
       val bad = new BinlogSocketClient("127.0.0.1", srv.port, "repl", "wrong")
