@@ -443,6 +443,26 @@ class MysqlProtocolSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("e2e: AuthSwitch INTO cold-cache caching_sha2 completes full auth " +
+      "against the switch nonce") {
+    // the compound path: handshake advertises native, the account runs
+    // caching_sha2 with an EMPTY cache — switch first, then the RSA
+    // exchange, with the XOR nonce being the SWITCH's, not the
+    // handshake's
+    val srv = new BinlogFixtureServer(twoFiles, "repl", "graft-secret",
+      authPlugin = MysqlProtocol.CachingSha2Plugin,
+      advertisePlugin = Some(MysqlProtocol.NativePasswordPlugin),
+      sha2ColdCache = true)
+    try {
+      val r = client(srv).tail("sock-bin.000001")
+      assert(r.changes.size == 8)
+      assert(srv.fullAuths == 1 && srv.fastAuths == 0)
+      // and the switch+fast path once warmed
+      assert(client(srv).tail(r.file, r.pos).changes.isEmpty)
+      assert(srv.fastAuths == 1)
+    } finally srv.close()
+  }
+
   test("e2e: an unknown dump file is refused with error 1236") {
     withServer(twoFiles) { srv =>
       val e = intercept[IllegalStateException](
