@@ -36,9 +36,13 @@ object MinimalImage {
     * must appear in TABLE_MAP order at the FRONT of the frame (the
     * [[graft.sources.BinlogSource.changes]] layout) — the `_present`
     * array is positional. */
-  def coalesce(changes: DataFrame, pks: Seq[String],
-               opCol: String = "op", seqCol: String = "_seq",
-               presentCol: String = "_present"): DataFrame = {
+  /** Derive (and validate) the payload columns of a change frame: the
+    * non-meta columns, which MUST lead the frame because the
+    * `_present` bitmap is positional. Shared contract of [[coalesce]]
+    * and [[partial]]. */
+  private def payloadColumns(changes: DataFrame, pks: Seq[String],
+                             opCol: String, seqCol: String,
+                             presentCol: String): IndexedSeq[String] = {
     val meta = Set(opCol, seqCol, presentCol, "_tbl")
     val payload = changes.columns.filterNot(meta.contains).toIndexedSeq
     require(pks.forall(payload.contains), s"pks $pks missing from $payload")
@@ -47,6 +51,13 @@ object MinimalImage {
         s"payload column $c does not precede the meta columns — " +
           "the positional _present bitmap would misalign")
     }
+    payload
+  }
+
+  def coalesce(changes: DataFrame, pks: Seq[String],
+               opCol: String = "op", seqCol: String = "_seq",
+               presentCol: String = "_present"): DataFrame = {
+    val payload = payloadColumns(changes, pks, opCol, seqCol, presentCol)
     val valueCols = payload.filterNot(pks.contains)
     val aggs = valueCols.map { c =>
       val pos = changes.columns.indexOf(c) + 1 // element_at is 1-based
@@ -81,16 +92,7 @@ object MinimalImage {
   def partial(changes: DataFrame, pks: Seq[String],
               opCol: String = "op", seqCol: String = "_seq",
               presentCol: String = "_present"): DataFrame = {
-    val meta = Set(opCol, seqCol, presentCol, "_tbl")
-    val payload = changes.columns.filterNot(meta.contains).toIndexedSeq
-    require(pks.forall(payload.contains), s"pks $pks missing from $payload")
-    payload.foreach { c =>
-      // same positional guard as coalesce: the _present bitmap is
-      // indexed by column position, so payload must lead the frame
-      require(changes.columns.indexOf(c) < payload.size,
-        s"payload column $c does not precede the meta columns — " +
-          "the positional _present bitmap would misalign")
-    }
+    val payload = payloadColumns(changes, pks, opCol, seqCol, presentCol)
     val valueCols = payload.filterNot(pks.contains)
     valueCols.foreach(c => require(!c.startsWith("_seq_") &&
       c != "_last_op" && c != "_last_seq",

@@ -100,8 +100,10 @@ final class BinlogSocketClient(
       catch {
         case e: IllegalStateException
             if e.getMessage != null &&
-              (e.getMessage.startsWith("MySQL error 1064") ||
-               e.getMessage.startsWith("MySQL error 1149")) =>
+              // colon-terminated so a longer custom code (10641…)
+              // never matches
+              (e.getMessage.startsWith("MySQL error 1064:") ||
+               e.getMessage.startsWith("MySQL error 1149:")) =>
           query("SHOW BINARY LOG STATUS")
       }
     require(rows.nonEmpty, "SHOW MASTER STATUS returned no row — " +
