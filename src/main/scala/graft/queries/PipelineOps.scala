@@ -1583,6 +1583,19 @@ object PipelineOps {
     require(landed.count() == keys.size + touchedWave2,
       s"landed ${landed.count()} partials != ${keys.size} + $touchedWave2 " +
         "— the resume replayed (or lost) a wave")
+    // the 100 TB shape REQUIREd, not just claimed: the read-side merge
+    // is ONE hash aggregation — exactly one PK-hash exchange (map-side
+    // partial max_by, then the final agg), no window, no join. Audited
+    // BEFORE the result is cached (the cache manager would otherwise
+    // answer the plan-identical audit from the cached result)
+    val audit = MinimalImage.merge(landed, pks = Seq("id"))
+    audit.count() // materialize so AQE finalizes the plan
+    val mergePlan = audit.queryExecution.executedPlan.toString
+    val nExchanges = mergePlan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    require(nExchanges == 1,
+      s"merge plan should shuffle exactly once on the PK, found " +
+        s"$nExchanges exchanges:\n$mergePlan")
     val merged = graft.GateCache.cache(
       MinimalImage.merge(landed, pks = Seq("id")))
     // the cross-batch no-erase property, REQUIREd on the gate's own

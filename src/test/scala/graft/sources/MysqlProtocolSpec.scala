@@ -113,6 +113,38 @@ class MysqlProtocolSpec extends AnyFunSuite {
     assert(decodeRegisterSlave(encodeRegisterSlave(rs)) == rs)
   }
 
+  test("gtid wire decode: duplicate sids MERGE, hostile counts fail loudly") {
+    // a wire set repeating a sid merges its intervals (last-wins toMap
+    // would silently drop the earlier ones)
+    val sid = Array.tabulate[Byte](16)(i => (i + 1).toByte)
+    def wire(entries: Seq[Seq[(Long, Long)]]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(
+        8 + entries.map(e => 16 + 8 + 16 * e.size).sum)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putLong(entries.size.toLong)
+      entries.foreach { ivs =>
+        b.put(sid); b.putLong(ivs.size.toLong)
+        ivs.foreach { case (lo, hiEx) => b.putLong(lo); b.putLong(hiEx) }
+      }
+      b.array()
+    }
+    val merged = GtidSet.fromWire(wire(Seq(Seq((1L, 6L)), Seq((4L, 10L)))))
+    assert(merged.render == "01020304-0506-0708-090a-0b0c0d0e0f10:1-9",
+      s"duplicate-sid intervals must union, got ${merged.render}")
+    // a huge interval count must hit the diagnostic, not Long-overflow
+    // past the bound into a raw BufferUnderflowException
+    val hostile = java.nio.ByteBuffer.allocate(8 + 16 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hostile.putLong(1L); hostile.put(sid); hostile.putLong(1L << 60)
+    val e = intercept[IllegalArgumentException](
+      GtidSet.fromWire(hostile.array()))
+    assert(e.getMessage.contains("overruns"))
+    // roundtrip: wire → decode → identical coalesced set
+    val set = GtidSet.fromGtids(Seq(3L, 1L, 2L, 9L, 10L, 40L).map(g =>
+      s"01020304-0506-0708-090a-0b0c0d0e0f10:$g"))
+    assert(GtidSet.fromWire(set.wireBytes) == set)
+  }
+
   test("gtid set union coalesces adjacent and overlapping intervals") {
     val a = GtidSet.parse("01020304-0506-0708-090a-0b0c0d0e0f10:1-5")
     val b = GtidSet.parse("01020304-0506-0708-090a-0b0c0d0e0f10:6-8:12")
