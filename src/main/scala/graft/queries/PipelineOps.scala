@@ -1103,6 +1103,129 @@ object PipelineOps {
     } finally srv.close()
   }
 
+  /** O22: the reference's CONTINUOUS mode live — o21 proves the
+    * capture-before-copy invariant with a NON_BLOCK catch-up dump;
+    * this gate runs the topology the way the reference actually
+    * operates day-to-day (`CDCReplicator.run` → blocking
+    * `BinLogStreamReader` with `heartbeat_interval`,
+    * `src/cdc_replicator.py:113-123,296-326`): after the capture, the
+    * overlap writes land, the snapshot copies, and then a BLOCKING
+    * tail holds ONE connection open — it drains the overlap, idles at
+    * log end on heartbeats (T10), and when a SECOND write wave lands
+    * on the primary mid-tail the same connection streams it (no
+    * re-dump, no reconnect). In-gate REQUIREs: the tail carried the
+    * overlap AND the live wave exactly; at least one heartbeat
+    * separated them (the connection really idled — this was the
+    * blocking continuous mode, not a second dump); zero reconnects;
+    * and the live view equals the final source state including the
+    * mid-tail writes. Output = the live view, every value
+    * recomputable from orders. */
+  def referenceLiveTailE2e(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{BinlogFixture, BinlogFixtureServer,
+      BinlogSocketClient, BinlogSource}
+    import graft.sources.BinlogFormat.{ColumnDef, TypeLongLong, TypeDouble}
+    import BinlogFixture.Change
+    import graft.operators.CdcTransform
+    import graft.streaming.CdcPipeline
+    val tgt = graft.GateCache.tempDir("graft_livetail_tgt").toString
+    val ckp = graft.GateCache.tempDir("graft_livetail_ckp").toString
+    val cols = IndexedSeq(ColumnDef(TypeLongLong, 0), ColumnDef(TypeDouble, 8))
+    val keys = s.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") % 5 === 0).select("o_orderkey")
+      .orderBy("o_orderkey").collect().map(_.getLong(0)).toIndexedSeq
+    require(keys.size >= 20, "accounts sample too small")
+    def bal0(k: Long): Double = (k % 100).toDouble
+    def balW1(k: Long): Double = bal0(k) + (if (k % 3 == 0) 77.0 else 0.0)
+    def balW2(k: Long): Double = balW1(k) + (if (k % 4 == 0) 1000.0 else 0.0)
+    val txnsT = keys.map(k => Change.insert(IndexedSeq[Any](k, bal0(k))))
+      .grouped(50).map(_.toSeq).toIndexedSeq
+    // W1: the capture-copy overlap (updates + deletes)
+    val txnsW1 = IndexedSeq(
+      keys.filter(_ % 3 == 0).map(k => Change.update(
+        IndexedSeq[Any](k, bal0(k)), IndexedSeq[Any](k, bal0(k) + 77.0))),
+      keys.filter(_ % 7 == 0).map(k =>
+        Change.delete(IndexedSeq[Any](k, balW1(k)))))
+    // W2: writes landing MID-TAIL on the held connection (survivors only)
+    val w2Keys = keys.filter(k => k % 4 == 0 && k % 7 != 0)
+    require(w2Keys.nonEmpty, "no live-wave keys")
+    val txnsW2 = IndexedSeq(w2Keys.map(k => Change.update(
+      IndexedSeq[Any](k, balW1(k)), IndexedSeq[Any](k, balW2(k)))))
+    val nOverlap = txnsW1.map(_.size).sum
+    val nLive = txnsW2.map(_.size).sum
+    val file = "primary-bin.000001"
+    def enc(txns: IndexedSeq[Seq[Change]]): Array[Byte] =
+      BinlogFixture.encode("graft", "accounts", cols, txns,
+        gtidFrom = Some(1L))
+    val tBytes = enc(txnsT)
+    val w1Bytes = enc(txnsT ++ txnsW1)
+    val fullBytes = enc(txnsT ++ txnsW1 ++ txnsW2)
+    require(java.util.Arrays.equals(
+        java.util.Arrays.copyOf(w1Bytes, tBytes.length), tBytes) &&
+      java.util.Arrays.equals(
+        java.util.Arrays.copyOf(fullBytes, w1Bytes.length), w1Bytes),
+      "append-only encode prefix broke")
+    val srv = new BinlogFixtureServer(IndexedSeq(file -> fullBytes),
+      "repl", "graft-secret", heartbeatMs = 20L)
+    srv.truncate(file, tBytes.length)
+    try {
+      val cli = new BinlogSocketClient("127.0.0.1", srv.port,
+        "repl", "graft-secret")
+      // 1. capture; 2. overlap lands; 3. copy the post-overlap state
+      val (msFile, msPos) = cli.masterStatus()
+      require(msFile == file && msPos == tBytes.length,
+        s"captured ($msFile, $msPos), expected ($file, ${tBytes.length})")
+      srv.truncate(file, w1Bytes.length) // W1 lands (log grows)
+      val snapshot = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 5 === 0 && col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey").as("id"),
+          (col("o_orderkey") % 100 +
+            when(col("o_orderkey") % 3 === 0, 77.0).otherwise(0.0))
+            .cast("double").as("bal"))
+      val pipe = new CdcPipeline(s, tgt, ckp)
+      pipe.initialSync(snapshot.withColumn("s0", lit(0L)), "accounts",
+        versionMicros = 1L, seqCol = "s0")
+      // 4. the BLOCKING tail: drains the overlap, heartbeats at log
+      //    end; W2 lands mid-tail on the SAME connection
+      val grower = new Thread(() => {
+        Thread.sleep(200)
+        srv.reveal(file) // W2 lands while the tail idles
+      }, "o22-writer")
+      grower.start()
+      @volatile var beatsBetween = 0L
+      val r = cli.tailBlocking(msFile, msPos) { (changes, beats) =>
+        if (changes == nOverlap) beatsBetween = math.max(beatsBetween, beats)
+        changes == nOverlap + nLive
+      }
+      grower.join()
+      require(r.reconnects == 0, s"${r.reconnects} reconnects — the " +
+        "live wave must arrive on the HELD connection")
+      require(r.changes.size == nOverlap + nLive,
+        s"tail carried ${r.changes.size}, expected overlap $nOverlap + " +
+          s"live $nLive")
+      require(beatsBetween >= 1,
+        "no heartbeat between the overlap drain and the live wave — " +
+          "the connection never idled at log end")
+      require(r.pos == fullBytes.length.toLong,
+        s"final offset ${r.pos} != log end ${fullBytes.length}")
+      val schema = StructType.fromDDL("id BIGINT, bal DOUBLE")
+      val stamped = CdcTransform.stampBatch(
+        BinlogSource.collectedChanges(s, r.changes, "accounts", schema),
+        opCol = "op", seqCol = "_seq", batchVersionMicros = 2L)
+      stamped.drop("op", "_seq", "_tbl")
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$tgt/accounts.parquet")
+      val expected = snapshot.withColumn("bal", col("bal") +
+        when(col("id") % 4 === 0, 1000.0).otherwise(0.0))
+      val live = graft.GateCache.cache(LiveView.live(
+        pipe.applied("accounts"), pks = Seq("id"), tieBreak = Some(SeqCol)))
+      require(live.exceptAll(expected).count() == 0 &&
+        expected.exceptAll(live).count() == 0,
+        "live view diverges from the final source state (incl. the " +
+          "mid-tail wave)")
+      live
+    } finally srv.close()
+  }
+
   /** T33: GTID-SET RESUME over an overlapping rotated chain — the
     * replica-failover shape the reference's (file, pos) offset cannot
     * express (`/root/reference/src/cdc_replicator.py:24-35`: its resume
@@ -4284,6 +4407,7 @@ object PipelineOps {
     "t37_binlog_partial_json" -> ((s, dir) => binlogPartialJsonLive(s, dir)),
     "t38_binlog_socket_cdc" -> ((s, dir) => binlogSocketCdcLive(s, dir)),
     "o21_reference_e2e" -> ((s, dir) => referenceTopologyE2e(s, dir)),
+    "o22_reference_live_tail" -> ((s, dir) => referenceLiveTailE2e(s, dir)),
     "t40_binlog_gtid_stream" -> ((s, dir) => binlogGtidStreamResume(s, dir)),
     "t41_binlog_legacy_types" -> ((s, dir) => binlogLegacyTypedCdc(s, dir)),
     "t39_binlog_evolving_cdc" -> ((s, dir) => binlogEvolvingCdcLive(s, dir)),
@@ -5068,6 +5192,18 @@ object PipelineOps {
       """SELECT o_orderkey AS id,
         |  CAST(o_orderkey % 100 +
         |       CASE WHEN o_orderkey % 3 = 0 THEN 77 ELSE 0 END
+        |       AS DOUBLE) AS bal
+        |FROM orders
+        |WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0""".stripMargin,
+
+    // the continuous-mode topology: o21's final state plus the
+    // mid-tail live wave (k%4 survivors gain 1000) — a missed or
+    // double-applied wave flips bal values and the hash
+    "o22_reference_live_tail" ->
+      """SELECT o_orderkey AS id,
+        |  CAST(o_orderkey % 100 +
+        |       CASE WHEN o_orderkey % 3 = 0 THEN 77 ELSE 0 END +
+        |       CASE WHEN o_orderkey % 4 = 0 THEN 1000 ELSE 0 END
         |       AS DOUBLE) AS bal
         |FROM orders
         |WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0""".stripMargin,

@@ -16,7 +16,11 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     // gate, the driver's correctness JSON just gets smaller, and 31 red
     // gates read as "fewer queries". A silent shrink (or an unregistered
     // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
-    val pinned = 283 // r15: +t43_binlog_minimal_stream (t42's MINIMAL
+    val pinned = 284 // r15: +o22_reference_live_tail (the reference's
+    // continuous mode: blocking tail holds one connection — drains the
+    // overlap, heartbeats at log end, streams the mid-tail write wave
+    // with zero reconnects).
+    // r15: +t43_binlog_minimal_stream (t42's MINIMAL
     // apply streamed: per-batch partial coalesce states landed
     // append-only, merged at read — kill+resume across two waves,
     // never-resent columns REQUIREd to survive the second batch).
