@@ -1185,18 +1185,23 @@ object PipelineOps {
       pipe.initialSync(snapshot.withColumn("s0", lit(0L)), "accounts",
         versionMicros = 1L, seqCol = "s0")
       // 4. the BLOCKING tail: drains the overlap, heartbeats at log
-      //    end; W2 lands mid-tail on the SAME connection
-      val grower = new Thread(() => {
-        Thread.sleep(200)
-        srv.reveal(file) // W2 lands while the tail idles
-      }, "o22-writer")
-      grower.start()
-      @volatile var beatsBetween = 0L
+      //    end; W2 lands mid-tail on the SAME connection. The reveal
+      //    fires from inside the tail's own callback ONLY once the
+      //    overlap is drained and at least one heartbeat has been
+      //    seen — deterministic by construction, no wall-clock race.
+      //    The stop predicate is bounded (beat budget ≈ 30 s) so an
+      //    under-delivery regression fails the gate red instead of
+      //    hanging the suite (heartbeats re-arm soTimeout forever).
+      var beatsBetween = 0L // callback runs on this thread
+      var revealed = false
       val r = cli.tailBlocking(msFile, msPos) { (changes, beats) =>
-        if (changes == nOverlap) beatsBetween = math.max(beatsBetween, beats)
-        changes == nOverlap + nLive
+        if (!revealed && changes == nOverlap && beats >= 1) {
+          beatsBetween = beats
+          srv.reveal(file) // W2 lands while the connection idles
+          revealed = true
+        }
+        changes == nOverlap + nLive || beats > 1500
       }
-      grower.join()
       require(r.reconnects == 0, s"${r.reconnects} reconnects — the " +
         "live wave must arrive on the HELD connection")
       require(r.changes.size == nOverlap + nLive,
@@ -1708,19 +1713,23 @@ object PipelineOps {
         "— the resume replayed (or lost) a wave")
     // the 100 TB shape REQUIREd, not just claimed: the read-side merge
     // is ONE hash aggregation — exactly one PK-hash exchange (map-side
-    // partial max_by, then the final agg), no window, no join. Audited
-    // BEFORE the result is cached (the cache manager would otherwise
-    // answer the plan-identical audit from the cached result)
+    // partial max_by, then the final agg), no window, no join.
+    // collect() (not count(), which plans a SEPARATE query) executes
+    // THIS queryExecution so AQE finalizes the audited plan; the rows
+    // in hand then BECOME the merged frame — one execution total
     val audit = MinimalImage.merge(landed, pks = Seq("id"))
-    audit.count() // materialize so AQE finalizes the plan
+    val auditRows = audit.collect()
+    // the finalized AdaptiveSparkPlan prints Final AND Initial sections
+    // — audit the final one only
     val mergePlan = audit.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
     val nExchanges = mergePlan.linesIterator
       .count(_.contains("Exchange hashpartitioning"))
     require(nExchanges == 1,
       s"merge plan should shuffle exactly once on the PK, found " +
         s"$nExchanges exchanges:\n$mergePlan")
-    val merged = graft.GateCache.cache(
-      MinimalImage.merge(landed, pks = Seq("id")))
+    val merged = graft.GateCache.cache(s.createDataFrame(
+      s.sparkContext.parallelize(auditRows.toIndexedSeq), audit.schema))
     // the cross-batch no-erase property, REQUIREd on the gate's own
     // data: `cnt` is NEVER re-sent after the insert (no follow-up
     // carries it), so every survivor's cnt can only come from wave 1's
