@@ -31,11 +31,6 @@ import org.apache.spark.sql.functions._
   */
 object MinimalImage {
 
-  /** Coalesce a decoded change frame (row-image columns + `opCol` +
-    * `seqCol` + `presentCol`) into the live table. `payload` columns
-    * must appear in TABLE_MAP order at the FRONT of the frame (the
-    * [[graft.sources.BinlogSource.changes]] layout) — the `_present`
-    * array is positional. */
   /** Derive (and validate) the payload columns of a change frame: the
     * non-meta columns, which MUST lead the frame because the
     * `_present` bitmap is positional. Shared contract of [[coalesce]]
@@ -54,6 +49,11 @@ object MinimalImage {
     payload
   }
 
+  /** Coalesce a decoded change frame (row-image columns + `opCol` +
+    * `seqCol` + `presentCol`) into the live table. `payload` columns
+    * must appear in TABLE_MAP order at the FRONT of the frame (the
+    * [[graft.sources.BinlogSource.changes]] layout) — the `_present`
+    * array is positional. Output columns keep that payload order. */
   def coalesce(changes: DataFrame, pks: Seq[String],
                opCol: String = "op", seqCol: String = "_seq",
                presentCol: String = "_present"): DataFrame = {
@@ -113,20 +113,36 @@ object MinimalImage {
     * (and seqs are a total order across batches). Delete fencing needs
     * no extra care for the same reason as [[coalesce]]: a live key's
     * last INSERT included every column. One hash aggregation on the PK,
-    * map-side partial `max_by` per column. Primary keys lead the
-    * output. */
-  def merge(partials: DataFrame, pks: Seq[String]): DataFrame = {
+    * map-side partial `max_by` per column.
+    *
+    * [[partial]] frames lose the change frame's payload INTERLEAVING
+    * (their groupBy puts the pks first), so to be column-for-column
+    * interchangeable with [[coalesce]] — whose output keeps TABLE_MAP
+    * order — pass the original order as `payloadOrder` (positional
+    * consumers like `exceptAll` silently misalign otherwise whenever a
+    * pk is not the frame's first payload column). Left empty, primary
+    * keys lead the output. */
+  def merge(partials: DataFrame, pks: Seq[String],
+            payloadOrder: Seq[String] = Nil): DataFrame = {
     val valueCols = partials.columns.filterNot(c => pks.contains(c) ||
       c.startsWith("_seq_") || c == "_last_op" || c == "_last_seq")
       .toIndexedSeq
     require(valueCols.forall(c => partials.columns.contains(s"_seq_$c")),
       s"not a partial frame: per-column seq markers missing in " +
         s"${partials.columns.mkString(",")}")
+    val outCols =
+      if (payloadOrder.isEmpty) pks ++ valueCols
+      else {
+        require(payloadOrder.sorted == (pks ++ valueCols).sorted,
+          s"payloadOrder $payloadOrder is not a permutation of " +
+            s"${pks ++ valueCols}")
+        payloadOrder
+      }
     val aggs = valueCols.map(c => max_by(col(c), col(s"_seq_$c")).as(c)) :+
       max_by(col("_last_op"), col("_last_seq")).as("_last_op")
     partials.groupBy(pks.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .filter(col("_last_op") =!= CdcTransform.Delete)
-      .select((pks ++ valueCols).map(col): _*)
+      .select(outCols.map(col): _*)
   }
 }

@@ -983,6 +983,91 @@ object PipelineOps {
     } finally srv.close()
   }
 
+  private def refBal0(k: Long): Double = (k % 100).toDouble
+  private def refBalW1(k: Long): Double =
+    refBal0(k) + (if (k % 3 == 0) 77.0 else 0.0)
+
+  /** Shared scaffold of the o21/o22 reference-topology gates — the
+    * sampled `accounts` table (orders %5 keys), its insert history T
+    * (the state the capture points at), the capture-copy overlap wave
+    * W1 (updates on %3 keys, deletes on %7 — [[refBal0]]/[[refBalW1]]
+    * are the balance algebra the oracles recompute), and the
+    * post-overlap snapshot the initial copy reads. ONE builder so the
+    * two gates' fixtures and oracle SQLs cannot drift independently. */
+  private final case class RefTopology(
+      keys: IndexedSeq[Long],
+      cols: IndexedSeq[graft.sources.BinlogFormat.ColumnDef],
+      txnsT: IndexedSeq[Seq[graft.sources.BinlogFixture.Change]],
+      txnsW1: IndexedSeq[Seq[graft.sources.BinlogFixture.Change]],
+      nOverlap: Int,
+      snapshot: DataFrame) {
+    /** Encode a txn prefix of the growing log (gtids from 1) — the
+      * same call for every prefix, so longer encodes extend shorter
+      * ones byte-for-byte (positions are cumulative). */
+    def encode(txns: IndexedSeq[Seq[graft.sources.BinlogFixture.Change]])
+        : Array[Byte] =
+      graft.sources.BinlogFixture.encode("graft", "accounts", cols, txns,
+        gtidFrom = Some(1L))
+    /** A binlog only grows: REQUIRE `shorter` is a strict byte prefix
+      * of `longer`, the premise of the truncate/reveal staging. */
+    def requirePrefix(shorter: Array[Byte], longer: Array[Byte]): Unit =
+      require(longer.length > shorter.length && java.util.Arrays.equals(
+        java.util.Arrays.copyOf(longer, shorter.length), shorter),
+        "append-only encode prefix broke — the growing-log premise is off")
+  }
+
+  private def refTopology(s: SparkSession, dir: String): RefTopology = {
+    import graft.sources.BinlogFixture.Change
+    import graft.sources.BinlogFormat.{ColumnDef, TypeLongLong, TypeDouble}
+    val cols = IndexedSeq(ColumnDef(TypeLongLong, 0), ColumnDef(TypeDouble, 8))
+    val keys = s.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") % 5 === 0).select("o_orderkey")
+      .orderBy("o_orderkey").collect().map(_.getLong(0)).toIndexedSeq
+    require(keys.size >= 20, "accounts sample too small")
+    // history: every account inserted (the state the capture points at)
+    val txnsT = keys.map(k => Change.insert(IndexedSeq[Any](k, refBal0(k))))
+      .grouped(50).map(_.toSeq).toIndexedSeq
+    // the overlap: writes that land AFTER the capture, BEFORE the copy
+    val txnsW1 = IndexedSeq(
+      keys.filter(_ % 3 == 0).map(k => Change.update(
+        IndexedSeq[Any](k, refBal0(k)),
+        IndexedSeq[Any](k, refBal0(k) + 77.0))),
+      keys.filter(_ % 7 == 0).map(k =>
+        Change.delete(IndexedSeq[Any](k, refBalW1(k)))))
+    val nOverlap = txnsW1.map(_.size).sum
+    require(nOverlap > 0, "degenerate overlap")
+    // the copy reads the source AFTER the overlap: %7 keys deleted,
+    // %3 keys carry the +77 update
+    val snapshot = s.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") % 5 === 0 && col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("id"),
+        (col("o_orderkey") % 100 +
+          when(col("o_orderkey") % 3 === 0, 77.0).otherwise(0.0))
+          .cast("double").as("bal"))
+    RefTopology(keys, cols, txnsT, txnsW1, nOverlap, snapshot)
+  }
+
+  /** The shared apply half of o21/o22: stamp the tailed changes as ONE
+    * batch (version 2 — the initial copy was version 1, the reference's
+    * batch-granular `_version`, cdc_replicator.py:269-271), append them
+    * to the pipeline's accounts target, and read back the deduping live
+    * view — the ReplacingMergeTree heal that absorbs the double-applied
+    * overlap (at-least-once by design, `README.md:480-497`). */
+  private def refApplyTail(s: SparkSession, pipe: CdcPipeline, tgt: String,
+      changes: Vector[graft.sources.BinlogFormat.RowChange]): DataFrame = {
+    import graft.operators.CdcTransform
+    import graft.sources.BinlogSource
+    val schema = StructType.fromDDL("id BIGINT, bal DOUBLE")
+    val stamped = CdcTransform.stampBatch(
+      BinlogSource.collectedChanges(s, changes, "accounts", schema),
+      opCol = "op", seqCol = "_seq", batchVersionMicros = 2L)
+    stamped.drop("op", "_seq", "_tbl")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$tgt/accounts.parquet")
+    graft.GateCache.cache(LiveView.live(
+      pipe.applied("accounts"), pks = Seq("id"), tieBreak = Some(SeqCol)))
+  }
+
   /** O21: the FULL REFERENCE TOPOLOGY as one gate, in its actual
     * operating order (`/root/reference/src/main.py:65-97` dispatch →
     * `src/cdc_replicator.py:238-261` `initial_sync`, whose
@@ -1012,43 +1097,17 @@ object PipelineOps {
     * the final source state row-for-row. Output = the live view, its
     * every value recomputable from orders. */
   def referenceTopologyE2e(s: SparkSession, dir: String): DataFrame = {
-    import graft.sources.{BinlogFixture, BinlogFixtureServer,
-      BinlogSocketClient, BinlogSource}
-    import graft.sources.BinlogFormat.{ColumnDef, TypeLongLong, TypeDouble}
-    import BinlogFixture.Change
-    import graft.operators.CdcTransform
-    import graft.streaming.CdcPipeline
+    import graft.sources.{BinlogFixtureServer, BinlogSocketClient}
     val tgt = graft.GateCache.tempDir("graft_reftopo_tgt").toString
     val ckp = graft.GateCache.tempDir("graft_reftopo_ckp").toString
-    val cols = IndexedSeq(ColumnDef(TypeLongLong, 0), ColumnDef(TypeDouble, 8))
-    val keys = s.read.parquet(s"$dir/orders.parquet")
-      .filter(col("o_orderkey") % 5 === 0).select("o_orderkey")
-      .orderBy("o_orderkey").collect().map(_.getLong(0)).toIndexedSeq
-    require(keys.size >= 20, "accounts sample too small")
-    def bal0(k: Long): Double = (k % 100).toDouble
-    def balFinal(k: Long): Double = bal0(k) + (if (k % 3 == 0) 77.0 else 0.0)
-    // history: every account inserted (the state the capture points at)
-    val txnsT = keys.map(k => Change.insert(IndexedSeq[Any](k, bal0(k))))
-      .grouped(50).map(_.toSeq).toIndexedSeq
-    // the overlap: writes that land AFTER the capture, BEFORE the copy
-    val updatesW = keys.filter(_ % 3 == 0).map(k => Change.update(
-      IndexedSeq[Any](k, bal0(k)), IndexedSeq[Any](k, bal0(k) + 77.0)))
-    val deletesW = keys.filter(_ % 7 == 0).map(k =>
-      Change.delete(IndexedSeq[Any](k, balFinal(k))))
-    val txnsW = IndexedSeq(updatesW, deletesW)
-    val nOverlap = txnsW.map(_.size).sum
-    require(nOverlap > 0, "degenerate overlap")
+    val topo = refTopology(s, dir)
     // a binlog only grows: encode the FULL log once; the T-only prefix
     // is byte-identical (positions are cumulative), so the truncated
     // server IS the primary as of the capture
     val file = "primary-bin.000001"
-    val tBytes = BinlogFixture.encode("graft", "accounts", cols, txnsT,
-      gtidFrom = Some(1L))
-    val fullBytes = BinlogFixture.encode("graft", "accounts", cols,
-      txnsT ++ txnsW, gtidFrom = Some(1L))
-    require(fullBytes.length > tBytes.length && java.util.Arrays.equals(
-      java.util.Arrays.copyOf(fullBytes, tBytes.length), tBytes),
-      "append-only encode prefix broke — the growing-log premise is off")
+    val tBytes = topo.encode(topo.txnsT)
+    val fullBytes = topo.encode(topo.txnsT ++ topo.txnsW1)
+    topo.requirePrefix(tBytes, fullBytes)
     val srv = new BinlogFixtureServer(IndexedSeq(file -> fullBytes),
       "repl", "graft-secret")
     srv.truncate(file, tBytes.length)
@@ -1064,40 +1123,26 @@ object PipelineOps {
       // 3. initial copy: the source's CURRENT state (post-overlap),
       //    one _version stamp for the whole table (the reference's
       //    batch-granular version, cdc_replicator.py:269-271)
-      val snapshot = s.read.parquet(s"$dir/orders.parquet")
-        .filter(col("o_orderkey") % 5 === 0 && col("o_orderkey") % 7 =!= 0)
-        .select(col("o_orderkey").as("id"),
-          (col("o_orderkey") % 100 +
-            when(col("o_orderkey") % 3 === 0, 77.0).otherwise(0.0))
-            .cast("double").as("bal"))
       val pipe = new CdcPipeline(s, tgt, ckp)
-      pipe.initialSync(snapshot.withColumn("s0", lit(0L)), "accounts",
+      pipe.initialSync(topo.snapshot.withColumn("s0", lit(0L)), "accounts",
         versionMicros = 1L, seqCol = "s0")
       // 4. tail from the CAPTURED offset: the overlap replays in full…
       val r = cli.tail(msFile, msPos)
-      require(r.changes.size == nOverlap,
+      require(r.changes.size == topo.nOverlap,
         s"tail carried ${r.changes.size} changes, expected the " +
-          s"$nOverlap-row capture-copy overlap — rows written inside " +
-          "the window were lost")
+          s"${topo.nOverlap}-row capture-copy overlap — rows written " +
+          "inside the window were lost")
       // …whereas a capture taken AFTER the copy (the bug the order
       // prevents) would see nothing of the window's writes
       val (_, posAfter) = cli.masterStatus()
       require(posAfter == fullBytes.length.toLong &&
         cli.tail(file, posAfter).changes.isEmpty,
         "post-copy offset unexpectedly replays the overlap")
-      val schema = StructType.fromDDL("id BIGINT, bal DOUBLE")
-      val stamped = CdcTransform.stampBatch(
-        BinlogSource.collectedChanges(s, r.changes, "accounts", schema),
-        opCol = "op", seqCol = "_seq", batchVersionMicros = 2L)
-      stamped.drop("op", "_seq", "_tbl")
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .parquet(s"$tgt/accounts.parquet")
       // the live view heals the double-apply: per key the max-version
       // row wins; the overlap's duplicates collapse, deletes tombstone
-      val live = graft.GateCache.cache(LiveView.live(
-        pipe.applied("accounts"), pks = Seq("id"), tieBreak = Some(SeqCol)))
-      require(live.exceptAll(snapshot).count() == 0 &&
-        snapshot.exceptAll(live).count() == 0,
+      val live = refApplyTail(s, pipe, tgt, r.changes)
+      require(live.exceptAll(topo.snapshot).count() == 0 &&
+        topo.snapshot.exceptAll(live).count() == 0,
         "live view diverges from the final source state")
       live
     } finally srv.close()
@@ -1121,49 +1166,26 @@ object PipelineOps {
     * mid-tail writes. Output = the live view, every value
     * recomputable from orders. */
   def referenceLiveTailE2e(s: SparkSession, dir: String): DataFrame = {
-    import graft.sources.{BinlogFixture, BinlogFixtureServer,
-      BinlogSocketClient, BinlogSource}
-    import graft.sources.BinlogFormat.{ColumnDef, TypeLongLong, TypeDouble}
-    import BinlogFixture.Change
-    import graft.operators.CdcTransform
-    import graft.streaming.CdcPipeline
+    import graft.sources.{BinlogFixtureServer, BinlogSocketClient}
+    import graft.sources.BinlogFixture.Change
     val tgt = graft.GateCache.tempDir("graft_livetail_tgt").toString
     val ckp = graft.GateCache.tempDir("graft_livetail_ckp").toString
-    val cols = IndexedSeq(ColumnDef(TypeLongLong, 0), ColumnDef(TypeDouble, 8))
-    val keys = s.read.parquet(s"$dir/orders.parquet")
-      .filter(col("o_orderkey") % 5 === 0).select("o_orderkey")
-      .orderBy("o_orderkey").collect().map(_.getLong(0)).toIndexedSeq
-    require(keys.size >= 20, "accounts sample too small")
-    def bal0(k: Long): Double = (k % 100).toDouble
-    def balW1(k: Long): Double = bal0(k) + (if (k % 3 == 0) 77.0 else 0.0)
-    def balW2(k: Long): Double = balW1(k) + (if (k % 4 == 0) 1000.0 else 0.0)
-    val txnsT = keys.map(k => Change.insert(IndexedSeq[Any](k, bal0(k))))
-      .grouped(50).map(_.toSeq).toIndexedSeq
-    // W1: the capture-copy overlap (updates + deletes)
-    val txnsW1 = IndexedSeq(
-      keys.filter(_ % 3 == 0).map(k => Change.update(
-        IndexedSeq[Any](k, bal0(k)), IndexedSeq[Any](k, bal0(k) + 77.0))),
-      keys.filter(_ % 7 == 0).map(k =>
-        Change.delete(IndexedSeq[Any](k, balW1(k)))))
+    val topo = refTopology(s, dir)
+    def balW2(k: Long): Double =
+      refBalW1(k) + (if (k % 4 == 0) 1000.0 else 0.0)
     // W2: writes landing MID-TAIL on the held connection (survivors only)
-    val w2Keys = keys.filter(k => k % 4 == 0 && k % 7 != 0)
+    val w2Keys = topo.keys.filter(k => k % 4 == 0 && k % 7 != 0)
     require(w2Keys.nonEmpty, "no live-wave keys")
     val txnsW2 = IndexedSeq(w2Keys.map(k => Change.update(
-      IndexedSeq[Any](k, balW1(k)), IndexedSeq[Any](k, balW2(k)))))
-    val nOverlap = txnsW1.map(_.size).sum
+      IndexedSeq[Any](k, refBalW1(k)), IndexedSeq[Any](k, balW2(k)))))
+    val nOverlap = topo.nOverlap
     val nLive = txnsW2.map(_.size).sum
     val file = "primary-bin.000001"
-    def enc(txns: IndexedSeq[Seq[Change]]): Array[Byte] =
-      BinlogFixture.encode("graft", "accounts", cols, txns,
-        gtidFrom = Some(1L))
-    val tBytes = enc(txnsT)
-    val w1Bytes = enc(txnsT ++ txnsW1)
-    val fullBytes = enc(txnsT ++ txnsW1 ++ txnsW2)
-    require(java.util.Arrays.equals(
-        java.util.Arrays.copyOf(w1Bytes, tBytes.length), tBytes) &&
-      java.util.Arrays.equals(
-        java.util.Arrays.copyOf(fullBytes, w1Bytes.length), w1Bytes),
-      "append-only encode prefix broke")
+    val tBytes = topo.encode(topo.txnsT)
+    val w1Bytes = topo.encode(topo.txnsT ++ topo.txnsW1)
+    val fullBytes = topo.encode(topo.txnsT ++ topo.txnsW1 ++ txnsW2)
+    topo.requirePrefix(tBytes, w1Bytes)
+    topo.requirePrefix(w1Bytes, fullBytes)
     val srv = new BinlogFixtureServer(IndexedSeq(file -> fullBytes),
       "repl", "graft-secret", heartbeatMs = 20L)
     srv.truncate(file, tBytes.length)
@@ -1175,14 +1197,8 @@ object PipelineOps {
       require(msFile == file && msPos == tBytes.length,
         s"captured ($msFile, $msPos), expected ($file, ${tBytes.length})")
       srv.truncate(file, w1Bytes.length) // W1 lands (log grows)
-      val snapshot = s.read.parquet(s"$dir/orders.parquet")
-        .filter(col("o_orderkey") % 5 === 0 && col("o_orderkey") % 7 =!= 0)
-        .select(col("o_orderkey").as("id"),
-          (col("o_orderkey") % 100 +
-            when(col("o_orderkey") % 3 === 0, 77.0).otherwise(0.0))
-            .cast("double").as("bal"))
       val pipe = new CdcPipeline(s, tgt, ckp)
-      pipe.initialSync(snapshot.withColumn("s0", lit(0L)), "accounts",
+      pipe.initialSync(topo.snapshot.withColumn("s0", lit(0L)), "accounts",
         versionMicros = 1L, seqCol = "s0")
       // 4. the BLOCKING tail: drains the overlap, heartbeats at log
       //    end; W2 lands mid-tail on the SAME connection. The reveal
@@ -1212,17 +1228,9 @@ object PipelineOps {
           "the connection never idled at log end")
       require(r.pos == fullBytes.length.toLong,
         s"final offset ${r.pos} != log end ${fullBytes.length}")
-      val schema = StructType.fromDDL("id BIGINT, bal DOUBLE")
-      val stamped = CdcTransform.stampBatch(
-        BinlogSource.collectedChanges(s, r.changes, "accounts", schema),
-        opCol = "op", seqCol = "_seq", batchVersionMicros = 2L)
-      stamped.drop("op", "_seq", "_tbl")
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .parquet(s"$tgt/accounts.parquet")
-      val expected = snapshot.withColumn("bal", col("bal") +
+      val expected = topo.snapshot.withColumn("bal", col("bal") +
         when(col("id") % 4 === 0, 1000.0).otherwise(0.0))
-      val live = graft.GateCache.cache(LiveView.live(
-        pipe.applied("accounts"), pks = Seq("id"), tieBreak = Some(SeqCol)))
+      val live = refApplyTail(s, pipe, tgt, r.changes)
       require(live.exceptAll(expected).count() == 0 &&
         expected.exceptAll(live).count() == 0,
         "live view diverges from the final source state (incl. the " +
@@ -1717,7 +1725,8 @@ object PipelineOps {
     // collect() (not count(), which plans a SEPARATE query) executes
     // THIS queryExecution so AQE finalizes the audited plan; the rows
     // in hand then BECOME the merged frame — one execution total
-    val audit = MinimalImage.merge(landed, pks = Seq("id"))
+    val audit = MinimalImage.merge(landed, pks = Seq("id"),
+      payloadOrder = schema.fieldNames.toIndexedSeq)
     val auditRows = audit.collect()
     // the finalized AdaptiveSparkPlan prints Final AND Initial sections
     // — audit the final one only

@@ -98,8 +98,16 @@ final class BinlogFixtureServer(
   def fullAuths: Int = fullAuthCounter.get()
 
   /** Expose only the first `len` bytes of `file` (must cut on an event
-    * boundary — callers derive it from an encode() prefix). */
+    * boundary — callers derive it from an encode() prefix). Only the
+    * LAST file of the chain may be cut: a real binlog grows its ACTIVE
+    * file only — earlier files are sealed by their ROTATE — and the
+    * dump walk + the blocking growth watch rely on exactly that (a
+    * mid-chain gap would skip bytes silently, a mid-chain reveal would
+    * never be noticed). */
   def truncate(file: String, len: Int): Unit = {
+    require(file == files.last._1,
+      s"only the last (active) binlog file ${files.last._1} can grow — " +
+        s"$file is sealed by its rotate")
     val full = files.find(_._1 == file)
       .getOrElse(throw new IllegalArgumentException(s"no such file $file"))._2
     require(len >= 4 && len <= full.length, s"bad visible length $len")
@@ -107,9 +115,14 @@ final class BinlogFixtureServer(
   }
 
   /** Restore `file`'s full length — the truncated tail "lands" as new
-    * writes; subsequent status queries and dumps see it. */
-  def reveal(file: String): Unit =
+    * writes; subsequent status queries and dumps see it. Last-file-only,
+    * like [[truncate]]. */
+  def reveal(file: String): Unit = {
+    require(file == files.last._1,
+      s"only the last (active) binlog file ${files.last._1} can grow — " +
+        s"$file is sealed by its rotate")
     visibleLen += file -> files.find(_._1 == file).get._2.length
+  }
 
   private val acceptor = new Thread(() => acceptLoop(), "binlog-fixture-server")
   acceptor.setDaemon(true)

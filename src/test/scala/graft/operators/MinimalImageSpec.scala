@@ -116,6 +116,44 @@ class MinimalImageSpec extends AnyFunSuite with graft.GateCacheHygiene {
       s"key 2: ${merged(1)}")
   }
 
+  test("merge payloadOrder restores TABLE_MAP order when the pk is not " +
+      "the first payload column") {
+    // a table whose wire order is (name, id, bal) with pk=id: coalesce
+    // keeps that order; merge's partials lose it (groupBy puts pks
+    // first), so positional consumers need payloadOrder to realign
+    val cols2 = IndexedSeq(
+      ColumnDef(BinlogFormat.TypeVarchar, 40),   // name
+      ColumnDef(BinlogFormat.TypeLongLong, 0),   // id (PK, mid-frame)
+      ColumnDef(BinlogFormat.TypeDouble, 8))     // bal
+    val schema2 = StructType.fromDDL("name STRING, id BIGINT, bal DOUBLE")
+    val landing = graft.GateCache.tempDir("graft_minimg_ord").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(landing, "ord-bin.000001"),
+      BinlogFixture.encode("d", "t", cols2, txns = Seq(Seq(
+        Change.insert(IndexedSeq("a", 1L, 10.0)),
+        Change.update(IndexedSeq(Absent, 1L, Absent),
+          IndexedSeq(Absent, 1L, 20.0))))))
+    val decoded = graft.GateCache.cache(
+      BinlogSource.changes(spark, landing, "t", schema2, presentCol = true))
+    val whole = MinimalImage.coalesce(decoded, pks = Seq("id"))
+    assert(whole.columns.toSeq == Seq("name", "id", "bal"))
+    val partials = MinimalImage.partial(decoded, Seq("id"))
+    // default: pks lead — POSITIONALLY INCOMPATIBLE with coalesce
+    assert(MinimalImage.merge(partials, Seq("id"))
+      .columns.toSeq == Seq("id", "name", "bal"))
+    // payloadOrder restores interchangeability
+    val merged = MinimalImage.merge(partials, Seq("id"),
+      payloadOrder = schema2.fieldNames.toIndexedSeq)
+    assert(merged.columns.toSeq == Seq("name", "id", "bal"))
+    assert(merged.exceptAll(whole).count() == 0 &&
+      whole.exceptAll(merged).count() == 0)
+    // a non-permutation order fails loudly, never silently drops a column
+    assertThrows[IllegalArgumentException] {
+      MinimalImage.merge(partials, Seq("id"),
+        payloadOrder = Seq("name", "id"))
+    }
+  }
+
   test("partial/merge over any batch split equals the single-pass coalesce") {
     // the associative-fold property the streaming apply rests on:
     // split the change frame at arbitrary seq boundaries, partial each

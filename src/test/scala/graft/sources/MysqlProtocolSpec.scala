@@ -370,6 +370,22 @@ class MysqlProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("only the last (active) file of the chain can grow — a sealed " +
+      "file refuses truncate/reveal loudly") {
+    // the dump walk and the blocking growth watch both assume earlier
+    // files are sealed by their rotate; a mid-chain gap would skip
+    // bytes silently, so the fixture fails the staging loudly instead
+    withServer(twoFiles) { srv =>
+      val sealedFile = twoFiles.head._1
+      assert(sealedFile != twoFiles.last._1)
+      val e1 = intercept[IllegalArgumentException](
+        srv.truncate(sealedFile, 4))
+      assert(e1.getMessage.contains("sealed"))
+      val e2 = intercept[IllegalArgumentException](srv.reveal(sealedFile))
+      assert(e2.getMessage.contains("sealed"))
+    }
+  }
+
   test("e2e: a wrong password is refused with the documented ERR") {
     withServer(twoFiles) { srv =>
       val bad = new BinlogSocketClient("127.0.0.1", srv.port, "repl", "wrong")
