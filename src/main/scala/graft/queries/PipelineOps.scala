@@ -1239,6 +1239,95 @@ object PipelineOps {
     } finally srv.close()
   }
 
+  /** T44: the socket tail as a FIRST-CLASS Spark streaming source —
+    * `spark.readStream.format("mysql-binlog")`
+    * ([[graft.sources.MysqlBinlogSource]]), the DataSource V2 packaging
+    * of the reference's continuous mode: where the reference hand-rolls
+    * a position file (`/root/reference/src/cdc_replicator.py:24-35`)
+    * and o21/o22 drive [[graft.sources.BinlogSocketClient]]
+    * imperatively, here the OFFSET LOG is Spark's own checkpoint
+    * (offsets = `{file, pos, count}`), so kill+resume needs no custom
+    * position plumbing at all — the engine's offset WAL plays the
+    * position file, and exactly-once falls out of the offset contract
+    * plus the binlog's append-only immutability (re-planning a
+    * recovered batch re-reads the same byte range).
+    *
+    * Two `Trigger.AvailableNow` runs on ONE checkpoint: run 1 drains
+    * the insert history T; the log then GROWS (the o21 overlap wave W1
+    * lands via reveal); run 2 — a FRESH query, same checkpoint — must
+    * drain EXACTLY W1. In-gate REQUIREs: per-run landed counts exact
+    * (a resume bug replays T and inflates; a lost offset skips W1);
+    * `_ingest_seq` is distinct and dense 0..n-1 ACROSS both runs (the
+    * count-anchored, replay-stable ordering the source derives from
+    * its offsets); and the live view equals the o21 snapshot algebra ⇒
+    * the same oracle. */
+  def binlogDsv2StreamCdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{BinlogFixtureServer, MysqlBinlogSource}
+    import graft.operators.CdcTransform
+    import org.apache.spark.sql.streaming.Trigger
+    val tgt = graft.GateCache.tempDir("graft_dsv2_tgt").toString
+    val ckp = graft.GateCache.tempDir("graft_dsv2_ckp").toString
+    val topo = refTopology(s, dir)
+    val file = "primary-bin.000001"
+    val tBytes = topo.encode(topo.txnsT)
+    val fullBytes = topo.encode(topo.txnsT ++ topo.txnsW1)
+    topo.requirePrefix(tBytes, fullBytes)
+    val srv = new BinlogFixtureServer(IndexedSeq(file -> fullBytes),
+      "repl", "graft-secret")
+    srv.truncate(file, tBytes.length)
+    try {
+      val schema = StructType.fromDDL("id BIGINT, bal DOUBLE")
+      def drain(): Unit =
+        s.readStream.format("mysql-binlog")
+          .schema(MysqlBinlogSource.withMeta(schema))
+          .option("host", "127.0.0.1").option("port", srv.port.toString)
+          .option("user", "repl").option("password", "graft-secret")
+          .option("table", "accounts")
+          .option("startFile", file).option("startPos", "4")
+          .load()
+          .writeStream.option("checkpointLocation", ckp)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              // the emitted frame IS collectedChanges' shape — the same
+              // stamped apply the imperative tails use (refApplyTail)
+              CdcTransform.stampBatch(b.toDF(), opCol = "op",
+                  seqCol = "_seq", batchVersionMicros = 2L)
+                .drop("op", "_seq", "_tbl")
+                .write.mode(org.apache.spark.sql.SaveMode.Append)
+                .parquet(s"$tgt/accounts.parquet")
+              ()
+          }
+          .start().awaitTermination()
+      drain() // run 1: the T history
+      val afterT = s.read.parquet(s"$tgt/accounts.parquet").count()
+      require(afterT == topo.keys.size,
+        s"run 1 landed $afterT rows, expected T = ${topo.keys.size}")
+      srv.reveal(file) // the log grows
+      drain() // run 2: FRESH query, SAME checkpoint — Spark's offset log
+      val landed = graft.GateCache.cache(
+        s.read.parquet(s"$tgt/accounts.parquet"))
+      val total = (topo.keys.size + topo.nOverlap).toLong
+      require(landed.count() == total,
+        s"run 2 landed ${landed.count()} != $total — the offset log " +
+          "replayed T or lost W1")
+      // the count-anchored seq: distinct and dense across both runs
+      val seqs = landed.agg(
+        countDistinct(col(SeqCol)).as("d"),
+        min(col(SeqCol)).as("lo"), max(col(SeqCol)).as("hi")).head()
+      require(seqs.getLong(0) == total && seqs.getLong(1) == 0L &&
+        seqs.getLong(2) == total - 1L,
+        s"seq not dense 0..${total - 1}: $seqs")
+      val live = graft.GateCache.cache(LiveView.live(landed,
+        pks = Seq("id"), tieBreak = Some(SeqCol)))
+      require(live.exceptAll(topo.snapshot).count() == 0 &&
+        topo.snapshot.exceptAll(live).count() == 0,
+        "live view diverges from the topology's final source state")
+      live
+    } finally srv.close()
+  }
+
   /** T33: GTID-SET RESUME over an overlapping rotated chain — the
     * replica-failover shape the reference's (file, pos) offset cannot
     * express (`/root/reference/src/cdc_replicator.py:24-35`: its resume
@@ -4431,6 +4520,7 @@ object PipelineOps {
     "t39_binlog_evolving_cdc" -> ((s, dir) => binlogEvolvingCdcLive(s, dir)),
     "t42_binlog_minimal_image" -> ((s, dir) => binlogMinimalImageCdc(s, dir)),
     "t43_binlog_minimal_stream" -> ((s, dir) => binlogMinimalStreamCdc(s, dir)),
+    "t44_binlog_dsv2_stream" -> ((s, dir) => binlogDsv2StreamCdc(s, dir)),
     "b9_bucketed_stream_sink" -> ((s, dir) => bucketedStreamSink(s, dir)),
     "t24_schema_evolution" -> ((s, dir) => evolvingCdcLive(s, dir)),
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
@@ -5240,6 +5330,18 @@ object PipelineOps {
         |  CAST(k % 7 AS BIGINT) AS cnt
         |FROM (SELECT o_orderkey AS k FROM orders
         |      WHERE o_orderkey % 6 = 0 AND o_orderkey % 11 <> 0)""".stripMargin,
+
+    // o21's topology algebra reached through the DataSource V2 source
+    // (format("mysql-binlog"), offsets in Spark's own checkpoint, two
+    // AvailableNow runs on one offset log) — a replayed T history or a
+    // lost W1 wave flips counts and bal values
+    "t44_binlog_dsv2_stream" ->
+      """SELECT o_orderkey AS id,
+        |  CAST(o_orderkey % 100 +
+        |       CASE WHEN o_orderkey % 3 = 0 THEN 77 ELSE 0 END
+        |       AS DOUBLE) AS bal
+        |FROM orders
+        |WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0""".stripMargin,
 
     // t33's failover union through the STREAMING path (the applied set
     // persisted per micro-batch, inherited by the failover stream):

@@ -80,7 +80,7 @@ object BinlogSource {
     l
   }
 
-  private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+  private[sources] def coerce(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _)                       => null
     case (l: java.lang.Long, ShortType)   =>
       checked(l, Short.MinValue, Short.MaxValue, dt).toShort

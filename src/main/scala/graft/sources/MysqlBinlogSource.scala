@@ -1,0 +1,331 @@
+package graft.sources
+
+import java.util.{Map => JuMap}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `spark.readStream.format("mysql-binlog")` — the replication-protocol
+  * tail as a first-class DataSource V2 streaming source: the idiomatic
+  * Spark packaging of the reference's continuous mode
+  * (`/root/reference/src/cdc_replicator.py:296-326`), where the
+  * reference hand-rolls a position file and a reader loop, and the
+  * imperative form here is [[BinlogSocketClient]] (t38/o21/o22). As a
+  * V2 source the OFFSET LOG is Spark's own: `{file, pos, count}`
+  * offsets land in the query checkpoint, restarts resume from the
+  * committed offset with no custom position plumbing, and exactly-once
+  * falls out of the offset contract plus the binlog's append-only
+  * immutability (re-planning a write-ahead-logged batch re-reads the
+  * SAME byte range and yields the SAME rows).
+  *
+  * Options: `host`, `port`, `user`, `password`, `table` (the table to
+  * surface — other tables' rows are dropped before they count against
+  * offsets), optional `startfile`/`startpos` (defaults to the
+  * primary's `SHOW MASTER STATUS` position at stream start — the
+  * reference's own no-saved-position behavior), `serverid`,
+  * `negotiatechecksum`. The schema is caller-declared (the TABLE_MAP
+  * row-image columns, like [[BinlogSource.changes]]' `rowSchema`) and
+  * must end with the meta columns `op STRING, _seq BIGINT, _tbl
+  * STRING` — [[MysqlBinlogSource.withMeta]] builds it; the emitted
+  * frame is byte-compatible with [[BinlogSource.collectedChanges]], so
+  * the same stamped apply and live view consume either path.
+  *
+  * Scale shape (PLANS.md): a replication stream is ONE ordered
+  * connection per primary — the tail is inherently driver-side (the
+  * reference's single reader thread; the same adjudication as
+  * [[BinlogSocketClient]]). The driver holds only the CURRENT window
+  * of committed-but-unprocessed transactions (dropped at every
+  * `commit()`, exactly Spark's own TextSocket source shape); the
+  * decode already happened in the tail, and the expensive work — the
+  * stamped apply, the dedup, the live view — runs distributed on the
+  * emitted frame. One primary = one partition; many primaries = many
+  * parallel streams, each with its own offset log.
+  */
+final class MysqlBinlogSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "mysql-binlog"
+  override def supportsExternalMetadata(): Boolean = true
+
+  /** No server connection at plan time: the row image is not inferable
+    * without a dump, so the schema is caller-declared like every other
+    * binlog entry point ([[BinlogSource.changes]]' `rowSchema`). */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "mysql-binlog needs an explicit .schema(...): the row-image columns " +
+        "in TABLE_MAP order plus the trailing meta columns op STRING, " +
+        "_seq BIGINT, _tbl STRING (MysqlBinlogSource.withMeta builds it)")
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JuMap[String, String]): Table =
+    new MysqlBinlogTable(schema, MysqlBinlogSource.Config.from(properties))
+}
+
+object MysqlBinlogSource {
+  /** The source's output schema for a row-image schema: payload columns
+    * first (positional, TABLE_MAP order), then the meta tail — the
+    * exact frame [[BinlogSource.collectedChanges]] emits. */
+  def withMeta(rowSchema: StructType): StructType = rowSchema
+    .add("op", StringType).add("_seq", LongType).add("_tbl", StringType)
+
+  private[sources] def validateSchema(schema: StructType): Unit = {
+    require(schema.size > 3 &&
+      schema.fields.takeRight(3).map(f => (f.name, f.dataType)).toSeq ==
+        Seq(("op", StringType), ("_seq", LongType), ("_tbl", StringType)),
+      s"mysql-binlog schema must be row-image columns + (op STRING, _seq " +
+        s"BIGINT, _tbl STRING) — got ${schema.simpleString}; build it with " +
+        "MysqlBinlogSource.withMeta")
+  }
+
+  /** Parsed connection options; fails loudly at PLAN time, not in the
+    * stream, when a required option is missing or malformed. */
+  private[sources] final case class Config(
+      host: String, port: Int, user: String, password: String,
+      table: String, serverId: Long, start: Option[(String, Long)],
+      negotiateChecksum: Boolean) {
+    def client(): BinlogSocketClient =
+      new BinlogSocketClient(host, port, user, password, serverId,
+        negotiateChecksum = negotiateChecksum)
+  }
+
+  private[sources] object Config {
+    def from(props: JuMap[String, String]): Config = {
+      val m = new CaseInsensitiveStringMap(props)
+      def req(k: String): String = {
+        val v = m.get(k)
+        require(v != null && v.nonEmpty, s"mysql-binlog: missing option '$k'")
+        v
+      }
+      val startFile = Option(m.get("startfile"))
+      val startPos = Option(m.get("startpos")).map(_.toLong)
+      require(startFile.isDefined == startPos.isDefined,
+        "mysql-binlog: startFile and startPos come together or not at all")
+      Config(req("host"), req("port").toInt, req("user"), req("password"),
+        req("table"), m.getLong("serverid", 100L),
+        startFile.map(f => (f, startPos.get)),
+        m.getBoolean("negotiatechecksum", true))
+    }
+  }
+}
+
+private[sources] final class MysqlBinlogTable(
+    tableSchema: StructType, cfg: MysqlBinlogSource.Config)
+    extends Table with SupportsRead {
+  MysqlBinlogSource.validateSchema(tableSchema)
+
+  override def name(): String =
+    s"mysql-binlog(${cfg.host}:${cfg.port}/${cfg.table})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = tableSchema
+        override def description(): String = name()
+        override def toMicroBatchStream(ckp: String): MicroBatchStream =
+          new BinlogMicroBatchStream(tableSchema, cfg)
+      }
+    }
+}
+
+/** The stream offset: the primary's (file, pos) the NEXT dump resumes
+  * from, plus the cumulative count of this table's rows emitted since
+  * the stream's initial offset — `count` makes micro-batch boundaries
+  * exact (a (file,pos) pair alone cannot split inside a transaction)
+  * and gives every row a deterministic, replay-stable `_seq`. */
+final case class BinlogSourceOffset(file: String, pos: Long, count: Long)
+    extends Offset {
+  require(!file.exists(c => c == '"' || c == '\\'),
+    s"binlog file name not JSON-safe: $file")
+  override def json(): String =
+    s"""{"file":"$file","pos":$pos,"count":$count}"""
+}
+
+object BinlogSourceOffset {
+  private val Re =
+    """\{"file":"([^"\\]*)","pos":(\d+),"count":(\d+)\}""".r
+  def parse(json: String): BinlogSourceOffset = json match {
+    case Re(f, p, c) => BinlogSourceOffset(f, p.toLong, c.toLong)
+    case _ => throw new IllegalArgumentException(
+      s"not a mysql-binlog offset: $json")
+  }
+}
+
+private[sources] final class BinlogMicroBatchStream(
+    schema: StructType, cfg: MysqlBinlogSource.Config)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  // Driver-side window of committed-but-unprocessed changes: buffered
+  // holds this table's rows for offsets [bufferBase, bufferBase +
+  // buffered.size); commit() drops below the committed count, so the
+  // window is bounded by one trigger's data (the TextSocket-source
+  // shape). planInputPartitions falls back to a bounded re-tail when a
+  // recovered write-ahead-logged batch predates this stream object —
+  // the binlog is append-only and immutable, so the re-read is
+  // byte-identical and the batch reproduces exactly.
+  private var bufferBase: Long = 0L
+  private var buffered: Vector[BinlogFormat.RowChange] = Vector.empty
+  private var cur: BinlogSourceOffset = null
+  private var availableNowPrepared = false
+  private var availableNowEnd: BinlogSourceOffset = null
+
+  override def initialOffset(): Offset = {
+    val (f, p) = cfg.start.getOrElse(cfg.client().masterStatus())
+    BinlogSourceOffset(f, p, 0L)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    BinlogSourceOffset.parse(json)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Catch-up dump from `start`, appending to the buffer. `start` may
+    * be ahead of `cur` (restart: the engine hands the checkpointed
+    * offset to a fresh stream object) — then the buffer resets. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[BinlogSourceOffset]
+    if (availableNowEnd != null) return clampedAvailableNow(s)
+    if (cur == null || s.count != cur.count ||
+        s.file != cur.file || s.pos != cur.pos) {
+      cur = s; buffered = Vector.empty; bufferBase = s.count
+    }
+    val r = cfg.client().tail(cur.file, cur.pos)
+    val mine = r.changes.filter(_.table == cfg.table)
+    buffered ++= mine
+    cur = BinlogSourceOffset(r.file, r.pos, cur.count + mine.size)
+    if (availableNowPrepared) availableNowEnd = cur // freeze: Trigger.AvailableNow
+    cur
+  }
+
+  private def clampedAvailableNow(s: BinlogSourceOffset): BinlogSourceOffset =
+    if (s.count >= availableNowEnd.count) s else availableNowEnd
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "mysql-binlog implements SupportsAdmissionControl: " +
+      "latestOffset(start, limit) is the entry point")
+
+  /** Trigger.AvailableNow: the FIRST catch-up dump after this call
+    * fixes the end offset; writes landing later wait for the next
+    * query run (the trigger's contract). */
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowPrepared = true
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[BinlogSourceOffset]
+    val e = end.asInstanceOf[BinlogSourceOffset]
+    require(e.count >= s.count, s"offset range inverted: $s .. $e")
+    val n = (e.count - s.count).toInt
+    val slice =
+      if (s.count >= bufferBase &&
+          e.count <= bufferBase + buffered.size)
+        buffered.slice((s.count - bufferBase).toInt,
+          (e.count - bufferBase).toInt)
+      else {
+        // recovery re-plan of a batch this object never tailed: re-dump
+        // the immutable range and cut at exactly n table-rows
+        val mine = cfg.client().tail(s.file, s.pos)
+          .changes.filter(_.table == cfg.table)
+        require(mine.size >= n,
+          s"re-tail from (${s.file}, ${s.pos}) carried ${mine.size} " +
+            s"rows of ${cfg.table}, batch needs $n — the log shrank?")
+        mine.take(n)
+      }
+    Array(BinlogInputPartition(slice, s.count))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BinlogPartitionReaderFactory(schema)
+
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[BinlogSourceOffset]
+    if (e.count > bufferBase) {
+      val drop = math.min(e.count - bufferBase, buffered.size.toLong).toInt
+      buffered = buffered.drop(drop)
+      bufferBase = e.count
+    }
+  }
+
+  /** NON_BLOCK dumps open and close their own sockets per catch-up —
+    * no held connection to release. */
+  override def stop(): Unit = ()
+}
+
+/** One partition per micro-batch: the replication stream is one
+  * ordered connection per primary (see [[MysqlBinlogSource]]'s scale
+  * note); `baseSeq` anchors the rows' `_seq` so it is globally
+  * monotonic and replay-stable across batches. */
+private[sources] final case class BinlogInputPartition(
+    changes: Seq[BinlogFormat.RowChange], baseSeq: Long)
+    extends InputPartition
+
+private[sources] final class BinlogPartitionReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  private val payload = StructType(schema.dropRight(3))
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[BinlogInputPartition]
+    val fieldTypes = payload.fields.map(_.dataType).toIndexedSeq
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < part.changes.size }
+      override def get(): InternalRow = {
+        val ch = part.changes(i)
+        val img = (if (ch.op == "D") ch.before else ch.after)
+          .getOrElse(throw new IllegalStateException(
+            s"${ch.op} row without its image at pos ${ch.pos}"))
+        require(img.size == payload.size,
+          s"row arity ${img.size} != schema arity ${payload.size}")
+        val vals = new Array[Any](schema.size)
+        var k = 0
+        while (k < payload.size) {
+          vals(k) = BinlogPartitionReaderFactory.toCatalyst(
+            BinlogSource.coerce(img(k), fieldTypes(k)), fieldTypes(k))
+          k += 1
+        }
+        vals(payload.size) = UTF8String.fromString(ch.op)
+        vals(payload.size + 1) = part.baseSeq + i
+        vals(payload.size + 2) = UTF8String.fromString(ch.table)
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+private[sources] object BinlogPartitionReaderFactory {
+  /** External JVM value ([[BinlogSource.coerce]]'s output range) →
+    * Catalyst internal representation. Hand-rolled instead of the
+    * private CatalystTypeConverters: the decode surface is a closed
+    * set, and an unmapped type fails loudly below. */
+  private[sources] def toCatalyst(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (s: String, StringType) => UTF8String.fromString(s)
+    case (b: Array[Byte], BinaryType) => b
+    case (x: java.lang.Long, LongType) => x.longValue()
+    case (x: java.lang.Integer, IntegerType) => x.intValue()
+    case (x: java.lang.Short, ShortType) => x.shortValue()
+    case (x: java.lang.Byte, ByteType) => x.byteValue()
+    case (x: java.lang.Double, DoubleType) => x.doubleValue()
+    case (x: java.lang.Float, FloatType) => x.floatValue()
+    case (x: java.lang.Boolean, BooleanType) => x.booleanValue()
+    case (d: java.math.BigDecimal, t: DecimalType) =>
+      Decimal(scala.math.BigDecimal(d), t.precision, t.scale)
+    case (d: java.sql.Date, DateType) => d.toLocalDate.toEpochDay.toInt
+    // epoch micros: whole seconds from getTime (floor), sub-second
+    // entirely from getNanos (getTime's millis would double-count it)
+    case (t: java.sql.Timestamp, TimestampType) =>
+      math.multiplyExact(Math.floorDiv(t.getTime, 1000L), 1000000L) +
+        t.getNanos / 1000L
+    case _ => throw new IllegalStateException(
+      s"no catalyst conversion for ${v.getClass.getName} as $dt")
+  }
+}
