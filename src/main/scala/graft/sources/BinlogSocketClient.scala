@@ -60,6 +60,19 @@ final class BinlogSocketClient(
   def tail(fromFile: String, fromPos: Long = 4L): TailResult =
     run(fromFile, fromPos, GtidSet.Empty, gtidDump = false)
 
+  /** [[tail]] bounded at `(endFile, endPos)`: the dump stops (and the
+    * connection closes) at the first commit whose resume offset reaches
+    * the bound, so re-reading a KNOWN range of a since-grown log costs
+    * O(range), not O(log) — the V2 source's recovery re-plan
+    * ([[MysqlBinlogSource]]) re-reads exactly a write-ahead-logged
+    * batch this way. Binlog file names order lexicographically within a
+    * chain (fixed basename + numeric suffix), which is how the bound
+    * spans rotations. */
+  def tailUntil(fromFile: String, fromPos: Long,
+                endFile: String, endPos: Long): TailResult =
+    run(fromFile, fromPos, GtidSet.Empty, gtidDump = false,
+      bound = Some((endFile, endPos)))
+
   /** Tail with a GTID-set resume token: the server skips every
     * transaction in `applied` — connect this to a DIFFERENT primary
     * than the one that produced the set and the overlap replays
@@ -162,7 +175,8 @@ final class BinlogSocketClient(
 
   private def run(fromFile: String, fromPos: Long, applied0: GtidSet,
                   gtidDump: Boolean, blocking: Boolean = false,
-                  stopWhen: (Long, Long) => Boolean = (_, _) => false)
+                  stopWhen: (Long, Long) => Boolean = (_, _) => false,
+                  bound: Option[(String, Long)] = None)
       : TailResult = {
     val out = Vector.newBuilder[BinlogFormat.RowChange]
     var appliedGtids = applied0
@@ -232,6 +246,13 @@ final class BinlogSocketClient(
               // bounds CONSECUTIVE failures, not a long tail's lifetime
               failuresSinceProgress = 0
               backoffMs = initialBackoffMs
+              // bounded tail: stop at the first commit whose resume
+              // offset reaches the bound (evaluated ONLY here — commit
+              // boundaries are the offsets' granularity)
+              if (bound.exists { case (bf, bp) =>
+                    resumeFile > bf ||
+                      (resumeFile == bf && resumePos >= bp) })
+                done = true
             }
             // graceful stop (T9): in blocking mode the stream never
             // EOFs — the caller's predicate ends it, commits intact

@@ -80,6 +80,21 @@ object BinlogSource {
     l
   }
 
+  /** The row image a change SURFACES (deletes carry only their before
+    * image), arity-checked against the caller schema — shared by
+    * [[collectedChanges]] and the V2 reader
+    * ([[BinlogPartitionReaderFactory]]) so the two collected paths
+    * cannot diverge. */
+  private[sources] def surfacedImage(ch: BinlogFormat.RowChange,
+                                     n: Int): IndexedSeq[Any] = {
+    val img = (if (ch.op == "D") ch.before else ch.after)
+      .getOrElse(throw new IllegalStateException(
+        s"${ch.op} row without its image at pos ${ch.pos}"))
+    require(img.size == n,
+      s"row arity ${img.size} != schema arity $n for ${ch.table}")
+    img
+  }
+
   private[sources] def coerce(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _)                       => null
     case (l: java.lang.Long, ShortType)   =>
@@ -227,11 +242,7 @@ object BinlogSource {
     val rows = changes.iterator.zipWithIndex
       .filter(_._1.table == table)
       .map { case (ch, i) =>
-        val img = (if (ch.op == "D") ch.before else ch.after)
-          .getOrElse(throw new IllegalStateException(
-            s"${ch.op} row without its image at pos ${ch.pos}"))
-        require(img.size == n,
-          s"row arity ${img.size} != schema arity $n for $table")
+        val img = surfacedImage(ch, n)
         Row.fromSeq(img.lazyZip(fieldTypes).map(coerce)
           ++ Seq(ch.op, i.toLong, ch.table))
       }.toSeq

@@ -29,7 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Options: `host`, `port`, `user`, `password`, `table` (the table to
   * surface — other tables' rows are dropped before they count against
-  * offsets), optional `startfile`/`startpos` (defaults to the
+  * offsets), optional `database` (disambiguates same-named tables
+  * across schemas), optional `startfile`/`startpos` (defaults to the
   * primary's `SHOW MASTER STATUS` position at stream start — the
   * reference's own no-saved-position behavior), `serverid`,
   * `negotiatechecksum`. The schema is caller-declared (the TABLE_MAP
@@ -88,11 +89,17 @@ object MysqlBinlogSource {
     * stream, when a required option is missing or malformed. */
   private[sources] final case class Config(
       host: String, port: Int, user: String, password: String,
-      table: String, serverId: Long, start: Option[(String, Long)],
-      negotiateChecksum: Boolean) {
+      table: String, database: Option[String], serverId: Long,
+      start: Option[(String, Long)], negotiateChecksum: Boolean) {
     def client(): BinlogSocketClient =
       new BinlogSocketClient(host, port, user, password, serverId,
         negotiateChecksum = negotiateChecksum)
+    /** The stream's row filter. `database` disambiguates when two
+      * schemas on the primary hold a table of the same name — without
+      * it both would interleave (and count against offsets) under one
+      * `_tbl` value. */
+    def matches(ch: BinlogFormat.RowChange): Boolean =
+      ch.table == table && database.forall(_ == ch.db)
   }
 
   private[sources] object Config {
@@ -108,7 +115,8 @@ object MysqlBinlogSource {
       require(startFile.isDefined == startPos.isDefined,
         "mysql-binlog: startFile and startPos come together or not at all")
       Config(req("host"), req("port").toInt, req("user"), req("password"),
-        req("table"), m.getLong("serverid", 100L),
+        req("table"), Option(m.get("database")).filter(_.nonEmpty),
+        m.getLong("serverid", 100L),
         startFile.map(f => (f, startPos.get)),
         m.getBoolean("negotiatechecksum", true))
     }
@@ -198,7 +206,7 @@ private[sources] final class BinlogMicroBatchStream(
       cur = s; buffered = Vector.empty; bufferBase = s.count
     }
     val r = cfg.client().tail(cur.file, cur.pos)
-    val mine = r.changes.filter(_.table == cfg.table)
+    val mine = r.changes.filter(cfg.matches)
     buffered ++= mine
     cur = BinlogSourceOffset(r.file, r.pos, cur.count + mine.size)
     if (availableNowPrepared) availableNowEnd = cur // freeze: Trigger.AvailableNow
@@ -231,12 +239,15 @@ private[sources] final class BinlogMicroBatchStream(
           (e.count - bufferBase).toInt)
       else {
         // recovery re-plan of a batch this object never tailed: re-dump
-        // the immutable range and cut at exactly n table-rows
-        val mine = cfg.client().tail(s.file, s.pos)
-          .changes.filter(_.table == cfg.table)
+        // the immutable range — BOUNDED at the batch's end offset, so
+        // the cost is O(batch) even when the log has since grown — and
+        // cut at exactly n table-rows
+        val mine = cfg.client().tailUntil(s.file, s.pos, e.file, e.pos)
+          .changes.filter(cfg.matches)
         require(mine.size >= n,
-          s"re-tail from (${s.file}, ${s.pos}) carried ${mine.size} " +
-            s"rows of ${cfg.table}, batch needs $n — the log shrank?")
+          s"re-tail of (${s.file}, ${s.pos})..(${e.file}, ${e.pos}) " +
+            s"carried ${mine.size} rows of ${cfg.table}, batch needs " +
+            s"$n — the log shrank?")
         mine.take(n)
       }
     Array(BinlogInputPartition(slice, s.count))
@@ -279,11 +290,7 @@ private[sources] final class BinlogPartitionReaderFactory(schema: StructType)
       override def next(): Boolean = { i += 1; i < part.changes.size }
       override def get(): InternalRow = {
         val ch = part.changes(i)
-        val img = (if (ch.op == "D") ch.before else ch.after)
-          .getOrElse(throw new IllegalStateException(
-            s"${ch.op} row without its image at pos ${ch.pos}"))
-        require(img.size == payload.size,
-          s"row arity ${img.size} != schema arity ${payload.size}")
+        val img = BinlogSource.surfacedImage(ch, payload.size)
         val vals = new Array[Any](schema.size)
         var k = 0
         while (k < payload.size) {
@@ -325,6 +332,13 @@ private[sources] object BinlogPartitionReaderFactory {
     case (t: java.sql.Timestamp, TimestampType) =>
       math.multiplyExact(Math.floorDiv(t.getTime, 1000L), 1000000L) +
         t.getNanos / 1000L
+    // DATETIME/DATETIME2 decode as LocalDateTime and coerce passes them
+    // through for NTZ fields; internal form = micros from the epoch of
+    // the WALL-CLOCK value (zone-less by definition)
+    case (dt2: java.time.LocalDateTime, TimestampNTZType) =>
+      math.multiplyExact(
+        dt2.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L) +
+        dt2.getNano / 1000L
     case _ => throw new IllegalStateException(
       s"no catalyst conversion for ${v.getClass.getName} as $dt")
   }

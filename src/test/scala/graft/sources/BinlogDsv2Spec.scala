@@ -65,8 +65,14 @@ class BinlogDsv2Spec extends AnyFunSuite with graft.GateCacheHygiene {
     assert(f(java.lang.Double.valueOf(1.5), DoubleType) == 1.5)
     assert(f(null, StringType) == null)
     assert(f(java.sql.Date.valueOf("1970-01-11"), DateType) == 10)
-    val ts = java.sql.Timestamp.valueOf("1970-01-01 00:00:01.000001")
+    // absolute-instant construction: Timestamp.valueOf would read LOCAL
+    // wall time and make the expectation JVM-default-zone dependent
+    val ts = new java.sql.Timestamp(1000L)
+    ts.setNanos(1000)
     assert(f(ts, TimestampType) == 1000001L)
+    // DATETIME's zone-less form: micros of the wall-clock value itself
+    assert(f(java.time.LocalDateTime.of(1970, 1, 1, 0, 0, 1, 1000),
+      TimestampNTZType) == 1000001L)
     val dec = new java.math.BigDecimal("12.34")
     assert(f(dec, DecimalType(10, 2)) ==
       Decimal(scala.math.BigDecimal(dec), 10, 2))
@@ -118,6 +124,39 @@ class BinlogDsv2Spec extends AnyFunSuite with graft.GateCacheHygiene {
         s"restart must stream ONLY the growth, got $seen")
       assert(seen.map(_._2).sorted == (6L until 10L),
         s"_seq must continue from the checkpointed count, got $seen")
+    } finally srv.close()
+  }
+
+  test("database option scopes the stream to one schema's table") {
+    // the log belongs to db "d": a stream scoped to another database
+    // must surface nothing (same-named tables across schemas would
+    // otherwise interleave under one _tbl value)
+    val bytes = BinlogFixture.encode("d", "t", cols,
+      txns = (1L to 3L).map(k => Seq(insert(k))), gtidFrom = Some(1L))
+    val srv = new BinlogFixtureServer(
+      IndexedSeq("db-bin.000001" -> bytes), "repl", "graft-secret")
+    try {
+      def count(db: String): Long = {
+        var n = 0L
+        spark.readStream.format("mysql-binlog")
+          .schema(MysqlBinlogSource.withMeta(rowSchema))
+          .option("host", "127.0.0.1").option("port", srv.port.toString)
+          .option("user", "repl").option("password", "graft-secret")
+          .option("table", "t").option("database", db)
+          .option("startFile", "db-bin.000001").option("startPos", "4")
+          .load()
+          .writeStream.option("checkpointLocation",
+            graft.GateCache.tempDir(s"graft_dsv2_db_${db}_ckp").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) => n += b.count(); ()
+          }
+          .start().awaitTermination()
+        n
+      }
+      assert(count("other") == 0L, "foreign-database rows leaked")
+      assert(count("d") == 3L)
     } finally srv.close()
   }
 

@@ -370,6 +370,34 @@ class MysqlProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("e2e: tailUntil stops at the bound's commit — O(range), " +
+      "within a file and across the rotation") {
+    // the prefix-encode trick: a shorter encode of the same txns is a
+    // byte prefix of the file, so its length IS a commit boundary
+    val prefix1 = BinlogFixture.encode("d", "t", cols,
+      txns = (1L to 2L).map(k => Seq(insert(k))), gtidFrom = Some(1L))
+    val prefix2 = BinlogFixture.encode("d", "t", cols,
+      txns = (5L to 6L).map(k => Seq(insert(k))), gtidFrom = Some(5L))
+    withServer(twoFiles) { srv =>
+      // bound inside file 1: txns 1..2 only, offset parked at the bound
+      val r1 = client(srv).tailUntil("sock-bin.000001", 4L,
+        "sock-bin.000001", prefix1.length.toLong)
+      assert(r1.changes.map(_.after.get.head) == (1L to 2L))
+      assert(r1.file == "sock-bin.000001" &&
+        r1.pos == prefix1.length.toLong)
+      // bound inside file 2: the rotation is crossed, later commits of
+      // file 2 are NOT read (5..6 yes, 7..8 no)
+      val r2 = client(srv).tailUntil("sock-bin.000001", 4L,
+        "sock-bin.000002", prefix2.length.toLong)
+      assert(r2.changes.map(_.after.get.head) == (1L to 6L))
+      assert(r2.file == "sock-bin.000002" &&
+        r2.pos == prefix2.length.toLong)
+      // resuming from the bound replays nothing of the bounded range
+      val rest = client(srv).tail(r2.file, r2.pos)
+      assert(rest.changes.map(_.after.get.head) == (7L to 8L))
+    }
+  }
+
   test("only the last (active) file of the chain can grow — a sealed " +
       "file refuses truncate/reveal loudly") {
     // the dump walk and the blocking growth watch both assume earlier
