@@ -65,9 +65,10 @@ final class BinlogSocketClient(
     * the bound, so re-reading a KNOWN range of a since-grown log costs
     * O(range), not O(log) — the V2 source's recovery re-plan
     * ([[MysqlBinlogSource]]) re-reads exactly a write-ahead-logged
-    * batch this way. Binlog file names order lexicographically within a
-    * chain (fixed basename + numeric suffix), which is how the bound
-    * spans rotations. */
+    * batch this way. Files compare by their NUMERIC suffix
+    * ([[BinlogSource.fileOrdinal]]) so the bound spans rotations —
+    * including the .999999 → .1000000 width rollover, where
+    * lexicographic order inverts. */
   def tailUntil(fromFile: String, fromPos: Long,
                 endFile: String, endPos: Long): TailResult =
     run(fromFile, fromPos, GtidSet.Empty, gtidDump = false,
@@ -248,10 +249,14 @@ final class BinlogSocketClient(
               backoffMs = initialBackoffMs
               // bounded tail: stop at the first commit whose resume
               // offset reaches the bound (evaluated ONLY here — commit
-              // boundaries are the offsets' granularity)
+              // boundaries are the offsets' granularity). Files compare
+              // by NUMERIC suffix, not lexicographically: MySQL widens
+              // the suffix past .999999 to .1000000, where string order
+              // inverts
               if (bound.exists { case (bf, bp) =>
-                    resumeFile > bf ||
-                      (resumeFile == bf && resumePos >= bp) })
+                    val (ord, bOrd) = (BinlogSource.fileOrdinal(resumeFile),
+                      BinlogSource.fileOrdinal(bf))
+                    ord > bOrd || (ord == bOrd && resumePos >= bp) })
                 done = true
             }
             // graceful stop (T9): in blocking mode the stream never

@@ -233,7 +233,8 @@ private[sources] final class BinlogMicroBatchStream(
     require(e.count >= s.count, s"offset range inverted: $s .. $e")
     val n = (e.count - s.count).toInt
     val slice =
-      if (s.count >= bufferBase &&
+      if (n == 0) Vector.empty // an idle batch needs no connection
+      else if (s.count >= bufferBase &&
           e.count <= bufferBase + buffered.size)
         buffered.slice((s.count - bufferBase).toInt,
           (e.count - bufferBase).toInt)

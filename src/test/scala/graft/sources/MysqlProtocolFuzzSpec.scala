@@ -32,15 +32,25 @@ class MysqlProtocolFuzzSpec extends AnyFunSuite {
                 _: IndexOutOfBoundsException) => Left(e)
     }
 
-  /** truncation + single-byte-flip properties over one valid encode. */
-  private def fuzz[A](bytes: Array[Byte])(decode: Array[Byte] => A): Unit = {
+  /** Truncation + single-byte-flip properties over one valid encode.
+    * `sane(result, input)` verifies the no-phantom-bytes half of the
+    * contract on every SUCCESSFUL parse of a mangled input: whatever
+    * the decode returns must be expressible within the bytes it was
+    * given (a parse that "succeeds" with more content than the payload
+    * holds is a framing bug, not a lucky decode). */
+  private def fuzz[A](bytes: Array[Byte], decode: Array[Byte] => A,
+                      sane: (A, Array[Byte]) => Boolean): Unit = {
+    def holds(input: Array[Byte]): Boolean = outcome(decode(input)) match {
+      case Right(a) => sane(a, input)
+      case Left(_)  => true
+    }
     val truncate = Prop.forAll(Gen.choose(0, bytes.length - 1)) { k =>
-      outcome(decode(bytes.take(k))); true
+      holds(bytes.take(k))
     }
     val flip = Prop.forAll(
       Gen.choose(0, bytes.length - 1), Gen.choose(1, 255)) { (i, x) =>
       val c = bytes.clone(); c(i) = (c(i) ^ x).toByte
-      outcome(decode(c)); true
+      holds(c)
     }
     Seq(truncate, flip).foreach { p =>
       val r = SCTest.check(
@@ -53,7 +63,9 @@ class MysqlProtocolFuzzSpec extends AnyFunSuite {
     val valid = encodeHandshake(Handshake(
       "8.0.39", 7L, scramble20, ClientCapabilities, NativePasswordPlugin))
     assert(decodeHandshake(valid).serverVersion == "8.0.39") // baseline
-    fuzz(valid)(decodeHandshake)
+    fuzz(valid, decodeHandshake, (h: Handshake, in: Array[Byte]) =>
+      h.scramble.length == 20 &&
+        h.serverVersion.length + h.authPlugin.length <= in.length)
   }
 
   test("handshake RESPONSE decode (the server's half) survives " +
@@ -63,7 +75,9 @@ class MysqlProtocolFuzzSpec extends AnyFunSuite {
       nativePasswordToken("graft-secret", scramble20),
       NativePasswordPlugin))
     assert(decodeHandshakeResponse(valid).user == "repl") // baseline
-    fuzz(valid)(decodeHandshakeResponse)
+    fuzz(valid, decodeHandshakeResponse,
+      (r: HandshakeResponse, in: Array[Byte]) =>
+        r.user.length + r.token.length + r.authPlugin.length <= in.length)
   }
 
   test("text resultset row decode survives truncation and corruption") {
@@ -77,18 +91,23 @@ class MysqlProtocolFuzzSpec extends AnyFunSuite {
           ((b.length >> 8) & 0xff).toByte) ++ b
     }
     assert(parseTextRow(row, 2) == Seq("sock-bin.000001", long)) // baseline
-    fuzz(row)(parseTextRow(_, 2))
+    fuzz(row, parseTextRow(_, 2), (r: Seq[String], in: Array[Byte]) =>
+      r.size == 2 && r.filter(_ != null).map(_.length).sum <= in.length)
   }
 
   test("auth-switch decode survives truncation and corruption") {
     val valid = authSwitchPacket(CachingSha2Plugin, scramble20)
     assert(decodeAuthSwitch(valid)._1 == CachingSha2Plugin) // baseline
-    fuzz(valid)(decodeAuthSwitch)
+    fuzz(valid, decodeAuthSwitch,
+      (r: (String, Array[Byte]), in: Array[Byte]) =>
+        r._1.length + r._2.length <= in.length)
   }
 
   test("ERR packet message decode survives truncation and corruption") {
     val valid = errPacket(1236, "Could not find first log file name")
     assert(errMessage(valid).contains("1236")) // baseline
-    fuzz(valid)(errMessage)
+    // "MySQL error NNNNN: " prefix adds at most 20 chars over the payload
+    fuzz(valid, errMessage, (m: String, in: Array[Byte]) =>
+      m.length <= in.length + 20)
   }
 }

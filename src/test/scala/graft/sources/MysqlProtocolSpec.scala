@@ -396,6 +396,25 @@ class MysqlProtocolSpec extends AnyFunSuite {
       val rest = client(srv).tail(r2.file, r2.pos)
       assert(rest.changes.map(_.after.get.head) == (7L to 8L))
     }
+    // the suffix-width rollover: .999999 → .1000000 inverts STRING
+    // order ('9' > '1'), so the bound must compare numeric ordinals —
+    // lexicographic comparison would stop at file 1's first commit
+    val rollover = IndexedSeq(
+      "roll-bin.999999" -> BinlogFixture.encode("d", "t", cols,
+        txns = (1L to 2L).map(k => Seq(insert(k))),
+        rotateTo = Some("roll-bin.1000000"), gtidFrom = Some(1L)),
+      "roll-bin.1000000" -> BinlogFixture.encode("d", "t", cols,
+        txns = (3L to 4L).map(k => Seq(insert(k))), gtidFrom = Some(3L)))
+    val prefix3 = BinlogFixture.encode("d", "t", cols,
+      txns = Seq(Seq(insert(3L))), gtidFrom = Some(3L))
+    withServer(rollover) { srv =>
+      val r = client(srv).tailUntil("roll-bin.999999", 4L,
+        "roll-bin.1000000", prefix3.length.toLong)
+      assert(r.changes.map(_.after.get.head) == (1L to 3L),
+        s"rollover bound mis-ordered the chain: got ${r.changes.size}")
+      assert(r.file == "roll-bin.1000000" &&
+        r.pos == prefix3.length.toLong)
+    }
   }
 
   test("only the last (active) file of the chain can grow — a sealed " +
