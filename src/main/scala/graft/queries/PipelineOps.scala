@@ -1328,6 +1328,68 @@ object PipelineOps {
     } finally srv.close()
   }
 
+  /** T45: the BATCH half of the V2 source — `spark.read.format(
+    * "mysql-binlog")`: one bounded dump of a log range straight into a
+    * DataFrame (the "re-read yesterday's changes" shape a backfill or
+    * an audit wants, with no streaming machinery). The gate reads the
+    * o21 fixture with an EXPLICIT end captured before the log grows:
+    * a poison wave is then revealed past the bound, and the in-gate
+    * REQUIREs pin that the bounded frame excludes it whole (commits
+    * past the bound are discarded, never partially delivered —
+    * [[graft.sources.BinlogSocketClient.tailUntil]]), while an
+    * UNBOUNDED read of the same options sees the grown log. The
+    * bounded frame applied through the same stamped apply yields the
+    * o21 topology state ⇒ the same oracle. */
+  def binlogBatchReadCdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{BinlogFixture, BinlogFixtureServer, MysqlBinlogSource}
+    import graft.operators.CdcTransform
+    val topo = refTopology(s, dir)
+    val file = "primary-bin.000001"
+    val tw1Bytes = topo.encode(topo.txnsT ++ topo.txnsW1)
+    // the poison wave: writes landing AFTER the bounded read's end —
+    // a bound leak would flip survivors' bal by 9999
+    val poison = IndexedSeq(topo.keys.filter(_ % 7 != 0).take(5).map(k =>
+      BinlogFixture.Change.update(
+        IndexedSeq[Any](k, 0.0), IndexedSeq[Any](k, 9999.0))))
+    val fullBytes = topo.encode(topo.txnsT ++ topo.txnsW1 ++ poison)
+    topo.requirePrefix(tw1Bytes, fullBytes)
+    val srv = new BinlogFixtureServer(IndexedSeq(file -> fullBytes),
+      "repl", "graft-secret")
+    srv.truncate(file, tw1Bytes.length)
+    try {
+      val schema = StructType.fromDDL("id BIGINT, bal DOUBLE")
+      def read(bounded: Boolean) = {
+        var r = s.read.format("mysql-binlog")
+          .schema(MysqlBinlogSource.withMeta(schema))
+          .option("host", "127.0.0.1").option("port", srv.port.toString)
+          .option("user", "repl").option("password", "graft-secret")
+          .option("table", "accounts")
+          .option("startFile", file).option("startPos", "4")
+        if (bounded) r = r.option("endFile", file)
+          .option("endPos", tw1Bytes.length.toString)
+        r.load()
+      }
+      val bounded = read(bounded = true)
+      srv.reveal(file) // the poison lands — PAST the bound
+      val total = (topo.keys.size + topo.nOverlap).toLong
+      val frame = graft.GateCache.cache(bounded)
+      require(frame.count() == total,
+        s"bounded read carried ${frame.count()} rows, expected $total — " +
+          "the bound leaked the post-capture wave or dropped a commit")
+      require(read(bounded = false).count() == total + 5,
+        "unbounded read should see the revealed wave")
+      val stamped = CdcTransform.stampBatch(frame, opCol = "op",
+        seqCol = "_seq", batchVersionMicros = 1L)
+      val live = graft.GateCache.cache(LiveView.live(
+        stamped.drop("op", "_seq", "_tbl"),
+        pks = Seq("id"), tieBreak = Some(SeqCol)))
+      require(live.exceptAll(topo.snapshot).count() == 0 &&
+        topo.snapshot.exceptAll(live).count() == 0,
+        "live view diverges from the topology state as of the bound")
+      live
+    } finally srv.close()
+  }
+
   /** T33: GTID-SET RESUME over an overlapping rotated chain — the
     * replica-failover shape the reference's (file, pos) offset cannot
     * express (`/root/reference/src/cdc_replicator.py:24-35`: its resume
@@ -4521,6 +4583,7 @@ object PipelineOps {
     "t42_binlog_minimal_image" -> ((s, dir) => binlogMinimalImageCdc(s, dir)),
     "t43_binlog_minimal_stream" -> ((s, dir) => binlogMinimalStreamCdc(s, dir)),
     "t44_binlog_dsv2_stream" -> ((s, dir) => binlogDsv2StreamCdc(s, dir)),
+    "t45_binlog_batch_read" -> ((s, dir) => binlogBatchReadCdc(s, dir)),
     "b9_bucketed_stream_sink" -> ((s, dir) => bucketedStreamSink(s, dir)),
     "t24_schema_evolution" -> ((s, dir) => evolvingCdcLive(s, dir)),
     "t2_stream_dedup" -> ((s, dir) => streamDedupCounts(s, dir)),
@@ -5330,6 +5393,17 @@ object PipelineOps {
         |  CAST(k % 7 AS BIGINT) AS cnt
         |FROM (SELECT o_orderkey AS k FROM orders
         |      WHERE o_orderkey % 6 = 0 AND o_orderkey % 11 <> 0)""".stripMargin,
+
+    // the bounded BATCH read of the V2 source: the o21 state as of an
+    // explicit end offset, with a poison wave revealed PAST the bound —
+    // a bound leak flips survivors' bal by 9999 and the hash
+    "t45_binlog_batch_read" ->
+      """SELECT o_orderkey AS id,
+        |  CAST(o_orderkey % 100 +
+        |       CASE WHEN o_orderkey % 3 = 0 THEN 77 ELSE 0 END
+        |       AS DOUBLE) AS bal
+        |FROM orders
+        |WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0""".stripMargin,
 
     // o21's topology algebra reached through the DataSource V2 source
     // (format("mysql-binlog"), offsets in Spark's own checkpoint, two

@@ -60,15 +60,16 @@ final class BinlogSocketClient(
   def tail(fromFile: String, fromPos: Long = 4L): TailResult =
     run(fromFile, fromPos, GtidSet.Empty, gtidDump = false)
 
-  /** [[tail]] bounded at `(endFile, endPos)`: the dump stops (and the
-    * connection closes) at the first commit whose resume offset reaches
-    * the bound, so re-reading a KNOWN range of a since-grown log costs
-    * O(range), not O(log) — the V2 source's recovery re-plan
-    * ([[MysqlBinlogSource]]) re-reads exactly a write-ahead-logged
-    * batch this way. Files compare by their NUMERIC suffix
-    * ([[BinlogSource.fileOrdinal]]) so the bound spans rotations —
-    * including the .999999 → .1000000 width rollover, where
-    * lexicographic order inverts. */
+  /** [[tail]] bounded at `(endFile, endPos)`: only commits ending
+    * at-or-before the bound are emitted — a commit ending past it (the
+    * log grew since the bound was captured) is excluded whole and the
+    * dump stops, so re-reading a KNOWN range of a since-grown log
+    * costs O(range), not O(log), and never over-delivers. The V2
+    * source's recovery re-plan and its batch read
+    * ([[MysqlBinlogSource]]) both ride this. Files compare by their
+    * NUMERIC suffix ([[BinlogSource.fileOrdinal]]) so the bound spans
+    * rotations — including the .999999 → .1000000 width rollover,
+    * where lexicographic order inverts. */
   def tailUntil(fromFile: String, fromPos: Long,
                 endFile: String, endPos: Long): TailResult =
     run(fromFile, fromPos, GtidSet.Empty, gtidDump = false,
@@ -233,31 +234,42 @@ final class BinlogSocketClient(
               // a transaction commits at its XID — which for a
               // compressed transaction lives INSIDE the payload event,
               // so the payload packet is itself the commit boundary
-              val batch = dec.drainCommitted()
-              out ++= batch
-              nChanges += batch.size
-              appliedGtids =
-                appliedGtids.union(GtidSet.fromGtids(batch.flatMap(_.gtid)))
-              // resume offset: the commit event's end-log-pos in the
-              // current file
-              resumeFile = currentFile
-              resumePos = ByteBuffer.wrap(p, 1 + 13, 4)
+              val commitEnd = ByteBuffer.wrap(p, 1 + 13, 4)
                 .order(ByteOrder.LITTLE_ENDIAN).getInt().toLong & 0xffffffffL
-              // forward progress re-arms the reconnect budget: the cap
-              // bounds CONSECUTIVE failures, not a long tail's lifetime
-              failuresSinceProgress = 0
-              backoffMs = initialBackoffMs
-              // bounded tail: stop at the first commit whose resume
-              // offset reaches the bound (evaluated ONLY here — commit
-              // boundaries are the offsets' granularity). Files compare
-              // by NUMERIC suffix, not lexicographically: MySQL widens
-              // the suffix past .999999 to .1000000, where string order
-              // inverts
-              if (bound.exists { case (bf, bp) =>
-                    val (ord, bOrd) = (BinlogSource.fileOrdinal(resumeFile),
-                      BinlogSource.fileOrdinal(bf))
-                    ord > bOrd || (ord == bOrd && resumePos >= bp) })
+              // bound discipline, evaluated ONLY at commits (the
+              // offsets' granularity): a commit ending AT the bound is
+              // the last one included; a commit ending PAST it — the
+              // log grew since the bound was captured — is discarded
+              // whole, and the final offset stays at the last included
+              // commit. Files compare by NUMERIC suffix, not
+              // lexicographically: MySQL widens the suffix past
+              // .999999 to .1000000, where string order inverts.
+              def cmpBound(bf: String, bp: Long): Int = {
+                val ord = BinlogSource.fileOrdinal(currentFile)
+                val bOrd = BinlogSource.fileOrdinal(bf)
+                if (ord != bOrd) java.lang.Long.compare(ord, bOrd)
+                else java.lang.Long.compare(commitEnd, bp)
+              }
+              if (bound.exists(b => cmpBound(b._1, b._2) > 0)) {
+                dec.drainCommitted() // past the bound: not ours
                 done = true
+              } else {
+                val batch = dec.drainCommitted()
+                out ++= batch
+                nChanges += batch.size
+                appliedGtids =
+                  appliedGtids.union(GtidSet.fromGtids(batch.flatMap(_.gtid)))
+                // resume offset: the commit event's end-log-pos in the
+                // current file
+                resumeFile = currentFile
+                resumePos = commitEnd
+                // forward progress re-arms the reconnect budget: the cap
+                // bounds CONSECUTIVE failures, not a long tail's lifetime
+                failuresSinceProgress = 0
+                backoffMs = initialBackoffMs
+                if (bound.exists(b => cmpBound(b._1, b._2) == 0))
+                  done = true // reached the bound exactly
+              }
             }
             // graceful stop (T9): in blocking mode the stream never
             // EOFs — the caller's predicate ends it, commits intact

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -32,8 +32,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * offsets), optional `database` (disambiguates same-named tables
   * across schemas), optional `startfile`/`startpos` (defaults to the
   * primary's `SHOW MASTER STATUS` position at stream start — the
-  * reference's own no-saved-position behavior), `serverid`,
-  * `negotiatechecksum`. The schema is caller-declared (the TABLE_MAP
+  * reference's own no-saved-position behavior), optional
+  * `endfile`/`endpos` (batch reads only: a stable explicit end),
+  * `serverid`, `negotiatechecksum`. `spark.read` on the same format
+  * is the bounded BATCH form ([[BinlogBatch]]). The schema is caller-declared (the TABLE_MAP
   * row-image columns, like [[BinlogSource.changes]]' `rowSchema`) and
   * must end with the meta columns `op STRING, _seq BIGINT, _tbl
   * STRING` — [[MysqlBinlogSource.withMeta]] builds it; the emitted
@@ -90,7 +92,8 @@ object MysqlBinlogSource {
   private[sources] final case class Config(
       host: String, port: Int, user: String, password: String,
       table: String, database: Option[String], serverId: Long,
-      start: Option[(String, Long)], negotiateChecksum: Boolean) {
+      start: Option[(String, Long)], end: Option[(String, Long)],
+      negotiateChecksum: Boolean) {
     def client(): BinlogSocketClient =
       new BinlogSocketClient(host, port, user, password, serverId,
         negotiateChecksum = negotiateChecksum)
@@ -110,14 +113,17 @@ object MysqlBinlogSource {
         require(v != null && v.nonEmpty, s"mysql-binlog: missing option '$k'")
         v
       }
-      val startFile = Option(m.get("startfile"))
-      val startPos = Option(m.get("startpos")).map(_.toLong)
-      require(startFile.isDefined == startPos.isDefined,
-        "mysql-binlog: startFile and startPos come together or not at all")
+      def filePos(fileKey: String, posKey: String): Option[(String, Long)] = {
+        val file = Option(m.get(fileKey))
+        val pos = Option(m.get(posKey)).map(_.toLong)
+        require(file.isDefined == pos.isDefined,
+          s"mysql-binlog: $fileKey and $posKey come together or not at all")
+        file.map(f => (f, pos.get))
+      }
       Config(req("host"), req("port").toInt, req("user"), req("password"),
         req("table"), Option(m.get("database")).filter(_.nonEmpty),
         m.getLong("serverid", 100L),
-        startFile.map(f => (f, startPos.get)),
+        filePos("startfile", "startpos"), filePos("endfile", "endpos"),
         m.getBoolean("negotiatechecksum", true))
     }
   }
@@ -132,7 +138,8 @@ private[sources] final class MysqlBinlogTable(
     s"mysql-binlog(${cfg.host}:${cfg.port}/${cfg.table})"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -141,8 +148,59 @@ private[sources] final class MysqlBinlogTable(
         override def description(): String = name()
         override def toMicroBatchStream(ckp: String): MicroBatchStream =
           new BinlogMicroBatchStream(tableSchema, cfg)
+        override def toBatch(): Batch = new BinlogBatch(tableSchema, cfg)
       }
     }
+}
+
+/** `spark.read.format("mysql-binlog")` — the bounded BATCH form of the
+  * same source: one dump of `[start, end]` straight into a DataFrame.
+  * `startFile`/`startPos` are REQUIRED (an unanchored batch has no
+  * deterministic meaning); `endFile`/`endPos` default to the log end
+  * captured when the action plans — each action of an unbounded read
+  * re-captures, so pass an explicit end for a frame that is stable
+  * across actions. Commits ending past the end (writes landing after
+  * the capture) are excluded whole ([[BinlogSocketClient.tailUntil]]).
+  * The dump runs INSIDE the partition reader — a task, not the driver,
+  * holds the rows — and `_seq` is the 0-based commit-order ordinal of
+  * the range. */
+private[sources] final class BinlogBatch(schema: StructType,
+    cfg: MysqlBinlogSource.Config) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (sf, sp) = cfg.start.getOrElse(throw new IllegalArgumentException(
+      "mysql-binlog batch read requires startFile/startPos"))
+    val (ef, ep) = cfg.end.getOrElse(cfg.client().masterStatus())
+    Array(BinlogRangePartition(sf, sp, ef, ep))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BinlogRangeReaderFactory(schema, cfg)
+}
+
+/** One partition: the range is one ordered dump (the same
+  * one-connection-per-primary shape as the stream). */
+private[sources] final case class BinlogRangePartition(
+    fromFile: String, fromPos: Long, endFile: String, endPos: Long)
+    extends InputPartition
+
+private[sources] final class BinlogRangeReaderFactory(schema: StructType,
+    cfg: MysqlBinlogSource.Config) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[BinlogRangePartition]
+    val payloadTypes = StructType(schema.dropRight(3))
+      .fields.map(_.dataType).toIndexedSeq
+    new PartitionReader[InternalRow] {
+      // the dump happens lazily in the TASK, on first next()
+      private lazy val changes = cfg.client()
+        .tailUntil(part.fromFile, part.fromPos, part.endFile, part.endPos)
+        .changes.filter(cfg.matches)
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < changes.size }
+      override def get(): InternalRow =
+        BinlogPartitionReaderFactory.internalRow(
+          changes(i), i.toLong, payloadTypes, schema.size)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** The stream offset: the primary's (file, pos) the NEXT dump resumes
@@ -289,27 +347,35 @@ private[sources] final class BinlogPartitionReaderFactory(schema: StructType)
     new PartitionReader[InternalRow] {
       private var i = -1
       override def next(): Boolean = { i += 1; i < part.changes.size }
-      override def get(): InternalRow = {
-        val ch = part.changes(i)
-        val img = BinlogSource.surfacedImage(ch, payload.size)
-        val vals = new Array[Any](schema.size)
-        var k = 0
-        while (k < payload.size) {
-          vals(k) = BinlogPartitionReaderFactory.toCatalyst(
-            BinlogSource.coerce(img(k), fieldTypes(k)), fieldTypes(k))
-          k += 1
-        }
-        vals(payload.size) = UTF8String.fromString(ch.op)
-        vals(payload.size + 1) = part.baseSeq + i
-        vals(payload.size + 2) = UTF8String.fromString(ch.table)
-        new GenericInternalRow(vals)
-      }
+      override def get(): InternalRow =
+        BinlogPartitionReaderFactory.internalRow(
+          part.changes(i), part.baseSeq + i, fieldTypes, schema.size)
       override def close(): Unit = ()
     }
   }
 }
 
 private[sources] object BinlogPartitionReaderFactory {
+  /** One change → the source's internal row: payload columns in
+    * TABLE_MAP order, then op / `seq` / `_tbl` — shared by the stream
+    * and batch readers so the two emitted frames cannot diverge. */
+  private[sources] def internalRow(ch: BinlogFormat.RowChange, seq: Long,
+      payloadTypes: IndexedSeq[DataType], nOut: Int): InternalRow = {
+    val n = payloadTypes.size
+    val img = BinlogSource.surfacedImage(ch, n)
+    val vals = new Array[Any](nOut)
+    var k = 0
+    while (k < n) {
+      vals(k) = toCatalyst(
+        BinlogSource.coerce(img(k), payloadTypes(k)), payloadTypes(k))
+      k += 1
+    }
+    vals(n) = UTF8String.fromString(ch.op)
+    vals(n + 1) = seq
+    vals(n + 2) = UTF8String.fromString(ch.table)
+    new GenericInternalRow(vals)
+  }
+
   /** External JVM value ([[BinlogSource.coerce]]'s output range) →
     * Catalyst internal representation. Hand-rolled instead of the
     * private CatalystTypeConverters: the decode surface is a closed

@@ -16,7 +16,10 @@ class EntrySmokeSpec extends AnyFunSuite with graft.GateCacheHygiene {
     // gate, the driver's correctness JSON just gets smaller, and 31 red
     // gates read as "fewer queries". A silent shrink (or an unregistered
     // new gate) must fail the suite. Bump DELIBERATELY when adding gates.
-    val pinned = 285 // r15: +t44_binlog_dsv2_stream (the socket tail as
+    val pinned = 286 // r15: +t45_binlog_batch_read (the V2 source's
+    // bounded BATCH half: spark.read of a log range, explicit end
+    // stable under growth, poison wave excluded whole).
+    // r15: +t44_binlog_dsv2_stream (the socket tail as
     // a first-class DataSource V2 streaming source: offsets in Spark's
     // own checkpoint, restart replays nothing, _seq count-anchored).
     // r15: +o22_reference_live_tail (the reference's

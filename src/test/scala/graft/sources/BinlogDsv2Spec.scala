@@ -127,6 +127,55 @@ class BinlogDsv2Spec extends AnyFunSuite with graft.GateCacheHygiene {
     } finally srv.close()
   }
 
+  test("batch read: one bounded dump into a DataFrame; an explicit end " +
+      "is stable while the log grows") {
+    val firstHalf = BinlogFixture.encode("d", "t", cols,
+      txns = (1L to 4L).map(k => Seq(insert(k))), gtidFrom = Some(1L))
+    val full = BinlogFixture.encode("d", "t", cols,
+      txns = (1L to 9L).map(k => Seq(insert(k))), gtidFrom = Some(1L))
+    val srv = new BinlogFixtureServer(
+      IndexedSeq("batch-bin.000001" -> full), "repl", "graft-secret")
+    srv.truncate("batch-bin.000001", firstHalf.length)
+    try {
+      def read(extra: Map[String, String]) = {
+        var r = spark.read.format("mysql-binlog")
+          .schema(MysqlBinlogSource.withMeta(rowSchema))
+          .option("host", "127.0.0.1").option("port", srv.port.toString)
+          .option("user", "repl").option("password", "graft-secret")
+          .option("table", "t")
+          .option("startFile", "batch-bin.000001").option("startPos", "4")
+        extra.foreach { case (k, v) => r = r.option(k, v) }
+        r.load()
+      }
+      // unbounded: end = log end captured when the ACTION plans
+      val unbounded = read(Map.empty)
+      assert(unbounded.select("id").collect().map(_.getLong(0)).sorted
+        .toSeq == (1L to 4L))
+      // bounded: the explicit end survives log growth — writes landing
+      // past it (the reveal) are excluded whole
+      val bounded = read(Map(
+        "endFile" -> "batch-bin.000001",
+        "endPos" -> firstHalf.length.toString))
+      srv.reveal("batch-bin.000001")
+      assert(bounded.select("id", "_seq").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+        .toSeq == (1L to 4L).map(k => (k, k - 1)))
+      // ...while a fresh unbounded action now sees the grown log
+      assert(read(Map.empty).count() == 9L)
+      // batch without a start anchor fails loudly at action time
+      val e = intercept[Exception] {
+        spark.read.format("mysql-binlog")
+          .schema(MysqlBinlogSource.withMeta(rowSchema))
+          .option("host", "127.0.0.1").option("port", srv.port.toString)
+          .option("user", "repl").option("password", "graft-secret")
+          .option("table", "t").load().count()
+      }
+      assert(e.getMessage != null &&
+        (e.getMessage.contains("startFile") ||
+          e.getCause != null && e.getCause.getMessage.contains("startFile")))
+    } finally srv.close()
+  }
+
   test("database option scopes the stream to one schema's table") {
     // the log belongs to db "d": a stream scoped to another database
     // must surface nothing (same-named tables across schemas would
