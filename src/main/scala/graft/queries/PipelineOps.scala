@@ -1372,7 +1372,13 @@ object PipelineOps {
       val bounded = read(bounded = true)
       srv.reveal(file) // the poison lands — PAST the bound
       val total = (topo.keys.size + topo.nOverlap).toLong
-      val frame = graft.GateCache.cache(bounded)
+      // land the bounded frame OFF the socket: the gate RETURNS a
+      // frame, and its lineage must not trace to a server the finally
+      // block closes (a post-gate recompute would dial a dead port)
+      val tgt = graft.GateCache.tempDir("graft_batchread_tgt").toString
+      bounded.write.parquet(s"$tgt/accounts.parquet")
+      val frame = graft.GateCache.cache(
+        s.read.parquet(s"$tgt/accounts.parquet"))
       require(frame.count() == total,
         s"bounded read carried ${frame.count()} rows, expected $total — " +
           "the bound leaked the post-capture wave or dropped a commit")

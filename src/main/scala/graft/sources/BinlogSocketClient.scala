@@ -191,6 +191,10 @@ final class BinlogSocketClient(
     var heartbeats = 0L
     var nChanges = 0L
     var done = false
+    // the bound file's ordinal is constant: parse it once per run, not
+    // twice per commit
+    val boundOrd = bound.map { case (bf, bp) =>
+      (BinlogSource.fileOrdinal(bf), bp) }
     while (!done) {
       var sock: Socket = null
       try {
@@ -244,13 +248,12 @@ final class BinlogSocketClient(
               // commit. Files compare by NUMERIC suffix, not
               // lexicographically: MySQL widens the suffix past
               // .999999 to .1000000, where string order inverts.
-              def cmpBound(bf: String, bp: Long): Int = {
+              val boundCmp = boundOrd.map { case (bOrd, bp) =>
                 val ord = BinlogSource.fileOrdinal(currentFile)
-                val bOrd = BinlogSource.fileOrdinal(bf)
                 if (ord != bOrd) java.lang.Long.compare(ord, bOrd)
                 else java.lang.Long.compare(commitEnd, bp)
               }
-              if (bound.exists(b => cmpBound(b._1, b._2) > 0)) {
+              if (boundCmp.exists(_ > 0)) {
                 dec.drainCommitted() // past the bound: not ours
                 done = true
               } else {
@@ -267,7 +270,7 @@ final class BinlogSocketClient(
                 // bounds CONSECUTIVE failures, not a long tail's lifetime
                 failuresSinceProgress = 0
                 backoffMs = initialBackoffMs
-                if (bound.exists(b => cmpBound(b._1, b._2) == 0))
+                if (boundCmp.contains(0))
                   done = true // reached the bound exactly
               }
             }

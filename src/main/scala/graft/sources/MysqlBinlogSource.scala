@@ -146,8 +146,14 @@ private[sources] final class MysqlBinlogTable(
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
         override def description(): String = name()
-        override def toMicroBatchStream(ckp: String): MicroBatchStream =
+        override def toMicroBatchStream(ckp: String): MicroBatchStream = {
+          // a stream has no end: accepting-and-ignoring the batch-only
+          // bound options would tail past the user's intended stop
+          require(cfg.end.isEmpty,
+            "endFile/endPos are batch-read options — use spark.read, " +
+              "or drop them for an unbounded stream")
           new BinlogMicroBatchStream(tableSchema, cfg)
+        }
         override def toBatch(): Batch = new BinlogBatch(tableSchema, cfg)
       }
     }
@@ -170,6 +176,13 @@ private[sources] final class BinlogBatch(schema: StructType,
     val (sf, sp) = cfg.start.getOrElse(throw new IllegalArgumentException(
       "mysql-binlog batch read requires startFile/startPos"))
     val (ef, ep) = cfg.end.getOrElse(cfg.client().masterStatus())
+    // an inverted range must fail loudly — the bounded dump would
+    // discard its first commit and return an empty frame, which a
+    // backfill reads as "no changes in range" (silent loss)
+    val (sOrd, eOrd) =
+      (BinlogSource.fileOrdinal(sf), BinlogSource.fileOrdinal(ef))
+    require(eOrd > sOrd || (eOrd == sOrd && ep >= sp),
+      s"mysql-binlog batch range inverted: ($sf, $sp) .. ($ef, $ep)")
     Array(BinlogRangePartition(sf, sp, ef, ep))
   }
   override def createReaderFactory(): PartitionReaderFactory =

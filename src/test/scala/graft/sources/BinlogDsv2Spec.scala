@@ -170,10 +170,62 @@ class BinlogDsv2Spec extends AnyFunSuite with graft.GateCacheHygiene {
           .option("user", "repl").option("password", "graft-secret")
           .option("table", "t").load().count()
       }
-      assert(e.getMessage != null &&
-        (e.getMessage.contains("startFile") ||
-          e.getCause != null && e.getCause.getMessage.contains("startFile")))
+      // null-safe: Spark may wrap the failure with message-less layers
+      val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null).take(5).flatMap(t => Option(t.getMessage))
+      assert(msgs.exists(_.contains("startFile")), s"got: $e")
     } finally srv.close()
+  }
+
+  test("a stream rejects the batch-only end options; a batch rejects " +
+      "an inverted range — both loudly, neither silently empty") {
+    def opts(r: org.apache.spark.sql.streaming.DataStreamReader) = r
+      .format("mysql-binlog").schema(MysqlBinlogSource.withMeta(rowSchema))
+      .option("host", "127.0.0.1").option("port", "1").option("user", "u")
+      .option("password", "p").option("table", "t")
+      .option("startFile", "x-bin.000002").option("startPos", "100")
+    // end options on a STREAM: refused before any connection is made
+    val e1 = intercept[Exception] {
+      opts(spark.readStream).option("endFile", "x-bin.000002")
+        .option("endPos", "200").load()
+        .writeStream.option("checkpointLocation",
+          graft.GateCache.tempDir("graft_dsv2_endstream_ckp").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) => ()
+        }
+        .start().awaitTermination()
+    }
+    val msgs1 = Iterator.iterate[Throwable](e1)(_.getCause)
+      .takeWhile(_ != null).take(5).flatMap(t => Option(t.getMessage))
+    assert(msgs1.exists(_.contains("batch-read")), s"got: $e1")
+    // inverted batch range: refused at planning, not an empty frame
+    val e2 = intercept[Exception] {
+      spark.read.format("mysql-binlog")
+        .schema(MysqlBinlogSource.withMeta(rowSchema))
+        .option("host", "127.0.0.1").option("port", "1").option("user", "u")
+        .option("password", "p").option("table", "t")
+        .option("startFile", "x-bin.000002").option("startPos", "100")
+        .option("endFile", "x-bin.000002").option("endPos", "50")
+        .load().count()
+    }
+    val msgs2 = Iterator.iterate[Throwable](e2)(_.getCause)
+      .takeWhile(_ != null).take(5).flatMap(t => Option(t.getMessage))
+    assert(msgs2.exists(_.contains("inverted")), s"got: $e2")
+    // earlier end FILE is inverted too, numerically
+    val e3 = intercept[Exception] {
+      spark.read.format("mysql-binlog")
+        .schema(MysqlBinlogSource.withMeta(rowSchema))
+        .option("host", "127.0.0.1").option("port", "1").option("user", "u")
+        .option("password", "p").option("table", "t")
+        .option("startFile", "x-bin.000002").option("startPos", "100")
+        .option("endFile", "x-bin.000001").option("endPos", "999")
+        .load().count()
+    }
+    val msgs3 = Iterator.iterate[Throwable](e3)(_.getCause)
+      .takeWhile(_ != null).take(5).flatMap(t => Option(t.getMessage))
+    assert(msgs3.exists(_.contains("inverted")), s"got: $e3")
   }
 
   test("database option scopes the stream to one schema's table") {

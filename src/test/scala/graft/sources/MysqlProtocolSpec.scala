@@ -396,6 +396,20 @@ class MysqlProtocolSpec extends AnyFunSuite {
       val rest = client(srv).tail(r2.file, r2.pos)
       assert(rest.changes.map(_.after.get.head) == (7L to 8L))
     }
+    // a bound that is NOT a commit boundary (mid-transaction — an
+    // arbitrary user endPos, or a capture mid-write): the straddling
+    // commit is excluded WHOLE and the offset stays at the last
+    // included commit. This is the DISCARD branch — distinct from the
+    // ==-stop the boundary cases above exercise
+    withServer(twoFiles) { srv =>
+      val r = client(srv).tailUntil("sock-bin.000001", 4L,
+        "sock-bin.000001", prefix1.length.toLong + 1L)
+      assert(r.changes.map(_.after.get.head) == (1L to 2L),
+        "the commit straddling the bound must be excluded whole")
+      assert(r.file == "sock-bin.000001" &&
+        r.pos == prefix1.length.toLong,
+        s"offset must stay at the last included commit, got ${r.pos}")
+    }
     // the suffix-width rollover: .999999 → .1000000 inverts STRING
     // order ('9' > '1'), so the bound must compare numeric ordinals —
     // lexicographic comparison would stop at file 1's first commit
