@@ -18,8 +18,10 @@ object BenchOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
-    for ((_, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      try fn(spark, "/root/testdata/sf0.001").count()
+    // warm up only the REQUESTED queries (codegen+JIT) — warming all 280+
+    // made every dev-loop measurement pay a multi-minute fixed cost
+    for (n <- args.distinct) {
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
       finally { GateCache.releaseAll(); spark.catalog.clearCache() }
     }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over the warehouse star schema — the operator
@@ -50,6 +50,42 @@ object GraphOps {
         col("o_orderkey") === col("l_orderkey"))
       .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
         concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .distinct()
+    e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  // ---- compact node ids (optimization round 15) ----------------------
+  // The BSP loops shuffle node ids every round (join on src + agg on the
+  // node), and the ids were the STRINGS "c<custkey>"/"s<suppkey>" —
+  // 8–10 bytes plus offsets, string hashing, string compares, per round
+  // per edge. Guide §2.3 ("narrower types: halve the column, halve its
+  // shuffle bytes"): the bipartite id space packs losslessly into a long
+  // (customer k ↔ 2k, supplier k ↔ 2k+1), so every per-round exchange
+  // carries fixed-width longs instead. Only the FINAL projection (and
+  // only where the gate exposes node ids at all) formats the string back
+  // — bit-identical output, oracle-checked. Gates whose result depends
+  // on the STRING ordering of ids (x_label_propagation's min-label) keep
+  // the string form — the long order differs from the lexicographic one.
+
+  /** Pack a customer/supplier key into the long node id space. */
+  private def packC(k: Column): Column = k.cast("long") * 2
+  private def packS(k: Column): Column = k.cast("long") * 2 + 1
+
+  /** Format a packed long node id back to the public "c<k>"/"s<k>" form
+    * (exactly [[tradeEdges]]'s string construction). */
+  private def fmtNode(n: Column): Column =
+    concat(when(n % 2 === 0, lit("c")).otherwise(lit("s")),
+      shiftright(n, 1).cast("string")) // keys ≥ 0, so >> 1 ≡ div 2
+
+  /** [[tradeEdges]] with packed long node ids — same graph, same
+    * direction conventions, 8-byte shuffle keys. */
+  private[queries] def tradeEdgesLong(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(packC(col("o_custkey")).as("src"),
+        packS(col("l_suppkey")).as("dst"))
       .distinct()
     e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
   }
@@ -104,22 +140,36 @@ object GraphOps {
   }
 
   /** PageRank for an arbitrary iteration count via [[bspLoop]] (integer
-    * recurrence — bit-exact through checkpoint materialization). */
+    * recurrence — bit-exact through checkpoint materialization).
+    *
+    * Optimization-round shape (guide §2.4/§2.3): the source's outdegree
+    * is pre-joined ONCE onto the cached edge frame, so the loop state is
+    * the minimal (node, rank) pair and each iteration is one join + one
+    * partial-agg'd shuffle — the old shape re-joined `deg` every
+    * iteration just to carry outdeg through (one extra exchange per
+    * iteration); and node ids are packed longs ([[tradeEdgesLong]]),
+    * formatted back to the public strings only in the final projection.
+    * The recurrence and its integer arithmetic are unchanged — the
+    * oracle pins the result bit-exact. */
   def pagerank(s: SparkSession, dir: String, iters: Int): DataFrame = {
-    val edges = graft.GateCache.cache(tradeEdges(s, dir))
+    val e0 = graft.GateCache.cache(tradeEdgesLong(s, dir))
     val deg = graft.GateCache.cache(
-      edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
-    val init = deg.select(col("src").as("node"), col("outdeg"),
+      e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
+    // (src, dst, src's outdeg) — outdeg rides the edge, not the state
+    val edges = graft.GateCache.cache(e0.join(deg, "src"))
+    val init = deg.select(col("src").as("node"),
       lit(1000000000L).as("rank_nano"))
-    bspLoop(init, iters) { r =>
+    val ranks = bspLoop(init, iters) { r =>
       edges.join(r, edges("src") === r("node"))
         .select(col("dst"), expr("rank_nano div outdeg").as("c"))
         .groupBy(col("dst"))
         .agg((lit(PrJumpNano) +
           expr(s"sum(c) * $PrDampPct div 100")).as("rank_nano"))
-        .join(deg, col("dst") === deg("src"))
-        .select(col("dst").as("node"), col("outdeg"), col("rank_nano"))
-    }.select(col("node"), col("outdeg"), col("rank_nano"))
+        .select(col("dst").as("node"), col("rank_nano"))
+    }
+    ranks.join(deg, ranks("node") === deg("src"))
+      .select(fmtNode(col("node")).as("node"), col("outdeg"),
+        col("rank_nano"))
   }
 
   /** Edge significance floor for [[triangleStats]]: a supplier pair is an
@@ -226,6 +276,27 @@ object GraphOps {
     e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
   }
 
+  /** [[sparseTradeEdges]] with packed long node ids for the peel loop.
+    * The Bernoulli filter still hashes the canonical STRING edge key
+    * ("c<ck>>s<sk>" — the same bytes as the string builder and the
+    * DuckDB oracle), so exactly the same edges survive; only the ids the
+    * loop shuffles afterwards are packed. */
+  private[queries] def sparseTradeEdgesLong(s: SparkSession,
+      dir: String): DataFrame = {
+    val e0 = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey"))
+      .distinct()
+      .filter(graft.functions.PortableHash.hash32(
+        concat(lit("c"), col("o_custkey").cast("string"),
+          lit(">s"), col("l_suppkey").cast("string"))) % LpSampleMod === 0)
+      .select(packC(col("o_custkey")).as("src"),
+        packS(col("l_suppkey")).as("dst"))
+    e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
   /** Synchronous min-label propagation (community detection): every round
     * each node takes the minimum label over {itself} ∪ in-neighbors —
     * expressed as UNION ALL + min-groupBy, the same one-shuffle-per-round
@@ -282,12 +353,14 @@ object GraphOps {
   }
 
   /** Gate shape: nodes-per-hop-distance histogram after [[BfsHops]] hops
-    * from the supplier seed set over the full (connected) trade graph. */
+    * from the supplier seed set over the full (connected) trade graph.
+    * Long node ids throughout ([[tradeEdgesLong]]) — the output exposes
+    * only (dist, count), so no formatting is needed at all. */
   private def bfsKhop(s: SparkSession, dir: String): DataFrame = {
     val seeds = t(s, dir, "supplier")
       .filter(col("s_suppkey") % BfsSeedMod === 0)
-      .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"))
-    khopFromEdges(graft.GateCache.cache(tradeEdges(s, dir)), seeds, BfsHops)
+      .select(packS(col("s_suppkey")).as("node"))
+    khopFromEdges(graft.GateCache.cache(tradeEdgesLong(s, dir)), seeds, BfsHops)
       .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
   }
 
@@ -309,6 +382,22 @@ object GraphOps {
         col("o_orderkey") === col("l_orderkey"))
       .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
         concat(lit("s"), col("l_suppkey").cast("string")).as("dst"),
+        col("l_quantity").cast("bigint").as("w"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+    e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+  }
+
+  /** [[weightedTradeEdges]] with packed long node ids (same min-quantity
+    * weights, same mirroring). */
+  private[queries] def weightedTradeEdgesLong(s: SparkSession,
+      dir: String): DataFrame = {
+    val e0 = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(packC(col("o_custkey")).as("src"),
+        packS(col("l_suppkey")).as("dst"),
         col("l_quantity").cast("bigint").as("w"))
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
     e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
@@ -341,10 +430,11 @@ object GraphOps {
   private def ssspWeighted(s: SparkSession, dir: String): DataFrame = {
     val seeds = t(s, dir, "supplier")
       .filter(col("s_suppkey") % BfsSeedMod === 0)
-      .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"))
-    ssspFromEdges(graft.GateCache.cache(weightedTradeEdges(s, dir)),
+      .select(packS(col("s_suppkey")).as("node"))
+    ssspFromEdges(graft.GateCache.cache(weightedTradeEdgesLong(s, dir)),
         seeds, SsspRounds)
-      .filter(col("node").startsWith("s"))
+      .filter(col("node") % 2 === 1) // supplier ids are the odd longs
+      .select(fmtNode(col("node")).as("node"), col("dist"))
   }
 
   /** Peel rounds for the k-core gate (the PrIters unroll-readability
@@ -392,7 +482,7 @@ object GraphOps {
     * [[KcoreRounds]] peels of the sparsified trade graph — O(distinct
     * degrees) output at any SF. */
   private def kcore(s: SparkSession, dir: String): DataFrame =
-    kcorePeel(graft.GateCache.cache(sparseTradeEdges(s, dir)),
+    kcorePeel(graft.GateCache.cache(sparseTradeEdgesLong(s, dir)),
         KcoreK, KcoreRounds)
       .groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
