@@ -280,7 +280,12 @@ object DedupOps {
         .filter(col("v") > col("u")) // strictly larger neighbors re-attach
         .select(col("v").as("u"), col("_m").as("v")) // v > u ≥ m ⇒ canonical
         .filter(col("u") =!= col("v"))
-        .distinct()
+      // NO distinct here (optimization r15): small-star's window min is
+      // duplicate-insensitive and its own output ends in a distinct, so
+      // the dedup was purely an edge-count reducer — one full exchange +
+      // aggregation per round (a quarter of the round's shuffles) for at
+      // most |E| rows either way (each canonical edge contributes exactly
+      // one v>u row; only same-(v, m) collisions collapse).
     }
     def smallStar(e: DataFrame): DataFrame = {
       // canonical edges already list exactly the smaller neighbors per u
