@@ -43,7 +43,16 @@ object Bucketing {
       val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(wh)) fs.delete(wh, true)
     }
-    df.write.mode("overwrite").format("parquet")
+    // Cluster rows into their bucket BEFORE the write (optimization r15):
+    // repartition's hash (pmod(murmur3, n)) IS the bucket-id function, so
+    // each task owns exactly one bucket and writes ONE sorted file.
+    // Without it every input task sprays a file into every bucket it
+    // touches — up to tasks×buckets files per generation (slow commit,
+    // small-file reads, and the per-bucket sorted-scan claim lost on the
+    // very first write). One exchange of the table's bytes, paid once at
+    // layout time — the same trade the layout itself makes.
+    df.repartition(buckets, keys.map(col): _*)
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
@@ -72,7 +81,10 @@ object Bucketing {
       s"bucketed append target `$table` is not in the catalog — " +
         "write the initial generation with writeBucketedMulti first")
     requireBucketSpec(df.sparkSession, table, keys, buckets, "append")
-    df.write.mode("append").format("parquet")
+    // same pre-clustering as writeBucketedMulti: one file per bucket per
+    // GENERATION (the exchange moves only this generation's bytes)
+    df.repartition(buckets, keys.map(col): _*)
+      .write.mode("append").format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
