@@ -202,10 +202,27 @@ object GraphOps {
   private def triangleStats(s: SparkSession, dir: String): DataFrame = {
     val su = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    // Per-order supplier pairs WITHOUT a self-join (optimization r15):
+    // group the ≤ O(order-size) suppliers of each order into a sorted
+    // array and expand the i<j pairs with array expressions — the
+    // lshCandidatePairs pattern. The old orderkey self-join shuffled su
+    // twice and ran a join to produce the very same pair multiset; this
+    // is one partial-agg'd shuffle on l_orderkey plus an in-task expand.
+    // Per-order fanout is bounded by the order's line count (single-digit
+    // here, small everywhere — an "order" is a bounded business object),
+    // so no task materializes more than O(max-order-size²) pairs per row.
+    val perOrder = su.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_suppkey"))).as("_ss"))
+      .filter(size(col("_ss")) > 1)
+    val pairs = flatten(transform(
+      sequence(lit(0), size(col("_ss")) - 2),
+      i => transform(
+        sequence(i + 1, size(col("_ss")) - 1),
+        j => struct(element_at(col("_ss"), i + 1).as("u"),
+                    element_at(col("_ss"), j + 1).as("v")))))
     val e = graft.GateCache.cache(
-      su.select(col("l_orderkey").as("_ok"), col("l_suppkey").as("u"))
-        .join(su.select(col("l_orderkey").as("_ok2"), col("l_suppkey").as("v")),
-          col("_ok") === col("_ok2") && col("u") < col("v"))
+      perOrder.select(explode(pairs).as("_p"))
+        .select(col("_p.u").as("u"), col("_p.v").as("v"))
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("_n_co"))
         .filter(col("_n_co") >= TriMinCoOrders)
         .select(col("u"), col("v")))

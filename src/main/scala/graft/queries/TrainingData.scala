@@ -599,13 +599,21 @@ object TrainingData {
           explode(graft.functions.ShingleExprs
             .wordShinglesNative(col("text"), ShingleW)).as("shingle"))
           .distinct())
-      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("f"))
+      // Per-shingle frequency as a count-over-window instead of a
+      // groupBy + join-back (optimization r15): the join needed the same
+      // exchange-by-shingle the window pays, PLUS the aggregate and the
+      // join itself — the window form computes f in the one pass.
+      // Per-doc size the same way: the doc window below already
+      // exchanges by doc_id, so n rides it as a second window aggregate
+      // instead of a third shuffle + join.
+      val wSh = Window.partitionBy(col("shingle"))
+      val wDocAll = Window.partitionBy(col("doc_id"))
       val wDoc = Window
         .partitionBy(col("doc_id"))
         .orderBy(col("f").asc, col("shingle").asc)
-      val prefix = sh.join(freq, "shingle")
-        .join(sz, "doc_id")
+      val prefix = sh
+        .withColumn("f", count(lit(1)).over(wSh))
+        .withColumn("n", count(lit(1)).over(wDocAll))
         .withColumn("_rn", row_number().over(wDoc))
         .filter(col("_rn") <= col("n") - expr("(3 * n + 4) div 5") + 1)
         .select(col("doc_id"), col("shingle"), col("n"))
