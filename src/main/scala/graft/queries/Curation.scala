@@ -609,7 +609,10 @@ object Curation {
     // size) joined back by broadcast; the final per-doc reduce shuffles
     // on doc_id. No O(corpus) frame is ever broadcast.
     "x_dsir_weights" -> ((s, dir) => {
-      val f = docs(s, dir).select(col("doc_id"), col("lang"),
+      // readCompute: the unigram+bigram explode below is the heaviest
+      // per-row kernel in this file — parallelize the unsplittable scan
+      val f = Tables.readCompute(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
           explode(concat(
             split(Text.normalize(col("text")), " "),
             ShingleExprs.wordShinglesNative(col("text"), 2))).as("gram"))

@@ -26,7 +26,7 @@ object Embeddings {
   val SemMaxCluster = 10000 // SemDeDup cluster cap — mirrored in the oracle
 
   private[queries] def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.read(s, dir, "embeddings")
+    Tables.readCompute(s, dir, "embeddings")
 
   /** Per-(cluster, dim) exact integer sums → per-cluster centroid arrays
     * (dims re-assembled in order via sorted collect_list — the one

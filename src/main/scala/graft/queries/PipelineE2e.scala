@@ -56,13 +56,20 @@ object PipelineE2e {
 
   def e2e(s: SparkSession, dir: String): DataFrame = {
     import graft.GateCache.cache
-    val s0 = t(s, dir, "documents").select(col("doc_id"), col("lang"),
-      col("text"), Text.tokenCount(col("text")).cast("long").as("_tok"))
+    // 0+1 fused (optimization r15): ONE cached corpus pass computes the
+    // token count AND the language-ID agreement flag — the raw ledger
+    // row and the langid stage previously each ran their own full text
+    // scan (tokenCount twice, the 15-marker argmax once). The cache
+    // holds all docs with the flag; stage 1 is a filter over it.
+    // readCompute: tokenCount + the 15-marker langId argmax is ~1.5 s of
+    // per-row kernel work on a one-file scan — parallelize it
+    val s0 = cache(Tables.readCompute(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        col("text"), Text.tokenCount(col("text")).cast("long").as("_tok"),
+        (Text.langId(col("text")) === col("lang")).as("_lidok")))
 
-    // 1: language-ID agreement screen — cached: the 15-marker argmax
-    // expression is the most expensive per-row scan in the pipeline and
-    // both the ledger row and the gopher stage read the result
-    val s1 = cache(s0.filter(Text.langId(col("text")) === col("lang")))
+    // 1: language-ID agreement screen — reads the fused cache
+    val s1 = s0.filter(col("_lidok"))
 
     // 2: Gopher rules (exactly x_gopher_filter_apply's predicates)
     val g = Curation.withRepetitionCols(s1).select(col("*"),

@@ -30,6 +30,38 @@ object Tables {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** [[read]] for COMPUTE-HEAVY per-row consumers (dense vector math,
+    * nested-loop scoring): when the on-disk layout cannot feed at least
+    * half the session's cores — fewer files than that, every file small
+    * enough (≤ 128 MB, the universal writer default) to hold a single
+    * row group, i.e. genuinely unsplittable — repartition right after
+    * the read so the downstream math runs on every core instead of one
+    * scan task per file (optimization guide §2.5: "one huge unsplittable
+    * file … repartition immediately after the read"). The exchange moves
+    * this table's bytes once; on a production layout (many files, or
+    * multi-row-group files) the condition is false and the read is
+    * returned untouched — nothing here is tuned to local mode. Measured
+    * on the harness embeddings table (one file): the brute-force cosine
+    * join and the PQ ADC scan drop ~2-3×; NOT used for plain relational
+    * scans, where the same exchange measurably costs more than the
+    * single-task scan work it parallelizes. */
+  def readCompute(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = read(s, dir, name)
+    val cores = s.sparkContext.defaultParallelism
+    val root = new java.io.File(s"$dir/$name.parquet")
+    val files: Array[java.io.File] =
+      if (root.isDirectory)
+        Option(root.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))
+      else if (root.isFile) Array(root)
+      else Array.empty
+    val splittable = files.exists(_.length > 128L * 1024 * 1024)
+    if (files.nonEmpty && files.length < cores / 2 && !splittable)
+      df.repartition(cores)
+    else df
+  }
+
   /** `df` plus a normalized µs-epoch long column `outName` derived from
     * its `ts` column, robust to all three encodings a session may have
     * read it under: nanos-long (legacy conf), TIMESTAMP, or TIMESTAMP_NTZ

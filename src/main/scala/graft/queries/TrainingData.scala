@@ -91,8 +91,14 @@ object TrainingData {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
+  /** [[Tables.readCompute]] docs — ONLY for gates whose scan stage runs
+    * ≳1 s of per-row kernel work (shingle/gram explodes, multi-window
+    * vote aggregates); for light consumers the exchange costs more than
+    * it parallelizes (measured: x_dedup_exact 0.31→0.56 s). */
+  private def docsCompute(s: SparkSession, dir: String): DataFrame =
+    Tables.readCompute(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.read(s, dir, "embeddings")
+    Tables.readCompute(s, dir, "embeddings")
 
   /** Signature frame, cached: several downstream stages (bands, pair
     * scoring) reference it; persisting avoids recomputing the
@@ -551,7 +557,7 @@ object TrainingData {
     }),
 
     "x_dedup_simhash" -> ((s, dir) =>
-      DedupOps.simhash(docs(s, dir), "doc_id", "text", SimhashBits)),
+      DedupOps.simhash(docsCompute(s, dir), "doc_id", "text", SimhashBits)),
 
     // SimHash near-dup pairs via pigeonhole banding: hd ≤ 3 over a 28-bit
     // signature, candidates from 4 exact-match bands (guaranteed recall
@@ -559,7 +565,7 @@ object TrainingData {
     // families), one equi-join shuffle, popcount filter.
     "x_dedup_simhash_pairs" -> ((s, dir) =>
       DedupOps.simhashPairs(
-        DedupOps.simhash(docs(s, dir), "doc_id", "text", SimhashPairBits),
+        DedupOps.simhash(docsCompute(s, dir), "doc_id", "text", SimhashPairBits),
         "doc_id", "simhash", SimhashPairBits, SimhashPairBands,
         SimhashMaxHamming)),
 
@@ -569,7 +575,7 @@ object TrainingData {
     // reads two MD5 windows of the one digest ([[DedupOps.simhash]]).
     "x_dedup_simhash64_pairs" -> ((s, dir) =>
       DedupOps.simhashPairs(
-        DedupOps.simhash(docs(s, dir), "doc_id", "text", SimhashWideBits),
+        DedupOps.simhash(docsCompute(s, dir), "doc_id", "text", SimhashWideBits),
         "doc_id", "simhash", SimhashWideBits, SimhashWideBands,
         SimhashWideMaxHamming)),
 
@@ -595,7 +601,7 @@ object TrainingData {
     // step is an equi-join or a per-doc window.
     "x_setsim_join_exact" -> ((s, dir) => {
       val sh = graft.GateCache.cache(
-        docs(s, dir).select(col("doc_id"),
+        docsCompute(s, dir).select(col("doc_id"),
           explode(graft.functions.ShingleExprs
             .wordShinglesNative(col("text"), ShingleW)).as("shingle"))
           .distinct())
