@@ -239,8 +239,9 @@ object DedupOps {
     * `maxIter`, and the round count is logged to stderr so bench runs can
     * adjudicate convergence behavior. Deterministic: the fixpoint is
     * unique. Returns (id, label) for every node with ≥1 edge. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame =
-    connectedComponentsWithRounds(pairs, maxIter)._1
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          inputDistinct: Boolean = false): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter, inputDistinct)._1
 
   /** Rounds between lineage truncations in [[connectedComponents]]. */
   val CcCheckpointEvery = 3
@@ -262,9 +263,18 @@ object DedupOps {
 
   /** [[connectedComponents]] plus the number of star rounds it took —
     * exposed so specs can pin log-bounded (not diameter-bound)
-    * convergence. */
+    * convergence.
+    *
+    * `inputDistinct` (optimization r16): when the caller guarantees
+    * `pairs` is already DISTINCT with id1 ≠ id2 on every row (the LSH
+    * candidate stage ends in exactly that), the canonicalizing map
+    * (id1, id2) → (greatest, least) is injective — two distinct
+    * unordered pairs cannot collapse — so the initial full-exchange
+    * dedup is provably a no-op and is skipped. Default false: arbitrary
+    * callers (specs feed crafted multisets) keep the safe dedup. */
   def connectedComponentsWithRounds(pairs: DataFrame,
-                                    maxIter: Int = 25): (DataFrame, Int) = {
+                                    maxIter: Int = 25,
+                                    inputDistinct: Boolean = false): (DataFrame, Int) = {
     import org.apache.spark.sql.expressions.Window
     val MD = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
@@ -297,12 +307,11 @@ object DedupOps {
         .distinct()
     }
 
-    var cur = pairs
+    val canon = pairs
       .select(greatest(col("id1"), col("id2")).as("u"),
         least(col("id1"), col("id2")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .persist(MD)
+    var cur = (if (inputDistinct) canon else canon.distinct()).persist(MD)
     var curCnt = cur.count()
     // The live local checkpoint's backing RDD: freed only once the NEXT
     // checkpoint exists (persisted rounds in between recompute through the

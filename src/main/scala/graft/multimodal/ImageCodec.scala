@@ -15,6 +15,17 @@ package graft.multimodal
   */
 object ImageCodec {
 
+  // ImageIO's default stream cache spools every encode/decode through a
+  // TEMP FILE (FileCacheImageInput/OutputStream): one create+write+delete
+  // per image, per task. At 32 concurrent decode tasks the temp-file churn
+  // serializes in the filesystem and inverts core scaling — the r15 driver
+  // measured the PNG-decode gate 3× SLOWER on 32 cores than on 8
+  // (scaling ratio 0.32). Heap-buffered streams carry identical bytes;
+  // this is I/O plumbing, not codec semantics — decoded pixels (what the
+  // oracle pins) are untouched. JVM-global, set when the codec first
+  // loads in each executor.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic RGB test pattern for pixel (x, y) of image `id` —
     * shared by the synthesizer, the JVM spec reference, and the DuckDB
     * oracle (pure integer arithmetic in all three). */

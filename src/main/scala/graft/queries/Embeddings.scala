@@ -25,8 +25,15 @@ object Embeddings {
   val Dim = TrainingData.EmbeddingDim
   val SemMaxCluster = 10000 // SemDeDup cluster cap — mirrored in the oracle
 
+  /** Plain read (r16): r15 routed this through [[Tables.readCompute]],
+    * which dragged the LIGHT x_embed_quantize_int8 (one posexplode) 2×
+    * below the driver's noise band, and a measured A/B shows even the
+    * clustering kernels (2·K dots/row at this vector count) run faster
+    * WITHOUT the repartition exchange (x_kmeans_embed 1.16 → 0.87 s,
+    * x_semdedup likewise) — see [[TrainingData]]'s embCompute note for
+    * the sites that do keep it. */
   private[queries] def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.readCompute(s, dir, "embeddings")
+    Tables.read(s, dir, "embeddings")
 
   /** Per-(cluster, dim) exact integer sums → per-cluster centroid arrays
     * (dims re-assembled in order via sorted collect_list — the one

@@ -234,11 +234,18 @@ object GraphOps {
     * count on crafted non-complete graphs (the harness supplier graph is
     * a clique at small SF, where C(n,3) bugs would hide). */
   private[queries] def triangleStatsFromEdges(e: DataFrame): DataFrame = {
-    val deg = e.select(col("u").as("node"))
-      .unionAll(e.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // deg + ed CACHED (optimization r16): the wedge stage self-joins ed,
+    // and ed references deg twice — uncached, Catalyst shares no subplan
+    // across self-join sides, so the r15 plan dump showed the whole
+    // orientation pipeline planned TWICE and the degree aggregate FOUR
+    // times (one per join side per ed copy). Caching runs each once; the
+    // wedge join then reads both sides from the same in-memory frame.
+    val deg = graft.GateCache.cache(
+      e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d")))
     // orient by (degree, id): src = the smaller endpoint under that order
-    val ed = e
+    val ed = graft.GateCache.cache(e
       .join(deg.select(col("node").as("u"), col("d").as("_du")), "u")
       .join(deg.select(col("node").as("v"), col("d").as("_dv")), "v")
       .select(
@@ -247,13 +254,15 @@ object GraphOps {
           .otherwise(col("v")).as("src"),
         when(col("_du") < col("_dv") ||
           (col("_du") === col("_dv") && col("u") < col("v")), col("v"))
-          .otherwise(col("u")).as("dst"))
+          .otherwise(col("u")).as("dst")))
     val wedges = ed.select(col("src"), col("dst").as("w1"))
       .join(ed.select(col("src"), col("dst").as("w2")), Seq("src"))
       .filter(col("w1") < col("w2"))
+    // close-side keys: w1 < w2 holds on every wedge row (the filter
+    // above), so least ≡ w1 and greatest ≡ w2 — plain column equi-keys
+    // instead of conditional expressions hashed per probe
     val tri = wedges.join(e,
-        least(col("w1"), col("w2")) === col("u") &&
-          greatest(col("w1"), col("w2")) === col("v"), "left_semi")
+        col("w1") === col("u") && col("w2") === col("v"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     val base = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("d * (d - 1) div 2")).cast("long").as("n_wedges"))
@@ -290,6 +299,72 @@ object GraphOps {
       .distinct()
       .filter(graft.functions.PortableHash.hash32(
         concat(col("src"), lit(">"), col("dst"))) % LpSampleMod === 0)
+    e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  // ---- lexicographic order-embedding pack (optimization round 16) ----
+  // x_label_propagation's min-label is defined over the LEXICOGRAPHIC
+  // order of the public string ids ("c10" < "c2" < "s1"), so the value
+  // pack above (c k↔2k) — whose long order is numeric — cannot carry the
+  // loop. This pack embeds the string order into a long instead, so the
+  // label rounds shuffle and compare fixed 8-byte keys:
+  //
+  //   bit 44            : prefix — 'c' = 0 < 's' = 1 (every "c…" string
+  //                       orders below every "s…" string)
+  //   bits 4..43 (mant) : the decimal digits of k right-padded with
+  //                       zeros to LexW digits
+  //   bits 0..3  (len)  : digit count of k
+  //
+  // Order proof (LexPackSpec pins it exhaustively on boundary keys): for
+  // digit strings a, b without leading zeros, compare right-padded
+  // values first — at the first differing digit the padded comparison
+  // IS the lexicographic comparison; if the padded values tie, one
+  // string is the other plus trailing zeros, and lexicographic order
+  // says the shorter (the prefix) is smaller — exactly the len
+  // tie-break. mant < 10^LexW < 2^40 ⇒ mant·16+len < 2^44, so the three
+  // fields compare in (prefix, mant, len) priority as one long.
+  // Keys must stay below 10^LexW (12 digits — 10^11 customers is far
+  // beyond any SF here; LexPackSpec pins the bound).
+
+  private val LexW = 12
+
+  /** Pack key `k` of family `c`/`s` into the lexicographic long space. */
+  private[queries] def lexPack(k: Column, supp: Boolean): Column = {
+    val len = length(k.cast("string")).cast("long")
+    val mant = k.cast("long") *
+      pow(lit(10.0), lit(LexW.toLong) - len).cast("long")
+    lit(if (supp) 1L << 44 else 0L) + shiftleft(mant, 4) + len
+  }
+
+  /** Reconstruct the public "c<k>"/"s<k>" string from [[lexPack]].
+    * The unscale is a double division, but exact by construction:
+    * mant = k·10^(LexW−len) with both factors < 2^53, so the quotient k
+    * is the IEEE-exact result and the long cast cannot truncate. */
+  private[queries] def fmtLex(n: Column): Column = {
+    val len = n.bitwiseAND(lit(15L))
+    val mant = shiftright(n.bitwiseAND(lit((1L << 44) - 1)), 4)
+    val k = (mant / pow(lit(10.0), lit(LexW.toLong) - len)).cast("long")
+    concat(when(n >= (1L << 44), lit("s")).otherwise(lit("c")),
+      k.cast("string"))
+  }
+
+  /** [[sparseTradeEdges]] on [[lexPack]]ed ids — same surviving edges
+    * (the Bernoulli filter hashes the identical canonical STRING key),
+    * same undirected mirroring; only the ids the label rounds shuffle
+    * are packed. */
+  private[queries] def sparseTradeEdgesLex(s: SparkSession,
+      dir: String): DataFrame = {
+    val e0 = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey"))
+      .distinct()
+      .filter(graft.functions.PortableHash.hash32(
+        concat(lit("c"), col("o_custkey").cast("string"),
+          lit(">s"), col("l_suppkey").cast("string"))) % LpSampleMod === 0)
+      .select(lexPack(col("o_custkey"), supp = false).as("src"),
+        lexPack(col("l_suppkey"), supp = true).as("dst"))
     e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
   }
 
@@ -335,10 +410,16 @@ object GraphOps {
   }
 
   /** Gate shape: community-size histogram after [[LpRounds]] rounds over
-    * the sparsified trade graph — label = min member id, size = members. */
+    * the sparsified trade graph — label = min member id, size = members.
+    * Runs on [[lexPack]]ed ids (r16): the pack is a monotone bijection
+    * onto its image, so min over packed longs ≡ pack(min over strings)
+    * at every round by induction, and only the final projection formats
+    * the surviving labels back — bit-identical output, oracle-checked. */
   private def labelPropagation(s: SparkSession, dir: String): DataFrame =
-    labelPropFromEdges(graft.GateCache.cache(sparseTradeEdges(s, dir)), LpRounds)
+    labelPropFromEdges(graft.GateCache.cache(sparseTradeEdgesLex(s, dir)),
+        LpRounds)
       .groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+      .select(fmtLex(col("label")).as("label"), col("community_size"))
 
   /** BFS hop budget for the gate (same unroll-readability rule). */
   val BfsHops = 3

@@ -98,9 +98,12 @@ object PipelineE2e {
       .select(col("doc_id"), col("lang"), col("_tok")))
 
     // 4: LSH near-dup — global candidate index, both endpoints restricted
-    // to survivors, greedy drop of the larger id of each pair
-    val pairs = TrainingData.minhashPairs(TrainingData.minhashSig(s, dir))
-      .select(col("id1"), col("id2"))
+    // to survivors, greedy drop of the larger id of each pair. The pair
+    // index is CACHED so the background materialization below (§2.6) is
+    // the same frame stage 4 consumes.
+    val pairs = cache(
+      TrainingData.minhashPairs(TrainingData.minhashSig(s, dir))
+        .select(col("id1"), col("id2")))
     val ids3 = s3.select(col("doc_id"))
     val dropLsh = pairs
       .join(ids3.withColumnRenamed("doc_id", "id1"), Seq("id1"), "left_semi")
@@ -117,10 +120,10 @@ object PipelineE2e {
     val hits = train.join(broadcast(evalFps), Seq("fp"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("_hit"))
     val sizes = train.groupBy(col("doc_id")).agg(count(lit(1)).as("_nf"))
-    val contaminated = sizes.join(hits, "doc_id")
+    val contaminated = cache(sizes.join(hits, "doc_id")
       .filter(col("_hit").cast("double") / col("_nf") >
         TrainingData.DecontamRatio)
-      .select(col("doc_id"))
+      .select(col("doc_id")))
     val s5 = cache(s4.filter(col("doc_id") % TrainingData.EvalMod =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti"))
 
@@ -163,11 +166,30 @@ object PipelineE2e {
         .cast("long")).collect()(0)
       (r.getLong(0), r.getLong(1))
     }
-    val ledger = Seq(
+    // §2.6 overlap (optimization r16): the LSH pair index (stage 4's
+    // input) and the decontamination drop-set (stage 5's) depend only on
+    // the raw corpus, not on stages 0–3 — materialize their caches from
+    // background driver threads so those jobs back-fill idle cores while
+    // the early-stage ledger actions run (sequential actions leave the
+    // 32-way session mostly idle at these row counts; FIFO scheduling
+    // back-fills exactly as the guide describes). Failures are swallowed:
+    // the stage-4/5 measures below then compute the frames on the main
+    // thread and surface the real error. Each future is awaited before
+    // the measure that reads its frame, so no background job can outlive
+    // the gate and bleed into a later one's timing.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val bgPairs = Future { try { pairs.count(); () } catch { case _: Throwable => () } }
+    val bgContam = Future { try { contaminated.count(); () } catch { case _: Throwable => () } }
+    val early = Seq(
       (0, "raw", measure(s0, "_tok")), (1, "langid", measure(s1, "_tok")),
       (2, "gopher", measure(s2, "_tok")),
-      (3, "exact_dedup", measure(s3, "_tok")),
-      (4, "lsh_neardup", measure(s4, "_tok")),
+      (3, "exact_dedup", measure(s3, "_tok")))
+    Await.ready(bgPairs, Duration.Inf)
+    val m4 = (4, "lsh_neardup", measure(s4, "_tok"))
+    Await.ready(bgContam, Duration.Inf)
+    val ledger = early ++ Seq(m4,
       (5, "decontam", measure(s5, "_tok")),
       (6, "temperature", measure(s6, "_tok")),
       (7, "pack", measure(packed, "_ctok")))

@@ -35,6 +35,27 @@ object PipelineOps {
     ()
   }
 
+  /** [[stageReplayFile]] for a whole replay set at once, the waves'
+    * write jobs running CONCURRENTLY from a driver thread pool
+    * (optimization guide §2.6 — the waves are disjoint slices of one
+    * frame, each a small coalesce(1) job that leaves the session mostly
+    * idle; overlapping them back-fills the cores without changing a
+    * byte: same files, same names, same explicit mtimes, and the replay
+    * order is defined by the mtimes alone, not by write completion
+    * order). All waves are staged before this returns (failures
+    * propagate), so the stream that reads `srcDir` starts from exactly
+    * the same directory state as the sequential form. */
+  private[graft] def stageReplayFiles(srcDir: String)(
+      waves: (DataFrame, String, Long)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = waves.map { case (df, name, mtime) =>
+      Future(stageReplayFile(srcDir)(df, name, mtime))
+    }
+    fs.foreach(Await.result(_, Duration.Inf))
+  }
+
   /** The staged Debezium envelope t12 and t24 both render (signup → c,
     * error → d with the image in `before`, else u; binlog pos =
     * event_id) — one builder, previously two inlined copies (review
@@ -2376,10 +2397,22 @@ object PipelineOps {
           .start()
         q.awaitTermination()
       }
-      drain(graft.streaming.RunningTotals.totalsStream(
-        stream.select(col("user_id"), col("cents"))).toDF(), ckpV)
-      drain(graft.streaming.TypedStateProfile.profileStream(stream).toDF(),
-        ckpT)
+      // §2.6 (optimization r16): the two drains are INDEPENDENT streams —
+      // separate checkpoints, separate state, same read-only source — and
+      // each is a serial chain of small micro-batches that leaves the
+      // session mostly idle; running them concurrently overlaps their
+      // batch floors without touching either stream's batch count, state
+      // lifecycle, or what the reader below verifies. Both complete
+      // before the conf scope closes (Await inside the withConfs body).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val f1 = Future(drain(graft.streaming.RunningTotals.totalsStream(
+        stream.select(col("user_id"), col("cents"))).toDF(), ckpV))
+      val f2 = Future(drain(
+        graft.streaming.TypedStateProfile.profileStream(stream).toDF(), ckpT))
+      Await.result(f1, Duration.Inf)
+      Await.result(f2, Duration.Inf)
     }
     // provenance: one transformWithState operator per checkpoint, state
     // from batch 0, and the DECLARED state variables — only then read.
@@ -2447,18 +2480,18 @@ object PipelineOps {
       .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts_ev"))
     val (lo, mid1, mid2, hi) =
       terciles(d, unix_micros(col("ts_ev")), s"events table in $dir")
-    val stage = stageReplayFile(srcDir) _
     def flush(atUs: Long): DataFrame = s.range(1).select(
       lit(-1L).as("user_id"), timestamp_micros(lit(atUs)).as("ts_ev"))
     val dayUs = 86400000000L
     val base = 1600000000000L
-    stage(d.filter(unix_micros(col("ts_ev")) <= mid1), "b0.parquet", base)
-    stage(d.filter(unix_micros(col("ts_ev")) > mid1 &&
-      unix_micros(col("ts_ev")) <= mid2), "b1.parquet", base + 600000L)
-    stage(d.filter(unix_micros(col("ts_ev")) > mid2), "b2.parquet",
-      base + 1200000L)
-    stage(flush(hi + 10 * dayUs), "b3.parquet", base + 1800000L)
-    stage(flush(hi + 20 * dayUs), "b4.parquet", base + 2400000L)
+    stageReplayFiles(srcDir)(
+      (d.filter(unix_micros(col("ts_ev")) <= mid1), "b0.parquet", base),
+      (d.filter(unix_micros(col("ts_ev")) > mid1 &&
+        unix_micros(col("ts_ev")) <= mid2), "b1.parquet", base + 600000L),
+      (d.filter(unix_micros(col("ts_ev")) > mid2), "b2.parquet",
+        base + 1200000L),
+      (flush(hi + 10 * dayUs), "b3.parquet", base + 1800000L),
+      (flush(hi + 20 * dayUs), "b4.parquet", base + 2400000L))
     runStreamSessionized(s, srcDir)
   }
 
@@ -2505,12 +2538,12 @@ object PipelineOps {
     val d = Tables.read(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
     val m = d.agg(max(col("doc_id"))).head().getLong(0)
-    val stage = stageReplayFile(srcDir) _
     val base = 1600000000000L // strictly increasing modtimes = replay order
-    stage(d.filter(col("doc_id") * 3 <= m), "b0.parquet", base)
-    stage(d.filter(col("doc_id") * 3 > m && col("doc_id") * 3 <= 2 * m),
-      "b1.parquet", base + 600000L)
-    stage(d.filter(col("doc_id") * 3 > 2 * m), "b2.parquet", base + 1200000L)
+    stageReplayFiles(srcDir)(
+      (d.filter(col("doc_id") * 3 <= m), "b0.parquet", base),
+      (d.filter(col("doc_id") * 3 > m && col("doc_id") * 3 <= 2 * m),
+        "b1.parquet", base + 600000L),
+      (d.filter(col("doc_id") * 3 > 2 * m), "b2.parquet", base + 1200000L))
     val stream = s.readStream.schema(d.schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
@@ -2557,20 +2590,30 @@ object PipelineOps {
     val outDir = graft.GateCache.tempDir("graft_sct_out").toString
     val evalDir = graft.GateCache.tempDir("graft_sct_eval").toString + "/fps"
     val ckp = graft.GateCache.tempDir("graft_sct_ckp").toString
-    TrainingData.winnowFps(s, dir)
-      .filter(col("doc_id") % TrainingData.EvalMod === 0)
-      .select(col("fp")).distinct()
-      .write.mode("overwrite").parquet(evalDir)
+    // §2.6 (r16): the eval-fingerprint write (a winnow kernel scan) is
+    // independent of the replay staging — run it on a background thread
+    // and join before the stream (which reads both) starts
+    val evalF = {
+      import scala.concurrent.{ExecutionContext, Future}
+      Future {
+        TrainingData.winnowFps(s, dir)
+          .filter(col("doc_id") % TrainingData.EvalMod === 0)
+          .select(col("fp")).distinct()
+          .write.mode("overwrite").parquet(evalDir)
+      }(ExecutionContext.global)
+    }
     val d = Tables.read(s, dir, "documents")
       .filter(col("doc_id") % TrainingData.EvalMod =!= 0)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
     val m = d.agg(max(col("doc_id"))).head().getLong(0)
-    val stage = stageReplayFile(srcDir) _
     val base = 1600000000000L // strictly increasing modtimes = replay order
-    stage(d.filter(col("doc_id") * 3 <= m), "b0.parquet", base)
-    stage(d.filter(col("doc_id") * 3 > m && col("doc_id") * 3 <= 2 * m),
-      "b1.parquet", base + 600000L)
-    stage(d.filter(col("doc_id") * 3 > 2 * m), "b2.parquet", base + 1200000L)
+    stageReplayFiles(srcDir)(
+      (d.filter(col("doc_id") * 3 <= m), "b0.parquet", base),
+      (d.filter(col("doc_id") * 3 > m && col("doc_id") * 3 <= 2 * m),
+        "b1.parquet", base + 600000L),
+      (d.filter(col("doc_id") * 3 > 2 * m), "b2.parquet", base + 1200000L))
+    scala.concurrent.Await.result(evalF,
+      scala.concurrent.duration.Duration.Inf)
     val stream = s.readStream.schema(d.schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
@@ -2608,12 +2651,12 @@ object PipelineOps {
     graft.functions.SimilarityOps.ivfCentroids(e, "vec_id", "embedding",
       TrainingData.IvfCentroidMod).write.mode("overwrite").parquet(centDir)
     val m = e.agg(max(col("vec_id"))).head().getLong(0)
-    val stage = stageReplayFile(srcDir) _
     val base = 1600000000000L // strictly increasing modtimes = replay order
-    stage(e.filter(col("vec_id") * 3 <= m), "b0.parquet", base)
-    stage(e.filter(col("vec_id") * 3 > m && col("vec_id") * 3 <= 2 * m),
-      "b1.parquet", base + 600000L)
-    stage(e.filter(col("vec_id") * 3 > 2 * m), "b2.parquet", base + 1200000L)
+    stageReplayFiles(srcDir)(
+      (e.filter(col("vec_id") * 3 <= m), "b0.parquet", base),
+      (e.filter(col("vec_id") * 3 > m && col("vec_id") * 3 <= 2 * m),
+        "b1.parquet", base + 600000L),
+      (e.filter(col("vec_id") * 3 > 2 * m), "b2.parquet", base + 1200000L))
     val stream = s.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
@@ -2648,14 +2691,14 @@ object PipelineOps {
     val Mid2Us = 1705968000000000L // 2024-01-23T00:00:00Z
     val ev = Tables.events(s, dir).select(col("event_id"), col("ts_us"))
     val straggler = col("event_id") % 97 === 0
-    val stage = stageReplayFile(srcDir) _
     val base = 1600000000000L // fixed modtimes: strictly increasing
-    stage(ev.filter(col("ts_us") < MidUs && !straggler), "chunk0.parquet", base)
-    stage(ev.filter(col("ts_us") >= MidUs && col("ts_us") < Mid2Us),
-      "chunk1.parquet", base + 600000L)
-    stage(ev.filter(col("ts_us") >= Mid2Us ||
-        (col("ts_us") < MidUs && straggler)),
-      "chunk2.parquet", base + 1200000L)
+    stageReplayFiles(srcDir)(
+      (ev.filter(col("ts_us") < MidUs && !straggler), "chunk0.parquet", base),
+      (ev.filter(col("ts_us") >= MidUs && col("ts_us") < Mid2Us),
+        "chunk1.parquet", base + 600000L),
+      (ev.filter(col("ts_us") >= Mid2Us ||
+          (col("ts_us") < MidUs && straggler)),
+        "chunk2.parquet", base + 1200000L))
     val schema = StructType.fromDDL("event_id BIGINT, ts_us BIGINT")
     val agg = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
@@ -2873,15 +2916,26 @@ object PipelineOps {
       .repartition(3).write.mode("overwrite").parquet(srcDir)
     val schema = StructType.fromDDL("event_id BIGINT, event_type STRING")
     val name = "graft_t11_complete"
-    val q = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(srcDir)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
-      .writeStream.outputMode("complete").format("memory")
-      .queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // State partitioning pinned to 4 like every other stateful gate here
+    // (the streamDedupCounts note): captured from shuffle.partitions at
+    // the stream's first checkpoint, each batch then commits one state
+    // delta per partition. The aggregate has FIVE keys (event types) —
+    // at the session's 32 the three batches paid 96 near-empty state
+    // commits of pure filesystem overhead (the r15 driver measured this
+    // gate 2× slower on 32 cores than on 8). A per-checkpoint sizing
+    // knob, not engine semantics; the grouped result is
+    // partitioning-independent.
+    withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // materialize off the memory sink so later callers don't race the
     // temp view
     import s.implicits._
@@ -2995,7 +3049,6 @@ object PipelineOps {
         timestamp_micros(col("ts_us")).as("ts_ev"))
     val (lo, mid1, mid2, hi) =
       terciles(d, unix_micros(col("ts_ev")), s"events table in $dir")
-    val stage = stageReplayFile(srcDir) _
     def flush(atUs: Long): DataFrame = s.range(1).select(
       lit(-1L).as("user_id"), lit(-1L).as("event_id"),
       lit("view").as("event_type"), timestamp_micros(lit(atUs)).as("ts_ev"))
@@ -3005,13 +3058,14 @@ object PipelineOps {
         timestamp_micros(lit(atUs)).as("ts_ev")))
     val dayUs = 86400000000L
     val base = 1600000000000L // strictly increasing modtimes = replay order
-    stage(d.filter(unix_micros(col("ts_ev")) <= mid1), "b0.parquet", base)
-    stage(d.filter(unix_micros(col("ts_ev")) > mid1 &&
-      unix_micros(col("ts_ev")) <= mid2), "b1.parquet", base + 600000L)
-    stage(d.filter(unix_micros(col("ts_ev")) > mid2), "b2.parquet",
-      base + 1200000L)
-    stage(flush(hi + 10 * dayUs), "b3.parquet", base + 1800000L)
-    stage(flush(hi + 20 * dayUs), "b4.parquet", base + 2400000L)
+    stageReplayFiles(srcDir)(
+      (d.filter(unix_micros(col("ts_ev")) <= mid1), "b0.parquet", base),
+      (d.filter(unix_micros(col("ts_ev")) > mid1 &&
+        unix_micros(col("ts_ev")) <= mid2), "b1.parquet", base + 600000L),
+      (d.filter(unix_micros(col("ts_ev")) > mid2), "b2.parquet",
+        base + 1200000L),
+      (flush(hi + 10 * dayUs), "b3.parquet", base + 1800000L),
+      (flush(hi + 20 * dayUs), "b4.parquet", base + 2400000L))
     runStreamOuterJoin(s, srcDir).filter(col("v_user") >= 0)
   }
 
@@ -3871,12 +3925,10 @@ object PipelineOps {
         col("l_linenumber").cast("long").as("k1"),
         col("l_quantity").cast("long").as("v"))
     val env = o.unionByName(l)
-    val stage = stageReplayFile(srcDir) _
     val base = 1600000000000L
-    (0 to 2).foreach { b =>
-      stage(env.filter(col("k0") % 3 === b), s"b$b.parquet",
-        base + b * 600000L)
-    }
+    stageReplayFiles(srcDir)((0 to 2).map(b =>
+      (env.filter(col("k0") % 3 === b), s"b$b.parquet",
+        base + b * 600000L)): _*)
     val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
@@ -3892,9 +3944,18 @@ object PipelineOps {
         li.count(), viol))
         .toDF("cut", "n_orders", "n_lineitems", "n_violations")
     }
-    val sameCuts = (0L to 2L).map(v => cut(s"v$v", v, v))
-    val mixed = cut("mixed_li2_o1", 1L, 2L)
-    val all = sameCuts.reduce(_.unionByName(_)).unionByName(mixed)
+    // §2.6 (r16): the four cut verifications are independent reads of the
+    // landed store (each: two counts + one anti-join count) — run them
+    // concurrently and assemble in the original order
+    val cutsF = {
+      import scala.concurrent.Future
+      import scala.concurrent.ExecutionContext.Implicits.global
+      (0L to 2L).map(v => Future(cut(s"v$v", v, v))) :+
+        scala.concurrent.Future(cut("mixed_li2_o1", 1L, 2L))
+    }
+    val all = cutsF.map(scala.concurrent.Await
+        .result(_, scala.concurrent.duration.Duration.Inf))
+      .reduce(_.unionByName(_))
     val rows = all.collect()
     require(rows.filter(_.getString(0).startsWith("v"))
       .forall(_.getLong(3) == 0L), "a same-version cut has orphans")
@@ -4121,13 +4182,13 @@ object PipelineOps {
         col(VersionCol), col(SeqCol), col(DeletedCol))
     val (lo, mid1, mid2, hi) =
       terciles(rows, col(VersionCol), s"stamped events in $dir")
-    val stage = stageReplayFile(srcDir) _
     val base = 1600000000000L
-    stage(rows.filter(col(VersionCol) <= mid1), "b0.parquet", base)
-    stage(rows.filter(col(VersionCol) > mid1 && col(VersionCol) <= mid2),
-      "b1.parquet", base + 600000L)
-    stage(rows.filter(col(VersionCol) > mid2), "b2.parquet",
-      base + 1200000L)
+    stageReplayFiles(srcDir)(
+      (rows.filter(col(VersionCol) <= mid1), "b0.parquet", base),
+      (rows.filter(col(VersionCol) > mid1 && col(VersionCol) <= mid2),
+        "b1.parquet", base + 600000L),
+      (rows.filter(col(VersionCol) > mid2), "b2.parquet",
+        base + 1200000L))
     val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     val attempts = withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
@@ -4159,13 +4220,13 @@ object PipelineOps {
         col(SeqCol))
     val (lo, mid1, mid2, hi) =
       terciles(rows, col("valid_from"), s"stamped events in $dir")
-    val stage = stageReplayFile(srcDir) _
     val base = 1600000000000L
-    stage(rows.filter(col("valid_from") <= mid1), "b0.parquet", base)
-    stage(rows.filter(col("valid_from") > mid1
-      && col("valid_from") <= mid2), "b1.parquet", base + 600000L)
-    stage(rows.filter(col("valid_from") > mid2), "b2.parquet",
-      base + 1200000L)
+    stageReplayFiles(srcDir)(
+      (rows.filter(col("valid_from") <= mid1), "b0.parquet", base),
+      (rows.filter(col("valid_from") > mid1
+        && col("valid_from") <= mid2), "b1.parquet", base + 600000L),
+      (rows.filter(col("valid_from") > mid2), "b2.parquet",
+        base + 1200000L))
     val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
@@ -4193,12 +4254,12 @@ object PipelineOps {
       pks = Seq("user_id"), payload = payload)
     val (lo, mid1, mid2, hi) =
       terciles(cl, col(VersionCol), s"collapsing rows in $dir")
-    val stage = stageReplayFile(srcDir) _
     val base = 1600000000000L
-    stage(cl.filter(col(VersionCol) <= mid1), "b0.parquet", base)
-    stage(cl.filter(col(VersionCol) > mid1 && col(VersionCol) <= mid2),
-      "b1.parquet", base + 600000L)
-    stage(cl.filter(col(VersionCol) > mid2), "b2.parquet", base + 1200000L)
+    stageReplayFiles(srcDir)(
+      (cl.filter(col(VersionCol) <= mid1), "b0.parquet", base),
+      (cl.filter(col(VersionCol) > mid1 && col(VersionCol) <= mid2),
+        "b1.parquet", base + 600000L),
+      (cl.filter(col(VersionCol) > mid2), "b2.parquet", base + 1200000L))
     val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
@@ -4223,12 +4284,12 @@ object PipelineOps {
       col("event_type"),
       round(col("value") * 1000000d, 0).cast("bigint").as("value_micro"))
     val m = ev.agg(max(col("event_id"))).head().getLong(0)
-    val stage = stageReplayFile(srcDir) _
     val base = 1600000000000L
-    stage(ev.filter(col("event_id") * 3 <= m), "b0.parquet", base)
-    stage(ev.filter(col("event_id") * 3 > m && col("event_id") * 3 <= 2 * m),
-      "b1.parquet", base + 600000L)
-    stage(ev.filter(col("event_id") * 3 > 2 * m), "b2.parquet", base + 1200000L)
+    stageReplayFiles(srcDir)(
+      (ev.filter(col("event_id") * 3 <= m), "b0.parquet", base),
+      (ev.filter(col("event_id") * 3 > m && col("event_id") * 3 <= 2 * m),
+        "b1.parquet", base + 600000L),
+      (ev.filter(col("event_id") * 3 > 2 * m), "b2.parquet", base + 1200000L))
     def partialOf(df: DataFrame): DataFrame = df.groupBy(col("event_type"))
       .agg(count(lit(1)).as("_cnt"),
         sum(col("value_micro")).as("_sum_value_micro"),

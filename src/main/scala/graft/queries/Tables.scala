@@ -48,15 +48,20 @@ object Tables {
   def readCompute(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = read(s, dir, name)
     val cores = s.sparkContext.defaultParallelism
-    val root = new java.io.File(s"$dir/$name.parquet")
-    val files: Array[java.io.File] =
-      if (root.isDirectory)
-        Option(root.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isFile && !f.getName.startsWith("_") &&
-            !f.getName.startsWith("."))
-      else if (root.isFile) Array(root)
-      else Array.empty
-    val splittable = files.exists(_.length > 128L * 1024 * 1024)
+    // Layout probe through the Hadoop FileSystem API (r15 ADVICE: the
+    // java.io.File form silently never fired on hdfs://, s3://, or even
+    // file: URIs — exactly the one-huge-file production layouts the
+    // remedy exists for). Probe failures degrade to the untouched read.
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val files: Array[org.apache.hadoop.fs.FileStatus] =
+      try {
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(root)) Array.empty
+        else fs.listStatus(root)
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+      } catch { case _: java.io.IOException => Array.empty }
+    val splittable = files.exists(_.getLen > 128L * 1024 * 1024)
     if (files.nonEmpty && files.length < cores / 2 && !splittable)
       df.repartition(cores)
     else df

@@ -98,6 +98,16 @@ object TrainingData {
   private def docsCompute(s: SparkSession, dir: String): DataFrame =
     Tables.readCompute(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "embeddings")
+  /** [[Tables.readCompute]] embeddings — per-gate opt-in at the
+    * measured-heavy dense-kernel sites ONLY (the O(n²) cosine pair scans
+    * and the PQ ADC scan, ≳1 s of per-row vector math each). r15 wired
+    * readCompute into the shared accessor; the r15 driver bench showed
+    * the ~10 LIGHT embedding consumers (LSH/centroid/quantize/retrieval/
+    * bitext/hard-negative paths) regressing 1.3–2× beyond box drift —
+    * the repartition exchange cost more than the parallelized work,
+    * exactly the failure mode documented for relational scans. */
+  private def embCompute(s: SparkSession, dir: String): DataFrame =
     Tables.readCompute(s, dir, "embeddings")
 
   /** Signature frame, cached: several downstream stages (bands, pair
@@ -557,7 +567,7 @@ object TrainingData {
     }),
 
     "x_dedup_simhash" -> ((s, dir) =>
-      DedupOps.simhash(docsCompute(s, dir), "doc_id", "text", SimhashBits)),
+      DedupOps.simhash(docs(s, dir), "doc_id", "text", SimhashBits)),
 
     // SimHash near-dup pairs via pigeonhole banding: hd ≤ 3 over a 28-bit
     // signature, candidates from 4 exact-match bands (guaranteed recall
@@ -655,7 +665,12 @@ object TrainingData {
     // a crawl — so the strategy is left to AQE, which broadcasts it when
     // the runtime size is small and shuffles it when it isn't.
     "x_dedup_cluster_apply" -> ((s, dir) => {
-      val cc = DedupOps.connectedComponents(minhashPairs(minhashSig(s, dir)))
+      // inputDistinct: minhashPairs is lshCandidatePairs output — ends in
+      // .distinct() with id1 < id2 strict on every row, so CC's initial
+      // dedup exchange is provably redundant (r16; same at the two
+      // sibling CC gates below)
+      val cc = DedupOps.connectedComponents(minhashPairs(minhashSig(s, dir)),
+        inputDistinct = true)
       val dropped = cc.filter(col("label") < col("id"))
         .select(col("id").as("doc_id"))
       docs(s, dir)
@@ -673,7 +688,8 @@ object TrainingData {
     // a per-label max_by); n_reps_not_minid counts clusters where the
     // quality rule genuinely changed the survivor. */
     "x_dedup_keep_best" -> ((s, dir) => {
-      val cc = DedupOps.connectedComponents(minhashPairs(minhashSig(s, dir)))
+      val cc = DedupOps.connectedComponents(minhashPairs(minhashSig(s, dir)),
+        inputDistinct = true)
       val members = cc.select(col("id"), col("label"))
         .join(docs(s, dir).select(col("doc_id").as("id"), col("n_chars")),
           "id")
@@ -703,7 +719,7 @@ object TrainingData {
     // x_embed_cosine_dup_lsh / x_embed_dedup_lsh_apply below.
     "x_embed_cosine_dup" -> ((s, dir) => {
       // norms once per row; the O(n²) pair stage does one native dot each
-      val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+      val e = embCompute(s, dir).select(col("vec_id"), col("embedding"),
         SimilarityOps.norm(col("embedding")).as("_n"))
       val a = e.select(col("vec_id").as("id1"), col("embedding").as("_va"),
         col("_n").as("_na"))
@@ -926,7 +942,7 @@ object TrainingData {
     // are ever fetched). Exact-oracled: codebook init, encode argmin,
     // micro-unit LUT sums, and the re-rank are all reproducible.
     "x_ann_pq_topk" -> ((s, dir) => {
-      val e = emb(s, dir)
+      val e = embCompute(s, dir)
       SimilarityOps.pqAnnTopK(e, e.filter(col("vec_id") < AnnQueryIds),
         "vec_id", "embedding", AnnK, PqM, PqKsub, EmbeddingDim, PqShortlist)
     }),
@@ -1046,7 +1062,8 @@ object TrainingData {
     // measured size, so the same plan survives a 100× scale-up.
     "x_leakage_safe_split" -> ((s, dir) => {
       val cc = graft.functions.DedupOps
-        .connectedComponents(minhashPairs(minhashSig(s, dir)))
+        .connectedComponents(minhashPairs(minhashSig(s, dir)),
+          inputDistinct = true)
         .select(col("id").as("doc_id"), col("label"))
       docs(s, dir)
         .join(cc, Seq("doc_id"), "left")
@@ -1390,7 +1407,7 @@ object TrainingData {
     // x_embed_dedup_lsh_apply above); the apply is one distinct +
     // left_anti join (broadcast when the dup set is small).
     "x_embed_dedup_apply" -> ((s, dir) => {
-      val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+      val e = embCompute(s, dir).select(col("vec_id"), col("embedding"),
         col("label"), SimilarityOps.norm(col("embedding")).as("_n"))
       val a = e.select(col("vec_id").as("id1"), col("embedding").as("_va"),
         col("_n").as("_na"))

@@ -239,6 +239,33 @@ class GraphOpsSpec extends AnyFunSuite with graft.GateCacheHygiene {
       "gate would not distinguish LP from connected components at round 1")
   }
 
+  test("lexPack: long order ≡ lexicographic string order; fmtLex inverts (r16 pack)") {
+    import spark.implicits._
+    // boundary keys where right-padding and length ties bite: prefixes
+    // of each other (2|20|21|200), digit-count flips (9|10, 99|100),
+    // zero, and the documented 12-digit width bound
+    val keys = Seq(0L, 1L, 2L, 9L, 10L, 11L, 19L, 20L, 21L, 99L, 100L,
+      101L, 200L, 999L, 1000L, 123456L, 999999999999L)
+    val rows = (for (k <- keys; supp <- Seq(false, true)) yield (k, supp))
+    val df = rows.toDF("k", "supp")
+      .select(col("k"), col("supp"),
+        concat(when(col("supp"), "s").otherwise("c"),
+          col("k").cast("string")).as("str"),
+        when(col("supp"), GraphOps.lexPack(col("k"), supp = true))
+          .otherwise(GraphOps.lexPack(col("k"), supp = false)).as("packed"),
+        GraphOps.fmtLex(when(col("supp"),
+            GraphOps.lexPack(col("k"), supp = true))
+          .otherwise(GraphOps.lexPack(col("k"), supp = false))).as("rt"))
+    val got = df.as[(Long, Boolean, String, Long, String)].collect()
+    // round-trip: fmtLex ∘ lexPack = the public string builder
+    got.foreach { case (_, _, str, _, rt) => assert(rt == str, s"$str → $rt") }
+    // order embedding: packed longs sort exactly as the strings do under
+    // the JVM's (binary, = Spark's/DuckDB's) string order — all pairs
+    for (a <- got; b <- got)
+      assert((a._4 < b._4) == (a._3 < b._3),
+        s"pack order broke on ${a._3} vs ${b._3}")
+  }
+
   test("x_bfs_khop: path-graph distances exact; gate ≡ straight-line relaxation") {
     import spark.implicits._
     // path a-b-c-d-e (mirrored), seed {a}: dists 0..3 one node each, e unreached
