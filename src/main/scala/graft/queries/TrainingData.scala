@@ -89,14 +89,16 @@ object TrainingData {
   val BitextMinCos = 0.2 // bitext: absolute top-1 cosine floor
   val BitextMargin = 0.01 // bitext: required top-1 − top-2 margin
 
+  // Plain reads everywhere in this file's documents consumers (r16):
+  // per-gate A/Bs walked every r15 `readCompute` docs site back —
+  // simhash single AND pairs, setsim, minhash signature all measure
+  // faster without the repartition exchange (e.g. simhash_pairs
+  // 1.38→1.20 s, setsim ≈ even). The two docs consumers that KEEP it,
+  // driver-confirmed heavy, live elsewhere: x_dsir_weights
+  // (Curation.scala) and x_pipeline_e2e's fused s0 scan (PipelineE2e
+  // — plain read measured 6.1 → 8.4+ s there).
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
-  /** [[Tables.readCompute]] docs — ONLY for gates whose scan stage runs
-    * ≳1 s of per-row kernel work (shingle/gram explodes, multi-window
-    * vote aggregates); for light consumers the exchange costs more than
-    * it parallelizes (measured: x_dedup_exact 0.31→0.56 s). */
-  private def docsCompute(s: SparkSession, dir: String): DataFrame =
-    Tables.readCompute(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "embeddings")
   /** [[Tables.readCompute]] embeddings — per-gate opt-in at the
@@ -575,7 +577,7 @@ object TrainingData {
     // families), one equi-join shuffle, popcount filter.
     "x_dedup_simhash_pairs" -> ((s, dir) =>
       DedupOps.simhashPairs(
-        DedupOps.simhash(docsCompute(s, dir), "doc_id", "text", SimhashPairBits),
+        DedupOps.simhash(docs(s, dir), "doc_id", "text", SimhashPairBits),
         "doc_id", "simhash", SimhashPairBits, SimhashPairBands,
         SimhashMaxHamming)),
 
@@ -585,7 +587,7 @@ object TrainingData {
     // reads two MD5 windows of the one digest ([[DedupOps.simhash]]).
     "x_dedup_simhash64_pairs" -> ((s, dir) =>
       DedupOps.simhashPairs(
-        DedupOps.simhash(docsCompute(s, dir), "doc_id", "text", SimhashWideBits),
+        DedupOps.simhash(docs(s, dir), "doc_id", "text", SimhashWideBits),
         "doc_id", "simhash", SimhashWideBits, SimhashWideBands,
         SimhashWideMaxHamming)),
 
@@ -610,8 +612,12 @@ object TrainingData {
     // the per-shingle frequency of RARE shingles by construction; every
     // step is an equi-join or a per-doc window.
     "x_setsim_join_exact" -> ((s, dir) => {
+      // readCompute kept (r15 driver-verified 1.21× with it; this round's
+      // plain-read A/B was a wash locally and read below the drift band
+      // in the closing full bench) — the shingle explode IS a heavy
+      // per-row kernel here
       val sh = graft.GateCache.cache(
-        docsCompute(s, dir).select(col("doc_id"),
+        Tables.readCompute(s, dir, "documents").select(col("doc_id"),
           explode(graft.functions.ShingleExprs
             .wordShinglesNative(col("text"), ShingleW)).as("shingle"))
           .distinct())
