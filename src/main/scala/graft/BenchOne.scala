@@ -18,6 +18,12 @@ object BenchOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // fail fast on unknown names (r15 ADVICE: a typo was silently
+    // swallowed by the warmup catch-all, then the timed loop died with a
+    // bare NoSuchElementException and no hint which arg was wrong)
+    val unknown = args.distinct.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — names must be keys of SparkEntry.queries")
     // warm up only the REQUESTED queries (codegen+JIT) — warming all 280+
     // made every dev-loop measurement pay a multi-minute fixed cost
     for (n <- args.distinct) {
